@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.plans.{Compiler, NLParser, Plan}
+
+/** The engine facade — the deterministic equivalent of the reference's
+  * linear agent pipeline `planner → codegen → executor → critic`
+  * (agentic_workflow_transformation.py:259-267). The nondeterministic LLM
+  * stages collapse into parse + compile; execution is lazy (Catalyst plans
+  * it); validation is the oracle-equivalence harness (Verify + specs)
+  * rather than an LLM judge.
+  */
+object Engine {
+
+  /** description → typed plan IR (replaces planner_agent + code_generator_agent). */
+  def plan(description: String): Plan = NLParser.parse(description)
+
+  /** description + input → transformed DataFrame (lazy; no action run). */
+  def run(description: String, input: DataFrame): DataFrame =
+    Compiler.compile(plan(description), input)
+}

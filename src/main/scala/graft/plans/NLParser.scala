@@ -1,0 +1,360 @@
+package graft.plans
+
+/** Deterministic natural-language → Plan IR parser.
+  *
+  * Replaces the reference's two LLM stages — planner
+  * (agentic_workflow_transformation.py:31-53) and code generator
+  * (agentic_workflow_transformation.py:57-101) — with a grammar covering the
+  * tested contract: the default description
+  * (agentic_workflow_transformation.py:318) and all 20 eval descriptions
+  * (agentic_workflow_transformation.py:339-362). Anything outside the grammar
+  * is a `ParseException`, mirroring how the reference fails/retries on bad
+  * generations (SURVEY.md §7.4).
+  *
+  * Grammar (case-insensitive keywords):
+  * {{{
+  *   query   := clause (AND THEN? clause)*
+  *   clause  := (FILTER|SELECT) (ROWS)? (WHERE)? pred
+  *            | SELECT COLUMNS? collist
+  *            | SORT BY col (DESC|DESCENDING|ASC|ASCENDING)?
+  *            | KEEP TOP int ROWS?
+  *            | GROUP BY collist
+  *            | COUNT col
+  *            | SHOW AVERAGE col (WHERE pred)?
+  *            | ADD name COLUMN WHERE name = pred
+  *            | RENAME col TO col
+  *            | DROP col COLUMN?
+  *   pred    := andp (OR andp)*
+  *   andp    := unary (AND unary)*
+  *   unary   := NOT unary | '(' pred ')' | atom
+  *   atom    := col BETWEEN lit AND lit | col STARTS WITH str
+  *            | col CONTAINS str | col IN '(' lit (',' lit)* ')'
+  *            | col cmp lit              cmp := > >= < <= == != =
+  * }}}
+  */
+object NLParser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- lexer
+  sealed trait Tok
+  final case class Word(s: String) extends Tok { def lower: String = s.toLowerCase }
+  final case class Num(v: Double)  extends Tok
+  final case class Quoted(s: String) extends Tok
+  final case class Sym(s: String)  extends Tok // ( ) , or comparison op
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '#'
+
+  def tokenize(input0: String): Vector[Tok] = {
+    val input = input0.trim.stripSuffix(".")
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < input.length) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val end = input.indexOf(c, i + 1)
+        if (end < 0) throw ParseException(s"unterminated quote at $i in: $input0")
+        toks += Quoted(input.substring(i + 1, end)); i = end + 1
+      } else if (c == '(' || c == ')' || c == ',') { toks += Sym(c.toString); i += 1 }
+      else if ("<>=!".contains(c)) {
+        val start = i
+        while (i < input.length && "<>=!".contains(input(i))) i += 1
+        toks += Sym(input.substring(start, i))
+      } else if (c.isDigit || (c == '-' && i + 1 < input.length && input(i + 1).isDigit)) {
+        val start = i
+        i += 1
+        while (i < input.length &&
+               (input(i).isDigit ||
+                (input(i) == '.' && i + 1 < input.length && input(i + 1).isDigit))) i += 1
+        toks += Num(input.substring(start, i).toDouble)
+      } else if (isWordChar(c)) {
+        val start = i
+        while (i < input.length && isWordChar(input(i))) i += 1
+        toks += Word(input.substring(start, i))
+      } else throw ParseException(s"unexpected char '$c' at $i in: $input0")
+    }
+    toks.result()
+  }
+
+  // ------------------------------------------------------------- clauses
+  /** Keywords that begin a new top-level clause after an "and". */
+  private val clauseKeywords =
+    Set("select", "keep", "then", "filter", "sort", "group", "count",
+        "show", "drop", "rename", "add")
+
+  /** Split the token stream into clauses at top-level `and <keyword>`
+    * boundaries. `and` inside parens or inside `between lo and hi` stays
+    * part of the predicate (the next token there is a literal, never a
+    * clause keyword). */
+  private def splitClauses(toks: Vector[Tok]): List[Vector[Tok]] = {
+    val out = List.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    var depth = 0
+    var i = 0
+    var curEmpty = true
+    while (i < toks.length) {
+      toks(i) match {
+        case Sym("(") => depth += 1; cur += toks(i); i += 1; curEmpty = false
+        case Sym(")") => depth -= 1; cur += toks(i); i += 1; curEmpty = false
+        case w: Word if depth == 0 && !curEmpty && w.lower == "and" &&
+            i + 1 < toks.length && (toks(i + 1) match {
+              case n: Word => clauseKeywords(n.lower)
+              case _       => false
+            }) =>
+          out += cur.result(); cur = Vector.newBuilder[Tok]; curEmpty = true
+          i += 1 // drop the "and"
+          // drop a following "then"
+          toks(i) match { case w2: Word if w2.lower == "then" => i += 1; case _ => () }
+        case t => cur += t; i += 1; curEmpty = false
+      }
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  // --------------------------------------------------------------- parse
+  def parse(description: String): Plan = {
+    val clauses = splitClauses(tokenize(description))
+    var groupKeys: Option[Seq[String]] = None
+    val ops = List.newBuilder[Op]
+    clauses.foreach { cl =>
+      parseClause(cl, groupKeys) match {
+        case Left(keys) => groupKeys = Some(keys)
+        case Right(clauseOps) =>
+          ops ++= clauseOps
+          if (clauseOps.exists(_.isInstanceOf[Op.GroupAgg])) groupKeys = None
+      }
+    }
+    if (groupKeys.isDefined)
+      throw ParseException(s"dangling GROUP BY without aggregate in: $description")
+    Plan(ops.result())
+  }
+
+  /** Left(groupKeys) for a bare `group by` awaiting its aggregate clause. */
+  private def parseClause(
+      toks: Vector[Tok],
+      pendingGroup: Option[Seq[String]]): Either[Seq[String], List[Op]] = {
+    val p = new TokCursor(toks)
+    p.peekWordLower match {
+      case Some("filter") =>
+        p.next(); p.dropWords("rows"); p.dropWords("where")
+        Right(List(Op.Filter(parsePred(p).ensuringDone(p))))
+      case Some("select") =>
+        p.next()
+        p.peekWordLower match {
+          case Some("rows") => // "Select rows where <pred>"
+            p.next(); p.dropWords("where")
+            Right(List(Op.Filter(parsePred(p).ensuringDone(p))))
+          case Some("columns") =>
+            p.next(); Right(List(Op.Select(parseColList(p))))
+          case _ => Right(List(Op.Select(parseColList(p))))
+        }
+      case Some("keep") =>
+        p.next(); p.expectWord("top")
+        val k = p.expectNum().toInt
+        p.dropWords("rows")
+        Right(List(Op.Limit(k)))
+      case Some("sort") =>
+        p.next(); p.expectWord("by")
+        val c = p.expectWordRaw()
+        val asc = p.peekWordLower match {
+          case Some("desc") | Some("descending") => p.next(); false
+          case Some("asc") | Some("ascending")   => p.next(); true
+          case _                                 => true
+        }
+        Right(List(Op.Sort(Seq(c -> asc))))
+      case Some("group") =>
+        p.next(); p.expectWord("by")
+        Left(parseColList(p))
+      case Some("count") =>
+        p.next()
+        val c = p.expectWordRaw()
+        val keys = pendingGroup.getOrElse(
+          throw ParseException("count without preceding group by"))
+        Right(List(Op.GroupAgg(keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
+      case Some("show") =>
+        p.next()
+        val func = p.expectWordRaw().toLowerCase match {
+          case "average" | "avg" => AggFunc.Avg
+          case "sum" | "total"   => AggFunc.Sum
+          case "min" | "minimum" => AggFunc.Min
+          case "max" | "maximum" => AggFunc.Max
+          case other => throw ParseException(s"unknown aggregate '$other'")
+        }
+        val c = p.expectWordRaw()
+        val alias = func match {
+          case AggFunc.Avg => s"average_$c"
+          case AggFunc.Sum => s"sum_$c"
+          case AggFunc.Min => s"min_$c"
+          case AggFunc.Max => s"max_$c"
+          case AggFunc.Count => "count"
+        }
+        val keys = pendingGroup.getOrElse(
+          throw ParseException("aggregate without preceding group by"))
+        val agg = Op.GroupAgg(keys, Seq(AggSpec(func, c, alias)))
+        if (p.peekWordLower.contains("where")) {
+          p.next()
+          Right(List(agg, Op.Having(parsePred(p).ensuringDone(p))))
+        } else Right(List(agg))
+      case Some("add") =>
+        // "Add is_adult column where is_adult = age >= 18"
+        p.next()
+        val name = p.expectWordRaw()
+        p.dropWords("column"); p.dropWords("where")
+        p.peekWordRaw match {
+          case Some(n2) if n2 == name =>
+            p.next()
+            p.peek match { case Some(Sym("=")) => p.next(); case _ => () }
+          case _ => ()
+        }
+        Right(List(Op.DeriveBool(name, parsePred(p).ensuringDone(p))))
+      case Some("rename") =>
+        p.next()
+        val from = p.expectWordRaw(); p.dropWords("column"); p.expectWord("to")
+        val to = p.expectWordRaw(); p.dropWords("column")
+        Right(List(Op.Rename(from, to)))
+      case Some("drop") =>
+        p.next()
+        val cols = parseColList(p, stopWords = Set("column", "columns"))
+        p.dropWords("column"); p.dropWords("columns")
+        Right(List(Op.Drop(cols)))
+      case other =>
+        throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
+    }
+  }
+
+  private def parseColList(p: TokCursor,
+                           stopWords: Set[String] = Set.empty): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var expectMore = true
+    while (expectMore && p.peekWordRaw.exists(w => !stopWords(w.toLowerCase))) {
+      cols += p.expectWordRaw()
+      p.peek match {
+        case Some(Sym(","))                         => p.next()
+        case Some(w: Word) if w.lower == "and"      => p.next()
+        case _                                      => expectMore = false
+      }
+    }
+    val result = cols.result()
+    if (result.isEmpty) throw ParseException("expected column list")
+    result
+  }
+
+  // ------------------------------------------------------ predicate parse
+  private implicit final class PredOps(val pred: Pred) extends AnyVal {
+    def ensuringDone(p: TokCursor): Pred = {
+      if (!p.done) throw ParseException(
+        s"trailing tokens after predicate: ${p.remaining.mkString(" ")}")
+      pred
+    }
+  }
+
+  private def parsePred(p: TokCursor): Pred = parseOr(p)
+
+  private def parseOr(p: TokCursor): Pred = {
+    var left = parseAnd(p)
+    while (p.peekWordLower.contains("or")) { p.next(); left = Pred.Or(left, parseAnd(p)) }
+    left
+  }
+
+  private def parseAnd(p: TokCursor): Pred = {
+    var left = parseUnary(p)
+    while (p.peekWordLower.contains("and")) { p.next(); left = Pred.And(left, parseUnary(p)) }
+    left
+  }
+
+  private def parseUnary(p: TokCursor): Pred = p.peek match {
+    case Some(w: Word) if w.lower == "not" => p.next(); Pred.Not(parseUnary(p))
+    case Some(Sym("(")) =>
+      p.next()
+      val inner = parseOr(p)
+      p.expectSym(")")
+      inner
+    case _ => parseAtom(p)
+  }
+
+  private def parseAtom(p: TokCursor): Pred = {
+    val colName = p.expectWordRaw()
+    p.peek match {
+      case Some(Sym(op)) =>
+        p.next()
+        val v = parseLit(p)
+        val cmp = op match {
+          case ">"  => Pred.Gt
+          case ">=" => Pred.Ge
+          case "<"  => Pred.Lt
+          case "<=" => Pred.Le
+          case "==" | "=" => Pred.Eq
+          case "!=" | "<>" => Pred.Ne
+          case other => throw ParseException(s"unknown comparison '$other'")
+        }
+        Pred.Cmp(cmp, colName, v)
+      case Some(w: Word) => w.lower match {
+        case "between" =>
+          p.next()
+          val lo = parseLit(p); p.expectWord("and"); val hi = parseLit(p)
+          Pred.Between(colName, lo, hi)
+        case "starts" =>
+          p.next(); p.expectWord("with")
+          Pred.StartsWith(colName, p.expectStr())
+        case "contains" =>
+          p.next(); Pred.Contains(colName, p.expectStr())
+        case "in" =>
+          p.next(); p.expectSym("(")
+          val vals = Seq.newBuilder[Lit]
+          vals += parseLit(p)
+          while (p.peek.contains(Sym(","))) { p.next(); vals += parseLit(p) }
+          p.expectSym(")")
+          Pred.In(colName, vals.result())
+        case "is" => // tolerated: "col is 'x'" ≡ equality
+          p.next(); Pred.Cmp(Pred.Eq, colName, parseLit(p))
+        case other => throw ParseException(s"expected operator after '$colName', got '$other'")
+      }
+      case other => throw ParseException(s"expected operator after '$colName', got $other")
+    }
+  }
+
+  private def parseLit(p: TokCursor): Lit = p.next() match {
+    case Num(v)    => Lit.Num(v)
+    case Quoted(s) => Lit.Str(s)
+    case Word(s)   => Lit.Str(s) // unquoted bareword literal
+    case other     => throw ParseException(s"expected literal, got $other")
+  }
+
+  // ------------------------------------------------------------- cursor
+  private final class TokCursor(toks: Vector[Tok]) {
+    private var pos = 0
+    def done: Boolean = pos >= toks.length
+    def remaining: Vector[Tok] = toks.drop(pos)
+    def peek: Option[Tok] = if (done) None else Some(toks(pos))
+    def peekWordLower: Option[String] = peek.collect { case w: Word => w.lower }
+    def peekWordRaw: Option[String] = peek.collect { case w: Word => w.s }
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def dropWords(ws: String*): Unit =
+      while (peekWordLower.exists(ws.contains(_))) next()
+    def expectWord(w: String): Unit = next() match {
+      case word: Word if word.lower == w => ()
+      case other => throw ParseException(s"expected '$w', got $other")
+    }
+    def expectWordRaw(): String = next() match {
+      case w: Word => w.s
+      case other   => throw ParseException(s"expected identifier, got $other")
+    }
+    def expectNum(): Double = next() match {
+      case Num(v) => v
+      case other  => throw ParseException(s"expected number, got $other")
+    }
+    def expectStr(): String = next() match {
+      case Quoted(s) => s
+      case Word(s)   => s
+      case other     => throw ParseException(s"expected string, got $other")
+    }
+    def expectSym(s: String): Unit = next() match {
+      case Sym(`s`) => ()
+      case other    => throw ParseException(s"expected '$s', got $other")
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.plans
+
+/** Typed plan IR — the deterministic replacement for the reference's
+  * LLM-produced plan *string* (reference: agentic_workflow_transformation.py:51).
+  *
+  * The node set is exactly the Layer-B relational contract inventoried in
+  * SURVEY.md §2.2 (P1–P4 projections, F1–F11 predicates, O1–O3 sort/limit,
+  * A1–A3 aggregations) plus the sink/scan bookends. Each node compiles to one
+  * lazy DataFrame transformation ([[Compiler]]); Catalyst then performs all
+  * optimization (pushdown, pruning, top-k rewrite) — see SURVEY.md §4.2.
+  */
+sealed trait Pred extends Product with Serializable
+
+object Pred {
+  /** Comparison operators appearing in the reference's eval grammar
+    * (`>`, `<=`, `==` — agentic_workflow_transformation.py:341-343) plus the
+    * natural completions (`<`, `>=`, `!=`) so the predicate algebra is closed.
+    */
+  sealed trait CmpOp
+  case object Gt  extends CmpOp
+  case object Ge  extends CmpOp
+  case object Lt  extends CmpOp
+  case object Le  extends CmpOp
+  case object Eq  extends CmpOp
+  case object Ne  extends CmpOp
+
+  final case class Cmp(op: CmpOp, col: String, value: Lit)        extends Pred
+  /** Inclusive range — pandas `Series.between` default semantics
+    * (reference eval 13/20: "age between 30 and 45"). */
+  final case class Between(col: String, lo: Lit, hi: Lit)         extends Pred
+  final case class StartsWith(col: String, prefix: String)        extends Pred
+  final case class Contains(col: String, substr: String)          extends Pred
+  final case class In(col: String, values: Seq[Lit])              extends Pred
+  final case class And(left: Pred, right: Pred)                   extends Pred
+  final case class Or(left: Pred, right: Pred)                    extends Pred
+  final case class Not(child: Pred)                               extends Pred
+}
+
+/** Literal values — the reference's grammar only ever compares against
+  * numbers and single-quoted strings. */
+sealed trait Lit extends Product with Serializable
+object Lit {
+  final case class Num(value: Double) extends Lit {
+    /** Render integral doubles as integers so `age > 30` stays an int
+      * comparison (pandas int64 semantics). */
+    def asAny: Any = if (value.isValidInt && value == math.floor(value)) value.toLong else value
+  }
+  final case class Str(value: String) extends Lit
+}
+
+/** Aggregate functions in the tested contract: count (A1), avg (A2).
+  * sum/min/max round out the algebra for the extension surface. */
+sealed trait AggFunc
+object AggFunc {
+  case object Count extends AggFunc
+  case object Avg   extends AggFunc
+  case object Sum   extends AggFunc
+  case object Min   extends AggFunc
+  case object Max   extends AggFunc
+}
+
+final case class AggSpec(func: AggFunc, col: String, alias: String)
+
+/** One relational step. A full plan is `Plan(ops: List[Op])` applied in
+  * order — mirroring how each reference eval description composes
+  * `Filter* → (Sort → Limit)? → Select?` or `GroupBy → Agg → Having?`. */
+sealed trait Op extends Product with Serializable
+object Op {
+  final case class Filter(pred: Pred)                              extends Op
+  /** Select columns in the *requested* order (AGENTIC_WORKFLOW.md:108
+    * requires order exactness). */
+  final case class Select(cols: Seq[String])                       extends Op
+  /** Derived column from a boolean predicate — `is_adult = age >= 18`
+    * (reference eval 6). */
+  final case class DeriveBool(name: String, pred: Pred)            extends Op
+  final case class Rename(from: String, to: String)                extends Op
+  final case class Drop(cols: Seq[String])                         extends Op
+  /** keys paired with ascending flag; stable multi-key sort. */
+  final case class Sort(keys: Seq[(String, Boolean)])              extends Op
+  final case class Limit(k: Int)                                   extends Op
+  final case class GroupAgg(keys: Seq[String], aggs: Seq[AggSpec]) extends Op
+  /** Post-aggregation filter referencing an agg alias (A3 / HAVING). */
+  final case class Having(pred: Pred)                              extends Op
+}
+
+final case class Plan(ops: List[Op]) {
+  def :+(op: Op): Plan = Plan(ops :+ op)
+}
+object Plan { val empty: Plan = Plan(Nil) }
