@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EvalQueries, QueryPack}
+import graft.queries.{EvalQueries, QueryPack, RelationalQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{EvalQueries, QueryPack}
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    EvalQueries)
+    EvalQueries,
+    RelationalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's default description (agentic_workflow_transformation

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources.table
+
+/** Relational operators at scale, beyond the reference's single-table
+  * surface (SURVEY.md §2.2 notes joins/windows/set-ops are absent there).
+  * These are the shapes a 100 TB pipeline lives on, formulated so Catalyst
+  * produces the plan we'd want on a 1000-executor cluster:
+  *
+  *  - dimension tables (`customer`, `nation`, `region`) are explicitly
+  *    `broadcast()` — no shuffle of the fact side for those joins;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key once, with
+  *    AQE free to re-plan skew;
+  *  - aggregations are partial+final two-phase (HashAggregateExec) by
+  *    construction — no driver-side loops anywhere;
+  *  - top-k is orderBy+limit, planned as TakeOrderedAndProject (no global
+  *    sort materialization);
+  *  - double-valued aggregates are rounded identically on the Spark and
+  *    oracle sides so floating summation order can't flip the hash compare.
+  *
+  * Every window/top-k query carries a unique tie-break key so results are
+  * deterministic under any partitioning.
+  */
+object RelationalQueries extends QueryPack {
+
+  private val shipCutoff = "1999-06-01 00:00:00"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the canonical partial+final agg.
+    "q1_pricing_summary" -> ((s: SparkSession, d: String) => {
+      table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(shipCutoff)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Global top-k: TakeOrderedAndProject, deterministic via orderkey tie-break.
+    "q2_topk_orders" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Broadcast dim join + agg: revenue by market segment.
+    "q3_join_revenue" -> ((s: SparkSession, d: String) => {
+      val orders = table(s, d, "orders")
+      val cust = table(s, d, "customer")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Per-key window top-N: row_number partitioned by customer.
+    "q4_window_rank" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Selective scan: every predicate here reaches the parquet reader
+    // (PushedFilters) — verified in PlanShapeSpec.
+    "q5_filter_pushdown" -> ((s: SparkSession, d: String) => {
+      table(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+                col("l_quantity") < 10 &&
+                col("l_discount").between(0.02, 0.08))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+                col("l_discount"), col("l_returnflag"))
+    }),
+
+    // TPC-H Q5-shaped multi-join: fact⋈fact shuffle join + broadcast dims.
+    "q6_multi_join_revenue" -> ((s: SparkSession, d: String) => {
+      val li = table(s, d, "lineitem")
+      val orders = table(s, d, "orders")
+      val cust = table(s, d, "customer")
+      val nation = table(s, d, "nation")
+      val region = table(s, d, "region")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_lineitems"))
+    }),
+
+    // Distinct aggregate: distinct customers + order count per status.
+    "q7_distinct_agg" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Anti join: customers with no high-value order (left_anti — no
+    // NOT-IN null hazard, stays a broadcast/shuffled hash anti join).
+    "q8_customers_without_orders" -> ((s: SparkSession, d: String) => {
+      val cust = table(s, d, "customer")
+      val bigOrders = table(s, d, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi join: parts that appear in any lineitem.
+    "q9_parts_with_sales" -> ((s: SparkSession, d: String) => {
+      val part = table(s, d, "part")
+      val li = table(s, d, "lineitem").select(col("l_partkey"))
+      part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    }),
+
+    // Set ops: union/except over projections (absent from the reference;
+    // part of a complete relational surface).
+    "q10_setops" -> ((s: SparkSession, d: String) => {
+      val cust = table(s, d, "customer")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val richAuto = cust.filter(col("c_mktsegment") === "AUTOMOBILE" &&
+                                 col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      val negBal = cust.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_name"))
+      building.union(richAuto).except(negBal)
+    }))
+
+  override val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  round(sum(l_extendedprice), 2) AS sum_base_price,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  round(avg(l_extendedprice), 4) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$shipCutoff'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q3_join_revenue" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q5_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') AND l_quantity < 10
+        |  AND l_discount BETWEEN 0.02 AND 0.08""".stripMargin,
+    "q6_multi_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q7_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q8_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q9_parts_with_sales" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q10_setops" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_name FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the "would this survive 100×
+  * scale-up" checks. Not row-level correctness (the DuckDB oracle gate
+  * covers that) but the plan properties that matter on a cluster:
+  * filters reaching the parquet scan, dims broadcast instead of
+  * shuffled, top-k planned as TakeOrderedAndProject, whole-stage
+  * codegen covering the hot path. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntryPlans.formatted(spark, sf, name)
+
+  test("q5 filter predicates are pushed to the parquet scan") {
+    val p = plan("q5_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("In(l_returnflag"), "returnflag IN should be pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity < should be pushed")
+  }
+
+  test("q5 scan reads only the projected columns") {
+    val p = plan("q5_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("q3 joins the customer dim via broadcast, not shuffle") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q6 multi-join broadcasts all three dims") {
+    val p = plan("q6_multi_join_revenue")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast joins, got $n")
+  }
+
+  test("q2 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q2_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q1 aggregation is two-phase hash aggregate (partial + final)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+    // exactly one shuffle: the partial->final exchange on the group keys
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges")
+  }
+
+  test("q1 executes inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    // '*' prefixes mark WholeStageCodegen stages in the executed plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), executed.take(2000))
+  }
+}
+
+/** Helper giving specs access to a query's formatted physical plan. */
+object SparkEntryPlans {
+  def formatted(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+}
