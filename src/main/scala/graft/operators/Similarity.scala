@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+
+import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`) — extension X2 of SURVEY.md §2.2.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - the *query* set is the small side: it is broadcast, so scoring is a
+  *    map-side cross product over corpus partitions — no corpus shuffle;
+  *  - per-query top-k uses a map-side partial top-k aggregator
+  *    ([[Similarity.TopK]]): each task emits at most `k` candidates per
+  *    query, so the single shuffle moves `O(queries × k × partitions)`
+  *    rows, never the `O(queries × corpus)` scored pairs a window-function
+  *    formulation would move;
+  *  - scoring is the codegen'd [[graft.functions.CosineSimilarity]] kernel;
+  *  - the LSH variant buckets both sides with deterministic
+  *    random-hyperplane signatures so candidate generation becomes an
+  *    equi-join on (band, bucket) — the 100 TB path where even one full
+  *    scan per query batch is too much.
+  */
+object Similarity {
+
+  final case class Scored(id: Long, score: Double)
+
+  final case class TopBuf(items: List[Scored])
+
+  /** Map-side partial top-k: keeps the k best (score desc, id asc) seen so
+    * far; merge unions two partials. Deterministic under any partitioning. */
+  final class TopK(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
+      val (pre, post) = buf.span(better(_, s))
+      val merged = pre ::: (s :: post)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, a: Scored): TopBuf =
+      if (b.items.length >= k && !better(a, b.items.last)) b
+      else TopBuf(insert(b.items, a))
+    override def merge(b1: TopBuf, b2: TopBuf): TopBuf =
+      TopBuf(b2.items.foldLeft(b1.items)(insert))
+    override def finish(r: TopBuf): TopBuf = r
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product
+  }
+
+  /** Exact brute-force top-k cosine neighbors.
+    *
+    * @param queries  small frame `(idCol, vecCol)` — broadcast
+    * @param corpus   large frame `(idCol, vecCol)` — scanned once, map-side
+    * @return (query_id, neighbor_id, rank, score) with rank 1..k by
+    *         (score desc, neighbor_id asc)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val pairs0 = c.crossJoin(broadcast(q))
+    val pairs = if (excludeSelf) pairs0.filter(col("neighbor_id") =!= col("query_id")) else pairs0
+    val scored = pairs.select(
+      col("query_id"), col("neighbor_id"),
+      cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Reduce scored (query_id, neighbor_id, score) pairs to ranked top-k per
+    * query via the map-side partial aggregator. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopK(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "s")))
+      .select(
+        col("query_id"),
+        col("s.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("s.score").as("score"))
+  }
+
+  /** Reference formulation via a window function — shuffles every scored
+    * pair; kept for plan comparison and small-data cross-checks. */
+  def bruteForceTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosineSim(col("q_vec"), col("c_vec")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Deterministic random hyperplanes: `bands × bitsPerBand` planes of
+    * dimension `dim`, seeded — identical across runs and executors. */
+  def hyperplanes(dim: Int, bands: Int, bitsPerBand: Int,
+                  seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Add `(band, bucket)` columns: one row per band via posexplode, bucket =
+    * sign-bit signature of the band's hyperplane dots. All computation is
+    * codegen'd dot products against literal plane vectors — map-side only. */
+  def withLshBuckets(df: DataFrame, planes: Array[Array[Float]],
+                     bands: Int, bitsPerBand: Int,
+                     vecCol: String = "embedding"): DataFrame = {
+    val bandBuckets: Seq[Column] = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val plane = typedlit(planes(b * bitsPerBand + i))
+        when(dotProduct(col(vecCol), plane) > 0d, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.withColumn("buckets", array(bandBuckets: _*))
+      .select(col("*"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .drop("buckets")
+  }
+
+  /** Approximate top-k: candidates = corpus rows sharing any (band, bucket)
+    * with the query, rescored exactly, deduped, top-k per query. Recall is
+    * tunable via bands/bits; candidate generation is a hash equi-join on
+    * (band, bucket) instead of a full cross product. */
+  /** Default band/bit sizing: for neighbors at cosine ≈ 0.3 (typical for
+    * high-dim embeddings), per-plane agreement p = 1-θ/π ≈ 0.6, so 8 bands
+    * × 6 bits gives recall ≈ 1-(1-p⁶)⁸ ≈ 0.33 while scanning ~L/2^b ≈ 12%
+    * of the corpus per query. Raise bands for recall, bits for selectivity. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 6, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, bands, bitsPerBand)
+    val qb = withLshBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      planes, bands, bitsPerBand, "q_vec")
+    val cb = withLshBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      planes, bands, bitsPerBand, "c_vec")
+    val candidates = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.select(
+      col("query_id"), col("neighbor_id"),
+      cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    topKPerQuery(scored, k)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+import graft.operators.Similarity
+
+class VectorFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.zip(b).foreach { case (x0, y0) =>
+      val x = x0.toDouble; val y = y0.toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private val vecs = Seq(
+    (1L, Seq(1f, 2f, 3f, 4f)),
+    (2L, Seq(4f, 3f, 2f, 1f)),
+    (3L, Seq(-1f, 0.5f, 0f, 2f)),
+    (4L, Seq(0f, 0f, 0f, 0f)), // zero vector
+    (5L, Seq(1f, 2f, 3f, 4f))) // duplicate of 1
+
+  test("cosine_sim matches sequential double-precision reference (codegen path)") {
+    val df = vecs.toDF("id", "v")
+    val out = df.as("a").crossJoin(df.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+              cosineSim($"a.v", $"b.v").as("c"))
+      .collect()
+    val byId = vecs.toMap
+    out.foreach { r =>
+      val expected = refCosine(byId(r.getLong(0)), byId(r.getLong(1)))
+      assert(r.getDouble(2) == expected,
+        s"cosine(${r.getLong(0)},${r.getLong(1)}) = ${r.getDouble(2)} != $expected")
+    }
+  }
+
+  test("interpreted eval agrees with codegen") {
+    val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1f, 2f, 3f))
+    val b = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(4f, 5f, 6f))
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal(a,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(b,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == refCosine(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))
+  }
+
+  test("zero vector yields 0.0, not NaN") {
+    val df = vecs.toDF("id", "v")
+    val z = df.filter($"id" === 4L).select(cosineSim($"v", $"v")).head.getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("dot_product matches") {
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+    assert(df.select(dotProduct($"a", $"b")).head.getDouble(0) == 11.0)
+  }
+
+  test("SQL registration via extensions-compatible register()") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) c")
+      .head.getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("TopK aggregator result equals window formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 4)
+    val viaAgg = Similarity.bruteForceTopK(q, emb, 5)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val viaWindow = Similarity.bruteForceTopKWindow(q, emb, 5)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
+  test("LSH candidates are a subset with exact scores; recall is sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, 5).collect()
+    // every LSH pair's score equals the exact cosine (rescoring is exact)
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.forall(_.getInt(2) <= 5))
+    val recall = (exact intersect lshPairs).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.2f over ${exact.size} exact pairs")
+    assert(recall > 0.15, s"implausibly low recall: $recall")
+  }
+}
