@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.SimHashFunctions.simhash64
+import graft.functions.VectorFunctions.cosineSim
+
+/** Deduplication operators over a document corpus — the extension surface a
+  * training-data pipeline needs (X1 + near-dup variants).
+  *
+  * Scale design:
+  *  - every variant is *blocked*: candidate pairs come from an equi-join on
+  *    a deterministic key (exact hash, MinHash band bucket, SimHash chunk,
+  *    source block), never from an unblocked cross product — the only shape
+  *    that survives 10⁹ documents;
+  *  - signature computation (shingles → MinHash sketch, SimHash bits) is
+  *    pure map-side column work (codegen'd built-ins + the SimHash
+  *    expression), no shuffle until the bucket join;
+  *  - verification (exact Jaccard / cosine) runs only on bucket-collided
+  *    candidates.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined); empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - lit(n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over distinct-element arrays, in double precision. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0d, 0d).otherwise(inter / union)
+  }
+
+  // ------------------------------------------------------------ X1: exact
+
+  /** Exact dedup: canonical representative = min(id) per identical key.
+    * One shuffle on the group key; deterministic. */
+  def exactByText(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), md5(col(textCol)).as("fingerprint"), col("n_copies"))
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs within a blocking key (e.g. the
+    * `source` column): all same-block pairs with Jaccard ≥ threshold.
+    * The block join is an equi-join; never all-pairs. */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                        n: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(
+      col(blockCol).as("block"), col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+    val l = withSh.as("l")
+    val r = withSh.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** MinHash sketch: element i = min over shingles of xxhash64(i, shingle).
+    * Map-side only; `numHashes` passes over the shingle array. */
+  def minHashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Near-dup pairs via MinHash banding: signature split into `bands`
+    * bands of `rowsPerBand` hashes; docs sharing any band bucket become
+    * candidates; candidates are verified with exact Jaccard ≥ threshold.
+    *
+    * Probability a pair with true Jaccard j collides: 1-(1-j^r)^b —
+    * with 16×4 defaults, j=0.5 → 0.65, j=0.8 → 0.9996, j=0.3 → 0.12:
+    * sharp threshold around ~0.5. */
+  def minHashPairs(docs: DataFrame, threshold: Double,
+                   numHashes: Int = 64, bands: Int = 16,
+                   n: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(
+        col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bucket")))
+    val l = sigs.as("l")
+    val r = sigs.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+              col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, banded into four 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 shares ≥1
+    * chunk), verified with exact `bit_count(xor)` ≤ maxHamming. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val fp = docs.select(col(idCol).as("id"),
+                         simhash64(tokens(col(textCol))).as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map { c =>
+          shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))
+        }: _*)).as(Seq("chunk", "chunk_val")))
+    val l = fp.as("l")
+    val r = fp.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") &&
+              col("l.chunk_val") === col("r.chunk_val") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs within a blocking key (pass a
+    * constant column to compare all pairs — only sane at small scale;
+    * at 100 TB use [[Similarity.lshTopK]] buckets as blocks). */
+  def embeddingPairs(embs: DataFrame, threshold: Double,
+                     blockCol: Column, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val e = embs.select(blockCol.as("block"), col(idCol).as("id"),
+                        col(vecCol).as("vec"))
+    val l = e.as("l")
+    val r = e.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              cosineSim(col("l.vec"), col("r.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

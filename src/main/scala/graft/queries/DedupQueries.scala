@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+import graft.sources.Sources.table
+
+/** Dedup queries over `documents`/`embeddings` (X1 + near-dup variants).
+  * Exact, n-gram-Jaccard, and embedding-cosine variants are DuckDB-oracle
+  * checked (portable SQL exists); MinHash/SimHash depend on engine hash
+  * functions (xxhash64 / FNV-1a) so they get rows-only checks plus
+  * synthetic-corpus assertions in DedupSpec. */
+object DedupQueries extends QueryPack {
+
+  private val JaccardThreshold = 0.5
+  private val CosineThreshold = 0.45
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x3_dedup_exact" -> ((s: SparkSession, d: String) =>
+      Dedup.exactByText(table(s, d, "documents"))),
+
+    "x4_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPairs(table(s, d, "documents"), "source", JaccardThreshold)
+        .withColumn("jaccard", round(col("jaccard"), 4))),
+
+    "x5_dedup_minhash" -> ((s: SparkSession, d: String) =>
+      Dedup.minHashPairs(table(s, d, "documents"), JaccardThreshold)
+        .withColumn("jaccard", round(col("jaccard"), 4))),
+
+    "x6_dedup_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.simHashPairs(table(s, d, "documents"), maxHamming = 3)),
+
+    "x7_dedup_embedding" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold, lit(1))
+        .withColumn("cosine", round(col("cosine"), 6))))
+
+  override val oracleSql: Map[String, String] = Map(
+    "x3_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "x4_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(CASE WHEN len(toks) - 2 <= 0 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |             i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS s
+         |  FROM (SELECT doc_id, source,
+         |          list_filter(string_split_regex(lower(text), '\\s+'),
+         |                      t -> t <> '') AS toks
+         |        FROM documents))
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE
+         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "x7_dedup_embedding" ->
+      s"""SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           b.embedding::DOUBLE[]) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= $CosineThreshold""".stripMargin)
+}

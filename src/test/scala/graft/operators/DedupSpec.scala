@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Synthetic corpus with a known dup structure: 1↔2 exact dups,
+    * 3≈4 near-dups (one word changed), 5 unrelated. */
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+    (3L, "spark engines shuffle data across wide partitions during joins every day", "s1"),
+    (4L, "spark engines shuffle data across wide partitions during joins every night", "s1"),
+    (5L, "completely different content about databases and storage layers here now", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("shingles: distinct word trigrams, empty when too short") {
+    val sh = corpus.select(Dedup.shingles($"text", 3).as("s")).collect()
+    assert(sh.forall(_.getSeq[String](0).nonEmpty))
+    val short = Seq((1L, "one two")).toDF("id", "text")
+      .select(Dedup.shingles($"text", 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup collapses identical texts to min id") {
+    val out = Dedup.exactByText(corpus).collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(0) == 1L, "representative should be min(doc_id)")
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "source", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhash LSH recovers exact and near dup pairs") {
+    val pairs = Dedup.minHashPairs(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val sig = corpus.select(
+      Dedup.minHashSignature(Dedup.shingles($"text", 3), 16).as("sig"))
+    assert(sig.collect().map(_.getSeq[Long](0)).toSeq ==
+           sig.collect().map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val pairs = Dedup.simHashPairs(corpus, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) == 0, "exact dup must have hamming 0")
+    // near-dup 3≈4: 1 word of 11 changed — simhash should be close, and in
+    // any case must NOT pair the unrelated doc 5 with anything
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("embedding pairs above threshold, blocked and unblocked agree on block") {
+    val embs = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingPairs(embs, 0.9, lit(1)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("driver dedup queries are non-trivial on real documents at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val ngramPairs = graft.queries.DedupQueries.queries("x4_dedup_ngram_jaccard")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhashPairs = graft.queries.DedupQueries.queries("x5_dedup_minhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"ngram(same-source) pairs=${ngramPairs.size} minhash(global) pairs=${minhashPairs.size}")
+    assert(ngramPairs.nonEmpty, "expected planted near-dups in documents table")
+    assert(minhashPairs.nonEmpty)
+    // minhash searches globally (no source blocking), so it must recover
+    // the same-source exact pairs (banding recall ≈ 1 at jaccard ≥ 0.5)
+    assert(ngramPairs.subsetOf(minhashPairs),
+      s"minhash missed same-source pairs: ${ngramPairs diff minhashPairs}")
+  }
+}
