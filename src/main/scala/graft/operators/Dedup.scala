@@ -137,7 +137,7 @@ object Dedup {
               col("l.chunk_val") === col("r.chunk_val") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-              bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+              bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }

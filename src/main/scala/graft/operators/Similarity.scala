@@ -81,7 +81,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("s.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"),
+        (col("pos") + 1).cast("long").as("rank"),
         col("s.score").as("score"))
   }
 
@@ -97,7 +97,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosineSim(col("q_vec"), col("c_vec")).as("score"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TextAnalysis
+import graft.sources.Sources.table
+
+/** Text-analysis queries over `documents` (X3): token stats, quality
+  * scoring, lang-ID, fingerprints, corpus rollup. All but the rolling
+  * hash are DuckDB-oracle checked — the heuristics are ASCII-regex and
+  * integer-ratio based precisely so both engines compute identical
+  * values. The rolling hash is engine-specific (FNV-style kernel) →
+  * rows-only + unit spec. */
+object TextQueries extends QueryPack {
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val stopSql =
+    "['the','a','of','and','to','in','is','that','it','was']"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x8_text_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenStats(table(s, d, "documents"))),
+
+    "x9_text_quality" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityScore(table(s, d, "documents"))),
+
+    "x10_lang_id" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langId(table(s, d, "documents"))),
+
+    "x11_fingerprint_md5" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.fingerprints(table(s, d, "documents"))
+        .select(col("doc_id"), col("md5_fp"))),
+
+    "x12_fingerprint_rolling" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.fingerprints(table(s, d, "documents"))
+        .select(col("doc_id"), col("rolling_fp"))),
+
+    "x13_corpus_stats" -> ((s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.tokenStats(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ws_tokens")).as("total_tokens"),
+             round(avg(col("n_chars")), 4).as("avg_chars"))
+    }))
+
+  override val oracleSql: Map[String, String] = Map(
+    "x8_text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+         |FROM documents""".stripMargin,
+
+    "x9_text_quality" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, len($toksSql) AS n_tokens,
+         |    len(list_filter($toksSql, x -> list_contains($stopSql, x))) AS stops,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |              / length(text) END AS pr
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+         |  round(pr, 6) AS punct_ratio,
+         |  round(0.4 * least(1.0, n_tokens / 100.0)
+         |      + 0.4 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END) * 5.0)
+         |      + 0.2 * (1.0 - pr), 6) AS quality
+         |FROM s""".stripMargin,
+
+    "x10_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS score_de,
+         |  len(list_filter(toks, x -> list_contains($stopSql, x))) AS score_en,
+         |  len(list_filter(toks, x -> list_contains(['el','los','las','que','y','en','un','una','por','como'], x))) AS score_es,
+         |  len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est','dans','pour','du','au'], x))) AS score_fr,
+         |  0::BIGINT AS score_zh
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN score_de = best AND best > 0 THEN 'de'
+         |       WHEN score_en = best AND best > 0 THEN 'en'
+         |       WHEN score_es = best AND best > 0 THEN 'es'
+         |       WHEN score_fr = best AND best > 0 THEN 'fr'
+         |       WHEN score_zh = best AND best > 0 THEN 'zh'
+         |       ELSE 'und' END AS lang_pred,
+         |  score_de, score_en, score_es, score_fr, score_zh
+         |FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best FROM s)""".stripMargin,
+
+    "x11_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+
+    "x13_corpus_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len($toksSql)) AS total_tokens,
+         |  round(avg(length(text)), 4) AS avg_chars
+         |FROM documents GROUP BY source""".stripMargin)
+}

@@ -54,7 +54,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs collide, near-dups within small hamming") {
     val pairs = Dedup.simHashPairs(corpus, maxHamming = 3)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs.contains((1L, 2L)))
     assert(pairs((1L, 2L)) == 0, "exact dup must have hamming 0")
     // near-dup 3≈4: 1 word of 11 changed — simhash should be close, and in

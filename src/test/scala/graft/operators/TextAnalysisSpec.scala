@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.RollingHash64
+import graft.functions.RollingHashFunctions.rollingHash
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox and the lazy dog"),
+    (2L, "der schnelle braune fuchs und der faule hund ist mit von"),
+    (3L, "el que y en un una por como los las"),
+    (4L, "numbers 123 and punct!! marks, here."),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("token stats: whitespace vs bpe-ish segmentation") {
+    val out = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((8L, 8L)))
+    // "numbers 123 and punct!! marks, here." → ws 6; bpe-ish: 5 words +
+    // '123' + 2×'!' + ',' + '.' = 10
+    assert(out(4L) == ((6L, 10L)))
+    assert(out(5L) == ((0L, 0L)))
+  }
+
+  test("quality: empty doc scores length 0 and no NaN") {
+    val q = TextAnalysis.qualityScore(docs).filter($"doc_id" === 5L).head
+    assert(q.getLong(1) == 0L)
+    assert(!q.getDouble(4).isNaN)
+  }
+
+  test("quality: punctuation lowers the score, stopwords raise it") {
+    val q = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(q(1L) > q(4L), s"stopword-rich doc should beat punct-y doc: $q")
+  }
+
+  test("lang id: marker words dominate; ties break alphabetically") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(5L) == "und", "no markers → undetermined")
+  }
+
+  test("rolling hash kernel: deterministic, matches reference fold") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131L + (b & 0xff)) % 1000000007L)
+    val samples = Seq("", "a", "hello world", "the quick brown fox")
+    samples.foreach { s =>
+      assert(RollingHash64.compute(UTF8String.fromString(s)) == ref(s), s"mismatch on '$s'")
+    }
+    val viaDf = docs.select($"doc_id", rollingHash($"text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf(1L) == ref("the quick brown fox and the lazy dog"))
+  }
+
+  test("fingerprints: md5 matches commons digest of utf-8 bytes") {
+    val fp = TextAnalysis.fingerprints(docs).filter($"doc_id" === 1L).head
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the quick brown fox and the lazy dog".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp.getString(1) == expected)
+  }
+}
