@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-time operators over the `events` table (extension X4): tumbling
+  * windows and gap-based sessionization, batch-first with streaming
+  * equivalents in [[graft.streaming.EventStreams]].
+  *
+  * Timestamp handling: the driver's events parquet carries
+  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  * ([PARQUET_TYPE_ILLEGAL]). We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` and derive microsecond
+  * precision (`ts_us = floor(ns/1000)`) — exactly the truncation DuckDB
+  * applies when it coerces ns parquet to its µs TIMESTAMP, so every
+  * derived value (window starts, session bounds, gaps) is integer-exact
+  * across engines.
+  */
+object Events {
+
+  /** Events with `ts_us` (epoch micros, long) and `ts` (TimestampType). */
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
+    // mantissa, so floating division would corrupt low-order digits
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Tumbling-window counts: epoch-aligned `window(ts, width)` per
+    * event_type. Output keyed by `window_start_ms` (exact integer). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+              col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via lag + running sum — one shuffle on
+    * user_id, then per-partition window work. A new session starts when
+    * the gap since the previous event is ≥ `gapMinutes` (the same
+    * boundary rule as Spark's `session_window`). Deterministic ordering
+    * by (ts_us, event_id). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val flagged = events.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** The same sessions through Spark's native `session_window` (batch
+    * mode) — the formulation that also runs under Structured Streaming
+    * with state-store-backed incremental merging. Window end = last event
+    * + gap, per session_window semantics. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_micros(col("sw.start")).as("session_start_us"),
+              unix_micros(col("sw.end")).as("session_end_us"),
+              col("n_events"))
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Events
+
+/** Event-time queries (X4). The DuckDB oracle sees the ns parquet coerced
+  * to µs TIMESTAMP — the identical truncation Events.load applies — so
+  * window starts and session bounds compare as exact integers. */
+object EventQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_event_tumbling" -> ((s: SparkSession, d: String) =>
+      Events.tumblingCounts(Events.load(s, d))),
+
+    "x15_event_sessionize" -> ((s: SparkSession, d: String) =>
+      Events.sessionize(Events.load(s, d))),
+
+    "x16_event_session_window" -> ((s: SparkSession, d: String) =>
+      Events.sessionWindowCounts(Events.load(s, d))))
+
+  override val oracleSql: Map[String, String] = Map(
+    "x14_event_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x15_event_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "x16_event_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) + 30*60*1000000 AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin)
+}

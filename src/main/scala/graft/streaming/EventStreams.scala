@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Structured Streaming formulations of the event-time operators
+  * (SURVEY.md §2.2 X4; the reference is strictly batch, so this is pure
+  * extension surface). The batch operators in
+  * [[graft.operators.Events]] and these streaming ones share semantics:
+  * identical window/gap rules, so a pipeline can be validated in batch and
+  * deployed streaming.
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark is
+  * dropped, state for closed windows/sessions is evicted); the stateful
+  * sessionizer keys state by user so it distributes with the shuffle; all
+  * aggregations are incremental (no per-trigger rescans).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, session_start: Timestamp,
+                                  session_end: Timestamp, n_events: Long,
+                                  total_value: Double)
+
+  /** Tumbling event-time window counts with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Native streaming session windows (state-store merged). */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"))
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` can't express (here:
+    * emitting event-count and value totals per closed session, with
+    * event-time timeout eviction). Emits a session when a subsequent event
+    * arrives ≥ gap later, or when the group times out past the watermark. */
+  def statefulSessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                         watermark: String = "1 hour"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    final case class Open(startMs: Long, lastMs: Long, n: Long, total: Double)
+    def summary(userId: Long, s: Open): SessionSummary =
+      SessionSummary(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+                     s.n, math.rint(s.total * 100) / 100)
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[(Long, Long, Long, Double)]): Iterator[SessionSummary] = {
+      def toOpen(t: (Long, Long, Long, Double)) = Open(t._1, t._2, t._3, t._4)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(t => summary(userId, toOpen(t))).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[SessionSummary]
+        var cur = state.getOption.map(toOpen)
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs >= gapMs =>
+              closed ::= summary(userId, s)
+              cur = Some(Open(t, t, 1, e.value))
+            case Some(s) =>
+              cur = Some(Open(s.startMs, t, s.n + 1, s.total + e.value))
+            case None =>
+              cur = Some(Open(t, t, 1, e.value))
+          }
+        }
+        cur match {
+          case Some(s) =>
+            state.update((s.startMs, s.lastMs, s.n, s.total))
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+          case None => ()
+        }
+        closed.reverse.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

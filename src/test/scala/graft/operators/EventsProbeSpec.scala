@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch event-time operators over the driver's ns-precision parquet. */
+class EventsProbeSpec extends SparkSpec {
+
+  private lazy val events = Events.load(spark, "/root/testdata/sf0.001")
+
+  test("nanos parquet loads via nanosAsLong with exact micro truncation") {
+    val r = events.select(col("ts_us"), col("ts")).head
+    assert(r.getLong(0) > 1700000000000000L, "epoch micros expected")
+    assert(r.getTimestamp(1).getTime == r.getLong(0) / 1000, "ts must be µs-derived")
+  }
+
+  test("tumbling counts cover the whole month and sum to row count") {
+    val total = events.count()
+    val windows = Events.tumblingCounts(events)
+    assert(windows.agg(sum("n_events")).head.getLong(0) == total)
+  }
+
+  test("sessionize partitions all events; bounds ordered; gap rule holds") {
+    val sessions = Events.sessionize(events, gapMinutes = 30)
+    val total = events.count()
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == total)
+    assert(sessions.filter(col("session_end_us") < col("session_start_us")).count() == 0)
+    // consecutive sessions of one user must be >= gap apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start_us")
+    val gaps = sessions
+      .withColumn("prev_end", lag(col("session_end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(col("session_start_us") - col("prev_end") < 30L * 60 * 1000000)
+    assert(gaps.count() == 0, "sessions closer than the gap must have merged")
+  }
+
+  test("session_window agrees with lag-based sessionization") {
+    val viaLag = Events.sessionize(events, 30)
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaNative = Events.sessionWindowCounts(events, 30)
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaLag == viaNative)
+  }
+}
