@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, EventQueries, QueryPack, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, QueryPack, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     VectorQueries,
     DedupQueries,
     TextQueries,
-    EventQueries)
+    EventQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's default description (agentic_workflow_transformation
