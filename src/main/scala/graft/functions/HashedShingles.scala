@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sorted distinct FNV-1a hashes of word n-gram shingles, computed in one
+  * kernel call: tokenize → hash each n-token window (with `' '`
+  * separators, matching `concat_ws(" ", ...)` semantics) → sort → dedup.
+  * No shingle strings are ever materialized.
+  *
+  * The equivalent built-in pipeline
+  * (`array_sort(transform(array_distinct(transform(sequence(...),
+  * i => concat_ws(" ", slice(tokens, i, n)))), xxhash64))`) allocates a
+  * sliced array + concatenated string per shingle and runs interpreted
+  * lambda machinery per element — measured as the dominant cost of the
+  * dedup queries at sf0.1. This kernel is a linear pass over the bytes. */
+object HashedShinglesKernel {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime  = 0x100000001b3L
+
+  @inline private def step(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * FnvPrime
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // lowercase + whitespace tokenize (same rule as Dedup.tokens)
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = FnvOffset
+      var j = i
+      while (j < i + n) {
+        if (j > i) h = step(h, ' '.toByte)
+        val bytes = toks(j).getBytes("UTF-8")
+        var b = 0
+        while (b < bytes.length) { h = step(h, bytes(b)); b += 1 }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == m) hs else Arrays.copyOf(hs, w))
+  }
+}
+
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashedShinglesKernel.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedShinglesKernel.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hashed_shingles"
+}
+
+object HashedShinglesFunctions {
+  def hashedShingles(text: Column, n: Int): Column =
+    columnOf(HashedShingles(expressionOf(text), n))
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types._
+
+/** Single-pass sketch kernels. The HOF formulations
+  * (`transform(sh, s => xxhash64(i, s))` × numHashes, or one `DotProduct`
+  * column per hyperplane) evaluate interpreted lambdas or explode codegen
+  * with thousands of literal constants — measured at 18s/5s per query at
+  * sf0.1. These expressions compute the whole sketch in one fused loop via
+  * a static kernel, with parameters passed as codegen reference objects. */
+object SketchKernels {
+
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def minHashSeeds(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => mix64(0x5eed0000L + i))
+
+  /** MinHash sketch: mins(i) = min over elements of mix64(elem ^ seed(i)).
+    * One pass over the element array, all hash lanes updated per element. */
+  def minHash(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val num = seeds.length
+    val mins = Array.fill(num)(Long.MaxValue)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      val v = arr.getLong(e)
+      var i = 0
+      while (i < num) {
+        val h = mix64(v ^ seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Sign-bit LSH band buckets: planes is a row-major
+    * `(bands*bitsPerBand) × dim` float matrix; output = one long bucket
+    * per band, bit i of band b = sign(vec · planes(b*bits+i)). All dots
+    * computed in one pass over the plane matrix. */
+  def lshBuckets(vec: ArrayData, planes: Array[Array[Float]],
+                 bands: Int, bitsPerBand: Int): ArrayData = {
+    val dim = math.min(vec.numElements(), if (planes.isEmpty) 0 else planes(0).length)
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < bands * bitsPerBand) {
+      val plane = planes(p)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        dot += vec.getFloat(d).toDouble * plane(d).toDouble
+        d += 1
+      }
+      if (dot > 0.0) out(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** sketch = minhash_sketch(hashedShingles, numHashes): array<long>. */
+case class MinHashSketch(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  private lazy val seeds = SketchKernels.minHashSeeds(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sketch requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.minHash(v.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.minHash($c, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_sketch"
+}
+
+/** buckets = lsh_buckets(embedding): array<long>, one bucket per band. */
+case class LshBuckets(child: Expression, planes: Array[Array[Float]],
+                      bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.lshBuckets(v.asInstanceOf[ArrayData], planes, bands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.lshBuckets($c, $planesRef, $bands, $bitsPerBand)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lsh_buckets"
+}
+
+object SketchFunctions {
+  def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
+    columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
+
+  def lshBuckets(vec: Column, planes: Array[Array[Float]],
+                 bands: Int, bitsPerBand: Int): Column =
+    columnOf(LshBuckets(expressionOf(vec), planes, bands, bitsPerBand))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 
-import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+import graft.functions.VectorFunctions.cosineSim
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`) — extension X2 of SURVEY.md §2.2.
@@ -112,19 +112,16 @@ object Similarity {
     Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Add `(band, bucket)` columns: one row per band via posexplode, bucket =
-    * sign-bit signature of the band's hyperplane dots. All computation is
-    * codegen'd dot products against literal plane vectors — map-side only. */
+  /** Add `(band, bucket)` columns: one row per band via posexplode, bucket
+    * = sign-bit signature of the band's hyperplane dots, computed by the
+    * fused [[graft.functions.LshBuckets]] kernel (one pass over the plane
+    * matrix per row, planes shipped as a codegen reference object) —
+    * map-side only. */
   def withLshBuckets(df: DataFrame, planes: Array[Array[Float]],
                      bands: Int, bitsPerBand: Int,
                      vecCol: String = "embedding"): DataFrame = {
-    val bandBuckets: Seq[Column] = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val plane = typedlit(planes(b * bitsPerBand + i))
-        when(dotProduct(col(vecCol), plane) > 0d, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    df.withColumn("buckets", array(bandBuckets: _*))
+    df.withColumn("buckets",
+        graft.functions.SketchFunctions.lshBuckets(col(vecCol), planes, bands, bitsPerBand))
       .select(col("*"), posexplode(col("buckets")).as(Seq("band", "bucket")))
       .drop("buckets")
   }

@@ -74,9 +74,9 @@ class VectorFunctionsSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 4)
     val viaAgg = Similarity.bruteForceTopK(q, emb, 5)
-      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val viaWindow = Similarity.bruteForceTopKWindow(q, emb, 5)
-      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaAgg.toSeq == viaWindow.toSeq)
   }
 
@@ -88,7 +88,7 @@ class VectorFunctionsSpec extends SparkSpec {
     val lsh = Similarity.lshTopK(q, emb, 5).collect()
     // every LSH pair's score equals the exact cosine (rescoring is exact)
     val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.forall(_.getInt(2) <= 5))
+    assert(lsh.forall(_.getLong(2) <= 5))
     val recall = (exact intersect lshPairs).size.toDouble / exact.size
     info(f"LSH recall@5 = $recall%.2f over ${exact.size} exact pairs")
     assert(recall > 0.15, s"implausibly low recall: $recall")

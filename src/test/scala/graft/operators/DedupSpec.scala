@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("sorted-jaccard kernel equals string-array jaccard on real docs") {
+    import graft.functions.ArrayJaccardFunctions.sortedJaccard
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(40)
+    val withBoth = docs.select(
+      $"doc_id", Dedup.shingles($"text", 3).as("sh_str"),
+      Dedup.hashedShingles($"text", 3).as("sh_hash"))
+    val l = withBoth.as("l"); val r = withBoth.as("r")
+    val cmp = l.join(r, col("l.doc_id") < col("r.doc_id"))
+      .select(
+        Dedup.jaccard(col("l.sh_str"), col("r.sh_str")).as("ref"),
+        sortedJaccard(col("l.sh_hash"), col("r.sh_hash")).as("fast"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+  }
+
   test("exact dedup collapses identical texts to min id") {
     val out = Dedup.exactByText(corpus).collect()
     assert(out.length == 4)
@@ -47,7 +64,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash signature is deterministic across evaluations") {
     val sig = corpus.select(
-      Dedup.minHashSignature(Dedup.shingles($"text", 3), 16).as("sig"))
+      Dedup.minHashSignature(Dedup.hashedShingles($"text", 3), 16).as("sig"))
     assert(sig.collect().map(_.getSeq[Long](0)).toSeq ==
            sig.collect().map(_.getSeq[Long](0)).toSeq)
   }
