@@ -42,14 +42,36 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = fnv1a64(tokens.getUTF8String(i))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
+      vote(counts, fnv1a64(tokens.getUTF8String(i)))
       i += 1
     }
+    collapse(counts)
+  }
+
+  /** SimHash of raw text: lowercase + whitespace-tokenize + vote in one
+    * kernel pass (same token rule as the array path over `Dedup.tokens`),
+    * skipping the interpreted split/filter column pipeline. */
+  def computeText(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val toks = text.toLowerCase.toString.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty)
+        vote(counts, fnv1a64(UTF8String.fromString(toks(i))))
+      i += 1
+    }
+    collapse(counts)
+  }
+
+  @inline private def vote(counts: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 64) {
+      if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      j += 1
+    }
+  }
+
+  @inline private def collapse(counts: Array[Int]): Long = {
     var res = 0L
     var j = 0
     while (j < 64) {
@@ -64,16 +86,22 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires array<string>, got ${t.sql}")
+      s"simhash64 requires array<string> or string, got ${t.sql}")
   }
 
+  private def overRawText: Boolean = child.dataType == StringType
+
   override def nullSafeEval(v: Any): Any =
-    SimHash64.compute(v.asInstanceOf[ArrayData])
+    if (overRawText) SimHash64.computeText(v.asInstanceOf[UTF8String])
+    else SimHash64.compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    if (overRawText)
+      defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.computeText($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"

@@ -140,7 +140,7 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
     val fp = docs.select(col(idCol).as("id"),
-                         simhash64(tokens(col(textCol))).as("fp"))
+                         simhash64(col(textCol)).as("fp"))
       .select(col("id"), col("fp"),
         posexplode(array((0 until 4).map { c =>
           shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))

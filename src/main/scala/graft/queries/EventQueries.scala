@@ -36,7 +36,7 @@ object EventQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sessions AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx,
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
@@ -53,7 +53,7 @@ object EventQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sessions AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
         |  FROM flagged)
         |SELECT user_id,
         |  min(ts_us) AS session_start_us,

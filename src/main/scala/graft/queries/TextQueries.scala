@@ -95,7 +95,7 @@ object TextQueries extends QueryPack {
 
     "x13_corpus_stats" ->
       s"""SELECT source, count(*) AS n_docs,
-         |  sum(len($toksSql)) AS total_tokens,
+         |  sum(len($toksSql))::BIGINT AS total_tokens,
          |  round(avg(length(text)), 4) AS avg_chars
          |FROM documents GROUP BY source""".stripMargin)
 }

@@ -58,6 +58,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
+            continue
+        dtype_diffs = [f"{c}: spark={got[c].dtype} duck={want[c].dtype}"
+                       for c in got.columns
+                       if str(got[c].dtype) != str(want[c].dtype)]
+        if dtype_diffs:
+            print(f"FAIL {name}: dtype mismatch {'; '.join(dtype_diffs)}")
+            failures += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
