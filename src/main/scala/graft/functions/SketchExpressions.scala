@@ -47,6 +47,34 @@ object SketchKernels {
     new GenericArrayData(mins)
   }
 
+  /** Indices of the `n` nearest centroids by cosine, ascending by
+    * (-cosine, index) — one pass over the centroid matrix per row.
+    * Backs the IVF index: corpus rows take n=1 (their cell), queries
+    * take n=nprobe (cells to search). */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]],
+                       n: Int): ArrayData = {
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val dim = math.min(vec.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = vec.getFloat(d).toDouble
+        val y = cent(d).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      sims(c) = if (denom == 0.0) -2.0 else dot / denom
+      c += 1
+    }
+    val order = Array.range(0, k).sortBy(i => (-sims(i), i)).take(math.min(n, k))
+    new GenericArrayData(order.map(_.toLong))
+  }
+
   /** Sign-bit LSH band buckets: planes is a row-major
     * `(bands*bitsPerBand) × dim` float matrix; output = one long bucket
     * per band, bit i of band b = sign(vec · planes(b*bits+i)). All dots
@@ -122,6 +150,31 @@ case class LshBuckets(child: Expression, planes: Array[Array[Float]],
   override def prettyName: String = "lsh_buckets"
 }
 
+/** cells = nearest_centroids(embedding): array<long> of centroid indices,
+  * best-first (n=1 for corpus assignment, n=nprobe for query probing). */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+                            n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.nearestCentroids(v.asInstanceOf[ArrayData], centroids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.nearestCentroids($c, $ref, $n)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
 object SketchFunctions {
   def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
     columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
@@ -129,4 +182,7 @@ object SketchFunctions {
   def lshBuckets(vec: Column, planes: Array[Array[Float]],
                  bands: Int, bitsPerBand: Int): Column =
     columnOf(LshBuckets(expressionOf(vec), planes, bands, bitsPerBand))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
+    columnOf(NearestCentroids(expressionOf(vec), centroids, n))
 }

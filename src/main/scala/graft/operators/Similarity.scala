@@ -126,6 +126,40 @@ object Similarity {
       .drop("buckets")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic centroid selection: the `k` corpus vectors with the
+    * smallest ids (a k-means iteration would refine these; selection
+    * stays deterministic and driver-side tiny either way). */
+  def sampleCentroids(corpus: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Float]] =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest centroid cell (map-side, one kernel call); each query
+    * probes its `nprobe` nearest cells; candidates come from an equi-join
+    * on cell id and are rescored exactly. The coarse quantizer bounds the
+    * scanned fraction to ~nprobe/centroids of the corpus — the standard
+    * billion-vector serving layout (cells ↔ partitions on a cluster). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.SketchFunctions.nearestCentroids
+    val cents = sampleCentroids(corpus, centroids, idCol, vecCol)
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", nearestCentroids(col("c_vec"), cents, 1)(0))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, nprobe)))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Approximate top-k: candidates = corpus rows sharing any (band, bucket)
     * with the query, rescored exactly, deduped, top-k per query. Recall is
     * tunable via bands/bits; candidate generation is a hash equi-join on

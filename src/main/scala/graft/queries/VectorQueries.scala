@@ -29,6 +29,12 @@ object VectorQueries extends QueryPack {
       val emb = table(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    "x20_ann_ivf" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, K)
+        .withColumn("score", round(col("score"), 6))
     }))
 
   override val oracleSql: Map[String, String] = Map(
@@ -44,6 +50,6 @@ object VectorQueries extends QueryPack {
          |  FROM embeddings q CROSS JOIN embeddings c
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
          |WHERE rank <= $K""".stripMargin)
-    // x2_ann_lsh: approximate — no portable SQL oracle; rows-only check +
-    // recall/subset assertions in VectorFunctionsSpec.
+    // x2_ann_lsh / x20_ann_ivf: approximate — no portable SQL oracle;
+    // rows-only checks + recall/subset assertions in VectorFunctionsSpec.
 }

@@ -80,6 +80,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(viaAgg.toSeq == viaWindow.toSeq)
   }
 
+  test("IVF probes its cells: <=k per query, exact rescoring, sane recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 5, centroids = 16, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(_.getLong(2) <= 5))
+    val perQuery = ivf.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(_.length <= 5))
+    val recall = (exact intersect ivf.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (nprobe=4/16 cells)")
+    assert(recall > 0.15, s"implausibly low IVF recall: $recall")
+  }
+
   test("LSH candidates are a subset with exact scores; recall is sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 8)
