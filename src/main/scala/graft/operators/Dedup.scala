@@ -158,17 +158,30 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-dup pairs within a blocking key (pass a
-    * constant column to compare all pairs — only sane at small scale;
-    * at 100 TB use [[Similarity.lshTopK]] buckets as blocks). */
+  /** Embedding-cosine near-dup pairs within a blocking key, or over all
+    * pairs when `blockCol` is None.
+    *
+    * The all-pairs path deliberately uses `crossJoin(broadcast(right))`
+    * rather than an equi-join on a constant key: a constant join key
+    * hash-partitions every row to ONE reducer (zero parallelism), while
+    * broadcast keeps the left side partition-parallel. All-pairs is only
+    * sane for corpora that fit a broadcast; at 100 TB block first (LSH
+    * buckets via [[Similarity.lshTopK]], or a metadata key). */
   def embeddingPairs(embs: DataFrame, threshold: Double,
-                     blockCol: Column, idCol: String = "vec_id",
+                     blockCol: Option[Column] = None,
+                     idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val e = embs.select(blockCol.as("block"), col(idCol).as("id"),
-                        col(vecCol).as("vec"))
-    val l = e.as("l")
-    val r = e.as("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val joined = blockCol match {
+      case Some(bc) =>
+        val e = embs.select(bc.as("block"), col(idCol).as("id"),
+                            col(vecCol).as("vec"))
+        e.as("l").join(e.as("r"),
+          col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      case None =>
+        base.as("l").join(broadcast(base.as("r")), col("l.id") < col("r.id"))
+    }
+    joined
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
               cosineSim(col("l.vec"), col("r.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -44,6 +44,24 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(lit(words.toArray), t)))
 
+  /** The quality heuristic as a single appendable column (streaming- and
+    * join-free): 0.4·length-score + 0.4·stopword-score + 0.2·(1 −
+    * punct-ratio), rounded to 6. */
+  def qualityColumn(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val nTokens = size(toks).cast("double")
+    val stopRatio = when(nTokens === 0d, 0d)
+      .otherwise(stopwordCount(toks, EnglishStopwords).cast("double") / nTokens)
+    val punct = length(textCol) -
+      length(regexp_replace(textCol, "[^A-Za-z0-9\\s]", ""))
+    val punctRatio = when(length(textCol) === 0, 0d)
+      .otherwise(punct.cast("double") / length(textCol).cast("double"))
+    val lenScore = least(lit(1.0), nTokens / lit(100.0))
+    val stopScore = least(lit(1.0), stopRatio * lit(5.0))
+    round(lit(0.4) * lenScore + lit(0.4) * stopScore +
+          lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
   /** Deterministic quality heuristic in [0,1]:
     * 0.4·length-score + 0.4·stopword-score + 0.2·(1 − punct-ratio).
     * Thresholding on it reproduces the classic "well-formed prose" filter

@@ -32,7 +32,7 @@ object DedupQueries extends QueryPack {
       Dedup.simHashPairs(table(s, d, "documents"), maxHamming = 3)),
 
     "x7_dedup_embedding" -> ((s: SparkSession, d: String) =>
-      Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold, lit(1))
+      Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold)
         .withColumn("cosine", round(col("cosine"), 6))))
 
   override val oracleSql: Map[String, String] = Map(

@@ -84,8 +84,10 @@ class DedupSpec extends SparkSpec {
       (1L, Seq(1f, 0f, 0f), 0),
       (2L, Seq(0.99f, 0.1f, 0f), 0),
       (3L, Seq(0f, 1f, 0f), 0)).toDF("vec_id", "embedding", "label")
-    val out = Dedup.embeddingPairs(embs, 0.9, lit(1)).collect()
-    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val allPairs = Dedup.embeddingPairs(embs, 0.9).collect()
+    assert(allPairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val blocked = Dedup.embeddingPairs(embs, 0.9, Some(col("label"))).collect()
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
   test("driver dedup queries are non-trivial on real documents at sf0.001") {

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+
+class DocumentStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def stopQuietly(q: StreamingQuery): Unit =
+    try q.stop() catch { case _: Exception => () }
+
+  private val richText =
+    "the quick brown fox jumps over the lazy dog and it was a fine day in the town of springfield that morning"
+
+  test("streaming clean+dedup: quality filter drops junk, dedup keeps one copy") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.cleanAndDedup(docs, minQuality = 0.3)
+      .select("doc_id", "fingerprint", "quality")
+      .writeStream.format("memory").queryName("clean_docs").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, richText, ts(0)),
+        (2L, richText, ts(1)),       // exact dup of 1 within watermark
+        (3L, "!!", ts(1)),           // junk: fails quality
+        (4L, richText + " extended with more words entirely", ts(2)))
+      q.processAllAvailable()
+      val rows = spark.table("clean_docs").collect()
+      val kept = rows.map(_.getLong(0)).toSet
+      assert(!kept.contains(3L), "low-quality doc must be filtered")
+      // exactly one of the two identical docs survives
+      assert(kept.intersect(Set(1L, 2L)).size == 1, s"kept=$kept")
+      assert(kept.contains(4L))
+    } finally stopQuietly(q)
+  }
+
+  test("token throughput aggregates per window and source") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "source", "ingest_ts")
+    val q = DocumentStreams.tokenThroughput(docs, width = "1 minute")
+      .writeStream.format("memory").queryName("throughput").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "one two three", "s1", ts(0)),
+        (2L, "four five", "s1", ts(0)),
+        (3L, "six", "s2", ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("throughput").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains(("s1", 2L, 5L)), s"got $rows")
+      assert(rows.contains(("s2", 1L, 1L)))
+    } finally stopQuietly(q)
+  }
+}
