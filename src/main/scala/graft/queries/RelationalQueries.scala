@@ -126,6 +126,21 @@ object RelationalQueries extends QueryPack {
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
     }),
 
+    // Salted skew join: identical semantics to the plain inner join (the
+    // oracle), with each key spread over 8 reducers — the deterministic
+    // answer to hot keys that AQE can't always split.
+    "q11_skew_salted_join" -> ((s: SparkSession, d: String) => {
+      val orders = table(s, d, "orders")
+      val cust = table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(orders, cust, "o_custkey", "c_custkey",
+                         uniquifier = "o_orderkey", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
     // Set ops: union/except over projections (absent from the reference;
     // part of a complete relational surface).
     "q10_setops" -> ((s: SparkSession, d: String) => {
@@ -192,6 +207,11 @@ object RelationalQueries extends QueryPack {
     "q9_parts_with_sales" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q11_skew_salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q10_setops" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION ALL
