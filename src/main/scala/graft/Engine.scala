@@ -19,4 +19,19 @@ object Engine {
   /** description + input → transformed DataFrame (lazy; no action run). */
   def run(description: String, input: DataFrame): DataFrame =
     Compiler.compile(plan(description), input)
+
+  /** Full lifecycle on a [[TransformState]] — the deterministic
+    * `app.invoke(state)` (agentic_workflow_transformation.py:259-267):
+    * plan → compile → (optionally) execute to CSV → validate. */
+  def invoke(state: TransformState, outDir: Option[String] = None): TransformState = {
+    val p = plan(state.description)
+    val result = Compiler.compile(p, state.input)
+    val path = outDir.map { dir =>
+      graft.sources.Sinks.csvSingleFile(
+        result, dir, graft.sources.Sinks.timestampedName(state.description)).toString
+    }
+    val report = Validator.validate(p, state.input, result)
+    state.copy(plan = Some(p), result = Some(result), outputPath = path,
+               valid = Some(report.valid), validationErrors = report.errors)
+  }
 }

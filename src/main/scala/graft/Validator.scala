@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.plans.{Op, Plan}
+
+/** Deterministic validator — the critic_agent's replacement
+  * (agentic_workflow_transformation.py:157-255). The reference asks an
+  * LLM YES/NO and accepts everything offline (:175-177); here the checks
+  * are structural invariants derived from the plan itself, including the
+  * inverted-operator guards AGENTIC_WORKFLOW.md:99 recommends. Full
+  * value-level validation is the DuckDB oracle gate (Verify) and the
+  * spec suites — this layer is the cheap per-run sanity net. */
+object Validator {
+
+  final case class Report(valid: Boolean, errors: Seq[String])
+
+  def validate(plan: Plan, input: DataFrame, result: DataFrame): Report = {
+    val errors = Seq.newBuilder[String]
+
+    val inCols = input.columns.toSeq
+    val outCols = result.columns.toSeq
+    if (outCols.isEmpty) errors += "result has no columns"
+
+    // row-count invariants derivable without running the plan twice
+    val rowChanging = plan.ops.exists {
+      case _: Op.GroupAgg | _: Op.Limit | _: Op.Filter | _: Op.Having => true
+      case _ => false
+    }
+    lazy val inCount = input.count()
+    lazy val outCount = result.count()
+    if (!rowChanging && outCount != inCount)
+      errors += s"row-preserving plan changed count: $inCount -> $outCount"
+    plan.ops.foreach {
+      case Op.Limit(k) if outCount > k =>
+        errors += s"limit($k) produced $outCount rows"
+      case Op.Filter(_) | Op.Having(_) if outCount > inCount =>
+        errors += s"filter grew the row count: $inCount -> $outCount"
+      case Op.Select(cols) =>
+        // order-exact projection (AGENTIC_WORKFLOW.md:108)
+        val expected = cols.map(c =>
+          if (inCols.contains(c)) c
+          else if (c.endsWith("s") && inCols.contains(c.dropRight(1))) c.dropRight(1) else c)
+        if (plan.ops.lastIndexOf(Op.Select(cols)) == plan.ops.length - 1 &&
+            outCols != expected)
+          errors += s"projection mismatch: $outCols != $expected"
+      case Op.Rename(from, to) =>
+        if (outCols.contains(from) && !plan.ops.exists {
+              case Op.DeriveBool(`from`, _) => true; case _ => false })
+          errors += s"renamed column '$from' still present"
+        if (!outCols.contains(to) && !plan.ops.exists {
+              case Op.Drop(cols) => cols.contains(to); case _ => false })
+          errors += s"rename target '$to' missing"
+      case Op.Drop(cols) =>
+        cols.filter(outCols.contains).foreach(c => errors += s"dropped column '$c' still present")
+      case _ => ()
+    }
+
+    val errs = errors.result()
+    Report(errs.isEmpty, errs)
+  }
+}
