@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Global plan hygiene over EVERY driver query: no unpartitioned
+  * cartesian products and a bounded shuffle count. This is the net that
+  * catches a future query formulation silently degrading into a
+  * single-reducer or all-pairs plan (as the constant-key embedding join
+  * once did). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose *intended* shape is a broadcast cross product
+    * (brute-force scoring of a small query set against the corpus). */
+  private val intendedCross = Set("x1_ann_bruteforce")
+
+  test("no driver query plans a CartesianProduct") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(800)}")
+    }
+  }
+
+  test("every query's shuffle count stays bounded") {
+    val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+      name -> exchanges
+    }.sortBy(-_._2)
+    info(exchangeCounts.take(5).map { case (n, c) => s"$n=$c" }.mkString(", "))
+    exchangeCounts.foreach { case (name, c) =>
+      assert(c <= 6, s"$name plans $c shuffles — investigate")
+    }
+  }
+
+  test("broadcast joins stay broadcast at the dim tables") {
+    Seq("q3_join_revenue", "q6_multi_join_revenue").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+    }
+    intendedCross.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$name should score via a broadcast, got:\n${plan.take(800)}")
+    }
+  }
+}
