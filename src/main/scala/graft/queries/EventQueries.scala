@@ -17,7 +17,34 @@ object EventQueries extends QueryPack {
       Events.sessionize(Events.load(s, d))),
 
     "x16_event_session_window" -> ((s: SparkSession, d: String) =>
-      Events.sessionWindowCounts(Events.load(s, d))))
+      Events.sessionWindowCounts(Events.load(s, d))),
+
+    // As-of semantics composed from window functions (SURVEY.md §2.2
+    // preference order (a)): each event joined to the user's most recent
+    // signup at-or-before it — no custom strategy needed, one shuffle on
+    // user_id.
+    "x21_event_asof_signup" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Events.load(s, d).select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        last(when(col("event_type") === "signup", col("ts_us")),
+             ignoreNulls = true).over(w).as("last_signup_us"))
+    }),
+
+    // JSON column surface: extract props.k and aggregate per event type.
+    "x22_event_props_json" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      Events.load(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).as("sum_k"),
+             round(avg(col("k")), 4).as("avg_k"))
+    }))
 
   override val oracleSql: Map[String, String] = Map(
     "x14_event_tumbling" ->
@@ -59,5 +86,18 @@ object EventQueries extends QueryPack {
         |  min(ts_us) AS session_start_us,
         |  max(ts_us) + 30*60*1000000 AS session_end_us,
         |  count(*) AS n_events
-        |FROM sessions GROUP BY user_id, session_idx""".stripMargin)
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "x21_event_asof_signup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
+        |FROM events""".stripMargin,
+
+    "x22_event_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin)
 }

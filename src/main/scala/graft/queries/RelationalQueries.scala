@@ -141,6 +141,21 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("n_orders"))
     }),
 
+    // Sketch aggregates: the sublinear-memory statistics a 100 TB scan
+    // relies on (HLL distinct counts, t-digest-style percentiles). No
+    // portable oracle (sketch internals differ per engine) — accuracy vs
+    // exact is asserted in ApproxStatsSpec.
+    "q12_approx_stats" -> ((s: SparkSession, d: String) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("p50_price"),
+             percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+               .as("p95_price"),
+             count(lit(1)).as("n"))
+    }),
+
     // Set ops: union/except over projections (absent from the reference;
     // part of a complete relational surface).
     "q10_setops" -> ((s: SparkSession, d: String) => {
