@@ -115,6 +115,18 @@ object TextAnalysis {
                 scores.map { case (l, s) => s.as(s"score_$l") }: _*)
   }
 
+  /** PII scrubbing patterns (ASCII regex — identical under java.util.regex
+    * and RE2): emails, then long digit runs (phone/account numbers). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunPattern = "[(]?[0-9][0-9 ().-]{6,}[0-9]"
+
+  /** Replace emails and phone-like digit runs with placeholder tokens —
+    * the standard pre-training scrub pass, pure map-side regex work. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      DigitRunPattern, "<PHONE>")
+
   /** Content fingerprints: exact md5 plus the rolling polynomial hash. */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =

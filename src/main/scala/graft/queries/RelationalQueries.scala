@@ -141,6 +141,36 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("n_orders"))
     }),
 
+    // Hierarchical rollup (grouping sets — absent from the reference,
+    // §2.2 notes the gap): revenue at (region, nation), per-region, and
+    // grand-total levels in one pass.
+    "q13_rollup_revenue" -> ((s: SparkSession, d: String) => {
+      val cust = table(s, d, "customer")
+      val nation = table(s, d, "nation")
+      val region = table(s, d, "region")
+      val orders = table(s, d, "orders")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Running total per customer over order time — window frame surface.
+    "q14_running_revenue" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // o_orderdate is TIMESTAMP_NTZ (naive parquet); under the UTC
+      // session the cast to TIMESTAMP is the identity mapping DuckDB's
+      // epoch_ms applies to the same naive value.
+      table(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_revenue"))
+    }),
+
     // Sketch aggregates: the sublinear-memory statistics a 100 TB scan
     // relies on (HLL distinct counts, t-digest-style percentiles). No
     // portable oracle (sketch internals differ per engine) — accuracy vs
@@ -222,6 +252,20 @@ object RelationalQueries extends QueryPack {
     "q9_parts_with_sales" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q13_rollup_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q14_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+        |    AS running_revenue
+        |FROM orders""".stripMargin,
     "q11_skew_salted_join" ->
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_orders

@@ -37,6 +37,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.fingerprints(table(s, d, "documents"))
         .select(col("doc_id"), col("rolling_fp"))),
 
+    "x23_pii_scrub" -> ((s: SparkSession, d: String) =>
+      table(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+        (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))),
+
     "x13_corpus_stats" -> ((s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
       TextAnalysis.tokenStats(docs)
@@ -92,6 +98,16 @@ object TextQueries extends QueryPack {
 
     "x11_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+
+    "x23_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[(]?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        |  (regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[(]?[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') <> text) AS was_scrubbed
+        |FROM documents""".stripMargin,
 
     "x13_corpus_stats" ->
       s"""SELECT source, count(*) AS n_docs,
