@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Engine
-import graft.sources.{Sinks, Sources}
+import graft.sources.Sources
 
 /** The reference's `--eval` harness (agentic_workflow_transformation.py:
   * 333-397) made deterministic: run each of the 20 NL descriptions through
@@ -12,9 +11,10 @@ import graft.sources.{Sinks, Sources}
   * `(id, description, actual_rows, pass, output_path)`
   * (agentic_workflow_transformation.py:385-391).
   *
-  * `pass` here is "parsed, compiled, and executed without error" — the
-  * deterministic floor; exact-result validation lives in the DuckDB oracle
-  * gate and the ScalaTest suite (SURVEY.md §5.2).
+  * `pass` = parsed + compiled + executed + [[graft.Validator]] structural
+  * invariants hold (the critic's deterministic replacement); exact-result
+  * validation lives in the DuckDB oracle gate and the ScalaTest suite
+  * (SURVEY.md §5.2).
   */
 object EvalHarness {
 
@@ -56,14 +56,11 @@ object EvalHarness {
     import spark.implicits._
     val results = descriptions.zipWithIndex.map { case (desc, i) =>
       try {
-        val out = Engine.run(desc, input)
-        val rows = out.count()
-        val path = outDir match {
-          case Some(dir) =>
-            Sinks.csvSingleFile(out, dir, Sinks.timestampedName(desc)).toString
-          case None => ""
-        }
-        EvalResult(i + 1, desc, rows, pass = true, path)
+        val state = graft.Engine.invoke(
+          graft.TransformState(desc, input), outDir)
+        val rows = state.result.get.count()
+        EvalResult(i + 1, desc, rows, pass = state.valid.contains(true),
+                   state.outputPath.getOrElse(""))
       } catch {
         case e: Exception =>
           EvalResult(i + 1, desc, -1L, pass = false, s"ERROR: ${e.getMessage}")
