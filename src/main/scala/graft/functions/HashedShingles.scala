@@ -60,6 +60,44 @@ object HashedShinglesKernel {
   }
 }
 
+/** Count of non-empty whitespace tokens — same tokenization rule as
+  * [[HashedShinglesKernel]]/`Dedup.tokens` (so counts are interchangeable
+  * with the HOF formulation the DuckDB oracle uses), without building a
+  * token array per row. */
+object TokenCountKernel {
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    var count = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    count
+  }
+}
+
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_count requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenCountKernel.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCountKernel.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "token_count"
+}
+
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -82,4 +120,7 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 object HashedShinglesFunctions {
   def hashedShingles(text: Column, n: Int): Column =
     columnOf(HashedShingles(expressionOf(text), n))
+
+  def tokenCount(text: Column): Column =
+    columnOf(TokenCount(expressionOf(text)))
 }

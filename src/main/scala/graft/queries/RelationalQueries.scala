@@ -157,6 +157,27 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("n_orders"))
     }),
 
+    // Full cube over (status, priority): all four grouping sets at once.
+    "q15_cube_orders" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // RANGE frame: trailing 30-day revenue per customer — the value-based
+    // frame (vs q14's row-based one).
+    "q16_trailing_revenue" -> ((s: SparkSession, d: String) => {
+      val dayMs = 86400000L
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("order_ms"))
+        .rangeBetween(-30L * dayMs, 0L)
+      table(s, d, "orders")
+        .withColumn("order_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_ms"),
+                round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d_revenue"))
+    }),
+
     // Running total per customer over order time — window frame surface.
     "q14_running_revenue" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -260,6 +281,17 @@ object RelationalQueries extends QueryPack {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q15_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q16_trailing_revenue" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch_ms(o_orderdate)
+        |    RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_30d_revenue
+        |FROM orders""".stripMargin,
     "q14_running_revenue" ->
       """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -43,14 +43,15 @@ object TextQueries extends QueryPack {
         TextAnalysis.scrubPii(col("text")).as("scrubbed"),
         (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))),
 
+    // Single-pass rollup: token counts via the TokenCount kernel on the
+    // same scan that carries `source` — no self-join, one shuffle.
     "x13_corpus_stats" -> ((s: SparkSession, d: String) => {
-      val docs = table(s, d, "documents")
-      TextAnalysis.tokenStats(docs)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      import graft.functions.HashedShinglesFunctions.tokenCount
+      table(s, d, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-             sum(col("ws_tokens")).as("total_tokens"),
-             round(avg(col("n_chars")), 4).as("avg_chars"))
+             sum(tokenCount(col("text"))).as("total_tokens"),
+             round(avg(length(col("text"))), 4).as("avg_chars"))
     }))
 
   override val oracleSql: Map[String, String] = Map(

@@ -28,6 +28,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines scan — the file form of the reference's row-dict records
+    * (S2). Schema inferred unless `schemaDdl` given (at scale always give
+    * it: inference is a full extra pass). */
+  def jsonLines(spark: SparkSession, path: String,
+                schemaDdl: Option[String] = None): DataFrame =
+    schemaDdl match {
+      case Some(ddl) => spark.read.schema(ddl).json(path)
+      case None      => spark.read.json(path)
+    }
+
   /** Named testdata table from a scale-factor directory (TESTDATA.md). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
