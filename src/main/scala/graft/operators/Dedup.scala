@@ -156,6 +156,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // -------------------------------------------------- near-dup clusters
+
+  /** Connected components over near-dup pairs → one cluster representative
+    * (the min id) per document involved in any pair. This is the dedup
+    * endgame: pairs alone over-remove (a≈b, b≈c must keep ONE of {a,b,c},
+    * not zero).
+    *
+    * Algorithm: min-label propagation — each iteration every node adopts
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) iterations (near-dup clusters are tiny, so
+    * 2–4 in practice, capped). Each iteration is one join + one
+    * aggregation; `localCheckpoint` truncates the growing lineage so the
+    * loop stays plannable at any scale.
+    *
+    * @param pairs (id_a, id_b) with id_a < id_b
+    * @return (doc_id, cluster_rep) for every id appearing in a pair
+    */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("new_label"))
+      val merged = labels.join(neighborMin, "id").localCheckpoint()
+      changed = merged.filter(col("new_label") < col("label")).count()
+      labels = merged.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs within a blocking key, or over all

@@ -33,7 +33,12 @@ object DedupQueries extends QueryPack {
 
     "x7_dedup_embedding" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold)
-        .withColumn("cosine", round(col("cosine"), 6))))
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    "x24_dedup_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(table(s, d, "documents"), "source", JaccardThreshold)
+          .select(col("id_a"), col("id_b")))))
 
   override val oracleSql: Map[String, String] = Map(
     "x3_dedup_exact" ->
@@ -64,5 +69,31 @@ object DedupQueries extends QueryPack {
          |    list_cosine_similarity(a.embedding::DOUBLE[],
          |                           b.embedding::DOUBLE[]) AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         |WHERE cosine >= $CosineThreshold""".stripMargin)
+         |WHERE cosine >= $CosineThreshold""".stripMargin,
+
+    "x24_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(CASE WHEN len(toks) - 2 <= 0 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |             i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS s
+         |  FROM (SELECT doc_id, source,
+         |          list_filter(string_split_regex(lower(text), '\\s+'),
+         |                      t -> t <> '') AS toks
+         |        FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(list_concat(a.s, b.s))) >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS cluster_rep
+         |FROM (SELECT DISTINCT src AS id FROM edges) n
+         |  JOIN reach r ON r.src = n.id
+         |GROUP BY n.id""".stripMargin)
 }

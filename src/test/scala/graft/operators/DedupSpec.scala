@@ -90,6 +90,20 @@ class DedupSpec extends SparkSpec {
     assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("clusterPairs: transitivity, chains, cycles, min-id representative") {
+    // components: {1,2,3,4} via chain 1-2-3-4, {7,8,9} via cycle, {11,12}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L),
+      (11L, 12L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L,
+      11L -> 11L, 12L -> 11L))
+  }
+
   test("driver dedup queries are non-trivial on real documents at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val ngramPairs = graft.queries.DedupQueries.queries("x4_dedup_ngram_jaccard")(spark, d)
