@@ -192,6 +192,37 @@ object RelationalQueries extends QueryPack {
         round(sum(col("o_totalprice")).over(w), 2).as("running_revenue"))
     }),
 
+    // Pivot: order counts per priority, statuses as columns (explicit
+    // value list — at scale never let pivot scan for distinct values).
+    "q17_pivot_status" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Unpivot (melt): the inverse reshape, long-form (priority, status, n).
+    "q18_unpivot_status" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("o_orderpriority")),
+                 Array(col("F"), col("O"), col("P")),
+                 "o_orderstatus", "n_orders")
+    }),
+
+    // Date-part extraction: monthly order aggregates.
+    "q19_orders_by_month" -> ((s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
+                 month(col("o_orderdate")).cast("long").as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
     // Sketch aggregates: the sublinear-memory statistics a 100 TB scan
     // relies on (HLL distinct counts, t-digest-style percentiles). No
     // portable oracle (sketch internals differ per engine) — accuracy vs
@@ -281,6 +312,27 @@ object RelationalQueries extends QueryPack {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q17_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q18_unpivot_status" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS o_orderstatus, f AS n_orders FROM p
+        |UNION ALL SELECT o_orderpriority, 'O', o FROM p
+        |UNION ALL SELECT o_orderpriority, 'P', p FROM p""".stripMargin,
+    "q19_orders_by_month" ->
+      """SELECT date_part('year', o_orderdate)::BIGINT AS order_year,
+        |  date_part('month', o_orderdate)::BIGINT AS order_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "q15_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
