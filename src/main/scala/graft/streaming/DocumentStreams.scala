@@ -28,6 +28,18 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Normalization-insensitive streaming dedup: the fingerprint is the
+    * SimHash over lowercased whitespace tokens, so duplicates differing
+    * only in case/whitespace (which md5 misses) still collapse. True
+    * near-dup (hamming>0) detection stays a batch concern — the banded
+    * join in [[graft.operators.Dedup.simHashPairs]]. */
+  def dedupNormalized(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.functions.SimHashFunctions.simhash64(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Rolling per-source token throughput over tumbling windows — the
     * monitoring aggregate for an ingest stream. */
   def tokenThroughput(docs: DataFrame, width: String = "1 minute",

@@ -43,6 +43,24 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("normalized dedup collapses case/whitespace variants md5 would miss") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.dedupNormalized(docs)
+      .writeStream.format("memory").queryName("norm_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "The Quick   Brown FOX", ts(0)),
+        (2L, "the quick brown fox", ts(1)),     // same after normalization
+        (3L, "a different document entirely", ts(1)))
+      q.processAllAvailable()
+      val kept = spark.table("norm_dedup").collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(Set(1L, 2L)).size == 1, s"kept=$kept")
+      assert(kept.contains(3L))
+    } finally stopQuietly(q)
+  }
+
   test("token throughput aggregates per window and source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, Timestamp)]
