@@ -332,7 +332,10 @@ object NLParser {
     def peek: Option[Tok] = if (done) None else Some(toks(pos))
     def peekWordLower: Option[String] = peek.collect { case w: Word => w.lower }
     def peekWordRaw: Option[String] = peek.collect { case w: Word => w.s }
-    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def next(): Tok = {
+      if (done) throw ParseException("unexpected end of input")
+      val t = toks(pos); pos += 1; t
+    }
     def dropWords(ws: String*): Unit =
       while (peekWordLower.exists(ws.contains(_))) next()
     def expectWord(w: String): Unit = next() match {
