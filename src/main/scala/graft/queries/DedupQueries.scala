@@ -7,10 +7,10 @@ import graft.operators.Dedup
 import graft.sources.Sources.table
 
 /** Dedup queries over `documents`/`embeddings` (X1 + near-dup variants).
-  * Exact, n-gram-Jaccard, and embedding-cosine variants are DuckDB-oracle
-  * checked (portable SQL exists); MinHash/SimHash depend on engine hash
-  * functions (xxhash64 / FNV-1a) so they get rows-only checks plus
-  * synthetic-corpus assertions in DedupSpec. */
+  * Every variant is DuckDB-oracle checked: the portable ones with plain
+  * SQL, MinHash/SimHash with [[OracleHashSql]] reproductions of the
+  * FNV-1a/splitmix64 kernels (bit-exact in DuckDB's HUGEINT domain),
+  * plus synthetic-corpus recall assertions in DedupSpec. */
 object DedupQueries extends QueryPack {
 
   private val JaccardThreshold = 0.5
@@ -62,6 +62,12 @@ object DedupQueries extends QueryPack {
          |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= $JaccardThreshold""".stripMargin,
+
+    "x5_dedup_minhash" ->
+      OracleHashSql.minHashPairsSql(JaccardThreshold, numHashes = 64, bands = 16),
+
+    "x6_dedup_simhash" ->
+      OracleHashSql.simHashPairsSql(maxHamming = 3),
 
     "x7_dedup_embedding" ->
       s"""SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (

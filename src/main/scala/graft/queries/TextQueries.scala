@@ -7,11 +7,10 @@ import graft.operators.TextAnalysis
 import graft.sources.Sources.table
 
 /** Text-analysis queries over `documents` (X3): token stats, quality
-  * scoring, lang-ID, fingerprints, corpus rollup. All but the rolling
-  * hash are DuckDB-oracle checked — the heuristics are ASCII-regex and
-  * integer-ratio based precisely so both engines compute identical
-  * values. The rolling hash is engine-specific (FNV-style kernel) →
-  * rows-only + unit spec. */
+  * scoring, lang-ID, fingerprints, corpus rollup. All DuckDB-oracle
+  * checked — the heuristics are ASCII-regex and integer-ratio based
+  * precisely so both engines compute identical values, and the rolling
+  * polynomial hash is reproduced in SQL ([[OracleHashSql]]). */
 object TextQueries extends QueryPack {
 
   private val toksSql =
@@ -99,6 +98,8 @@ object TextQueries extends QueryPack {
 
     "x11_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents",
+
+    "x12_fingerprint_rolling" -> OracleHashSql.rollingFingerprintSql,
 
     "x23_pii_scrub" ->
       """SELECT doc_id,

@@ -1,0 +1,78 @@
+import duckdb, time, sys
+sys.path.insert(0, '/root/repo/tools')
+import importlib.util
+spec = importlib.util.spec_from_file_location('po', '/root/repo/tools/proto_oracle.py')
+# avoid re-running: just copy needed constants inline
+FNV_U = ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+         "list_transform(range(1, length({s})+1), i -> ord({s}[i])::HUGEINT)), "
+         "(h, b) -> ((h - h%128 + xor((h%128)::BIGINT, b::BIGINT)::HUGEINT) "
+         "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
+TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+SHSTR = ("list_distinct(CASE WHEN len(toks) - 2 <= 0 THEN []::VARCHAR[] "
+         "ELSE list_transform(range(1, len(toks) - 1), "
+         "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)")
+con = duckdb.connect()
+con.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.01/documents.parquet'")
+
+t0=time.time()
+con.sql(f"CREATE TABLE t1 AS SELECT doc_id, {SHSTR} AS sstr FROM (SELECT doc_id, {TOKS} AS toks FROM documents) WHERE len({SHSTR}) > 0")
+print('shingle strings:', round(time.time()-t0,1))
+t0=time.time()
+con.sql(f"CREATE TABLE t2 AS SELECT doc_id, list_transform(sstr, s -> {FNV_U.format(s='s')}) AS shu FROM t1")
+print('fnv hashes:', round(time.time()-t0,1))
+print(con.sql("SELECT count(*), sum(len(shu)) FROM t2").fetchall())
+t0=time.time()
+con.sql("CREATE TABLE t3 AS SELECT doc_id, unnest(shu) AS v FROM t2")
+print('unnest:', round(time.time()-t0,1), con.sql("SELECT count(*) FROM t3").fetchall())
+
+def XOR64U(a, b):
+    return (f"(xor(({a} // 4294967296)::BIGINT, ({b} // 4294967296)::BIGINT)::HUGEINT * 4294967296::HUGEINT"
+            f" + xor(({a} % 4294967296)::BIGINT, ({b} % 4294967296)::BIGINT)::HUGEINT)")
+def WMUL(z, c):
+    return (f"((({z} % 4294967296) * {c}::HUGEINT"
+            f" + ((({z} // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)")
+import sys
+SEEDS = []
+M64 = 1 << 64
+def mix64(z):
+    z = (z + 0x9e3779b97f4a7c15) % M64
+    z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) % M64
+    z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) % M64
+    return z ^ (z >> 31)
+SEEDS = [mix64(0x5eed0000 + i) for i in range(64)]
+seeds_rows = ', '.join(f'({i}, {s}::HUGEINT)' for i, s in enumerate(SEEDS))
+import time
+t0=time.time()
+con.sql(f"CREATE TABLE c0 AS SELECT doc_id, si, ({XOR64U('v','sv')} + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM t3, (SELECT * FROM (VALUES {seeds_rows}) s(si, sv)) seeds")
+print('cross+st0:', round(time.time()-t0,1), con.sql("SELECT count(*) FROM c0").fetchall())
+t0=time.time()
+con.sql(f"CREATE TABLE c1 AS SELECT doc_id, si, {XOR64U('z','(z // 1073741824)')} AS z FROM c0")
+print('st1 xor:', round(time.time()-t0,1))
+t0=time.time()
+con.sql(f"CREATE TABLE c2 AS SELECT doc_id, si, {WMUL('z', 13787848793156543929)} AS z FROM c1")
+print('st2 mul:', round(time.time()-t0,1))
+
+t0=time.time()
+con.sql(f"CREATE TABLE c3 AS SELECT doc_id, si, {XOR64U('z','(z // 134217728)')} AS z FROM c2")
+print('st3 xor:', round(time.time()-t0,1))
+t0=time.time()
+con.sql(f"CREATE TABLE c4 AS SELECT doc_id, si, {WMUL('z', 10723151780598845931)} AS z FROM c3")
+print('st4 mul:', round(time.time()-t0,1))
+t0=time.time()
+con.sql(f"CREATE TABLE c5 AS SELECT doc_id, si, {XOR64U('z','(z // 2147483648)')} AS z FROM c4")
+print('st5 xor:', round(time.time()-t0,1))
+t0=time.time()
+con.sql("""CREATE TABLE sigt AS SELECT doc_id, list(m ORDER BY si) AS sig FROM (
+  SELECT doc_id, si, min(CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS m
+  FROM c5 GROUP BY doc_id, si) GROUP BY doc_id""")
+print('minsig:', round(time.time()-t0,1))
+t0=time.time()
+con.sql("""CREATE TABLE bandt AS SELECT doc_id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+           FROM sigt, (SELECT unnest(range(16)) AS b)""")
+print('bands:', round(time.time()-t0,1))
+t0=time.time()
+con.sql("""CREATE TABLE candt AS SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandt a JOIN bandt b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id""")
+print('cand join:', round(time.time()-t0,1), con.sql("SELECT count(*) FROM candt").fetchall())
