@@ -1,5 +1,19 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — the driver's per-round timing probe.
+  *
+  * Contract (BENCH_r{N}.json): ONE complete JSON line printed FIRST on
+  * stdout (before Spark shutdown chatter can interleave), and the same
+  * JSON written to `/root/repo/BENCH.json` so a tail-truncated capture
+  * can never lose it. Each query carries `{"sec": t, "ok": bool}` — a
+  * failing query still reports its wall clock but is flagged, never
+  * silently folded into the total as a suspiciously fast number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,7 +23,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM warmup: classloading + first-codegen otherwise lands entirely on
     // whichever query happens to run first; touch the tables and run one
     // small end-to-end query so per-query numbers reflect steady state.
@@ -18,15 +32,31 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, t, ok) =>
+      s""""$k":{"sec":$t,"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failed = results.filterNot(_._3).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // File first (immune to stdout truncation), then the single stdout line.
+    try Files.write(Paths.get("/root/repo/BENCH.json"),
+                    (json + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -28,15 +28,19 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
-  /** Normalization-insensitive streaming dedup: the fingerprint is the
-    * SimHash over lowercased whitespace tokens, so duplicates differing
-    * only in case/whitespace (which md5 misses) still collapse. True
-    * near-dup (hamming>0) detection stays a batch concern — the banded
-    * join in [[graft.operators.Dedup.simHashPairs]]. */
+  /** Normalization-insensitive streaming dedup: the fingerprint is an
+    * *exact* hash of the lowercased whitespace-normalized token sequence,
+    * so duplicates differing only in case/whitespace (which md5 misses)
+    * still collapse — and nothing else does. A similarity-preserving
+    * fingerprint (SimHash) must NOT be used as an exact dedup key here:
+    * it is order-invariant and collision-by-design, so genuinely distinct
+    * documents land on the same key and the stream silently drops real
+    * data. Near-dup (hamming>0) detection stays a batch concern — the
+    * banded join in [[graft.operators.Dedup.simHashPairs]]. */
   def dedupNormalized(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("fingerprint",
-        graft.functions.SimHashFunctions.simhash64(col("text")))
+        xxhash64(concat_ws(" ", graft.operators.Dedup.tokens(col("text")))))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 

@@ -61,6 +61,32 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("normalized dedup keeps distinct documents that SimHash-collide") {
+    // SimHash is a bag-of-tokens bit vote — word order never changes it —
+    // so these two genuinely different documents collide at Hamming
+    // distance 0. Using SimHash as the exact dedup key silently dropped
+    // one of them (the round-2 ADVICE medium finding); the exact
+    // normalized-token fingerprint must keep both.
+    val docA = "alpha beta gamma delta epsilon zeta"
+    val docB = "zeta epsilon delta gamma beta alpha"
+    val fps = Seq(docA, docB).toDF("text")
+      .select(graft.functions.SimHashFunctions.simhash64($"text"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1), "precondition: the pair must SimHash-collide")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.dedupNormalized(docs)
+      .writeStream.format("memory").queryName("collide_dedup").outputMode("append").start()
+    try {
+      input.addData((1L, docA, ts(0)), (2L, docB, ts(1)))
+      q.processAllAvailable()
+      val kept = spark.table("collide_dedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L), s"distinct documents must both survive, kept=$kept")
+    } finally stopQuietly(q)
+  }
+
   test("token throughput aggregates per window and source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, Timestamp)]
