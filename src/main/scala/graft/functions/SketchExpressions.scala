@@ -58,7 +58,8 @@ object SketchKernels {
     var c = 0
     while (c < k) {
       val cent = centroids(c)
-      val dim = math.min(vec.numElements(), cent.length)
+      VectorKernels.checkDims(vec.numElements(), cent.length, "nearest_centroids")
+      val dim = cent.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var d = 0
       while (d < dim) {
@@ -81,7 +82,9 @@ object SketchKernels {
     * computed in one pass over the plane matrix. */
   def lshBuckets(vec: ArrayData, planes: Array[Array[Float]],
                  bands: Int, bitsPerBand: Int): ArrayData = {
-    val dim = math.min(vec.numElements(), if (planes.isEmpty) 0 else planes(0).length)
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (planes.nonEmpty)
+      VectorKernels.checkDims(vec.numElements(), dim, "lsh_buckets")
     val out = new Array[Long](bands)
     var p = 0
     while (p < bands * bitsPerBand) {

@@ -21,8 +21,20 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * with an interpreted `nullSafeEval` fallback kept semantically identical.
   * This is the single custom-Expression case SURVEY.md §4.2/§7.3 budgets
   * for; accumulation is in double precision, sequential element order, so
-  * results are bit-comparable with the DuckDB oracle's list functions.
+  * results are bit-comparable with the DuckDB oracle's list functions —
+  * including on errors: mismatched vector dimensions raise (as DuckDB's
+  * `list_cosine_similarity` does) rather than silently truncating, so a
+  * data-dimension bug can never be masked.
   */
+/** Static helpers callable from both interpreted eval and generated code. */
+object VectorKernels {
+  /** Strict dimension gate — mirrors DuckDB's list-function behavior so
+    * the oracle gate and the engine fail identically on bad data. */
+  def checkDims(a: Int, b: Int, op: String): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"$op: vector dimension mismatch ($a vs $b)")
+}
+
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
@@ -42,7 +54,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    VectorKernels.checkDims(a.numElements(), b.numElements(), prettyName)
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +75,9 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       val y = ctx.freshName("y")
       val body = combineCode(dot, na, nb)
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |graft.functions.VectorKernels.checkDims(
+         |  $a.numElements(), $b.numElements(), "$prettyName");
+         |final int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $x = (double) $a.getFloat($i);

@@ -70,6 +70,40 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r == 1.0)
   }
 
+  test("dimension mismatch raises instead of truncating (oracle parity)") {
+    // DuckDB's list_cosine_similarity errors on mismatched lengths; the
+    // kernels must match that strictness or a data-dimension bug would be
+    // masked on the Spark side while the oracle gate fails opaquely.
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    def rootMessage(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null) cur = cur.getCause
+      cur.getMessage
+    }
+    Seq(cosineSim($"a", $"b"), dotProduct($"a", $"b")).foreach { c =>
+      val e = intercept[Throwable](df.select(c).collect())
+      assert(rootMessage(e).contains("dimension mismatch"), s"got: ${rootMessage(e)}")
+    }
+    // interpreted path too (no codegen wrapper)
+    val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1f, 2f, 3f))
+    val bd = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1f, 2f))
+    val ft = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    val ex = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal(ad, ft),
+      org.apache.spark.sql.catalyst.expressions.Literal(bd, ft))
+    val ie = intercept[IllegalArgumentException](ex.eval(null))
+    assert(ie.getMessage.contains("dimension mismatch"))
+    // sketch kernels share the gate
+    val short = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1f, 2f))
+    val cents = Array(Array(1f, 0f, 0f))
+    val ce = intercept[IllegalArgumentException](
+      SketchKernels.nearestCentroids(short, cents, 1))
+    assert(ce.getMessage.contains("dimension mismatch"))
+    val pe = intercept[IllegalArgumentException](
+      SketchKernels.lshBuckets(short, cents, 1, 1))
+    assert(pe.getMessage.contains("dimension mismatch"))
+  }
+
   test("TopK aggregator result equals window formulation on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 4)

@@ -104,6 +104,27 @@ class DedupSpec extends SparkSpec {
       11L -> 11L, 12L -> 11L))
   }
 
+  test("clusterPairs: pointer-doubling converges on a path far longer than the cap") {
+    // A 200-node path has diameter 199 — plain min-label propagation would
+    // need 199 rounds and previously exited the 20-round cap with silently
+    // wrong labels. Pointer-doubling converges in O(log d) ≈ 8 rounds.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 200)
+    assert(out.values.forall(_ == 0L),
+      s"all labels must reach the min id, got ${out.values.toSet}")
+  }
+
+  test("clusterPairs: non-convergence is loud, never silently wrong") {
+    // With a 2-iteration cap, a 100-node path cannot converge (horizon
+    // ~2^2); the contract is an exception, not wrong cluster_rep values.
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.clusterPairs(pairs, maxIterations = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("driver dedup queries are non-trivial on real documents at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val ngramPairs = graft.queries.DedupQueries.queries("x4_dedup_ngram_jaccard")(spark, d)
