@@ -102,6 +102,32 @@ object SketchKernels {
   }
 }
 
+/** hash = sample_hash(id): splitmix64 of (id ^ salt) — the deterministic
+  * inclusion hash behind [[graft.operators.Sampling]]. A pure function of
+  * (id, seed): the same row is kept or dropped identically on every
+  * executor, every run, every engine (the DuckDB oracle reproduces it
+  * bit-for-bit), unlike `rand(seed)`, which is only stable for a fixed
+  * partitioning. */
+case class SampleHash(child: Expression, salt: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sample_hash requires bigint, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.mix64(v.asInstanceOf[Long] ^ salt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.mix64($c ^ ${salt}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sample_hash"
+}
+
 /** sketch = minhash_sketch(hashedShingles, numHashes): array<long>. */
 case class MinHashSketch(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -181,6 +207,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
 object SketchFunctions {
   def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
     columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
+
+  /** splitmix64(id ^ splitmix64(seed)) — the salt is pre-mixed so nearby
+    * seeds give statistically independent sample sets. */
+  def sampleHash(id: Column, seed: Long): Column =
+    columnOf(SampleHash(expressionOf(id), SketchKernels.mix64(seed)))
 
   def lshBuckets(vec: Column, planes: Array[Array[Float]],
                  bands: Int, bitsPerBand: Int): Column =

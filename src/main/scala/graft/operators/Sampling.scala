@@ -1,17 +1,74 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.SketchFunctions.sampleHash
 
 /** Corpus sampling and mixture weighting — how a training run draws from
   * heterogeneous sources at target proportions.
   *
-  * Sampling is a map-side filter over `rand(seed)` (no shuffle, no
-  * collect); deterministic for a fixed seed and input partitioning.
-  * Proportions are expectations, not exact counts — exactness would
-  * require a global sort or count, which is the wrong trade at 100 TB.
+  * Two families:
+  *  - **hash-deterministic** (`hashSample` / `stratifiedHash` /
+  *    `mixtureHash`): inclusion is a pure function of (row id, seed) —
+  *    `splitmix64(id ^ salt)` bucketed into [0, 2⁵³), kept when the
+  *    bucket falls under `fraction·2⁵³`. Reproducible across runs,
+  *    partitionings, and engines (DuckDB-oracle checked), and the sample
+  *    *monotonically grows* with the fraction (a 1% sample is a subset of
+  *    a 2% sample) — the property a training pipeline needs to scale a
+  *    mixture up without resampling everything.
+  *  - **rand-based** (`stratified` / `mixture` / `qualitySample`): thin
+  *    wrappers over Spark's Bernoulli sampling; deterministic only for a
+  *    fixed partitioning, kept for API parity with `DataFrame.sample`.
+  *
+  * Both are map-side filters (no shuffle, no collect). Proportions are
+  * expectations, not exact counts — exactness would require a global sort
+  * or count, which is the wrong trade at 100 TB.
   */
 object Sampling {
+
+  /** 2⁵³ buckets: the hash is shifted to 53 bits so thresholds are exact
+    * in the double→long conversion and positive in signed comparisons. */
+  private val BucketBits = 53
+
+  /** fraction → inclusion threshold in [0, 2⁵³]. */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    (fraction * (1L << BucketBits)).toLong
+  }
+
+  /** The row's sample bucket in [0, 2⁵³): top 53 bits of the mixed hash. */
+  def sampleBucket(id: Column, seed: Long): Column =
+    shiftrightunsigned(sampleHash(id, seed), 64 - BucketBits)
+
+  /** Deterministic Bernoulli(fraction) keyed on `idCol` — pure map-side. */
+  def hashSample(df: DataFrame, fraction: Double, seed: Long,
+                 idCol: String = "doc_id"): DataFrame =
+    df.filter(sampleBucket(col(idCol), seed) < lit(threshold(fraction)))
+
+  /** Deterministic per-stratum sampling: keep rows of stratum s when the
+    * bucket falls under threshold(fractions(s)); absent strata keep 0. */
+  def stratifiedHash(df: DataFrame, stratumCol: String,
+                     fractions: Map[String, Double], seed: Long,
+                     idCol: String = "doc_id"): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(idCol), seed) < thr)
+  }
+
+  /** Deterministic weighted mixture: each source hash-sampled at its
+    * weight and tagged — reproducible pre-training mixture weighting.
+    * Weights > 1.0 are capped (upsampling needs explicit replication). */
+  def mixtureHash(sources: Seq[(String, DataFrame, Double)], seed: Long,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (name, df, weight) =>
+      hashSample(df, math.min(weight, 1.0), seed, idCol)
+        .withColumn("mixture_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
 
   /** Per-stratum Bernoulli sampling: keep rows of stratum s with
     * probability fractions(s) (absent strata keep 0). */

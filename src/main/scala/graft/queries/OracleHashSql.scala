@@ -163,6 +163,25 @@ object OracleHashSql {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming""".stripMargin
   }
 
+  /** CTE chain reproducing `Sampling.sampleBucket`: splitmix64 of
+    * (doc_id ^ mix64(seed)) in the unsigned HUGEINT domain, then the top
+    * 53 bits (`// 2048`) as `bucket` in the final CTE `pb`. `carry`
+    * columns ride along every stage. One hash per row, so no GROUP BY
+    * barriers needed (the minhash query hashes per (doc, seed) pair —
+    * 64× more — which is where fusion blowup mattered). */
+  def sampleBucketCtes(seed: Long, carry: String,
+                       from: String = "documents"): String = {
+    val salt = s"${unsignedLit(SketchKernels.mix64(seed))}::HUGEINT"
+    s"""p0 AS (SELECT $carry, (${xor64u("doc_id::HUGEINT", salt)} + $GOLDEN::HUGEINT)
+       |         % 18446744073709551616::HUGEINT AS z FROM $from),
+       |p1 AS (SELECT $carry, ${xor64u("z", "(z // 1073741824)")} AS z FROM p0),
+       |p2 AS (SELECT $carry, ${wmul("z", C1)} AS z FROM p1),
+       |p3 AS (SELECT $carry, ${xor64u("z", "(z // 134217728)")} AS z FROM p2),
+       |p4 AS (SELECT $carry, ${wmul("z", C2)} AS z FROM p3),
+       |p5 AS (SELECT $carry, ${xor64u("z", "(z // 2147483648)")} AS z FROM p4),
+       |pb AS (SELECT $carry, (z // 2048) AS bucket FROM p5)""".stripMargin
+  }
+
   /** `RollingHash64` oracle: `h = (h*131 + byte) mod (10^9+7)` never
     * exceeds ~1.3·10^11, so plain BIGINT `list_reduce` suffices. */
   def rollingFingerprintSql: String =

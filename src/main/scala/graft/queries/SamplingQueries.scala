@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Sampling
+import graft.sources.Sources.table
+
+/** Deterministic corpus-sampling queries — the pre-training mixture
+  * surface. Inclusion is `splitmix64(doc_id ^ salt)` bucketed to 2⁵³
+  * ([[graft.operators.Sampling]]), so the DuckDB oracle reproduces the
+  * sample bit-for-bit via [[OracleHashSql.sampleBucketCtes]]: full
+  * row/schema/hash checks, not rows-only. */
+object SamplingQueries extends QueryPack {
+
+  private val Seed = 7L
+  private val MixSeed = 11L
+
+  /** Per-source sampling rates: a typical "downweight the big noisy
+    * source, keep the curated one" stratification. Sources absent from
+    * the map are dropped (rate 0). */
+  private val StratFractions: Map[String, Double] =
+    Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  private val HeadSources = Seq("src0", "src1")
+  private val MidSources = Seq("src2", "src3", "src4")
+  private val HeadWeight = 0.75
+  private val MidWeight = 0.4
+  private val TailWeight = 1.0 // weight-1 frame: kept in full
+
+  private def mixtureFrames(docs: DataFrame): Seq[(String, DataFrame, Double)] =
+    Seq(
+      ("head", docs.filter(col("source").isin(HeadSources: _*)), HeadWeight),
+      ("mid", docs.filter(col("source").isin(MidSources: _*)), MidWeight),
+      ("tail", docs.filter(col("source") === "src5"), TailWeight))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_sample_stratified" -> ((s: SparkSession, d: String) =>
+      Sampling.stratifiedHash(table(s, d, "documents"), "source",
+          StratFractions, Seed)
+        .select(col("doc_id"), col("source"))),
+
+    "x26_sample_mixture" -> ((s: SparkSession, d: String) =>
+      Sampling.mixtureHash(mixtureFrames(table(s, d, "documents")), MixSeed)
+        .select(col("doc_id"), col("mixture_source"))))
+
+  private def caseThreshold: String =
+    StratFractions.toSeq.sortBy(_._1).map { case (src, f) =>
+      s"WHEN '$src' THEN ${Sampling.threshold(f)}"
+    }.mkString("CASE source ", " ", " ELSE 0 END")
+
+  override val oracleSql: Map[String, String] = Map(
+    "x25_sample_stratified" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
+         |SELECT doc_id, source FROM pb
+         |WHERE bucket < $caseThreshold""".stripMargin,
+
+    "x26_sample_mixture" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(MixSeed, "doc_id, source")}
+         |SELECT doc_id, 'head' AS mixture_source FROM pb
+         |  WHERE source IN (${HeadSources.map("'" + _ + "'").mkString(", ")})
+         |    AND bucket < ${Sampling.threshold(HeadWeight)}
+         |UNION ALL
+         |SELECT doc_id, 'mid' FROM pb
+         |  WHERE source IN (${MidSources.map("'" + _ + "'").mkString(", ")})
+         |    AND bucket < ${Sampling.threshold(MidWeight)}
+         |UNION ALL
+         |SELECT doc_id, 'tail' FROM pb
+         |  WHERE source = 'src5'
+         |    AND bucket < ${Sampling.threshold(TailWeight)}""".stripMargin)
+}

@@ -47,6 +47,52 @@ class SamplingSpec extends SparkSpec {
     assert(tags("books") > 0)
   }
 
+  test("hashSample: deterministic, partition-invariant, monotone in fraction") {
+    val a = Sampling.hashSample(docs, 0.3, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), 0.3, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash sample must not depend on partitioning (rand(seed) does)")
+    val bigger = Sampling.hashSample(docs, 0.6, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger),
+      "a smaller fraction must be a subset of a larger one (threshold monotonicity)")
+    val n = docs.count().toDouble
+    assert(a.size / n > 0.15 && a.size / n < 0.45, s"ratio ${a.size / n} far from 0.3")
+    val other = Sampling.hashSample(docs, 0.3, seed = 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != other, "different seed should (overwhelmingly) differ")
+  }
+
+  test("stratifiedHash honors per-stratum rates; absent strata drop; edge fractions") {
+    val out = Sampling.stratifiedHash(docs, "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), seed = 7L)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("src0", 0L) == base("src0"), "fraction 1.0 keeps everything")
+    assert(!counts.contains("src2"), "fraction 0.0 keeps nothing")
+    assert(counts.keySet.subsetOf(Set("src0", "src1")), s"absent strata leaked: ${counts.keySet}")
+  }
+
+  test("mixtureHash tags rows and is reproducible row-for-row") {
+    val frames = Seq(
+      ("web", docs.filter($"source".isin("src0", "src1")), 1.0),
+      ("books", docs.filter($"source" === "src2"), 0.4))
+    val m1 = Sampling.mixtureHash(frames, seed = 11L)
+      .select("doc_id", "mixture_source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val m2 = Sampling.mixtureHash(frames, seed = 11L)
+      .select("doc_id", "mixture_source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(m1 == m2)
+    assert(m1.exists(_._2 == "web") && m1.exists(_._2 == "books"))
+    val webCount = m1.count(_._2 == "web")
+    assert(webCount == docs.filter($"source".isin("src0", "src1")).count(),
+      "weight 1.0 keeps the whole source")
+  }
+
   test("quality-gated sample only contains docs above the threshold") {
     val out = Sampling.qualitySample(docs, minQuality = 0.5, fraction = 0.5, seed = 3L)
     assert(out.filter(col("quality") < 0.5).count() == 0)
