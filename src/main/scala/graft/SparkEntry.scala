@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, QueryPack, RelationalQueries, SamplingQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, NLQueries, QueryPack, RelationalQueries, SamplingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     TextQueries,
     EventQueries,
     MultimodalQueries,
-    SamplingQueries)
+    SamplingQueries,
+    NLQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's default description (agentic_workflow_transformation

@@ -25,6 +25,7 @@ object Validator {
     // row-count invariants derivable without running the plan twice
     val rowChanging = plan.ops.exists {
       case _: Op.GroupAgg | _: Op.Limit | _: Op.Filter | _: Op.Having => true
+      case _: Op.CorpusOp => true // derived tables (pairs/stats/clusters)
       case _ => false
     }
     lazy val inCount = input.count()

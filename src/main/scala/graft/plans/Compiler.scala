@@ -3,6 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
 /** Plan IR → DataFrame program.
   *
   * The deterministic replacement for the reference's LLM code-generator +
@@ -44,6 +46,39 @@ object Compiler {
       df.groupBy(keys.map(c => col(resolve(df, c))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case Op.Having(p)          => df.filter(predicate(df, p))
+    case c: Op.CorpusOp        => applyCorpusOp(df, c)
+  }
+
+  /** Corpus operators reached from natural language. Column conventions
+    * follow the documents/embeddings schemas (TESTDATA.md): text in `text`,
+    * id in `doc_id` / `vec_id`. Double-valued outputs are rounded exactly
+    * as the driver query packs round them (jaccard→4, cosine→6) so an NL
+    * invocation is bit-comparable to the same operator's DuckDB oracle. */
+  private def applyCorpusOp(df: DataFrame, op: Op.CorpusOp): DataFrame = op match {
+    case Op.DedupExact => Dedup.exactByText(df)
+    case Op.DedupJaccard(n, t, block) =>
+      Dedup.ngramJaccardPairs(df, block.getOrElse("source"), t, n)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    case Op.DedupMinHash(t) =>
+      Dedup.minHashPairs(df, t)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    case Op.DedupSimHash(h) => Dedup.simHashPairs(df, maxHamming = h)
+    case Op.DedupCluster(n, t, block) =>
+      Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(df, block.getOrElse("source"), t, n)
+          .select(col("id_a"), col("id_b")))
+    case Op.Tokenize       => TextAnalysis.tokenStats(df)
+    case Op.ScoreQuality   => TextAnalysis.qualityScore(df)
+    case Op.DetectLanguage => TextAnalysis.langId(df)
+    case Op.Fingerprint    => TextAnalysis.fingerprints(df)
+    case Op.ScrubPii =>
+      df.select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("scrubbed"),
+        (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))
+    case Op.SimilarTopK(qid, k) =>
+      Similarity.bruteForceTopK(df.filter(col("vec_id") === qid), df, k)
+        .withColumn("score", round(col("score"), 6))
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -24,6 +24,17 @@ package graft.plans
   *            | ADD name COLUMN WHERE name = pred
   *            | RENAME col TO col
   *            | DROP col COLUMN?
+  *            | DEDUP DOCUMENTS? ( EXACTLY
+  *                               | BY int-GRAM JACCARD num (BLOCKED BY col)?
+  *                               | BY MINHASH JACCARD? num
+  *                               | BY SIMHASH (HAMMING int)? )
+  *            | CLUSTER DUPLICATES? BY int-GRAM JACCARD num (BLOCKED BY col)?
+  *            | TOKENIZE DOCUMENTS?
+  *            | SCORE QUALITY
+  *            | DETECT LANGUAGE
+  *            | FINGERPRINT DOCUMENTS?
+  *            | SCRUB PII
+  *            | FIND TOP int MOST? SIMILAR (VECTORS|NEIGHBORS)? TO int
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -45,6 +56,12 @@ object NLParser {
 
   private def isWordChar(c: Char): Boolean =
     c.isLetterOrDigit || c == '_' || c == '#'
+
+  /** A '-' continues/starts a word when a letter follows ("n-gram",
+    * "near-duplicates", and the "-gram" tail after a number in "3-gram").
+    * A '-' followed by a digit still lexes as a negative number. */
+  private def hyphenIntoWord(input: String, i: Int): Boolean =
+    input(i) == '-' && i + 1 < input.length && input(i + 1).isLetter
 
   def tokenize(input0: String): Vector[Tok] = {
     val input = input0.trim.stripSuffix(".")
@@ -69,9 +86,11 @@ object NLParser {
                (input(i).isDigit ||
                 (input(i) == '.' && i + 1 < input.length && input(i + 1).isDigit))) i += 1
         toks += Num(input.substring(start, i).toDouble)
-      } else if (isWordChar(c)) {
+      } else if (isWordChar(c) || hyphenIntoWord(input, i)) {
         val start = i
-        while (i < input.length && isWordChar(input(i))) i += 1
+        i += 1
+        while (i < input.length &&
+               (isWordChar(input(i)) || hyphenIntoWord(input, i))) i += 1
         toks += Word(input.substring(start, i))
       } else throw ParseException(s"unexpected char '$c' at $i in: $input0")
     }
@@ -82,7 +101,10 @@ object NLParser {
   /** Keywords that begin a new top-level clause after an "and". */
   private val clauseKeywords =
     Set("select", "keep", "then", "filter", "sort", "group", "count",
-        "show", "drop", "rename", "add")
+        "show", "drop", "rename", "add",
+        // corpus-operator clauses (extension surface)
+        "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
+        "fingerprint", "scrub", "find")
 
   /** Split the token stream into clauses at top-level `and <keyword>`
     * boundaries. `and` inside parens or inside `between lo and hi` stays
@@ -221,10 +243,97 @@ object NLParser {
         val cols = parseColList(p, stopWords = Set("column", "columns"))
         p.dropWords("column"); p.dropWords("columns")
         Right(List(Op.Drop(cols)))
+      case Some("dedup") | Some("deduplicate") =>
+        p.next(); p.dropWords("the", "documents", "docs", "rows")
+        p.peekWordLower match {
+          case Some("exactly") | Some("exact") =>
+            p.next(); requireDone(p)
+            Right(List(Op.DedupExact))
+          case Some("by") =>
+            p.next(); Right(List(parseDedupMethod(p)))
+          case other =>
+            throw ParseException(s"expected 'exactly' or 'by <method>' after dedup, got $other")
+        }
+      case Some("cluster") =>
+        p.next()
+        p.dropWords("the", "duplicates", "near-duplicates", "dups", "documents")
+        p.expectWord("by")
+        parseDedupMethod(p) match {
+          case Op.DedupJaccard(n, t, b) => Right(List(Op.DedupCluster(n, t, b)))
+          case other => throw ParseException(
+            s"cluster supports only the n-gram jaccard method, got $other")
+        }
+      case Some("tokenize") =>
+        p.next(); p.dropWords("the", "documents", "docs", "rows", "text")
+        requireDone(p); Right(List(Op.Tokenize))
+      case Some("score") =>
+        p.next(); p.dropWords("the", "document", "text")
+        p.expectWord("quality")
+        requireDone(p); Right(List(Op.ScoreQuality))
+      case Some("detect") =>
+        p.next(); p.dropWords("the", "document")
+        p.peekWordLower match {
+          case Some("language") | Some("languages") => p.next()
+          case other => throw ParseException(s"expected 'language' after detect, got $other")
+        }
+        requireDone(p); Right(List(Op.DetectLanguage))
+      case Some("fingerprint") =>
+        p.next(); p.dropWords("the", "documents", "docs", "rows", "text")
+        requireDone(p); Right(List(Op.Fingerprint))
+      case Some("scrub") =>
+        p.next(); p.expectWord("pii")
+        requireDone(p); Right(List(Op.ScrubPii))
+      case Some("find") =>
+        p.next(); p.expectWord("top")
+        val k = p.expectNum().toInt
+        p.dropWords("most"); p.expectWord("similar")
+        p.dropWords("vectors", "neighbors", "documents", "items")
+        p.expectWord("to")
+        val qid = p.expectNum().toLong
+        requireDone(p)
+        Right(List(Op.SimilarTopK(qid, k)))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }
   }
+
+  /** Shared dedup-method tail: `int-GRAM JACCARD t (BLOCKED BY col)?` |
+    * `MINHASH JACCARD? t` | `SIMHASH (HAMMING h)?`. */
+  private def parseDedupMethod(p: TokCursor): Op = p.peek match {
+    case Some(Num(n)) =>
+      p.next()
+      p.peekWordLower match {
+        case Some("-gram") | Some("gram") | Some("grams") => p.next()
+        case other => throw ParseException(s"expected '-gram' after ${n.toInt}, got $other")
+      }
+      p.expectWord("jaccard")
+      val t = p.expectNum()
+      val block = p.peekWordLower match {
+        case Some("blocked") => p.next(); p.expectWord("by"); Some(p.expectWordRaw())
+        case _               => None
+      }
+      requireDone(p)
+      Op.DedupJaccard(n.toInt, t, block)
+    case Some(w: Word) if w.lower == "minhash" =>
+      p.next(); p.dropWords("jaccard")
+      val t = p.expectNum()
+      requireDone(p)
+      Op.DedupMinHash(t)
+    case Some(w: Word) if w.lower == "simhash" =>
+      p.next()
+      val h = p.peekWordLower match {
+        case Some("hamming") => p.next(); p.expectNum().toInt
+        case Some("within")  => p.next(); p.dropWords("hamming"); p.expectNum().toInt
+        case _               => 3
+      }
+      requireDone(p)
+      Op.DedupSimHash(h)
+    case other => throw ParseException(s"unknown dedup method: $other")
+  }
+
+  private def requireDone(p: TokCursor): Unit =
+    if (!p.done) throw ParseException(
+      s"trailing tokens after clause: ${p.remaining.mkString(" ")}")
 
   private def parseColList(p: TokCursor,
                            stopWords: Set[String] = Set.empty): Seq[String] = {

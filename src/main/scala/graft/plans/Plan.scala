@@ -81,6 +81,41 @@ object Op {
   final case class GroupAgg(keys: Seq[String], aggs: Seq[AggSpec]) extends Op
   /** Post-aggregation filter referencing an agg alias (A3 / HAVING). */
   final case class Having(pred: Pred)                              extends Op
+
+  /** Corpus-level operators — the extension surface (SURVEY.md §2.2 X1–X3)
+    * reachable from natural language, closing the capability delta vs the
+    * reference's open-ended `exec()` boundary
+    * (agentic_workflow_transformation.py:129): where the reference would
+    * accept any description an LLM can turn into pandas, this grammar
+    * reaches every implemented corpus operator deterministically.
+    * All are schema-replacing (the result is a derived table, not a
+    * row-wise transform of the input). */
+  sealed trait CorpusOp extends Op
+
+  /** Exact dedup — one representative (min id) per identical text. */
+  case object DedupExact extends CorpusOp
+  /** Near-dup pairs via exact word n-gram Jaccard within a blocking key. */
+  final case class DedupJaccard(n: Int, threshold: Double,
+                                blockCol: Option[String])          extends CorpusOp
+  /** Near-dup pairs via MinHash banding, verified at `threshold`. */
+  final case class DedupMinHash(threshold: Double)                 extends CorpusOp
+  /** Near-dup pairs via SimHash chunk banding, Hamming ≤ maxHamming. */
+  final case class DedupSimHash(maxHamming: Int)                   extends CorpusOp
+  /** Connected-component clusters over n-gram Jaccard near-dup pairs. */
+  final case class DedupCluster(n: Int, threshold: Double,
+                                blockCol: Option[String])          extends CorpusOp
+  /** Per-document token statistics. */
+  case object Tokenize extends CorpusOp
+  /** Per-document quality heuristic. */
+  case object ScoreQuality extends CorpusOp
+  /** Per-document language identification. */
+  case object DetectLanguage extends CorpusOp
+  /** Per-document content fingerprints (md5 + rolling hash). */
+  case object Fingerprint extends CorpusOp
+  /** PII scrubbing (emails, phone-like digit runs). */
+  case object ScrubPii extends CorpusOp
+  /** Exact brute-force top-k cosine neighbors of one query vector. */
+  final case class SimilarTopK(queryId: Long, k: Int)              extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Engine
+import graft.sources.Sources.table
+
+/** Natural-language-driven corpus queries — every one of these runs the
+  * full reference lifecycle (description → NLParser → Plan IR → Compiler →
+  * DataFrame; agentic_workflow_transformation.py:259-267) and lands on the
+  * extension operators (Dedup/TextAnalysis/Similarity), proving the NL
+  * surface reaches the whole engine, not just the 20-description
+  * relational grammar. The reference's `exec()` boundary is open-ended in
+  * principle (:129); this is its deterministic equivalent.
+  *
+  * Oracles: each description compiles to the same plan as an existing
+  * hash-checked driver query, so the oracle SQL is reused verbatim from
+  * that query's pack — identical SQL, identical rounding — plus two
+  * composed forms (filter→score, fingerprint→drop) with their own SQL.
+  */
+object NLQueries extends QueryPack {
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+  private val stopSql =
+    "['the','a','of','and','to','in','is','that','it','was']"
+
+  private def docs(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nl1_dedup_exact" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup documents exactly.", docs(s, d))),
+
+    "nl2_dedup_jaccard" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup documents by 3-gram jaccard 0.5 blocked by source.", docs(s, d))),
+
+    "nl3_dedup_minhash" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup documents by minhash jaccard 0.5.", docs(s, d))),
+
+    "nl4_dedup_simhash" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup documents by simhash hamming 3.", docs(s, d))),
+
+    "nl5_dedup_clusters" -> ((s: SparkSession, d: String) =>
+      Engine.run("Cluster duplicates by 3-gram jaccard 0.5 blocked by source.", docs(s, d))),
+
+    "nl6_tokenize" -> ((s: SparkSession, d: String) =>
+      Engine.run("Tokenize the documents.", docs(s, d))),
+
+    "nl7_quality_src0" -> ((s: SparkSession, d: String) =>
+      Engine.run("Filter rows where source == 'src0' and then score quality.", docs(s, d))),
+
+    "nl8_lang_id" -> ((s: SparkSession, d: String) =>
+      Engine.run("Detect language.", docs(s, d))),
+
+    "nl9_fingerprint_md5" -> ((s: SparkSession, d: String) =>
+      Engine.run("Fingerprint documents and drop rolling_fp column.", docs(s, d))),
+
+    "nl10_scrub_pii" -> ((s: SparkSession, d: String) =>
+      Engine.run("Scrub pii.", docs(s, d))),
+
+    "nl11_similar_topk" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3.", embs(s, d))))
+
+  override val oracleSql: Map[String, String] = Map(
+    "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
+    "nl2_dedup_jaccard"  -> DedupQueries.oracleSql("x4_dedup_ngram_jaccard"),
+    "nl3_dedup_minhash"  -> DedupQueries.oracleSql("x5_dedup_minhash"),
+    "nl4_dedup_simhash"  -> DedupQueries.oracleSql("x6_dedup_simhash"),
+    "nl5_dedup_clusters" -> DedupQueries.oracleSql("x24_dedup_clusters"),
+    "nl6_tokenize"       -> TextQueries.oracleSql("x8_text_tokens"),
+    "nl8_lang_id"        -> TextQueries.oracleSql("x10_lang_id"),
+    "nl9_fingerprint_md5" -> TextQueries.oracleSql("x11_fingerprint_md5"),
+    "nl10_scrub_pii"     -> TextQueries.oracleSql("x23_pii_scrub"),
+
+    // Composed filter → corpus op: x9's quality program over one source.
+    "nl7_quality_src0" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, len($toksSql) AS n_tokens,
+         |    len(list_filter($toksSql, x -> list_contains($stopSql, x))) AS stops,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |              / length(text) END AS pr
+         |  FROM documents WHERE source = 'src0')
+         |SELECT doc_id, n_tokens,
+         |  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+         |  round(pr, 6) AS punct_ratio,
+         |  round(0.4 * least(1.0, n_tokens / 100.0)
+         |      + 0.4 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END) * 5.0)
+         |      + 0.2 * (1.0 - pr), 6) AS quality
+         |FROM s""".stripMargin,
+
+    // Single-query brute-force cosine top-k (x1's oracle, one query id).
+    "nl11_similar_topk" ->
+      """SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                      c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank,
+        |    list_cosine_similarity(q.embedding::DOUBLE[],
+        |                           c.embedding::DOUBLE[]) AS score
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id = 3 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin)
+}

@@ -115,4 +115,83 @@ class NLParserSpec extends AnyFunSuite {
       NLParser.parse(d) // must not throw
     }
   }
+
+  // ------------------------------------------- corpus-operator grammar
+
+  test("dedup exactly") {
+    assert(NLParser.parse("Dedup documents exactly.").ops == List(O.DedupExact))
+    assert(NLParser.parse("Deduplicate the rows exactly.").ops == List(O.DedupExact))
+  }
+
+  test("dedup by n-gram jaccard with block — the VERDICT's exact example") {
+    assert(NLParser.parse("dedup documents by 3-gram jaccard 0.8").ops ==
+      List(O.DedupJaccard(3, 0.8, None)))
+    assert(NLParser.parse("Dedup documents by 3-gram jaccard 0.5 blocked by source.").ops ==
+      List(O.DedupJaccard(3, 0.5, Some("source"))))
+    assert(NLParser.parse("Dedup by 2 gram jaccard 0.7.").ops ==
+      List(O.DedupJaccard(2, 0.7, None)))
+  }
+
+  test("dedup by minhash / simhash") {
+    assert(NLParser.parse("Dedup documents by minhash jaccard 0.5.").ops ==
+      List(O.DedupMinHash(0.5)))
+    assert(NLParser.parse("Dedup by minhash 0.8.").ops == List(O.DedupMinHash(0.8)))
+    assert(NLParser.parse("Dedup documents by simhash hamming 3.").ops ==
+      List(O.DedupSimHash(3)))
+    assert(NLParser.parse("Dedup by simhash.").ops == List(O.DedupSimHash(3)))
+  }
+
+  test("cluster duplicates") {
+    assert(NLParser.parse("Cluster duplicates by 3-gram jaccard 0.5 blocked by source.").ops ==
+      List(O.DedupCluster(3, 0.5, Some("source"))))
+    assert(NLParser.parse("Cluster near-duplicates by 3-gram jaccard 0.9.").ops ==
+      List(O.DedupCluster(3, 0.9, None)))
+  }
+
+  test("text-analysis clauses") {
+    assert(NLParser.parse("Tokenize the documents.").ops == List(O.Tokenize))
+    assert(NLParser.parse("Score quality.").ops == List(O.ScoreQuality))
+    assert(NLParser.parse("Detect language.").ops == List(O.DetectLanguage))
+    assert(NLParser.parse("Fingerprint documents.").ops == List(O.Fingerprint))
+    assert(NLParser.parse("Scrub pii.").ops == List(O.ScrubPii))
+  }
+
+  test("find top-k similar") {
+    assert(NLParser.parse("Find top 5 most similar vectors to 3.").ops ==
+      List(O.SimilarTopK(3L, 5)))
+    assert(NLParser.parse("Find top 10 similar to 7.").ops ==
+      List(O.SimilarTopK(7L, 10)))
+  }
+
+  test("corpus ops compose with relational clauses") {
+    assert(NLParser.parse(
+      "Filter rows where source == 'src0' and then score quality.").ops ==
+      List(O.Filter(P.Cmp(P.Eq, "source", Lit.Str("src0"))), O.ScoreQuality))
+    assert(NLParser.parse(
+      "Fingerprint documents and drop rolling_fp column.").ops ==
+      List(O.Fingerprint, O.Drop(Seq("rolling_fp"))))
+    assert(NLParser.parse(
+      "Tokenize documents and sort by n_chars desc and keep top 5.").ops ==
+      List(O.Tokenize, O.Sort(Seq("n_chars" -> false)), O.Limit(5)))
+  }
+
+  test("malformed corpus clauses raise ParseException") {
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup documents by telepathy 0.5.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Cluster duplicates by simhash.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup documents by 3-gram jaccard 0.5 extra junk here.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Find top 5 similar.")
+    }
+  }
+
+  test("hyphenated words lex without breaking negative numbers") {
+    assert(NLParser.parse("Filter rows where delta > -5.").ops ==
+      List(O.Filter(P.Cmp(P.Gt, "delta", Lit.Num(-5)))))
+  }
 }
