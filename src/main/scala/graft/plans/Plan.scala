@@ -116,6 +116,19 @@ object Op {
   case object ScrubPii extends CorpusOp
   /** Exact brute-force top-k cosine neighbors of one query vector. */
   final case class SimilarTopK(queryId: Long, k: Int)              extends CorpusOp
+
+  /** Deterministic hash sample: keep `fraction` of rows keyed on the id
+    * column ([[graft.operators.Sampling.hashSample]]). */
+  final case class SampleHash(fraction: Double, seed: Long)        extends CorpusOp
+  /** Deterministic per-stratum hash sample; strata absent from
+    * `fractions` keep nothing. Pairs kept ordered for plan printing. */
+  final case class SampleStratified(stratumCol: String,
+                                    fractions: Seq[(String, Double)],
+                                    seed: Long)                    extends CorpusOp
+  /** Gap-based sessionization of the events table. */
+  final case class Sessionize(gapMinutes: Int)                     extends CorpusOp
+  /** Tumbling event-time window counts, e.g. (1, "hour"). */
+  final case class TumblingCount(amount: Int, unit: String)        extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * sessionizer keys state by user so it distributes with the shuffle; all
   * aggregations are incremental (no per-trigger rescans).
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
@@ -49,19 +49,36 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
               col("sw.end").as("session_end"), col("n_events"))
 
+  /** Epoch microseconds of a Timestamp. `getTime` alone truncates to
+    * milliseconds, which would make the streaming gap rule disagree with
+    * the µs-exact batch [[graft.operators.Events.sessionize]] on data with
+    * sub-millisecond timestamps (the events fixture carries nanos). */
+  private[streaming] def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[streaming] def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the escape
     * hatch for session semantics `session_window` can't express (here:
     * emitting event-count and value totals per closed session, with
     * event-time timeout eviction). Emits a session when a subsequent event
-    * arrives ≥ gap later, or when the group times out past the watermark. */
+    * arrives ≥ gap later, or when the group times out past the watermark.
+    *
+    * Gap arithmetic is in epoch *microseconds* — bit-identical to the
+    * batch twin [[graft.operators.Events.sessionize]], which
+    * `StreamBatchEquivalenceSpec` asserts on the real events fixture. */
   def statefulSessionize(events: Dataset[Event], gapMinutes: Int = 30,
                          watermark: String = "1 hour"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
-    final case class Open(startMs: Long, lastMs: Long, n: Long, total: Double)
+    final case class Open(startUs: Long, lastUs: Long, n: Long, total: Double)
     def summary(userId: Long, s: Open): SessionSummary =
-      SessionSummary(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+      SessionSummary(userId, microsToTs(s.startUs), microsToTs(s.lastUs),
                      s.n, math.rint(s.total * 100) / 100)
 
     def update(userId: Long, batch: Iterator[Event],
@@ -72,25 +89,27 @@ object EventStreams {
         state.remove()
         out
       } else {
-        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         var closed = List.empty[SessionSummary]
         var cur = state.getOption.map(toOpen)
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.lastMs >= gapMs =>
+            case Some(s) if t - s.lastUs >= gapUs =>
               closed ::= summary(userId, s)
               cur = Some(Open(t, t, 1, e.value))
             case Some(s) =>
-              cur = Some(Open(s.startMs, t, s.n + 1, s.total + e.value))
+              cur = Some(Open(s.startUs, t, s.n + 1, s.total + e.value))
             case None =>
               cur = Some(Open(t, t, 1, e.value))
           }
         }
         cur match {
           case Some(s) =>
-            state.update((s.startMs, s.lastMs, s.n, s.total))
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            state.update((s.startUs, s.lastUs, s.n, s.total))
+            // timeout API is millis; round up so it never fires before the
+            // µs-exact gap boundary
+            state.setTimeoutTimestamp(Math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
           case None => ()
         }
         closed.reverse.iterator

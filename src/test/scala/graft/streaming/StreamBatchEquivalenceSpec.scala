@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Events, TextAnalysis}
+import graft.streaming.EventStreams.Event
+
+/** Streaming ≡ batch equivalence anchor.
+  *
+  * The streaming operators replay the REAL sf0.001 fixtures through
+  * `MemoryStream` and must reproduce the result set of their
+  * oracle-checked batch twins (x15 sessionize, x3 exact dedup):
+  *
+  *  - [[EventStreams.statefulSessionize]] vs [[Events.sessionize]] —
+  *    identical session structure (user, µs-exact start/end, event count)
+  *    over every one of the fixture's 1000 events, fed in 10
+  *    chronological micro-batches to exercise cross-batch state carry,
+  *    gap-close AND watermark-timeout emission paths.
+  *  - [[DocumentStreams.cleanAndDedup]] vs quality-filter +
+  *    [[Dedup.exactByText]] — identical surviving fingerprint set.
+  *  - [[DocumentStreams.dedupNormalized]] vs its batch formulation —
+  *    identical surviving normalized-fingerprint set.
+  *
+  * Feeding order note: chunks are globally chronological, so no event is
+  * ever behind the watermark when it arrives and no timeout can fire
+  * before the µs gap boundary of a session that still has events coming —
+  * the two emission paths (gap-close, timeout) partition the sessions and
+  * both must agree with batch.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def stopQuietly(q: StreamingQuery): Unit =
+    try q.stop() catch { case _: Exception => () }
+
+  test("statefulSessionize reproduces batch Events.sessionize on the events fixture") {
+    val events = Events.load(spark, sfDir)
+
+    // Batch truth (the x15-oracle-checked formulation), keyed for comparison.
+    val batch = Events.sessionize(events, gapMinutes = 30)
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4))
+    val batchKeys = batch.map(_._1)
+    assert(batchKeys.distinct.length == batchKeys.length, "batch sessions must be unique")
+    assert(batchKeys.length > 100, "fixture should produce a non-trivial session count")
+
+    // Stream the same events in 10 chronological chunks.
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+    val maxUs = EventStreams.micros(typed.last.ts)
+    val dayUs = 24L * 3600L * 1000000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.statefulSessionize(input.toDS(), gapMinutes = 30,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("equiv_sessions").outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // Two far-future sentinel batches: the first advances the watermark
+      // past every real session's timeout, the second gives the state store
+      // a batch in which those timeouts actually fire.
+      input.addData(Event(-1L, EventStreams.microsToTs(maxUs + 10 * dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, EventStreams.microsToTs(maxUs + 20 * dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_sessions")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map { r =>
+          (r.getLong(0),
+           EventStreams.micros(r.getTimestamp(1)),
+           EventStreams.micros(r.getTimestamp(2)),
+           r.getLong(3)) -> r.getDouble(4)
+        }
+      assert(streamed.map(_._1).distinct.length == streamed.length,
+        "streamed sessions must be unique")
+
+      val batchMap = batch.toMap
+      val streamMap = streamed.toMap
+      val missing = batchMap.keySet -- streamMap.keySet
+      val extra = streamMap.keySet -- batchMap.keySet
+      assert(missing.isEmpty && extra.isEmpty,
+        s"session structure diverged: ${missing.size} batch-only " +
+          s"(e.g. ${missing.take(3)}), ${extra.size} stream-only (e.g. ${extra.take(3)})")
+      // Totals: both sides round(sum, 2); addition order differs (hash-agg
+      // merge vs sequential), so allow one rounding step.
+      val badTotals = batchMap.collect {
+        case (k, v) if math.abs(v - streamMap(k)) > 0.011 => (k, v, streamMap(k))
+      }
+      assert(badTotals.isEmpty, s"session totals diverged: ${badTotals.take(5)}")
+    } finally stopQuietly(q)
+  }
+
+  test("cleanAndDedup reproduces batch quality-filter + exactByText on the documents fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val minQuality = 0.3
+
+    val batchKept = Dedup.exactByText(
+        docs.filter(TextAnalysis.qualityColumn(col("text")) >= minQuality))
+      .select("fingerprint").collect().map(_.getString(0)).sorted
+    assert(batchKept.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.cleanAndDedup(streamDocs, minQuality = minQuality)
+      .select("doc_id", "fingerprint")
+      .writeStream.format("memory").queryName("equiv_docs").outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), new Timestamp(base + r.getLong(0))))
+        .sortBy(_._1)
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("equiv_docs").collect().map(_.getString(1)).sorted
+      // Representative choice is first-arrival in the stream vs min-id in
+      // batch; the *content set* (which texts survive) must be identical.
+      assert(streamKept.toSeq == batchKept.toSeq,
+        s"fingerprint sets diverged: batch=${batchKept.length} stream=${streamKept.length}")
+    } finally stopQuietly(q)
+  }
+
+  test("dedupNormalized reproduces the batch normalized-fingerprint dedup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchKept = docs
+      .select(xxhash64(concat_ws(" ", Dedup.tokens(col("text")))).as("fingerprint"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.dedupNormalized(streamDocs)
+      .select("doc_id", "fingerprint")
+      .writeStream.format("memory").queryName("equiv_norm").outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), new Timestamp(base + r.getLong(0))))
+        .sortBy(_._1)
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("equiv_norm").collect().map(_.getLong(1)).sorted
+      assert(streamKept.toSeq == batchKept.toSeq,
+        s"normalized fingerprint sets diverged: batch=${batchKept.length} stream=${streamKept.length}")
+    } finally stopQuietly(q)
+  }
+}
