@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Sampling, Similarity, TextAnalysis}
 
 /** Plan IR → DataFrame program.
   *
@@ -79,6 +79,15 @@ object Compiler {
     case Op.SimilarTopK(qid, k) =>
       Similarity.bruteForceTopK(df.filter(col("vec_id") === qid), df, k)
         .withColumn("score", round(col("score"), 6))
+    case Op.SampleHash(f, seed) => Sampling.hashSample(df, f, seed)
+    case Op.SampleStratified(c, fracs, seed) =>
+      // parser rejects duplicate strata; guard programmatic construction
+      // too — Map conversion would silently last-wins otherwise
+      require(fracs.map(_._1).distinct.size == fracs.size,
+        s"duplicate strata in stratified sample: ${fracs.map(_._1).mkString(", ")}")
+      Sampling.stratifiedHash(df, c, fracs.toMap, seed)
+    case Op.Sessionize(gapMinutes)  => Events.sessionize(df, gapMinutes)
+    case Op.TumblingCount(n, unit)  => Events.tumblingCounts(df, s"$n $unit")
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

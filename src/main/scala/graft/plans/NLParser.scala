@@ -35,6 +35,11 @@ package graft.plans
   *            | FINGERPRINT DOCUMENTS?
   *            | SCRUB PII
   *            | FIND TOP int MOST? SIMILAR (VECTORS|NEIGHBORS)? TO int
+  *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (WITH SEED int)?
+  *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
+  *                                       (WITH SEED int)?
+  *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int MINUTES? GAP?
+  *            | COUNT EVENTS PER int unit WINDOW?
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -74,7 +79,7 @@ object NLParser {
         val end = input.indexOf(c, i + 1)
         if (end < 0) throw ParseException(s"unterminated quote at $i in: $input0")
         toks += Quoted(input.substring(i + 1, end)); i = end + 1
-      } else if (c == '(' || c == ')' || c == ',') { toks += Sym(c.toString); i += 1 }
+      } else if (c == '(' || c == ')' || c == ',' || c == '%') { toks += Sym(c.toString); i += 1 }
       else if ("<>=!".contains(c)) {
         val start = i
         while (i < input.length && "<>=!".contains(input(i))) i += 1
@@ -104,7 +109,20 @@ object NLParser {
         "show", "drop", "rename", "add",
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
-        "fingerprint", "scrub", "find")
+        "fingerprint", "scrub", "find", "sample", "stratified", "sessionize")
+
+  /** Tokens that, appearing right after a clause-keyword word, mean the
+    * word is being used as a *column* inside a predicate ("… and score >
+    * 0.5", "… and cluster between 1 and 5") or as a sort key ("sort by
+    * count desc and score asc") — not as a clause start. Comparison
+    * symbols plus the word-operators of `atom` plus sort directions. */
+  private def predicateContinuation(t: Tok): Boolean = t match {
+    case Sym(s) => s != "(" && s != ")" && s != "," && s != "%"
+    case w: Word =>
+      Set("between", "starts", "contains", "in", "is",
+          "asc", "ascending", "desc", "descending")(w.lower)
+    case _ => false
+  }
 
   /** Split the token stream into clauses at top-level `and <keyword>`
     * boundaries. `and` inside parens or inside `between lo and hi` stays
@@ -120,11 +138,21 @@ object NLParser {
       toks(i) match {
         case Sym("(") => depth += 1; cur += toks(i); i += 1; curEmpty = false
         case Sym(")") => depth -= 1; cur += toks(i); i += 1; curEmpty = false
-        case w: Word if depth == 0 && !curEmpty && w.lower == "and" &&
-            i + 1 < toks.length && (toks(i + 1) match {
-              case n: Word => clauseKeywords(n.lower)
-              case _       => false
-            }) =>
+        case w: Word if depth == 0 && !curEmpty && w.lower == "and" && {
+              // the clause keyword may sit after an interposed "then";
+              // "and then by name" (a sort-key continuation) has none
+              val k = toks.drop(i + 1).headOption match {
+                case Some(t: Word) if t.lower == "then" => i + 2
+                case _                                  => i + 1
+              }
+              k < toks.length && (toks(k) match {
+                case n: Word => clauseKeywords(n.lower) && n.lower != "then"
+                case _       => false
+              }) &&
+              // lookahead past the keyword: "and score > 0.5" is a predicate
+              // over a column named `score`, not a `score quality` clause
+              (k + 1 >= toks.length || !predicateContinuation(toks(k + 1)))
+            } =>
           out += cur.result(); cur = Vector.newBuilder[Tok]; curEmpty = true
           i += 1 // drop the "and"
           // drop a following "then"
@@ -181,22 +209,51 @@ object NLParser {
         Right(List(Op.Limit(k)))
       case Some("sort") =>
         p.next(); p.expectWord("by")
-        val c = p.expectWordRaw()
-        val asc = p.peekWordLower match {
-          case Some("desc") | Some("descending") => p.next(); false
-          case Some("asc") | Some("ascending")   => p.next(); true
-          case _                                 => true
+        val keys = Seq.newBuilder[(String, Boolean)]
+        var more = true
+        while (more) {
+          val c = p.expectWordRaw()
+          val asc = p.peekWordLower match {
+            case Some("desc") | Some("descending") => p.next(); false
+            case Some("asc") | Some("ascending")   => p.next(); true
+            case _                                 => true
+          }
+          keys += c -> asc
+          // further keys: "sort by age desc, name asc" / "… and then by name"
+          p.peek match {
+            case Some(Sym(","))                     => p.next(); p.dropWords("then", "by")
+            case Some(w: Word) if w.lower == "and"  => p.next(); p.dropWords("then", "by")
+            case Some(w: Word) if w.lower == "then" => p.next(); p.dropWords("by")
+            case _                                  => more = false
+          }
         }
-        Right(List(Op.Sort(Seq(c -> asc))))
+        requireDone(p)
+        Right(List(Op.Sort(keys.result())))
       case Some("group") =>
         p.next(); p.expectWord("by")
         Left(parseColList(p))
       case Some("count") =>
         p.next()
-        val c = p.expectWordRaw()
-        val keys = pendingGroup.getOrElse(
-          throw ParseException("count without preceding group by"))
-        Right(List(Op.GroupAgg(keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
+        // "count events per 1 hour window" → tumbling window counts;
+        // "count <col>" (after group by) → relational count aggregate
+        val tumbling = p.peekWordLower.contains("events") &&
+          (p.peekAt(1) match { case Some(w: Word) => w.lower == "per"; case _ => false })
+        if (tumbling) {
+          p.next(); p.next() // events, per
+          val amount = p.expectNum().toInt
+          val unit = p.expectWordRaw().toLowerCase.stripSuffix("s") match {
+            case u @ ("second" | "minute" | "hour" | "day" | "week") => u
+            case other => throw ParseException(s"unknown window unit '$other'")
+          }
+          p.dropWords("window", "windows")
+          requireDone(p)
+          Right(List(Op.TumblingCount(amount, unit)))
+        } else {
+          val c = p.expectWordRaw()
+          val keys = pendingGroup.getOrElse(
+            throw ParseException("count without preceding group by"))
+          Right(List(Op.GroupAgg(keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
+        }
       case Some("show") =>
         p.next()
         val func = p.expectWordRaw().toLowerCase match {
@@ -292,6 +349,50 @@ object NLParser {
         val qid = p.expectNum().toLong
         requireDone(p)
         Right(List(Op.SimilarTopK(qid, k)))
+      case Some("sample") =>
+        // "Sample 1% of documents with seed 7"
+        p.next()
+        val f = parseFraction(p)
+        p.dropWords("of", "the", "documents", "docs", "rows")
+        val seed = parseSeed(p)
+        requireDone(p)
+        Right(List(Op.SampleHash(f, seed)))
+      case Some("stratified") =>
+        // "Stratified sample by source src0 at 0.8, src1 at 0.5 with seed 7"
+        p.next(); p.expectWord("sample"); p.expectWord("by")
+        val stratumCol = p.expectWordRaw()
+        val fracs = Seq.newBuilder[(String, Double)]
+        val seen = scala.collection.mutable.Set.empty[String]
+        var more = true
+        while (more) {
+          val stratum = p.expectStr()
+          if (!seen.add(stratum))
+            throw ParseException(s"duplicate stratum '$stratum' in stratified sample")
+          p.expectWord("at")
+          fracs += stratum -> parseFraction(p)
+          p.peek match {
+            case Some(Sym(","))                    => p.next()
+            case Some(w: Word) if w.lower == "and" => p.next()
+            case _                                 => more = false
+          }
+        }
+        val seed = parseSeed(p)
+        requireDone(p)
+        Right(List(Op.SampleStratified(stratumCol, fracs.result(), seed)))
+      case Some("sessionize") =>
+        // "Sessionize events with 30 minute gap" / "… with a gap of 30 minutes"
+        p.next(); p.dropWords("the", "events")
+        p.dropWords("with", "using", "a")
+        val gapFirst = p.peekWordLower.contains("gap")
+        if (gapFirst) { p.next(); p.dropWords("of") }
+        val gap = p.expectNum().toInt
+        p.peekWordLower match {
+          case Some("minute") | Some("minutes") | Some("min") | Some("mins") => p.next()
+          case other => throw ParseException(s"expected 'minute(s)' after sessionize gap, got $other")
+        }
+        if (!gapFirst) p.dropWords("gap", "gaps")
+        requireDone(p)
+        Right(List(Op.Sessionize(gap)))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }
@@ -330,6 +431,26 @@ object NLParser {
       Op.DedupSimHash(h)
     case other => throw ParseException(s"unknown dedup method: $other")
   }
+
+  /** A sampling fraction: `0.01` | `1 %` | `1 percent`. */
+  private def parseFraction(p: TokCursor): Double = {
+    val v = p.expectNum()
+    val f = p.peek match {
+      case Some(Sym("%")) => p.next(); v / 100.0
+      case Some(w: Word) if w.lower == "percent" => p.next(); v / 100.0
+      case _ => v
+    }
+    if (f < 0.0 || f > 1.0)
+      throw ParseException(s"sample fraction out of [0,1]: $f")
+    f
+  }
+
+  /** Optional `WITH SEED n` tail; the fixed default keeps bare
+    * descriptions deterministic run-over-run. */
+  private def parseSeed(p: TokCursor, default: Long = 42L): Long =
+    if (p.peekWordLower.contains("with")) {
+      p.next(); p.expectWord("seed"); p.expectNum().toLong
+    } else default
 
   private def requireDone(p: TokCursor): Unit =
     if (!p.done) throw ParseException(
@@ -439,6 +560,8 @@ object NLParser {
     def done: Boolean = pos >= toks.length
     def remaining: Vector[Tok] = toks.drop(pos)
     def peek: Option[Tok] = if (done) None else Some(toks(pos))
+    def peekAt(n: Int): Option[Tok] =
+      if (pos + n >= toks.length) None else Some(toks(pos + n))
     def peekWordLower: Option[String] = peek.collect { case w: Word => w.lower }
     def peekWordRaw: Option[String] = peek.collect { case w: Word => w.s }
     def next(): Tok = {

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Engine
+import graft.operators.{Events, Sampling}
 import graft.sources.Sources.table
 
 /** Natural-language-driven corpus queries — every one of these runs the
@@ -60,7 +61,28 @@ object NLQueries extends QueryPack {
       Engine.run("Scrub pii.", docs(s, d))),
 
     "nl11_similar_topk" -> ((s: SparkSession, d: String) =>
-      Engine.run("Find top 5 most similar vectors to 3.", embs(s, d))))
+      Engine.run("Find top 5 most similar vectors to 3.", embs(s, d))),
+
+    "nl12_sample_hash" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample 1 percent of documents with seed 7 " +
+                 "and select columns doc_id and source.", docs(s, d))),
+
+    // Same strata/seed as x25, so its oracle applies verbatim.
+    "nl13_sample_stratified" -> ((s: SparkSession, d: String) =>
+      Engine.run("Stratified sample by source src0 at 0.8, src1 at 0.5, " +
+                 "src2 at 0.25, src3 at 0.1 with seed 7 " +
+                 "and select columns doc_id and source.", docs(s, d))),
+
+    "nl14_sessionize" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sessionize events with 30 minute gap.", Events.load(s, d))),
+
+    "nl15_window_counts" -> ((s: SparkSession, d: String) =>
+      Engine.run("Count events per 1 hour window.", Events.load(s, d))),
+
+    "nl16_multisort" -> ((s: SparkSession, d: String) =>
+      Engine.run("Filter rows where c_mktsegment == 'BUILDING' " +
+                 "and sort by c_acctbal desc, c_name asc and keep top 20 rows.",
+                 table(s, d, "customer"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -89,6 +111,22 @@ object NLQueries extends QueryPack {
          |      + 0.4 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END) * 5.0)
          |      + 0.2 * (1.0 - pr), 6) AS quality
          |FROM s""".stripMargin,
+
+    // Hash-deterministic sampling: the same splitmix64 bucket chain as
+    // x25/x26 (OracleHashSql), so the NL route is hash-exact too.
+    "nl12_sample_hash" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(7L, "doc_id, source")}
+         |SELECT doc_id, source FROM pb
+         |WHERE bucket < ${Sampling.threshold(0.01)}""".stripMargin,
+    "nl13_sample_stratified" -> SamplingQueries.oracleSql("x25_sample_stratified"),
+
+    // Event-time oracles reused verbatim from the x14/x15 driver queries.
+    "nl14_sessionize"    -> EventQueries.oracleSql("x15_event_sessionize"),
+    "nl15_window_counts" -> EventQueries.oracleSql("x14_event_tumbling"),
+
+    "nl16_multisort" ->
+      """SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_acctbal DESC, c_name ASC LIMIT 20""".stripMargin,
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

@@ -194,4 +194,75 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Filter rows where delta > -5.").ops ==
       List(O.Filter(P.Cmp(P.Gt, "delta", Lit.Num(-5)))))
   }
+
+  test("hash sample: percent, bare fraction, default seed") {
+    assert(NLParser.parse("Sample 1 percent of documents with seed 7.").ops ==
+      List(O.SampleHash(0.01, 7L)))
+    assert(NLParser.parse("Sample 1% of documents with seed 7.").ops ==
+      List(O.SampleHash(0.01, 7L)))
+    assert(NLParser.parse("Sample 0.25 of rows.").ops ==
+      List(O.SampleHash(0.25, 42L)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Sample 120 percent of documents.") // fraction > 1
+    }
+  }
+
+  test("stratified sample: strata list, seed, duplicate stratum rejected") {
+    assert(NLParser.parse(
+      "Stratified sample by source src0 at 0.8, src1 at 0.5 with seed 7.").ops ==
+      List(O.SampleStratified("source", Seq("src0" -> 0.8, "src1" -> 0.5), 7L)))
+    assert(NLParser.parse(
+      "Stratified sample by source src0 at 80% and src1 at 50%.").ops ==
+      List(O.SampleStratified("source", Seq("src0" -> 0.8, "src1" -> 0.5), 42L)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Stratified sample by source src0 at 0.8, src0 at 0.5.")
+    }
+  }
+
+  test("sessionize: gap phrasings") {
+    assert(NLParser.parse("Sessionize events with 30 minute gap.").ops ==
+      List(O.Sessionize(30)))
+    assert(NLParser.parse("Sessionize events with a gap of 15 minutes.").ops ==
+      List(O.Sessionize(15)))
+  }
+
+  test("count events per window vs relational count") {
+    assert(NLParser.parse("Count events per 1 hour window.").ops ==
+      List(O.TumblingCount(1, "hour")))
+    assert(NLParser.parse("Count events per 30 minute windows.").ops ==
+      List(O.TumblingCount(30, "minute")))
+    // "count <col>" after group-by is still the relational aggregate
+    assert(NLParser.parse("Group by city and count names.").ops ==
+      List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Count, "names", "count")))))
+  }
+
+  test("multi-key sort: comma, 'and', 'and then by' separators") {
+    assert(NLParser.parse("Sort by age desc, name asc.").ops ==
+      List(O.Sort(Seq("age" -> false, "name" -> true))))
+    assert(NLParser.parse("Sort by age desc and name asc.").ops ==
+      List(O.Sort(Seq("age" -> false, "name" -> true))))
+    assert(NLParser.parse("Sort by age desc and then by name.").ops ==
+      List(O.Sort(Seq("age" -> false, "name" -> true))))
+    assert(NLParser.parse(
+      "Sort by age desc, name asc and keep top 5 rows.").ops ==
+      List(O.Sort(Seq("age" -> false, "name" -> true)), O.Limit(5)))
+  }
+
+  test("columns named like clause keywords stay predicates") {
+    // `score`, `cluster`, `sample`, `count` are clause keywords; followed
+    // by a comparison they are column references, not clause starts
+    assert(NLParser.parse("Filter rows where quality > 0.3 and score > 0.5.").ops ==
+      List(O.Filter(P.And(
+        P.Cmp(P.Gt, "quality", Lit.Num(0.3)), P.Cmp(P.Gt, "score", Lit.Num(0.5))))))
+    assert(NLParser.parse(
+      "Filter rows where n > 1 and cluster between 1 and 5.").ops ==
+      List(O.Filter(P.And(
+        P.Cmp(P.Gt, "n", Lit.Num(1)), P.Between("cluster", Lit.Num(1), Lit.Num(5))))))
+    assert(NLParser.parse("Sort by count desc and score asc.").ops ==
+      List(O.Sort(Seq("count" -> false, "score" -> true))))
+    // while actual clause uses still split
+    assert(NLParser.parse(
+      "Filter rows where source == 'src0' and score quality.").ops ==
+      List(O.Filter(P.Cmp(P.Eq, "source", Lit.Str("src0"))), O.ScoreQuality))
+  }
 }
