@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * Contract (BENCH_r{N}.json): ONE complete JSON line printed FIRST on
   * stdout (before Spark shutdown chatter can interleave), and the same
   * JSON written to `/root/repo/BENCH.json` so a tail-truncated capture
-  * can never lose it. Each query carries `{"sec": t, "ok": bool}` — a
-  * failing query still reports its wall clock but is flagged, never
-  * silently folded into the total as a suspiciously fast number.
+  * can never lose it. Each query carries `{"sec": t, "reps": n, "ok":
+  * bool}` where `sec` is the MEDIAN of `reps` timed runs (default 3,
+  * `SPARK_GRAFT_BENCH_REPS` overrides) — single-rep numbers on a shared
+  * box jitter ±20-40%, which two rounds running made unchanged code look
+  * 10% slower. A failing query still reports its wall clock but is
+  * flagged, never silently folded into the total as a suspiciously fast
+  * number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,25 +36,38 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      // median of `reps` runs; a failure aborts the rep loop (no point
+      // timing a broken query thrice) and flags the query
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var r = 0
+      while (ok && r < reps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            ok = false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+        times += (System.nanoTime() - t0) / 1e9
+        r += 1
+      }
+      val ts = times.result().sorted
+      val median =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      (name, median, ts.size, ok)
     }
-    val qs = results.map { case (k, t, ok) =>
-      s""""$k":{"sec":$t,"ok":$ok}"""
+    val qs = results.map { case (k, t, n, ok) =>
+      s""""$k":{"sec":$t,"reps":$n,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failed = results.filterNot(_._3).map(_._1)
+    val failed = results.filterNot(_._4).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // File first (immune to stdout truncation), then the single stdout line.
     try Files.write(Paths.get("/root/repo/BENCH.json"),
                     (json + "\n").getBytes(StandardCharsets.UTF_8))
