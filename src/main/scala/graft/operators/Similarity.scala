@@ -105,11 +105,22 @@ object Similarity {
   // ------------------------------------------------------------------ LSH
 
   /** Deterministic random hyperplanes: `bands × bitsPerBand` planes of
-    * dimension `dim`, seeded — identical across runs and executors. */
+    * dimension `dim`. Each weight is a pure function of (seed, plane,
+    * dim): splitmix64 of the flat index, top 53 bits mapped to [-1, 1).
+    * No RNG object and no iteration order — identical across runs,
+    * executors, and engines, which is what lets the DuckDB oracle bake
+    * the exact plane matrix into SQL ([[graft.queries.VectorQueries]]).
+    * Uniform weights are a valid sign-LSH family for cosine (only the
+    * plane's direction matters; recall bounds asserted in the spec). */
   def hyperplanes(dim: Int, bands: Int, bitsPerBand: Int,
                   seed: Long = 42L): Array[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    import graft.functions.SketchKernels.mix64
+    val base = mix64(seed)
+    Array.tabulate(bands * bitsPerBand)(p =>
+      Array.tabulate(dim) { d =>
+        val h = mix64(base + p.toLong * dim + d)
+        (((h >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0).toFloat
+      })
   }
 
   /** Add `(band, bucket)` columns: one row per band via posexplode, bucket

@@ -9,13 +9,29 @@ import graft.sources.Sources.table
 /** Similarity-search queries over the `embeddings` table (X2).
   * Brute-force top-k is oracle-checked against DuckDB's
   * `list_cosine_similarity` (both sides accumulate sequentially in double
-  * precision → bit-identical scores, verified in VectorFunctionsSpec). The
-  * LSH variant is approximate by construction, so it gets the rows-only
-  * check plus recall assertions in its spec. */
+  * precision → bit-identical scores, verified in VectorFunctionsSpec).
+  *
+  * The approximate variants are oracle-checked too — approximation is no
+  * obstacle once every choice is deterministic:
+  *  - x2 LSH: the hyperplanes are a pure splitmix64 function of
+  *    (seed, plane, dim) ([[Similarity.hyperplanes]]), so the oracle
+  *    bakes the exact plane matrix into SQL as double literals
+  *    (`Double.toString` round-trips, so DuckDB parses the bit-identical
+  *    value) and replays bucketing → candidate join → exact rescore;
+  *  - x20 IVF: centroid selection is the k smallest corpus ids — no RNG
+  *    at all — so cell assignment and probing replay directly.
+  * Sign/argmax decisions compare dot products computed in double by both
+  * engines; a flip would need two values within ~1 ulp, which the
+  * hash-exact gate would surface immediately. */
 object VectorQueries extends QueryPack {
 
   private val K = 5
   private val NQueries = 8
+  private val Bands = 8
+  private val BitsPerBand = 6
+  private val Dim = 64
+  private val IvfCentroids = 16
+  private val IvfNProbe = 4
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_ann_bruteforce" -> ((s: SparkSession, d: String) => {
@@ -37,6 +53,34 @@ object VectorQueries extends QueryPack {
         .withColumn("score", round(col("score"), 6))
     }))
 
+  /** `(p, weights)` literal rows for the plane matrix — each weight
+    * printed via `Double.toString`, whose shortest-round-trip contract
+    * guarantees DuckDB parses back the bit-identical double the Spark
+    * kernel uses (`float → double` widening is exact). */
+  private def planeRows: String =
+    Similarity.hyperplanes(Dim, Bands, BitsPerBand).zipWithIndex
+      .map { case (w, p) =>
+        w.map(_.toDouble).mkString(s"($p::BIGINT, [", ", ", "]::DOUBLE[])")
+      }
+      .mkString(",\n")
+
+  /** Exact rescore + per-query top-k over a candidate CTE named `cand`
+    * with columns (query_id, neighbor_id) — the shared tail of the x1
+    * semantics the approximate variants rescore with. */
+  private def rescoreTopK: String =
+    s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[],
+       |                                      ce.embedding::DOUBLE[]) DESC,
+       |               neighbor_id ASC) AS rank,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[],
+       |                           ce.embedding::DOUBLE[]) AS score
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+       |WHERE rank <= $K""".stripMargin
+
   override val oracleSql: Map[String, String] = Map(
     "x1_ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
@@ -49,7 +93,49 @@ object VectorQueries extends QueryPack {
          |                           c.embedding::DOUBLE[]) AS score
          |  FROM embeddings q CROSS JOIN embeddings c
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
-         |WHERE rank <= $K""".stripMargin)
-    // x2_ann_lsh / x20_ann_ivf: approximate — no portable SQL oracle;
-    // rows-only checks + recall/subset assertions in VectorFunctionsSpec.
+         |WHERE rank <= $K""".stripMargin,
+
+    // Full LSH replay: sign-bit buckets from the baked plane matrix,
+    // candidates share any (band, bucket) with a query, exact rescore.
+    "x2_ann_lsh" ->
+      s"""WITH planes(p, w) AS (VALUES
+         |$planeRows),
+         |dots AS (
+         |  SELECT e.vec_id, p.p,
+         |    list_dot_product(e.embedding::DOUBLE[], p.w) AS dot
+         |  FROM embeddings e, planes p),
+         |bk AS (
+         |  SELECT vec_id, p // $BitsPerBand AS band,
+         |    sum(CASE WHEN dot > 0 THEN 1::BIGINT << (p % $BitsPerBand)
+         |             ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY vec_id, p // $BitsPerBand),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+         |$rescoreTopK""".stripMargin,
+
+    // Full IVF replay: centroids = the $IvfCentroids smallest corpus ids,
+    // corpus rows sit in their argmax-cosine cell, queries probe their
+    // $IvfNProbe best cells (ties by cell index, as nearest_centroids).
+    "x20_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+         |  FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids),
+         |cs AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_cosine_similarity(e.embedding::DOUBLE[],
+         |                           c.embedding::DOUBLE[]) AS sim
+         |  FROM embeddings e, cents c),
+         |ranked AS (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell ASC) AS rn FROM cs),
+         |cellof AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id, cell FROM ranked
+         |        WHERE rn <= $IvfNProbe AND vec_id < $NQueries) q
+         |  JOIN cellof c ON q.cell = c.cell
+         |  WHERE c.vec_id <> q.vec_id)
+         |$rescoreTopK""".stripMargin)
 }
