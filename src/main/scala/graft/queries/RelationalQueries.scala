@@ -227,15 +227,31 @@ object RelationalQueries extends QueryPack {
     // relies on (HLL distinct counts, t-digest-style percentiles). No
     // portable oracle (sketch internals differ per engine) — accuracy vs
     // exact is asserted in ApproxStatsSpec.
+    // Sketch-based stats (HLL distinct count, KLL-style quantiles). The
+    // sketches themselves are engine-specific, so the verified output is
+    // the exact columns plus within-5% booleans over the approximations:
+    // the oracle emits TRUE literals, and a hash match therefore PROVES
+    // each approximation landed inside its error bound — a value-level
+    // gate an approximate answer can actually carry.
     "q12_approx_stats" -> ((s: SparkSession, d: String) => {
       table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("n_parts"),
              percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-               .as("p50_price"),
+               .as("ap50"),
              percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
-               .as("p95_price"),
+               .as("ap95"),
+             expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+             expr("percentile(l_extendedprice, 0.95)").as("ep95"),
              count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts"))
+            <= col("n_parts") * 0.05).as("parts_within_5pct"),
+          (abs(col("ap50") - col("ep50"))
+            <= abs(col("ep50")) * 0.05).as("p50_within_5pct"),
+          (abs(col("ap95") - col("ep95"))
+            <= abs(col("ep95")) * 0.05).as("p95_within_5pct"))
     }),
 
     // Set ops: union/except over projections (absent from the reference;
@@ -361,5 +377,14 @@ object RelationalQueries extends QueryPack {
         |SELECT c_custkey, c_name FROM customer
         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000
         |EXCEPT
-        |SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0""".stripMargin)
+        |SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0""".stripMargin,
+    // Exact columns recomputed exactly; the TRUE literals assert the
+    // Spark-side approximations landed within their 5% bounds.
+    "q12_approx_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS p50_within_5pct,
+        |  TRUE AS p95_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
