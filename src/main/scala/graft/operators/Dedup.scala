@@ -103,11 +103,54 @@ object Dedup {
     *
     * Probability a pair with true Jaccard j collides: 1-(1-j^r)^b —
     * with 16×4 defaults, j=0.5 → 0.65, j=0.8 → 0.9996, j=0.3 → 0.12:
-    * sharp threshold around ~0.5. */
+    * sharp threshold around ~0.5.
+    *
+    * Shuffle shape (the reason this is the 100 TB path): the band join
+    * moves only compact `(id, band, bucket)` triples — `bands` rows of
+    * three longs per document. The hashed-shingle arrays needed for
+    * exact verification are re-joined by id onto the deduped candidate
+    * pairs afterwards, so each document's array crosses the wire at most
+    * twice (once per join side), instead of `bands` copies riding every
+    * exploded row through the band join — with long documents the
+    * signature payload, not the candidate count, is what dominated. */
   def minHashPairs(docs: DataFrame, threshold: Double,
                    numHashes: Int = 64, bands: Int = 16,
                    n: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = docs.select(
+        col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bucket")))
+    val cand = sigs.as("l").join(sigs.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The pre-rejoin formulation: shingle arrays ride every exploded band
+    * row through the bucket join and verify in place. Fewer joins, but
+    * the shuffle payload scales with `bands × document length` — kept for
+    * the equivalence spec and as the honest baseline the re-join variant
+    * is measured against. */
+  def minHashPairsInline(docs: DataFrame, threshold: Double,
+                         numHashes: Int = 64, bands: Int = 16,
+                         n: Int = 3, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = docs.select(

@@ -62,6 +62,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("minhash re-join variant equals the inline variant on real documents") {
+    // Same banding, same verification — only the shuffle payload differs
+    // (compact (id, band, bucket) triples + re-join vs arrays carried
+    // through the band join). Results must be identical pair-for-pair.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val rejoin = collectPairs(Dedup.minHashPairs(docs, 0.5))
+    val inline = collectPairs(Dedup.minHashPairsInline(docs, 0.5))
+    assert(rejoin.nonEmpty)
+    assert(rejoin == inline)
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val sig = corpus.select(
       Dedup.minHashSignature(Dedup.hashedShingles($"text", 3), 16).as("sig"))
