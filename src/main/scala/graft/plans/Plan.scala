@@ -121,7 +121,10 @@ object Op {
     * column ([[graft.operators.Sampling.hashSample]]). */
   final case class SampleHash(fraction: Double, seed: Long)        extends CorpusOp
   /** Deterministic per-stratum hash sample; strata absent from
-    * `fractions` keep nothing. Pairs kept ordered for plan printing. */
+    * `fractions` keep nothing. Pairs kept ordered for plan printing;
+    * stratum keys must be unique — the parser rejects duplicates and the
+    * compiler re-validates before the Map conversion, so a duplicate can
+    * never silently collapse last-wins. */
   final case class SampleStratified(stratumCol: String,
                                     fractions: Seq[(String, Double)],
                                     seed: Long)                    extends CorpusOp

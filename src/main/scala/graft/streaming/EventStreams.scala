@@ -68,18 +68,29 @@ object EventStreams extends Serializable {
     * event-time timeout eviction). Emits a session when a subsequent event
     * arrives ≥ gap later, or when the group times out past the watermark.
     *
-    * Gap arithmetic is in epoch *microseconds* — bit-identical to the
-    * batch twin [[graft.operators.Events.sessionize]], which
-    * `StreamBatchEquivalenceSpec` asserts on the real events fixture. */
+    * Gap arithmetic is in epoch *microseconds* and totals round with the
+    * same HALF_UP rule as Spark's `round()`, so session structure (user,
+    * start/end µs, event count) is bit-identical to the batch twin
+    * [[graft.operators.Events.sessionize]] and totals agree exactly on
+    * the fixture (`StreamBatchEquivalenceSpec`); a total could still
+    * differ in the last ulp pre-rounding when the batch sum's merge order
+    * differs, which only shows if the sum lands exactly on a .005
+    * boundary. */
   def statefulSessionize(events: Dataset[Event], gapMinutes: Int = 30,
                          watermark: String = "1 hour"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
     final case class Open(startUs: Long, lastUs: Long, n: Long, total: Double)
+    // Spark's round() on doubles is BigDecimal.valueOf(_).setScale(2,
+    // HALF_UP); replicate it exactly (math.rint is half-even — it disagreed
+    // with the batch twin on totals landing on a .005 boundary).
+    def round2(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
     def summary(userId: Long, s: Open): SessionSummary =
       SessionSummary(userId, microsToTs(s.startUs), microsToTs(s.lastUs),
-                     s.n, math.rint(s.total * 100) / 100)
+                     s.n, round2(s.total))
 
     def update(userId: Long, batch: Iterator[Event],
                state: GroupState[(Long, Long, Long, Double)]): Iterator[SessionSummary] = {

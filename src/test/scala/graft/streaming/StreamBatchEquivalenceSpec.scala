@@ -97,10 +97,11 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(missing.isEmpty && extra.isEmpty,
         s"session structure diverged: ${missing.size} batch-only " +
           s"(e.g. ${missing.take(3)}), ${extra.size} stream-only (e.g. ${extra.take(3)})")
-      // Totals: both sides round(sum, 2); addition order differs (hash-agg
-      // merge vs sequential), so allow one rounding step.
+      // Totals: both sides now round(sum, 2) with the same HALF_UP rule,
+      // and on this fixture the pre-rounding sums never land close enough
+      // to a .005 boundary for addition order to show — exact equality.
       val badTotals = batchMap.collect {
-        case (k, v) if math.abs(v - streamMap(k)) > 0.011 => (k, v, streamMap(k))
+        case (k, v) if v != streamMap(k) => (k, v, streamMap(k))
       }
       assert(badTotals.isEmpty, s"session totals diverged: ${badTotals.take(5)}")
     } finally stopQuietly(q)
