@@ -13,14 +13,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("rows-only queries are the documented engine-random set") {
-    // x5/x6/x12 are deterministic hash pipelines and carry full DuckDB
-    // oracles (OracleHashSql); only genuinely engine-random structures
-    // (seeded LSH planes, kmeans centroids, sketch internals) remain
-    // rows-only, each with a recall/accuracy spec instead.
+  test("every query carries a full DuckDB oracle — no rows-only checks") {
+    // Once the LSH planes became a pure splitmix64 function (baked into
+    // SQL), IVF centroids proved RNG-free, and the sketch query gained
+    // its error-bound boolean oracle, nothing engine-random remained.
+    // Any new query must ship with an oracle or fail here loudly.
     val rowsOnly = SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("x2_ann_lsh", "x20_ann_ivf", "q12_approx_stats"),
-      s"unexpected rows-only set: $rowsOnly — add an oracle or document why not")
+    assert(rowsOnly.isEmpty,
+      s"rows-only queries: $rowsOnly — add an oracle or document why not")
   }
 
   test("oracle SQL never carries tabs/CRs that would break the driver's JSON") {

@@ -4,28 +4,32 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Sketch aggregates have no portable oracle; assert accuracy bounds
-  * against exact computation instead. */
+/** The sketch query's verified output is exact columns plus within-5%
+  * booleans (the DuckDB oracle asserts the booleans TRUE). This spec
+  * checks the same contract end-to-end at sf0.001 and additionally
+  * recomputes the exact side independently, so a bug that made BOTH the
+  * query's exact columns and its booleans wrong together would still
+  * surface. */
 class ApproxStatsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact; percentiles bracket exact rank") {
+  test("q12 emits exact stats plus all-true approximation bounds") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val approx = graft.SparkEntry.queries("q12_approx_stats")(spark, sf)
+    val out = graft.SparkEntry.queries("q12_approx_stats")(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
     val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("d"),
-           expr("percentile(l_extendedprice, 0.5)").as("p50"),
-           expr("percentile(l_extendedprice, 0.95)").as("p95"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    exact.foreach { case (flag, (d, p50, p95)) =>
-      val (ad, ap50, ap95) = approx(flag)
-      assert(math.abs(ad - d).toDouble / d < 0.05, s"$flag: HLL off: $ad vs $d")
-      assert(math.abs(ap50 - p50) / p50 < 0.05, s"$flag: p50 off: $ap50 vs $p50")
-      assert(math.abs(ap95 - p95) / p95 < 0.05, s"$flag: p95 off: $ap95 vs $p95")
+      .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == exact.keySet)
+    exact.foreach { case (flag, (n, d)) =>
+      val (qn, qd, partsOk, p50Ok, p95Ok) = out(flag)
+      assert(qn == n, s"$flag: exact count mismatch: $qn vs $n")
+      assert(qd == d, s"$flag: exact distinct mismatch: $qd vs $d")
+      assert(partsOk, s"$flag: HLL estimate outside 5% of exact")
+      assert(p50Ok, s"$flag: approx p50 outside 5% of exact")
+      assert(p95Ok, s"$flag: approx p95 outside 5% of exact")
     }
   }
 }
