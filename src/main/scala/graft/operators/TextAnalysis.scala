@@ -134,4 +134,17 @@ object TextAnalysis {
       col(idCol),
       md5(col(textCol)).as("md5_fp"),
       rollingHash(col(textCol)).as("rolling_fp"))
+
+  /** Corpus-level statistics per group: document count, total whitespace
+    * tokens (fused [[graft.functions.TokenCount]] kernel), average char
+    * length. One partial+final hash aggregate — group cardinality, not
+    * corpus size, bounds the exchange. */
+  def corpusStats(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.tokenCount
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(tokenCount(col(textCol))).as("total_tokens"),
+           round(avg(length(col(textCol))), 4).as("avg_chars"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Plan IR → DataFrame program.
   *
@@ -88,6 +88,15 @@ object Compiler {
       Sampling.stratifiedHash(df, c, fracs.toMap, seed)
     case Op.Sessionize(gapMinutes)  => Events.sessionize(df, gapMinutes)
     case Op.TumblingCount(n, unit)  => Events.tumblingCounts(df, s"$n $unit")
+    case Op.DecodeMedia  => Multimodal.decodeImageMeta(Multimodal.fromDocuments(df))
+    case Op.SampleFrames => Multimodal.sampleFrames(Multimodal.fromDocuments(df))
+    case Op.ResizeMedia(maxDim) =>
+      // accepts decoded metadata, or raw documents which are decoded first
+      val decoded =
+        if (df.columns.contains("width")) df
+        else Multimodal.decodeImageMeta(Multimodal.fromDocuments(df))
+      Multimodal.resizeMeta(decoded, maxDim)
+    case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -36,10 +36,14 @@ package graft.plans
   *            | SCRUB PII
   *            | FIND TOP int MOST? SIMILAR (VECTORS|NEIGHBORS)? TO int
   *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (WITH SEED int)?
+  *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
   *                                       (WITH SEED int)?
   *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int MINUTES? GAP?
   *            | COUNT EVENTS PER int unit WINDOW?
+  *            | DECODE THE? (MEDIA|IMAGES)? METADATA?
+  *            | RESIZE THE? (MEDIA|IMAGES)? TO int (PIXELS)?
+  *            | COMPUTE CORPUS? (STATISTICS|STATS) (BY col)?
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -109,7 +113,8 @@ object NLParser {
         "show", "drop", "rename", "add",
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
-        "fingerprint", "scrub", "find", "sample", "stratified", "sessionize")
+        "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
+        "decode", "resize", "compute")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -350,13 +355,19 @@ object NLParser {
         requireDone(p)
         Right(List(Op.SimilarTopK(qid, k)))
       case Some("sample") =>
-        // "Sample 1% of documents with seed 7"
+        // "Sample 1% of documents with seed 7" / "Sample frames from videos"
         p.next()
-        val f = parseFraction(p)
-        p.dropWords("of", "the", "documents", "docs", "rows")
-        val seed = parseSeed(p)
-        requireDone(p)
-        Right(List(Op.SampleHash(f, seed)))
+        if (p.peekWordLower.contains("frames")) {
+          p.next(); p.dropWords("from", "the", "videos", "video", "media")
+          requireDone(p)
+          Right(List(Op.SampleFrames))
+        } else {
+          val f = parseFraction(p)
+          p.dropWords("of", "the", "documents", "docs", "rows")
+          val seed = parseSeed(p)
+          requireDone(p)
+          Right(List(Op.SampleHash(f, seed)))
+        }
       case Some("stratified") =>
         // "Stratified sample by source src0 at 0.8, src1 at 0.5 with seed 7"
         p.next(); p.expectWord("sample"); p.expectWord("by")
@@ -393,6 +404,31 @@ object NLParser {
         if (!gapFirst) p.dropWords("gap", "gaps")
         requireDone(p)
         Right(List(Op.Sessionize(gap)))
+      case Some("decode") =>
+        // "Decode the media." / "Decode images metadata."
+        p.next(); p.dropWords("the", "media", "images", "image", "metadata")
+        requireDone(p)
+        Right(List(Op.DecodeMedia))
+      case Some("resize") =>
+        // "Resize the images to 256 pixels."
+        p.next(); p.dropWords("the", "media", "images", "image")
+        p.expectWord("to")
+        val maxDim = p.expectNum().toInt
+        if (maxDim <= 0) throw ParseException(s"resize bound must be positive: $maxDim")
+        p.dropWords("pixels", "px")
+        requireDone(p)
+        Right(List(Op.ResizeMedia(maxDim)))
+      case Some("compute") =>
+        // "Compute corpus statistics by source."
+        p.next(); p.dropWords("the", "corpus")
+        p.peekWordLower match {
+          case Some("statistics") | Some("stats") => p.next()
+          case other => throw ParseException(s"expected 'statistics' after compute, got $other")
+        }
+        val gc = if (p.peekWordLower.contains("by")) { p.next(); p.expectWordRaw() }
+                 else "source"
+        requireDone(p)
+        Right(List(Op.CorpusStats(gc)))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }

@@ -132,6 +132,17 @@ object Op {
   final case class Sessionize(gapMinutes: Int)                     extends CorpusOp
   /** Tumbling event-time window counts, e.g. (1, "hour"). */
   final case class TumblingCount(amount: Int, unit: String)        extends CorpusOp
+
+  /** Media metadata decode over the documents-derived media frame
+    * ([[graft.operators.Multimodal.decodeImageMeta]]). */
+  case object DecodeMedia                                          extends CorpusOp
+  /** Per-video frame sampling ([[graft.operators.Multimodal.sampleFrames]]). */
+  case object SampleFrames                                         extends CorpusOp
+  /** Bounded-box resize plan for decoded media; input is decoded
+    * metadata (or raw documents, which the compiler decodes first). */
+  final case class ResizeMedia(maxDim: Int)                        extends CorpusOp
+  /** Corpus-level stats grouped by a column (default `source`). */
+  final case class CorpusStats(groupCol: String)                   extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

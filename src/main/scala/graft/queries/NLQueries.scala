@@ -82,7 +82,20 @@ object NLQueries extends QueryPack {
     "nl16_multisort" -> ((s: SparkSession, d: String) =>
       Engine.run("Filter rows where c_mktsegment == 'BUILDING' " +
                  "and sort by c_acctbal desc, c_name asc and keep top 20 rows.",
-                 table(s, d, "customer"))))
+                 table(s, d, "customer"))),
+
+    // Multimodal + corpus-stats routes reuse the x17/x18/x19/x13 oracles.
+    "nl17_decode_media" -> ((s: SparkSession, d: String) =>
+      Engine.run("Decode the media.", docs(s, d))),
+
+    "nl18_sample_frames" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample frames from the videos.", docs(s, d))),
+
+    "nl19_resize_media" -> ((s: SparkSession, d: String) =>
+      Engine.run("Decode the media and resize images to 256 pixels.", docs(s, d))),
+
+    "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
+      Engine.run("Compute corpus statistics by source.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -127,6 +140,11 @@ object NLQueries extends QueryPack {
     "nl16_multisort" ->
       """SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_acctbal DESC, c_name ASC LIMIT 20""".stripMargin,
+
+    "nl17_decode_media"  -> MultimodalQueries.oracleSql("x17_multimodal_decode"),
+    "nl18_sample_frames" -> MultimodalQueries.oracleSql("x18_multimodal_frames"),
+    "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
+    "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

@@ -44,14 +44,8 @@ object TextQueries extends QueryPack {
 
     // Single-pass rollup: token counts via the TokenCount kernel on the
     // same scan that carries `source` — no self-join, one shuffle.
-    "x13_corpus_stats" -> ((s: SparkSession, d: String) => {
-      import graft.functions.HashedShinglesFunctions.tokenCount
-      table(s, d, "documents")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(tokenCount(col("text"))).as("total_tokens"),
-             round(avg(length(col("text"))), 4).as("avg_chars"))
-    }))
+    "x13_corpus_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.corpusStats(table(s, d, "documents"))))
 
   override val oracleSql: Map[String, String] = Map(
     "x8_text_tokens" ->

@@ -248,6 +248,27 @@ class NLParserSpec extends AnyFunSuite {
       List(O.Sort(Seq("age" -> false, "name" -> true)), O.Limit(5)))
   }
 
+  test("multimodal and corpus-stats clauses") {
+    assert(NLParser.parse("Decode the media.").ops == List(O.DecodeMedia))
+    assert(NLParser.parse("Decode images metadata.").ops == List(O.DecodeMedia))
+    assert(NLParser.parse("Sample frames from the videos.").ops ==
+      List(O.SampleFrames))
+    assert(NLParser.parse("Resize the images to 256 pixels.").ops ==
+      List(O.ResizeMedia(256)))
+    assert(NLParser.parse("Decode the media and resize images to 256 pixels.").ops ==
+      List(O.DecodeMedia, O.ResizeMedia(256)))
+    assert(NLParser.parse("Compute corpus statistics by source.").ops ==
+      List(O.CorpusStats("source")))
+    assert(NLParser.parse("Compute corpus stats.").ops ==
+      List(O.CorpusStats("source")))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Resize the images to 0 pixels.")
+    }
+    // "sample frames" must not collide with the fraction grammar
+    assert(NLParser.parse("Sample 0.25 of rows.").ops ==
+      List(O.SampleHash(0.25, 42L)))
+  }
+
   test("columns named like clause keywords stay predicates") {
     // `score`, `cluster`, `sample`, `count` are clause keywords; followed
     // by a comparison they are column references, not clause starts
