@@ -25,6 +25,9 @@ import graft.streaming.EventStreams.Event
   *    [[Dedup.exactByText]] — identical surviving fingerprint set.
   *  - [[DocumentStreams.dedupNormalized]] vs its batch formulation —
   *    identical surviving normalized-fingerprint set.
+  *  - [[EventStreams.tumblingCounts]] vs [[Events.tumblingCounts]] (the
+  *    x14-oracle-checked twin) — identical (window, type) → (count,
+  *    total) map once the watermark closes every real window.
   *
   * Feeding order note: chunks are globally chronological, so no event is
   * ever behind the watermark when it arrives and no timeout can fire
@@ -104,6 +107,52 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         case (k, v) if v != streamMap(k) => (k, v, streamMap(k))
       }
       assert(badTotals.isEmpty, s"session totals diverged: ${badTotals.take(5)}")
+    } finally stopQuietly(q)
+  }
+
+  test("streaming tumblingCounts reproduces batch Events.tumblingCounts on the fixture") {
+    val events = Events.load(spark, sfDir)
+    val batch = Events.tumblingCounts(events, width = "1 hour")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(batch.size > 50, "fixture should produce a non-trivial window count")
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+    val maxUs = EventStreams.micros(typed.last.ts)
+    val dayUs = 24L * 3600L * 1000000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), width = "1 hour",
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("equiv_tumbling")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // A far-future sentinel advances the watermark past every real
+      // window's end so append mode emits them all; the sentinel's own
+      // window never closes and is filtered by event_type.
+      input.addData(Event(-1L, EventStreams.microsToTs(maxUs + 10 * dayUs),
+                          -1L, "zz_sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_tumbling")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .collect()
+        .map(r => (EventStreams.micros(r.getTimestamp(0)) / 1000L, r.getString(1)) ->
+                  (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed == batch,
+        s"tumbling windows diverged: batch-only=${(batch.keySet -- streamed.keySet).take(3)} " +
+          s"stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"value-diffs=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) =>
+            (k, v, streamed(k)) }.take(3)}")
     } finally stopQuietly(q)
   }
 
