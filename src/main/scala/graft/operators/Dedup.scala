@@ -174,6 +174,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------ repeated-span dedup
+
+  /** Repeated n-token spans: every distinct n-gram appearing in at least
+    * `minDocs` distinct documents, with its document frequency — the
+    * substring-level counterpart of document dedup (boilerplate headers,
+    * license blocks, templated paragraphs survive document-level dedup
+    * and surface here).
+    *
+    * Shape: one explode (`spans × docs` rows of one string + one id) and
+    * one shuffle on the span key with map-side partial aggregation; the
+    * HAVING filter drops the unique-span long tail before any further
+    * processing. At 100 TB the span string would be replaced by its
+    * 64-bit hash for the shuffle (same FNV kernel as the shingle path) —
+    * kept as the raw string here so the output is directly actionable
+    * (and the DuckDB oracle stays plain SQL). */
+  def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+                explode(shingles(col(textCol), n)).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   // ----------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into four 16-bit

@@ -97,6 +97,7 @@ object Compiler {
         else Multimodal.decodeImageMeta(Multimodal.fromDocuments(df))
       Multimodal.resizeMeta(decoded, maxDim)
     case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
+    case Op.RepeatedSpans(n, minDocs) => Dedup.repeatedSpans(df, n, minDocs)
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -35,6 +35,8 @@ package graft.plans
   *            | FINGERPRINT DOCUMENTS?
   *            | SCRUB PII
   *            | FIND TOP int MOST? SIMILAR (VECTORS|NEIGHBORS)? TO int
+  *            | FIND REPEATED SPANS OF? int TOKENS?
+  *                                       (IN AT? LEAST? int DOCUMENTS?)?
   *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (WITH SEED int)?
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
@@ -346,14 +348,33 @@ object NLParser {
         p.next(); p.expectWord("pii")
         requireDone(p); Right(List(Op.ScrubPii))
       case Some("find") =>
-        p.next(); p.expectWord("top")
-        val k = p.expectNum().toInt
-        p.dropWords("most"); p.expectWord("similar")
-        p.dropWords("vectors", "neighbors", "documents", "items")
-        p.expectWord("to")
-        val qid = p.expectNum().toLong
-        requireDone(p)
-        Right(List(Op.SimilarTopK(qid, k)))
+        // "Find top 5 most similar vectors to 3" / "Find repeated spans of
+        // 10 tokens (in at least 3 documents)?"
+        p.next()
+        if (p.peekWordLower.contains("repeated")) {
+          p.next(); p.dropWords("spans", "span", "of")
+          val n = p.expectNum().toInt
+          p.dropWords("tokens", "token", "words")
+          val minDocs = p.peekWordLower match {
+            case Some("in") =>
+              p.next(); p.dropWords("at"); p.dropWords("least")
+              val m = p.expectNum().toInt
+              p.dropWords("documents", "docs")
+              m
+            case _ => 2
+          }
+          requireDone(p)
+          Right(List(Op.RepeatedSpans(n, minDocs)))
+        } else {
+          p.expectWord("top")
+          val k = p.expectNum().toInt
+          p.dropWords("most"); p.expectWord("similar")
+          p.dropWords("vectors", "neighbors", "documents", "items")
+          p.expectWord("to")
+          val qid = p.expectNum().toLong
+          requireDone(p)
+          Right(List(Op.SimilarTopK(qid, k)))
+        }
       case Some("sample") =>
         // "Sample 1% of documents with seed 7" / "Sample frames from videos"
         p.next()

@@ -143,6 +143,9 @@ object Op {
   final case class ResizeMedia(maxDim: Int)                        extends CorpusOp
   /** Corpus-level stats grouped by a column (default `source`). */
   final case class CorpusStats(groupCol: String)                   extends CorpusOp
+  /** n-token spans repeated across ≥ minDocs distinct documents
+    * ([[graft.operators.Dedup.repeatedSpans]]). */
+  final case class RepeatedSpans(n: Int, minDocs: Int)             extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

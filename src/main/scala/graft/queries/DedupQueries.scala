@@ -38,7 +38,10 @@ object DedupQueries extends QueryPack {
     "x24_dedup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.clusterPairs(
         Dedup.ngramJaccardPairs(table(s, d, "documents"), "source", JaccardThreshold)
-          .select(col("id_a"), col("id_b")))))
+          .select(col("id_a"), col("id_b")))),
+
+    "x27_repeated_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.repeatedSpans(table(s, d, "documents"), n = 10, minDocs = 2)))
 
   override val oracleSql: Map[String, String] = Map(
     "x3_dedup_exact" ->
@@ -101,5 +104,21 @@ object DedupQueries extends QueryPack {
          |SELECT n.id AS doc_id, least(n.id, min(r.dst)) AS cluster_rep
          |FROM (SELECT DISTINCT src AS id FROM edges) n
          |  JOIN reach r ON r.src = n.id
-         |GROUP BY n.id""".stripMargin)
+         |GROUP BY n.id""".stripMargin,
+
+    // Same tokenization/shingling as the jaccard oracles, at n=10.
+    "x27_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(toks) - 9 <= 0 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 8),
+        |             i -> array_to_string(list_slice(toks, i, i + 9), ' ')) END)) AS span
+        |  FROM t)
+        |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin)
 }

@@ -95,7 +95,10 @@ object NLQueries extends QueryPack {
       Engine.run("Decode the media and resize images to 256 pixels.", docs(s, d))),
 
     "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
-      Engine.run("Compute corpus statistics by source.", docs(s, d))))
+      Engine.run("Compute corpus statistics by source.", docs(s, d))),
+
+    "nl21_repeated_spans" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find repeated spans of 10 tokens.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -145,6 +148,7 @@ object NLQueries extends QueryPack {
     "nl18_sample_frames" -> MultimodalQueries.oracleSql("x18_multimodal_frames"),
     "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
     "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
+    "nl21_repeated_spans" -> DedupQueries.oracleSql("x27_repeated_spans"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

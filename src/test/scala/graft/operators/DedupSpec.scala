@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpec {
     assert(rejoin == inline)
   }
 
+  test("repeated spans: shared n-grams across docs, unique spans dropped") {
+    // docs 1/2 are identical and docs 3/4 differ only in their last word,
+    // so both pairs share 10-gram spans; doc 5's spans are unique
+    val out = Dedup.repeatedSpans(corpus, n = 10, minDocs = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val spansOf = corpus.select($"doc_id", Dedup.shingles($"text", 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (spansOf(1L) intersect spansOf(2L)) union
+                   (spansOf(3L) intersect spansOf(4L))
+    assert(expected.nonEmpty)
+    assert(out.keySet == expected)
+    assert(out.values.forall(_ == 2L))
+    // raising minDocs empties the result on this corpus
+    assert(Dedup.repeatedSpans(corpus, n = 10, minDocs = 3).count() == 0L)
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val sig = corpus.select(
       Dedup.minHashSignature(Dedup.hashedShingles($"text", 3), 16).as("sig"))

@@ -248,6 +248,15 @@ class NLParserSpec extends AnyFunSuite {
       List(O.Sort(Seq("age" -> false, "name" -> true)), O.Limit(5)))
   }
 
+  test("repeated spans clause, and find top-k stays intact") {
+    assert(NLParser.parse("Find repeated spans of 10 tokens.").ops ==
+      List(O.RepeatedSpans(10, 2)))
+    assert(NLParser.parse("Find repeated spans of 8 tokens in at least 3 documents.").ops ==
+      List(O.RepeatedSpans(8, 3)))
+    assert(NLParser.parse("Find top 5 most similar vectors to 3.").ops ==
+      List(O.SimilarTopK(3L, 5)))
+  }
+
   test("multimodal and corpus-stats clauses") {
     assert(NLParser.parse("Decode the media.").ops == List(O.DecodeMedia))
     assert(NLParser.parse("Decode images metadata.").ops == List(O.DecodeMedia))
