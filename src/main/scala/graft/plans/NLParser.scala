@@ -262,29 +262,47 @@ object NLParser {
           Right(List(Op.GroupAgg(keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
         }
       case Some("show") =>
+        // "show average age" / "show average age and sum salary, max bonus"
         p.next()
-        val func = p.expectWordRaw().toLowerCase match {
-          case "average" | "avg" => AggFunc.Avg
-          case "sum" | "total"   => AggFunc.Sum
-          case "min" | "minimum" => AggFunc.Min
-          case "max" | "maximum" => AggFunc.Max
-          case other => throw ParseException(s"unknown aggregate '$other'")
+        def parseAgg(): AggSpec = {
+          val func = p.expectWordRaw().toLowerCase match {
+            case "average" | "avg" => AggFunc.Avg
+            case "sum" | "total"   => AggFunc.Sum
+            case "min" | "minimum" => AggFunc.Min
+            case "max" | "maximum" => AggFunc.Max
+            case other => throw ParseException(s"unknown aggregate '$other'")
+          }
+          val c = p.expectWordRaw()
+          val alias = func match {
+            case AggFunc.Avg => s"average_$c"
+            case AggFunc.Sum => s"sum_$c"
+            case AggFunc.Min => s"min_$c"
+            case AggFunc.Max => s"max_$c"
+            case AggFunc.Count => "count"
+          }
+          AggSpec(func, c, alias)
         }
-        val c = p.expectWordRaw()
-        val alias = func match {
-          case AggFunc.Avg => s"average_$c"
-          case AggFunc.Sum => s"sum_$c"
-          case AggFunc.Min => s"min_$c"
-          case AggFunc.Max => s"max_$c"
-          case AggFunc.Count => "count"
+        val aggs = Seq.newBuilder[AggSpec]
+        aggs += parseAgg()
+        var moreAggs = true
+        while (moreAggs) {
+          p.peek match {
+            case Some(Sym(","))                    => p.next(); p.dropWords("show"); aggs += parseAgg()
+            case Some(w: Word) if w.lower == "and" => p.next(); p.dropWords("show"); aggs += parseAgg()
+            case _                                 => moreAggs = false
+          }
         }
+        val specs = aggs.result()
+        if (specs.map(_.alias).distinct.size != specs.size)
+          throw ParseException(
+            s"duplicate aggregate: ${specs.map(_.alias).mkString(", ")}")
         val keys = pendingGroup.getOrElse(
           throw ParseException("aggregate without preceding group by"))
-        val agg = Op.GroupAgg(keys, Seq(AggSpec(func, c, alias)))
+        val agg = Op.GroupAgg(keys, specs)
         if (p.peekWordLower.contains("where")) {
           p.next()
           Right(List(agg, Op.Having(parsePred(p).ensuringDone(p))))
-        } else Right(List(agg))
+        } else { requireDone(p); Right(List(agg)) }
       case Some("add") =>
         // "Add is_adult column where is_adult = age >= 18"
         p.next()

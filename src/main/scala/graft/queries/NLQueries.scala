@@ -98,7 +98,14 @@ object NLQueries extends QueryPack {
       Engine.run("Compute corpus statistics by source.", docs(s, d))),
 
     "nl21_repeated_spans" -> ((s: SparkSession, d: String) =>
-      Engine.run("Find repeated spans of 10 tokens.", docs(s, d))))
+      Engine.run("Find repeated spans of 10 tokens.", docs(s, d))),
+
+    // Multi-aggregate clause. Aggregates chosen for cross-engine
+    // exactness without rounding: l_quantity is integral-valued (sums
+    // exact in double at any accumulation order), max is order-free.
+    "nl22_multi_agg" -> ((s: SparkSession, d: String) =>
+      Engine.run("Group by l_returnflag and show average l_quantity " +
+                 "and max l_extendedprice.", table(s, d, "lineitem"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -149,6 +156,10 @@ object NLQueries extends QueryPack {
     "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
     "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
     "nl21_repeated_spans" -> DedupQueries.oracleSql("x27_repeated_spans"),
+    "nl22_multi_agg" ->
+      """SELECT l_returnflag, avg(l_quantity) AS average_l_quantity,
+        |  max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

@@ -248,6 +248,27 @@ class NLParserSpec extends AnyFunSuite {
       List(O.Sort(Seq("age" -> false, "name" -> true)), O.Limit(5)))
   }
 
+  test("multi-aggregate show clause; trailing garbage rejected") {
+    assert(NLParser.parse(
+      "Group by city and show average age and sum salary, max bonus.").ops ==
+      List(O.GroupAgg(Seq("city"), Seq(
+        AggSpec(AggFunc.Avg, "age", "average_age"),
+        AggSpec(AggFunc.Sum, "salary", "sum_salary"),
+        AggSpec(AggFunc.Max, "bonus", "max_bonus")))))
+    // single-agg + having unchanged (eval19 shape)
+    assert(NLParser.parse(
+      "Group by city and show average age where average_age > 30.").ops ==
+      List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Avg, "age", "average_age"))),
+           O.Having(P.Cmp(P.Gt, "average_age", Lit.Num(30)))))
+    // duplicate aggregate and trailing junk both raise now
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by city and show average age and average age.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by city and show average age nonsense here.")
+    }
+  }
+
   test("repeated spans clause, and find top-k stays intact") {
     assert(NLParser.parse("Find repeated spans of 10 tokens.").ops ==
       List(O.RepeatedSpans(10, 2)))
