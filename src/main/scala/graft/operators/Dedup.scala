@@ -194,8 +194,13 @@ object Dedup {
                     idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
                 explode(shingles(col(textCol), n)).as("span"))
+      // (span, doc) pairs are unique by construction — `shingles` applies
+      // array_distinct per document — so count(*) IS the distinct-doc
+      // count. countDistinct would plan a second aggregate + exchange
+      // (expand on (span, doc_id)): one avoidable full shuffle of the
+      // exploded span table at 100 TB.
       .groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   // ----------------------------------------------------------- SimHash
