@@ -39,6 +39,20 @@ object Events {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding-window counts: epoch-aligned `window(ts, width, slide)` per
+    * event_type — each event lands in width/slide windows. The Expand on
+    * the window generator multiplies map output rows, not shuffle
+    * groups; the exchange still carries one row per (window, type)
+    * partial, so overlap factor scales map CPU, never shuffle width. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+              col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization via lag + running sum — one shuffle on
     * user_id, then per-partition window work. A new session starts when
     * the gap since the previous event is ≥ `gapMinutes` (the same

@@ -16,6 +16,9 @@ object EventQueries extends QueryPack {
     "x15_event_sessionize" -> ((s: SparkSession, d: String) =>
       Events.sessionize(Events.load(s, d))),
 
+    "x28_event_sliding" -> ((s: SparkSession, d: String) =>
+      Events.slidingCounts(Events.load(s, d))),
+
     "x16_event_session_window" -> ((s: SparkSession, d: String) =>
       Events.sessionWindowCounts(Events.load(s, d))),
 
@@ -52,6 +55,17 @@ object EventQueries extends QueryPack {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Each event lands in width/slide = 4 epoch-aligned windows:
+    // start = (floor(t/slide) - k)*slide, k = 0..3 — the same window set
+    // Spark's window(ts, '1 hour', '15 minutes') generates.
+    "x28_event_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        |w AS (SELECT ((t // 900000000) - k) * 900000000 AS ws, event_type, value
+        |      FROM e, unnest(range(4)) AS kk(k))
+        |SELECT ws // 1000 AS window_start_ms, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "x15_event_sessionize" ->
       """WITH flagged AS (

@@ -20,6 +20,14 @@ class EventsProbeSpec extends SparkSpec {
     assert(windows.agg(sum("n_events")).head.getLong(0) == total)
   }
 
+  test("sliding windows place every event in exactly width/slide windows") {
+    val total = events.count()
+    val windows = Events.slidingCounts(events, "1 hour", "15 minutes")
+    assert(windows.agg(sum("n_events")).head.getLong(0) == 4 * total)
+    // window starts are slide-aligned
+    assert(windows.filter(col("window_start_ms") % (15 * 60 * 1000L) =!= 0).count() == 0)
+  }
+
   test("sessionize partitions all events; bounds ordered; gap rule holds") {
     val sessions = Events.sessionize(events, gapMinutes = 30)
     val total = events.count()
