@@ -88,6 +88,8 @@ object Compiler {
       Sampling.stratifiedHash(df, c, fracs.toMap, seed)
     case Op.Sessionize(gapMinutes)  => Events.sessionize(df, gapMinutes)
     case Op.TumblingCount(n, unit)  => Events.tumblingCounts(df, s"$n $unit")
+    case Op.SlidingCount(wn, wu, sn, su) =>
+      Events.slidingCounts(df, s"$wn $wu", s"$sn $su")
     case Op.DecodeMedia  => Multimodal.decodeImageMeta(Multimodal.fromDocuments(df))
     case Op.SampleFrames => Multimodal.sampleFrames(Multimodal.fromDocuments(df))
     case Op.ResizeMedia(maxDim) =>

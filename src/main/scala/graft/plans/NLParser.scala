@@ -42,7 +42,7 @@ package graft.plans
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
   *                                       (WITH SEED int)?
   *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int MINUTES? GAP?
-  *            | COUNT EVENTS PER int unit WINDOW?
+  *            | COUNT EVENTS PER int unit WINDOW? (EVERY int unit)?
   *            | DECODE THE? (MEDIA|IMAGES)? METADATA?
   *            | RESIZE THE? (MEDIA|IMAGES)? TO int (PIXELS)?
   *            | COMPUTE CORPUS? (STATISTICS|STATS) (BY col)?
@@ -241,20 +241,31 @@ object NLParser {
         Left(parseColList(p))
       case Some("count") =>
         p.next()
-        // "count events per 1 hour window" → tumbling window counts;
+        // "count events per 1 hour window" → tumbling window counts, with
+        // an optional "every 15 minutes" sliding tail;
         // "count <col>" (after group by) → relational count aggregate
         val tumbling = p.peekWordLower.contains("events") &&
           (p.peekAt(1) match { case Some(w: Word) => w.lower == "per"; case _ => false })
         if (tumbling) {
           p.next(); p.next() // events, per
+          def windowUnit(): String =
+            p.expectWordRaw().toLowerCase.stripSuffix("s") match {
+              case u @ ("second" | "minute" | "hour" | "day" | "week") => u
+              case other => throw ParseException(s"unknown window unit '$other'")
+            }
           val amount = p.expectNum().toInt
-          val unit = p.expectWordRaw().toLowerCase.stripSuffix("s") match {
-            case u @ ("second" | "minute" | "hour" | "day" | "week") => u
-            case other => throw ParseException(s"unknown window unit '$other'")
-          }
+          val unit = windowUnit()
           p.dropWords("window", "windows")
-          requireDone(p)
-          Right(List(Op.TumblingCount(amount, unit)))
+          if (p.peekWordLower.contains("every")) {
+            p.next()
+            val sn = p.expectNum().toInt
+            val su = windowUnit()
+            requireDone(p)
+            Right(List(Op.SlidingCount(amount, unit, sn, su)))
+          } else {
+            requireDone(p)
+            Right(List(Op.TumblingCount(amount, unit)))
+          }
         } else {
           val c = p.expectWordRaw()
           val keys = pendingGroup.getOrElse(

@@ -132,6 +132,9 @@ object Op {
   final case class Sessionize(gapMinutes: Int)                     extends CorpusOp
   /** Tumbling event-time window counts, e.g. (1, "hour"). */
   final case class TumblingCount(amount: Int, unit: String)        extends CorpusOp
+  /** Sliding event-time window counts: width every slide. */
+  final case class SlidingCount(widthAmount: Int, widthUnit: String,
+                                slideAmount: Int, slideUnit: String) extends CorpusOp
 
   /** Media metadata decode over the documents-derived media frame
     * ([[graft.operators.Multimodal.decodeImageMeta]]). */

@@ -105,7 +105,11 @@ object NLQueries extends QueryPack {
     // exact in double at any accumulation order), max is order-free.
     "nl22_multi_agg" -> ((s: SparkSession, d: String) =>
       Engine.run("Group by l_returnflag and show average l_quantity " +
-                 "and max l_extendedprice.", table(s, d, "lineitem"))))
+                 "and max l_extendedprice.", table(s, d, "lineitem"))),
+
+    "nl23_sliding_counts" -> ((s: SparkSession, d: String) =>
+      Engine.run("Count events per 1 hour window every 15 minutes.",
+                 Events.load(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -160,6 +164,7 @@ object NLQueries extends QueryPack {
       """SELECT l_returnflag, avg(l_quantity) AS average_l_quantity,
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "nl23_sliding_counts" -> EventQueries.oracleSql("x28_event_sliding"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

@@ -231,6 +231,8 @@ class NLParserSpec extends AnyFunSuite {
       List(O.TumblingCount(1, "hour")))
     assert(NLParser.parse("Count events per 30 minute windows.").ops ==
       List(O.TumblingCount(30, "minute")))
+    assert(NLParser.parse("Count events per 1 hour window every 15 minutes.").ops ==
+      List(O.SlidingCount(1, "hour", 15, "minute")))
     // "count <col>" after group-by is still the relational aggregate
     assert(NLParser.parse("Group by city and count names.").ops ==
       List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Count, "names", "count")))))
