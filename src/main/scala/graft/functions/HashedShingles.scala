@@ -98,6 +98,57 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_count"
 }
 
+/** Distinct n-gram shingle *strings* in first-occurrence order — the
+  * string-valued sibling of [[HashedShinglesKernel]] for operators whose
+  * output must carry the span text itself (repeated-span detection). Same
+  * tokenization and `' '` joining, so `string_shingles` ≡ the HOF
+  * formulation `Dedup.shingles` element-for-element (spec-asserted). */
+object StringShinglesKernel {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"string_shingles requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    StringShinglesKernel.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringShinglesKernel.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "string_shingles"
+}
+
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -120,6 +171,9 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
 object HashedShinglesFunctions {
   def hashedShingles(text: Column, n: Int): Column =
     columnOf(HashedShingles(expressionOf(text), n))
+
+  def stringShingles(text: Column, n: Int): Column =
+    columnOf(StringShingles(expressionOf(text), n))
 
   def tokenCount(text: Column): Column =
     columnOf(TokenCount(expressionOf(text)))

@@ -193,12 +193,20 @@ object Dedup {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-                explode(shingles(col(textCol), n)).as("span"))
-      // (span, doc) pairs are unique by construction — `shingles` applies
-      // array_distinct per document — so count(*) IS the distinct-doc
-      // count. countDistinct would plan a second aggregate + exchange
-      // (expand on (span, doc_id)): one avoidable full shuffle of the
-      // exploded span table at 100 TB.
+                explode(graft.functions.HashedShinglesFunctions
+                  .stringShingles(col(textCol), n)).as("span"))
+      // Span construction is the fused StringShingles kernel (one pass,
+      // no per-shingle lambda/slice allocations — the HOF formulation was
+      // the dominant cost at sf0.1). Per-doc spans are distinct by
+      // construction, so count(*) IS the distinct-doc count; countDistinct
+      // would plan a second aggregate + exchange (expand on
+      // (span, doc_id)): one avoidable full shuffle at 100 TB.
+      //
+      // A two-phase variant (count xxhash64(span) first, re-join strings
+      // for the repeated set) was measured 2.4× SLOWER at sf0.1: span
+      // construction, not the aggregation, dominates, and phase 2 pays it
+      // twice. Worth revisiting only when the shuffle is the bottleneck
+      // (extreme corpus sizes) — see SCALE_NOTES.md.
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -26,6 +26,17 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("StringShingles kernel equals the HOF shingle formulation on real docs") {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(
+        Dedup.shingles($"text", 10).as("hof"),
+        stringShingles($"text", 10).as("kernel"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("sorted-jaccard kernel equals string-array jaccard on real docs") {
     import graft.functions.ArrayJaccardFunctions.sortedJaccard
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
