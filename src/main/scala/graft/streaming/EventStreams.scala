@@ -38,6 +38,20 @@ object EventStreams extends Serializable {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** Sliding event-time window counts — same incremental state-store
+    * aggregation as tumbling; each event updates width/slide open
+    * windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
   /** Native streaming session windows (state-store merged). */
   def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30,
                           watermark: String = "1 hour"): DataFrame =

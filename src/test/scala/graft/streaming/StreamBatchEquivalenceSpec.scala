@@ -110,10 +110,17 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
-  test("streaming tumblingCounts reproduces batch Events.tumblingCounts on the fixture") {
+  /** Replays the events fixture through a streaming windowed aggregation
+    * and asserts its (window_start_ms, type) → (count, total) map equals
+    * the batch reference exactly. A far-future sentinel advances the
+    * watermark past every real window's end so append mode emits them
+    * all; the sentinel's own window never closes and is filtered out. */
+  private def assertWindowedEquivalence(
+      name: String,
+      streaming: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      batchRef: org.apache.spark.sql.DataFrame): Unit = {
     val events = Events.load(spark, sfDir)
-    val batch = Events.tumblingCounts(events, width = "1 hour")
-      .collect()
+    val batch = batchRef.collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
     assert(batch.size > 50, "fixture should produce a non-trivial window count")
@@ -129,31 +136,39 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
 
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = EventStreams.tumblingCounts(input.toDF(), width = "1 hour",
-        watermark = "2 hours")
-      .writeStream.format("memory").queryName("equiv_tumbling")
+    val q = streaming(input.toDF())
+      .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
-      // A far-future sentinel advances the watermark past every real
-      // window's end so append mode emits them all; the sentinel's own
-      // window never closes and is filtered by event_type.
       input.addData(Event(-1L, EventStreams.microsToTs(maxUs + 10 * dayUs),
                           -1L, "zz_sentinel", 0.0))
       q.processAllAvailable()
 
-      val streamed = spark.table("equiv_tumbling")
+      val streamed = spark.table(name)
         .filter(col("event_type") =!= "zz_sentinel")
         .collect()
         .map(r => (EventStreams.micros(r.getTimestamp(0)) / 1000L, r.getString(1)) ->
                   (r.getLong(2), r.getDouble(3)))
         .toMap
       assert(streamed == batch,
-        s"tumbling windows diverged: batch-only=${(batch.keySet -- streamed.keySet).take(3)} " +
+        s"$name diverged: batch-only=${(batch.keySet -- streamed.keySet).take(3)} " +
           s"stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
           s"value-diffs=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) =>
             (k, v, streamed(k)) }.take(3)}")
     } finally stopQuietly(q)
+  }
+
+  test("streaming tumblingCounts reproduces batch Events.tumblingCounts on the fixture") {
+    assertWindowedEquivalence("equiv_tumbling",
+      df => EventStreams.tumblingCounts(df, width = "1 hour", watermark = "2 hours"),
+      Events.tumblingCounts(Events.load(spark, sfDir), width = "1 hour"))
+  }
+
+  test("streaming slidingCounts reproduces batch Events.slidingCounts on the fixture") {
+    assertWindowedEquivalence("equiv_sliding",
+      df => EventStreams.slidingCounts(df, "1 hour", "15 minutes", "2 hours"),
+      Events.slidingCounts(Events.load(spark, sfDir), "1 hour", "15 minutes"))
   }
 
   test("cleanAndDedup reproduces batch quality-filter + exactByText on the documents fixture") {
