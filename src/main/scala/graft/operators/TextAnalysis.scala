@@ -135,6 +135,25 @@ object TextAnalysis {
       md5(col(textCol)).as("md5_fp"),
       rollingHash(col(textCol)).as("rolling_fp"))
 
+  /** Top-k most frequent tokens per group — the corpus heavy-hitter probe
+    * (stopword discovery, boilerplate vocabulary, per-source drift).
+    * One shuffle on (group, token) for the partial+final count, then a
+    * per-group rank whose input is already collapsed to distinct tokens —
+    * the window partition holds one row per vocabulary entry, never one
+    * per occurrence. Tie-break (count desc, token asc) is total, so the
+    * result is deterministic and oracle-comparable. */
+  def topTokens(docs: DataFrame, k: Int = 10, groupCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("token").asc)
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus-level statistics per group: document count, total whitespace
     * tokens (fused [[graft.functions.TokenCount]] kernel), average char
     * length. One partial+final hash aggregate — group cardinality, not

@@ -100,6 +100,7 @@ object Compiler {
       Multimodal.resizeMeta(decoded, maxDim)
     case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
     case Op.RepeatedSpans(n, minDocs) => Dedup.repeatedSpans(df, n, minDocs)
+    case Op.TopTokens(k, gc) => TextAnalysis.topTokens(df, k, gc)
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

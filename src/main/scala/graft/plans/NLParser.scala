@@ -37,6 +37,7 @@ package graft.plans
   *            | FIND TOP int MOST? SIMILAR (VECTORS|NEIGHBORS)? TO int
   *            | FIND REPEATED SPANS OF? int TOKENS?
   *                                       (IN AT? LEAST? int DOCUMENTS?)?
+  *            | FIND TOP int TOKENS (BY col)?
   *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (WITH SEED int)?
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
@@ -397,12 +398,21 @@ object NLParser {
         } else {
           p.expectWord("top")
           val k = p.expectNum().toInt
-          p.dropWords("most"); p.expectWord("similar")
-          p.dropWords("vectors", "neighbors", "documents", "items")
-          p.expectWord("to")
-          val qid = p.expectNum().toLong
-          requireDone(p)
-          Right(List(Op.SimilarTopK(qid, k)))
+          if (p.peekWordLower.contains("tokens")) {
+            // "Find top 10 tokens by source."
+            p.next()
+            val gc = if (p.peekWordLower.contains("by")) { p.next(); p.expectWordRaw() }
+                     else "source"
+            requireDone(p)
+            Right(List(Op.TopTokens(k, gc)))
+          } else {
+            p.dropWords("most"); p.expectWord("similar")
+            p.dropWords("vectors", "neighbors", "documents", "items")
+            p.expectWord("to")
+            val qid = p.expectNum().toLong
+            requireDone(p)
+            Right(List(Op.SimilarTopK(qid, k)))
+          }
         }
       case Some("sample") =>
         // "Sample 1% of documents with seed 7" / "Sample frames from videos"

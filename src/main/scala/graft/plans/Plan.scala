@@ -149,6 +149,9 @@ object Op {
   /** n-token spans repeated across ≥ minDocs distinct documents
     * ([[graft.operators.Dedup.repeatedSpans]]). */
   final case class RepeatedSpans(n: Int, minDocs: Int)             extends CorpusOp
+  /** Top-k most frequent tokens per group
+    * ([[graft.operators.TextAnalysis.topTokens]]). */
+  final case class TopTokens(k: Int, groupCol: String)             extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -109,7 +109,10 @@ object NLQueries extends QueryPack {
 
     "nl23_sliding_counts" -> ((s: SparkSession, d: String) =>
       Engine.run("Count events per 1 hour window every 15 minutes.",
-                 Events.load(s, d))))
+                 Events.load(s, d))),
+
+    "nl24_top_tokens" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 10 tokens by source.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -165,6 +168,7 @@ object NLQueries extends QueryPack {
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "nl23_sliding_counts" -> EventQueries.oracleSql("x28_event_sliding"),
+    "nl24_top_tokens"     -> TextQueries.oracleSql("x29_top_tokens"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

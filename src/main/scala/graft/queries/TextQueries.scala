@@ -45,7 +45,10 @@ object TextQueries extends QueryPack {
     // Single-pass rollup: token counts via the TokenCount kernel on the
     // same scan that carries `source` — no self-join, one shuffle.
     "x13_corpus_stats" -> ((s: SparkSession, d: String) =>
-      graft.operators.TextAnalysis.corpusStats(table(s, d, "documents"))))
+      graft.operators.TextAnalysis.corpusStats(table(s, d, "documents"))),
+
+    "x29_top_tokens" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.topTokens(table(s, d, "documents"), k = 10)))
 
   override val oracleSql: Map[String, String] = Map(
     "x8_text_tokens" ->
@@ -109,5 +112,14 @@ object TextQueries extends QueryPack {
       s"""SELECT source, count(*) AS n_docs,
          |  sum(len($toksSql))::BIGINT AS total_tokens,
          |  round(avg(length(text)), 4) AS avg_chars
-         |FROM documents GROUP BY source""".stripMargin)
+         |FROM documents GROUP BY source""".stripMargin,
+
+    "x29_top_tokens" ->
+      s"""SELECT source, token, n, rank FROM (
+         |  SELECT source, token, count(*) AS n,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY count(*) DESC, token ASC) AS rank
+         |  FROM (SELECT source, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY source, token)
+         |WHERE rank <= 10""".stripMargin)
 }

@@ -278,6 +278,10 @@ class NLParserSpec extends AnyFunSuite {
       List(O.RepeatedSpans(8, 3)))
     assert(NLParser.parse("Find top 5 most similar vectors to 3.").ops ==
       List(O.SimilarTopK(3L, 5)))
+    assert(NLParser.parse("Find top 10 tokens by source.").ops ==
+      List(O.TopTokens(10, "source")))
+    assert(NLParser.parse("Find top 20 tokens.").ops ==
+      List(O.TopTokens(20, "source")))
   }
 
   test("multimodal and corpus-stats clauses") {
