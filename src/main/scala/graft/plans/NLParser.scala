@@ -125,12 +125,19 @@ object NLParser {
     * count desc and score asc") — not as a clause start. Comparison
     * symbols plus the word-operators of `atom` plus sort directions. */
   private def predicateContinuation(t: Tok): Boolean = t match {
-    case Sym(s) => s != "(" && s != ")" && s != "," && s != "%"
+    // any symbol qualifies: no clause keyword is ever followed by one
+    case Sym(_) => true
     case w: Word =>
       Set("between", "starts", "contains", "in", "is",
           "asc", "ascending", "desc", "descending")(w.lower)
     case _ => false
   }
+
+  /** Clauses whose tail is a column/key list — a bare trailing keyword
+    * there ("select columns a and score.") is a column reference, while
+    * the same shape after a filter ("… and tokenize.") is an operator. */
+  private val columnListClauses =
+    Set("select", "drop", "group", "sort", "rename")
 
   /** Split the token stream into clauses at top-level `and <keyword>`
     * boundaries. `and` inside parens or inside `between lo and hi` stays
@@ -142,10 +149,15 @@ object NLParser {
     var depth = 0
     var i = 0
     var curEmpty = true
+    var curHead: Option[String] = None
+    def append(t: Tok): Unit = {
+      if (curEmpty) curHead = t match { case w: Word => Some(w.lower); case _ => None }
+      cur += t; curEmpty = false
+    }
     while (i < toks.length) {
       toks(i) match {
-        case Sym("(") => depth += 1; cur += toks(i); i += 1; curEmpty = false
-        case Sym(")") => depth -= 1; cur += toks(i); i += 1; curEmpty = false
+        case Sym("(") => depth += 1; append(toks(i)); i += 1
+        case Sym(")") => depth -= 1; append(toks(i)); i += 1
         case w: Word if depth == 0 && !curEmpty && w.lower == "and" && {
               // the clause keyword may sit after an interposed "then";
               // "and then by name" (a sort-key continuation) has none
@@ -156,16 +168,22 @@ object NLParser {
               k < toks.length && (toks(k) match {
                 case n: Word => clauseKeywords(n.lower) && n.lower != "then"
                 case _       => false
-              }) &&
-              // lookahead past the keyword: "and score > 0.5" is a predicate
-              // over a column named `score`, not a `score quality` clause
-              (k + 1 >= toks.length || !predicateContinuation(toks(k + 1)))
+              }) && {
+                // lookahead past the keyword: "and score > 0.5" is a
+                // predicate over a column named `score`, not a `score
+                // quality` clause; a BARE trailing keyword is a column
+                // when the current clause takes a column list ("select
+                // columns a and score.") and an operator otherwise
+                // ("… and tokenize.")
+                if (k + 1 >= toks.length) !curHead.exists(columnListClauses)
+                else !predicateContinuation(toks(k + 1))
+              }
             } =>
           out += cur.result(); cur = Vector.newBuilder[Tok]; curEmpty = true
           i += 1 // drop the "and"
           // drop a following "then"
           toks(i) match { case w2: Word if w2.lower == "then" => i += 1; case _ => () }
-        case t => cur += t; i += 1; curEmpty = false
+        case t => append(t); i += 1
       }
     }
     val last = cur.result()

@@ -321,5 +321,13 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse(
       "Filter rows where source == 'src0' and score quality.").ops ==
       List(O.Filter(P.Cmp(P.Eq, "source", Lit.Str("src0"))), O.ScoreQuality))
+    // a BARE trailing keyword: column in a column-list clause, operator
+    // after a filter
+    assert(NLParser.parse("Select columns cluster and score.").ops ==
+      List(O.Select(Seq("cluster", "score"))))
+    assert(NLParser.parse("Sort by age and count.").ops ==
+      List(O.Sort(Seq("age" -> true, "count" -> true))))
+    assert(NLParser.parse("Filter rows where n > 1 and tokenize.").ops ==
+      List(O.Filter(P.Cmp(P.Gt, "n", Lit.Num(1))), O.Tokenize))
   }
 }
