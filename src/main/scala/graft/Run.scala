@@ -7,10 +7,17 @@ import graft.sources.Sources
 /** Single-shot CLI — the reference's default entry point
   * (`python agentic_workflow_transformation.py`,
   * agentic_workflow_transformation.py:317-330, 398-400): run ONE
-  * transformation description against a CSV (or the canonical inline
-  * sample), write the result CSV, report validity.
+  * transformation description against an input table (or the canonical
+  * inline sample), write the result CSV, report validity.
   *
-  * Usage: runMain graft.Run [description] [inputCsv] [outDir]
+  * Input format dispatches on extension: `.parquet` (including the
+  * driver's nanosecond-timestamped events table, whose `ts` is derived
+  * µs-exactly as in [[graft.operators.Events.load]]), `.json`/`.jsonl`,
+  * anything else CSV — so the full NL surface (dedup, sampling,
+  * sessionize, multimodal, spans) is drivable from this entry point
+  * against the corpus tables, not just the 10-row CSV.
+  *
+  * Usage: runMain graft.Run [description] [input] [outDir]
   */
 object Run {
   /** The reference's default description (agentic_workflow_transformation.py:318). */
@@ -31,6 +38,18 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
 
     val input = inputCsv match {
+      case Some(path) if path.endsWith(".parquet") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = Sources.parquet(spark, path)
+        val tsIsRawNanos = df.schema.fields.exists(f =>
+          f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        if (tsIsRawNanos)
+          df.withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.col("ts_us")))
+        else df
+      case Some(path) if path.endsWith(".json") || path.endsWith(".jsonl") =>
+        Sources.jsonLines(spark, path)
       case Some(path) => Sources.csv(spark, path)
       case None       => Sources.canonicalSample(spark)
     }
