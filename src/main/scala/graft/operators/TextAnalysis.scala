@@ -135,15 +135,62 @@ object TextAnalysis {
       md5(col(textCol)).as("md5_fp"),
       rollingHash(col(textCol)).as("rolling_fp"))
 
+  final case class TokenFreq(token: String, n: Long)
+  final case class TokenTopBuf(items: List[TokenFreq])
+
+  /** Map-side partial top-k over (token, count) pairs ordered by
+    * (n desc, token asc) — the heavy-hitter analogue of the ANN
+    * [[Similarity.TopK]] aggregator: each task emits at most k entries
+    * per group, so the final per-group reduction never needs the whole
+    * vocabulary co-located (a window-rank formulation puts every
+    * (group, token) row of a group in ONE partition — fine until a group's
+    * vocabulary is web-scale). */
+  final class TopTokensAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TokenFreq, TokenTopBuf, TokenTopBuf] {
+    private def better(a: TokenFreq, b: TokenFreq): Boolean =
+      a.n > b.n || (a.n == b.n && a.token < b.token)
+    private def insert(buf: List[TokenFreq], t: TokenFreq): List[TokenFreq] = {
+      val (pre, post) = buf.span(better(_, t))
+      val merged = pre ::: (t :: post)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: TokenTopBuf = TokenTopBuf(Nil)
+    override def reduce(b: TokenTopBuf, a: TokenFreq): TokenTopBuf =
+      if (b.items.length >= k && !better(a, b.items.last)) b
+      else TokenTopBuf(insert(b.items, a))
+    override def merge(b1: TokenTopBuf, b2: TokenTopBuf): TokenTopBuf =
+      TokenTopBuf(b2.items.foldLeft(b1.items)(insert))
+    override def finish(r: TokenTopBuf): TokenTopBuf = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TokenTopBuf] =
+      org.apache.spark.sql.Encoders.product
+    override def outputEncoder: org.apache.spark.sql.Encoder[TokenTopBuf] =
+      org.apache.spark.sql.Encoders.product
+  }
+
   /** Top-k most frequent tokens per group — the corpus heavy-hitter probe
     * (stopword discovery, boilerplate vocabulary, per-source drift).
-    * One shuffle on (group, token) for the partial+final count, then a
-    * per-group rank whose input is already collapsed to distinct tokens —
-    * the window partition holds one row per vocabulary entry, never one
-    * per occurrence. Tie-break (count desc, token asc) is total, so the
-    * result is deterministic and oracle-comparable. */
+    * One shuffle on (group, token) for the partial+final count, then the
+    * per-group top-k via [[TopTokensAgg]]: the second shuffle moves at
+    * most k rows per (group, partition), never the group's whole
+    * vocabulary to one task. Tie-break (count desc, token asc) is total,
+    * so the result is deterministic and oracle-comparable. */
   def topTokens(docs: DataFrame, k: Int = 10, groupCol: String = "source",
                 textCol: String = "text"): DataFrame = {
+    val topk = udaf(new TopTokensAgg(k))
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("token"), col("n")).as("top"))
+      .select(col(groupCol), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col(groupCol), col("t.token").as("token"), col("t.n").as("n"),
+              (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The window-rank formulation — kept for the equivalence spec; the
+    * aggregator path above is the scale shape. */
+  def topTokensWindow(docs: DataFrame, k: Int = 10, groupCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("n").desc, col("token").asc)

@@ -475,13 +475,17 @@ object NLParser {
         val gapFirst = p.peekWordLower.contains("gap")
         if (gapFirst) { p.next(); p.dropWords("of") }
         val gap = p.expectNum().toInt
-        p.peekWordLower match {
-          case Some("minute") | Some("minutes") | Some("min") | Some("mins") => p.next()
-          case other => throw ParseException(s"expected 'minute(s)' after sessionize gap, got $other")
+        val gapMinutes = p.peekWordLower match {
+          case Some("minute") | Some("minutes") | Some("min") | Some("mins") =>
+            p.next(); gap
+          case Some("hour") | Some("hours") | Some("hr") | Some("hrs") =>
+            p.next(); gap * 60
+          case other => throw ParseException(
+            s"expected 'minute(s)' or 'hour(s)' after sessionize gap, got $other")
         }
         if (!gapFirst) p.dropWords("gap", "gaps")
         requireDone(p)
-        Right(List(Op.Sessionize(gap)))
+        Right(List(Op.Sessionize(gapMinutes)))
       case Some("decode") =>
         // "Decode the media." / "Decode images metadata."
         p.next(); p.dropWords("the", "media", "images", "image", "metadata")

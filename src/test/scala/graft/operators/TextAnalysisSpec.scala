@@ -68,4 +68,14 @@ class TextAnalysisSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(fp.getString(1) == expected)
   }
+
+  test("topTokens aggregator equals the window-rank formulation on real docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val agg = key(TextAnalysis.topTokens(real, k = 10))
+    val win = key(TextAnalysis.topTokensWindow(real, k = 10))
+    assert(agg.nonEmpty)
+    assert(agg == win)
+  }
 }

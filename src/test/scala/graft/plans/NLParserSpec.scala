@@ -224,6 +224,8 @@ class NLParserSpec extends AnyFunSuite {
       List(O.Sessionize(30)))
     assert(NLParser.parse("Sessionize events with a gap of 15 minutes.").ops ==
       List(O.Sessionize(15)))
+    assert(NLParser.parse("Sessionize events with a gap of 2 hours.").ops ==
+      List(O.Sessionize(120)))
   }
 
   test("count events per window vs relational count") {
