@@ -101,6 +101,8 @@ object Compiler {
     case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
     case Op.RepeatedSpans(n, minDocs) => Dedup.repeatedSpans(df, n, minDocs)
     case Op.TopTokens(k, gc) => TextAnalysis.topTokens(df, k, gc)
+    case Op.DedupEmbedding(t) =>
+      Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -547,6 +547,12 @@ object NLParser {
       }
       requireDone(p)
       Op.DedupSimHash(h)
+    case Some(w: Word) if w.lower == "embedding" || w.lower == "cosine" =>
+      // "… by embedding cosine 0.45" / "… by cosine above 0.45"
+      p.next(); p.dropWords("embedding", "cosine", "above", "over")
+      val t = p.expectNum()
+      requireDone(p)
+      Op.DedupEmbedding(t)
     case other => throw ParseException(s"unknown dedup method: $other")
   }
 

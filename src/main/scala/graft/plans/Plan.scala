@@ -152,6 +152,9 @@ object Op {
   /** Top-k most frequent tokens per group
     * ([[graft.operators.TextAnalysis.topTokens]]). */
   final case class TopTokens(k: Int, groupCol: String)             extends CorpusOp
+  /** Embedding-cosine near-dup pairs at/above a threshold
+    * ([[graft.operators.Dedup.embeddingPairs]]). */
+  final case class DedupEmbedding(threshold: Double)               extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -112,7 +112,10 @@ object NLQueries extends QueryPack {
                  Events.load(s, d))),
 
     "nl24_top_tokens" -> ((s: SparkSession, d: String) =>
-      Engine.run("Find top 10 tokens by source.", docs(s, d))))
+      Engine.run("Find top 10 tokens by source.", docs(s, d))),
+
+    "nl25_dedup_embedding" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by embedding cosine above 0.45.", embs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -169,6 +172,7 @@ object NLQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "nl23_sliding_counts" -> EventQueries.oracleSql("x28_event_sliding"),
     "nl24_top_tokens"     -> TextQueries.oracleSql("x29_top_tokens"),
+    "nl25_dedup_embedding" -> DedupQueries.oracleSql("x7_dedup_embedding"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

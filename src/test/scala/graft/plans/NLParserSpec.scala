@@ -219,6 +219,13 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup by embedding cosine") {
+    assert(NLParser.parse("Dedup by embedding cosine above 0.45.").ops ==
+      List(O.DedupEmbedding(0.45)))
+    assert(NLParser.parse("Dedup by cosine 0.9.").ops ==
+      List(O.DedupEmbedding(0.9)))
+  }
+
   test("sessionize: gap phrasings") {
     assert(NLParser.parse("Sessionize events with 30 minute gap.").ops ==
       List(O.Sessionize(30)))
