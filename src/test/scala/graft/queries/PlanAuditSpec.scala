@@ -35,6 +35,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("new corpus operators keep their claimed plan shapes") {
+    def plan(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // x27: one explode + ONE shuffle on the span key (partial+final agg);
+    // a countDistinct-style expand would show a second exchange
+    val x27 = plan("x27_repeated_spans")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(x27).length == 1,
+      s"x27 should shuffle exactly once:\n${x27.take(800)}")
+    assert(!x27.contains("Expand"), "x27 must not plan a distinct-expand")
+    // x29: per-group top-k via the aggregator — no Window exec
+    val x29 = plan("x29_top_tokens")
+    assert(!x29.contains("Window"),
+      s"x29 should use the partial top-k aggregator, not a window rank:\n${x29.take(800)}")
+    // x28: sliding windows Expand map-side, still a single agg shuffle
+    val x28 = plan("x28_event_sliding")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(x28).length <= 1,
+      s"x28 should aggregate with one shuffle:\n${x28.take(800)}")
+  }
+
   test("broadcast joins stay broadcast at the dim tables") {
     Seq("q3_join_revenue", "q6_multi_join_revenue").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
