@@ -79,7 +79,8 @@ object Compiler {
     case Op.SimilarTopK(qid, k) =>
       Similarity.bruteForceTopK(df.filter(col("vec_id") === qid), df, k)
         .withColumn("score", round(col("score"), 6))
-    case Op.SampleHash(f, seed) => Sampling.hashSample(df, f, seed)
+    case Op.SampleHash(f, seed, idCol) =>
+      Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>
       // parser rejects duplicate strata; guard programmatic construction
       // too — Map conversion would silently last-wins otherwise

@@ -38,7 +38,8 @@ package graft.plans
   *            | FIND REPEATED SPANS OF? int TOKENS?
   *                                       (IN AT? LEAST? int DOCUMENTS?)?
   *            | FIND TOP int TOKENS (BY col)?
-  *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (WITH SEED int)?
+  *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (BY col)?
+  *                                                     (WITH SEED int)?
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
   *                                       (WITH SEED int)?
@@ -442,9 +443,13 @@ object NLParser {
         } else {
           val f = parseFraction(p)
           p.dropWords("of", "the", "documents", "docs", "rows")
+          // optional "by <idCol>" keys the hash on another table's id
+          val idCol = if (p.peekWordLower.contains("by")) {
+            p.next(); Some(p.expectWordRaw())
+          } else None
           val seed = parseSeed(p)
           requireDone(p)
-          Right(List(Op.SampleHash(f, seed)))
+          Right(List(Op.SampleHash(f, seed, idCol)))
         }
       case Some("stratified") =>
         // "Stratified sample by source src0 at 0.8, src1 at 0.5 with seed 7"

@@ -118,8 +118,10 @@ object Op {
   final case class SimilarTopK(queryId: Long, k: Int)              extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
-    * column ([[graft.operators.Sampling.hashSample]]). */
-  final case class SampleHash(fraction: Double, seed: Long)        extends CorpusOp
+    * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults
+    * to the documents schema's `doc_id` when not spoken. */
+  final case class SampleHash(fraction: Double, seed: Long,
+                              idCol: Option[String] = None)        extends CorpusOp
   /** Deterministic per-stratum hash sample; strata absent from
     * `fractions` keep nothing. Pairs kept ordered for plan printing;
     * stratum keys must be unique — the parser rejects duplicates and the

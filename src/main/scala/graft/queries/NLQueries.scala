@@ -115,7 +115,13 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 10 tokens by source.", docs(s, d))),
 
     "nl25_dedup_embedding" -> ((s: SparkSession, d: String) =>
-      Engine.run("Dedup by embedding cosine above 0.45.", embs(s, d))))
+      Engine.run("Dedup by embedding cosine above 0.45.", embs(s, d))),
+
+    // Sampling keyed on a non-documents id — the "by <col>" tail.
+    "nl26_sample_by_key" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample 10 percent of rows by c_custkey with seed 7 " +
+                 "and select columns c_custkey and c_mktsegment.",
+                 table(s, d, "customer"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -173,6 +179,11 @@ object NLQueries extends QueryPack {
     "nl23_sliding_counts" -> EventQueries.oracleSql("x28_event_sliding"),
     "nl24_top_tokens"     -> TextQueries.oracleSql("x29_top_tokens"),
     "nl25_dedup_embedding" -> DedupQueries.oracleSql("x7_dedup_embedding"),
+    "nl26_sample_by_key" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(7L, "c_custkey, c_mktsegment",
+                                                "customer", "c_custkey")}
+         |SELECT c_custkey, c_mktsegment FROM pb
+         |WHERE bucket < ${Sampling.threshold(0.10)}""".stripMargin,
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

@@ -170,9 +170,10 @@ object OracleHashSql {
     * barriers needed (the minhash query hashes per (doc, seed) pair —
     * 64× more — which is where fusion blowup mattered). */
   def sampleBucketCtes(seed: Long, carry: String,
-                       from: String = "documents"): String = {
+                       from: String = "documents",
+                       idCol: String = "doc_id"): String = {
     val salt = s"${unsignedLit(SketchKernels.mix64(seed))}::HUGEINT"
-    s"""p0 AS (SELECT $carry, (${xor64u("doc_id::HUGEINT", salt)} + $GOLDEN::HUGEINT)
+    s"""p0 AS (SELECT $carry, (${xor64u(s"$idCol::HUGEINT", salt)} + $GOLDEN::HUGEINT)
        |         % 18446744073709551616::HUGEINT AS z FROM $from),
        |p1 AS (SELECT $carry, ${xor64u("z", "(z // 1073741824)")} AS z FROM p0),
        |p2 AS (SELECT $carry, ${wmul("z", C1)} AS z FROM p1),

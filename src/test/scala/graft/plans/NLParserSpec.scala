@@ -202,6 +202,8 @@ class NLParserSpec extends AnyFunSuite {
       List(O.SampleHash(0.01, 7L)))
     assert(NLParser.parse("Sample 0.25 of rows.").ops ==
       List(O.SampleHash(0.25, 42L)))
+    assert(NLParser.parse("Sample 10% of rows by c_custkey with seed 7.").ops ==
+      List(O.SampleHash(0.10, 7L, Some("c_custkey"))))
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Sample 120 percent of documents.") // fraction > 1
     }
