@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{AggFunc, AggSpec, Lit, NLParser, Op => O, Pred => P}
+
+/** Seeded randomized grammar coverage — a hand-rolled property test (no
+  * scalacheck runner needed for determinism): hundreds of generated
+  * well-formed descriptions must parse to exactly the IR they were built
+  * from, and arbitrary garbage must fail ONLY with ParseException — the
+  * parser's total-function contract (the reference's equivalent failure
+  * mode is an LLM emitting code that throws arbitrarily at exec();
+  * AGENTIC_WORKFLOW.md's repair loop exists because of it). */
+class GrammarFuzzSpec extends AnyFunSuite {
+
+  private val cols = Vector("age", "salary", "score", "count", "cluster",
+                            "n", "quality", "c_acctbal", "delta")
+  private val strs = Vector("New York", "src0", "BUILDING", "ab-ish")
+
+  test("500 generated filter/sort/agg descriptions round-trip to their IR") {
+    val rnd = new scala.util.Random(20260812L)
+    def col() = cols(rnd.nextInt(cols.size))
+    def num() = Lit.Num(rnd.nextInt(2001) - 1000)
+
+    def atom(): (String, P) = rnd.nextInt(5) match {
+      case 0 =>
+        val (c, v) = (col(), num())
+        (s"$c > ${v.value.toInt}", P.Cmp(P.Gt, c, v))
+      case 1 =>
+        val (c, v) = (col(), num())
+        (s"$c <= ${v.value.toInt}", P.Cmp(P.Le, c, v))
+      case 2 =>
+        val c = col(); val s = strs(rnd.nextInt(strs.size))
+        (s"""$c == '$s'""", P.Cmp(P.Eq, c, Lit.Str(s)))
+      case 3 =>
+        val c = col(); val (lo, hi) = (rnd.nextInt(100), 100 + rnd.nextInt(100))
+        (s"$c between $lo and $hi", P.Between(c, Lit.Num(lo), Lit.Num(hi)))
+      case 4 =>
+        val c = col(); val s = strs(rnd.nextInt(strs.size))
+        (s"""$c starts with '$s'""", P.StartsWith(c, s))
+    }
+
+    def pred(depth: Int): (String, P) =
+      if (depth == 0) atom()
+      else rnd.nextInt(4) match {
+        case 0 =>
+          val (sa, pa) = pred(depth - 1); val (sb, pb) = atom()
+          (s"($sa AND $sb)", P.And(pa, pb))
+        case 1 =>
+          val (sa, pa) = pred(depth - 1); val (sb, pb) = atom()
+          (s"($sa OR $sb)", P.Or(pa, pb))
+        case 2 =>
+          val (sa, pa) = atom()
+          (s"not $sa", P.Not(pa))
+        case 3 => atom()
+      }
+
+    (1 to 500).foreach { i =>
+      val (ps, pp) = pred(rnd.nextInt(3))
+      val (desc, expected) = rnd.nextInt(4) match {
+        case 0 =>
+          (s"Filter rows where $ps.", List(O.Filter(pp)))
+        case 1 =>
+          val (c1, c2) = (col(), col())
+          (s"Filter rows where $ps and sort by $c1 desc, $c2 and keep top ${i % 50 + 1} rows.",
+           List(O.Filter(pp),
+                O.Sort(Seq(c1 -> false, c2 -> true)), O.Limit(i % 50 + 1)))
+        case 2 =>
+          val (k, c) = (col(), col())
+          (s"Group by $k and show average $c where average_$c > 10.",
+           List(O.GroupAgg(Seq(k), Seq(AggSpec(AggFunc.Avg, c, s"average_$c"))),
+                O.Having(P.Cmp(P.Gt, s"average_$c", Lit.Num(10)))))
+        case 3 =>
+          val (c1, c2) = (col(), col())
+          (s"Filter rows where $ps and select columns $c1 and $c2.",
+           List(O.Filter(pp), O.Select(Seq(c1, c2))))
+      }
+      val got = NLParser.parse(desc).ops
+      assert(got == expected, s"[$i] $desc\n  got $got\n  expected $expected")
+    }
+  }
+
+  test("200 random filter prefixes compose with every corpus clause") {
+    val rnd = new scala.util.Random(777L)
+    val corpusClauses = Vector(
+      "tokenize"                 -> List(O.Tokenize),
+      "score quality"            -> List(O.ScoreQuality),
+      "detect language"          -> List(O.DetectLanguage),
+      "fingerprint"              -> List(O.Fingerprint),
+      "scrub pii"                -> List(O.ScrubPii),
+      "dedup exactly"            -> List(O.DedupExact),
+      "sample 0.5 of rows"       -> List(O.SampleHash(0.5, 42L)),
+      "find repeated spans of 5 tokens" -> List(O.RepeatedSpans(5, 2)),
+      "find top 3 tokens"        -> List(O.TopTokens(3, "source")),
+      "compute corpus stats"     -> List(O.CorpusStats("source")))
+    (1 to 200).foreach { i =>
+      val c = cols(rnd.nextInt(cols.size))
+      val v = rnd.nextInt(100)
+      val (tail, tailOps) = corpusClauses(rnd.nextInt(corpusClauses.size))
+      val sep = if (rnd.nextBoolean()) "and" else "and then"
+      val desc = s"Filter rows where $c > $v $sep $tail."
+      val expected = O.Filter(P.Cmp(P.Gt, c, Lit.Num(v))) :: tailOps
+      val got = NLParser.parse(desc).ops
+      assert(got == expected, s"[$i] $desc\n  got $got\n  expected $expected")
+    }
+  }
+
+  test("random garbage fails only with ParseException, never anything else") {
+    val rnd = new scala.util.Random(42L)
+    val alphabet = "abcdefghij <>=!()'%,.0123456789-"
+    var parsed = 0
+    (1 to 500).foreach { i =>
+      val s = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { NLParser.parse(s); parsed += 1 }
+      catch {
+        case _: NLParser.ParseException => () // the contract
+        case e: Throwable =>
+          fail(s"[$i] non-ParseException ${e.getClass.getName} on: $s")
+      }
+    }
+    info(s"$parsed/500 garbage strings accidentally parsed (expected: few)")
+  }
+}
