@@ -36,7 +36,9 @@ object Bench {
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env must not break the always-emit-one-JSON-line contract
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+      .getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // median of `reps` runs; a failure aborts the rep loop (no point
       // timing a broken query thrice) and flags the query

@@ -108,21 +108,22 @@ object Dedup {
     * Shuffle shape (the reason this is the 100 TB path): the band join
     * moves only compact `(id, band, bucket)` triples — `bands` rows of
     * three longs per document. The hashed-shingle arrays needed for
-    * exact verification are re-joined by id onto the deduped candidate
-    * pairs afterwards, so each document's array crosses the wire at most
-    * twice (once per join side), instead of `bands` copies riding every
-    * exploded row through the band join — with long documents the
-    * signature payload, not the candidate count, is what dominated. */
+    * exact verification are recomputed ONLY for documents that appear in
+    * some candidate pair (a semi-join of the corpus against the deduped
+    * candidate id set — proportional to true-dup density, not corpus
+    * size) and joined onto the pairs, so shingle arrays never ride the
+    * band join and the full corpus is shingled exactly once (for the
+    * signatures). */
   def minHashPairs(docs: DataFrame, threshold: Double,
                    numHashes: Int = 64, bands: Int = 16,
                    n: Int = 3, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(
-        col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val sigs = base
+      .select(col("id"), hashedShingles(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = sh
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
       .select(col("id"),
         posexplode(array((0 until bands).map { b =>
@@ -134,9 +135,14 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id")))
+      .distinct()
+    val candSh = base.join(candIds, "id")
+      .select(col("id"), hashedShingles(col("__text"), n).as("sh"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
               sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -181,6 +187,12 @@ object Dedup {
     * substring-level counterpart of document dedup (boilerplate headers,
     * license blocks, templated paragraphs survive document-level dedup
     * and surface here).
+    *
+    * Precondition: one row per document (`idCol` unique) — the corpus
+    * contract every operator in this file shares. Under that contract
+    * count(*) below IS the distinct-document count; a frame with
+    * duplicated ids (e.g. unioned shards) must be deduplicated by id
+    * first or the counts overstate document frequency.
     *
     * Shape: one explode (`spans × docs` rows of one string + one id) and
     * one shuffle on the span key with map-side partial aggregation; the

@@ -43,7 +43,8 @@ package graft.plans
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
   *                                       (WITH SEED int)?
-  *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int MINUTES? GAP?
+  *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int
+  *                                          (MINUTES|HOURS) GAP?
   *            | COUNT EVENTS PER int unit WINDOW? (EVERY int unit)?
   *            | DECODE THE? (MEDIA|IMAGES)? METADATA?
   *            | RESIZE THE? (MEDIA|IMAGES)? TO int (PIXELS)?
@@ -136,7 +137,10 @@ object NLParser {
 
   /** Clauses whose tail is a column/key list — a bare trailing keyword
     * there ("select columns a and score.") is a column reference, while
-    * the same shape after a filter ("… and tokenize.") is an operator. */
+    * the same shape after a filter ("… and tokenize.") is an operator.
+    * "select" is only a column-list clause in its projection form; the
+    * filter form ("select rows where …") is recognized by its "where",
+    * tracked per-clause in the splitter. */
   private val columnListClauses =
     Set("select", "drop", "group", "sort", "rename")
 
@@ -151,8 +155,11 @@ object NLParser {
     var i = 0
     var curEmpty = true
     var curHead: Option[String] = None
+    var curHasWhere = false
     def append(t: Tok): Unit = {
-      if (curEmpty) curHead = t match { case w: Word => Some(w.lower); case _ => None }
+      if (curEmpty) { curHead = t match { case w: Word => Some(w.lower); case _ => None }
+                      curHasWhere = false }
+      t match { case w: Word if w.lower == "where" => curHasWhere = true; case _ => () }
       cur += t; curEmpty = false
     }
     while (i < toks.length) {
@@ -174,9 +181,11 @@ object NLParser {
                 // predicate over a column named `score`, not a `score
                 // quality` clause; a BARE trailing keyword is a column
                 // when the current clause takes a column list ("select
-                // columns a and score.") and an operator otherwise
-                // ("… and tokenize.")
-                if (k + 1 >= toks.length) !curHead.exists(columnListClauses)
+                // columns a and score.") and an operator otherwise —
+                // including the filter form "select rows where … and
+                // tokenize.", whose "where" marks it predicate-shaped
+                if (k + 1 >= toks.length)
+                  !(curHead.exists(columnListClauses) && !curHasWhere)
                 else !predicateContinuation(toks(k + 1))
               }
             } =>

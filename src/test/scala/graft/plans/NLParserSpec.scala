@@ -340,5 +340,14 @@ class NLParserSpec extends AnyFunSuite {
       List(O.Sort(Seq("age" -> true, "count" -> true))))
     assert(NLParser.parse("Filter rows where n > 1 and tokenize.").ops ==
       List(O.Filter(P.Cmp(P.Gt, "n", Lit.Num(1))), O.Tokenize))
+    // "select" in its FILTER form ("select rows where …") is
+    // predicate-shaped: a bare trailing operator still splits off
+    assert(NLParser.parse("Select rows where quality > 0.3 and tokenize.").ops ==
+      List(O.Filter(P.Cmp(P.Gt, "quality", Lit.Num(0.3))), O.Tokenize))
+    assert(NLParser.parse("Select rows where n > 1 and fingerprint.").ops ==
+      List(O.Filter(P.Cmp(P.Gt, "n", Lit.Num(1))), O.Fingerprint))
+    // …while the projection form still reads trailing keywords as columns
+    assert(NLParser.parse("Select columns doc_id and fingerprint.").ops ==
+      List(O.Select(Seq("doc_id", "fingerprint"))))
   }
 }

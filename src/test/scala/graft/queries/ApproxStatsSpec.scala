@@ -32,4 +32,29 @@ class ApproxStatsSpec extends SparkSpec {
       assert(p95Ok, s"$flag: approx p95 outside 5% of exact")
     }
   }
+
+  test("independent recomputation: approximations really are within 5% of exact") {
+    // The query's booleans compare values it computed itself; this check
+    // recomputes BOTH sides from scratch so a wiring bug inside the query
+    // (e.g. comparing ap50 against ep95) cannot self-certify.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ad"),
+           countDistinct(col("l_partkey")).as("d"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+           expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"),
+           expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2) < 0.05,
+        s"$flag: HLL off: ${r.getLong(1)} vs ${r.getLong(2)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) / r.getDouble(4) < 0.05,
+        s"$flag: p50 off: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(5) - r.getDouble(6)) / r.getDouble(6) < 0.05,
+        s"$flag: p95 off: ${r.getDouble(5)} vs ${r.getDouble(6)}")
+    }
+  }
 }
