@@ -23,6 +23,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Queries allowed above the default shuffle bound, each with the
+    * reason the extra exchanges are benign. MinHash: the candidate-only
+    * verify path adds a union/distinct of candidate ids plus re-join —
+    * every extra exchange carries candidate-sized data (∝ true-dup
+    * density, never corpus-sized), the trade that stops the corpus being
+    * shingled three times; AQE broadcasts those sides at runtime. */
+  private val shuffleBoundExceptions: Map[String, Int] = Map(
+    "x5_dedup_minhash" -> 9,
+    "nl3_dedup_minhash" -> 9)
+
   test("every query's shuffle count stays bounded") {
     val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
@@ -31,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
     }.sortBy(-_._2)
     info(exchangeCounts.take(5).map { case (n, c) => s"$n=$c" }.mkString(", "))
     exchangeCounts.foreach { case (name, c) =>
-      assert(c <= 6, s"$name plans $c shuffles — investigate")
+      val bound = shuffleBoundExceptions.getOrElse(name, 6)
+      assert(c <= bound, s"$name plans $c shuffles (bound $bound) — investigate")
     }
   }
 
