@@ -223,6 +223,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: drop every document sharing at least one
+    * n-token span with the `benchmark` frame — the train/test-overlap
+    * removal step of a pre-training pipeline (documents quoting an eval
+    * set must not be trained on, however little else they share; a
+    * Jaccard threshold would miss them).
+    *
+    * Shape: benchmark spans are distinct-collapsed (tiny versus the
+    * corpus — eval sets are small by nature) so the span equi-join
+    * broadcasts; contaminated ids then anti-join the corpus. Both joins
+    * key on span strings here for oracle portability; at extreme scale
+    * key on the 64-bit span hash (`HashedShingles`) instead. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    val benchSpans = benchmark
+      .select(explode(stringShingles(col(textCol), n)).as("span"))
+      .distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(stringShingles(col(textCol), n)).as("span"))
+      .join(benchSpans, "span")
+      .select(col(idCol))
+      .distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into four 16-bit

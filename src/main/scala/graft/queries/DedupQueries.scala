@@ -41,7 +41,16 @@ object DedupQueries extends QueryPack {
           .select(col("id_a"), col("id_b")))),
 
     "x27_repeated_spans" -> ((s: SparkSession, d: String) =>
-      Dedup.repeatedSpans(table(s, d, "documents"), n = 10, minDocs = 2)))
+      Dedup.repeatedSpans(table(s, d, "documents"), n = 10, minDocs = 2)),
+
+    // src19 stands in for a held-out benchmark: keep only documents
+    // sharing no 8-token span with it (src19 drops itself, as must any
+    // doc quoting it — e.g. the planted cross-source near-dups).
+    "x30_decontaminate" -> ((s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("source") === "src19"), n = 8)
+        .select(col("doc_id"), col("source"))
+    }))
 
   override val oracleSql: Map[String, String] = Map(
     "x3_dedup_exact" ->
@@ -105,6 +114,23 @@ object DedupQueries extends QueryPack {
          |FROM (SELECT DISTINCT src AS id FROM edges) n
          |  JOIN reach r ON r.src = n.id
          |GROUP BY n.id""".stripMargin,
+
+    "x30_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(CASE WHEN len(toks) - 7 <= 0 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 6),
+        |             i -> array_to_string(list_slice(toks, i, i + 7), ' ')) END)) AS span
+        |  FROM t),
+        |bench AS (SELECT DISTINCT span FROM sp WHERE source = 'src19'),
+        |bad AS (SELECT DISTINCT sp.doc_id FROM sp JOIN bench USING (span))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // Same tokenization/shingling as the jaccard oracles, at n=10.
     "x27_repeated_spans" ->

@@ -102,6 +102,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.repeatedSpans(corpus, n = 10, minDocs = 3).count() == 0L)
   }
 
+  test("decontaminate drops span-overlapping docs and the benchmark itself") {
+    // benchmark = doc 3; doc 4 shares its first 10-token span (differs
+    // only in the last word), docs 1/2/5 share nothing at n=10
+    val bench = corpus.filter($"doc_id" === 3L)
+    val kept = Dedup.decontaminate(corpus, bench, n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L))
+    // a benchmark with no spans (too short) drops nothing
+    val tiny = Seq((99L, "short text", "s9")).toDF("doc_id", "text", "source")
+    assert(Dedup.decontaminate(corpus, tiny, n = 10).count() == corpus.count())
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val sig = corpus.select(
       Dedup.minHashSignature(Dedup.hashedShingles($"text", 3), 16).as("sig"))
