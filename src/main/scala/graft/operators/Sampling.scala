@@ -70,6 +70,26 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-group cap: keep at most `k` rows per group, chosen
+    * by ascending (sample bucket, id) — a uniform-without-replacement
+    * draw per group with a total, engine-independent order, so the DuckDB
+    * oracle reproduces the exact kept set. The "cap each domain's
+    * contribution" step of mixture building (a fraction-based sample
+    * can't bound a pathologically large source; a cap does).
+    *
+    * One shuffle on the group key; the rank input is the group's rows.
+    * For groups too large to co-locate, the partial top-k `Aggregator`
+    * pattern (ANN TopK / TopTokensAgg) bounds it to k per partition. */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int, seed: Long,
+                  idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(sampleBucket(col(idCol), seed), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-stratum Bernoulli sampling: keep rows of stratum s with
     * probability fractions(s) (absent strata keep 0). */
   def stratified(df: DataFrame, stratumCol: String,

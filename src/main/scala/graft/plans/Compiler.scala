@@ -104,6 +104,7 @@ object Compiler {
     case Op.TopTokens(k, gc) => TextAnalysis.topTokens(df, k, gc)
     case Op.DedupEmbedding(t) =>
       Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
+    case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -41,6 +41,7 @@ package graft.plans
   *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (BY col)?
   *                                                     (WITH SEED int)?
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
+  *            | SAMPLE UP TO int DOCUMENTS? PER col (WITH SEED int)?
   *            | STRATIFIED SAMPLE BY col (stratum AT num (%|PERCENT)?)+
   *                                       (WITH SEED int)?
   *            | SESSIONIZE EVENTS? WITH? A? (GAP OF?)? int
@@ -449,6 +450,16 @@ object NLParser {
           p.next(); p.dropWords("from", "the", "videos", "video", "media")
           requireDone(p)
           Right(List(Op.SampleFrames))
+        } else if (p.peekWordLower.contains("up")) {
+          // "Sample up to 5 documents per source (with seed 7)"
+          p.next(); p.expectWord("to")
+          val k = p.expectNum().toInt
+          p.dropWords("documents", "docs", "rows")
+          p.expectWord("per")
+          val gc = p.expectWordRaw()
+          val seed = parseSeed(p)
+          requireDone(p)
+          Right(List(Op.SampleCapPerGroup(k, gc, seed)))
         } else {
           val f = parseFraction(p)
           p.dropWords("of", "the", "documents", "docs", "rows")

@@ -157,6 +157,10 @@ object Op {
   /** Embedding-cosine near-dup pairs at/above a threshold
     * ([[graft.operators.Dedup.embeddingPairs]]). */
   final case class DedupEmbedding(threshold: Double)               extends CorpusOp
+  /** Deterministic ≤k rows per group by ascending sample hash
+    * ([[graft.operators.Sampling.capPerGroup]]). */
+  final case class SampleCapPerGroup(k: Int, groupCol: String,
+                                     seed: Long)                   extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

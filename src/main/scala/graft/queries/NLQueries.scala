@@ -121,7 +121,12 @@ object NLQueries extends QueryPack {
     "nl26_sample_by_key" -> ((s: SparkSession, d: String) =>
       Engine.run("Sample 10 percent of rows by c_custkey with seed 7 " +
                  "and select columns c_custkey and c_mktsegment.",
-                 table(s, d, "customer"))))
+                 table(s, d, "customer"))),
+
+    // Same k/seed as x31, so its oracle applies verbatim.
+    "nl27_sample_cap" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample up to 5 documents per source with seed 7 " +
+                 "and select columns doc_id and source.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -184,6 +189,7 @@ object NLQueries extends QueryPack {
                                                 "customer", "c_custkey")}
          |SELECT c_custkey, c_mktsegment FROM pb
          |WHERE bucket < ${Sampling.threshold(0.10)}""".stripMargin,
+    "nl27_sample_cap" -> SamplingQueries.oracleSql("x31_sample_cap_per_group"),
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

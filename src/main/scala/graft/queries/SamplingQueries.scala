@@ -42,7 +42,11 @@ object SamplingQueries extends QueryPack {
 
     "x26_sample_mixture" -> ((s: SparkSession, d: String) =>
       Sampling.mixtureHash(mixtureFrames(table(s, d, "documents")), MixSeed)
-        .select(col("doc_id"), col("mixture_source"))))
+        .select(col("doc_id"), col("mixture_source"))),
+
+    "x31_sample_cap_per_group" -> ((s: SparkSession, d: String) =>
+      Sampling.capPerGroup(table(s, d, "documents"), "source", 5, Seed)
+        .select(col("doc_id"), col("source"))))
 
   private def caseThreshold: String =
     StratFractions.toSeq.sortBy(_._1).map { case (src, f) =>
@@ -54,6 +58,15 @@ object SamplingQueries extends QueryPack {
       s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
          |SELECT doc_id, source FROM pb
          |WHERE bucket < $caseThreshold""".stripMargin,
+
+    "x31_sample_cap_per_group" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY bucket, doc_id) AS rn
+         |  FROM pb)
+         |WHERE rn <= 5""".stripMargin,
 
     "x26_sample_mixture" ->
       s"""WITH ${OracleHashSql.sampleBucketCtes(MixSeed, "doc_id, source")}

@@ -93,6 +93,23 @@ class SamplingSpec extends SparkSpec {
       "weight 1.0 keeps the whole source")
   }
 
+  test("capPerGroup: at most k per group, deterministic, subset of input") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val capped = Sampling.capPerGroup(docs, "source", 3, 7L)
+    val perGroup = capped.groupBy("source").count().collect()
+    assert(perGroup.nonEmpty)
+    assert(perGroup.forall(_.getLong(1) <= 3))
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerGroup(docs.repartition(7), "source", 3, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "kept set must be partition-invariant")
+    assert(ids1.subsetOf(docs.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // a different seed draws a different set (overwhelmingly likely)
+    val ids3 = Sampling.capPerGroup(docs, "source", 3, 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != ids3)
+  }
+
   test("quality-gated sample only contains docs above the threshold") {
     val out = Sampling.qualitySample(docs, minQuality = 0.5, fraction = 0.5, seed = 3L)
     assert(out.filter(col("quality") < 0.5).count() == 0)

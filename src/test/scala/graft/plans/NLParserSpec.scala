@@ -204,6 +204,10 @@ class NLParserSpec extends AnyFunSuite {
       List(O.SampleHash(0.25, 42L)))
     assert(NLParser.parse("Sample 10% of rows by c_custkey with seed 7.").ops ==
       List(O.SampleHash(0.10, 7L, Some("c_custkey"))))
+    assert(NLParser.parse("Sample up to 5 documents per source with seed 7.").ops ==
+      List(O.SampleCapPerGroup(5, "source", 7L)))
+    assert(NLParser.parse("Sample up to 100 rows per c_mktsegment.").ops ==
+      List(O.SampleCapPerGroup(100, "c_mktsegment", 42L)))
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Sample 120 percent of documents.") // fraction > 1
     }
