@@ -115,6 +115,8 @@ object Compiler {
       case AggFunc.Sum   => sum(c)
       case AggFunc.Min   => min(c)
       case AggFunc.Max   => max(c)
+      // exact interpolated, matching DuckDB's numeric median/quantile_cont
+      case AggFunc.Median => percentile(c, lit(0.5))
     }
     base.as(a.alias)
   }

@@ -311,6 +311,7 @@ object NLParser {
             case "sum" | "total"   => AggFunc.Sum
             case "min" | "minimum" => AggFunc.Min
             case "max" | "maximum" => AggFunc.Max
+            case "median"          => AggFunc.Median
             case other => throw ParseException(s"unknown aggregate '$other'")
           }
           val c = p.expectWordRaw()
@@ -319,6 +320,7 @@ object NLParser {
             case AggFunc.Sum => s"sum_$c"
             case AggFunc.Min => s"min_$c"
             case AggFunc.Max => s"max_$c"
+            case AggFunc.Median => s"median_$c"
             case AggFunc.Count => "count"
           }
           AggSpec(func, c, alias)

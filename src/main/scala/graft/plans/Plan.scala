@@ -57,6 +57,8 @@ object AggFunc {
   case object Sum   extends AggFunc
   case object Min   extends AggFunc
   case object Max   extends AggFunc
+  /** Exact interpolated median (percentile 0.5). */
+  case object Median extends AggFunc
 }
 
 final case class AggSpec(func: AggFunc, col: String, alias: String)

@@ -126,7 +126,13 @@ object NLQueries extends QueryPack {
     // Same k/seed as x31, so its oracle applies verbatim.
     "nl27_sample_cap" -> ((s: SparkSession, d: String) =>
       Engine.run("Sample up to 5 documents per source with seed 7 " +
-                 "and select columns doc_id and source.", docs(s, d))))
+                 "and select columns doc_id and source.", docs(s, d))),
+
+    // Exact interpolated median over integral-valued doubles (cross-engine
+    // exact: sums inside the interpolation are integers in double domain).
+    "nl28_median" -> ((s: SparkSession, d: String) =>
+      Engine.run("Group by l_returnflag and show median l_quantity " +
+                 "and max l_quantity.", table(s, d, "lineitem"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -190,6 +196,11 @@ object NLQueries extends QueryPack {
          |SELECT c_custkey, c_mktsegment FROM pb
          |WHERE bucket < ${Sampling.threshold(0.10)}""".stripMargin,
     "nl27_sample_cap" -> SamplingQueries.oracleSql("x31_sample_cap_per_group"),
+    "nl28_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_l_quantity,
+        |  max(l_quantity) AS max_l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->

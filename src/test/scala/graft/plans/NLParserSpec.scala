@@ -272,6 +272,8 @@ class NLParserSpec extends AnyFunSuite {
         AggSpec(AggFunc.Avg, "age", "average_age"),
         AggSpec(AggFunc.Sum, "salary", "sum_salary"),
         AggSpec(AggFunc.Max, "bonus", "max_bonus")))))
+    assert(NLParser.parse("Group by city and show median age.").ops ==
+      List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Median, "age", "median_age")))))
     // single-agg + having unchanged (eval19 shape)
     assert(NLParser.parse(
       "Group by city and show average age where average_age > 30.").ops ==
