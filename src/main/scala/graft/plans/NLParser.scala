@@ -115,7 +115,7 @@ object NLParser {
   // ------------------------------------------------------------- clauses
   /** Keywords that begin a new top-level clause after an "and". */
   private val clauseKeywords =
-    Set("select", "keep", "then", "filter", "sort", "group", "count",
+    Set("select", "keep", "take", "then", "filter", "sort", "order", "group", "count",
         "show", "drop", "rename", "add",
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
@@ -143,7 +143,7 @@ object NLParser {
     * filter form ("select rows where …") is recognized by its "where",
     * tracked per-clause in the splitter. */
   private val columnListClauses =
-    Set("select", "drop", "group", "sort", "rename")
+    Set("select", "drop", "group", "sort", "order", "rename")
 
   /** Split the token stream into clauses at top-level `and <keyword>`
     * boundaries. `and` inside parens or inside `between lo and hi` stays
@@ -239,12 +239,12 @@ object NLParser {
             p.next(); Right(List(Op.Select(parseColList(p))))
           case _ => Right(List(Op.Select(parseColList(p))))
         }
-      case Some("keep") =>
+      case Some("keep") | Some("take") =>
         p.next(); p.expectWord("top")
         val k = p.expectNum().toInt
         p.dropWords("rows")
         Right(List(Op.Limit(k)))
-      case Some("sort") =>
+      case Some("sort") | Some("order") =>
         p.next(); p.expectWord("by")
         val keys = Seq.newBuilder[(String, Boolean)]
         var more = true

@@ -253,6 +253,11 @@ class NLParserSpec extends AnyFunSuite {
       List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Count, "names", "count")))))
   }
 
+  test("'order by' and 'take top' synonyms") {
+    assert(NLParser.parse("Order by age desc and take top 5 rows.").ops ==
+      List(O.Sort(Seq("age" -> false)), O.Limit(5)))
+  }
+
   test("multi-key sort: comma, 'and', 'and then by' separators") {
     assert(NLParser.parse("Sort by age desc, name asc.").ops ==
       List(O.Sort(Seq("age" -> false, "name" -> true))))
