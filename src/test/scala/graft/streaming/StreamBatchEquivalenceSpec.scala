@@ -27,7 +27,9 @@ import graft.streaming.EventStreams.Event
   *    identical surviving normalized-fingerprint set.
   *  - [[EventStreams.tumblingCounts]] vs [[Events.tumblingCounts]] (the
   *    x14-oracle-checked twin) — identical (window, type) → (count,
-  *    total) map once the watermark closes every real window.
+  *    total) map once the watermark closes every real window; same for
+  *    [[EventStreams.slidingCounts]] vs the x28 twin and the native
+  *    [[EventStreams.sessionWindowCounts]] vs the x16 twin.
   *
   * Feeding order note: chunks are globally chronological, so no event is
   * ever behind the watermark when it arrives and no timeout can fire
@@ -169,6 +171,50 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assertWindowedEquivalence("equiv_sliding",
       df => EventStreams.slidingCounts(df, "1 hour", "15 minutes", "2 hours"),
       Events.slidingCounts(Events.load(spark, sfDir), "1 hour", "15 minutes"))
+  }
+
+  test("streaming session_window reproduces batch sessionWindowCounts on the fixture") {
+    // the last streaming operator without a fixture anchor: the native
+    // state-store-merged session_window vs its x16-oracle-checked batch twin
+    val events = Events.load(spark, sfDir)
+    val batch = Events.sessionWindowCounts(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(batch.size > 100)
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+    val maxUs = EventStreams.micros(typed.last.ts)
+    val dayUs = 24L * 3600L * 1000000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindowCounts(input.toDF(), gapMinutes = 30,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("equiv_session_window")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData(Event(-1L, EventStreams.microsToTs(maxUs + 10 * dayUs),
+                          -1L, "s", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_session_window")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0),
+                   EventStreams.micros(r.getTimestamp(1)),
+                   EventStreams.micros(r.getTimestamp(2))) -> r.getLong(3))
+        .toMap
+      assert(streamed == batch,
+        s"session windows diverged: batch-only=${(batch.keySet -- streamed.keySet).take(3)} " +
+          s"stream-only=${(streamed.keySet -- batch.keySet).take(3)}")
+    } finally stopQuietly(q)
   }
 
   test("cleanAndDedup reproduces batch quality-filter + exactByText on the documents fixture") {
