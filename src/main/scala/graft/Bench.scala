@@ -42,10 +42,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // median of `reps` runs; a failure aborts the rep loop (no point
       // timing a broken query thrice) and flags the query
-      val times = Seq.newBuilder[Double]
       var ok = true
-      var r = 0
-      while (ok && r < reps) {
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
@@ -53,12 +51,26 @@ object Bench {
             System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
             ok = false
         }
-        times += (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      // One untimed warm rep per query: first-touch costs (kernel codegen,
+      // parquet footer reads) otherwise land on whichever of a twin pair
+      // benches first — nl* sorts before x*, so identical plans looked 4×
+      // apart. The warm run also absorbs the failure path, so `sec` is the
+      // median of SUCCESSFUL timed reps only (a failed query reports its
+      // failing wall clock, flagged, never mixed into a success median).
+      val warm = runOnce()
+      val times = Seq.newBuilder[Double]
+      var r = 0
+      while (ok && r < reps) {
+        val t = runOnce()
+        if (ok) times += t
         r += 1
       }
       val ts = times.result().sorted
       val median =
-        if (ts.size % 2 == 1) ts(ts.size / 2)
+        if (ts.isEmpty) warm
+        else if (ts.size % 2 == 1) ts(ts.size / 2)
         else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       (name, median, ts.size, ok)
     }

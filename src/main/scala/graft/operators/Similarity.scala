@@ -106,20 +106,27 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `bands × bitsPerBand` planes of
     * dimension `dim`. Each weight is a pure function of (seed, plane,
-    * dim): splitmix64 of the flat index, top 53 bits mapped to [-1, 1).
-    * No RNG object and no iteration order — identical across runs,
-    * executors, and engines, which is what lets the DuckDB oracle bake
-    * the exact plane matrix into SQL ([[graft.queries.VectorQueries]]).
-    * Uniform weights are a valid sign-LSH family for cosine (only the
-    * plane's direction matters; recall bounds asserted in the spec). */
+    * dim): Box-Muller over two splitmix64 lanes of the flat index →
+    * standard Gaussian. iid N(0,1) components make each plane's direction
+    * uniform on the sphere, so the sign-LSH collision probability is
+    * exactly 1-θ/π (cube-sampled uniforms bias toward diagonals and make
+    * that formula only approximate). StrictMath keeps the doubles
+    * bit-identical across JVMs/platforms. No RNG object and no iteration
+    * order — identical across runs, executors, and engines, which is what
+    * lets the DuckDB oracle bake the exact plane matrix into SQL
+    * ([[graft.queries.VectorQueries]]). */
   def hyperplanes(dim: Int, bands: Int, bitsPerBand: Int,
                   seed: Long = 42L): Array[Array[Float]] = {
     import graft.functions.SketchKernels.mix64
     val base = mix64(seed)
     Array.tabulate(bands * bitsPerBand)(p =>
       Array.tabulate(dim) { d =>
-        val h = mix64(base + p.toLong * dim + d)
-        (((h >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0).toFloat
+        val i = p.toLong * dim + d
+        // u1 ∈ (0,1] (never 0, so log is finite); u2 ∈ [0,1)
+        val u1 = ((mix64(base + 2 * i) >>> 11) + 1.0) / (1L << 53).toDouble
+        val u2 = (mix64(base + 2 * i + 1) >>> 11) / (1L << 53).toDouble
+        (StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+          StrictMath.cos(2.0 * StrictMath.PI * u2)).toFloat
       })
   }
 

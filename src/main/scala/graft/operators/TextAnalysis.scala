@@ -147,8 +147,14 @@ object TextAnalysis {
     * vocabulary is web-scale). */
   final class TopTokensAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[TokenFreq, TokenTopBuf, TokenTopBuf] {
+    // Tie-break must be UTF-8 *byte* order (Spark/DuckDB binary collation),
+    // not Java's UTF-16 code-unit order — they differ for supplementary
+    // (non-BMP) characters, where UTF-16 surrogates sort below U+E000..FFFF.
+    private def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     private def better(a: TokenFreq, b: TokenFreq): Boolean =
-      a.n > b.n || (a.n == b.n && a.token < b.token)
+      a.n > b.n || (a.n == b.n && utf8Lt(a.token, b.token))
     private def insert(buf: List[TokenFreq], t: TokenFreq): List[TokenFreq] = {
       val (pre, post) = buf.span(better(_, t))
       val merged = pre ::: (t :: post)

@@ -84,8 +84,9 @@ object Compiler {
     case Op.SampleStratified(c, fracs, seed) =>
       // parser rejects duplicate strata; guard programmatic construction
       // too — Map conversion would silently last-wins otherwise
-      require(fracs.map(_._1).distinct.size == fracs.size,
-        s"duplicate strata in stratified sample: ${fracs.map(_._1).mkString(", ")}")
+      if (fracs.map(_._1).distinct.size != fracs.size)
+        throw InvalidPlanException(
+          s"duplicate strata in stratified sample: ${fracs.map(_._1).mkString(", ")}")
       Sampling.stratifiedHash(df, c, fracs.toMap, seed)
     case Op.Sessionize(gapMinutes)  => Events.sessionize(df, gapMinutes)
     case Op.TumblingCount(n, unit)  => Events.tumblingCounts(df, s"$n $unit")

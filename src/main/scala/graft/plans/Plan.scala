@@ -169,3 +169,9 @@ final case class Plan(ops: List[Op]) {
   def :+(op: Op): Plan = Plan(ops :+ op)
 }
 object Plan { val empty: Plan = Plan(Nil) }
+
+/** Invalid plan IR reached the compiler — the programmatic-construction
+  * analogue of [[NLParser.ParseException]] (the parser rejects the same
+  * shapes at parse time), so callers handle bad NL and bad hand-built IR
+  * uniformly instead of matching on `IllegalArgumentException`. */
+final case class InvalidPlanException(msg: String) extends RuntimeException(msg)
