@@ -16,9 +16,14 @@ object Engine {
   /** description → typed plan IR (replaces planner_agent + code_generator_agent). */
   def plan(description: String): Plan = NLParser.parse(description)
 
-  /** description + input → transformed DataFrame (lazy; no action run). */
-  def run(description: String, input: DataFrame): DataFrame =
-    Compiler.compile(plan(description), input)
+  /** description + input → transformed DataFrame (lazy; no action run).
+    * `catalog` binds the named tables two-table descriptions reference
+    * ("… with benchmark", "join … to signups …") — the reference's state
+    * holds one frame (agentic_workflow_transformation.py:17), so the
+    * catalog is the capability step beyond its `exec()` surface. */
+  def run(description: String, input: DataFrame,
+          catalog: Map[String, DataFrame] = Map.empty): DataFrame =
+    Compiler.compile(plan(description), input, catalog)
 
   /** Full lifecycle on a [[TransformState]] — the deterministic
     * `app.invoke(state)` (agentic_workflow_transformation.py:259-267):

@@ -77,6 +77,46 @@ object Events {
            round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Generic as-of join: for each `left` row, the latest `rightTsCol`
+    * value of `right` at-or-before the row's `leftTsCol`, within `keyCol`
+    * — the standard event-stream enrichment ("state as of this event").
+    *
+    * Implementation is the union-tag trick rather than a range join:
+    * both sides collapse into one frame tagged by side, ONE shuffle on
+    * the key co-locates them, and a running `last(right ts, ignoreNulls)`
+    * ordered by (ts, side) — right rows sorting first so an exactly-equal
+    * timestamp is visible ("at-or-before" is inclusive) — computes the
+    * match in a single window pass. A join formulation would either
+    * range-join (O(n·m) per key) or equi-join + filter + re-aggregate
+    * (two extra shuffles); this is one exchange and one sort, identical
+    * to the cost of sessionization. Both ts columns must share an
+    * orderable numeric type (the union fails loudly otherwise).
+    *
+    * Output: every `left` column plus `outCol` (null when no right row
+    * precedes). Deterministic under ties: same-ts right rows all carry
+    * the same ts value, and left rows never contribute to the running
+    * last. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String = "user_id",
+               leftTsCol: String = "ts_us", rightTsCol: String = "ts_us",
+               outCol: String = "last_signup_us"): DataFrame = {
+    val payload = struct(left.columns.map(col): _*)
+    val payloadType = left.select(payload.as("__p")).schema("__p").dataType
+    val l = left.select(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+                        lit(1).as("__is_left"), payload.as("__p"))
+    val r = right.select(col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+                         lit(0).as("__is_left"),
+                         lit(null).cast(payloadType).as("__p"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(outCol,
+        last(when(col("__is_left") === 0, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(left.columns.map(c => col(s"__p.$c")) :+ col(outCol): _*)
+  }
+
   /** The same sessions through Spark's native `session_window` (batch
     * mode) — the formulation that also runs under Structured Streaming
     * with state-store-backed incremental merging. Window end = last event

@@ -31,8 +31,23 @@ object SkewJoin {
     */
   def saltedInnerJoin(large: DataFrame, small: DataFrame,
                       largeKey: String, smallKey: String,
-                      uniquifier: String, buckets: Int = 8): DataFrame = {
-    val saltedLarge = large.withColumn("__salt", salt(col(uniquifier), buckets))
+                      uniquifier: String, buckets: Int = 8): DataFrame =
+    saltedInnerJoin(large, small, largeKey, smallKey, col(uniquifier), buckets)
+
+  /** Variant without a caller-named uniquifier: salts on the whole large
+    * row (a struct of every column), which spreads hot keys as long as
+    * their rows differ in *any* column — the right default when the
+    * caller (e.g. the NL route) can't name a within-key-varying column. */
+  def saltedInnerJoin(large: DataFrame, small: DataFrame,
+                      largeKey: String, smallKey: String,
+                      buckets: Int): DataFrame =
+    saltedInnerJoin(large, small, largeKey, smallKey,
+                    struct(large.columns.map(col): _*), buckets)
+
+  def saltedInnerJoin(large: DataFrame, small: DataFrame,
+                      largeKey: String, smallKey: String,
+                      uniquifier: Column, buckets: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", salt(uniquifier, buckets))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(replicatedSmall,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Plan IR → DataFrame program.
   *
@@ -18,7 +18,22 @@ import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity, TextAna
 object Compiler {
 
   def compile(plan: Plan, input: DataFrame): DataFrame =
-    plan.ops.foldLeft(input)(applyOp)
+    compile(plan, input, Map.empty)
+
+  /** Compile against a table catalog: two-table ops ([[Op.Decontaminate]],
+    * [[Op.AsOfJoin]], [[Op.SaltedJoin]]) resolve their named right side
+    * here. The reference holds exactly one `sample_data` frame
+    * (agentic_workflow_transformation.py:17); the catalog is what lets a
+    * description reach a second one. */
+  def compile(plan: Plan, input: DataFrame,
+              catalog: Map[String, DataFrame]): DataFrame =
+    plan.ops.foldLeft(input)((df, op) => applyOp(df, op, catalog))
+
+  private def resolveTable(name: String,
+                           catalog: Map[String, DataFrame]): DataFrame =
+    catalog.getOrElse(name, throw InvalidPlanException(
+      s"unknown table '$name' — bound tables: " +
+        (if (catalog.isEmpty) "(none)" else catalog.keys.toSeq.sorted.mkString(", "))))
 
   /** Resolve a column name against the frame, tolerating the reference's
     * loose plural phrasing ("count names" over a `name` column —
@@ -30,7 +45,10 @@ object Compiler {
     else name // leave as-is; Spark's analyzer raises the error with context
   }
 
-  def applyOp(df: DataFrame, op: Op): DataFrame = op match {
+  def applyOp(df: DataFrame, op: Op): DataFrame = applyOp(df, op, Map.empty)
+
+  def applyOp(df: DataFrame, op: Op,
+              catalog: Map[String, DataFrame]): DataFrame = op match {
     case Op.Filter(p)          => df.filter(predicate(df, p))
     case Op.Select(cs)         => df.select(cs.map(c => col(resolve(df, c))): _*)
     case Op.DeriveBool(n, p)   => df.withColumn(n, predicate(df, p))
@@ -46,7 +64,7 @@ object Compiler {
       df.groupBy(keys.map(c => col(resolve(df, c))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case Op.Having(p)          => df.filter(predicate(df, p))
-    case c: Op.CorpusOp        => applyCorpusOp(df, c)
+    case c: Op.CorpusOp        => applyCorpusOp(df, c, catalog)
   }
 
   /** Corpus operators reached from natural language. Column conventions
@@ -54,7 +72,8 @@ object Compiler {
     * id in `doc_id` / `vec_id`. Double-valued outputs are rounded exactly
     * as the driver query packs round them (jaccard→4, cosine→6) so an NL
     * invocation is bit-comparable to the same operator's DuckDB oracle. */
-  private def applyCorpusOp(df: DataFrame, op: Op.CorpusOp): DataFrame = op match {
+  private def applyCorpusOp(df: DataFrame, op: Op.CorpusOp,
+                            catalog: Map[String, DataFrame]): DataFrame = op match {
     case Op.DedupExact => Dedup.exactByText(df)
     case Op.DedupJaccard(n, t, block) =>
       Dedup.ngramJaccardPairs(df, block.getOrElse("source"), t, n)
@@ -106,6 +125,12 @@ object Compiler {
     case Op.DedupEmbedding(t) =>
       Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
+    case Op.Decontaminate(n, t) =>
+      Dedup.decontaminate(df, resolveTable(t, catalog), n)
+    case Op.AsOfJoin(t, k, ts, out) =>
+      Events.asOfJoin(df, resolveTable(t, catalog), k, ts, ts, out)
+    case Op.SaltedJoin(t, lk, rk, b) =>
+      SkewJoin.saltedInnerJoin(df, resolveTable(t, catalog), lk, rk, b)
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {

@@ -50,6 +50,11 @@ package graft.plans
   *            | DECODE THE? (MEDIA|IMAGES)? METADATA?
   *            | RESIZE THE? (MEDIA|IMAGES)? TO int (PIXELS)?
   *            | COMPUTE CORPUS? (STATISTICS|STATS) (BY col)?
+  *            | DROP DOCUMENTS? (THAT SHARE|SHARING) int(-TOKEN)? SPANS?
+  *                              WITH THE? table
+  *            | JOIN noise* TO THE? table
+  *                ( AS OF (TIME|TS|TIMESTAMP)?
+  *                | ON col (=|==)? col SALTED int WAYS? )
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -120,7 +125,7 @@ object NLParser {
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
-        "decode", "resize", "compute")
+        "decode", "resize", "compute", "join")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -365,9 +370,30 @@ object NLParser {
         Right(List(Op.Rename(from, to)))
       case Some("drop") =>
         p.next()
-        val cols = parseColList(p, stopWords = Set("column", "columns"))
-        p.dropWords("column"); p.dropWords("columns")
-        Right(List(Op.Drop(cols)))
+        // decontamination form ("Drop documents that share 8-token spans
+        // with benchmark") vs column drop — disambiguated by the presence
+        // of "span(s)" anywhere in the clause, which no column list has
+        val decontaminate = toks.exists {
+          case w: Word => w.lower == "span" || w.lower == "spans"
+          case _       => false
+        }
+        if (decontaminate) {
+          p.dropWords("the", "documents", "docs", "rows")
+          p.dropWords("that", "which")
+          p.dropWords("share", "sharing", "overlap", "overlapping")
+          val n = p.expectNum().toInt
+          p.dropWords("-token", "token", "tokens", "-word", "word", "words")
+          p.dropWords("span", "spans")
+          p.expectWord("with")
+          p.dropWords("the")
+          val table = p.expectWordRaw()
+          requireDone(p)
+          Right(List(Op.Decontaminate(n, table)))
+        } else {
+          val cols = parseColList(p, stopWords = Set("column", "columns"))
+          p.dropWords("column"); p.dropWords("columns")
+          Right(List(Op.Drop(cols)))
+        }
       case Some("dedup") | Some("deduplicate") =>
         p.next(); p.dropWords("the", "documents", "docs", "rows")
         p.peekWordLower match {
@@ -527,6 +553,38 @@ object NLParser {
         p.dropWords("pixels", "px")
         requireDone(p)
         Right(List(Op.ResizeMedia(maxDim)))
+      case Some("join") =>
+        // "Join events to signups as of time." /
+        // "Join orders to customers on o_custkey = c_custkey salted 8 ways."
+        p.next()
+        // words before "to" only re-describe the input frame — noise
+        while (!p.done && !p.peekWordLower.contains("to")) p.next()
+        p.expectWord("to"); p.dropWords("the")
+        val table = p.expectWordRaw()
+        p.peekWordLower match {
+          case Some("as") =>
+            p.next(); p.expectWord("of")
+            p.dropWords("time", "ts", "timestamp", "ts_us")
+            requireDone(p)
+            Right(List(Op.AsOfJoin(table)))
+          case Some("on") =>
+            p.next()
+            val lk = p.expectWordRaw()
+            p.peek match {
+              case Some(Sym("=")) | Some(Sym("==")) => p.next()
+              case _                                => ()
+            }
+            val rk = p.expectWordRaw()
+            p.expectWord("salted")
+            val buckets = p.expectNum().toInt
+            if (buckets <= 0)
+              throw ParseException(s"salt bucket count must be positive: $buckets")
+            p.dropWords("ways", "way", "buckets")
+            requireDone(p)
+            Right(List(Op.SaltedJoin(table, lk, rk, buckets)))
+          case other => throw ParseException(
+            s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
+        }
       case Some("compute") =>
         // "Compute corpus statistics by source."
         p.next(); p.dropWords("the", "corpus")

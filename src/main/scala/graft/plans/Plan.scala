@@ -163,6 +163,27 @@ object Op {
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,
                                      seed: Long)                   extends CorpusOp
+
+  /** Two-table operators: the right side is a *named* table resolved from
+    * the catalog passed to [[Compiler.compile]] / `Engine.run` — the
+    * reference's single-`sample_data` state
+    * (agentic_workflow_transformation.py:17) holds exactly one frame, so
+    * these are the first ops whose description can reach a second one. */
+
+  /** Drop every input document sharing at least one n-token span with the
+    * named benchmark table ([[graft.operators.Dedup.decontaminate]]). */
+  final case class Decontaminate(n: Int, benchTable: String)       extends CorpusOp
+  /** As-of enrichment: per input row, the latest `tsCol` of the named
+    * table at-or-before the row's own `tsCol`, within `keyCol`
+    * ([[graft.operators.Events.asOfJoin]]). */
+  final case class AsOfJoin(rightTable: String,
+                            keyCol: String = "user_id",
+                            tsCol: String = "ts_us",
+                            outCol: String = "last_signup_us")     extends CorpusOp
+  /** Salted inner equi-join to the named table, each key spread over
+    * `buckets` reducers ([[graft.operators.SkewJoin.saltedInnerJoin]]). */
+  final case class SaltedJoin(rightTable: String, leftKey: String,
+                              rightKey: String, buckets: Int)      extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

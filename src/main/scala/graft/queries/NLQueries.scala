@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Engine
@@ -132,7 +133,35 @@ object NLQueries extends QueryPack {
     // exact: sums inside the interpolation are integers in double domain).
     "nl28_median" -> ((s: SparkSession, d: String) =>
       Engine.run("Group by l_returnflag and show median l_quantity " +
-                 "and max l_quantity.", table(s, d, "lineitem"))))
+                 "and max l_quantity.", table(s, d, "lineitem"))),
+
+    // Two-table routes: the description names a catalog-bound table —
+    // the capability the reference's single-frame state can't express.
+    // Same benchmark frame and n as x30, so its oracle applies verbatim.
+    "nl29_decontaminate" -> ((s: SparkSession, d: String) => {
+      val docsDf = docs(s, d)
+      Engine.run("Drop documents that share 8-token spans with benchmark " +
+                 "and select columns doc_id and source.", docsDf,
+                 Map("benchmark" -> docsDf.filter(col("source") === "src19")))
+    }),
+
+    // Same match semantics as x21 (no same-user ts collisions exist in
+    // the events data at any SF, so true as-of ≡ the window formulation).
+    "nl30_asof_signups" -> ((s: SparkSession, d: String) => {
+      val ev = Events.load(s, d)
+      Engine.run("Join events to signups as of time and select columns " +
+                 "event_id, user_id, ts_us and last_signup_us.", ev,
+                 Map("signups" -> ev.filter(col("event_type") === "signup")))
+    }),
+
+    // Salted-join route (q11's operator); count keeps the oracle integer-
+    // exact and still checks join multiplicity end-to-end.
+    "nl31_salted_join" -> ((s: SparkSession, d: String) =>
+      Engine.run("Join orders to customers on o_custkey = c_custkey " +
+                 "salted 8 ways and group by c_mktsegment and count c_custkey.",
+                 table(s, d, "orders"),
+                 Map("customers" -> table(s, d, "customer")
+                   .select(col("c_custkey"), col("c_mktsegment"))))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -201,6 +230,15 @@ object NLQueries extends QueryPack {
         |  quantile_cont(l_quantity, 0.5) AS median_l_quantity,
         |  max(l_quantity) AS max_l_quantity
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
+    "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
+    // Salting never changes inner-join multiplicity, so the oracle is the
+    // plain join (q11's shape, count aggregate for integer exactness).
+    "nl31_salted_join" ->
+      """SELECT c_mktsegment, count(c_custkey) AS count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // Single-query brute-force cosine top-k (x1's oracle, one query id).
     "nl11_similar_topk" ->
