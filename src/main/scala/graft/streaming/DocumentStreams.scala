@@ -44,6 +44,60 @@ object DocumentStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming benchmark decontamination — the realistic ingest shape of
+    * [[graft.operators.Dedup.decontaminate]]: the benchmark is a STATIC
+    * frame (eval sets change rarely; its distinct span set is tiny vs the
+    * corpus and broadcasts), the documents arrive as a stream, and each
+    * emitted document is guaranteed to share no n-token span with the
+    * benchmark.
+    *
+    * Shape: spans explode map-side (`explode_outer`, so span-less short
+    * documents survive — they cannot be contaminated), candidate matches
+    * come from a broadcast stream-static equi-join on the span, and a
+    * watermark-bounded aggregation keyed by the full document row emits
+    * it once the watermark passes — with null max(hit) meaning "no span
+    * matched anywhere". State per document lives only to its watermark
+    * horizon. At extreme scale the span strings would be joined by their
+    * 64-bit hash (same note as the batch twin, Dedup.scala). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    watermark: String = "10 minutes",
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    val benchSpans = benchmark
+      .select(explode(stringShingles(col(textCol), n)).as("span"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val docCols = docs.columns.toSeq
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("span", explode_outer(stringShingles(col(textCol), n)))
+      .join(broadcast(benchSpans), Seq("span"), "left_outer")
+      .groupBy(docCols.map(col): _*)
+      .agg(max(col("__hit")).as("__hits"))
+      .filter(col("__hits").isNull)
+      .drop("__hits")
+  }
+
+  /** Streaming repeated-span detection — the windowed face of
+    * [[graft.operators.Dedup.repeatedSpans]]: n-token spans appearing in
+    * ≥ minDocs documents within each ingest-time window (per-document
+    * spans are distinct by construction, so count(*) is the document
+    * frequency, exactly as in batch). One watermark-bounded shuffle on
+    * (window, span); emitted when the watermark closes the window. */
+  def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                    width: String = "1 hour",
+                    watermark: String = "2 hours",
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"), explode(stringShingles(col(textCol), n)).as("span"))
+      .groupBy(window(col("ingest_ts"), width).as("w"), col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("w.start").as("window_start"), col("span"), col("n_docs"))
+  }
+
   /** Rolling per-source token throughput over tumbling windows — the
     * monitoring aggregate for an ingest stream. */
   def tokenThroughput(docs: DataFrame, width: String = "1 minute",

@@ -247,6 +247,79 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streaming decontaminate reproduces batch Dedup.decontaminate (x30) on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("source") === "src19")
+    val batchKept = Dedup.decontaminate(docs, bench, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batchKept.nonEmpty && batchKept.length < docs.count(),
+      "fixture must have both surviving and contaminated docs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "source", "text", "ingest_ts")
+    val q = DocumentStreams.decontaminate(streamDocs, bench, n = 8)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("equiv_decontam")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = docs.select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                   new Timestamp(base + r.getLong(0))))
+        .sortBy(_._1)
+      // three chunks exercise cross-batch grouping state; the far-future
+      // sentinel (too short to span, so never contaminated) advances the
+      // watermark past every real document so append mode emits them all
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((-1L, "zz", "sentinel",
+                     new Timestamp(base + 30L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+
+      val streamKept = spark.table("equiv_decontam")
+        .filter(col("doc_id") >= 0).collect().map(_.getLong(0)).sorted
+      assert(streamKept.toSeq == batchKept.toSeq,
+        s"surviving-id sets diverged: batch=${batchKept.length} stream=${streamKept.length}")
+    } finally stopQuietly(q)
+  }
+
+  test("streaming repeatedSpans reproduces batch Dedup.repeatedSpans within one window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = Dedup.repeatedSpans(docs, n = 10, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "fixture must contain repeated spans")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = DocumentStreams.repeatedSpans(streamDocs, n = 10, minDocs = 2,
+        width = "1 day", watermark = "2 hours")
+      .writeStream.format("memory").queryName("equiv_spans")
+      .outputMode("append").start()
+    try {
+      // all documents share one ingest timestamp, so the whole corpus
+      // lands in a single window and the streamed counts are comparable
+      // to the windowless batch operator
+      val ts = Timestamp.valueOf("2024-01-01 06:00:00")
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), ts)).sortBy(_._1)
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((-1L, "sentinel",
+                     new Timestamp(ts.getTime + 30L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_spans")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"span counts diverged: batch-only=${(batch.keySet -- streamed.keySet).take(3)} " +
+          s"stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"count-diffs=${batch.collect { case (k, v) if streamed.get(k).exists(_ != v) =>
+            (k, v, streamed(k)) }.take(3)}")
+    } finally stopQuietly(q)
+  }
+
   test("dedupNormalized reproduces the batch normalized-fingerprint dedup") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val batchKept = docs
