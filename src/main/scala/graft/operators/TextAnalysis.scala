@@ -193,6 +193,85 @@ object TextAnalysis {
               (col("pos") + 1).cast("long").as("rank"))
   }
 
+  final case class MGSketch(items: Map[String, Long])
+
+  /** Misra-Gries heavy-hitter sketch over a token stream: at most
+    * `capacity` counters, mergeable (Agarwal et al.'s subtract-the-
+    * (m+1)-th-count merge preserves the bound). Guarantees: every token
+    * with true count > N/(capacity+1) is present in the final sketch
+    * (N = tokens processed), and estimates undercount by at most
+    * N/(capacity+1). Memory is O(capacity) per (group, partition)
+    * regardless of vocabulary size — the regime where the exact
+    * (group, token) count aggregation's hash table (and its shuffle of
+    * per-partition vocabulary partials) no longer fits. */
+  final class MisraGriesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MGSketch, MGSketch] {
+    override def zero: MGSketch = MGSketch(Map.empty)
+    override def reduce(b: MGSketch, t: String): MGSketch =
+      b.items.get(t) match {
+        case Some(n)                         => MGSketch(b.items.updated(t, n + 1))
+        case None if b.items.size < capacity => MGSketch(b.items.updated(t, 1L))
+        case None =>
+          // classic MG overflow: decrement every counter (the unseen
+          // token's single unit cancels against them), drop zeros.
+          // Amortized O(N) overall: each pass removes `capacity` units
+          // and at most N units ever enter.
+          MGSketch(b.items.collect { case (k, n) if n > 1 => k -> (n - 1) })
+      }
+    override def merge(b1: MGSketch, b2: MGSketch): MGSketch = {
+      val sum = b1.items.foldLeft(b2.items) { case (acc, (k, n)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+      if (sum.size <= capacity) MGSketch(sum)
+      else {
+        val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        MGSketch(sum.collect { case (k, n) if n > cut => k -> (n - cut) })
+      }
+    }
+    override def finish(r: MGSketch): MGSketch = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MGSketch] =
+      org.apache.spark.sql.Encoders.product
+    override def outputEncoder: org.apache.spark.sql.Encoder[MGSketch] =
+      org.apache.spark.sql.Encoders.product
+  }
+
+  /** Bounded-memory top-k tokens per group via [[MisraGriesAgg]] — the
+    * vocabulary-larger-than-memory variant of [[topTokens]]. The sketch
+    * pass shuffles only O(capacity) counters per (group, partition); the
+    * surviving candidates (≤ capacity per group) are then recounted
+    * EXACTLY in a second pass whose shuffle is candidate-bounded (the
+    * corpus rows are filtered by a broadcast semi-join first), so the
+    * emitted counts and ranks are exact, not estimates. `heavy_guaranteed`
+    * certifies per row that its exact count clears the sketch's
+    * N/(capacity+1) containment threshold — when true for the k-th row,
+    * the MG guarantee makes this output identical to the exact [[topTokens]]
+    * (which is therefore its oracle, TRUE literals included). */
+  def topTokensSketch(docs: DataFrame, k: Int = 10, capacity: Int = 256,
+                      groupCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(capacity))
+    val topk = udaf(new TopTokensAgg(k))
+    val toks = docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    val sketches = toks.groupBy(col(groupCol))
+      .agg(mg(col("token")).as("sk"), count(lit(1)).as("n_total"))
+    val candidates = sketches
+      .select(col(groupCol), col("n_total"),
+              explode(map_keys(col("sk.items"))).as("token"))
+    toks
+      .join(broadcast(candidates.select(col(groupCol), col("token"))),
+            Seq(groupCol, "token"), "left_semi")
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("token"), col("n")).as("top"))
+      .select(col(groupCol), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col(groupCol), col("t.token").as("token"), col("t.n").as("n"),
+              (col("pos") + 1).cast("long").as("rank"))
+      .join(broadcast(sketches.select(col(groupCol), col("n_total"))), Seq(groupCol))
+      .withColumn("heavy_guaranteed", col("n") * (capacity + 1) > col("n_total"))
+      .drop("n_total")
+  }
+
   /** The window-rank formulation — kept for the equivalence spec; the
     * aggregator path above is the scale shape. */
   def topTokensWindow(docs: DataFrame, k: Int = 10, groupCol: String = "source",

@@ -48,7 +48,15 @@ object TextQueries extends QueryPack {
       graft.operators.TextAnalysis.corpusStats(table(s, d, "documents"))),
 
     "x29_top_tokens" -> ((s: SparkSession, d: String) =>
-      graft.operators.TextAnalysis.topTokens(table(s, d, "documents"), k = 10)))
+      graft.operators.TextAnalysis.topTokens(table(s, d, "documents"), k = 10)),
+
+    // Bounded-memory heavy-hitter variant: exact counts (candidates are
+    // recounted), with the per-row boolean certifying the MG containment
+    // bound held — the oracle is the exact top-k plus TRUE literals, the
+    // q12 technique for approximate operators.
+    "x32_top_tokens_sketch" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.topTokensSketch(
+        table(s, d, "documents"), k = 10, capacity = 256)))
 
   override val oracleSql: Map[String, String] = Map(
     "x8_text_tokens" ->
@@ -116,6 +124,18 @@ object TextQueries extends QueryPack {
 
     "x29_top_tokens" ->
       s"""SELECT source, token, n, rank FROM (
+         |  SELECT source, token, count(*) AS n,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY count(*) DESC, token ASC) AS rank
+         |  FROM (SELECT source, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY source, token)
+         |WHERE rank <= 10""".stripMargin,
+
+    // When every returned count clears the N/(capacity+1) containment
+    // bound, the sketch output IS the exact top-k; the TRUE literals
+    // assert the bound held on the Spark side.
+    "x32_top_tokens_sketch" ->
+      s"""SELECT source, token, n, rank, TRUE AS heavy_guaranteed FROM (
          |  SELECT source, token, count(*) AS n,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY count(*) DESC, token ASC) AS rank

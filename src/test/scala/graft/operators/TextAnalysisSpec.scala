@@ -78,4 +78,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(agg.nonEmpty)
     assert(agg == win)
   }
+
+  test("Misra-Gries sketch: containment and undercount bounds hold") {
+    val m = 4
+    val agg = new TextAnalysis.MisraGriesAgg(m)
+    // 100 'hot' + 90 tokens of 30-token noise vocabulary, interleaved:
+    // N=190, bound N/(m+1)=38 < 100, so 'hot' MUST survive with estimate
+    // >= 100 - 38 and never overcounted.
+    val stream = (0 until 100).flatMap(i => Seq("hot", s"noise${i % 30}"))
+      .take(190)
+    val sketch = stream.foldLeft(agg.zero)(agg.reduce).items
+    assert(sketch.contains("hot"), "guaranteed heavy hitter evicted")
+    assert(sketch("hot") <= 100 && sketch("hot") >= 100 - 190 / (m + 1))
+    // mergeability: two halves merged give the same guarantees
+    val (a, b) = stream.splitAt(95)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+                           b.foldLeft(agg.zero)(agg.reduce)).items
+    assert(merged.size <= m)
+    assert(merged.contains("hot"))
+    assert(merged("hot") <= 100 && merged("hot") >= 100 - 190 / (m + 1))
+  }
+
+  test("topTokensSketch equals exact topTokens on real docs, all rows certified") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.topTokens(real, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val sk = TextAnalysis.topTokensSketch(real, k = 10, capacity = 256).collect()
+    assert(sk.forall(_.getBoolean(4)),
+      "every returned count must clear the N/(capacity+1) containment bound")
+    assert(sk.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      == exact)
+  }
 }
