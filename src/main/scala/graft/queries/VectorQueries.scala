@@ -53,6 +53,39 @@ object VectorQueries extends QueryPack {
         .withColumn("score", round(col("score"), 6))
     }))
 
+  /** One Lloyd refinement iteration as CTE blocks (the replay of
+    * [[Similarity.refineCentroids]]): assignment = argmax cosine (ties →
+    * smallest cell, as the kernel), new coordinate = Σ floor(x·2^20) /
+    * (n·2^20) rounded to float. The quantized per-dimension sums are
+    * exact integers — identical under any accumulation order in either
+    * engine — and the final division + FLOAT rounding are IEEE-identical,
+    * so the refined centroids match Spark's bit for bit. */
+  private val QuantScale = "1048576.0" // 2^20, matches Similarity.QuantScale
+  private def lloydIteration(prev: String, out: String): String =
+    s"""asg_$out AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.emb) DESC,
+       |                 c.cell ASC) AS rn
+       |    FROM embeddings e, $prev c)
+       |  WHERE rn = 1),
+       |sums_$out AS (
+       |  SELECT a.cell, i.d,
+       |    sum(floor(e.embedding[i.d] * $QuantScale))::BIGINT AS sq,
+       |    count(*) AS n
+       |  FROM embeddings e JOIN asg_$out a USING (vec_id),
+       |       unnest(range(1, ${Dim + 1})) AS i(d)
+       |  GROUP BY a.cell, i.d),
+       |$out AS (
+       |  SELECT c.cell,
+       |    CASE WHEN count(s.d) = 0 THEN c.emb
+       |         ELSE list((s.sq::DOUBLE / (s.n::DOUBLE * $QuantScale))::FLOAT::DOUBLE
+       |                   ORDER BY s.d)
+       |    END AS emb
+       |  FROM $prev c LEFT JOIN sums_$out s ON s.cell = c.cell
+       |  GROUP BY c.cell, c.emb)""".stripMargin
+
   /** `(p, weights)` literal rows for the plane matrix — each weight
     * printed via `Double.toString`, whose shortest-round-trip contract
     * guarantees DuckDB parses back the bit-identical double the Spark
@@ -115,18 +148,22 @@ object VectorQueries extends QueryPack {
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
          |$rescoreTopK""".stripMargin,
 
-    // Full IVF replay: centroids = the $IvfCentroids smallest corpus ids,
-    // corpus rows sit in their argmax-cosine cell, queries probe their
-    // $IvfNProbe best cells (ties by cell index, as nearest_centroids).
+    // Full IVF replay: seed centroids = the $IvfCentroids smallest corpus
+    // ids, refined by two quantized Lloyd iterations (bit-identical to
+    // Similarity.refineCentroids — see lloydIteration); corpus rows sit
+    // in their argmax-cosine cell, queries probe their $IvfNProbe best
+    // cells (ties by cell index, as nearest_centroids).
     "x20_ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+      s"""WITH cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    embedding::DOUBLE[] AS emb
          |  FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids),
+         |${lloydIteration("cents0", "cents1")},
+         |${lloydIteration("cents1", "cents2")},
          |cs AS (
          |  SELECT e.vec_id, c.cell,
-         |    list_cosine_similarity(e.embedding::DOUBLE[],
-         |                           c.embedding::DOUBLE[]) AS sim
-         |  FROM embeddings e, cents c),
+         |    list_cosine_similarity(e.embedding::DOUBLE[], c.emb) AS sim
+         |  FROM embeddings e, cents2 c),
          |ranked AS (
          |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY sim DESC, cell ASC) AS rn FROM cs),

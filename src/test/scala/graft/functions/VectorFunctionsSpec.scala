@@ -124,10 +124,24 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(ivf.forall(_.getLong(2) <= 5))
     val perQuery = ivf.groupBy(_.getLong(0))
     assert(perQuery.values.forall(_.length <= 5))
-    val recall = (exact intersect ivf.map(r => (r.getLong(0), r.getLong(1))).toSet)
-      .size.toDouble / exact.size
-    info(f"IVF recall@5 = $recall%.2f (nprobe=4/16 cells)")
-    assert(recall > 0.15, s"implausibly low IVF recall: $recall")
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (exact intersect rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+        .size.toDouble / exact.size
+    val recall = recallOf(ivf)
+    // Unrefined min-id seeds for comparison. Measured across SFs: recall
+    // is already 0.93-1.0 with raw seeds on these near-uniform synthetic
+    // embeddings and refinement holds it level (±0.05); its real effect
+    // is cell balance — size CV 0.167→0.142 (sf0.01), 0.092→0.069
+    // (sf0.1), max cell 148→139 — i.e. a tighter bound on the per-query
+    // scan fraction, which is what the coarse quantizer is FOR.
+    val recallSeeds = recallOf(
+      Similarity.ivfTopK(q, emb, 5, centroids = 16, nprobe = 4,
+                         refineIters = 0).collect())
+    info(f"IVF recall@5 = $recall%.2f refined vs $recallSeeds%.2f min-id seeds " +
+         "(nprobe=4/16 cells)")
+    assert(recall > 0.5, s"refined IVF recall regressed: $recall")
+    assert(recall >= recallSeeds - 0.1,
+      s"refinement should not cost recall: $recall vs seeds $recallSeeds")
   }
 
   test("LSH candidates are a subset with exact scores; recall is sane") {
