@@ -28,9 +28,10 @@ object Engine {
   /** Full lifecycle on a [[TransformState]] — the deterministic
     * `app.invoke(state)` (agentic_workflow_transformation.py:259-267):
     * plan → compile → (optionally) execute to CSV → validate. */
-  def invoke(state: TransformState, outDir: Option[String] = None): TransformState = {
+  def invoke(state: TransformState, outDir: Option[String] = None,
+             catalog: Map[String, DataFrame] = Map.empty): TransformState = {
     val p = plan(state.description)
-    val result = Compiler.compile(p, state.input)
+    val result = Compiler.compile(p, state.input, catalog)
     val path = outDir.map { dir =>
       graft.sources.Sinks.csvSingleFile(
         result, dir, graft.sources.Sinks.timestampedName(state.description)).toString

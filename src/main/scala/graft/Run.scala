@@ -17,7 +17,11 @@ import graft.sources.Sources
   * sessionize, multimodal, spans) is drivable from this entry point
   * against the corpus tables, not just the 10-row CSV.
   *
-  * Usage: runMain graft.Run [description] [input] [outDir]
+  * Usage: runMain graft.Run [description] [input] [outDir] [name=path ...]
+  *
+  * Trailing `name=path` arguments bind catalog tables for the two-table
+  * descriptions ("… spans with benchmark", "join … to signups as of …"):
+  * each path loads with the same format dispatch as the input.
   */
 object Run {
   /** The reference's default description (agentic_workflow_transformation.py:318). */
@@ -37,10 +41,10 @@ object Run {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val input = inputCsv match {
-      case Some(path) if path.endsWith(".parquet") =>
+    def load(path: String): org.apache.spark.sql.DataFrame = path match {
+      case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = Sources.parquet(spark, path)
+        val df = Sources.parquet(spark, p)
         val tsIsRawNanos = df.schema.fields.exists(f =>
           f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         if (tsIsRawNanos)
@@ -48,13 +52,20 @@ object Run {
             .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.col("ts_us")))
         else df
-      case Some(path) if path.endsWith(".json") || path.endsWith(".jsonl") =>
-        Sources.jsonLines(spark, path)
-      case Some(path) => Sources.csv(spark, path)
-      case None       => Sources.canonicalSample(spark)
+      case p if p.endsWith(".json") || p.endsWith(".jsonl") =>
+        Sources.jsonLines(spark, p)
+      case p => Sources.csv(spark, p)
     }
+
+    val input = inputCsv.map(load).getOrElse(Sources.canonicalSample(spark))
+    val catalog = args.drop(3).map { binding =>
+      binding.split("=", 2) match {
+        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> load(path)
+        case _ => sys.error(s"expected name=path table binding, got '$binding'")
+      }
+    }.toMap
     val finalState = Engine.invoke(
-      TransformState(description, input), outDir = Some(outDir))
+      TransformState(description, input), outDir = Some(outDir), catalog = catalog)
     println(s"description : $description")
     println(s"plan        : ${finalState.plan.get.ops.mkString(" -> ")}")
     println(s"output      : ${finalState.outputPath.get}")
