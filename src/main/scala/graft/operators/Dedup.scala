@@ -72,10 +72,52 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs within a blocking key (e.g. the
     * `source` column): all same-block pairs with Jaccard ≥ threshold.
-    * The block join is an equi-join; never all-pairs. */
+    *
+    * Candidate generation is LOSSLESS prefix filtering (the PPJoin-family
+    * bound), not all pairs in the block: J(A,B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so the smallest shared shingle (in the global
+    * numeric order [[hashedShingles]] already sorts by) cannot hide in
+    * A's last ⌈t·|A|⌉−1 positions — it sits inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 elements, and symmetrically inside B's prefix.
+    * Candidates are therefore the same-block pairs sharing ≥ 1 *prefix*
+    * shingle — a shingle-keyed equi-join whose size tracks shingle
+    * collisions, not (docs/block)². The sf1 probe measured the all-pairs
+    * form at 117 s for 2500 docs/block (71× the sf0.1 time: quadratic);
+    * this form converts that into an equi-join + candidate-sized verify
+    * with BIT-IDENTICAL output (the bound is a theorem, not a heuristic;
+    * equality spec-pinned against the all-pairs form). */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         n: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(
+      col(blockCol).as("block"), col(idCol).as("id"),
+      hashedShingles(col(textCol), n).as("sh"))
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
+    val pref = withSh.select(col("block"), col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("p"))
+    val cand = pref.as("l")
+      .join(pref.as("r"),
+            col("l.block") === col("r.block") && col("l.p") === col("r.p") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val shById = withSh.select(col("id"), col("sh"))
+    cand
+      .join(shById.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shById.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The all-pairs-in-block formulation — kept as the equality anchor for
+    * the prefix-filtered default (and as the honest baseline the sf1
+    * probe measured quadratic). */
+  def ngramJaccardPairsAllPairs(docs: DataFrame, blockCol: String,
+                                threshold: Double, n: Int = 3,
+                                textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
     val withSh = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
       hashedShingles(col(textCol), n).as("sh"))

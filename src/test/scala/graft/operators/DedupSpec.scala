@@ -86,6 +86,22 @@ class DedupSpec extends SparkSpec {
     assert(rejoin == inline)
   }
 
+  test("prefix-filtered jaccard equals the all-pairs formulation on real documents") {
+    // Prefix filtering is a theorem (lossless), not a recall knob: the
+    // candidate set shrinks but surviving pairs and their jaccard values
+    // must be identical at every threshold, including a low one where
+    // prefixes are nearly the whole shingle set.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val pref = collectPairs(Dedup.ngramJaccardPairs(docs, "source", t))
+      val all  = collectPairs(Dedup.ngramJaccardPairsAllPairs(docs, "source", t))
+      assert(pref == all, s"prefix filtering changed results at t=$t")
+    }
+    assert(collectPairs(Dedup.ngramJaccardPairs(docs, "source", 0.3)).nonEmpty)
+  }
+
   test("repeated spans: shared n-grams across docs, unique spans dropped") {
     // docs 1/2 are identical and docs 3/4 differ only in their last word,
     // so both pairs share 10-gram spans; doc 5's spans are unique
