@@ -122,6 +122,8 @@ object Compiler {
     case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
     case Op.RepeatedSpans(n, minDocs) => Dedup.repeatedSpans(df, n, minDocs)
     case Op.TopTokens(k, gc) => TextAnalysis.topTokens(df, k, gc)
+    case Op.TopTokensSketch(k, gc, cap) =>
+      TextAnalysis.topTokensSketch(df, k, cap, gc)
     case Op.DedupEmbedding(t) =>
       Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)

@@ -38,6 +38,7 @@ package graft.plans
   *            | FIND REPEATED SPANS OF? int TOKENS?
   *                                       (IN AT? LEAST? int DOCUMENTS?)?
   *            | FIND TOP int TOKENS (BY col)?
+  *                ((WITH|USING) A? SKETCH (OF CAPACITY? int)?)?
   *            | SAMPLE num (%|PERCENT)? OF? DOCUMENTS? (BY col)?
   *                                                     (WITH SEED int)?
   *            | SAMPLE FRAMES (FROM THE? VIDEOS?)?
@@ -456,12 +457,28 @@ object NLParser {
           p.expectWord("top")
           val k = p.expectNum().toInt
           if (p.peekWordLower.contains("tokens")) {
-            // "Find top 10 tokens by source."
+            // "Find top 10 tokens by source." — optional "with a sketch
+            // (of capacity m)" tail routes to the bounded-memory MG path
             p.next()
             val gc = if (p.peekWordLower.contains("by")) { p.next(); p.expectWordRaw() }
                      else "source"
-            requireDone(p)
-            Right(List(Op.TopTokens(k, gc)))
+            if (p.peekWordLower.contains("with") || p.peekWordLower.contains("using")) {
+              p.next(); p.dropWords("a", "the")
+              p.expectWord("sketch")
+              val cap = p.peekWordLower match {
+                case Some("of") =>
+                  p.next(); p.dropWords("capacity")
+                  val c = p.expectNum().toInt
+                  if (c <= 0) throw ParseException(s"sketch capacity must be positive: $c")
+                  c
+                case _ => 256
+              }
+              requireDone(p)
+              Right(List(Op.TopTokensSketch(k, gc, cap)))
+            } else {
+              requireDone(p)
+              Right(List(Op.TopTokens(k, gc)))
+            }
           } else {
             p.dropWords("most"); p.expectWord("similar")
             p.dropWords("vectors", "neighbors", "documents", "items")

@@ -156,6 +156,10 @@ object Op {
   /** Top-k most frequent tokens per group
     * ([[graft.operators.TextAnalysis.topTokens]]). */
   final case class TopTokens(k: Int, groupCol: String)             extends CorpusOp
+  /** Bounded-memory top-k tokens via the Misra-Gries sketch with exact
+    * candidate recount ([[graft.operators.TextAnalysis.topTokensSketch]]). */
+  final case class TopTokensSketch(k: Int, groupCol: String,
+                                   capacity: Int)                  extends CorpusOp
   /** Embedding-cosine near-dup pairs at/above a threshold
     * ([[graft.operators.Dedup.embeddingPairs]]). */
   final case class DedupEmbedding(threshold: Double)               extends CorpusOp

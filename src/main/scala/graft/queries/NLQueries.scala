@@ -161,7 +161,12 @@ object NLQueries extends QueryPack {
                  "salted 8 ways and group by c_mktsegment and count c_custkey.",
                  table(s, d, "orders"),
                  Map("customers" -> table(s, d, "customer")
-                   .select(col("c_custkey"), col("c_mktsegment"))))))
+                   .select(col("c_custkey"), col("c_mktsegment"))))),
+
+    // Same k/capacity as x32, so its oracle applies verbatim.
+    "nl32_top_tokens_sketch" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 10 tokens by source using a sketch of capacity 256.",
+                 docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -232,6 +237,7 @@ object NLQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
+    "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
     // Salting never changes inner-join multiplicity, so the oracle is the
     // plain join (q11's shape, count aggregate for integer exactness).

@@ -304,6 +304,10 @@ class NLParserSpec extends AnyFunSuite {
       List(O.TopTokens(10, "source")))
     assert(NLParser.parse("Find top 20 tokens.").ops ==
       List(O.TopTokens(20, "source")))
+    assert(NLParser.parse("Find top 10 tokens by source using a sketch.").ops ==
+      List(O.TopTokensSketch(10, "source", 256)))
+    assert(NLParser.parse("Find top 10 tokens with a sketch of capacity 64.").ops ==
+      List(O.TopTokensSketch(10, "source", 64)))
   }
 
   test("multimodal and corpus-stats clauses") {
