@@ -51,7 +51,17 @@ object VectorQueries extends QueryPack {
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, K)
         .withColumn("score", round(col("score"), 6))
-    }))
+    }),
+
+    // Banded near-dup pairs — the in-repo scale path for x7's all-pairs
+    // cosine (measured quadratic at sf1): recall < 1 by design, exactly
+    // replayable since the planes bake into SQL like x2's.
+    "x33_embedding_pairs_lsh" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup
+        .embeddingPairsLsh(table(s, d, "embeddings"), PairThreshold)
+        .withColumn("cosine", round(col("cosine"), 6))))
+
+  private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
 
   /** One Lloyd refinement iteration as CTE blocks (the replay of
     * [[Similarity.refineCentroids]]): assignment = argmax cosine (ties →
@@ -174,5 +184,32 @@ object VectorQueries extends QueryPack {
          |        WHERE rn <= $IvfNProbe AND vec_id < $NQueries) q
          |  JOIN cellof c ON q.cell = c.cell
          |  WHERE c.vec_id <> q.vec_id)
-         |$rescoreTopK""".stripMargin)
+         |$rescoreTopK""".stripMargin,
+
+    // Same plane replay as x2; candidates are bucket collisions over the
+    // self-join, verified with the exact cosine at x7's threshold.
+    "x33_embedding_pairs_lsh" ->
+      s"""WITH planes(p, w) AS (VALUES
+         |$planeRows),
+         |dots AS (
+         |  SELECT e.vec_id, p.p,
+         |    list_dot_product(e.embedding::DOUBLE[], p.w) AS dot
+         |  FROM embeddings e, planes p),
+         |bk AS (
+         |  SELECT vec_id, p // $BitsPerBand AS band,
+         |    sum(CASE WHEN dot > 0 THEN 1::BIGINT << (p % $BitsPerBand)
+         |             ELSE 0 END)::BIGINT AS bucket
+         |  FROM dots GROUP BY vec_id, p // $BitsPerBand),
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+         |  SELECT id_a, id_b,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           b.embedding::DOUBLE[]) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.id_a
+         |  JOIN embeddings b ON b.vec_id = cand.id_b)
+         |WHERE cos >= $PairThreshold""".stripMargin)
 }

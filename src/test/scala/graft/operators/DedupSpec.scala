@@ -158,6 +158,21 @@ class DedupSpec extends SparkSpec {
     assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("LSH embedding pairs are a subset of all-pairs with identical cosines") {
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val all = pairs(Dedup.embeddingPairs(embs, 0.45))
+    val lsh = pairs(Dedup.embeddingPairsLsh(embs, 0.45))
+    assert(lsh.nonEmpty, "banding should recover some pairs at these defaults")
+    assert(lsh.keySet.subsetOf(all.keySet), "LSH must never invent pairs")
+    lsh.foreach { case (k, c) => assert(c == all(k), s"cosine differs for $k") }
+    val recall = lsh.size.toDouble / all.size
+    info(f"embedding LSH recall = $recall%.2f (${lsh.size}/${all.size} pairs, 8x6 bands)")
+    // theory: 1-(1-p^6)^8 ~= 0.46 at cosine 0.45; wide band for fixture noise
+    assert(recall > 0.2 && recall <= 1.0)
+  }
+
   test("clusterPairs: transitivity, chains, cycles, min-id representative") {
     // components: {1,2,3,4} via chain 1-2-3-4, {7,8,9} via cycle, {11,12}
     val pairs = Seq(
