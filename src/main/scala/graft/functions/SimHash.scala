@@ -82,6 +82,69 @@ object SimHash64 {
   }
 }
 
+/** 128-bit SimHash: per token, lane 0 votes with FNV-1a of the token and
+  * lane 1 with the splitmix64 finalizer of that hash
+  * ([[SketchKernels.mix64]]) — one tokenization pass, two decorrelated
+  * 64-bit fingerprints. The wide fingerprint exists for *banding*: with
+  * four 32-bit chunks (instead of the 64-bit fp's four 16-bit chunks)
+  * the chunk-collision birthday term drops by 2^16 while Hamming ≤ 3
+  * banding stays pigeonhole-lossless — the fix for the sf1-measured
+  * quadratic candidate growth of the 16-bit layout. */
+object SimHash128 {
+  def computeText(text: UTF8String): ArrayData = {
+    val counts = new Array[Int](128)
+    val toks = text.toLowerCase.toString.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h0 = SimHash64.fnv1a64(UTF8String.fromString(toks(i)))
+        vote64(counts, 0, h0)
+        vote64(counts, 64, SketchKernels.mix64(h0))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(collapse64(counts, 0), collapse64(counts, 64)))
+  }
+
+  @inline private def vote64(counts: Array[Int], off: Int, h: Long): Unit = {
+    var j = 0
+    while (j < 64) {
+      if (((h >>> j) & 1L) == 1L) counts(off + j) += 1 else counts(off + j) -= 1
+      j += 1
+    }
+  }
+
+  @inline private def collapse64(counts: Array[Int], off: Int): Long = {
+    var res = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(off + j) > 0) res |= (1L << j)
+      j += 1
+    }
+    res
+  }
+}
+
+case class SimHashWide(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash128 requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash128.computeText(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash128.computeText($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash128"
+}
+
 case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -109,4 +172,5 @@ case class SimHash(child: Expression) extends UnaryExpression {
 
 object SimHashFunctions {
   def simhash64(tokens: Column): Column = columnOf(SimHash(expressionOf(tokens)))
+  def simhash128(text: Column): Column = columnOf(SimHashWide(expressionOf(text)))
 }

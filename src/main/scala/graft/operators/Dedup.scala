@@ -318,6 +318,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide-fingerprint SimHash near-dup pairs: 128-bit fingerprints
+    * (two decorrelated 64-bit lanes, [[graft.functions.SimHash128]])
+    * banded into four 32-bit chunks — still pigeonhole-lossless for
+    * Hamming ≤ 3, but the chunk-collision birthday term is n²/2³³ per
+    * chunk instead of the 64-bit layout's n²/2¹⁷ (the sf1-measured
+    * bottleneck: 41s of candidate verification at 50k docs). Verification
+    * is the exact summed `bit_count(xor)` over both lanes. Note the
+    * distance is over 128 bits, so "hamming ≤ 3" is a tighter relative
+    * similarity bar than x6's 64-bit variant — a different, stricter
+    * operating point, not a drop-in replacement. */
+  def simHash128Pairs(docs: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    import graft.functions.SimHashFunctions.simhash128
+    val fp = docs.select(col(idCol).as("id"), simhash128(col(textCol)).as("w"))
+      .select(col("id"), col("w")(0).as("fp0"), col("w")(1).as("fp1"))
+      .select(col("id"), col("fp0"), col("fp1"),
+        posexplode(array((0 until 4).map { c =>
+          shiftright(col(s"fp${c / 2}"), (c % 2) * 32).bitwiseAND(lit(0xffffffffL))
+        }: _*)).as(Seq("chunk", "chunk_val")))
+    val l = fp.as("l")
+    val r = fp.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") &&
+              col("l.chunk_val") === col("r.chunk_val") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              (bit_count(col("l.fp0").bitwiseXOR(col("r.fp0"))) +
+               bit_count(col("l.fp1").bitwiseXOR(col("r.fp1")))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -------------------------------------------------- near-dup clusters
 
   /** Connected components over near-dup pairs → one cluster representative

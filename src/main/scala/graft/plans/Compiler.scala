@@ -126,6 +126,9 @@ object Compiler {
       TextAnalysis.topTokensSketch(df, k, cap, gc)
     case Op.DedupEmbedding(t) =>
       Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
+    case Op.DedupEmbeddingLsh(t) =>
+      Dedup.embeddingPairsLsh(df, t).withColumn("cosine", round(col("cosine"), 6))
+    case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>
       Dedup.decontaminate(df, resolveTable(t, catalog), n)

@@ -640,21 +640,32 @@ object NLParser {
       val t = p.expectNum()
       requireDone(p)
       Op.DedupMinHash(t)
-    case Some(w: Word) if w.lower == "simhash" =>
+    case Some(w: Word) if w.lower == "simhash" || w.lower == "wide" =>
+      // "simhash (hamming h)?" | "wide simhash (hamming h)?" — the wide
+      // form is the 128-bit fingerprint ([[Op.DedupSimHashWide]]).
+      val wide = w.lower == "wide"
       p.next()
+      if (wide) p.expectWord("simhash")
       val h = p.peekWordLower match {
         case Some("hamming") => p.next(); p.expectNum().toInt
         case Some("within")  => p.next(); p.dropWords("hamming"); p.expectNum().toInt
         case _               => 3
       }
       requireDone(p)
-      Op.DedupSimHash(h)
+      if (wide) Op.DedupSimHashWide(h) else Op.DedupSimHash(h)
     case Some(w: Word) if w.lower == "embedding" || w.lower == "cosine" =>
-      // "… by embedding cosine 0.45" / "… by cosine above 0.45"
+      // "… by embedding cosine 0.45" / "… by cosine above 0.45",
+      // optionally "… using lsh" for the banded scale sibling
       p.next(); p.dropWords("embedding", "cosine", "above", "over")
       val t = p.expectNum()
+      val lsh = p.peekWordLower match {
+        case Some("using") | Some("with") =>
+          p.next(); p.expectWord("lsh"); true
+        case Some("lsh") => p.next(); true
+        case _ => false
+      }
       requireDone(p)
-      Op.DedupEmbedding(t)
+      if (lsh) Op.DedupEmbeddingLsh(t) else Op.DedupEmbedding(t)
     case other => throw ParseException(s"unknown dedup method: $other")
   }
 

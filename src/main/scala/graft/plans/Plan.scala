@@ -163,6 +163,13 @@ object Op {
   /** Embedding-cosine near-dup pairs at/above a threshold
     * ([[graft.operators.Dedup.embeddingPairs]]). */
   final case class DedupEmbedding(threshold: Double)               extends CorpusOp
+  /** Banded (sign-LSH bucketed) embedding near-dup pairs — the scale
+    * sibling of [[DedupEmbedding]]; recall < 1 by design
+    * ([[graft.operators.Dedup.embeddingPairsLsh]]). */
+  final case class DedupEmbeddingLsh(threshold: Double)            extends CorpusOp
+  /** 128-bit wide-fingerprint SimHash pairs, Hamming ≤ maxHamming over
+    * both lanes ([[graft.operators.Dedup.simHash128Pairs]]). */
+  final case class DedupSimHashWide(maxHamming: Int)               extends CorpusOp
   /** Deterministic ≤k rows per group by ascending sample hash
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,

@@ -31,6 +31,12 @@ object DedupQueries extends QueryPack {
     "x6_dedup_simhash" -> ((s: SparkSession, d: String) =>
       Dedup.simHashPairs(table(s, d, "documents"), maxHamming = 3)),
 
+    // Wide (128-bit) fingerprint: 32-bit chunk banding cuts the candidate
+    // birthday term 2^16x — the sf1-measured fix for x6's quadratic
+    // candidate growth; stricter relative-distance operating point.
+    "x34_dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
+      Dedup.simHash128Pairs(table(s, d, "documents"), maxHamming = 3)),
+
     "x7_dedup_embedding" -> ((s: SparkSession, d: String) =>
       Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold)
         .withColumn("cosine", round(col("cosine"), 6))),
@@ -80,6 +86,9 @@ object DedupQueries extends QueryPack {
 
     "x6_dedup_simhash" ->
       OracleHashSql.simHashPairsSql(maxHamming = 3),
+
+    "x34_dedup_simhash_wide" ->
+      OracleHashSql.simHash128PairsSql(maxHamming = 3),
 
     "x7_dedup_embedding" ->
       s"""SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (

@@ -166,7 +166,16 @@ object NLQueries extends QueryPack {
     // Same k/capacity as x32, so its oracle applies verbatim.
     "nl32_top_tokens_sketch" -> ((s: SparkSession, d: String) =>
       Engine.run("Find top 10 tokens by source using a sketch of capacity 256.",
-                 docs(s, d))))
+                 docs(s, d))),
+
+    // Banded scale siblings of nl25/nl4: same thresholds as x33/x34, so
+    // their oracles apply verbatim.
+    "nl33_dedup_embedding_lsh" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by embedding cosine above 0.45 using lsh.",
+                 embs(s, d))),
+
+    "nl34_dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by wide simhash hamming 3.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -238,6 +247,8 @@ object NLQueries extends QueryPack {
 
     "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
+    "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
+    "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),
     "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
     // Salting never changes inner-join multiplicity, so the oracle is the
     // plain join (q11's shape, count aggregate for integer exactness).

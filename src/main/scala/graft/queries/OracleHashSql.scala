@@ -163,6 +163,54 @@ object OracleHashSql {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming""".stripMargin
   }
 
+  /** Full `Dedup.simHash128Pairs` oracle: lane 0 fingerprints exactly as
+    * [[simHashPairsSql]]; lane 1 votes with the splitmix64 finalizer of
+    * each token hash (the same mix64 chain the sampling oracles replay,
+    * barriered per (doc, token-position) so duplicate tokens keep their
+    * votes). Banding into 32-bit chunks is pigeonhole-lossless for
+    * hamming ≤ 3, so the oracle is every pair with summed
+    * `bit_count(xor)` over both lanes ≤ maxHamming. */
+  def simHash128PairsSql(maxHamming: Int): String = {
+    val pows = (0 until 64)
+      .map(j => s"($j, ${java.math.BigInteger.ONE.shiftLeft(j)}::HUGEINT)")
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |th AS (SELECT doc_id, i.i AS pos, ${fnvUnsigned("toks[i.i]")} AS h
+       |       FROM t, unnest(range(1, len(toks)+1)) AS i(i)),
+       |m0 AS (SELECT doc_id, pos, h, (h + $GOLDEN::HUGEINT)
+       |           % 18446744073709551616::HUGEINT AS z FROM th GROUP BY 1, 2, 3, 4),
+       |m1 AS (SELECT doc_id, pos, h, ${xor64u("z", "(z // 1073741824)")} AS z
+       |       FROM m0 GROUP BY 1, 2, 3, 4),
+       |m2 AS (SELECT doc_id, pos, h, ${wmul("z", C1)} AS z FROM m1 GROUP BY 1, 2, 3, 4),
+       |m3 AS (SELECT doc_id, pos, h, ${xor64u("z", "(z // 134217728)")} AS z
+       |       FROM m2 GROUP BY 1, 2, 3, 4),
+       |m4 AS (SELECT doc_id, pos, h, ${wmul("z", C2)} AS z FROM m3 GROUP BY 1, 2, 3, 4),
+       |m5 AS (SELECT doc_id, pos, h, ${xor64u("z", "(z // 2147483648)")} AS z
+       |       FROM m4 GROUP BY 1, 2, 3, 4),
+       |lanes AS (
+       |  SELECT doc_id, 0 AS lane, h AS v FROM th
+       |  UNION ALL SELECT doc_id, 1 AS lane, z AS v FROM m5),
+       |votes AS (
+       |  SELECT doc_id, lane, j, p,
+       |    sum(CASE WHEN (v // p) % 2 = 1 THEN 1 ELSE -1 END) AS vt
+       |  FROM lanes, (SELECT * FROM (VALUES $pows) AS pw(j, p))
+       |  GROUP BY doc_id, lane, j, p),
+       |fps AS (
+       |  SELECT doc_id, lane,
+       |    sum(CASE WHEN vt > 0 THEN p ELSE 0::HUGEINT END)::HUGEINT AS fpu
+       |  FROM votes GROUP BY doc_id, lane),
+       |fp AS (
+       |  SELECT d.doc_id,
+       |    ${toSigned("coalesce(max(CASE WHEN lane = 0 THEN fpu END), 0::HUGEINT)")} AS f0,
+       |    ${toSigned("coalesce(max(CASE WHEN lane = 1 THEN fpu END), 0::HUGEINT)")} AS f1
+       |  FROM documents d LEFT JOIN fps ON d.doc_id = fps.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  (bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1)))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1)) <= $maxHamming""".stripMargin
+  }
+
   /** CTE chain reproducing `Sampling.sampleBucket`: splitmix64 of
     * (doc_id ^ mix64(seed)) in the unsigned HUGEINT domain, then the top
     * 53 bits (`// 2048`) as `bucket` in the final CTE `pb`. `carry`

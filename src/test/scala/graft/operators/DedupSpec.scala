@@ -158,6 +158,23 @@ class DedupSpec extends SparkSpec {
     assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("simhash128: banded pairs equal brute-force 128-bit hamming (pigeonhole lossless)") {
+    import graft.functions.SimHashFunctions.simhash128
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = docs.select(col("doc_id").as("id"), simhash128(col("text")).as("w"))
+      .select(col("id"), col("w")(0).as("fp0"), col("w")(1).as("fp1"))
+    val brute = fp.as("l").join(fp.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id"), col("r.id"),
+        (bit_count(col("l.fp0").bitwiseXOR(col("r.fp0"))) +
+         bit_count(col("l.fp1").bitwiseXOR(col("r.fp1")))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simHash128Pairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, "32-bit chunk banding must lose nothing at hamming <= 3")
+    assert(banded.exists(_._3 == 0L), "exact dups in the fixture must land at hamming 0")
+  }
+
   test("LSH embedding pairs are a subset of all-pairs with identical cosines") {
     val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -92,7 +92,9 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "sample 0.5 of rows"       -> List(O.SampleHash(0.5, 42L)),
       "find repeated spans of 5 tokens" -> List(O.RepeatedSpans(5, 2)),
       "find top 3 tokens"        -> List(O.TopTokens(3, "source")),
-      "compute corpus stats"     -> List(O.CorpusStats("source")))
+      "compute corpus stats"     -> List(O.CorpusStats("source")),
+      "dedup by wide simhash hamming 2" -> List(O.DedupSimHashWide(2)),
+      "dedup by cosine 0.5 using lsh"   -> List(O.DedupEmbeddingLsh(0.5)))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

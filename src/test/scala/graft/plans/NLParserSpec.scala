@@ -232,6 +232,25 @@ class NLParserSpec extends AnyFunSuite {
       List(O.DedupEmbedding(0.9)))
   }
 
+  test("dedup by embedding cosine using lsh") {
+    assert(NLParser.parse("Dedup by embedding cosine above 0.45 using lsh.").ops ==
+      List(O.DedupEmbeddingLsh(0.45)))
+    assert(NLParser.parse("Dedup by cosine 0.9 with lsh.").ops ==
+      List(O.DedupEmbeddingLsh(0.9)))
+    assert(NLParser.parse("Dedup by cosine 0.9 lsh.").ops ==
+      List(O.DedupEmbeddingLsh(0.9)))
+  }
+
+  test("dedup by wide simhash") {
+    assert(NLParser.parse("Dedup by wide simhash hamming 3.").ops ==
+      List(O.DedupSimHashWide(3)))
+    assert(NLParser.parse("Dedup by wide simhash.").ops ==
+      List(O.DedupSimHashWide(3)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by wide minhash 0.5.")
+    }
+  }
+
   test("sessionize: gap phrasings") {
     assert(NLParser.parse("Sessionize events with 30 minute gap.").ops ==
       List(O.Sessionize(30)))
