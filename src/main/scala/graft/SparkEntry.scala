@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, NLQueries, QueryPack, RelationalQueries, SamplingQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, NLQueries, PackingQueries, QueryPack, RelationalQueries, SamplingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
     EventQueries,
     MultimodalQueries,
     SamplingQueries,
+    PackingQueries,
     NLQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -269,4 +269,36 @@ object Similarity {
       cosineSim(col("q_vec"), col("c_vec")).as("score"))
     topKPerQuery(scored, k)
   }
+
+  /** Symmetric per-vector int8 quantization — the storage-compression
+    * step of an embedding pipeline (4× smaller than float32, 8× than
+    * float64; recall cost is measured, not assumed — see
+    * SimilaritySpec). Each component maps to
+    * `floor(x · 127 / max|x| + 0.5)` ∈ [-127, 127] with the per-vector
+    * scale kept alongside for dequantization (`q · scale ≈ x`).
+    *
+    * Output is exploded to (vec_id, pos, q, scale) rows: stateless
+    * map-side work that scales with scan bandwidth, and — because
+    * float→double widening, the multiply/divide chain, and
+    * `floor(x + 0.5)` (half-up) are all IEEE-exact single-rounding ops
+    * evaluated in the same order in any engine — bit-replayable by the
+    * DuckDB oracle. The all-zero vector quantizes to zeros with scale 0.
+    */
+  def quantizeInt8(embeddings: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(vecD, x => abs(x)))
+    embeddings
+      .select(col(idCol).as("vec_id"), vecD.as("v"), mx.as("mx"))
+      .select(col("vec_id"),
+              posexplode(col("v")).as(Seq("pos", "x")),
+              col("mx"))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+              when(col("mx") === 0.0, 0L)
+                .otherwise(floor(col("x") * lit(127.0) / col("mx") + lit(0.5)))
+                .cast("long").as("q"),
+              round(when(col("mx") === 0.0, 0.0)
+                .otherwise(col("mx") / lit(127.0)), 6).as("scale"))
+  }
 }

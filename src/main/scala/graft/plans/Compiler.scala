@@ -129,6 +129,9 @@ object Compiler {
     case Op.DedupEmbeddingLsh(t) =>
       Dedup.embeddingPairsLsh(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
+    case Op.PackSequences(budget, buckets) =>
+      graft.operators.Packing.packSequences(df, budget, buckets).toDF()
+    case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>
       Dedup.decontaminate(df, resolveTable(t, catalog), n)

@@ -126,7 +126,7 @@ object NLParser {
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
-        "decode", "resize", "compute", "join")
+        "decode", "resize", "compute", "join", "pack", "quantize")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -602,6 +602,34 @@ object NLParser {
           case other => throw ParseException(
             s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
         }
+      case Some("quantize") =>
+        // "Quantize embeddings to int8."
+        p.next(); p.dropWords("the", "embeddings", "embedding", "vectors")
+        p.dropWords("to", "as")
+        p.peekWordLower match {
+          case Some("int8") | Some("i8") => p.next()
+          case other => throw ParseException(
+            s"expected 'int8' after quantize, got $other")
+        }
+        requireDone(p)
+        Right(List(Op.QuantizeEmbeddings))
+      case Some("pack") =>
+        // "Pack documents into sequences of 512 tokens across 32 buckets."
+        p.next(); p.dropWords("the", "documents", "rows", "into", "sequences", "of")
+        val budget = p.expectNum().toInt
+        if (budget <= 0) throw ParseException(s"pack budget must be positive: $budget")
+        p.dropWords("tokens", "token")
+        val buckets = p.peekWordLower match {
+          case Some("across") | Some("in") | Some("over") =>
+            p.next()
+            val b = p.expectNum().toInt
+            if (b <= 0) throw ParseException(s"pack bucket count must be positive: $b")
+            p.dropWords("buckets", "bucket", "streams", "stream")
+            b
+          case _ => 32
+        }
+        requireDone(p)
+        Right(List(Op.PackSequences(budget, buckets)))
       case Some("compute") =>
         // "Compute corpus statistics by source."
         p.next(); p.dropWords("the", "corpus")

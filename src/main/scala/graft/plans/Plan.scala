@@ -170,6 +170,12 @@ object Op {
   /** 128-bit wide-fingerprint SimHash pairs, Hamming ≤ maxHamming over
     * both lanes ([[graft.operators.Dedup.simHash128Pairs]]). */
   final case class DedupSimHashWide(maxHamming: Int)               extends CorpusOp
+  /** Greedy first-fit sequence packing into `buckets` streams of
+    * ≤ `budget`-token bins ([[graft.operators.Packing.packSequences]]). */
+  final case class PackSequences(budget: Int, buckets: Int)        extends CorpusOp
+  /** Symmetric per-vector int8 embedding quantization
+    * ([[graft.operators.Similarity.quantizeInt8]]). */
+  case object QuantizeEmbeddings                                   extends CorpusOp
   /** Deterministic ≤k rows per group by ascending sample hash
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,

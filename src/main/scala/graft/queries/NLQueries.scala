@@ -175,7 +175,15 @@ object NLQueries extends QueryPack {
                  embs(s, d))),
 
     "nl34_dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
-      Engine.run("Dedup by wide simhash hamming 3.", docs(s, d))))
+      Engine.run("Dedup by wide simhash hamming 3.", docs(s, d))),
+
+    // Same budget/buckets as x35, so its oracle applies verbatim.
+    "nl35_pack_sequences" -> ((s: SparkSession, d: String) =>
+      Engine.run("Pack documents into sequences of 512 tokens across 32 buckets.",
+                 docs(s, d))),
+
+    "nl36_quantize_int8" -> ((s: SparkSession, d: String) =>
+      Engine.run("Quantize embeddings to int8.", embs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -249,6 +257,8 @@ object NLQueries extends QueryPack {
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),
+    "nl35_pack_sequences" -> PackingQueries.oracleSql("x35_pack_sequences"),
+    "nl36_quantize_int8" -> VectorQueries.oracleSql("x37_quantize_int8"),
     "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
     // Salting never changes inner-join multiplicity, so the oracle is the
     // plain join (q11's shape, count aggregate for integer exactness).

@@ -59,7 +59,12 @@ object VectorQueries extends QueryPack {
     "x33_embedding_pairs_lsh" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup
         .embeddingPairsLsh(table(s, d, "embeddings"), PairThreshold)
-        .withColumn("cosine", round(col("cosine"), 6))))
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    // Storage-compression step: per-vector symmetric int8. Every arithmetic
+    // step is an IEEE single-rounding op, so the oracle replays it exactly.
+    "x37_quantize_int8" -> ((s: SparkSession, d: String) =>
+      Similarity.quantizeInt8(table(s, d, "embeddings"))))
 
   private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
 
@@ -211,5 +216,22 @@ object VectorQueries extends QueryPack {
          |  FROM cand
          |  JOIN embeddings a ON a.vec_id = cand.id_a
          |  JOIN embeddings b ON b.vec_id = cand.id_b)
-         |WHERE cos >= $PairThreshold""".stripMargin)
+         |WHERE cos >= $PairThreshold""".stripMargin,
+
+    // 127.0 spelled ::DOUBLE — a bare DuckDB decimal literal would pull
+    // the arithmetic into DECIMAL and off the IEEE path Spark computes.
+    "x37_quantize_int8" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, i.i - 1 AS pos, v[i.i] AS x, mx
+         |  FROM v, unnest(range(1, len(v)+1)) AS i(i))
+         |SELECT vec_id, pos,
+         |  (CASE WHEN mx = 0 THEN 0
+         |        ELSE floor(x * 127.0::DOUBLE / mx + 0.5::DOUBLE) END)::BIGINT AS q,
+         |  round(CASE WHEN mx = 0 THEN 0.0::DOUBLE
+         |             ELSE mx / 127.0::DOUBLE END, 6) AS scale
+         |FROM e""".stripMargin)
 }

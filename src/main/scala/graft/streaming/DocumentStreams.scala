@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.TextAnalysis
 
@@ -110,4 +111,103 @@ object DocumentStreams {
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("tokens"))
       .select(col("w.start").as("window_start"), col("source"),
               col("n_docs"), col("tokens"))
+
+  /** One emitted heavy-hitter candidate from [[heavyTokensSketch]]:
+    * the true count in the (window, source) lies in [count_lb, count_ub];
+    * `heavy_guaranteed` certifies count_lb alone clears the MG
+    * containment threshold n_tokens/(capacity+1). */
+  final case class HeavyHitter(window_start: java.sql.Timestamp, source: String,
+                               token: String, count_lb: Long, count_ub: Long,
+                               n_tokens: Long, heavy_guaranteed: Boolean)
+
+  /** Streaming heavy-hitter tokens per (tumbling window, source) — the
+    * online face of [[TextAnalysis.topTokensSketch]]: a Misra-Gries
+    * sketch with the batch aggregator's exact update rule
+    * ([[TextAnalysis.MisraGriesAgg.reduce]], reused directly) held in
+    * `flatMapGroupsWithState` state and emitted once the watermark
+    * closes the window.
+    *
+    * The batch twin's second exact-recount pass needs the corpus again,
+    * which an unbounded stream cannot offer; the online deliverable is
+    * the MG guarantee itself, which holds under ANY arrival order:
+    * every token whose true count in the (window, source) exceeds
+    * n/(capacity+1) is present in the emitted survivors, and each
+    * survivor's true count lies in [count_lb, count_lb + n/(capacity+1)].
+    * Rows with `heavy_guaranteed` are certified heavy from the lower
+    * bound alone.
+    *
+    * Scale shape: state is O(capacity) counters per open (window,
+    * source) group — never the window's vocabulary — and the shuffle
+    * moves raw tokens once, partitioned by group key. At 100 TB the
+    * per-executor state store holds (open windows × sources × capacity)
+    * entries, bounded by the watermark horizon. */
+  def heavyTokensSketch(docs: DataFrame, capacity: Int = 256,
+                        width: String = "1 hour",
+                        watermark: String = "2 hours",
+                        groupCol: String = "source",
+                        textCol: String = "text"): Dataset[HeavyHitter] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val mg = new TextAnalysis.MisraGriesAgg(capacity)
+
+    // (windowStartSec, windowEndSec, source, tokens, ingest_ts) rows; the
+    // watermark on ingest_ts drives both window close and state timeout.
+    // The raw ingest_ts column rides along untouched because Spark's
+    // event-time-timeout checker requires a column still carrying the
+    // watermark tag in the flatMapGroupsWithState input — casting w.start
+    // to long (or even extracting w.end) strips that metadata.
+    val rows = docs
+      .withWatermark("ingest_ts", watermark)
+      .select(window(col("ingest_ts"), width).as("w"),
+              col(groupCol).cast("string").as("src"),
+              TextAnalysis.tokens(col(textCol)).as("toks"),
+              col("ingest_ts"))
+      .select(col("w.start").cast("long").as("start_s"),
+              col("w.end").cast("long").as("end_s"),
+              col("src"), col("toks"), col("ingest_ts"))
+      .as[(Long, Long, String, Seq[String], java.sql.Timestamp)]
+
+    def emit(startS: Long, src: String,
+             st: (Long, Map[String, Long], Long)): Iterator[HeavyHitter] = {
+      val (_, items, n) = st
+      val slack = n / (capacity + 1) // floor: the MG undercount bound
+      items.iterator.map { case (tok, c) =>
+        HeavyHitter(new java.sql.Timestamp(startS * 1000L), src, tok,
+                    c, c + slack, n, c > slack)
+      }
+    }
+
+    rows
+      .groupByKey { case (startS, _, src, _, _) => (startS, src) }
+      .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String),
+         batch: Iterator[(Long, Long, String, Seq[String], java.sql.Timestamp)],
+         state: GroupState[(Long, Map[String, Long], Long)]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(key._1, key._2, _))
+              .getOrElse(Iterator.empty)
+            state.remove()
+            out
+          } else {
+            var endMs = 0L
+            var sk = TextAnalysis.MGSketch(Map.empty)
+            var n = 0L
+            state.getOption.foreach { case (e, items, m) =>
+              endMs = e; sk = TextAnalysis.MGSketch(items); n = m
+            }
+            batch.foreach { case (_, endS, _, toks, _) =>
+              endMs = endS * 1000L
+              toks.foreach { t => sk = mg.reduce(sk, t) }
+              n += toks.size
+            }
+            state.update((endMs, sk.items, n))
+            // Fire once the watermark passes the window end (must stay
+            // strictly ahead of the current watermark or Spark rejects it).
+            state.setTimeoutTimestamp(
+              math.max(endMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

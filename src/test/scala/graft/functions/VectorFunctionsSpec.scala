@@ -157,4 +157,37 @@ class VectorFunctionsSpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f over ${exact.size} exact pairs")
     assert(recall > 0.15, s"implausibly low recall: $recall")
   }
+
+  test("int8 quantization: range, zero edge, and measured dequantization fidelity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => math.abs(r.getLong(2)) <= 127), "q must fit int8")
+    assert(q.forall(_.getDouble(3) > 0.0), "real embeddings have nonzero scale")
+
+    // zero vector → all-zero q with scale 0 (no NaN/overflow path)
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")).collect()
+    assert(z.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+
+    // measured fidelity: cosine(original, dequantized) per vector
+    val orig = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    val deq = q.groupBy(_.getLong(0)).map { case (id, rows) =>
+      val v = new Array[Double](rows.length)
+      rows.foreach(r => v(r.getLong(1).toInt) = r.getLong(2) * r.getDouble(3))
+      id -> v
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val fidelities = deq.map { case (id, v) => cos(orig(id), v) }
+    val worst = fidelities.min
+    info(f"int8 dequantization cosine fidelity: worst $worst%.6f")
+    assert(worst > 0.999, s"int8 quantization lost too much: $worst")
+  }
 }

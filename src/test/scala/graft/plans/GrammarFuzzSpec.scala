@@ -94,7 +94,9 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "find top 3 tokens"        -> List(O.TopTokens(3, "source")),
       "compute corpus stats"     -> List(O.CorpusStats("source")),
       "dedup by wide simhash hamming 2" -> List(O.DedupSimHashWide(2)),
-      "dedup by cosine 0.5 using lsh"   -> List(O.DedupEmbeddingLsh(0.5)))
+      "dedup by cosine 0.5 using lsh"   -> List(O.DedupEmbeddingLsh(0.5)),
+      "pack into sequences of 128 tokens" -> List(O.PackSequences(128, 32)),
+      "quantize embeddings to int8"       -> List(O.QuantizeEmbeddings))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

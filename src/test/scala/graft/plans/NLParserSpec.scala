@@ -241,6 +241,16 @@ class NLParserSpec extends AnyFunSuite {
       List(O.DedupEmbeddingLsh(0.9)))
   }
 
+  test("quantize embeddings clause") {
+    assert(NLParser.parse("Quantize embeddings to int8.").ops ==
+      List(O.QuantizeEmbeddings))
+    assert(NLParser.parse("Quantize to int8.").ops ==
+      List(O.QuantizeEmbeddings))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Quantize embeddings to int4.")
+    }
+  }
+
   test("dedup by wide simhash") {
     assert(NLParser.parse("Dedup by wide simhash hamming 3.").ops ==
       List(O.DedupSimHashWide(3)))

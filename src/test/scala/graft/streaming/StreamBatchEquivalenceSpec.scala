@@ -344,4 +344,124 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         s"normalized fingerprint sets diverged: batch=${batchKept.length} stream=${streamKept.length}")
     } finally stopQuietly(q)
   }
+
+  test("streaming packSequencesStream reproduces batch packing on doc_id-ordered replay") {
+    import graft.operators.Packing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = Packing.packSequences(docs, budget = 128, buckets = 8)
+      .collect().map(p => (p.doc_id, p.bucket, p.n_tokens, p.bin)).sortBy(_._1).toSeq
+    assert(batch.map(_._4).max > 0, "fixture must produce multiple bins")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "text")
+    val q = Packing.packSequencesStream(streamDocs, budget = 128, buckets = 8)
+      .writeStream.format("memory").queryName("equiv_pack").outputMode("append").start()
+    try {
+      // five chronological chunks exercise cross-batch (bin, acc) carry
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.grouped(math.max(1, rows.length / 5))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("equiv_pack").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"packings diverged: first diff=${
+          streamed.zip(batch).find { case (a, b) => a != b }}")
+    } finally stopQuietly(q)
+  }
+
+  test("streaming heavyTokensSketch honors the MG containment + bound contract vs exact batch counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Two tumbling day-windows: doc_id parity picks the day, so the batch
+    // truth can replicate the window assignment exactly.
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+    def tsOf(docId: Long) = new Timestamp(base + (docId % 2) * dayMs + 3600 * 1000)
+
+    // Exact truth: (day, source) -> token counts + total token count.
+    val exact = docs
+      .select((col("doc_id") % 2).as("day"), col("source"),
+              explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("day", "source", "token").count()
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+      }
+    assert(exact.nonEmpty && exact.forall(_._2.size > 8),
+      "every (day, source) group should have vocabulary above the small capacity")
+
+    // capacity 8 forces constant MG overflow; 256 is the x32 operating point.
+    for (capacity <- Seq(8, 256)) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, String, Timestamp)]
+      val streamDocs = input.toDF().toDF("doc_id", "source", "text", "ingest_ts")
+      val name = s"equiv_heavy_$capacity"
+      val q = DocumentStreams.heavyTokensSketch(streamDocs, capacity = capacity,
+          width = "1 day", watermark = "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // Event-time-ordered replay: the stateful exec drops rows behind
+        // the watermark (its input carries the watermarked ingest_ts), so
+        // a doc_id-ordered feed would interleave the two days and lose
+        // day-0 rows once a day-1 row has advanced the watermark.
+        val rows = docs.select("doc_id", "source", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), tsOf(r.getLong(0))))
+          .sortBy(t => (t._4.getTime, t._1))
+        rows.grouped(math.max(1, rows.length / 3))
+          .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+        // Two far-future sentinels: advance the watermark past both real
+        // windows, then give the state store a batch for timeouts to fire.
+        input.addData((-1L, "zz", "sentinel",
+                       new Timestamp(base + 30L * dayMs)))
+        q.processAllAvailable()
+        input.addData((-2L, "zz", "sentinel2",
+                       new Timestamp(base + 31L * dayMs)))
+        q.processAllAvailable()
+
+        val streamed = spark.table(name)
+          .filter(col("source") =!= "zz")
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+                     r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+          .groupBy(t => ((t._1.getTime - base) / dayMs, t._2))
+
+        // A group may legitimately emit NOTHING: a final Misra-Gries
+        // decrement cascade can empty the sketch, which is the sketch
+        // saying "no token is certified heavy" — valid iff no token
+        // actually clears the n/(capacity+1) threshold (checked by the
+        // containment loop below over an empty survivor set). So the
+        // emitted keys must be a subset of the exact keys, not equal.
+        assert(streamed.keySet.subsetOf(exact.keySet),
+          s"unexpected (day, source) keys: ${(streamed.keySet -- exact.keySet).take(3)}")
+        for (key <- exact.keys) {
+          val rows = streamed.getOrElse(key, Array.empty)
+          val truth = exact(key)
+          val n = truth.values.sum
+          assert(rows.forall(_._6 == n),
+            s"$key: emitted n_tokens ${rows.map(_._6).distinct.toList} " +
+              s"over ${rows.length} rows must equal the exact total $n")
+          val slack = n / (capacity + 1)
+          // Per-survivor bound: count_lb <= exact <= count_ub.
+          rows.foreach { case (_, _, tok, lb, ub, _, guaranteed) =>
+            val ex = truth.getOrElse(tok, 0L)
+            assert(lb <= ex && ex <= ub,
+              s"$key/$tok: exact $ex outside [$lb, $ub] at capacity $capacity")
+            if (guaranteed) assert(ex > slack,
+              s"$key/$tok: certified heavy but exact $ex <= $slack")
+          }
+          // Containment: every true heavy hitter survives the sketch.
+          val survivors = rows.map(_._3).toSet
+          truth.foreach { case (tok, ex) =>
+            if (ex > slack) assert(survivors.contains(tok),
+              s"$key: true heavy $tok (count $ex > $slack) missing at capacity $capacity")
+          }
+          assert(rows.size <= capacity,
+            s"$key: ${rows.size} survivors exceed capacity $capacity")
+        }
+      } finally stopQuietly(q)
+    }
+  }
 }
