@@ -68,6 +68,44 @@ object Packing {
       }
   }
 
+  /** Sliding-window document chunking — the context-window prep step
+    * that splits long documents into ≤`window`-token chunks whose
+    * starts advance by `window - overlap` tokens, so consecutive chunks
+    * share `overlap` tokens of context. Chunk k of a document with n
+    * tokens covers token positions [k·stride, min(k·stride + window, n));
+    * the chunk count is 1 when n ≤ window and ⌈(n − window)/stride⌉ + 1
+    * otherwise (the final chunk may be short but always holds the tail).
+    * Zero-token documents emit no chunks.
+    *
+    * Scale shape: pure per-row column work — tokenize, explode a
+    * `sequence` of chunk indices, `slice` the token array — no shuffle,
+    * no UDF, fully codegen'd, so throughput is scan-bound. Output size
+    * is input size × (1 + overlap/stride) in tokens; all arithmetic is
+    * integer, so the DuckDB oracle replays it exactly. */
+  def chunkDocuments(docs: DataFrame, window: Int = 128, overlap: Int = 0,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+            s"overlap must be in [0, window), got $overlap for window $window")
+    val stride = window - overlap
+    val toks = Dedup.tokens(col(textCol))
+    val kMax = when(col("n") <= window, lit(0L))
+      .otherwise(floor((col("n") - window + stride - 1) / lit(stride)).cast("long"))
+    val start = col("k") * stride // 0-based first token position
+    val chunk = slice(col("toks"), (start + 1).cast("int"), lit(window))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"),
+              size(toks).cast("long").as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+              explode(sequence(lit(0L), kMax)).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+              start.as("start_tok"),
+              size(chunk).cast("long").as("n_tokens"),
+              concat_ws(" ", chunk).as("chunk_text"))
+  }
+
   /** Bin-level summary of a packing: per (bucket, bin) the document
     * count, token total, and fill ratio against the budget — the
     * packing-efficiency report a pipeline operator watches. */

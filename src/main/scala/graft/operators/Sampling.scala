@@ -90,6 +90,30 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/validation/test split: every row is labeled by
+    * its sample bucket against cumulative fraction thresholds, so the
+    * assignment is a pure function of (id, seed) — stable under
+    * repartitioning, reruns, and incremental appends (a new row's label
+    * never depends on other rows), which is the property a 100 TB
+    * pipeline needs to keep held-out data held out across rebuilds. The
+    * final split absorbs the bucket tail, so fractions that sum to 1
+    * partition every row. Pure map-side column work, no shuffle. */
+  def assignSplits(df: DataFrame, splits: Seq[(String, Double)], seed: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0), s"split fractions must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+            s"split labels must be distinct: ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1, got $total")
+    val bucket = sampleBucket(col(idCol), seed)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
+      case (((l, _), c), acc) => when(bucket < lit(threshold(c)), lit(l)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Per-stratum Bernoulli sampling: keep rows of stratum s with
     * probability fractions(s) (absent strata keep 0). */
   def stratified(df: DataFrame, stratumCol: String,

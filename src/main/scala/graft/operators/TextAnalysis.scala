@@ -298,4 +298,38 @@ object TextAnalysis {
            sum(tokenCount(col(textCol))).as("total_tokens"),
            round(avg(length(col(textCol))), 4).as("avg_chars"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms of each document by
+    * `tf · ln(N / df)`, where tf is the term's in-document count, df the
+    * number of documents containing it, and N the number of non-empty
+    * documents. Scores are rounded to 6 decimals BEFORE ranking so the
+    * (score desc, token asc) order is reproducible across engines —
+    * `ln` is correctly-rounded nowhere, and an unrounded sort could flip
+    * rank on a last-ulp disagreement between JVM and oracle libm.
+    *
+    * Scale shape: three key-partitioned shuffles — tf on (doc, token),
+    * df on token (joined back token-keyed: the vocabulary can be
+    * hundreds of millions of terms on web-scale text, so it is NOT
+    * broadcast), and the per-document top-k window on doc_id. Only N, a
+    * single row, is broadcast. Nothing is corpus-cardinality on the
+    * driver. */
+  def tfIdf(docs: DataFrame, k: Int = 5, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).cast("long").as("doc_id"),
+                            explode(tokens(col(textCol))).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf_idf").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"),
+              col("tf"), col("df"), col("tf_idf"))
+  }
 }

@@ -131,6 +131,11 @@ object Compiler {
     case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
     case Op.PackSequences(budget, buckets) =>
       graft.operators.Packing.packSequences(df, budget, buckets).toDF()
+    case Op.ChunkDocuments(window, overlap) =>
+      graft.operators.Packing.chunkDocuments(df, window, overlap)
+    case Op.TfIdfKeywords(k) => TextAnalysis.tfIdf(df, k)
+    case Op.AssignSplits(splits, seed) =>
+      Sampling.assignSplits(df, splits.map { case (l, pct) => (l, pct / 100.0) }, seed)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>

@@ -126,7 +126,8 @@ object NLParser {
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
-        "decode", "resize", "compute", "join", "pack", "quantize")
+        "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
+        "split")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -456,7 +457,13 @@ object NLParser {
         } else {
           p.expectWord("top")
           val k = p.expectNum().toInt
-          if (p.peekWordLower.contains("tokens")) {
+          if (p.peekWordLower.contains("keywords")) {
+            // "Find top 5 keywords per document." — TF-IDF extraction
+            p.next(); p.dropWords("per", "for", "each", "document", "documents", "doc")
+            p.dropWords("by"); p.dropWords("tfidf", "tf-idf")
+            requireDone(p)
+            Right(List(Op.TfIdfKeywords(k)))
+          } else if (p.peekWordLower.contains("tokens")) {
             // "Find top 10 tokens by source." — optional "with a sketch
             // (of capacity m)" tail routes to the bounded-memory MG path
             p.next()
@@ -602,6 +609,32 @@ object NLParser {
           case other => throw ParseException(
             s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
         }
+      case Some("split") =>
+        // "Split documents into 80 percent train, 10 percent validation
+        //  and 10 percent test (with seed 7)."
+        p.next(); p.dropWords("the", "documents", "docs", "rows", "corpus", "into")
+        val segs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+        var more = true
+        while (more) {
+          val pct = p.expectNum().toInt
+          p.peek match {
+            case Some(Sym("%"))                        => p.next()
+            case Some(w: Word) if w.lower == "percent" => p.next()
+            case _                                     => ()
+          }
+          val label = p.expectWordRaw()
+          segs += ((label, pct))
+          p.peek match {
+            case Some(Sym(","))                    => p.next(); p.dropWords("and")
+            case Some(w: Word) if w.lower == "and" => p.next()
+            case _                                 => more = false
+          }
+        }
+        val seed = parseSeed(p)
+        if (segs.map(_._2).sum != 100)
+          throw ParseException(s"split percents must sum to 100, got ${segs.map(_._2).sum}")
+        requireDone(p)
+        Right(List(Op.AssignSplits(segs.toList, seed)))
       case Some("quantize") =>
         // "Quantize embeddings to int8."
         p.next(); p.dropWords("the", "embeddings", "embedding", "vectors")
@@ -613,6 +646,24 @@ object NLParser {
         }
         requireDone(p)
         Right(List(Op.QuantizeEmbeddings))
+      case Some("chunk") =>
+        // "Chunk documents into 128 token windows with 16 token overlap."
+        p.next(); p.dropWords("the", "documents", "rows", "into")
+        val window = p.expectNum().toInt
+        if (window <= 0) throw ParseException(s"chunk window must be positive: $window")
+        p.dropWords("token", "tokens", "windows", "window", "chunks", "chunk")
+        val overlap = p.peekWordLower match {
+          case Some("with") | Some("overlapping") =>
+            p.next(); p.dropWords("by")
+            val v = p.expectNum().toInt
+            p.dropWords("token", "tokens", "overlap", "of")
+            v
+          case _ => 0
+        }
+        if (overlap < 0 || overlap >= window)
+          throw ParseException(s"chunk overlap must be in [0, window): $overlap for window $window")
+        requireDone(p)
+        Right(List(Op.ChunkDocuments(window, overlap)))
       case Some("pack") =>
         // "Pack documents into sequences of 512 tokens across 32 buckets."
         p.next(); p.dropWords("the", "documents", "rows", "into", "sequences", "of")

@@ -173,6 +173,17 @@ object Op {
   /** Greedy first-fit sequence packing into `buckets` streams of
     * ≤ `budget`-token bins ([[graft.operators.Packing.packSequences]]). */
   final case class PackSequences(budget: Int, buckets: Int)        extends CorpusOp
+  /** Sliding-window chunking into ≤`window`-token chunks overlapping by
+    * `overlap` tokens ([[graft.operators.Packing.chunkDocuments]]). */
+  final case class ChunkDocuments(window: Int, overlap: Int)       extends CorpusOp
+  /** Top-k TF-IDF keywords per document
+    * ([[graft.operators.TextAnalysis.tfIdf]]). */
+  final case class TfIdfKeywords(k: Int)                           extends CorpusOp
+  /** Deterministic labeled split by cumulative hash-bucket thresholds;
+    * percents must sum to 100
+    * ([[graft.operators.Sampling.assignSplits]]). */
+  final case class AssignSplits(splits: List[(String, Int)], seed: Long)
+                                                                   extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

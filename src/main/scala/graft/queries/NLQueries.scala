@@ -183,7 +183,23 @@ object NLQueries extends QueryPack {
                  docs(s, d))),
 
     "nl36_quantize_int8" -> ((s: SparkSession, d: String) =>
-      Engine.run("Quantize embeddings to int8.", embs(s, d))))
+      Engine.run("Quantize embeddings to int8.", embs(s, d))),
+
+    // Same window/overlap as x38, so its oracle applies verbatim.
+    "nl37_chunk_documents" -> ((s: SparkSession, d: String) =>
+      Engine.run("Chunk documents into 128 token windows with 16 token overlap.",
+                 docs(s, d))),
+
+    // Same k as x39, so its oracle applies verbatim.
+    "nl38_tfidf_keywords" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 keywords per document.", docs(s, d))),
+
+    // Same fractions and seed as x40, so its oracle applies verbatim —
+    // but the driver compares the full projection, so keep doc_id+split.
+    "nl39_split_assign" -> ((s: SparkSession, d: String) =>
+      Engine.run("Split documents into 80 percent train, 10 percent validation " +
+                   "and 10 percent test with seed 7.", docs(s, d))
+        .select("doc_id", "split")))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -259,6 +275,9 @@ object NLQueries extends QueryPack {
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),
     "nl35_pack_sequences" -> PackingQueries.oracleSql("x35_pack_sequences"),
     "nl36_quantize_int8" -> VectorQueries.oracleSql("x37_quantize_int8"),
+    "nl37_chunk_documents" -> PackingQueries.oracleSql("x38_chunk_documents"),
+    "nl38_tfidf_keywords" -> TextQueries.oracleSql("x39_tfidf_keywords"),
+    "nl39_split_assign" -> SamplingQueries.oracleSql("x40_split_assign"),
     "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
     // Salting never changes inner-join multiplicity, so the oracle is the
     // plain join (q11's shape, count aggregate for integer exactness).

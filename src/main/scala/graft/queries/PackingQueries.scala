@@ -15,6 +15,8 @@ object PackingQueries extends QueryPack {
 
   private val Budget = 512
   private val Buckets = 32
+  private val ChunkWindow = 128
+  private val ChunkOverlap = 16
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x35_pack_sequences" -> ((s: SparkSession, d: String) =>
@@ -23,7 +25,10 @@ object PackingQueries extends QueryPack {
     "x36_packing_summary" -> ((s: SparkSession, d: String) =>
       Packing.packingSummary(
         Packing.packSequences(table(s, d, "documents"), Budget, Buckets),
-        Budget)))
+        Budget)),
+
+    "x38_chunk_documents" -> ((s: SparkSession, d: String) =>
+      Packing.chunkDocuments(table(s, d, "documents"), ChunkWindow, ChunkOverlap)))
 
   import OracleHashSql.toksSql
 
@@ -60,5 +65,25 @@ object PackingQueries extends QueryPack {
          |SELECT bucket, bin, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS tokens,
          |  round(sum(n_tokens)::BIGINT / ${Budget.toDouble}, 6) AS fill
-         |FROM pack GROUP BY bucket, bin""".stripMargin)
+         |FROM pack GROUP BY bucket, bin""".stripMargin,
+
+    // Chunk k covers 1-based token positions [k*stride + 1, k*stride + W]
+    // (DuckDB list_slice is inclusive and clamps at the list end, matching
+    // Spark's slice(start, length) truncation).
+    "x38_chunk_documents" -> {
+      val stride = ChunkWindow - ChunkOverlap
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+         |k AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, CASE WHEN n <= $ChunkWindow THEN 1
+         |      ELSE (n - $ChunkWindow + $stride - 1) // $stride + 1 END)) AS k
+         |  FROM n)
+         |SELECT doc_id, k AS chunk_id, k * $stride AS start_tok,
+         |  len(list_slice(toks, k * $stride + 1, k * $stride + $ChunkWindow))::BIGINT AS n_tokens,
+         |  array_to_string(list_slice(toks, k * $stride + 1, k * $stride + $ChunkWindow), ' ') AS chunk_text
+         |FROM k""".stripMargin
+    })
 }

@@ -46,7 +46,15 @@ object SamplingQueries extends QueryPack {
 
     "x31_sample_cap_per_group" -> ((s: SparkSession, d: String) =>
       Sampling.capPerGroup(table(s, d, "documents"), "source", 5, Seed)
-        .select(col("doc_id"), col("source"))))
+        .select(col("doc_id"), col("source"))),
+
+    "x40_split_assign" -> ((s: SparkSession, d: String) =>
+      Sampling.assignSplits(table(s, d, "documents"), SplitSpec, Seed)
+        .select(col("doc_id"), col("split"))))
+
+  /** The canonical 80/10/10 train/validation/test cut. */
+  private val SplitSpec: Seq[(String, Double)] =
+    Seq(("train", 0.8), ("validation", 0.1), ("test", 0.1))
 
   private def caseThreshold: String =
     StratFractions.toSeq.sortBy(_._1).map { case (src, f) =>
@@ -80,5 +88,18 @@ object SamplingQueries extends QueryPack {
          |UNION ALL
          |SELECT doc_id, 'tail' FROM pb
          |  WHERE source = 'src5'
-         |    AND bucket < ${Sampling.threshold(TailWeight)}""".stripMargin)
+         |    AND bucket < ${Sampling.threshold(TailWeight)}""".stripMargin,
+
+    // Cumulative thresholds are computed Scala-side and inlined as exact
+    // BIGINT literals, so only one engine ever does float arithmetic.
+    "x40_split_assign" -> {
+      val cum = SplitSpec.map(_._2).scanLeft(0.0)(_ + _).tail
+      val cases = SplitSpec.init.zip(cum.init).map { case ((l, _), c) =>
+        s"WHEN bucket < ${Sampling.threshold(c)} THEN '$l'"
+      }.mkString(" ")
+      s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id")}
+         |SELECT doc_id,
+         |  CASE $cases ELSE '${SplitSpec.last._1}' END AS split
+         |FROM pb""".stripMargin
+    })
 }

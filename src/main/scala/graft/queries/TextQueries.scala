@@ -56,7 +56,10 @@ object TextQueries extends QueryPack {
     // q12 technique for approximate operators.
     "x32_top_tokens_sketch" -> ((s: SparkSession, d: String) =>
       graft.operators.TextAnalysis.topTokensSketch(
-        table(s, d, "documents"), k = 10, capacity = 256)))
+        table(s, d, "documents"), k = 10, capacity = 256)),
+
+    "x39_tfidf_keywords" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.tfIdf(table(s, d, "documents"), k = 5)))
 
   override val oracleSql: Map[String, String] = Map(
     "x8_text_tokens" ->
@@ -141,5 +144,26 @@ object TextQueries extends QueryPack {
          |      ORDER BY count(*) DESC, token ASC) AS rank
          |  FROM (SELECT source, unnest($toksSql) AS token FROM documents)
          |  GROUP BY source, token)
-         |WHERE rank <= 10""".stripMargin)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Scores round to 6 decimals BEFORE the rank order, mirroring the
+    // Spark side: ln() is not correctly rounded in either engine, so
+    // ranking unrounded values could flip on a last-ulp disagreement.
+    "x39_tfidf_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, token),
+         |df AS (
+         |  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df::DOUBLE), 6) AS tf_idf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, rank, token, tf, df, tf_idf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf_idf DESC, token ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= 5""".stripMargin)
 }

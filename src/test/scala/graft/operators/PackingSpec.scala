@@ -69,6 +69,64 @@ class PackingSpec extends SparkSpec {
     assert(medianFill > 0.5, s"median fill $medianFill suspiciously low")
   }
 
+  test("chunkDocuments: coverage, overlap, and tail semantics") {
+    val (w, v) = (32, 8)
+    val stride = w - v
+    val chunks = Packing.chunkDocuments(docs, window = w, overlap = v).collect()
+    assert(chunks.nonEmpty)
+    val nTokens = docs.select($"doc_id",
+        size(Dedup.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, rows) =>
+      val n = nTokens(docId)
+      val expected = if (n <= w) 1L else (n - w + stride - 1) / stride + 1L
+      assert(rows.length == expected,
+        s"doc $docId ($n tokens): ${rows.length} chunks, expected $expected")
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getLong(2) == k.toLong * stride, "start must advance by stride")
+        val len = r.getLong(3)
+        assert(len == math.min(w.toLong, n - k * stride), s"doc $docId chunk $k length $len")
+        assert(r.getString(4).split(" ").length.toLong == len,
+          "chunk_text must hold exactly n_tokens tokens")
+      }
+      // every token position is covered: last chunk reaches the tail
+      val last = ordered.last
+      assert(last.getLong(2) + last.getLong(3) == n, s"doc $docId tail uncovered")
+      // consecutive chunks overlap by exactly `v` tokens (unless the tail is short)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a.getLong(2) + a.getLong(3)
+          if (a.getLong(3) == w) assert(aEnd - b.getLong(2) == v,
+            s"doc $docId: overlap ${aEnd - b.getLong(2)} != $v")
+        case _ => ()
+      }
+    }
+    // zero-token docs emit nothing
+    import spark.implicits._
+    val empty = Packing.chunkDocuments(
+      Seq((1L, "   "), (2L, "one two")).toDF("doc_id", "text"), 4, 1).collect()
+    assert(empty.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("NL route parses and compiles the chunking clause") {
+    import graft.plans.{NLParser, Op => O}
+    assert(NLParser.parse(
+      "Chunk documents into 128 token windows with 16 token overlap.").ops ==
+      List(O.ChunkDocuments(128, 16)))
+    assert(NLParser.parse("Chunk into 64 token windows.").ops ==
+      List(O.ChunkDocuments(64, 0)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Chunk documents into 32 token windows with 32 token overlap.")
+    }
+    val out = graft.Engine.run(
+      "Chunk documents into 64 token windows with 8 token overlap.", docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text"))
+    assert(out.count() >= docs.where(length(trim($"text")) > 0).count())
+  }
+
   test("NL route parses and compiles the packing clause") {
     import graft.plans.{NLParser, Op => O}
     assert(NLParser.parse(

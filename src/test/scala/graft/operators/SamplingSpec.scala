@@ -115,4 +115,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("quality") < 0.5).count() == 0)
     assert(out.count() > 0)
   }
+
+  test("assignSplits: total partition, deterministic, append-stable, ~proportional") {
+    val spec = Seq(("train", 0.8), ("validation", 0.1), ("test", 0.1))
+    val out = Sampling.assignSplits(docs, spec, seed = 7L)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every row gets exactly one label
+    assert(out.length == docs.count())
+    assert(out.map(_._2).toSet == Set("train", "validation", "test"))
+    // proportions are roughly honored (53-bit hash, 500 docs)
+    val frac = out.groupBy(_._2).view.mapValues(_.size.toDouble / out.length)
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac("validation") - 0.1) < 0.05)
+    // label is a pure function of (id, seed): a subset keeps its labels
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val halfOut = Sampling.assignSplits(half, spec, seed = 7L)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.toMap
+    assert(halfOut.forall { case (id, s) => full(id) == s },
+      "labels must not depend on which other rows are present")
+    // invalid specs are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq(("a", 0.5), ("b", 0.4)), 1L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq(("a", 0.5), ("a", 0.5)), 1L).collect()
+    }
+  }
 }

@@ -109,4 +109,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sk.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       == exact)
   }
+
+  test("tfIdf: scores match a driver-side recomputation; rarer terms outrank common ones") {
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry banana date"),
+      (3L, "cherry date elderberry apple"),
+      (4L, "fig fig fig banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(corpus, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                 r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+    // driver-side truth
+    val toks = Map(
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "cherry", "banana", "date"),
+      3L -> Seq("cherry", "date", "elderberry", "apple"),
+      4L -> Seq("fig", "fig", "fig", "banana"))
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val n = toks.size.toDouble
+    def score(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(n / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = toks.flatMap { case (id, ts) =>
+      val tfs = ts.groupBy(identity).view.mapValues(_.size)
+      tfs.toSeq.map { case (t, tf) => (id, t, tf, dfm(t), score(tf, dfm(t))) }
+        .sortBy { case (_, t, _, _, s) => (-s, t) }
+        .take(3).zipWithIndex
+        .map { case ((i, t, tf, df, s), r) => (i, r + 1L, t, tf.toLong, df.toLong, s) }
+    }.toSet
+    assert(out.toSet == expected, s"got ${out.toSet -- expected}, missed ${expected -- out.toSet}")
+
+    // fig appears 3x in doc 4 and in only one doc: its tfidf must top doc 4
+    val doc4 = out.filter(_._1 == 4L).minBy(_._2)
+    assert(doc4._3 == "fig")
+    // each doc emits at most k rows with ranks 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length))
+    }
+  }
 }

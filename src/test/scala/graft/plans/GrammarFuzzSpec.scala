@@ -96,7 +96,11 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "dedup by wide simhash hamming 2" -> List(O.DedupSimHashWide(2)),
       "dedup by cosine 0.5 using lsh"   -> List(O.DedupEmbeddingLsh(0.5)),
       "pack into sequences of 128 tokens" -> List(O.PackSequences(128, 32)),
-      "quantize embeddings to int8"       -> List(O.QuantizeEmbeddings))
+      "quantize embeddings to int8"       -> List(O.QuantizeEmbeddings),
+      "chunk into 64 token windows with 8 token overlap" -> List(O.ChunkDocuments(64, 8)),
+      "find top 5 keywords per document" -> List(O.TfIdfKeywords(5)),
+      "split into 80 percent train, 10 percent validation and 10 percent test" ->
+        List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 42L)))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

@@ -241,6 +241,22 @@ class NLParserSpec extends AnyFunSuite {
       List(O.DedupEmbeddingLsh(0.9)))
   }
 
+  test("chunk, keywords, and split clauses") {
+    assert(NLParser.parse("Chunk documents into 128 token windows with 16 token overlap.").ops ==
+      List(O.ChunkDocuments(128, 16)))
+    assert(NLParser.parse("Find top 5 keywords per document.").ops ==
+      List(O.TfIdfKeywords(5)))
+    assert(NLParser.parse(
+      "Split documents into 80 percent train, 10 percent validation and " +
+        "10 percent test with seed 7.").ops ==
+      List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 7L)))
+    assert(NLParser.parse("Split into 50% a and 50% b.").ops ==
+      List(O.AssignSplits(List(("a", 50), ("b", 50)), 42L)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Split documents into 80 percent train and 30 percent test.")
+    }
+  }
+
   test("quantize embeddings clause") {
     assert(NLParser.parse("Quantize embeddings to int8.").ops ==
       List(O.QuantizeEmbeddings))
