@@ -70,6 +70,41 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic upsampling: replicate every row ⌊times⌋ times (tagged
+    * epoch 0..⌊times⌋-1) plus a hash-sampled fraction of the rows once
+    * more (epoch ⌊times⌋) — how a pre-training mixture runs a source for
+    * a non-integer number of epochs without RNG state. Pure map-side
+    * explode + filter: no shuffle, and membership of the fractional
+    * epoch is the same (id, seed)-pure predicate as [[hashSample]], so
+    * the replication plan is reproducible row-for-row at any scale. */
+  def upsample(df: DataFrame, times: Double, seed: Long,
+               idCol: String = "doc_id"): DataFrame = {
+    require(times > 0.0, s"times must be positive, got $times")
+    val full = math.floor(times).toInt
+    val frac = times - full
+    val fullPart =
+      if (full > 0) Seq(df.withColumn("epoch",
+        explode(array((0 until full).map(e => lit(e.toLong)): _*))))
+      else Nil
+    val fracPart =
+      if (frac > 1e-12) Seq(hashSample(df, frac, seed, idCol)
+        .withColumn("epoch", lit(full.toLong)))
+      else Nil
+    (fullPart ++ fracPart).reduce(_ unionByName _)
+  }
+
+  /** Deterministic weighted mixture WITH upsampling: each source runs
+    * `weight` epochs via [[upsample]] and is tagged — the full mixture
+    * table of a pre-training run (the capped [[mixtureHash]] covers the
+    * downsample-only case). */
+  def mixtureUpsampled(sources: Seq[(String, DataFrame, Double)], seed: Long,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty)
+    sources.map { case (name, df, weight) =>
+      upsample(df, weight, seed, idCol).withColumn("mixture_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group, chosen
     * by ascending (sample bucket, id) — a uniform-without-replacement
     * draw per group with a total, engine-independent order, so the DuckDB

@@ -127,7 +127,7 @@ object NLParser {
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
-        "split")
+        "split", "repeat", "upsample")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -609,6 +609,15 @@ object NLParser {
           case other => throw ParseException(
             s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
         }
+      case Some("repeat") | Some("upsample") =>
+        // "Repeat documents 2.5 times with seed 7." — fractional epochs
+        p.next(); p.dropWords("the", "documents", "docs", "rows", "corpus")
+        val times = p.expectNum()
+        if (times <= 0.0) throw ParseException(s"repeat count must be positive: $times")
+        p.dropWords("times", "epochs", "epoch")
+        val seed = parseSeed(p)
+        requireDone(p)
+        Right(List(Op.Upsample(times, seed)))
       case Some("split") =>
         // "Split documents into 80 percent train, 10 percent validation
         //  and 10 percent test (with seed 7)."

@@ -184,6 +184,9 @@ object Op {
     * ([[graft.operators.Sampling.assignSplits]]). */
   final case class AssignSplits(splits: List[(String, Int)], seed: Long)
                                                                    extends CorpusOp
+  /** Deterministic fractional-epoch replication
+    * ([[graft.operators.Sampling.upsample]]). */
+  final case class Upsample(times: Double, seed: Long)             extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

@@ -199,7 +199,11 @@ object NLQueries extends QueryPack {
     "nl39_split_assign" -> ((s: SparkSession, d: String) =>
       Engine.run("Split documents into 80 percent train, 10 percent validation " +
                    "and 10 percent test with seed 7.", docs(s, d))
-        .select("doc_id", "split")))
+        .select("doc_id", "split")),
+
+    "nl40_upsample" -> ((s: SparkSession, d: String) =>
+      Engine.run("Repeat documents 2.5 times with seed 11.", docs(s, d))
+        .select("doc_id", "epoch")))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -278,6 +282,15 @@ object NLQueries extends QueryPack {
     "nl37_chunk_documents" -> PackingQueries.oracleSql("x38_chunk_documents"),
     "nl38_tfidf_keywords" -> TextQueries.oracleSql("x39_tfidf_keywords"),
     "nl39_split_assign" -> SamplingQueries.oracleSql("x40_split_assign"),
+    // 2 full epochs + a half-sampled third, replayed on the bucket CTEs.
+    "nl40_upsample" -> {
+      import graft.operators.Sampling
+      s"""WITH ${OracleHashSql.sampleBucketCtes(11L, "doc_id")}
+         |SELECT doc_id, e.e AS epoch FROM pb, unnest(range(0, 2)) AS e(e)
+         |UNION ALL
+         |SELECT doc_id, 2 FROM pb
+         |WHERE bucket < ${Sampling.threshold(2.5 - 2)}""".stripMargin
+    },
     "nl30_asof_signups"  -> EventQueries.oracleSql("x21_event_asof_signup"),
     // Salting never changes inner-join multiplicity, so the oracle is the
     // plain join (q11's shape, count aggregate for integer exactness).

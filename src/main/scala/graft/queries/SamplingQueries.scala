@@ -50,11 +50,26 @@ object SamplingQueries extends QueryPack {
 
     "x40_split_assign" -> ((s: SparkSession, d: String) =>
       Sampling.assignSplits(table(s, d, "documents"), SplitSpec, Seed)
-        .select(col("doc_id"), col("split"))))
+        .select(col("doc_id"), col("split"))),
+
+    "x41_mixture_upsampled" -> ((s: SparkSession, d: String) =>
+      Sampling.mixtureUpsampled(
+          upsampleFrames(table(s, d, "documents")), MixSeed)
+        .select(col("doc_id"), col("mixture_source"), col("epoch"))))
 
   /** The canonical 80/10/10 train/validation/test cut. */
   private val SplitSpec: Seq[(String, Double)] =
     Seq(("train", 0.8), ("validation", 0.1), ("test", 0.1))
+
+  /** Epoch weights: curated head run 2.5 epochs, mid 1.0, noisy tail
+    * downsampled — the full upsample+downsample mixture in one spec. */
+  private val UpWeights = Seq(("head", 2.5), ("mid", 1.0), ("tail", 0.25))
+
+  private def upsampleFrames(docs: DataFrame): Seq[(String, DataFrame, Double)] =
+    Seq(
+      ("head", docs.filter(col("source").isin(HeadSources: _*)), UpWeights(0)._2),
+      ("mid", docs.filter(col("source").isin(MidSources: _*)), UpWeights(1)._2),
+      ("tail", docs.filter(col("source") === "src5"), UpWeights(2)._2))
 
   private def caseThreshold: String =
     StratFractions.toSeq.sortBy(_._1).map { case (src, f) =>
@@ -101,5 +116,35 @@ object SamplingQueries extends QueryPack {
          |SELECT doc_id,
          |  CASE $cases ELSE '${SplitSpec.last._1}' END AS split
          |FROM pb""".stripMargin
+    },
+
+    // Full epochs are an unnest(range(⌊w⌋)) cross; the fractional epoch
+    // reuses the sample-bucket CTEs with thresholds computed Scala-side
+    // from the SAME `w - floor(w)` float arithmetic Spark used.
+    "x41_mixture_upsampled" -> {
+      def sourcePred(name: String): String = name match {
+        case "head" => s"source IN (${HeadSources.map("'" + _ + "'").mkString(", ")})"
+        case "mid"  => s"source IN (${MidSources.map("'" + _ + "'").mkString(", ")})"
+        case _      => "source = 'src5'"
+      }
+      val arms = UpWeights.map { case (name, w) =>
+        val full = math.floor(w).toInt
+        val frac = w - full
+        val fullArm =
+          if (full > 0)
+            Some(s"""SELECT doc_id, '$name' AS mixture_source, e.e AS epoch
+                    |FROM pb, unnest(range(0, $full)) AS e(e)
+                    |WHERE ${sourcePred(name)}""".stripMargin)
+          else None
+        val fracArm =
+          if (frac > 1e-12)
+            Some(s"""SELECT doc_id, '$name', $full
+                    |FROM pb WHERE ${sourcePred(name)}
+                    |  AND bucket < ${Sampling.threshold(frac)}""".stripMargin)
+          else None
+        (fullArm.toSeq ++ fracArm.toSeq).mkString("\nUNION ALL\n")
+      }
+      s"""WITH ${OracleHashSql.sampleBucketCtes(MixSeed, "doc_id, source")}
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     })
 }

@@ -116,6 +116,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("upsample: fractional epochs replicate deterministically") {
+    val out = Sampling.upsample(docs, times = 2.5, seed = 11L)
+      .groupBy(col("doc_id")).agg(collect_list(col("epoch")).as("epochs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val n = docs.count()
+    assert(out.size == n, "every doc appears")
+    // every doc gets epochs 0 and 1; roughly half also get epoch 2
+    assert(out.values.forall(e => e.startsWith(Seq(0L, 1L))))
+    val third = out.values.count(_.length == 3)
+    assert(math.abs(third.toDouble / n - 0.5) < 0.07, s"fractional epoch kept $third/$n")
+    // fractional membership equals hashSample at the fractional rate
+    val sampled = Sampling.hashSample(docs, 0.5, 11L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2.length == 3).keySet == sampled)
+    // pure integer weight: no sampling arm at all
+    val twice = Sampling.upsample(docs, times = 2.0, seed = 11L)
+    assert(twice.count() == 2 * n)
+    // mixture tags ride along
+    val mixed = Sampling.mixtureUpsampled(
+      Seq(("a", docs.filter(col("source") === "src0"), 2.0),
+          ("b", docs.filter(col("source") === "src1"), 0.25)), 11L)
+    assert(mixed.select("mixture_source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    assert(mixed.filter(col("mixture_source") === "a").count() ==
+      2 * docs.filter(col("source") === "src0").count())
+  }
+
   test("assignSplits: total partition, deterministic, append-stable, ~proportional") {
     val spec = Seq(("train", 0.8), ("validation", 0.1), ("test", 0.1))
     val out = Sampling.assignSplits(docs, spec, seed = 7L)

@@ -100,7 +100,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "chunk into 64 token windows with 8 token overlap" -> List(O.ChunkDocuments(64, 8)),
       "find top 5 keywords per document" -> List(O.TfIdfKeywords(5)),
       "split into 80 percent train, 10 percent validation and 10 percent test" ->
-        List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 42L)))
+        List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 42L)),
+      "repeat 2.5 times" -> List(O.Upsample(2.5, 42L)))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)
