@@ -167,6 +167,44 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Token-budget corpus selection: keep documents in (quality desc,
+    * id asc) order while the running token total stays within
+    * `tokenBudget` — "fill the training budget with the best data", the
+    * curation step after quality scoring. A document is kept iff its
+    * inclusive prefix total ≤ budget, so selection stops at the first
+    * overflowing document and the kept set is a strict prefix of the
+    * quality ordering (deterministic, engine-independent).
+    *
+    * Scale shape: a naive `Window.orderBy(quality)` running sum pulls
+    * the corpus into ONE partition — wrong at any scale. Instead:
+    * quality is rounded to 6 decimals (≤10⁶ distinct values), so a
+    * per-quality histogram (one groupBy shuffle) + a window over that
+    * TINY table computes each quality's prefix offset; the offsets
+    * broadcast back and a window partitioned BY quality (parallel
+    * across values) finishes the in-group prefix by id. The corpus
+    * never passes through a single partition. */
+  def budgetSelect(docs: DataFrame, tokenBudget: Long,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, s"token budget must be positive, got $tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.qualityColumn(col(textCol)).as("quality"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("quality")
+      .agg(sum("n_tokens").as("q_tokens"))
+      .withColumn("cum_before", coalesce(sum("q_tokens").over(wq), lit(0L)))
+      .select("quality", "cum_before")
+    val wb = Window.partitionBy("quality").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.join(broadcast(offsets), "quality")
+      .withColumn("cum_tokens", col("cum_before") + sum("n_tokens").over(wb))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Quality-gated sample: the standard "filter then sample" corpus cut. */
   def qualitySample(docs: DataFrame, minQuality: Double, fraction: Double,
                     seed: Long): DataFrame =

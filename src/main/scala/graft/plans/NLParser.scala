@@ -127,7 +127,7 @@ object NLParser {
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
-        "split", "repeat", "upsample")
+        "split", "repeat", "upsample", "curate")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -609,6 +609,15 @@ object NLParser {
           case other => throw ParseException(
             s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
         }
+      case Some("curate") =>
+        // "Curate the best documents up to 10000 tokens."
+        p.next(); p.dropWords("the", "best", "top", "documents", "docs", "rows")
+        p.dropWords("up", "to")
+        val budget = p.expectNum().toLong
+        if (budget <= 0) throw ParseException(s"token budget must be positive: $budget")
+        p.dropWords("tokens", "token")
+        requireDone(p)
+        Right(List(Op.BudgetSelect(budget)))
       case Some("repeat") | Some("upsample") =>
         // "Repeat documents 2.5 times with seed 7." — fractional epochs
         p.next(); p.dropWords("the", "documents", "docs", "rows", "corpus")

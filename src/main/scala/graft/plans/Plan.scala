@@ -187,6 +187,9 @@ object Op {
   /** Deterministic fractional-epoch replication
     * ([[graft.operators.Sampling.upsample]]). */
   final case class Upsample(times: Double, seed: Long)             extends CorpusOp
+  /** Token-budget selection by descending quality
+    * ([[graft.operators.Sampling.budgetSelect]]). */
+  final case class BudgetSelect(tokenBudget: Long)                 extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

@@ -203,7 +203,11 @@ object NLQueries extends QueryPack {
 
     "nl40_upsample" -> ((s: SparkSession, d: String) =>
       Engine.run("Repeat documents 2.5 times with seed 11.", docs(s, d))
-        .select("doc_id", "epoch")))
+        .select("doc_id", "epoch")),
+
+    // Same budget as x42, so its oracle applies verbatim.
+    "nl41_budget_select" -> ((s: SparkSession, d: String) =>
+      Engine.run("Curate the best documents up to 10000 tokens.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -282,6 +286,7 @@ object NLQueries extends QueryPack {
     "nl37_chunk_documents" -> PackingQueries.oracleSql("x38_chunk_documents"),
     "nl38_tfidf_keywords" -> TextQueries.oracleSql("x39_tfidf_keywords"),
     "nl39_split_assign" -> SamplingQueries.oracleSql("x40_split_assign"),
+    "nl41_budget_select" -> TextQueries.oracleSql("x42_budget_select"),
     // 2 full epochs + a half-sampled third, replayed on the bucket CTEs.
     "nl40_upsample" -> {
       import graft.operators.Sampling

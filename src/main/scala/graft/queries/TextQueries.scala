@@ -59,7 +59,12 @@ object TextQueries extends QueryPack {
         table(s, d, "documents"), k = 10, capacity = 256)),
 
     "x39_tfidf_keywords" -> ((s: SparkSession, d: String) =>
-      graft.operators.TextAnalysis.tfIdf(table(s, d, "documents"), k = 5)))
+      graft.operators.TextAnalysis.tfIdf(table(s, d, "documents"), k = 5)),
+
+    "x42_budget_select" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sampling.budgetSelect(table(s, d, "documents"), BudgetTokens)))
+
+  private val BudgetTokens = 10000L
 
   override val oracleSql: Map[String, String] = Map(
     "x8_text_tokens" ->
@@ -149,6 +154,30 @@ object TextQueries extends QueryPack {
     // Scores round to 6 decimals BEFORE the rank order, mirroring the
     // Spark side: ln() is not correctly rounded in either engine, so
     // ranking unrounded values could flip on a last-ulp disagreement.
+    // The window frame is ROWS (not the RANGE default) — ordering is
+    // unique per row so they agree, but ROWS says so explicitly.
+    "x42_budget_select" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, len($toksSql) AS n_tokens,
+         |    len(list_filter($toksSql, x -> list_contains($stopSql, x))) AS stops,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |              / length(text) END AS pr
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(0.4 * least(1.0, n_tokens / 100.0)
+         |        + 0.4 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stops::DOUBLE / n_tokens END) * 5.0)
+         |        + 0.2 * (1.0 - pr), 6) AS quality
+         |  FROM s),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    (sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $BudgetTokens""".stripMargin,
+
     "x39_tfidf_keywords" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents),

@@ -116,6 +116,33 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("budgetSelect: strict prefix of the quality order within the token budget") {
+    import graft.operators.TextAnalysis
+    val budget = 5000L
+    val out = Sampling.budgetSelect(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._4).max <= budget)
+
+    // driver-side truth: sort by (quality desc, id), prefix-sum, cut
+    val truth = docs.select(
+        col("doc_id"), TextAnalysis.qualityColumn(col("text")).as("q"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = truth.iterator.map { case (id, q, n) =>
+      cum += n; (id, q, n, cum)
+    }.takeWhile(_._4 <= budget).toSeq
+    assert(out.sortBy(t => (-t._2, t._1)).toSeq == expected,
+      "kept set must be the exact greedy prefix with matching running totals")
+    // the next document after the cut would overflow
+    assert(expected.size < truth.length && {
+      val next = truth(expected.size)
+      expected.last._4 + next._3 > budget
+    })
+  }
+
   test("upsample: fractional epochs replicate deterministically") {
     val out = Sampling.upsample(docs, times = 2.5, seed = 11L)
       .groupBy(col("doc_id")).agg(collect_list(col("epoch")).as("epochs"))

@@ -101,7 +101,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "find top 5 keywords per document" -> List(O.TfIdfKeywords(5)),
       "split into 80 percent train, 10 percent validation and 10 percent test" ->
         List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 42L)),
-      "repeat 2.5 times" -> List(O.Upsample(2.5, 42L)))
+      "repeat 2.5 times" -> List(O.Upsample(2.5, 42L)),
+      "curate the best documents up to 5000 tokens" -> List(O.BudgetSelect(5000L)))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

@@ -255,6 +255,8 @@ class NLParserSpec extends AnyFunSuite {
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Split documents into 80 percent train and 30 percent test.")
     }
+    assert(NLParser.parse("Curate the best documents up to 10000 tokens.").ops ==
+      List(O.BudgetSelect(10000L)))
     assert(NLParser.parse("Repeat documents 2.5 times with seed 11.").ops ==
       List(O.Upsample(2.5, 11L)))
     assert(NLParser.parse("Upsample 3 epochs.").ops == List(O.Upsample(3.0, 42L)))
