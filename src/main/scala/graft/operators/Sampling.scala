@@ -70,6 +70,19 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic exactly-k sample: the k rows with the smallest
+    * (sample bucket, id) — a uniform-without-replacement draw of fixed
+    * size with a total engine-independent order (fraction-based
+    * [[hashSample]] can only hit a size in expectation). Compiles to
+    * `TakeOrderedAndProject`: each partition keeps its local top-k, the
+    * driver merges k-sized heaps — no global sort, no single-partition
+    * window, so it holds at any corpus size. */
+  def sampleExactK(df: DataFrame, k: Int, seed: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.orderBy(sampleBucket(col(idCol), seed).asc, col(idCol).asc).limit(k)
+  }
+
   /** Deterministic upsampling: replicate every row ⌊times⌋ times (tagged
     * epoch 0..⌊times⌋-1) plus a hash-sampled fraction of the rows once
     * more (epoch ⌊times⌋) — how a pre-training mixture runs a source for

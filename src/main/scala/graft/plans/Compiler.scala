@@ -138,6 +138,7 @@ object Compiler {
       Sampling.assignSplits(df, splits.map { case (l, pct) => (l, pct / 100.0) }, seed)
     case Op.Upsample(times, seed) => Sampling.upsample(df, times, seed)
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
+    case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>

@@ -502,6 +502,15 @@ object NLParser {
           p.next(); p.dropWords("from", "the", "videos", "video", "media")
           requireDone(p)
           Right(List(Op.SampleFrames))
+        } else if (p.peekWordLower.contains("exactly")) {
+          // "Sample exactly 100 documents (with seed 7)"
+          p.next()
+          val k = p.expectNum().toInt
+          if (k <= 0) throw ParseException(s"sample size must be positive: $k")
+          p.dropWords("documents", "docs", "rows")
+          val seed = parseSeed(p)
+          requireDone(p)
+          Right(List(Op.SampleExactK(k, seed)))
         } else if (p.peekWordLower.contains("up")) {
           // "Sample up to 5 documents per source (with seed 7)"
           p.next(); p.expectWord("to")

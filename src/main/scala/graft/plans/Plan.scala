@@ -190,6 +190,9 @@ object Op {
   /** Token-budget selection by descending quality
     * ([[graft.operators.Sampling.budgetSelect]]). */
   final case class BudgetSelect(tokenBudget: Long)                 extends CorpusOp
+  /** Deterministic exactly-k draw by ascending (sample bucket, id)
+    * ([[graft.operators.Sampling.sampleExactK]]). */
+  final case class SampleExactK(k: Int, seed: Long)                extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

@@ -207,7 +207,12 @@ object NLQueries extends QueryPack {
 
     // Same budget as x42, so its oracle applies verbatim.
     "nl41_budget_select" -> ((s: SparkSession, d: String) =>
-      Engine.run("Curate the best documents up to 10000 tokens.", docs(s, d))))
+      Engine.run("Curate the best documents up to 10000 tokens.", docs(s, d))),
+
+    // Same k/seed as x43, so its oracle applies verbatim.
+    "nl42_sample_exact_k" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample exactly 100 documents with seed 7.", docs(s, d))
+        .select("doc_id", "source")))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -287,6 +292,7 @@ object NLQueries extends QueryPack {
     "nl38_tfidf_keywords" -> TextQueries.oracleSql("x39_tfidf_keywords"),
     "nl39_split_assign" -> SamplingQueries.oracleSql("x40_split_assign"),
     "nl41_budget_select" -> TextQueries.oracleSql("x42_budget_select"),
+    "nl42_sample_exact_k" -> SamplingQueries.oracleSql("x43_sample_exact_k"),
     // 2 full epochs + a half-sampled third, replayed on the bucket CTEs.
     "nl40_upsample" -> {
       import graft.operators.Sampling

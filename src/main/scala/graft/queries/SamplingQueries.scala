@@ -55,7 +55,13 @@ object SamplingQueries extends QueryPack {
     "x41_mixture_upsampled" -> ((s: SparkSession, d: String) =>
       Sampling.mixtureUpsampled(
           upsampleFrames(table(s, d, "documents")), MixSeed)
-        .select(col("doc_id"), col("mixture_source"), col("epoch"))))
+        .select(col("doc_id"), col("mixture_source"), col("epoch"))),
+
+    "x43_sample_exact_k" -> ((s: SparkSession, d: String) =>
+      Sampling.sampleExactK(table(s, d, "documents"), ExactK, Seed)
+        .select(col("doc_id"), col("source"))))
+
+  private val ExactK = 100
 
   /** The canonical 80/10/10 train/validation/test cut. */
   private val SplitSpec: Seq[(String, Double)] =
@@ -146,5 +152,10 @@ object SamplingQueries extends QueryPack {
       }
       s"""WITH ${OracleHashSql.sampleBucketCtes(MixSeed, "doc_id, source")}
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
-    })
+    },
+
+    "x43_sample_exact_k" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
+         |SELECT doc_id, source FROM pb
+         |ORDER BY bucket, doc_id LIMIT $ExactK""".stripMargin)
 }

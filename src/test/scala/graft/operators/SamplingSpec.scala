@@ -116,6 +116,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("sampleExactK: exact size, deterministic, partition-invariant, TakeOrdered plan") {
+    val k = 100
+    val out = Sampling.sampleExactK(docs, k, seed = 7L)
+    assert(out.count() == k)
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleExactK(docs.repartition(13, col("source")), k, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample membership must not depend on partitioning")
+    // ascending (bucket, id) prefix: the kept set is the k smallest buckets
+    val allBuckets = docs.select(col("doc_id"),
+        Sampling.sampleBucket(col("doc_id"), 7L).as("bucket"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    assert(allBuckets.take(k).map(_._2).toSet == a)
+    // scale shape: no global sort-exchange, a TakeOrdered top-k instead
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
   test("budgetSelect: strict prefix of the quality order within the token budget") {
     import graft.operators.TextAnalysis
     val budget = 5000L

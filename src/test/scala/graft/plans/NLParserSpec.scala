@@ -260,6 +260,8 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Repeat documents 2.5 times with seed 11.").ops ==
       List(O.Upsample(2.5, 11L)))
     assert(NLParser.parse("Upsample 3 epochs.").ops == List(O.Upsample(3.0, 42L)))
+    assert(NLParser.parse("Sample exactly 100 documents with seed 7.").ops ==
+      List(O.SampleExactK(100, 7L)))
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Repeat documents 0 times.")
     }
