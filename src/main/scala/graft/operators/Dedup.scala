@@ -89,6 +89,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                         n: Int = 3, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    // the prefix lemma needs t ∈ (0, 1]: at t = 0 the "≥1 shared shingle"
+    // candidate requirement is no longer implied (zero-overlap pairs
+    // qualify), and t > 1 makes the prefix length negative
+    require(threshold > 0.0 && threshold <= 1.0,
+            s"jaccard threshold must be in (0, 1], got $threshold")
     val withSh = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
       hashedShingles(col(textCol), n).as("sh"))

@@ -103,7 +103,11 @@ object Sampling {
       if (frac > 1e-12) Seq(hashSample(df, frac, seed, idCol)
         .withColumn("epoch", lit(full.toLong)))
       else Nil
-    (fullPart ++ fracPart).reduce(_ unionByName _)
+    val parts = fullPart ++ fracPart
+    // times ∈ (0, 1e-12]: no full epoch and the fractional arm rounds to
+    // nothing — an empty replication, not an error
+    if (parts.isEmpty) df.limit(0).withColumn("epoch", lit(0L))
+    else parts.reduce(_ unionByName _)
   }
 
   /** Deterministic weighted mixture WITH upsampling: each source runs

@@ -257,19 +257,22 @@ object TextAnalysis {
     val candidates = sketches
       .select(col(groupCol), col("n_total"),
               explode(map_keys(col("sk.items"))).as("token"))
+    // inner join (not semi): n_total rides along with each candidate
+    // token, so the sketch subtree is referenced exactly once — a second
+    // reference (the old trailing join back to `sketches`) re-ran the
+    // corpus-wide tokenize + MG aggregation to fetch one column
     toks
-      .join(broadcast(candidates.select(col(groupCol), col("token"))),
-            Seq(groupCol, "token"), "left_semi")
+      .join(broadcast(candidates), Seq(groupCol, "token"))
       .groupBy(col(groupCol), col("token"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), max(col("n_total")).as("n_total"))
       .groupBy(col(groupCol))
-      .agg(topk(col("token"), col("n")).as("top"))
-      .select(col(groupCol), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .agg(topk(col("token"), col("n")).as("top"),
+           max(col("n_total")).as("n_total"))
+      .select(col(groupCol), col("n_total"),
+              posexplode(col("top.items")).as(Seq("pos", "t")))
       .select(col(groupCol), col("t.token").as("token"), col("t.n").as("n"),
-              (col("pos") + 1).cast("long").as("rank"))
-      .join(broadcast(sketches.select(col(groupCol), col("n_total"))), Seq(groupCol))
-      .withColumn("heavy_guaranteed", col("n") * (capacity + 1) > col("n_total"))
-      .drop("n_total")
+              (col("pos") + 1).cast("long").as("rank"),
+              (col("t.n") * (capacity + 1) > col("n_total")).as("heavy_guaranteed"))
   }
 
   /** The window-rank formulation — kept for the equivalence spec; the

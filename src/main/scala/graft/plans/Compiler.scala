@@ -135,6 +135,14 @@ object Compiler {
       graft.operators.Packing.chunkDocuments(df, window, overlap)
     case Op.TfIdfKeywords(k) => TextAnalysis.tfIdf(df, k)
     case Op.AssignSplits(splits, seed) =>
+      // parser rejects these; guard programmatic IR construction with the
+      // typed plan error rather than the operator's IllegalArgumentException
+      if (splits.map(_._1).distinct.size != splits.size)
+        throw InvalidPlanException(
+          s"duplicate split labels: ${splits.map(_._1).mkString(", ")}")
+      if (splits.exists(_._2 <= 0) || splits.map(_._2).sum != 100)
+        throw InvalidPlanException(
+          s"split percents must be positive and sum to 100: ${splits.mkString(", ")}")
       Sampling.assignSplits(df, splits.map { case (l, pct) => (l, pct / 100.0) }, seed)
     case Op.Upsample(times, seed) => Sampling.upsample(df, times, seed)
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)

@@ -374,11 +374,15 @@ object NLParser {
         p.next()
         // decontamination form ("Drop documents that share 8-token spans
         // with benchmark") vs column drop — disambiguated by the presence
-        // of "span(s)" anywhere in the clause, which no column list has
-        val decontaminate = toks.exists {
-          case w: Word => w.lower == "span" || w.lower == "spans"
+        // of BOTH a share-verb and "span(s)": a bare span word is not
+        // enough ("Drop spans column." must stay a column drop)
+        val shareWords = Set("share", "sharing", "overlap", "overlapping")
+        val spanWords = Set("span", "spans")
+        def has(words: Set[String]) = toks.exists {
+          case w: Word => words(w.lower)
           case _       => false
         }
+        val decontaminate = has(shareWords) && has(spanWords)
         if (decontaminate) {
           p.dropWords("the", "documents", "docs", "rows")
           p.dropWords("that", "which")
@@ -660,6 +664,10 @@ object NLParser {
         val seed = parseSeed(p)
         if (segs.map(_._2).sum != 100)
           throw ParseException(s"split percents must sum to 100, got ${segs.map(_._2).sum}")
+        if (segs.exists(_._2 <= 0))
+          throw ParseException(s"split percents must be positive: ${segs.mkString(", ")}")
+        if (segs.map(_._1).distinct.size != segs.size)
+          throw ParseException(s"split labels must be distinct: ${segs.map(_._1).mkString(", ")}")
         requireDone(p)
         Right(List(Op.AssignSplits(segs.toList, seed)))
       case Some("quantize") =>
@@ -735,6 +743,8 @@ object NLParser {
       }
       p.expectWord("jaccard")
       val t = p.expectNum()
+      if (t <= 0.0 || t > 1.0)
+        throw ParseException(s"jaccard threshold must be in (0, 1], got $t")
       val block = p.peekWordLower match {
         case Some("blocked") => p.next(); p.expectWord("by"); Some(p.expectWordRaw())
         case _               => None

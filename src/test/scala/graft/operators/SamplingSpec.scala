@@ -179,6 +179,9 @@ class SamplingSpec extends SparkSpec {
     // pure integer weight: no sampling arm at all
     val twice = Sampling.upsample(docs, times = 2.0, seed = 11L)
     assert(twice.count() == 2 * n)
+    // vanishing weight: empty replication, not an empty.reduce crash
+    val none = Sampling.upsample(docs, times = 1e-13, seed = 11L)
+    assert(none.columns.contains("epoch") && none.count() == 0)
     // mixture tags ride along
     val mixed = Sampling.mixtureUpsampled(
       Seq(("a", docs.filter(col("source") === "src0"), 2.0),

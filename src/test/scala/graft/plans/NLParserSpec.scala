@@ -262,6 +262,30 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Upsample 3 epochs.").ops == List(O.Upsample(3.0, 42L)))
     assert(NLParser.parse("Sample exactly 100 documents with seed 7.").ops ==
       List(O.SampleExactK(100, 7L)))
+  }
+
+  test("review regressions: drop-spans column, jaccard bounds, split dup labels") {
+    // a column literally named span(s) must stay a column drop — only the
+    // share-verb + span combination routes to decontamination
+    assert(NLParser.parse("Drop spans column.").ops == List(O.Drop(Seq("spans"))))
+    assert(NLParser.parse("Drop span column.").ops == List(O.Drop(Seq("span"))))
+    assert(NLParser.parse(
+      "Drop documents that share 8-token spans with benchmark.").ops ==
+      List(O.Decontaminate(8, "benchmark")))
+    // jaccard threshold outside (0, 1] is rejected at parse time
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by 3-gram jaccard 0.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by 3-gram jaccard 1.5.")
+    }
+    // split labels must be distinct and percents positive
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Split into 50% a and 50% a.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Split into 0% a and 100% b.")
+    }
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Repeat documents 0 times.")
     }
