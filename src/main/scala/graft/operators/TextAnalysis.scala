@@ -302,6 +302,34 @@ object TextAnalysis {
            round(avg(length(col(textCol))), 4).as("avg_chars"))
   }
 
+  /** Corpus-unigram average log-probability per document — the language-
+    * model-flavoured quality signal ("how typical of this corpus is this
+    * text"): p(t) = count(t)/N over the whole corpus, and each document
+    * scores avg over its tokens of ln p(token). Out-of-vocabulary tokens
+    * cannot exist (the model IS the corpus), so no smoothing term.
+    * Per-token log-probs round to 6 decimals before averaging and the
+    * average rounds to 4 — the same two-stage rounding that keeps every
+    * other ln/avg operator engine-agreed (an unrounded avg differs in
+    * the last ulp across partition merge orders).
+    *
+    * Scale shape: token counts (one token-keyed shuffle, vocabulary-sized
+    * result joined back token-keyed, never broadcast), the corpus total
+    * as a broadcast single row, and a per-document aggregate. */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).cast("long").as("doc_id"),
+                            explode(tokens(col(textCol))).as("token"))
+    val cnt = terms.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum("c").as("total"))
+    terms.join(cnt, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+              round(log(col("c") / col("total")), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           round(avg(col("lp")), 4).as("avg_logprob"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms of each document by
     * `tf · ln(N / df)`, where tf is the term's in-document count, df the
     * number of documents containing it, and N the number of non-empty

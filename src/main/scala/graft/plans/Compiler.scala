@@ -147,6 +147,7 @@ object Compiler {
     case Op.Upsample(times, seed) => Sampling.upsample(df, times, seed)
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
     case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
+    case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>

@@ -424,9 +424,18 @@ object NLParser {
         p.next(); p.dropWords("the", "documents", "docs", "rows", "text")
         requireDone(p); Right(List(Op.Tokenize))
       case Some("score") =>
-        p.next(); p.dropWords("the", "document", "text")
-        p.expectWord("quality")
-        requireDone(p); Right(List(Op.ScoreQuality))
+        p.next(); p.dropWords("the", "document", "documents", "text")
+        p.peekWordLower match {
+          case Some("by") =>
+            // "Score documents by unigram log probability."
+            p.next(); p.dropWords("unigram")
+            p.expectWord("log")
+            p.dropWords("probability", "prob", "likelihood")
+            requireDone(p); Right(List(Op.ScoreUnigramLogProb))
+          case _ =>
+            p.expectWord("quality")
+            requireDone(p); Right(List(Op.ScoreQuality))
+        }
       case Some("detect") =>
         p.next(); p.dropWords("the", "document")
         p.peekWordLower match {

@@ -193,6 +193,9 @@ object Op {
   /** Deterministic exactly-k draw by ascending (sample bucket, id)
     * ([[graft.operators.Sampling.sampleExactK]]). */
   final case class SampleExactK(k: Int, seed: Long)                extends CorpusOp
+  /** Corpus-unigram average log-probability per document
+    * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
+  case object ScoreUnigramLogProb                                  extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

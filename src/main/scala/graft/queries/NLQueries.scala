@@ -212,7 +212,10 @@ object NLQueries extends QueryPack {
     // Same k/seed as x43, so its oracle applies verbatim.
     "nl42_sample_exact_k" -> ((s: SparkSession, d: String) =>
       Engine.run("Sample exactly 100 documents with seed 7.", docs(s, d))
-        .select("doc_id", "source")))
+        .select("doc_id", "source")),
+
+    "nl43_unigram_logprob" -> ((s: SparkSession, d: String) =>
+      Engine.run("Score documents by unigram log probability.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -293,6 +296,7 @@ object NLQueries extends QueryPack {
     "nl39_split_assign" -> SamplingQueries.oracleSql("x40_split_assign"),
     "nl41_budget_select" -> TextQueries.oracleSql("x42_budget_select"),
     "nl42_sample_exact_k" -> SamplingQueries.oracleSql("x43_sample_exact_k"),
+    "nl43_unigram_logprob" -> TextQueries.oracleSql("x44_unigram_logprob"),
     // 2 full epochs + a half-sampled third, replayed on the bucket CTEs.
     "nl40_upsample" -> {
       import graft.operators.Sampling

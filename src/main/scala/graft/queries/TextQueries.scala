@@ -62,7 +62,10 @@ object TextQueries extends QueryPack {
       graft.operators.TextAnalysis.tfIdf(table(s, d, "documents"), k = 5)),
 
     "x42_budget_select" -> ((s: SparkSession, d: String) =>
-      graft.operators.Sampling.budgetSelect(table(s, d, "documents"), BudgetTokens)))
+      graft.operators.Sampling.budgetSelect(table(s, d, "documents"), BudgetTokens)),
+
+    "x44_unigram_logprob" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.unigramLogProb(table(s, d, "documents"))))
 
   private val BudgetTokens = 10000L
 
@@ -177,6 +180,20 @@ object TextQueries extends QueryPack {
          |  FROM q)
          |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= $BudgetTokens""".stripMargin,
+
+    // Two-stage rounding (per-token 6dp, avg 4dp) absorbs both engines'
+    // ln() ulp skew and partition-order sum skew.
+    "x44_unigram_logprob" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |cnt AS (SELECT token, count(*)::BIGINT AS c FROM t GROUP BY token),
+         |n AS (SELECT sum(c)::BIGINT AS total FROM cnt),
+         |s AS (
+         |  SELECT doc_id, round(ln(cnt.c::DOUBLE / n.total::DOUBLE), 6) AS lp
+         |  FROM t JOIN cnt USING (token) CROSS JOIN n)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(avg(lp), 4) AS avg_logprob
+         |FROM s GROUP BY doc_id""".stripMargin,
 
     "x39_tfidf_keywords" ->
       s"""WITH t AS (

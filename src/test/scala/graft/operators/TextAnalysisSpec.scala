@@ -110,6 +110,30 @@ class TextAnalysisSpec extends SparkSpec {
       == exact)
   }
 
+  test("unigramLogProb: matches driver-side recomputation; rarer text scores lower") {
+    val corpus = Seq(
+      (1L, "the the the the"),          // most typical possible
+      (2L, "zzz qqq ppp www"),          // all rare singletons
+      (3L, "the aardvark")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+
+    val toks = Map(1L -> Seq.fill(4)("the"),
+                   2L -> Seq("zzz", "qqq", "ppp", "www"),
+                   3L -> Seq("the", "aardvark"))
+    val cnt = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cnt.values.sum.toDouble
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = toks.toSeq.map { case (id, ts) =>
+      val lps = ts.map(t => r6(math.log(cnt(t) / total)))
+      (id, ts.size.toLong, r4(lps.sum / lps.size))
+    }.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // all-'the' doc is the most corpus-typical, singleton-heavy the least
+    assert(out(0)._3 > out(2)._3 && out(2)._3 > out(1)._3)
+  }
+
   test("tfIdf: scores match a driver-side recomputation; rarer terms outrank common ones") {
     val corpus = Seq(
       (1L, "apple banana apple cherry"),

@@ -103,7 +103,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
         List(O.AssignSplits(List(("train", 80), ("validation", 10), ("test", 10)), 42L)),
       "repeat 2.5 times" -> List(O.Upsample(2.5, 42L)),
       "curate the best documents up to 5000 tokens" -> List(O.BudgetSelect(5000L)),
-      "sample exactly 50 documents" -> List(O.SampleExactK(50, 42L)))
+      "sample exactly 50 documents" -> List(O.SampleExactK(50, 42L)),
+      "score by unigram log probability" -> List(O.ScoreUnigramLogProb))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

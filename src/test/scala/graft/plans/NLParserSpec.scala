@@ -262,6 +262,10 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Upsample 3 epochs.").ops == List(O.Upsample(3.0, 42L)))
     assert(NLParser.parse("Sample exactly 100 documents with seed 7.").ops ==
       List(O.SampleExactK(100, 7L)))
+    assert(NLParser.parse("Score documents by unigram log probability.").ops ==
+      List(O.ScoreUnigramLogProb))
+    assert(NLParser.parse("Score the document quality.").ops ==
+      List(O.ScoreQuality))
   }
 
   test("review regressions: drop-spans column, jaccard bounds, split dup labels") {

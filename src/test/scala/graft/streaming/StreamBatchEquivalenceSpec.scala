@@ -345,6 +345,31 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streaming chunkDocuments equals batch (stateless op, no streaming twin needed)") {
+    import graft.operators.Packing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = Packing.chunkDocuments(docs, window = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.exists(_._2 > 0), "fixture must produce multi-chunk docs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Packing.chunkDocuments(input.toDF().toDF("doc_id", "text"),
+        window = 32, overlap = 8)
+      .writeStream.format("memory").queryName("equiv_chunk").outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("equiv_chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed == batch, "chunking must be identical batch vs stream")
+    } finally stopQuietly(q)
+  }
+
   test("streaming packSequencesStream reproduces batch packing on doc_id-ordered replay") {
     import graft.operators.Packing
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
