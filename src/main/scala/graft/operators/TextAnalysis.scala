@@ -87,6 +87,54 @@ object TextAnalysis {
             lit(0.2) * (lit(1.0) - punctRatio), 6).as("quality"))
   }
 
+  /** Gopher-style quality-rule evaluation (Rae et al. 2021 §A1.1 shape):
+    * per-document structural signals — word count, mean word length,
+    * symbol ratio, alphabetic-word ratio, and a repetition signal (the
+    * fraction of within-document bigrams that are duplicates) — plus a
+    * `passes` verdict from fixed thresholds. Everything is a per-row
+    * column program over the token array (`array_distinct` gives the
+    * repetition count without any shuffle), so the operator scans 100 TB
+    * at I/O speed and the verdict column pushes down as a plain filter.
+    * Thresholds compare the ROUNDED signals, so both engines decide from
+    * identical doubles. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanLen = when(nWords === 0L, 0d).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        nWords.cast("double"))
+    val sym = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))
+    val symRatio = when(length(col(textCol)) === 0, 0d)
+      .otherwise(sym.cast("double") / length(col(textCol)).cast("double"))
+    val alphaRatio = when(nWords === 0L, 0d).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        nWords.cast("double"))
+    // bigrams of the token array; sequence(1,0) would count DOWN, so
+    // short docs short-circuit to an empty array
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val nBi = size(bigrams).cast("long")
+    val dupBiFrac = when(nBi === 0L, 0d).otherwise(
+      (nBi - size(array_distinct(bigrams))).cast("double") / nBi.cast("double"))
+
+    val out = docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      round(dupBiFrac, 6).as("dup_bigram_frac"))
+    out.withColumn("passes",
+      col("n_words").between(50L, 100000L) &&
+        col("mean_word_len").between(3d, 10d) &&
+        col("symbol_ratio") < 0.1 &&
+        col("alpha_word_ratio") > 0.8 &&
+        col("dup_bigram_frac") < 0.3)
+  }
+
   /** Per-language marker words for the lang-ID heuristic (common
     * function words per language). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -148,6 +148,7 @@ object Compiler {
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
     case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
+    case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>

@@ -127,7 +127,7 @@ object NLParser {
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
-        "split", "repeat", "upsample", "curate")
+        "split", "repeat", "upsample", "curate", "apply")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -436,6 +436,13 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("apply") =>
+        // "Apply the gopher quality rules."
+        p.next(); p.dropWords("the")
+        p.expectWord("gopher")
+        p.dropWords("quality")
+        p.dropWords("rules", "rule", "filter", "filters")
+        requireDone(p); Right(List(Op.GopherRules))
       case Some("detect") =>
         p.next(); p.dropWords("the", "document")
         p.peekWordLower match {

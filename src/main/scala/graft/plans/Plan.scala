@@ -196,6 +196,9 @@ object Op {
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp
+  /** Gopher-style quality-rule signals + pass verdict
+    * ([[graft.operators.TextAnalysis.gopherRules]]). */
+  case object GopherRules                                          extends CorpusOp
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp

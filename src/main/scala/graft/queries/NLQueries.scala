@@ -215,7 +215,10 @@ object NLQueries extends QueryPack {
         .select("doc_id", "source")),
 
     "nl43_unigram_logprob" -> ((s: SparkSession, d: String) =>
-      Engine.run("Score documents by unigram log probability.", docs(s, d))))
+      Engine.run("Score documents by unigram log probability.", docs(s, d))),
+
+    "nl44_gopher_rules" -> ((s: SparkSession, d: String) =>
+      Engine.run("Apply the gopher quality rules.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -297,6 +300,7 @@ object NLQueries extends QueryPack {
     "nl41_budget_select" -> TextQueries.oracleSql("x42_budget_select"),
     "nl42_sample_exact_k" -> SamplingQueries.oracleSql("x43_sample_exact_k"),
     "nl43_unigram_logprob" -> TextQueries.oracleSql("x44_unigram_logprob"),
+    "nl44_gopher_rules" -> TextQueries.oracleSql("x45_gopher_rules"),
     // 2 full epochs + a half-sampled third, replayed on the bucket CTEs.
     "nl40_upsample" -> {
       import graft.operators.Sampling

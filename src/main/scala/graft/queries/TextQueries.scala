@@ -65,7 +65,10 @@ object TextQueries extends QueryPack {
       graft.operators.Sampling.budgetSelect(table(s, d, "documents"), BudgetTokens)),
 
     "x44_unigram_logprob" -> ((s: SparkSession, d: String) =>
-      graft.operators.TextAnalysis.unigramLogProb(table(s, d, "documents"))))
+      graft.operators.TextAnalysis.unigramLogProb(table(s, d, "documents"))),
+
+    "x45_gopher_rules" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.gopherRules(table(s, d, "documents"))))
 
   private val BudgetTokens = 10000L
 
@@ -194,6 +197,37 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |  round(avg(lp), 4) AS avg_logprob
          |FROM s GROUP BY doc_id""".stripMargin,
+
+    // The verdict compares the ROUNDED signals on both sides, so the
+    // threshold decisions are made on identical doubles.
+    "x45_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, toks, len(toks)::BIGINT AS n_words,
+         |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1]) END AS bis
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, n_words,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+         |           / n_words::DOUBLE END, 4) AS mean_word_len,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |           / length(text)::DOUBLE END, 6) AS symbol_ratio,
+         |    round(CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |           / n_words::DOUBLE END, 6) AS alpha_word_ratio,
+         |    round(CASE WHEN len(bis) = 0 THEN 0.0
+         |      ELSE (len(bis) - len(list_distinct(bis)))::DOUBLE
+         |           / len(bis)::DOUBLE END, 6) AS dup_bigram_frac
+         |  FROM b)
+         |SELECT *,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |   AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+         |   AND dup_bigram_frac < 0.3) AS passes
+         |FROM s""".stripMargin,
 
     "x39_tfidf_keywords" ->
       s"""WITH t AS (

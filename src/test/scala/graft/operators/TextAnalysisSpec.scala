@@ -134,6 +134,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._3 > out(2)._3 && out(2)._3 > out(1)._3)
   }
 
+  test("gopherRules: signals match driver recomputation; thresholds gate as specified") {
+    val fifty = (1 to 25).flatMap(i => Seq("alpha", s"tok$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, fifty),                            // exactly 50 distinct-ish words -> passes
+      (2L, "short doc only"),                 // 3 words -> fails n_words
+      (3L, "go go go go go go " * 10),        // heavy repetition -> fails dup_bigram_frac
+      (4L, "!!! ### $$$ %%% " * 20),          // symbols -> fails symbol+alpha
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+                 r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .sortBy(_._1)
+
+    def r(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val doc1 = out(0)
+    val toks1 = fifty.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    assert(doc1._2 == 50L)
+    assert(doc1._3 == r(toks1.map(_.length).sum.toDouble / 50, 4))
+    val bis1 = toks1.sliding(2).map(_.mkString(" ")).toSeq
+    assert(doc1._6 == r((bis1.size - bis1.distinct.size).toDouble / bis1.size, 6))
+    assert(doc1._7, "50 clean words must pass")
+
+    assert(!out(1)._7 && out(1)._2 == 3L)                  // too short
+    assert(!out(2)._7 && out(2)._6 > 0.3)                  // repetitive
+    assert(!out(3)._7 && out(3)._4 > 0.1 && out(3)._5 == 0.0) // symbols, no alpha
+    assert(out(4) == ((5L, 0L, 0.0, 0.0, 0.0, 0.0, false))) // empty text
+  }
+
   test("tfIdf: scores match a driver-side recomputation; rarer terms outrank common ones") {
     val corpus = Seq(
       (1L, "apple banana apple cherry"),

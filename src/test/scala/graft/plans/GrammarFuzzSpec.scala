@@ -104,7 +104,8 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "repeat 2.5 times" -> List(O.Upsample(2.5, 42L)),
       "curate the best documents up to 5000 tokens" -> List(O.BudgetSelect(5000L)),
       "sample exactly 50 documents" -> List(O.SampleExactK(50, 42L)),
-      "score by unigram log probability" -> List(O.ScoreUnigramLogProb))
+      "score by unigram log probability" -> List(O.ScoreUnigramLogProb),
+      "apply gopher quality rules" -> List(O.GopherRules))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

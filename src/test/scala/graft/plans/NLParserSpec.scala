@@ -266,6 +266,8 @@ class NLParserSpec extends AnyFunSuite {
       List(O.ScoreUnigramLogProb))
     assert(NLParser.parse("Score the document quality.").ops ==
       List(O.ScoreQuality))
+    assert(NLParser.parse("Apply the gopher quality rules.").ops ==
+      List(O.GopherRules))
   }
 
   test("review regressions: drop-spans column, jaccard bounds, split dup labels") {
