@@ -117,6 +117,28 @@ object Events {
       .select(left.columns.map(c => col(s"__p.$c")) :+ col(outCol): _*)
   }
 
+  /** CDC-style snapshot compaction: the latest event per key,
+    * latest-wins by (ts, tie-break id) — the upsert/merge semantics a
+    * pipeline needs to collapse an append-only change log into a current
+    * snapshot (one row per entity).
+    *
+    * Implemented as `max_by(payload, struct(ts, id))`, a declarative
+    * aggregate with map-side partial merge: each partition keeps one
+    * candidate per key before the exchange, so the shuffle carries
+    * O(distinct keys × partitions) rows regardless of log length — the
+    * shape that survives a 100 TB change log with a bounded key space.
+    * A window `row_number() = 1` formulation would shuffle EVERY log row
+    * and then sort full partitions; this never materializes a sort.
+    * Deterministic: the ordering struct ends in the unique id. */
+  def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts_us", idCol: String = "event_id",
+                     payloadCols: Seq[String] = Seq("event_id", "ts_us", "event_type", "value")): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    events.groupBy(col(keyCol))
+      .agg(max_by(payload, struct(col(tsCol), col(idCol))).as("__latest"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__latest.$c")): _*)
+  }
+
   /** The same sessions through Spark's native `session_window` (batch
     * mode) — the formulation that also runs under Structured Streaming
     * with state-store-backed incremental merging. Window end = last event

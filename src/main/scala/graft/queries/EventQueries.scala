@@ -38,6 +38,11 @@ object EventQueries extends QueryPack {
              ignoreNulls = true).over(w).as("last_signup_us"))
     }),
 
+    // CDC snapshot compaction: collapse the event log to one
+    // latest-wins row per user (map-side-partial max_by, no window sort).
+    "x46_latest_snapshot" -> ((s: SparkSession, d: String) =>
+      Events.latestSnapshot(Events.load(s, d))),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -108,6 +113,13 @@ object EventQueries extends QueryPack {
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
         |FROM events""".stripMargin,
+
+    "x46_latest_snapshot" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "x22_event_props_json" ->
       """SELECT event_type, count(*) AS n_events,

@@ -43,6 +43,24 @@ class EventsProbeSpec extends SparkSpec {
     assert(gaps.count() == 0, "sessions closer than the gap must have merged")
   }
 
+  test("latestSnapshot keeps exactly the max-(ts,id) row per user, one exchange, no window") {
+    val snap = Events.latestSnapshot(events)
+    assert(snap.count() == events.select("user_id").distinct.count())
+    // agree with the row_number formulation it replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    val expect = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = snap.select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // one shuffle (partial agg before it), never a WindowExec over the log
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("session_window agrees with lag-based sessionization") {
     val viaLag = Events.sessionize(events, 30)
       .select(col("user_id"), col("session_start_us"), col("n_events"))
