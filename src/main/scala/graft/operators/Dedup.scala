@@ -298,6 +298,39 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Contamination *scoring* — the continuous companion to
+    * [[decontaminate]]'s binary drop: for every document, the fraction of
+    * its distinct n-token spans that appear anywhere in the benchmark
+    * corpus. A pipeline thresholds this per eval-suite (drop at ≥0.8,
+    * flag at ≥0.1, …) instead of hard-dropping on a single shared span.
+    *
+    * Shape: span totals are map-side column work (`size` of the fused
+    * shingle kernel — no explode, no shuffle); only the *matched* spans
+    * flow through the equi-join (benchmark span set is distinct-collapsed
+    * first, so the join side scales with the benchmark, and AQE
+    * broadcasts it when small); one shuffle aggregates hit counts per
+    * document. Documents shorter than n tokens score 0, not null. */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    val benchSpans = benchmark
+      .select(explode(stringShingles(col(textCol), n)).as("span"))
+      .distinct()
+    val perDoc = docs.select(col(idCol),
+      size(stringShingles(col(textCol), n)).cast("long").as("n_spans"))
+    val hits = docs
+      .select(col(idCol), explode(stringShingles(col(textCol), n)).as("span"))
+      .join(benchSpans, "span")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(when(col("n_spans") === 0L, 0d)
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+                     col("n_spans").cast("double")), 4).as("contamination"))
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit fingerprints, banded into four 16-bit

@@ -153,6 +153,8 @@ object Compiler {
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.Decontaminate(n, t) =>
       Dedup.decontaminate(df, resolveTable(t, catalog), n)
+    case Op.ContaminationScore(n, t) =>
+      Dedup.contaminationScore(df, resolveTable(t, catalog), n)
     case Op.AsOfJoin(t, k, ts, out) =>
       Events.asOfJoin(df, resolveTable(t, catalog), k, ts, ts, out)
     case Op.SaltedJoin(t, lk, rk, b) =>

@@ -432,6 +432,17 @@ object NLParser {
             p.expectWord("log")
             p.dropWords("probability", "prob", "likelihood")
             requireDone(p); Right(List(Op.ScoreUnigramLogProb))
+          case Some("contamination") =>
+            // "Score contamination against benchmark with 8 token spans."
+            p.next()
+            p.dropWords("against", "versus", "vs")
+            p.dropWords("the")
+            val table = p.expectWordRaw()
+            p.dropWords("with", "using", "at")
+            val n = p.expectNum().toInt
+            p.dropWords("-token", "token", "tokens", "-word", "word", "words")
+            p.dropWords("span", "spans")
+            requireDone(p); Right(List(Op.ContaminationScore(n, table)))
           case _ =>
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))

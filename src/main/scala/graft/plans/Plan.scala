@@ -216,6 +216,9 @@ object Op {
   /** Drop every input document sharing at least one n-token span with the
     * named benchmark table ([[graft.operators.Dedup.decontaminate]]). */
   final case class Decontaminate(n: Int, benchTable: String)       extends CorpusOp
+  /** Per-document contamination fraction vs the named benchmark table
+    * ([[graft.operators.Dedup.contaminationScore]]). */
+  final case class ContaminationScore(n: Int, benchTable: String)  extends CorpusOp
   /** As-of enrichment: per input row, the latest `tsCol` of the named
     * table at-or-before the row's own `tsCol`, within `keyCol`
     * ([[graft.operators.Events.asOfJoin]]). */

@@ -56,6 +56,14 @@ object DedupQueries extends QueryPack {
       val docs = table(s, d, "documents")
       Dedup.decontaminate(docs, docs.filter(col("source") === "src19"), n = 8)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // Continuous contamination score (fraction of a doc's distinct
+    // 8-token spans found in the src19 benchmark) — x30's threshold-free
+    // companion.
+    "x47_contamination_score" -> ((s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.contaminationScore(docs, docs.filter(col("source") === "src19"), n = 8)
     }))
 
   override val oracleSql: Map[String, String] = Map(
@@ -140,6 +148,28 @@ object DedupQueries extends QueryPack {
         |bad AS (SELECT DISTINCT sp.doc_id FROM sp JOIN bench USING (span))
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "x47_contamination_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(toks) - 7 <= 0 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 6),
+        |             i -> array_to_string(list_slice(toks, i, i + 7), ' ')) END) AS spans
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(spans) AS span FROM d WHERE source = 'src19'),
+        |sp AS (SELECT doc_id, unnest(spans) AS span FROM d),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM sp JOIN bench USING (span) GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.spans)::BIGINT AS n_spans,
+        |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  round(CASE WHEN len(d.spans) = 0 THEN 0
+        |        ELSE coalesce(h.n_hits, 0) / len(d.spans) END, 4) AS contamination
+        |FROM d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // Same tokenization/shingling as the jaccard oracles, at n=10.
     "x27_repeated_spans" ->

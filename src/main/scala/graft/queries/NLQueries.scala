@@ -145,6 +145,14 @@ object NLQueries extends QueryPack {
                  Map("benchmark" -> docsDf.filter(col("source") === "src19")))
     }),
 
+    // Continuous-score twin of nl29 — x47's oracle verbatim.
+    "nl45_contamination_score" -> ((s: SparkSession, d: String) => {
+      val docsDf = docs(s, d)
+      Engine.run("Score contamination against benchmark with 8 token spans.",
+                 docsDf,
+                 Map("benchmark" -> docsDf.filter(col("source") === "src19")))
+    }),
+
     // Same match semantics as x21 (no same-user ts collisions exist in
     // the events data at any SF, so true as-of ≡ the window formulation).
     "nl30_asof_signups" -> ((s: SparkSession, d: String) => {
@@ -289,6 +297,7 @@ object NLQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
+    "nl45_contamination_score" -> DedupQueries.oracleSql("x47_contamination_score"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

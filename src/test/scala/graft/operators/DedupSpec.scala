@@ -130,6 +130,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(corpus, tiny, n = 10).count() == corpus.count())
   }
 
+  test("contaminationScore: per-doc overlap fraction, short docs score 0") {
+    // benchmark = doc 3 (11 tokens -> 2 distinct 10-token spans); doc 4
+    // shares exactly the first of its own 2 spans, doc 3 scores 1.0
+    val bench = corpus.filter($"doc_id" === 3L)
+    val scores = Dedup.contaminationScore(corpus, bench, n = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(scores(3L) == ((2L, 2L, 1.0)))
+    assert(scores(4L) == ((2L, 1L, 0.5)))
+    assert(scores(1L)._2 == 0L && scores(1L)._3 == 0.0)
+    assert(scores(5L)._2 == 0L)
+    // a doc shorter than n tokens has zero spans and scores 0, not null
+    val withShort = corpus.union(Seq((9L, "too short", "s3")).toDF("doc_id", "text", "source"))
+    val s9 = Dedup.contaminationScore(withShort, bench, n = 10)
+      .filter($"doc_id" === 9L).head
+    assert(s9.getLong(1) == 0L && s9.getLong(2) == 0L && s9.getDouble(3) == 0.0)
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val sig = corpus.select(
       Dedup.minHashSignature(Dedup.hashedShingles($"text", 3), 16).as("sig"))

@@ -24,6 +24,26 @@ class CatalogSpec extends SparkSpec {
       == Plan(List(Op.SaltedJoin("customers", "o_custkey", "c_custkey", 8))))
     // plain "drop" still drops columns — "span(s)" is the discriminator
     assert(NLParser.parse("Drop city column.") == Plan(List(Op.Drop(Seq("city")))))
+    // continuous-score sibling of decontaminate
+    assert(NLParser.parse("Score contamination against benchmark with 8 token spans.")
+      == Plan(List(Op.ContaminationScore(8, "benchmark"))))
+    assert(NLParser.parse("Score contamination vs the evalset using 10 word spans.")
+      == Plan(List(Op.ContaminationScore(10, "evalset"))))
+    // "score quality" must not misroute through the contamination arm
+    assert(NLParser.parse("Score quality.") == Plan(List(Op.ScoreQuality)))
+  }
+
+  test("NL contamination score route equals the direct operator (x47)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("source") === "src19")
+    val viaNl = Engine.run(
+        "Score contamination against benchmark with 8 token spans.",
+        docs, Map("benchmark" -> bench))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = Dedup.contaminationScore(docs, bench, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaNl == direct && viaNl.nonEmpty)
+    assert(viaNl.exists(_._4 > 0.0), "benchmark docs must self-score > 0")
   }
 
   test("an unbound table name fails with the typed plan error, listing bindings") {
