@@ -141,6 +141,19 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("n_orders"))
     }),
 
+    // Bloom-pruned semi-join: the fact side is filtered by a Bloom
+    // filter of the (filtered) dim keys BEFORE the join's exchange —
+    // exact result (false positives removed by the join, false negatives
+    // impossible), so the plain semi-join oracle applies.
+    "x48_bloom_semi_join" -> ((s: SparkSession, d: String) => {
+      val li = table(s, d, "lineitem")
+      val urgent = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin
+        .bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // Hierarchical rollup (grouping sets — absent from the reference,
     // §2.2 notes the gap): revenue at (region, nation), per-region, and
     // grand-total levels in one pass.
@@ -371,6 +384,10 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "x48_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     "q10_setops" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION ALL
