@@ -43,6 +43,32 @@ object EventQueries extends QueryPack {
     "x46_latest_snapshot" -> ((s: SparkSession, d: String) =>
       Events.latestSnapshot(Events.load(s, d))),
 
+    // Mergeable HLL sketches: per-type distinct users, estimated from a
+    // binary sketch column; per-(type,day) partial sketches re-merged per
+    // type must be register-identical to the direct sketch (the property
+    // that lets a pipeline pre-aggregate sketches per ingest partition).
+    // q12-style error-bound oracle: exact count + TRUE flags.
+    "x49_hll_distinct" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Cardinality
+      val ev = Events.load(s, d)
+      val direct = Cardinality.sketchBy(ev, "event_type", "user_id")
+      val daily = Cardinality.sketchBy(
+        ev.withColumn("g", concat_ws("|", col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd"))), "g", "user_id")
+      val merged = Cardinality.mergeSketches(
+          daily.withColumn("event_type", split(col("g"), "\\|").getItem(0)),
+          "event_type")
+        .withColumnRenamed("sketch", "merged_sketch")
+      val exact = Events.load(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(direct, "event_type").join(merged, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(Cardinality.estimate(col("sketch")) - col("n_users"))
+            <= col("n_users") * 0.05).as("hll_within_5pct"),
+          (col("sketch") === col("merged_sketch")).as("merged_equals_direct"))
+    }),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -113,6 +139,11 @@ object EventQueries extends QueryPack {
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
         |FROM events""".stripMargin,
+
+    "x49_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS hll_within_5pct, TRUE AS merged_equals_direct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "x46_latest_snapshot" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (
