@@ -464,6 +464,39 @@ object Dedup {
     * broadcast keeps the left side partition-parallel. All-pairs is only
     * sane for corpora that fit a broadcast; at 100 TB block first (LSH
     * buckets via [[Similarity.lshTopK]], or a metadata key). */
+  /** SemDeDup-style semantic near-dup pairs: cluster the embedding space
+    * with the deterministic quantized Lloyd centroids
+    * ([[Similarity.refineCentroids]] — the same k-means the IVF index
+    * uses, so the DuckDB oracle replays the assignment bit-for-bit), then
+    * score cosine only WITHIN each cell.
+    *
+    * This is the embedding-space analogue of the blocked text paths: the
+    * cell assignment is map-side column work, candidate generation is a
+    * self-equi-join on the cell id — pair volume drops from n²/2 to
+    * Σ|cell|²/2 (k× less for balanced cells), and on a cluster each
+    * cell's pairs co-locate in one partition. Recall < 1 by design:
+    * near-dups straddling a cell boundary are missed (the SemDeDup
+    * trade; raise `centroids` for selectivity, lower it for recall —
+    * measured in DedupSpec against the all-pairs twin). */
+  def semanticDedupPairs(embs: DataFrame, threshold: Double,
+                         centroids: Int = 16, refineIters: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.SketchFunctions.nearestCentroids
+    val cents = Similarity.refineCentroids(
+      embs, Similarity.sampleCentroids(embs, centroids, idCol, vecCol),
+      refineIters, vecCol)
+    val assigned = embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", nearestCentroids(col("v"), cents, 1)(0))
+    assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              cosineSim(col("l.v"), col("r.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingPairs(embs: DataFrame, threshold: Double,
                      blockCol: Option[Column] = None,
                      idCol: String = "vec_id",

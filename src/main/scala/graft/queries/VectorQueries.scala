@@ -64,7 +64,16 @@ object VectorQueries extends QueryPack {
     // Storage-compression step: per-vector symmetric int8. Every arithmetic
     // step is an IEEE single-rounding op, so the oracle replays it exactly.
     "x37_quantize_int8" -> ((s: SparkSession, d: String) =>
-      Similarity.quantizeInt8(table(s, d, "embeddings"))))
+      Similarity.quantizeInt8(table(s, d, "embeddings"))),
+
+    // SemDeDup: cosine pairs scored only within deterministic k-means
+    // cells (the IVF centroids), so the oracle replays the Lloyd
+    // assignment and the same-cell pair generation exactly.
+    "x50_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup
+        .semanticDedupPairs(table(s, d, "embeddings"), PairThreshold,
+                            IvfCentroids)
+        .withColumn("cosine", round(col("cosine"), 6))))
 
   private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
 
@@ -209,6 +218,35 @@ object VectorQueries extends QueryPack {
          |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
          |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
          |    AND l.vec_id < r.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+         |  SELECT id_a, id_b,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           b.embedding::DOUBLE[]) AS cos
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.id_a
+         |  JOIN embeddings b ON b.vec_id = cand.id_b)
+         |WHERE cos >= $PairThreshold""".stripMargin,
+
+    // Lloyd replay (as x20) + same-cell pair generation + exact cosine.
+    "x50_semantic_dedup" ->
+      s"""WITH cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |    embedding::DOUBLE[] AS emb
+         |  FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids),
+         |${lloydIteration("cents0", "cents1")},
+         |${lloydIteration("cents1", "cents2")},
+         |cs AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_cosine_similarity(e.embedding::DOUBLE[], c.emb) AS sim
+         |  FROM embeddings e, cents2 c),
+         |ranked AS (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell ASC) AS rn FROM cs),
+         |cellof AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |cand AS (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM cellof l JOIN cellof r
+         |    ON l.cell = r.cell AND l.vec_id < r.vec_id)
          |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
          |  SELECT id_a, id_b,
          |    list_cosine_similarity(a.embedding::DOUBLE[],

@@ -193,6 +193,27 @@ class DedupSpec extends SparkSpec {
     assert(banded.exists(_._3 == 0L), "exact dups in the fixture must land at hamming 0")
   }
 
+  test("semanticDedupPairs is a same-cell subset of all-pairs with identical cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sem = Dedup.semanticDedupPairs(emb, 0.45, centroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = Dedup.embeddingPairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sem.nonEmpty, "no semantic pairs found at sf0.001")
+    assert(sem.keySet.subsetOf(all.keySet))
+    sem.foreach { case (k, c) => assert(all(k) == c) }
+    // recall on this fixture is measured, not assumed: the synthetic
+    // embeddings are near-uniform, so threshold-0.45 pairs are borderline
+    // and 16-cell recall is genuinely low (~0.14); the lever is the
+    // centroid count — coarser cells must recover recall monotonically
+    val sem4 = Dedup.semanticDedupPairs(emb, 0.45, centroids = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall16 = sem.size.toDouble / all.size
+    val recall4 = sem4.size.toDouble / all.size
+    assert(recall4 >= recall16 && recall4 >= 0.3,
+      s"recall(4 cells)=$recall4 recall(16 cells)=$recall16")
+  }
+
   test("LSH embedding pairs are a subset of all-pairs with identical cosines") {
     val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
