@@ -129,6 +129,11 @@ object Compiler {
     case Op.DedupEmbeddingLsh(t) =>
       Dedup.embeddingPairsLsh(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
+    case Op.DedupSemantic(t, k) =>
+      Dedup.semanticDedupPairs(df, t, k).withColumn("cosine", round(col("cosine"), 6))
+    case Op.LatestPerKey(key, ts, id) =>
+      graft.operators.Events.latestSnapshot(df, key, ts, id,
+        df.columns.filterNot(_ == key).toSeq)
     case Op.PackSequences(budget, buckets) =>
       graft.operators.Packing.packSequences(df, budget, buckets).toDF()
     case Op.ChunkDocuments(window, overlap) =>

@@ -247,10 +247,30 @@ object NLParser {
           case _ => Right(List(Op.Select(parseColList(p))))
         }
       case Some("keep") | Some("take") =>
-        p.next(); p.expectWord("top")
-        val k = p.expectNum().toInt
-        p.dropWords("rows")
-        Right(List(Op.Limit(k)))
+        p.next()
+        // "keep top K rows" (limit) vs "keep the latest event per <key>"
+        // (latest-wins snapshot compaction)
+        p.peekWordLower match {
+          case Some("the") | Some("latest") | Some("last") =>
+            p.dropWords("the")
+            p.dropWords("latest", "last")
+            p.dropWords("event", "row", "record", "value")
+            p.expectWord("per")
+            p.dropWords("each")
+            val key = p.expectWordRaw()
+            // optional "by <tsCol>" orders by a non-default timestamp
+            val ts = p.peekWordLower match {
+              case Some("by") => p.next(); p.expectWordRaw()
+              case _          => "ts_us"
+            }
+            requireDone(p)
+            Right(List(Op.LatestPerKey(key, ts)))
+          case _ =>
+            p.expectWord("top")
+            val k = p.expectNum().toInt
+            p.dropWords("rows")
+            Right(List(Op.Limit(k)))
+        }
       case Some("sort") | Some("order") =>
         p.next(); p.expectWord("by")
         val keys = Seq.newBuilder[(String, Boolean)]
@@ -796,6 +816,22 @@ object NLParser {
       }
       requireDone(p)
       if (wide) Op.DedupSimHashWide(h) else Op.DedupSimHash(h)
+    case Some(w: Word) if w.lower == "semantic" || w.lower == "semantically" =>
+      // "… by semantic cosine 0.45 (with 16 clusters)?" — SemDeDup:
+      // within-k-means-cell cosine pairs
+      p.next(); p.dropWords("embedding", "cosine", "above", "over")
+      val t = p.expectNum()
+      val k = p.peekWordLower match {
+        case Some("with") | Some("using") =>
+          p.next()
+          val n = p.expectNum().toInt
+          p.dropWords("clusters", "cluster", "cells", "cell", "centroids")
+          n
+        case _ => 16
+      }
+      if (k < 1) throw ParseException(s"cluster count must be positive, got $k")
+      requireDone(p)
+      Op.DedupSemantic(t, k)
     case Some(w: Word) if w.lower == "embedding" || w.lower == "cosine" =>
       // "… by embedding cosine 0.45" / "… by cosine above 0.45",
       // optionally "… using lsh" for the banded scale sibling

@@ -167,6 +167,14 @@ object Op {
     * sibling of [[DedupEmbedding]]; recall < 1 by design
     * ([[graft.operators.Dedup.embeddingPairsLsh]]). */
   final case class DedupEmbeddingLsh(threshold: Double)            extends CorpusOp
+  /** SemDeDup: cosine pairs within deterministic k-means cells
+    * ([[graft.operators.Dedup.semanticDedupPairs]]). */
+  final case class DedupSemantic(threshold: Double, centroids: Int)  extends CorpusOp
+  /** Latest-wins snapshot compaction per key
+    * ([[graft.operators.Events.latestSnapshot]]). */
+  final case class LatestPerKey(keyCol: String,
+                                tsCol: String = "ts_us",
+                                idCol: String = "event_id")          extends CorpusOp
   /** 128-bit wide-fingerprint SimHash pairs, Hamming ≤ maxHamming over
     * both lanes ([[graft.operators.Dedup.simHash128Pairs]]). */
   final case class DedupSimHashWide(maxHamming: Int)               extends CorpusOp

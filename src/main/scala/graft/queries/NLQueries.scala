@@ -226,7 +226,20 @@ object NLQueries extends QueryPack {
       Engine.run("Score documents by unigram log probability.", docs(s, d))),
 
     "nl44_gopher_rules" -> ((s: SparkSession, d: String) =>
-      Engine.run("Apply the gopher quality rules.", docs(s, d))))
+      Engine.run("Apply the gopher quality rules.", docs(s, d))),
+
+    // Latest-wins compaction (x46's operator; payload = every non-key
+    // column, pre-selected to x46's output shape so its oracle applies).
+    "nl46_latest_snapshot" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep the latest event per user_id.",
+        Events.load(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  col("event_type"), col("value")))),
+
+    // SemDeDup route (x50's operator at its threshold/cell count).
+    "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by semantic cosine 0.45 with 16 clusters.",
+        s.read.parquet(s"$d/embeddings.parquet"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -298,6 +311,8 @@ object NLQueries extends QueryPack {
 
     "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
     "nl45_contamination_score" -> DedupQueries.oracleSql("x47_contamination_score"),
+    "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
+    "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

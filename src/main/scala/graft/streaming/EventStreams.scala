@@ -63,6 +63,26 @@ object EventStreams extends Serializable {
       .select(col("user_id"), col("sw.start").as("session_start"),
               col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming latest-wins snapshot — the incremental twin of
+    * [[graft.operators.Events.latestSnapshot]]: one row per user, the
+    * event with the max (ts, event_id), maintained by the same
+    * declarative `max_by` the batch side uses so the state per key is one
+    * candidate row (not the log). Run in `complete` mode against a memory
+    * sink for a queryable snapshot, or `update` mode against an upsert
+    * sink (the production shape — state is bounded by the key space
+    * either way, which is what makes a changelog→snapshot view viable on
+    * an unbounded stream). No watermark: a snapshot has no notion of
+    * "too late", later data always wins by timestamp. */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_id").as("event_id"),
+              col("latest.ts").as("ts"), col("latest.event_type").as("event_type"),
+              col("latest.value").as("value"))
+
   /** Epoch microseconds of a Timestamp. `getTime` alone truncates to
     * milliseconds, which would make the streaming gap rule disagree with
     * the µs-exact batch [[graft.operators.Events.sessionize]] on data with

@@ -270,6 +270,24 @@ class NLParserSpec extends AnyFunSuite {
       List(O.GopherRules))
   }
 
+  test("latest-per-key and semantic dedup clauses parse; keep-top unaffected") {
+    assert(NLParser.parse("Keep the latest event per user_id.").ops ==
+      List(O.LatestPerKey("user_id")))
+    assert(NLParser.parse("Keep the last record per device by seen_us.").ops ==
+      List(O.LatestPerKey("device", "seen_us")))
+    assert(NLParser.parse("Keep top 3 rows.").ops == List(O.Limit(3)))
+    assert(NLParser.parse("Dedup by semantic cosine 0.45 with 16 clusters.").ops ==
+      List(O.DedupSemantic(0.45, 16)))
+    assert(NLParser.parse("Dedup by semantic cosine 0.6.").ops ==
+      List(O.DedupSemantic(0.6, 16)))
+    // plain embedding dedup still routes to the all-pairs op
+    assert(NLParser.parse("Dedup by embedding cosine 0.45.").ops ==
+      List(O.DedupEmbedding(0.45)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by semantic cosine 0.45 with 0 clusters.")
+    }
+  }
+
   test("review regressions: drop-spans column, jaccard bounds, split dup labels") {
     // a column literally named span(s) must stay a column drop — only the
     // share-verb + span combination routes to decontamination

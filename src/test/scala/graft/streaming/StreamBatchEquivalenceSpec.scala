@@ -217,6 +217,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streaming latestSnapshot reproduces batch Events.latestSnapshot (x46) on the fixture") {
+    val events = Events.load(spark, sfDir)
+    val batch = Events.latestSnapshot(events)
+      .select("user_id", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.size > 10, "fixture should hold a non-trivial user count")
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // complete mode: the sink holds the whole snapshot, updated per batch
+    val q = EventStreams.latestSnapshot(input.toDF())
+      .writeStream.format("memory").queryName("equiv_snapshot")
+      .outputMode("complete").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("equiv_snapshot")
+        .select("user_id", "event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"snapshot diverged on users ${(batch.toSet diff streamed.toSet).take(5)}")
+    } finally stopQuietly(q)
+  }
+
   test("cleanAndDedup reproduces batch quality-filter + exactByText on the documents fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val minQuality = 0.3
