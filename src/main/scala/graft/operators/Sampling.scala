@@ -58,6 +58,34 @@ object Sampling {
     df.filter(sampleBucket(col(idCol), seed) < thr)
   }
 
+  /** Temperature-flattened source mixing at T=2 (α=1/2): each source s
+    * is down-sampled at rate √(min_n / n_s), so post-sample source
+    * proportions go as √n_s — the standard temperature rebalance that
+    * keeps rare domains from drowning (the smallest source keeps rate 1;
+    * nothing upsamples — compose with [[upsample]] for α-weights > 1).
+    *
+    * α is FIXED at 1/2 deliberately: `sqrt` and division are IEEE
+    * correctly-rounded single operations, so `√(min_n/n_s)` is
+    * bit-identical in the JVM and DuckDB and the thresholds bake into the
+    * oracle exactly. A free-α variant would ride on `pow`, which carries
+    * no cross-engine rounding guarantee — determinism would quietly
+    * become "probably equal".
+    *
+    * Two passes: a counts aggregate (one row per source — driver-tiny,
+    * same class of action as the IVF centroid fetch) and a map-side
+    * threshold filter. No data-sized shuffle. */
+  def temperatureSample(df: DataFrame, sourceCol: String, seed: Long,
+                        idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureSample on an empty frame")
+    val minN = counts.map(_._2).min
+    val rates = counts.map { case (s, n) =>
+      s -> StrictMath.sqrt(minN.toDouble / n.toDouble)
+    }.toMap
+    stratifiedHash(df, sourceCol, rates, seed, idCol)
+  }
+
   /** Deterministic weighted mixture: each source hash-sampled at its
     * weight and tagged — reproducible pre-training mixture weighting.
     * Weights > 1.0 are capped (upsampling needs explicit replication). */

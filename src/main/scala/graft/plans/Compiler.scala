@@ -152,6 +152,7 @@ object Compiler {
     case Op.Upsample(times, seed) => Sampling.upsample(df, times, seed)
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
     case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
+    case Op.SampleTemperature(sc, seed) => Sampling.temperatureSample(df, sc, seed)
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)

@@ -562,6 +562,20 @@ object NLParser {
           val seed = parseSeed(p)
           requireDone(p)
           Right(List(Op.SampleExactK(k, seed)))
+        } else if (p.peekWordLower.contains("sources")) {
+          // "Sample sources at temperature 2 (by <col>) (with seed 7)"
+          p.next(); p.dropWords("at")
+          p.expectWord("temperature")
+          val t = p.expectNum()
+          if (t != 2.0)
+            throw ParseException(
+              s"only temperature 2 (alpha = 1/2) is cross-engine exact, got $t")
+          val srcCol = if (p.peekWordLower.contains("by")) {
+            p.next(); p.expectWordRaw()
+          } else "source"
+          val seed = parseSeed(p)
+          requireDone(p)
+          Right(List(Op.SampleTemperature(srcCol, seed)))
         } else if (p.peekWordLower.contains("up")) {
           // "Sample up to 5 documents per source (with seed 7)"
           p.next(); p.expectWord("to")

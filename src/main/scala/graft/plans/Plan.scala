@@ -201,6 +201,9 @@ object Op {
   /** Deterministic exactly-k draw by ascending (sample bucket, id)
     * ([[graft.operators.Sampling.sampleExactK]]). */
   final case class SampleExactK(k: Int, seed: Long)                extends CorpusOp
+  /** Temperature-2 source rebalance
+    * ([[graft.operators.Sampling.temperatureSample]]). */
+  final case class SampleTemperature(sourceCol: String, seed: Long) extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

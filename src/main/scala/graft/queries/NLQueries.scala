@@ -239,7 +239,12 @@ object NLQueries extends QueryPack {
     // SemDeDup route (x50's operator at its threshold/cell count).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
       Engine.run("Dedup by semantic cosine 0.45 with 16 clusters.",
-        s.read.parquet(s"$d/embeddings.parquet"))))
+        s.read.parquet(s"$d/embeddings.parquet"))),
+
+    // Temperature rebalance (x51's operator, key, and seed).
+    "nl48_temperature_sample" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sample sources at temperature 2 by lang with seed 7 " +
+                 "and select columns doc_id and lang.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -313,6 +318,7 @@ object NLQueries extends QueryPack {
     "nl45_contamination_score" -> DedupQueries.oracleSql("x47_contamination_score"),
     "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
+    "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

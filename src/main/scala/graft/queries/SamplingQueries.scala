@@ -35,6 +35,14 @@ object SamplingQueries extends QueryPack {
       ("tail", docs.filter(col("source") === "src5"), TailWeight))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Temperature-2 rebalance: rates √(min_n/n_s) derived from the data,
+    // every arithmetic step IEEE-exact so the oracle recomputes them.
+    // Keyed on `lang` — the skewed column (en ≈ 3× fr at every SF), so
+    // the rebalance actually rebalances (`source` counts are uniform).
+    "x51_temperature_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.temperatureSample(table(s, d, "documents"), "lang", Seed)
+        .select(col("doc_id"), col("lang"))),
+
     "x25_sample_stratified" -> ((s: SparkSession, d: String) =>
       Sampling.stratifiedHash(table(s, d, "documents"), "source",
           StratFractions, Seed)
@@ -83,6 +91,20 @@ object SamplingQueries extends QueryPack {
     }.mkString("CASE source ", " ", " ELSE 0 END")
 
   override val oracleSql: Map[String, String] = Map(
+    // Thresholds recomputed in SQL: floor(√(min_n/n_s)·2⁵³) — sqrt and
+    // division are correctly-rounded IEEE ops, ::BIGINT after floor
+    // truncates exactly like Scala's .toLong on a nonnegative double.
+    "x51_temperature_sample" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, lang")},
+         |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n) AS m FROM cnt),
+         |thr AS (SELECT lang,
+         |    floor(sqrt((SELECT m FROM mn)::DOUBLE / n::DOUBLE)
+         |          * 9007199254740992::DOUBLE)::BIGINT AS t
+         |  FROM cnt)
+         |SELECT pb.doc_id, pb.lang FROM pb JOIN thr USING (lang)
+         |WHERE pb.bucket < thr.t""".stripMargin,
+
     "x25_sample_stratified" ->
       s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
          |SELECT doc_id, source FROM pb

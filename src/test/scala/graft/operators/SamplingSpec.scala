@@ -110,6 +110,35 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 != ids3)
   }
 
+  test("temperatureSample flattens lang proportions toward sqrt(n)") {
+    // keyed on `lang` — the skewed fixture column (en dominates); the
+    // uniform `source` column would make the rebalance a no-op
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val in = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(in.values.max > 2 * in.values.min, "fixture lang counts must be skewed")
+    val out = Sampling.temperatureSample(docs, "lang", seed = 7L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // subset semantics + every lang survives (smallest keeps rate 1)
+    assert(out.keySet == in.keySet)
+    out.foreach { case (s, n) => assert(n <= in(s)) }
+    // expected kept count per lang is sqrt(min*n) — check within
+    // binomial noise (4 sigma)
+    val minN = in.values.min.toDouble
+    in.foreach { case (s, n) =>
+      val exp = math.sqrt(minN * n)
+      val sd = math.sqrt(exp * math.max(0.0, 1 - exp / n))
+      assert(math.abs(out(s) - exp) <= 4 * sd + 2, s"$s kept=${out(s)} exp=$exp")
+    }
+    // deterministic + partition-invariant
+    val again = Sampling.temperatureSample(docs.repartition(13), "lang", seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureSample(docs, "lang", seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("quality-gated sample only contains docs above the threshold") {
     val out = Sampling.qualitySample(docs, minQuality = 0.5, fraction = 0.5, seed = 3L)
     assert(out.filter(col("quality") < 0.5).count() == 0)

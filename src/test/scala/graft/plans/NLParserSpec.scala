@@ -288,6 +288,19 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling clause parses; non-2 temperatures rejected") {
+    assert(NLParser.parse("Sample sources at temperature 2 with seed 7.").ops ==
+      List(O.SampleTemperature("source", 7L)))
+    assert(NLParser.parse("Sample sources at temperature 2 by lang.").ops ==
+      List(O.SampleTemperature("lang", 42L)))
+    // plain fraction sampling must still route through SampleHash
+    assert(NLParser.parse("Sample 1% of documents with seed 7.").ops ==
+      List(O.SampleHash(0.01, 7L, None)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Sample sources at temperature 3.")
+    }
+  }
+
   test("review regressions: drop-spans column, jaccard bounds, split dup labels") {
     // a column literally named span(s) must stay a column drop — only the
     // share-verb + span combination routes to decontamination
