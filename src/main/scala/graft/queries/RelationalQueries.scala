@@ -154,6 +154,19 @@ object RelationalQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // Z-order layout key: the Morton interleave the write path sorts by
+    // ([[graft.operators.Layout]]); the head of the curve is checked
+    // value-exactly (unique total order ⇒ deterministic LIMIT).
+    "x52_zorder_layout" -> ((s: SparkSession, d: String) => {
+      import graft.functions.ZOrderFunctions.zvalue
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey"),
+                zvalue(col("l_partkey"), col("l_suppkey")).as("zvalue"))
+        .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
     // Hierarchical rollup (grouping sets — absent from the reference,
     // §2.2 notes the gap): revenue at (region, nation), per-region, and
     // grand-total levels in one pass.
@@ -384,6 +397,16 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "x52_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zvalue FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    list_sum(list_transform(range(0, 31),
+        |      i -> ((l_partkey // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+        |         + ((l_suppkey // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i + 1))
+        |    ))::BIGINT AS zvalue
+        |  FROM lineitem)
+        |ORDER BY zvalue, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
     "x48_bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
