@@ -167,6 +167,14 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Column-profile histogram: 20 equi-width bins of o_totalprice per
+    // priority — mergeable by bin-sum (the distinct-count analogue is
+    // x49), exact, one (group, bin) shuffle.
+    "x53_histogram_profile" -> ((s: SparkSession, d: String) =>
+      graft.operators.Profiling.histogram(
+        table(s, d, "orders"), "o_totalprice", "o_orderpriority",
+        lo = 0.0, hi = 600000.0, bins = 20)),
+
     // Hierarchical rollup (grouping sets — absent from the reference,
     // §2.2 notes the gap): revenue at (region, nation), per-region, and
     // grand-total levels in one pass.
@@ -397,6 +405,13 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "x53_histogram_profile" ->
+      """SELECT o_orderpriority, bin, bin * 30000.0 AS bin_lo, count(*) AS n
+        |FROM (SELECT o_orderpriority,
+        |        least(greatest(floor(o_totalprice / 30000.0)::BIGINT, 0), 19) AS bin
+        |      FROM orders)
+        |GROUP BY o_orderpriority, bin""".stripMargin,
+
     "x52_zorder_layout" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zvalue FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -22,6 +22,13 @@ object TextQueries extends QueryPack {
     "x8_text_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenStats(table(s, d, "documents"))),
 
+    // Exact-p99 length clip via the distinct-value histogram (never a
+    // global sort or a driver TakeOrdered of 0.99·n rows).
+    "x54_outlier_clip" -> ((s: SparkSession, d: String) =>
+      graft.operators.Profiling
+        .clipAbovePercentile(table(s, d, "documents"), "n_chars", 0.99)
+        .select(col("doc_id"), col("n_chars"))),
+
     "x9_text_quality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityScore(table(s, d, "documents"))),
 
@@ -73,6 +80,16 @@ object TextQueries extends QueryPack {
   private val BudgetTokens = 10000L
 
   override val oracleSql: Map[String, String] = Map(
+    // Same definition as Profiling.percentileByHistogram: threshold =
+    // smallest value whose cumulative count reaches ceil(0.99·n).
+    "x54_outlier_clip" ->
+      """WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+        |cum AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM c),
+        |thr AS (SELECT min(n_chars) AS t FROM cum
+        |        WHERE cum >= (SELECT ceil(0.99 * sum(cnt))::BIGINT FROM c))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars <= (SELECT t FROM thr)""".stripMargin,
+
     "x8_text_tokens" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          |  len($toksSql) AS ws_tokens,

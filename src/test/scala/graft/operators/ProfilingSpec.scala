@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Histogram profiling + exact percentile-by-histogram. */
+class ProfilingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("histogram: bins partition the rows, clamp under/overflow, mergeable by sum") {
+    val df = Seq(("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0), ("a", 99.9),
+                 ("a", 100.0), ("b", 55.0)).toDF("g", "v")
+    val h = Profiling.histogram(df, "v", "g", lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // -5 clamps to bin 0; 100.0 clamps to bin 9; bin edges are [lo, hi)
+    assert(h(("a", 0L)) == 3L) // -5.0, 0.0, 9.9
+    assert(h(("a", 1L)) == 1L) // 10.0
+    assert(h(("a", 9L)) == 2L) // 99.9, 100.0(clamped)
+    assert(h(("b", 5L)) == 1L)
+    assert(h.values.sum == df.count())
+    // bin totals over a split frame merge by plain sum to the full profile
+    val h1 = Profiling.histogram(df.filter($"v" < 50), "v", "g", 0.0, 100.0, 10)
+    val h2 = Profiling.histogram(df.filter($"v" >= 50), "v", "g", 0.0, 100.0, 10)
+    val merged = h1.unionByName(h2).groupBy("g", "bin")
+      .agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == h)
+  }
+
+  test("percentileByHistogram matches a brute-force sorted-rank oracle") {
+    val vals = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L, 9L, 50L, 100L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val k = math.ceil(p * vals.size).toInt
+      val expected = vals.sorted.apply(k - 1)
+      assert(Profiling.percentileByHistogram(df, "v", p) == expected, s"p=$p")
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.percentileByHistogram(df, "v", 0.0)
+    }
+  }
+
+  test("clipAbovePercentile drops ~1% tail on the documents fixture, keeps the rest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val kept = Profiling.clipAbovePercentile(docs, "n_chars", 0.99)
+    val keptN = kept.count()
+    assert(keptN >= math.ceil(0.99 * n).toLong && keptN < n,
+      s"kept $keptN of $n — p99 clip must drop a non-empty <=1% tail")
+    val thr = Profiling.percentileByHistogram(docs, "n_chars", 0.99)
+    assert(kept.filter(col("n_chars") > thr).count() == 0)
+  }
+}
