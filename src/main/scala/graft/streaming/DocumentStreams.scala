@@ -79,6 +79,39 @@ object DocumentStreams {
       .drop("__hits")
   }
 
+  /** Streaming contamination scoring — the incremental face of
+    * [[graft.operators.Dedup.contaminationScore]]: per arriving document,
+    * the fraction of its distinct n-token spans found in the static
+    * benchmark span set. Span totals ride along map-side (`size` of the
+    * fused kernel — no second pass), matches come from the same
+    * broadcast stream-static span join as [[decontaminate]], and the
+    * watermark-bounded per-document aggregation emits one scored row per
+    * doc. Unlike the binary drop, every document emits — score 0 when
+    * nothing (or nothing scoreable) matched. */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         watermark: String = "10 minutes",
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashedShinglesFunctions.stringShingles
+    val benchSpans = benchmark
+      .select(explode(stringShingles(col(textCol), n)).as("span"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"), col(idCol),
+              size(stringShingles(col(textCol), n)).cast("long").as("n_spans"),
+              explode_outer(stringShingles(col(textCol), n)).as("span"))
+      .join(broadcast(benchSpans), Seq("span"), "left_outer")
+      .groupBy(col("ingest_ts"), col(idCol), col("n_spans"))
+      .agg(sum(col("__hit")).as("__hits"))
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        round(when(col("n_spans") === 0L, 0d)
+          .otherwise(coalesce(col("__hits"), lit(0L)).cast("double") /
+                     col("n_spans").cast("double")), 4).as("contamination"))
+  }
+
   /** Streaming repeated-span detection — the windowed face of
     * [[graft.operators.Dedup.repeatedSpans]]: n-token spans appearing in
     * ≥ minDocs documents within each ingest-time window (per-document

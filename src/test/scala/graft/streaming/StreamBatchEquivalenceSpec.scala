@@ -314,6 +314,44 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streaming contaminationScore reproduces batch Dedup.contaminationScore (x47)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("source") === "src19")
+    val batch = Dedup.contaminationScore(docs, bench, n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(batch.values.exists(_._3 > 0.0) && batch.values.exists(_._3 == 0.0),
+      "fixture must mix contaminated and clean docs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "source", "text", "ingest_ts")
+    val q = DocumentStreams.contaminationScore(streamDocs, bench, n = 8)
+      .writeStream.format("memory").queryName("equiv_contam_score")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = docs.select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                   new Timestamp(base + r.getLong(0))))
+        .sortBy(_._1)
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((-1L, "zz", "sentinel",
+                     new Timestamp(base + 30L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_contam_score")
+        .filter(col("doc_id") >= 0).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed == batch,
+        s"scores diverged, e.g. ${batch.collect { case (k, v) if streamed.get(k) != Some(v) =>
+          (k, v, streamed.get(k)) }.take(3)}")
+    } finally stopQuietly(q)
+  }
+
   test("streaming repeatedSpans reproduces batch Dedup.repeatedSpans within one window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val batch = Dedup.repeatedSpans(docs, n = 10, minDocs = 2)
