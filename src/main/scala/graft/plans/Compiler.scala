@@ -153,6 +153,10 @@ object Compiler {
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
     case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
     case Op.SampleTemperature(sc, seed) => Sampling.temperatureSample(df, sc, seed)
+    case Op.Histogram(v, g, lo, hi, bins) =>
+      graft.operators.Profiling.histogram(df, v, g, lo, hi, bins)
+    case Op.ClipPercentile(v, p) =>
+      graft.operators.Profiling.clipAbovePercentile(df, v, p)
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)

@@ -127,7 +127,7 @@ object NLParser {
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
-        "split", "repeat", "upsample", "curate", "apply")
+        "split", "repeat", "upsample", "curate", "apply", "histogram", "clip")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -467,6 +467,38 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("histogram") =>
+        // "Histogram o_totalprice by o_orderpriority from 0 to 600000 in 20 bins."
+        p.next(); p.dropWords("of", "the")
+        val valueCol = p.expectWordRaw()
+        p.expectWord("by")
+        val groupCol = p.expectWordRaw()
+        p.expectWord("from")
+        val lo = p.expectNum()
+        p.expectWord("to")
+        val hi = p.expectNum()
+        p.dropWords("in", "with")
+        val bins = p.expectNum().toInt
+        p.dropWords("bins", "bin", "buckets")
+        if (bins <= 0 || hi <= lo)
+          throw ParseException(s"histogram needs bins>0 and hi>lo, got $bins, [$lo,$hi)")
+        requireDone(p)
+        Right(List(Op.Histogram(valueCol, groupCol, lo, hi, bins)))
+      case Some("clip") =>
+        // "Clip outliers above the 99th percentile of n_chars."
+        p.next(); p.dropWords("outliers", "rows", "documents", "docs")
+        p.expectWord("above")
+        p.dropWords("the")
+        val pct = p.expectNum()
+        p.dropWords("th", "st", "nd", "rd")
+        p.expectWord("percentile")
+        p.expectWord("of")
+        val valueCol = p.expectWordRaw()
+        val frac = pct / 100.0
+        if (frac <= 0.0 || frac > 1.0)
+          throw ParseException(s"percentile out of (0,100]: $pct")
+        requireDone(p)
+        Right(List(Op.ClipPercentile(valueCol, frac)))
       case Some("apply") =>
         // "Apply the gopher quality rules."
         p.next(); p.dropWords("the")

@@ -204,6 +204,13 @@ object Op {
   /** Temperature-2 source rebalance
     * ([[graft.operators.Sampling.temperatureSample]]). */
   final case class SampleTemperature(sourceCol: String, seed: Long) extends CorpusOp
+  /** Equi-width histogram profile
+    * ([[graft.operators.Profiling.histogram]]). */
+  final case class Histogram(valueCol: String, groupCol: String,
+                             lo: Double, hi: Double, bins: Int)     extends CorpusOp
+  /** Exact percentile outlier clip
+    * ([[graft.operators.Profiling.clipAbovePercentile]]). */
+  final case class ClipPercentile(valueCol: String, p: Double)      extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

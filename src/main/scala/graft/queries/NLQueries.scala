@@ -244,7 +244,16 @@ object NLQueries extends QueryPack {
     // Temperature rebalance (x51's operator, key, and seed).
     "nl48_temperature_sample" -> ((s: SparkSession, d: String) =>
       Engine.run("Sample sources at temperature 2 by lang with seed 7 " +
-                 "and select columns doc_id and lang.", docs(s, d))))
+                 "and select columns doc_id and lang.", docs(s, d))),
+
+    // Profiling routes (x53/x54's operators and parameters).
+    "nl49_histogram" -> ((s: SparkSession, d: String) =>
+      Engine.run("Histogram o_totalprice by o_orderpriority from 0 to " +
+                 "600000 in 20 bins.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+    "nl50_outlier_clip" -> ((s: SparkSession, d: String) =>
+      Engine.run("Clip outliers above the 99th percentile of n_chars " +
+                 "and select columns doc_id and n_chars.", docs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -319,6 +328,8 @@ object NLQueries extends QueryPack {
     "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
+    "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
+    "nl50_outlier_clip" -> TextQueries.oracleSql("x54_outlier_clip"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

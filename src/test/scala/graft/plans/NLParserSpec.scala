@@ -288,6 +288,22 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram and clip clauses parse with bounds validated") {
+    assert(NLParser.parse(
+      "Histogram o_totalprice by o_orderpriority from 0 to 600000 in 20 bins.").ops ==
+      List(O.Histogram("o_totalprice", "o_orderpriority", 0.0, 600000.0, 20)))
+    assert(NLParser.parse("Clip outliers above the 99th percentile of n_chars.").ops ==
+      List(O.ClipPercentile("n_chars", 0.99)))
+    assert(NLParser.parse("Clip above the 50 percentile of value.").ops ==
+      List(O.ClipPercentile("value", 0.5)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Histogram v by g from 10 to 5 in 4 bins.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Clip outliers above the 0th percentile of v.")
+    }
+  }
+
   test("temperature sampling clause parses; non-2 temperatures rejected") {
     assert(NLParser.parse("Sample sources at temperature 2 with seed 7.").ops ==
       List(O.SampleTemperature("source", 7L)))
