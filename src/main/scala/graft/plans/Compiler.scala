@@ -165,6 +165,8 @@ object Compiler {
       Dedup.decontaminate(df, resolveTable(t, catalog), n)
     case Op.ContaminationScore(n, t) =>
       Dedup.contaminationScore(df, resolveTable(t, catalog), n)
+    case Op.BloomSemiJoin(t, lk, rk) =>
+      graft.operators.BloomJoin.bloomSemiJoin(df, resolveTable(t, catalog), lk, rk)
     case Op.AsOfJoin(t, k, ts, out) =>
       Events.asOfJoin(df, resolveTable(t, catalog), k, ts, ts, out)
     case Op.SaltedJoin(t, lk, rk, b) =>

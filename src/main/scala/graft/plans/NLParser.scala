@@ -265,6 +265,25 @@ object NLParser {
             }
             requireDone(p)
             Right(List(Op.LatestPerKey(key, ts)))
+          case Some("only") | Some("rows") | Some("documents") | Some("docs")
+               | Some("matching") =>
+            // "Keep rows matching <table> on l = r with a bloom filter."
+            p.dropWords("only", "rows", "documents", "docs")
+            p.expectWord("matching")
+            p.dropWords("the")
+            val tbl = p.expectWordRaw()
+            p.expectWord("on")
+            val lk = p.expectWordRaw()
+            p.peek match {
+              case Some(Sym("=")) | Some(Sym("==")) => p.next()
+              case _                                => ()
+            }
+            val rk = p.expectWordRaw()
+            p.dropWords("with", "using", "a")
+            p.expectWord("bloom")
+            p.dropWords("filter", "filtered", "prune", "pruning")
+            requireDone(p)
+            Right(List(Op.BloomSemiJoin(tbl, lk, rk)))
           case _ =>
             p.expectWord("top")
             val k = p.expectNum().toInt

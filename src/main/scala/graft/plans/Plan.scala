@@ -244,6 +244,10 @@ object Op {
                             keyCol: String = "user_id",
                             tsCol: String = "ts_us",
                             outCol: String = "last_signup_us")     extends CorpusOp
+  /** Bloom-pruned semi-join against the named table
+    * ([[graft.operators.BloomJoin.bloomSemiJoin]]). */
+  final case class BloomSemiJoin(rightTable: String,
+                                 leftKey: String, rightKey: String) extends CorpusOp
   /** Salted inner equi-join to the named table, each key spread over
     * `buckets` reducers ([[graft.operators.SkewJoin.saltedInnerJoin]]). */
   final case class SaltedJoin(rightTable: String, leftKey: String,

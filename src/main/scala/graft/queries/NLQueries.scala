@@ -246,6 +246,15 @@ object NLQueries extends QueryPack {
       Engine.run("Sample sources at temperature 2 by lang with seed 7 " +
                  "and select columns doc_id and lang.", docs(s, d))),
 
+    // Bloom-pruned semi-join route (x48's operator and tables).
+    "nl51_bloom_semi_join" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep rows matching urgent on l_orderkey = o_orderkey " +
+                 "with a bloom filter and select columns l_orderkey, " +
+                 "l_linenumber and l_quantity.",
+        s.read.parquet(s"$d/lineitem.parquet"),
+        Map("urgent" -> s.read.parquet(s"$d/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT")))),
+
     // Profiling routes (x53/x54's operators and parameters).
     "nl49_histogram" -> ((s: SparkSession, d: String) =>
       Engine.run("Histogram o_totalprice by o_orderpriority from 0 to " +
@@ -329,6 +338,7 @@ object NLQueries extends QueryPack {
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
+    "nl51_bloom_semi_join" -> RelationalQueries.oracleSql("x48_bloom_semi_join"),
     "nl50_outlier_clip" -> TextQueries.oracleSql("x54_outlier_clip"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),

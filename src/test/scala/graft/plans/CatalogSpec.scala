@@ -31,6 +31,26 @@ class CatalogSpec extends SparkSpec {
       == Plan(List(Op.ContaminationScore(10, "evalset"))))
     // "score quality" must not misroute through the contamination arm
     assert(NLParser.parse("Score quality.") == Plan(List(Op.ScoreQuality)))
+    // bloom-pruned semi-join clause; "keep top"/"keep the latest" unaffected
+    assert(NLParser.parse(
+      "Keep rows matching urgent on l_orderkey = o_orderkey with a bloom filter.")
+      == Plan(List(Op.BloomSemiJoin("urgent", "l_orderkey", "o_orderkey"))))
+    assert(NLParser.parse("Keep top 3 rows.") == Plan(List(Op.Limit(3))))
+  }
+
+  test("NL bloom semi-join route equals the direct operator (x48)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val viaNl = Engine.run(
+        "Keep rows matching urgent on l_orderkey = o_orderkey with a bloom " +
+        "filter and select columns l_orderkey and l_linenumber.",
+        li, Map("urgent" -> urgent))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val direct = li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaNl == direct && viaNl.nonEmpty)
   }
 
   test("NL contamination score route equals the direct operator (x47)") {
