@@ -153,6 +153,16 @@ object Compiler {
     case Op.BudgetSelect(budget) => Sampling.budgetSelect(df, budget)
     case Op.SampleExactK(k, seed) => Sampling.sampleExactK(df, k, seed)
     case Op.SampleTemperature(sc, seed) => Sampling.temperatureSample(df, sc, seed)
+    case Op.DistinctSketch(key, group) => {
+      import graft.operators.Cardinality
+      val sk = Cardinality.sketchBy(df, group, key)
+      df.groupBy(col(group))
+        .agg(count_distinct(col(key)).as("n_distinct"))
+        .join(sk, group)
+        .select(col(group), col("n_distinct"),
+          (abs(Cardinality.estimate(col("sketch")) - col("n_distinct"))
+            <= col("n_distinct") * 0.05).as("sketch_within_5pct"))
+    }
     case Op.Histogram(v, g, lo, hi, bins) =>
       graft.operators.Profiling.histogram(df, v, g, lo, hi, bins)
     case Op.ClipPercentile(v, p) =>

@@ -322,7 +322,18 @@ object NLParser {
         // "count <col>" (after group by) → relational count aggregate
         val tumbling = p.peekWordLower.contains("events") &&
           (p.peekAt(1) match { case Some(w: Word) => w.lower == "per"; case _ => false })
-        if (tumbling) {
+        if (p.peekWordLower.contains("distinct")) {
+          // "Count distinct user_id per event_type with a sketch." —
+          // HLL estimate certified against the exact count
+          p.next()
+          val key = p.expectWordRaw()
+          p.expectWord("per")
+          val group = p.expectWordRaw()
+          p.dropWords("with", "using", "a")
+          p.expectWord("sketch")
+          requireDone(p)
+          Right(List(Op.DistinctSketch(key, group)))
+        } else if (tumbling) {
           p.next(); p.next() // events, per
           def windowUnit(): String =
             p.expectWordRaw().toLowerCase.stripSuffix("s") match {

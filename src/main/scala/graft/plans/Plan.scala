@@ -204,6 +204,9 @@ object Op {
   /** Temperature-2 source rebalance
     * ([[graft.operators.Sampling.temperatureSample]]). */
   final case class SampleTemperature(sourceCol: String, seed: Long) extends CorpusOp
+  /** HLL distinct-count estimate per group, certified against the exact
+    * count ([[graft.operators.Cardinality]]). */
+  final case class DistinctSketch(keyCol: String, groupCol: String)  extends CorpusOp
   /** Equi-width histogram profile
     * ([[graft.operators.Profiling.histogram]]). */
   final case class Histogram(valueCol: String, groupCol: String,

@@ -255,6 +255,11 @@ object NLQueries extends QueryPack {
         Map("urgent" -> s.read.parquet(s"$d/orders.parquet")
           .filter(col("o_orderpriority") === "1-URGENT")))),
 
+    // Certified HLL distinct sketch (x49's kernel, q12-style oracle).
+    "nl52_distinct_sketch" -> ((s: SparkSession, d: String) =>
+      Engine.run("Count distinct user_id per event_type with a sketch.",
+                 Events.load(s, d))),
+
     // Profiling routes (x53/x54's operators and parameters).
     "nl49_histogram" -> ((s: SparkSession, d: String) =>
       Engine.run("Histogram o_totalprice by o_orderpriority from 0 to " +
@@ -339,6 +344,10 @@ object NLQueries extends QueryPack {
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
     "nl51_bloom_semi_join" -> RelationalQueries.oracleSql("x48_bloom_semi_join"),
+    "nl52_distinct_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+        |  TRUE AS sketch_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "nl50_outlier_clip" -> TextQueries.oracleSql("x54_outlier_clip"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),

@@ -105,7 +105,14 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "curate the best documents up to 5000 tokens" -> List(O.BudgetSelect(5000L)),
       "sample exactly 50 documents" -> List(O.SampleExactK(50, 42L)),
       "score by unigram log probability" -> List(O.ScoreUnigramLogProb),
-      "apply gopher quality rules" -> List(O.GopherRules))
+      "apply gopher quality rules" -> List(O.GopherRules),
+      "keep the latest event per user_id" -> List(O.LatestPerKey("user_id")),
+      "dedup by semantic cosine 0.5 with 8 clusters" -> List(O.DedupSemantic(0.5, 8)),
+      "sample sources at temperature 2" -> List(O.SampleTemperature("source", 42L)),
+      "histogram score by cluster from 0 to 100 in 10 bins" ->
+        List(O.Histogram("score", "cluster", 0.0, 100.0, 10)),
+      "clip outliers above the 95th percentile of n" ->
+        List(O.ClipPercentile("n", 0.95)))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)

@@ -304,6 +304,14 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct-sketch clause parses; grouped count still needs group by") {
+    assert(NLParser.parse("Count distinct user_id per event_type with a sketch.").ops ==
+      List(O.DistinctSketch("user_id", "event_type")))
+    // bare grouped count unaffected
+    assert(NLParser.parse("Group by city and count names.").ops ==
+      List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Count, "names", "count")))))
+  }
+
   test("temperature sampling clause parses; non-2 temperatures rejected") {
     assert(NLParser.parse("Sample sources at temperature 2 with seed 7.").ops ==
       List(O.SampleTemperature("source", 7L)))
