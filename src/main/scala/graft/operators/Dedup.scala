@@ -298,6 +298,24 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Incremental ingest dedup: drop arriving documents whose exact text
+    * already exists in the `seen` corpus — the every-batch shape of a
+    * growing 100 TB corpus (full-corpus re-dedup per batch is the thing
+    * this avoids).
+    *
+    * Matches on md5(text), computed map-side on BOTH frames, so the
+    * anti-join moves 16-byte fingerprints, never document bodies; the
+    * historical side is distinct-collapsed first (at scale it IS the
+    * stored fingerprint index — pass a pre-fingerprinted frame with a
+    * `text` column or adapt upstream). Composes with the streaming path:
+    * [[graft.streaming.DocumentStreams.dedupNormalized]] handles
+    * within-stream dups, this handles against-history. */
+  def dedupAgainst(docs: DataFrame, seen: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val seenFp = seen.select(md5(col(textCol)).as("__fp")).distinct()
+    docs.join(seenFp, md5(col(textCol)) === col("__fp"), "left_anti")
+  }
+
   /** Contamination *scoring* — the continuous companion to
     * [[decontaminate]]'s binary drop: for every document, the fraction of
     * its distinct n-token spans that appear anywhere in the benchmark

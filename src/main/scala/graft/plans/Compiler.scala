@@ -175,6 +175,8 @@ object Compiler {
       Dedup.decontaminate(df, resolveTable(t, catalog), n)
     case Op.ContaminationScore(n, t) =>
       Dedup.contaminationScore(df, resolveTable(t, catalog), n)
+    case Op.DedupAgainst(t) =>
+      Dedup.dedupAgainst(df, resolveTable(t, catalog))
     case Op.BloomSemiJoin(t, lk, rk) =>
       graft.operators.BloomJoin.bloomSemiJoin(df, resolveTable(t, catalog), lk, rk)
     case Op.AsOfJoin(t, k, ts, out) =>

@@ -433,7 +433,22 @@ object NLParser {
           case _       => false
         }
         val decontaminate = has(shareWords) && has(spanWords)
-        if (decontaminate) {
+        val alreadyIn = toks.exists {
+          case w: Word => w.lower == "already"
+          case _       => false
+        }
+        if (alreadyIn) {
+          // "Drop documents already in <table>." — incremental ingest
+          // dedup against the named historical corpus
+          p.dropWords("the", "documents", "docs", "rows")
+          p.dropWords("that", "which", "are")
+          p.expectWord("already")
+          p.dropWords("in", "ingested", "seen", "present")
+          p.dropWords("the")
+          val tbl = p.expectWordRaw()
+          requireDone(p)
+          Right(List(Op.DedupAgainst(tbl)))
+        } else if (decontaminate) {
           p.dropWords("the", "documents", "docs", "rows")
           p.dropWords("that", "which")
           p.dropWords("share", "sharing", "overlap", "overlapping")

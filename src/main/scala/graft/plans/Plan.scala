@@ -247,6 +247,9 @@ object Op {
                             keyCol: String = "user_id",
                             tsCol: String = "ts_us",
                             outCol: String = "last_signup_us")     extends CorpusOp
+  /** Incremental ingest dedup vs the named historical corpus
+    * ([[graft.operators.Dedup.dedupAgainst]]). */
+  final case class DedupAgainst(seenTable: String)                 extends CorpusOp
   /** Bloom-pruned semi-join against the named table
     * ([[graft.operators.BloomJoin.bloomSemiJoin]]). */
   final case class BloomSemiJoin(rightTable: String,

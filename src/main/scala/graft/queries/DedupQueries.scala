@@ -58,6 +58,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Incremental ingest dedup: a re-delivered shard (ids ≡ 0 mod 3)
+    // anti-joined by md5 fingerprint against the already-ingested corpus
+    // (ids ≡ 0 mod 7) — the mod-21 overlap must drop (the fixture has no
+    // cross-id exact dups, so the overlap IS the planted re-delivery).
+    "x55_dedup_against" -> ((s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 3 === 0),
+                         docs.filter(col("doc_id") % 7 === 0))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Continuous contamination score (fraction of a doc's distinct
     // 8-token spans found in the src19 benchmark) — x30's threshold-free
     // companion.
@@ -148,6 +159,12 @@ object DedupQueries extends QueryPack {
         |bad AS (SELECT DISTINCT sp.doc_id FROM sp JOIN bench USING (span))
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "x55_dedup_against" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 3 = 0
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+        |                        WHERE doc_id % 7 = 0)""".stripMargin,
 
     "x47_contamination_score" ->
       """WITH t AS (

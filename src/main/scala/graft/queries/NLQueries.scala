@@ -255,6 +255,15 @@ object NLQueries extends QueryPack {
         Map("urgent" -> s.read.parquet(s"$d/orders.parquet")
           .filter(col("o_orderpriority") === "1-URGENT")))),
 
+    // Incremental ingest dedup route (x55's frames and oracle).
+    "nl53_dedup_against" -> ((s: SparkSession, d: String) => {
+      val all = docs(s, d)
+      Engine.run("Drop documents already in corpus and select columns " +
+                 "doc_id and source.",
+                 all.filter(col("doc_id") % 3 === 0),
+                 Map("corpus" -> all.filter(col("doc_id") % 7 === 0)))
+    }),
+
     // Certified HLL distinct sketch (x49's kernel, q12-style oracle).
     "nl52_distinct_sketch" -> ((s: SparkSession, d: String) =>
       Engine.run("Count distinct user_id per event_type with a sketch.",
@@ -344,6 +353,7 @@ object NLQueries extends QueryPack {
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
     "nl51_bloom_semi_join" -> RelationalQueries.oracleSql("x48_bloom_semi_join"),
+    "nl53_dedup_against" -> DedupQueries.oracleSql("x55_dedup_against"),
     "nl52_distinct_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
         |  TRUE AS sketch_within_5pct

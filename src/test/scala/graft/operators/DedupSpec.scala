@@ -130,6 +130,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(corpus, tiny, n = 10).count() == corpus.count())
   }
 
+  test("dedupAgainst drops exact-text matches of the seen corpus only") {
+    // docs 1/2 share text; seen corpus = doc 1 → doc 2 drops, 3/4/5 stay
+    val batch = corpus.filter($"doc_id" =!= 1L)
+    val seen = corpus.filter($"doc_id" === 1L)
+    val kept = Dedup.dedupAgainst(batch, seen)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // empty history drops nothing; the anti-join never invents rows
+    val none = corpus.filter($"doc_id" === -1L)
+    assert(Dedup.dedupAgainst(batch, none).count() == batch.count())
+  }
+
   test("contaminationScore: per-doc overlap fraction, short docs score 0") {
     // benchmark = doc 3 (11 tokens -> 2 distinct 10-token spans); doc 4
     // shares exactly the first of its own 2 spans, doc 3 scores 1.0

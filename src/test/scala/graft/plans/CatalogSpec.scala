@@ -36,6 +36,12 @@ class CatalogSpec extends SparkSpec {
       "Keep rows matching urgent on l_orderkey = o_orderkey with a bloom filter.")
       == Plan(List(Op.BloomSemiJoin("urgent", "l_orderkey", "o_orderkey"))))
     assert(NLParser.parse("Keep top 3 rows.") == Plan(List(Op.Limit(3))))
+    // incremental ingest dedup — "already" is the discriminator; plain
+    // column drop and span decontamination stay untouched
+    assert(NLParser.parse("Drop documents already in corpus.")
+      == Plan(List(Op.DedupAgainst("corpus"))))
+    assert(NLParser.parse("Drop documents that are already in the ingested.")
+      == Plan(List(Op.DedupAgainst("ingested"))))
   }
 
   test("NL bloom semi-join route equals the direct operator (x48)") {
