@@ -54,6 +54,7 @@ object Run {
         else df
       case p if p.endsWith(".json") || p.endsWith(".jsonl") =>
         Sources.jsonLines(spark, p)
+      case p if p.endsWith(".orc") => Sources.orc(spark, p)
       case p => Sources.csv(spark, p)
     }
 

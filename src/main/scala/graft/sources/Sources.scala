@@ -38,6 +38,12 @@ object Sources {
       case None      => spark.read.json(path)
     }
 
+  /** ORC scan — the other splittable columnar format Spark ships a
+    * vectorized, pushdown-capable reader for; interchange with
+    * Hive-lineage warehouses. Same scan guarantees as [[parquet]]. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Named testdata table from a scale-factor directory (TESTDATA.md). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
