@@ -255,6 +255,14 @@ object NLQueries extends QueryPack {
         Map("urgent" -> s.read.parquet(s"$d/orders.parquet")
           .filter(col("o_orderpriority") === "1-URGENT")))),
 
+    // Multi-clause pipeline: filter → hash-sample → project, all from one
+    // description — the composition surface the reference's open-ended
+    // exec() implies, here as three folded IR ops over one frame.
+    "nl54_pipeline" -> ((s: SparkSession, d: String) =>
+      Engine.run("Filter rows where n_chars > 200 and sample 50% of " +
+                 "documents with seed 7 and select columns doc_id and source.",
+                 docs(s, d))),
+
     // Incremental ingest dedup route (x55's frames and oracle).
     "nl53_dedup_against" -> ((s: SparkSession, d: String) => {
       val all = docs(s, d)
@@ -354,6 +362,11 @@ object NLQueries extends QueryPack {
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
     "nl51_bloom_semi_join" -> RelationalQueries.oracleSql("x48_bloom_semi_join"),
     "nl53_dedup_against" -> DedupQueries.oracleSql("x55_dedup_against"),
+    "nl54_pipeline" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(7L, "doc_id, source, n_chars")}
+         |SELECT doc_id, source FROM pb
+         |WHERE n_chars > 200
+         |  AND bucket < ${Sampling.threshold(0.5)}""".stripMargin,
     "nl52_distinct_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct,
         |  TRUE AS sketch_within_5pct
