@@ -87,6 +87,49 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("file source → parquet sink: checkpointed restart is exactly-once") {
+    // the production ingest shape: json files arrive in a directory,
+    // the cleaned stream lands in parquet with a checkpoint. Stop the
+    // query, restart from the SAME checkpoint with the old files still
+    // present, add a new file — already-committed files must not
+    // reprocess, and every surviving doc lands exactly once.
+    val src = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ddl = "doc_id long, text string, source string, ingest_ts timestamp"
+
+    def writeChunk(name: String, ids: Range): Unit = {
+      val lines = ids.map(i =>
+        s"""{"doc_id":$i,"text":"$richText unique token nr$i","source":"s${i % 3}",""" +
+        s""""ingest_ts":"2024-01-01 00:${10 + i % 40}:00"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$src/$name.json"),
+        String.join("\n", lines: _*).getBytes)
+    }
+    def start() =
+      DocumentStreams.cleanAndDedup(
+          spark.readStream.schema(ddl).json(src), minQuality = 0.0)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    writeChunk("a", 1 to 10)
+    writeChunk("b", 11 to 20)
+    val q1 = start()
+    try q1.processAllAvailable() finally stopQuietly(q1)
+
+    writeChunk("c", 21 to 30)
+    val q2 = start() // same checkpoint; files a/b still in the directory
+    try q2.processAllAvailable() finally stopQuietly(q2)
+
+    val landed = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(landed.length == landed.distinct.length,
+      s"sink duplicated rows: ${landed.length} vs ${landed.distinct.length}")
+    assert(landed.toSet == (1 to 30).map(_.toLong).toSet,
+      s"expected all 30 unique docs, got ${landed.length}")
+  }
+
   test("token throughput aggregates per window and source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, Timestamp)]
