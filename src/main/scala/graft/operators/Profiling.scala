@@ -54,6 +54,39 @@ object Profiling {
     hist.find { case (_, c) => cum += c; cum >= k }.get._1
   }
 
+  /** Per-group z-score normalization of an INTEGER-domain column.
+    *
+    * Determinism: the moments are exact integer sums (`sum(x)` and
+    * `sum(x²)` over longs — order-free), so mean/std come from a fixed
+    * sequence of single-rounded IEEE ops (two divisions, one multiply,
+    * one subtract, one sqrt) that DuckDB reproduces bit-for-bit — the
+    * reason this avoids float `avg`/`stddev`, whose partial-merge order
+    * would differ per partitioning. A constant group (std = 0) scores 0,
+    * not NaN.
+    *
+    * Shape: one tiny per-group stats aggregate (broadcast back), then
+    * map-side arithmetic — the corpus is scanned twice, shuffled never.
+    * Precondition: Σx² must fit a long (true for lengths/counts/cents at
+    * any corpus size that fits a cluster; overflow throws, not wraps,
+    * under ANSI mode — and the oracle's HUGEINT would expose it). */
+  def zscore(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+        sum(col(valueCol)).as("__s"),
+        sum(col(valueCol) * col(valueCol)).as("__sq"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
+      .withColumn("__std",
+        sqrt(col("__sq").cast("double") / col("__n").cast("double")
+          - col("__mean") * col("__mean")))
+      .select(col(groupCol), col("__mean"), col("__std"))
+    df.join(stats, Seq(groupCol))
+      .withColumn("z", round(
+        when(col("__std") === 0d, 0d)
+          .otherwise((col(valueCol).cast("double") - col("__mean")) / col("__std")),
+        6))
+      .drop("__mean", "__std")
+  }
+
   /** Outlier clip: rows with `valueCol` ≤ the exact p-th percentile —
     * the standard "drop the pathological tail before training" cut. */
   def clipAbovePercentile(df: DataFrame, valueCol: String,

@@ -167,6 +167,7 @@ object Compiler {
       graft.operators.Profiling.histogram(df, v, g, lo, hi, bins)
     case Op.ClipPercentile(v, p) =>
       graft.operators.Profiling.clipAbovePercentile(df, v, p)
+    case Op.ZScore(v, g) => graft.operators.Profiling.zscore(df, v, g)
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)

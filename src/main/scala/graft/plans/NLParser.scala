@@ -127,7 +127,8 @@ object NLParser {
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
-        "split", "repeat", "upsample", "curate", "apply", "histogram", "clip")
+        "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
+        "normalize")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -512,6 +513,15 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("normalize") =>
+        // "Normalize n_chars per lang." — per-group z-score
+        p.next(); p.dropWords("the", "column")
+        val valueCol = p.expectWordRaw()
+        p.expectWord("per")
+        p.dropWords("each", "the")
+        val groupCol = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.ZScore(valueCol, groupCol)))
       case Some("histogram") =>
         // "Histogram o_totalprice by o_orderpriority from 0 to 600000 in 20 bins."
         p.next(); p.dropWords("of", "the")

@@ -214,6 +214,9 @@ object Op {
   /** Exact percentile outlier clip
     * ([[graft.operators.Profiling.clipAbovePercentile]]). */
   final case class ClipPercentile(valueCol: String, p: Double)      extends CorpusOp
+  /** Per-group z-score normalization
+    * ([[graft.operators.Profiling.zscore]]). */
+  final case class ZScore(valueCol: String, groupCol: String)       extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

@@ -277,6 +277,11 @@ object NLQueries extends QueryPack {
       Engine.run("Count distinct user_id per event_type with a sketch.",
                  Events.load(s, d))),
 
+    // Per-group normalization route (x56's operator and columns).
+    "nl55_normalize" -> ((s: SparkSession, d: String) =>
+      Engine.run("Normalize n_chars per lang and select columns doc_id, " +
+                 "lang, n_chars and z.", docs(s, d))),
+
     // Profiling routes (x53/x54's operators and parameters).
     "nl49_histogram" -> ((s: SparkSession, d: String) =>
       Engine.run("Histogram o_totalprice by o_orderpriority from 0 to " +
@@ -372,6 +377,7 @@ object NLQueries extends QueryPack {
         |  TRUE AS sketch_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
     "nl50_outlier_clip" -> TextQueries.oracleSql("x54_outlier_clip"),
+    "nl55_normalize" -> TextQueries.oracleSql("x56_normalize_zscore"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

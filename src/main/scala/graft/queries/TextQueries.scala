@@ -22,6 +22,13 @@ object TextQueries extends QueryPack {
     "x8_text_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenStats(table(s, d, "documents"))),
 
+    // Per-language length normalization: exact integer moments → a fixed
+    // IEEE op sequence both engines replay bit-for-bit.
+    "x56_normalize_zscore" -> ((s: SparkSession, d: String) =>
+      graft.operators.Profiling
+        .zscore(table(s, d, "documents"), "n_chars", "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))),
+
     // Exact-p99 length clip via the distinct-value histogram (never a
     // global sort or a driver TakeOrdered of 0.99·n rows).
     "x54_outlier_clip" -> ((s: SparkSession, d: String) =>
@@ -80,6 +87,24 @@ object TextQueries extends QueryPack {
   private val BudgetTokens = 10000L
 
   override val oracleSql: Map[String, String] = Map(
+    // Mirrors Profiling.zscore's exact op sequence: integer sums, then
+    // mean = s/n, var = sq/n - mean*mean, std = sqrt(var) — every step a
+    // single correctly-rounded IEEE op in both engines.
+    "x56_normalize_zscore" ->
+      """WITH st AS (
+        |  SELECT lang, sum(n_chars)::BIGINT AS s,
+        |    sum(n_chars * n_chars)::BIGINT AS sq, count(*) AS n
+        |  FROM documents GROUP BY lang),
+        |ms AS (
+        |  SELECT lang, s::DOUBLE / n::DOUBLE AS mean,
+        |    sqrt(sq::DOUBLE / n::DOUBLE
+        |         - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE)) AS std
+        |  FROM st)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN std = 0 THEN 0
+        |        ELSE (n_chars::DOUBLE - mean) / std END, 6) AS z
+        |FROM documents JOIN ms USING (lang)""".stripMargin,
+
     // Same definition as Profiling.percentileByHistogram: threshold =
     // smallest value whose cumulative count reaches ceil(0.99·n).
     "x54_outlier_clip" ->

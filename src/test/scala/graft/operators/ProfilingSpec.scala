@@ -41,6 +41,23 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("zscore: known moments, constant groups score 0, partition-invariant") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+                 ("b", 4L, 5L), ("b", 5L, 5L)).toDF("g", "id", "v")
+    val z = Profiling.zscore(df, "v", "g")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // group a: mean 4, var (4+16+36)/3 - 16 = 2.666…, std 1.63299…
+    assert(math.abs(z(1L) - (-1.224745)) < 1e-6)
+    assert(math.abs(z(2L) - 0.0) < 1e-12)
+    assert(math.abs(z(3L) - 1.224745) < 1e-6)
+    // constant group b scores 0, never NaN
+    assert(z(4L) == 0.0 && z(5L) == 0.0)
+    // bit-stable under repartitioning (integer moments are order-free)
+    val again = Profiling.zscore(df.repartition(7), "v", "g")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(again == z)
+  }
+
   test("clipAbovePercentile drops ~1% tail on the documents fixture, keeps the rest") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()

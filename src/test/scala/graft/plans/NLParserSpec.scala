@@ -304,6 +304,13 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize clause parses") {
+    assert(NLParser.parse("Normalize n_chars per lang.").ops ==
+      List(O.ZScore("n_chars", "lang")))
+    assert(NLParser.parse("Normalize the column score per each source.").ops ==
+      List(O.ZScore("score", "source")))
+  }
+
   test("distinct-sketch clause parses; grouped count still needs group by") {
     assert(NLParser.parse("Count distinct user_id per event_type with a sketch.").ops ==
       List(O.DistinctSketch("user_id", "event_type")))
