@@ -139,6 +139,30 @@ object Events {
       .select(col(keyCol) +: payloadCols.map(c => col(s"__latest.$c")): _*)
   }
 
+  /** Funnel analysis: for every user with a `fromType` event, the first
+    * `toType` event at-or-after their first `fromType` — the standard
+    * conversion query (signup → purchase) of an event pipeline.
+    *
+    * Two hash aggregations on user_id plus one co-partitioned join —
+    * both aggregates are partial+final (a conditional `min` is
+    * merge-order-free), no window sort over the log. Users who never
+    * emitted `fromType` are excluded; non-converters carry a null
+    * `first_to_us` and `converted = false`. */
+  def funnel(events: DataFrame, fromType: String = "signup",
+             toType: String = "purchase"): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === fromType, col("ts_us")))
+        .as("first_from_us"))
+      .filter(col("first_from_us").isNotNull)
+    val conv = events.join(first, "user_id")
+      .filter(col("event_type") === toType &&
+              col("ts_us") >= col("first_from_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_to_us"))
+    first.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_from_us"), col("first_to_us"),
+              col("first_to_us").isNotNull.as("converted"))
+  }
+
   /** The same sessions through Spark's native `session_window` (batch
     * mode) — the formulation that also runs under Structured Streaming
     * with state-store-backed incremental merging. Window end = last event

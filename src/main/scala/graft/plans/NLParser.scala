@@ -128,7 +128,7 @@ object NLParser {
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
-        "normalize")
+        "normalize", "funnel")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -513,6 +513,15 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("funnel") =>
+        // "Funnel from signup to purchase."
+        p.next()
+        p.expectWord("from")
+        val from = p.expectWordRaw()
+        p.expectWord("to")
+        val to = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.Funnel(from, to)))
       case Some("normalize") =>
         // "Normalize n_chars per lang." — per-group z-score
         p.next(); p.dropWords("the", "column")

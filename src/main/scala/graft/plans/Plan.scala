@@ -217,6 +217,8 @@ object Op {
   /** Per-group z-score normalization
     * ([[graft.operators.Profiling.zscore]]). */
   final case class ZScore(valueCol: String, groupCol: String)       extends CorpusOp
+  /** Event conversion funnel ([[graft.operators.Events.funnel]]). */
+  final case class Funnel(fromType: String, toType: String)         extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

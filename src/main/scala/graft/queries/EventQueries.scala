@@ -69,6 +69,10 @@ object EventQueries extends QueryPack {
           (col("sketch") === col("merged_sketch")).as("merged_equals_direct"))
     }),
 
+    // Conversion funnel: first signup → first purchase at-or-after it.
+    "x57_event_funnel" -> ((s: SparkSession, d: String) =>
+      Events.funnel(Events.load(s, d))),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -139,6 +143,24 @@ object EventQueries extends QueryPack {
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
         |FROM events""".stripMargin,
+
+    "x57_event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      AS first_from_us
+        |  FROM events GROUP BY user_id),
+        |fx AS (SELECT user_id, first_from_us FROM f
+        |       WHERE first_from_us IS NOT NULL),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_to_us
+        |  FROM events e JOIN fx USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= fx.first_from_us
+        |  GROUP BY e.user_id)
+        |SELECT fx.user_id, fx.first_from_us, c.first_to_us,
+        |  c.first_to_us IS NOT NULL AS converted
+        |FROM fx LEFT JOIN c USING (user_id)""".stripMargin,
 
     "x49_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

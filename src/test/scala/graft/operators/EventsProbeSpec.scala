@@ -61,6 +61,29 @@ class EventsProbeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("funnel: conversion ordering, null for non-converters, no phantom users") {
+    val f = Events.funnel(events).collect()
+    assert(f.nonEmpty)
+    // every row's user had a signup; converters purchased at-or-after it
+    f.foreach { r =>
+      assert(!r.isNullAt(1), "first_from_us must be present")
+      if (r.getBoolean(3)) assert(r.getLong(2) >= r.getLong(1))
+      else assert(r.isNullAt(2))
+    }
+    // row count == users with >=1 signup; converted count matches an
+    // independent formulation over the raw events
+    val signupUsers = events.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(f.length.toLong == signupUsers)
+    val expected = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("s_us"))
+      .join(events.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts_us").as("p_us")), Seq("user_id"))
+      .filter(col("p_us") >= col("s_us"))
+      .select("user_id").distinct().count()
+    assert(f.count(_.getBoolean(3)).toLong == expected)
+  }
+
   test("session_window agrees with lag-based sessionization") {
     val viaLag = Events.sessionize(events, 30)
       .select(col("user_id"), col("session_start_us"), col("n_events"))
