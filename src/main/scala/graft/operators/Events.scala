@@ -163,6 +163,28 @@ object Events {
               col("first_to_us").isNotNull.as("converted"))
   }
 
+  /** Cohort retention: users grouped by the epoch-week of their FIRST
+    * event; for each (cohort_week, weeks_since) cell, the number of
+    * cohort members active that many weeks later — the standard
+    * retention matrix.
+    *
+    * All-integer arithmetic (`div` on epoch micros — no float weeks), so
+    * cells are engine-exact. Shape: first-seen aggregate, co-partitioned
+    * join back, distinct on (user, cell), final count — every stage
+    * keyed on user_id or the cell, partial-aggregated, never sorted. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"))
+    events.join(firstSeen, "user_id")
+      .select(col("user_id"),
+        expr(s"first_us div $weekUs").as("cohort_week"),
+        expr(s"(ts_us - first_us) div $weekUs").as("weeks_since"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** The same sessions through Spark's native `session_window` (batch
     * mode) — the formulation that also runs under Structured Streaming
     * with state-store-backed incremental merging. Window end = last event

@@ -169,6 +169,7 @@ object Compiler {
       graft.operators.Profiling.clipAbovePercentile(df, v, p)
     case Op.ZScore(v, g) => graft.operators.Profiling.zscore(df, v, g)
     case Op.Funnel(from, to) => graft.operators.Events.funnel(df, from, to)
+    case Op.CohortRetention  => graft.operators.Events.cohortRetention(df)
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)

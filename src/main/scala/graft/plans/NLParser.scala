@@ -128,7 +128,7 @@ object NLParser {
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
-        "normalize", "funnel")
+        "normalize", "funnel", "cohort")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -513,6 +513,14 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("cohort") =>
+        // "Cohort retention by week."
+        p.next()
+        p.dropWords("retention", "matrix")
+        p.dropWords("by", "per")
+        p.dropWords("week", "weeks")
+        requireDone(p)
+        Right(List(Op.CohortRetention))
       case Some("funnel") =>
         // "Funnel from signup to purchase."
         p.next()

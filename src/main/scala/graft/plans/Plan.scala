@@ -219,6 +219,9 @@ object Op {
   final case class ZScore(valueCol: String, groupCol: String)       extends CorpusOp
   /** Event conversion funnel ([[graft.operators.Events.funnel]]). */
   final case class Funnel(fromType: String, toType: String)         extends CorpusOp
+  /** Weekly cohort retention matrix
+    * ([[graft.operators.Events.cohortRetention]]). */
+  case object CohortRetention                                       extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

@@ -73,6 +73,10 @@ object EventQueries extends QueryPack {
     "x57_event_funnel" -> ((s: SparkSession, d: String) =>
       Events.funnel(Events.load(s, d))),
 
+    // Retention matrix keyed on integer epoch-weeks.
+    "x58_cohort_retention" -> ((s: SparkSession, d: String) =>
+      Events.cohortRetention(Events.load(s, d))),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -143,6 +147,18 @@ object EventQueries extends QueryPack {
         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
         |FROM events""".stripMargin,
+
+    "x58_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id,
+        |    fs.first_us // 604800000000 AS cohort_week,
+        |    (epoch_us(e.ts) - fs.first_us) // 604800000000 AS weeks_since
+        |  FROM events e JOIN fs USING (user_id))
+        |SELECT cohort_week, weeks_since, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "x57_event_funnel" ->
       """WITH f AS (

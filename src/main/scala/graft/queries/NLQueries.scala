@@ -281,6 +281,10 @@ object NLQueries extends QueryPack {
     "nl56_event_funnel" -> ((s: SparkSession, d: String) =>
       Engine.run("Funnel from signup to purchase.", Events.load(s, d))),
 
+    // Retention matrix route (x58's operator).
+    "nl57_cohort_retention" -> ((s: SparkSession, d: String) =>
+      Engine.run("Cohort retention by week.", Events.load(s, d))),
+
     // Per-group normalization route (x56's operator and columns).
     "nl55_normalize" -> ((s: SparkSession, d: String) =>
       Engine.run("Normalize n_chars per lang and select columns doc_id, " +
@@ -383,6 +387,7 @@ object NLQueries extends QueryPack {
     "nl50_outlier_clip" -> TextQueries.oracleSql("x54_outlier_clip"),
     "nl55_normalize" -> TextQueries.oracleSql("x56_normalize_zscore"),
     "nl56_event_funnel" -> EventQueries.oracleSql("x57_event_funnel"),
+    "nl57_cohort_retention" -> EventQueries.oracleSql("x58_cohort_retention"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

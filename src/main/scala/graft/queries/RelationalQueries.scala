@@ -167,6 +167,20 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Quantile bucketing via ntile — the window-family gap q4/q14/q16
+    // left open. Deterministic: the order key ends in the unique
+    // o_orderkey, so tile boundaries cannot float between engines.
+    "q20_ntile_quartiles" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      table(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+                ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
     // Column-profile histogram: 20 equi-width bins of o_totalprice per
     // priority — mergeable by bin-sum (the distinct-count analogue is
     // x49), exact, one (group, bin) shuffle.
@@ -405,6 +419,15 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q20_ntile_quartiles" ->
+      """SELECT o_orderpriority, quartile, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        ntile(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS quartile
+        |      FROM orders)
+        |GROUP BY o_orderpriority, quartile""".stripMargin,
+
     "x53_histogram_profile" ->
       """SELECT o_orderpriority, bin, bin * 30000.0 AS bin_lo, count(*) AS n
         |FROM (SELECT o_orderpriority,

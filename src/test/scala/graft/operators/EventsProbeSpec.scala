@@ -84,6 +84,20 @@ class EventsProbeSpec extends SparkSpec {
     assert(f.count(_.getBoolean(3)).toLong == expected)
   }
 
+  test("cohortRetention: week-0 diagonal covers every user, cells non-negative") {
+    val m = Events.cohortRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.keys.forall { case (_, w) => w >= 0 },
+      "weeks_since can never be negative")
+    // every user is active in their own first week, so the week-0 cells
+    // sum to the distinct user count
+    val users = events.select("user_id").distinct().count()
+    assert(m.collect { case ((_, 0L), n) => n }.sum == users)
+    // no cell can exceed its cohort's size
+    val cohortSize = m.collect { case ((c, 0L), n) => c -> n }.toMap
+    m.foreach { case ((c, _), n) => assert(n <= cohortSize(c)) }
+  }
+
   test("session_window agrees with lag-based sessionization") {
     val viaLag = Events.sessionize(events, 30)
       .select(col("user_id"), col("session_start_us"), col("n_events"))
