@@ -298,6 +298,44 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Edit-distance (typo-level) near-dup pairs: same-block document
+    * pairs with Levenshtein distance ≤ maxDist — the character-level
+    * complement of the token-level Jaccard/MinHash family (catches
+    * OCR noise, near-identical boilerplate, single-field template
+    * fills that re-tokenize differently).
+    *
+    * Blocking is lossless for the threshold: |len(a) − len(b)| ≤ d is
+    * necessary for lev ≤ d, so each doc lands in length buckets
+    * ⌊len/d⌋ and ⌊len/d⌋+1 and candidates come from a (block, bucket)
+    * equi-join — adjacent-bucket pairs are covered by the +1 emission,
+    * distance-incompatible lengths never meet. The O(len·d)-per-pair
+    * verify (both engines' `levenshtein` is the standard integer DP —
+    * oracle-exact) runs only on bucket collisions. */
+  def levenshteinPairs(docs: DataFrame, maxDist: Int,
+                       blockCol: String = "source",
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(maxDist > 0, "maxDist must be positive")
+    val base = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+                           col(textCol).as("t"),
+                           (length(col(textCol)).cast("long") / maxDist)
+                             .cast("long").as("lb"))
+      .select(col("block"), col("id"), col("t"),
+              explode(array(col("lb"), col("lb") + 1)).as("bucket"))
+    base.as("l")
+      .join(base.as("r"),
+        col("l.block") === col("r.block") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              col("l.t").as("ta"), col("r.t").as("tb"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+              levenshtein(col("ta"), col("tb")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDist)
+  }
+
   /** Incremental ingest dedup: drop arriving documents whose exact text
     * already exists in the `seen` corpus — the every-batch shape of a
     * growing 100 TB corpus (full-corpus re-dedup per batch is the thing

@@ -129,6 +129,8 @@ object Compiler {
     case Op.DedupEmbeddingLsh(t) =>
       Dedup.embeddingPairsLsh(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
+    case Op.DedupLevenshtein(d, block) =>
+      Dedup.levenshteinPairs(df, d, block.getOrElse("source"))
     case Op.DedupSemantic(t, k) =>
       Dedup.semanticDedupPairs(df, t, k).withColumn("cosine", round(col("cosine"), 6))
     case Op.LatestPerKey(key, ts, id) =>

@@ -934,6 +934,17 @@ object NLParser {
       }
       requireDone(p)
       if (wide) Op.DedupSimHashWide(h) else Op.DedupSimHash(h)
+    case Some(w: Word) if w.lower == "levenshtein" || w.lower == "edit" =>
+      // "… by levenshtein 60 (blocked by source)" / "… by edit distance 60"
+      p.next(); p.dropWords("distance")
+      val d = p.expectNum().toInt
+      if (d <= 0) throw ParseException(s"edit distance must be positive, got $d")
+      val block = p.peekWordLower match {
+        case Some("blocked") => p.next(); p.expectWord("by"); Some(p.expectWordRaw())
+        case _               => None
+      }
+      requireDone(p)
+      Op.DedupLevenshtein(d, block)
     case Some(w: Word) if w.lower == "semantic" || w.lower == "semantically" =>
       // "… by semantic cosine 0.45 (with 16 clusters)?" — SemDeDup:
       // within-k-means-cell cosine pairs

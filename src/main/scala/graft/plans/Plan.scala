@@ -170,6 +170,10 @@ object Op {
   /** SemDeDup: cosine pairs within deterministic k-means cells
     * ([[graft.operators.Dedup.semanticDedupPairs]]). */
   final case class DedupSemantic(threshold: Double, centroids: Int)  extends CorpusOp
+  /** Edit-distance near-dup pairs
+    * ([[graft.operators.Dedup.levenshteinPairs]]). */
+  final case class DedupLevenshtein(maxDist: Int,
+                                    block: Option[String] = None)    extends CorpusOp
   /** Latest-wins snapshot compaction per key
     * ([[graft.operators.Events.latestSnapshot]]). */
   final case class LatestPerKey(keyCol: String,

@@ -58,6 +58,11 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Character-level near-dup pairs: same-source, Levenshtein ≤ 60,
+    // candidates from lossless length-band blocking.
+    "x59_dedup_levenshtein" -> ((s: SparkSession, d: String) =>
+      Dedup.levenshteinPairs(table(s, d, "documents"), maxDist = 60)),
+
     // Incremental ingest dedup: a re-delivered shard (ids ≡ 0 mod 3)
     // anti-joined by md5 fingerprint against the already-ingested corpus
     // (ids ≡ 0 mod 7) — the mod-21 overlap must drop (the fixture has no
@@ -159,6 +164,16 @@ object DedupQueries extends QueryPack {
         |bad AS (SELECT DISTINCT sp.doc_id FROM sp JOIN bench USING (span))
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // The length filter mirrors the engine's lossless blocking bound, so
+    // both engines verify the identical candidate set.
+    "x59_dedup_levenshtein" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS distance
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(length(a.text) - length(b.text)) <= 60
+        |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
 
     "x55_dedup_against" ->
       """SELECT doc_id, source FROM documents

@@ -277,6 +277,10 @@ object NLQueries extends QueryPack {
       Engine.run("Count distinct user_id per event_type with a sketch.",
                  Events.load(s, d))),
 
+    // Edit-distance dedup route (x59's threshold and blocking).
+    "nl58_dedup_levenshtein" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by levenshtein 60 blocked by source.", docs(s, d))),
+
     // Conversion funnel route (x57's operator and event types).
     "nl56_event_funnel" -> ((s: SparkSession, d: String) =>
       Engine.run("Funnel from signup to purchase.", Events.load(s, d))),
@@ -388,6 +392,7 @@ object NLQueries extends QueryPack {
     "nl55_normalize" -> TextQueries.oracleSql("x56_normalize_zscore"),
     "nl56_event_funnel" -> EventQueries.oracleSql("x57_event_funnel"),
     "nl57_cohort_retention" -> EventQueries.oracleSql("x58_cohort_retention"),
+    "nl58_dedup_levenshtein" -> DedupQueries.oracleSql("x59_dedup_levenshtein"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -130,6 +130,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(corpus, tiny, n = 10).count() == corpus.count())
   }
 
+  test("levenshteinPairs: length-band blocking is lossless vs brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val blocked = Dedup.levenshteinPairs(docs, maxDist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force within source, no blocking
+    val d = docs.select($"doc_id", $"source", $"text")
+    val brute = d.as("a").join(d.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        org.apache.spark.sql.functions.levenshtein($"a.text", $"b.text")
+          .cast("long").as("dist"))
+      .filter($"dist" <= 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(blocked == brute, s"blocking lost pairs: brute=${brute.size} blocked=${blocked.size}")
+    assert(blocked.nonEmpty, "fixture should contain at least one close pair")
+    // the small hand corpus: identical docs 1/2 at distance 0, 3/4 one
+    // word apart, unrelated docs excluded
+    val tiny = Dedup.levenshteinPairs(corpus, maxDist = 10, blockCol = "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tiny(1L -> 2L) == 0L)
+    assert(tiny(3L -> 4L) == 5L) // "day" -> "night"
+    assert(!tiny.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
   test("dedupAgainst drops exact-text matches of the seen corpus only") {
     // docs 1/2 share text; seen corpus = doc 1 → doc 2 drops, 3/4/5 stay
     val batch = corpus.filter($"doc_id" =!= 1L)

@@ -304,6 +304,20 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("levenshtein, funnel, and cohort clauses parse") {
+    assert(NLParser.parse("Dedup by levenshtein 60 blocked by source.").ops ==
+      List(O.DedupLevenshtein(60, Some("source"))))
+    assert(NLParser.parse("Dedup by edit distance 10.").ops ==
+      List(O.DedupLevenshtein(10, None)))
+    assert(NLParser.parse("Funnel from signup to purchase.").ops ==
+      List(O.Funnel("signup", "purchase")))
+    assert(NLParser.parse("Cohort retention by week.").ops ==
+      List(O.CohortRetention))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by levenshtein 0.")
+    }
+  }
+
   test("normalize clause parses") {
     assert(NLParser.parse("Normalize n_chars per lang.").ops ==
       List(O.ZScore("n_chars", "lang")))
