@@ -166,4 +166,56 @@ object EventStreams extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class FunnelResult(user_id: Long, first_from_us: Long,
+                                first_to_us: Option[Long], converted: Boolean)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.operators.Events.funnel]]: per user, the first `fromType`
+    * event and the first `toType` at-or-after it. State is two optional
+    * timestamps per user (O(users) total, evicted on timeout); a user's
+    * row emits once, when `horizonMinutes` of event time pass without
+    * further events for that user (the online stand-in for batch's
+    * end-of-data). Assumes within-watermark arrival order for the
+    * signup→purchase race, like the sessionizer: a purchase surfacing
+    * before a LATER-arriving earlier signup is the documented trade of
+    * bounded state. */
+  def statefulFunnel(events: Dataset[Event], fromType: String = "signup",
+                     toType: String = "purchase",
+                     horizonMinutes: Int = 60,
+                     watermark: String = "1 hour"): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[(Long, Long, Long)]): Iterator[FunnelResult] = {
+      // state: (firstFromUs | Long.MaxValue, firstToUs | Long.MaxValue, lastSeenUs)
+      if (state.hasTimedOut) {
+        val out = state.getOption.collect {
+          case (from, to, _) if from != Long.MaxValue =>
+            FunnelResult(userId, from,
+              if (to != Long.MaxValue) Some(to) else None, to != Long.MaxValue)
+        }.iterator
+        state.remove()
+        out
+      } else {
+        var (from, to, last) = state.getOption.getOrElse(
+          (Long.MaxValue, Long.MaxValue, Long.MinValue))
+        batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val t = micros(e.ts)
+          last = math.max(last, t)
+          if (e.event_type == fromType && t < from) from = t
+          if (e.event_type == toType && t >= from && t < to) to = t
+        }
+        state.update((from, to, last))
+        state.setTimeoutTimestamp(Math.floorDiv(last + horizonUs + 999L, 1000L))
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -314,6 +314,49 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("statefulFunnel reproduces batch Events.funnel (x57) on the fixture") {
+    val events = Events.load(spark, sfDir)
+    val batch = Events.funnel(events).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(batch.nonEmpty && batch.values.exists(_._3),
+      "fixture must contain converters (at sf0.001 every user converts)")
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+    val maxUs = EventStreams.micros(typed.last.ts)
+    val dayUs = 24L * 3600L * 1000000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // horizon must exceed the largest intra-user gap (days, in this
+    // fixture) or the funnel re-opens per activity epoch — the online
+    // semantics, but not batch's end-of-data view
+    val q = EventStreams.statefulFunnel(input.toDS(), horizonMinutes = 7 * 24 * 60)
+      .writeStream.format("memory").queryName("equiv_funnel")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData(Event(-1L, EventStreams.microsToTs(maxUs + 10 * dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, EventStreams.microsToTs(maxUs + 20 * dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("equiv_funnel")
+        .filter(col("user_id") >= 0).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(streamed == batch,
+        s"funnels diverged, e.g. ${batch.collect { case (k, v) if streamed.get(k) != Some(v) =>
+          (k, v, streamed.get(k)) }.take(3)}")
+    } finally stopQuietly(q)
+  }
+
   test("streaming contaminationScore reproduces batch Dedup.contaminationScore (x47)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = docs.filter(col("source") === "src19")
