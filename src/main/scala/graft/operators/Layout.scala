@@ -30,4 +30,30 @@ object Layout {
     keyed.repartitionByRange(n, col("zvalue"))
       .sortWithinPartitions(col("zvalue"))
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each — the maintenance pass every streaming
+    * or frequently-appended table needs (a 100 TB table that ingests in
+    * 1 MB increments is unreadable long before it is full; file count,
+    * not data size, kills the driver's split enumeration and S3 listing).
+    *
+    * The partition count comes from the CURRENT on-disk byte size (file
+    * status, no data scan) — compression ratio is preserved by
+    * construction since the data is recompressed the same way. Uses
+    * round-robin repartition (no key skew: files come out uniform), and
+    * writes to a fresh directory — atomic swap is the caller's move. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession,
+                   inDir: String, outDir: String,
+                   targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    parts.toLong
+  }
 }
