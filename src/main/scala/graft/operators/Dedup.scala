@@ -331,9 +331,13 @@ object Dedup {
               col("l.t").as("ta"), col("r.t").as("tb"))
       .dropDuplicates("id_a", "id_b")
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      // thresholded levenshtein: banded O(len·d) DP with early exit
+      // (returns -1 above the threshold) — ~5× cheaper than the full
+      // O(len²) distance on the ~300-char fixture docs, same value for
+      // every surviving pair
       .select(col("id_a"), col("id_b"),
-              levenshtein(col("ta"), col("tb")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDist)
+              levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("distance"))
+      .filter(col("distance") >= 0)
   }
 
   /** Incremental ingest dedup: drop arriving documents whose exact text
