@@ -172,6 +172,9 @@ object Compiler {
     case Op.ZScore(v, g) => graft.operators.Profiling.zscore(df, v, g)
     case Op.Funnel(from, to) => graft.operators.Events.funnel(df, from, to)
     case Op.CohortRetention  => graft.operators.Events.cohortRetention(df)
+    case Op.ZOrderKey(a, b) =>
+      df.withColumn("zvalue",
+        graft.functions.ZOrderFunctions.zvalue(col(a), col(b)))
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)

@@ -128,7 +128,7 @@ object NLParser {
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
-        "normalize", "funnel", "cohort")
+        "normalize", "funnel", "cohort", "zorder", "z-order")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -513,6 +513,16 @@ object NLParser {
             p.expectWord("quality")
             requireDone(p); Right(List(Op.ScoreQuality))
         }
+      case Some("zorder") | Some("z-order") =>
+        // "Zorder by l_partkey and l_suppkey." — adds the Morton curve
+        // key as `zvalue`; compose with sort/top-k clauses for layout
+        p.next()
+        p.dropWords("by", "on")
+        val a = p.expectWordRaw()
+        p.dropWords("and")
+        val b = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.ZOrderKey(a, b)))
       case Some("cohort") =>
         // "Cohort retention by week."
         p.next()

@@ -226,6 +226,9 @@ object Op {
   /** Weekly cohort retention matrix
     * ([[graft.operators.Events.cohortRetention]]). */
   case object CohortRetention                                       extends CorpusOp
+  /** Morton curve key column ([[graft.functions.ZOrderFunctions]]);
+    * composes with sort/limit clauses for layout queries. */
+  final case class ZOrderKey(aCol: String, bCol: String)            extends CorpusOp
   /** Corpus-unigram average log-probability per document
     * ([[graft.operators.TextAnalysis.unigramLogProb]]). */
   case object ScoreUnigramLogProb                                  extends CorpusOp

@@ -277,6 +277,15 @@ object NLQueries extends QueryPack {
       Engine.run("Count distinct user_id per event_type with a sketch.",
                  Events.load(s, d))),
 
+    // Z-order layout route: the curve key clause composed with select,
+    // multi-key sort, and top-k — x52's oracle verbatim.
+    "nl59_zorder" -> ((s: SparkSession, d: String) =>
+      Engine.run("Zorder by l_partkey and l_suppkey and select columns " +
+                 "l_orderkey, l_linenumber, l_partkey, l_suppkey and zvalue " +
+                 "and sort by zvalue, l_orderkey, l_linenumber " +
+                 "and keep top 100 rows.",
+                 s.read.parquet(s"$d/lineitem.parquet"))),
+
     // Edit-distance dedup route (x59's threshold and blocking).
     "nl58_dedup_levenshtein" -> ((s: SparkSession, d: String) =>
       Engine.run("Dedup by levenshtein 60 blocked by source.", docs(s, d))),
@@ -393,6 +402,7 @@ object NLQueries extends QueryPack {
     "nl56_event_funnel" -> EventQueries.oracleSql("x57_event_funnel"),
     "nl57_cohort_retention" -> EventQueries.oracleSql("x58_cohort_retention"),
     "nl58_dedup_levenshtein" -> DedupQueries.oracleSql("x59_dedup_levenshtein"),
+    "nl59_zorder" -> RelationalQueries.oracleSql("x52_zorder_layout"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

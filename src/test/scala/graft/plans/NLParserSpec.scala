@@ -304,6 +304,15 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder clause parses and composes with sort/limit") {
+    assert(NLParser.parse("Zorder by l_partkey and l_suppkey.").ops ==
+      List(O.ZOrderKey("l_partkey", "l_suppkey")))
+    assert(NLParser.parse(
+      "Zorder by a and b and sort by zvalue, id and keep top 5 rows.").ops ==
+      List(O.ZOrderKey("a", "b"),
+           O.Sort(Seq("zvalue" -> true, "id" -> true)), O.Limit(5)))
+  }
+
   test("levenshtein, funnel, and cohort clauses parse") {
     assert(NLParser.parse("Dedup by levenshtein 60 blocked by source.").ops ==
       List(O.DedupLevenshtein(60, Some("source"))))
