@@ -318,23 +318,31 @@ object Dedup {
     require(maxDist > 0, "maxDist must be positive")
     val base = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
                            col(textCol).as("t"),
+                           graft.functions.CharHistFunctions
+                             .charHist(col(textCol)).as("h"),
                            (length(col(textCol)).cast("long") / maxDist)
                              .cast("long").as("lb"))
-      .select(col("block"), col("id"), col("t"),
+      .select(col("block"), col("id"), col("t"), col("h"),
               explode(array(col("lb"), col("lb") + 1)).as("bucket"))
+    // lossless counting filter (1-gram, Gravano-style): one edit moves at
+    // most two histogram bins by one, so lev ≥ L1(hists)/2. The fused
+    // `hist_l1` kernel matters: the aggregate(zip_with) HOF form runs
+    // INTERPRETED with per-row allocation and was itself the sf1
+    // bottleneck on the ~50M-candidate join
+    val l1 = graft.functions.CharHistFunctions.histL1(col("l.h"), col("r.h"))
     base.as("l")
       .join(base.as("r"),
         col("l.block") === col("r.block") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
+      .filter(abs(length(col("l.t")) - length(col("r.t"))) <= maxDist)
+      .filter(l1 <= 2L * maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
               col("l.t").as("ta"), col("r.t").as("tb"))
       .dropDuplicates("id_a", "id_b")
-      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
       // thresholded levenshtein: banded O(len·d) DP with early exit
-      // (returns -1 above the threshold) — ~5× cheaper than the full
-      // O(len²) distance on the ~300-char fixture docs, same value for
-      // every surviving pair
+      // (returns -1 above the threshold), only on counting-filter
+      // survivors
       .select(col("id_a"), col("id_b"),
               levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("distance"))
       .filter(col("distance") >= 0)

@@ -130,6 +130,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.decontaminate(corpus, tiny, n = 10).count() == corpus.count())
   }
 
+  test("char-histogram counting filter: L1/2 lower-bounds levenshtein") {
+    import graft.functions.CharHistKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def l1(a: String, b: String): Long = {
+      val ha = CharHistKernel.compute(UTF8String.fromString(a)).toLongArray()
+      val hb = CharHistKernel.compute(UTF8String.fromString(b)).toLongArray()
+      ha.zip(hb).map { case (x, y) => math.abs(x - y) }.sum
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val samples = Seq(
+      ("kitten", "sitting"), ("day", "night"), ("", "abc"),
+      ("the quick brown fox", "the quick brown dog"),
+      ("aaaa", "bbbb"), ("spark shuffles data", "data shuffles spark"))
+    samples.foreach { case (a, b) =>
+      assert(l1(a, b) <= 2L * lev(a, b), s"bound violated on ($a, $b)")
+    }
+  }
+
   test("levenshteinPairs: length-band blocking is lossless vs brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val blocked = Dedup.levenshteinPairs(docs, maxDist = 60)
