@@ -23,12 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object CharHistKernel {
 
   def compute(s: UTF8String): GenericArrayData = {
+    // bin CODE POINTS, not bytes: levenshtein counts character edits, so
+    // a byte histogram would overcount multi-byte UTF-8 substitutions
+    // (3 byte deltas for 'é'→'e') and break the L1/2 ≤ lev bound the
+    // counting filter's losslessness rests on
     val counts = new Array[Long](64)
-    val bytes = s.getBytes
+    val str = s.toString
     var i = 0
-    while (i < bytes.length) {
-      counts(bytes(i) & 63) += 1L
-      i += 1
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts(cp & 63) += 1L
+      i += Character.charCount(cp)
     }
     new GenericArrayData(counts)
   }
@@ -37,6 +42,9 @@ object CharHistKernel {
   def l1(a: org.apache.spark.sql.catalyst.util.ArrayData,
          b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"hist_l1: histogram lengths differ ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {

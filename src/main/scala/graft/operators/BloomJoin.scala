@@ -63,7 +63,11 @@ object BloomJoin {
                  numBits: Int = 1 << 20, numHashes: Int = 7): Array[Long] = {
     val spark = dim.sparkSession
     import spark.implicits._
-    dim.select(col(keyCol).cast("long")).as[Long]
+    // null keys never match an equi-join, so skipping them keeps the
+    // result identical to the plain semi-join (inserting would crash the
+    // non-nullable encoder instead)
+    dim.select(col(keyCol).cast("long"))
+      .filter(col(keyCol).isNotNull).as[Long]
       .select(new BloomBuildAgg(numBits, numHashes).toColumn)
       .head().bits
   }

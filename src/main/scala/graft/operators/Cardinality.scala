@@ -46,7 +46,10 @@ object Cardinality {
                p: Int = 12): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null keys are skipped — countDistinct ignores them too, so the
+    // estimate stays comparable to the exact count
     df.select(col(groupCol), col(keyCol).cast("long"))
+      .filter(col(keyCol).isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)

@@ -48,9 +48,11 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive byte total: a hive-partitioned table keeps its parquet
+    // under key=.../ subdirectories, where a top-level listing sees zero
+    // bytes and would collapse everything into one partition
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(parts)
       .write.mode("overwrite").parquet(outDir)

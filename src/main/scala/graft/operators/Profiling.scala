@@ -45,7 +45,8 @@ object Profiling {
   def percentileByHistogram(df: DataFrame, valueCol: String,
                             p: Double): Long = {
     require(p > 0.0 && p <= 1.0, s"percentile out of (0,1]: $p")
-    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     require(hist.nonEmpty, "percentile of an empty frame")
     val n = hist.map(_._2).sum
@@ -70,9 +71,12 @@ object Profiling {
     * any corpus size that fits a cluster; overflow throws, not wraps,
     * under ANSI mode — and the oracle's HUGEINT would expose it). */
   def zscore(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    // cast BEFORE multiplying: an IntegerType column's int×int product
+    // overflows at 46341² even when the long sum is fine
+    val v = col(valueCol).cast("long")
     val stats = df.groupBy(col(groupCol)).agg(
-        sum(col(valueCol)).as("__s"),
-        sum(col(valueCol) * col(valueCol)).as("__sq"),
+        sum(v).as("__s"),
+        sum(v * v).as("__sq"),
         count(lit(1)).as("__n"))
       .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
       .withColumn("__std",

@@ -76,14 +76,17 @@ object Sampling {
     * threshold filter. No data-sized shuffle. */
   def temperatureSample(df: DataFrame, sourceCol: String, seed: Long,
                         idCol: String = "doc_id"): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // stratify on a string view of the column so integer/date domains
+    // work through the same string-keyed rate map
+    val keyed = df.withColumn("__stratum", col(sourceCol).cast("string"))
+    val counts = keyed.groupBy(col("__stratum")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(counts.nonEmpty, "temperatureSample on an empty frame")
     val minN = counts.map(_._2).min
     val rates = counts.map { case (s, n) =>
       s -> StrictMath.sqrt(minN.toDouble / n.toDouble)
     }.toMap
-    stratifiedHash(df, sourceCol, rates, seed, idCol)
+    stratifiedHash(keyed, "__stratum", rates, seed, idCol).drop("__stratum")
   }
 
   /** Deterministic weighted mixture: each source hash-sampled at its

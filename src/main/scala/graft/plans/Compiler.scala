@@ -134,6 +134,10 @@ object Compiler {
     case Op.DedupSemantic(t, k) =>
       Dedup.semanticDedupPairs(df, t, k).withColumn("cosine", round(col("cosine"), 6))
     case Op.LatestPerKey(key, ts, id) =>
+      for (c <- Seq(key, ts, id) if !df.columns.contains(c))
+        throw InvalidPlanException(
+          s"latest-per-key needs column '$c' (have: ${df.columns.mkString(", ")}); " +
+          "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
     case Op.PackSequences(budget, buckets) =>

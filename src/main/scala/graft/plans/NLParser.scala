@@ -259,13 +259,20 @@ object NLParser {
             p.expectWord("per")
             p.dropWords("each")
             val key = p.expectWordRaw()
-            // optional "by <tsCol>" orders by a non-default timestamp
+            // optional "by <tsCol>" orders by a non-default timestamp;
+            // optional "tie by <idCol>" overrides the unique tie-break
+            // column (default event_id — frames without it must name one)
             val ts = p.peekWordLower match {
               case Some("by") => p.next(); p.expectWordRaw()
               case _          => "ts_us"
             }
+            val id = p.peekWordLower match {
+              case Some("tie") | Some("ties") =>
+                p.next(); p.dropWords("by", "breaking"); p.expectWordRaw()
+              case _ => "event_id"
+            }
             requireDone(p)
-            Right(List(Op.LatestPerKey(key, ts)))
+            Right(List(Op.LatestPerKey(key, ts, id)))
           case Some("only") | Some("rows") | Some("documents") | Some("docs")
                | Some("matching") =>
             // "Keep rows matching <table> on l = r with a bloom filter."
@@ -434,7 +441,10 @@ object NLParser {
           case _       => false
         }
         val decontaminate = has(shareWords) && has(spanWords)
-        val alreadyIn = toks.exists {
+        // "already" routes to ingest dedup ONLY when the clause is not a
+        // span-decontamination form — "drop documents that share 8-token
+        // spans already present in benchmark" must stay decontamination
+        val alreadyIn = !decontaminate && toks.exists {
           case w: Word => w.lower == "already"
           case _       => false
         }
@@ -456,7 +466,13 @@ object NLParser {
           val n = p.expectNum().toInt
           p.dropWords("-token", "token", "tokens", "-word", "word", "words")
           p.dropWords("span", "spans")
-          p.expectWord("with")
+          // connector: "with <table>" | "(already) present/found in <table>"
+          p.dropWords("already", "present", "found", "seen")
+          p.peekWordLower match {
+            case Some("with") | Some("in") => p.next()
+            case other => throw ParseException(
+              s"expected 'with' or 'in' before the benchmark table, got $other")
+          }
           p.dropWords("the")
           val table = p.expectWordRaw()
           requireDone(p)

@@ -62,6 +62,17 @@ class BloomJoinSpec extends SparkSpec {
       "bloom probe must filter the fact scan directly\n" + plan)
   }
 
+  test("null dim keys are skipped, matching plain semi-join semantics") {
+    import spark.implicits._
+    val fact = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val dim = Seq(Some(1L), None, Some(3L)).toDF("dk")
+    val pruned = BloomJoin.bloomSemiJoin(fact, dim, "k", "dk")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val plain = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(pruned == plain && pruned == Set(1L, 3L))
+  }
+
   test("bloom build is deterministic and independent of partitioning") {
     val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
       .filter(col("o_orderpriority") === "1-URGENT")

@@ -58,6 +58,16 @@ class ProfilingSpec extends SparkSpec {
     assert(again == z)
   }
 
+  test("review regressions: int-typed columns survive zscore and percentile") {
+    // IntegerType values past 46341 would overflow an int×int product
+    val df = Seq(("a", 1, 50000), ("a", 2, 50002), ("a", 3, 50004))
+      .toDF("g", "id", "v")
+    val z = Profiling.zscore(df, "v", "g")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(math.abs(z(2)) < 1e-9 && z(1) < 0 && z(3) > 0)
+    assert(Profiling.percentileByHistogram(df, "v", 0.5) == 50002L)
+  }
+
   test("clipAbovePercentile drops ~1% tail on the documents fixture, keeps the rest") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()

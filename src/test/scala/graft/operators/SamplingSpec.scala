@@ -139,6 +139,14 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("temperatureSample works on a non-string stratum column") {
+    val df = spark.range(300).selectExpr("id as doc_id", "id % 3 as bucket")
+    val out = Sampling.temperatureSample(df, "bucket", seed = 7L)
+    assert(out.columns.toSeq == Seq("doc_id", "bucket"))
+    // equal-sized strata → rate 1 everywhere → no rows dropped
+    assert(out.count() == 300)
+  }
+
   test("quality-gated sample only contains docs above the threshold") {
     val out = Sampling.qualitySample(docs, minQuality = 0.5, fraction = 0.5, seed = 3L)
     assert(out.filter(col("quality") < 0.5).count() == 0)

@@ -304,6 +304,18 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("review regressions: already-vs-decontaminate precedence, latest tie-break") {
+    // share+span wins over a stray "already" — the misroute would die in
+    // the ingest-dedup arm on the leftover 'share' token
+    assert(NLParser.parse(
+      "Drop documents that share 8-token spans already present in the benchmark.").ops ==
+      List(O.Decontaminate(8, "benchmark")))
+    // explicit tie-break column for frames without event_id
+    assert(NLParser.parse(
+      "Keep the latest row per device by seen_us tie by row_id.").ops ==
+      List(O.LatestPerKey("device", "seen_us", "row_id")))
+  }
+
   test("zorder clause parses and composes with sort/limit") {
     assert(NLParser.parse("Zorder by l_partkey and l_suppkey.").ops ==
       List(O.ZOrderKey("l_partkey", "l_suppkey")))
