@@ -79,8 +79,12 @@ object BloomJoin {
                     factKey: String, dimKey: String,
                     numBits: Int = 1 << 20, numHashes: Int = 7): DataFrame = {
     val bits = buildBloom(dim, dimKey, numBits, numHashes)
+    // rename the dim key so the join condition stays unambiguous when the
+    // fact and dim key columns share a name (left_semi keeps fact columns
+    // only, so the reserved name never escapes)
+    val dimKeys = dim.select(col(dimKey).as("__bloom_dim_key"))
     fact
       .filter(BloomFunctions.bloomMightContain(col(factKey), bits, numHashes))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__bloom_dim_key"), "left_semi")
   }
 }

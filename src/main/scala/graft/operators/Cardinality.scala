@@ -47,8 +47,10 @@ object Cardinality {
     val spark = df.sparkSession
     import spark.implicits._
     // null keys are skipped — countDistinct ignores them too, so the
-    // estimate stays comparable to the exact count
-    df.select(col(groupCol), col(keyCol).cast("long"))
+    // estimate stays comparable to the exact count; the group column is
+    // cast to string so integer/date group domains sketch through the
+    // same typed path
+    df.select(col(groupCol).cast("string"), col(keyCol).cast("long"))
       .filter(col(keyCol).isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -63,7 +65,7 @@ object Cardinality {
                     p: Int = 12): DataFrame = {
     val spark = sketches.sparkSession
     import spark.implicits._
-    sketches.select(col(groupCol), col("sketch"))
+    sketches.select(col(groupCol).cast("string"), col("sketch"))
       .as[(String, Array[Byte])]
       .groupByKey(_._1)
       .mapValues(_._2)

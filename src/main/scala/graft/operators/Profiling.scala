@@ -34,25 +34,83 @@ object Profiling {
               col("n"))
   }
 
-  /** Exact percentile threshold of an integer-domain column via its
-    * value histogram: the smallest value v with cum_count(≤v) ≥ ⌈p·n⌉.
+  /** Exact percentile threshold of an integer-domain column: the
+    * smallest value v with cum_count(≤v) ≥ ⌈p·n⌉. Null values are
+    * excluded (the same rows `countDistinct`/aggregates skip), never
+    * folded into bin 0.
     *
-    * Scale shape: ONE shuffle builds the distinct-value histogram
-    * (bounded by the value domain, not the row count — document lengths,
-    * token counts, prices-in-cents all qualify); the driver folds the
-    * tiny histogram into a cumulative sum. Never a global sort, never a
-    * TakeOrdered of 0.99·n rows. */
-  def percentileByHistogram(df: DataFrame, valueCol: String,
-                            p: Double): Long = {
+    * Scale shape, small domains (lengths, token counts, cents —
+    * distinct values ≤ `maxDriverValues`): ONE shuffle builds the
+    * distinct-value histogram, the driver folds the tiny histogram into
+    * a cumulative sum. Never a global sort, never a TakeOrdered of
+    * 0.99·n rows.
+    *
+    * High-cardinality domains (a 64-bit id column) would materialize
+    * millions of rows on the driver, so a distinct-count precheck routes
+    * them to a binned refinement instead: equi-width bin counts locate
+    * the bin holding the k-th value, then recurse into that bin — the
+    * span shrinks ×`maxDriverValues` per pass, so a full 64-bit domain
+    * resolves in ≤ 4 scans with a bounded (≤ maxDriverValues rows)
+    * driver fold each. Both paths return the identical exact value, so
+    * the route never shows in results or oracles. */
+  def percentileByHistogram(df: DataFrame, valueCol: String, p: Double,
+                            maxDriverValues: Int = 1 << 16): Long = {
     require(p > 0.0 && p <= 1.0, s"percentile out of (0,1]: $p")
-    val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("cnt"))
+    // ≥16 keeps ceil(2⁶⁴/bins) inside a long even for the full domain
+    require(maxDriverValues >= 16, s"need ≥16 driver bins, got $maxDriverValues")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+    val agg = vals.agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"),
+        approx_count_distinct(col("__v")).as("nd")).head()
+    require(agg.getLong(0) > 0, "percentile of an empty frame")
+    val k = math.ceil(p * agg.getLong(0)).toLong
+    // routing only — both branches compute the same exact value, so the
+    // HLL estimate's few-% error can at worst let a slightly-oversized
+    // histogram through, never change the answer
+    if (agg.getLong(3) <= maxDriverValues)
+      kthExact(vals, k, agg.getLong(1), agg.getLong(2))
+    else kthByRange(vals, k, agg.getLong(1), agg.getLong(2), maxDriverValues)
+  }
+
+  /** Driver cumsum over the exact distinct-value histogram of
+    * `vals.__v` restricted to [lo, hi]. */
+  private def kthExact(vals: DataFrame, k: Long, lo: Long, hi: Long): Long = {
+    val hist = vals.filter(col("__v").between(lo, hi))
+      .groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(hist.nonEmpty, "percentile of an empty frame")
-    val n = hist.map(_._2).sum
-    val k = math.ceil(p * n).toLong
     var cum = 0L
     hist.find { case (_, c) => cum += c; cum >= k }.get._1
+  }
+
+  /** Binned narrowing for domains too wide for one driver histogram:
+    * count per equi-width bin over [lo, hi], descend into the bin
+    * containing the k-th value. BigInt span/edge arithmetic (hi−lo can
+    * overflow a long across the full 64-bit domain); the bin key is an
+    * exact integral `DIV` over a decimal offset — v−lo is nonnegative so
+    * truncation IS floor, and decimal(38,0) holds the 20-digit offsets
+    * exactly (a float/decimal true-division `floor` would round at the
+    * result scale and could misplace boundary values into the adjacent
+    * bin). */
+  @annotation.tailrec
+  private def kthByRange(vals: DataFrame, k: Long, lo: Long, hi: Long,
+                         bins: Int): Long = {
+    val span = BigInt(hi) - BigInt(lo) + 1
+    if (span <= bins) kthExact(vals, k, lo, hi)
+    else {
+      val width = ((span + bins - 1) / bins).toLong
+      val counts = vals.filter(col("__v").between(lo, hi))
+        .selectExpr(s"(CAST(__v AS DECIMAL(38,0)) - ($lo)) DIV ${width}L AS __b")
+        .groupBy(col("__b")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var before = 0L
+      val b = counts.find { case (_, c) =>
+        if (before + c >= k) true else { before += c; false }
+      }.get._1
+      val newLo = (BigInt(lo) + BigInt(b) * width).toLong
+      val newHi = (BigInt(newLo) + (width - 1)).min(BigInt(hi)).toLong
+      kthByRange(vals, k - before, newLo, newHi, bins)
+    }
   }
 
   /** Per-group z-score normalization of an INTEGER-domain column.

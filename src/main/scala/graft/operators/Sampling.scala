@@ -77,8 +77,12 @@ object Sampling {
   def temperatureSample(df: DataFrame, sourceCol: String, seed: Long,
                         idCol: String = "doc_id"): DataFrame = {
     // stratify on a string view of the column so integer/date domains
-    // work through the same string-keyed rate map
-    val keyed = df.withColumn("__stratum", col(sourceCol).cast("string"))
+    // work through the same string-keyed rate map; nulls coalesce to a
+    // reserved sentinel so they form their own stratum (sampled at the
+    // temperature rate) instead of silently vanishing through a null map
+    // key that stratifiedHash's equality chain can never match
+    val keyed = df.withColumn("__stratum",
+      coalesce(col(sourceCol).cast("string"), lit("\u0000__null__")))
     val counts = keyed.groupBy(col("__stratum")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(counts.nonEmpty, "temperatureSample on an empty frame")

@@ -53,11 +53,13 @@ object EventQueries extends QueryPack {
       import graft.operators.Cardinality
       val ev = Events.load(s, d)
       val direct = Cardinality.sketchBy(ev, "event_type", "user_id")
+      // composite key joined on \u0001 — a character no event_type can
+      // plausibly contain (unlike '|'), so the split-back is collision-free
       val daily = Cardinality.sketchBy(
-        ev.withColumn("g", concat_ws("|", col("event_type"),
+        ev.withColumn("g", concat_ws("\u0001", col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd"))), "g", "user_id")
       val merged = Cardinality.mergeSketches(
-          daily.withColumn("event_type", split(col("g"), "\\|").getItem(0)),
+          daily.withColumn("event_type", split(col("g"), "\u0001").getItem(0)),
           "event_type")
         .withColumnRenamed("sketch", "merged_sketch")
       val exact = Events.load(s, d).groupBy(col("event_type"))

@@ -201,10 +201,19 @@ object EventStreams extends Serializable {
       } else {
         var (from, to, last) = state.getOption.getOrElse(
           (Long.MaxValue, Long.MaxValue, Long.MinValue))
-        batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        // Two passes: settle `from` over the WHOLE micro-batch before
+        // scanning for conversions. Batch funnel's `ts_us >= first_from_us`
+        // is inclusive, so a toType event sharing its user's first-fromType
+        // timestamp must count even when it sorts earlier by event_id — a
+        // single interleaved pass would still see from = MaxValue there.
+        sorted.foreach { e =>
           val t = micros(e.ts)
           last = math.max(last, t)
           if (e.event_type == fromType && t < from) from = t
+        }
+        sorted.foreach { e =>
+          val t = micros(e.ts)
           if (e.event_type == toType && t >= from && t < to) to = t
         }
         state.update((from, to, last))

@@ -73,6 +73,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(pruned == plain && pruned == Set(1L, 3L))
   }
 
+  test("fact and dim sharing the key column name joins without ambiguity") {
+    import spark.implicits._
+    val fact = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val dim = Seq(1L, 3L, 4L).toDF("k")
+    val pruned = BloomJoin.bloomSemiJoin(fact, dim, "k", "k")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(1L, 3L))
+  }
+
   test("bloom build is deterministic and independent of partitioning") {
     val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
       .filter(col("o_orderpriority") === "1-URGENT")

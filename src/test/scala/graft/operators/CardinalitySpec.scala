@@ -61,6 +61,16 @@ class CardinalitySpec extends SparkSpec {
     }
   }
 
+  test("sketchBy accepts non-string group columns (int day)") {
+    val ev = Events.load(spark, "/root/testdata/sf0.001")
+      .withColumn("day", dayofmonth(col("ts")))
+    val byDay = Cardinality.sketchBy(ev, "day", "user_id")
+    assert(byDay.count() > 0)
+    // string-cast grouping must partition identically to the native int
+    val exactDays = ev.select(col("day").cast("string")).distinct().count()
+    assert(byDay.count() == exactDays)
+  }
+
   test("sketch build is deterministic under repartitioning") {
     val ev = Events.load(spark, "/root/testdata/sf0.001")
     val a = Cardinality.sketchBy(ev, "event_type", "user_id")

@@ -68,6 +68,42 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.percentileByHistogram(df, "v", 0.5) == 50002L)
   }
 
+  test("percentileByHistogram excludes nulls instead of folding them into 0") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 7L),
+      (4L, null), (5L, 9L)).toDF("id", "v")
+    // of the non-null {5, 7, 9} the median is 7 — a null→0 fold would give 5
+    assert(Profiling.percentileByHistogram(df, "v", 0.5) == 7L)
+  }
+
+  test("percentileByHistogram: high-cardinality domains route through binned refinement") {
+    // ~5k distinct wide-spread longs incl. negatives; maxDriverValues=64
+    // forces the recursive range path, which must agree with both the
+    // sorted-rank oracle and the single-histogram exact path
+    val vals = (0 until 5000).map(i => (i * 2654435761L) % 1000000007L - 500000003L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sorted = vals.sorted
+    for (p <- Seq(0.25, 0.5, 0.99, 1.0)) {
+      val expected = sorted(math.ceil(p * vals.size).toInt - 1)
+      assert(Profiling.percentileByHistogram(df, "v", p, maxDriverValues = 64)
+        == expected, s"binned p=$p")
+      assert(Profiling.percentileByHistogram(df, "v", p) == expected, s"exact p=$p")
+    }
+  }
+
+  test("percentileByHistogram survives the full 64-bit domain without overflow") {
+    // >16 distinct values spanning Long.MinValue..Long.MaxValue forces the
+    // binned path at its widest: span 2⁶⁴ (overflows long), width 2⁶⁰
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue) ++
+      (1 to 34).map(i => i * 123456789012345L - 2000000000000000L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sorted = vals.sorted
+    for (p <- Seq(0.1, 0.5, 1.0)) {
+      val expected = sorted(math.ceil(p * vals.size).toInt - 1)
+      assert(Profiling.percentileByHistogram(df, "v", p, maxDriverValues = 16)
+        == expected, s"p=$p")
+    }
+  }
+
   test("clipAbovePercentile drops ~1% tail on the documents fixture, keeps the rest") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()

@@ -147,6 +147,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 300)
   }
 
+  test("temperatureSample gives null source values their own stratum") {
+    import spark.implicits._
+    // 200 null-source rows + 200 "a" rows: equal strata → rate 1 both →
+    // nothing dropped; pre-fix the null rows silently vanished
+    val df = spark.range(400).selectExpr(
+      "id as doc_id", "CASE WHEN id < 200 THEN NULL ELSE 'a' END AS src")
+    val out = Sampling.temperatureSample(df, "src", seed = 7L)
+    assert(out.count() == 400)
+    assert(out.filter($"src".isNull).count() == 200)
+    // skewed case: nulls are the minority stratum and survive at rate 1
+    val skew = spark.range(1000).selectExpr(
+      "id as doc_id", "CASE WHEN id < 10 THEN NULL ELSE 'a' END AS src")
+    val kept = Sampling.temperatureSample(skew, "src", seed = 7L)
+    assert(kept.filter($"src".isNull).count() == 10)
+    assert(kept.filter($"src".isNotNull).count() < 990)
+  }
+
   test("quality-gated sample only contains docs above the threshold") {
     val out = Sampling.qualitySample(docs, minQuality = 0.5, fraction = 0.5, seed = 3L)
     assert(out.filter(col("quality") < 0.5).count() == 0)

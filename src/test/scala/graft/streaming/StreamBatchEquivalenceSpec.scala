@@ -357,6 +357,45 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("statefulFunnel counts a purchase sharing its first-signup timestamp") {
+    // the purchase (event_id 1) SORTS BEFORE the same-ts signup (event_id
+    // 2): batch's inclusive ts_us >= first_from_us counts it, and the
+    // two-pass micro-batch scan must agree (a single interleaved pass
+    // would still see from = MaxValue at the purchase)
+    val t0 = 1700000000000000L
+    val evs = Seq(
+      Event(1L, EventStreams.microsToTs(t0), 1L, "purchase", 1.0),
+      Event(2L, EventStreams.microsToTs(t0), 1L, "signup", 0.0),
+      Event(3L, EventStreams.microsToTs(t0 + 1000000L), 2L, "signup", 0.0))
+    val batchDf = evs.toDF().withColumn("ts_us", unix_micros(col("ts")))
+    val batch = Events.funnel(batchDf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(batch(1L) == ((t0, t0, true)), s"batch semantics changed: $batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.statefulFunnel(input.toDS(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("equiv_funnel_ts")
+      .outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      val dayUs = 24L * 3600L * 1000000L
+      input.addData(Event(-1L, EventStreams.microsToTs(t0 + dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, EventStreams.microsToTs(t0 + 2 * dayUs), -1L, "s", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_funnel_ts")
+        .filter(col("user_id") >= 0).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally stopQuietly(q)
+  }
+
   test("streaming contaminationScore reproduces batch Dedup.contaminationScore (x47)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = docs.filter(col("source") === "src19")
