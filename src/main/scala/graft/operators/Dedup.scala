@@ -310,12 +310,37 @@ object Dedup {
     * equi-join — adjacent-bucket pairs are covered by the +1 emission,
     * distance-incompatible lengths never meet. The O(len·d)-per-pair
     * verify (both engines' `levenshtein` is the standard integer DP —
-    * oracle-exact) runs only on bucket collisions. */
+    * oracle-exact) runs only on bucket collisions.
+    *
+    * OPERATING REGIME — tight thresholds only (d ≪ document length:
+    * typos, OCR noise, single-field template fills). At loose d the
+    * blocking and counting filters are still lossless but stop
+    * discriminating (wide length bands, shared-vocabulary histograms),
+    * and the within-block self-join degrades toward Θ(n²/blocks) —
+    * measured as the dominant cost of an entire benchmark suite before
+    * this guard existed. Loose near-dup belongs to [[minHashLsh]] /
+    * [[simHashPairs]] / [[jaccardPairs]], whose candidate counts stay
+    * bounded by construction. The guard compares d against the median
+    * document length (one cheap bounded-domain histogram pass —
+    * negligible next to the pair join it protects) and throws unless
+    * `allowLooseThreshold = true` is passed explicitly. */
   def levenshteinPairs(docs: DataFrame, maxDist: Int,
                        blockCol: String = "source",
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       allowLooseThreshold: Boolean = false): DataFrame = {
     require(maxDist > 0, "maxDist must be positive")
+    if (!allowLooseThreshold) {
+      val medianLen = Profiling.percentileByHistogram(
+        docs.select(length(col(textCol)).as("len")), "len", 0.5)
+      require(20L * maxDist <= medianLen,
+        s"maxDist=$maxDist is loose for this corpus (median document length " +
+        s"$medianLen chars): length-band blocking and the counting filter stop " +
+        "discriminating and the within-block self-join degrades toward O(n²). " +
+        "Edit-distance dedup is the tight-threshold (d ≪ len) tool — use " +
+        "minHashLsh or simHashPairs for loose near-dup, or pass " +
+        "allowLooseThreshold = true to force this operating point.")
+    }
     val base = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
                            col(textCol).as("t"),
                            graft.functions.CharHistFunctions
@@ -545,14 +570,26 @@ object Dedup {
     * cell's pairs co-locate in one partition. Recall < 1 by design:
     * near-dups straddling a cell boundary are missed (the SemDeDup
     * trade; raise `centroids` for selectivity, lower it for recall —
-    * measured in DedupSpec against the all-pairs twin). */
+    * measured in DedupSpec against the all-pairs twin).
+    *
+    * `centroids ≤ 0` (the default) auto-scales the cell count with the
+    * corpus: k = clamp(max(16, ⌊√n⌋), ≤ 2²⁰). √n is the balance point —
+    * assignment costs n·k and within-cell pairing n²/k, so both grow as
+    * n^1.5 and neither dominates; a FIXED k re-quadratizes the pair join
+    * as the corpus grows (measured 14× at 10× vectors at k=16). Every
+    * term (count, `sqrt` — correctly-rounded IEEE, floor) is
+    * engine-exact, so the DuckDB oracle recomputes the identical k. */
   def semanticDedupPairs(embs: DataFrame, threshold: Double,
-                         centroids: Int = 16, refineIters: Int = 2,
+                         centroids: Int = 0, refineIters: Int = 2,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     import graft.functions.SketchFunctions.nearestCentroids
+    val k =
+      if (centroids > 0) centroids
+      else math.min(1L << 20,
+        math.max(16L, StrictMath.sqrt(embs.count().toDouble).toLong)).toInt
     val cents = Similarity.refineCentroids(
-      embs, Similarity.sampleCentroids(embs, centroids, idCol, vecCol),
+      embs, Similarity.sampleCentroids(embs, k, idCol, vecCol),
       refineIters, vecCol)
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"))

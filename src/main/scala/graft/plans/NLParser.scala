@@ -976,15 +976,16 @@ object NLParser {
       // within-k-means-cell cosine pairs
       p.next(); p.dropWords("embedding", "cosine", "above", "over")
       val t = p.expectNum()
+      // no explicit cluster count → 0 = the operator's auto √n scaling
       val k = p.peekWordLower match {
         case Some("with") | Some("using") =>
           p.next()
           val n = p.expectNum().toInt
           p.dropWords("clusters", "cluster", "cells", "cell", "centroids")
+          if (n < 1) throw ParseException(s"cluster count must be positive, got $n")
           n
-        case _ => 16
+        case _ => 0
       }
-      if (k < 1) throw ParseException(s"cluster count must be positive, got $k")
       requireDone(p)
       Op.DedupSemantic(t, k)
     case Some(w: Word) if w.lower == "embedding" || w.lower == "cosine" =>

@@ -168,7 +168,8 @@ object Op {
     * ([[graft.operators.Dedup.embeddingPairsLsh]]). */
   final case class DedupEmbeddingLsh(threshold: Double)            extends CorpusOp
   /** SemDeDup: cosine pairs within deterministic k-means cells
-    * ([[graft.operators.Dedup.semanticDedupPairs]]). */
+    * ([[graft.operators.Dedup.semanticDedupPairs]]); `centroids ≤ 0`
+    * means the operator's auto max(16, ⌊√n⌋) cell count. */
   final case class DedupSemantic(threshold: Double, centroids: Int)  extends CorpusOp
   /** Edit-distance near-dup pairs
     * ([[graft.operators.Dedup.levenshteinPairs]]). */

@@ -58,10 +58,12 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
-    // Character-level near-dup pairs: same-source, Levenshtein ≤ 60,
-    // candidates from lossless length-band blocking.
+    // Character-level near-dup pairs: same-source, Levenshtein ≤ 5 — the
+    // tight typo/OCR regime the operator is designed for (d ≪ median doc
+    // length; candidates from lossless length-band blocking). Loose
+    // thresholds trip the operator's guard and belong to MinHash/SimHash.
     "x59_dedup_levenshtein" -> ((s: SparkSession, d: String) =>
-      Dedup.levenshteinPairs(table(s, d, "documents"), maxDist = 60)),
+      Dedup.levenshteinPairs(table(s, d, "documents"), maxDist = 5)),
 
     // Incremental ingest dedup: a re-delivered shard (ids ≡ 0 mod 3)
     // anti-joined by md5 fingerprint against the already-ingested corpus
@@ -172,8 +174,8 @@ object DedupQueries extends QueryPack {
         |  levenshtein(a.text, b.text)::BIGINT AS distance
         |FROM documents a JOIN documents b
         |  ON a.source = b.source AND a.doc_id < b.doc_id
-        |  AND abs(length(a.text) - length(b.text)) <= 60
-        |WHERE levenshtein(a.text, b.text) <= 60""".stripMargin,
+        |  AND abs(length(a.text) - length(b.text)) <= 5
+        |WHERE levenshtein(a.text, b.text) <= 5""".stripMargin,
 
     "x55_dedup_against" ->
       """SELECT doc_id, source FROM documents

@@ -236,9 +236,10 @@ object NLQueries extends QueryPack {
           .select(col("user_id"), col("event_id"), col("ts_us"),
                   col("event_type"), col("value")))),
 
-    // SemDeDup route (x50's operator at its threshold/cell count).
+    // SemDeDup route (x50's operator at its threshold and the auto √n
+    // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
-      Engine.run("Dedup by semantic cosine 0.45 with 16 clusters.",
+      Engine.run("Dedup by semantic cosine 0.45.",
         s.read.parquet(s"$d/embeddings.parquet"))),
 
     // Temperature rebalance (x51's operator, key, and seed).
@@ -288,7 +289,7 @@ object NLQueries extends QueryPack {
 
     // Edit-distance dedup route (x59's threshold and blocking).
     "nl58_dedup_levenshtein" -> ((s: SparkSession, d: String) =>
-      Engine.run("Dedup by levenshtein 60 blocked by source.", docs(s, d))),
+      Engine.run("Dedup by levenshtein 5 blocked by source.", docs(s, d))),
 
     // Conversion funnel route (x57's operator and event types).
     "nl56_event_funnel" -> ((s: SparkSession, d: String) =>

@@ -67,12 +67,12 @@ object VectorQueries extends QueryPack {
       Similarity.quantizeInt8(table(s, d, "embeddings"))),
 
     // SemDeDup: cosine pairs scored only within deterministic k-means
-    // cells (the IVF centroids), so the oracle replays the Lloyd
-    // assignment and the same-cell pair generation exactly.
+    // cells, at the AUTO cell count max(16, ⌊√n⌋) so Σ|cell|² scales
+    // sub-quadratically; the oracle recomputes the same k and replays
+    // the Lloyd assignment and same-cell pair generation exactly.
     "x50_semantic_dedup" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup
-        .semanticDedupPairs(table(s, d, "embeddings"), PairThreshold,
-                            IvfCentroids)
+        .semanticDedupPairs(table(s, d, "embeddings"), PairThreshold)
         .withColumn("cosine", round(col("cosine"), 6))))
 
   private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
@@ -228,11 +228,15 @@ object VectorQueries extends QueryPack {
          |WHERE cos >= $PairThreshold""".stripMargin,
 
     // Lloyd replay (as x20) + same-cell pair generation + exact cosine.
+    // The LIMIT recomputes the engine's auto cell count max(16, ⌊√n⌋):
+    // count, sqrt (correctly-rounded IEEE) and floor are engine-exact.
     "x50_semantic_dedup" ->
       s"""WITH cents0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          |    embedding::DOUBLE[] AS emb
-         |  FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids),
+         |  FROM embeddings ORDER BY vec_id
+         |  LIMIT least(1048576, greatest(16,
+         |    floor(sqrt((SELECT count(*) FROM embeddings)))::BIGINT))),
          |${lloydIteration("cents0", "cents1")},
          |${lloydIteration("cents1", "cents2")},
          |cs AS (

@@ -157,7 +157,8 @@ class DedupSpec extends SparkSpec {
 
   test("levenshteinPairs: length-band blocking is lossless vs brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val blocked = Dedup.levenshteinPairs(docs, maxDist = 60)
+    val blocked = Dedup.levenshteinPairs(docs, maxDist = 60,
+        allowLooseThreshold = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // brute force within source, no blocking
     val d = docs.select($"doc_id", $"source", $"text")
@@ -172,11 +173,24 @@ class DedupSpec extends SparkSpec {
     assert(blocked.nonEmpty, "fixture should contain at least one close pair")
     // the small hand corpus: identical docs 1/2 at distance 0, 3/4 one
     // word apart, unrelated docs excluded
-    val tiny = Dedup.levenshteinPairs(corpus, maxDist = 10, blockCol = "source")
+    val tiny = Dedup.levenshteinPairs(corpus, maxDist = 10, blockCol = "source",
+        allowLooseThreshold = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(tiny(1L -> 2L) == 0L)
     assert(tiny(3L -> 4L) == 5L) // "day" -> "night"
     assert(!tiny.keySet.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("levenshteinPairs guards against loose thresholds, pointing at MinHash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // median fixture length ~300 chars: d=60 is the measured O(n²)
+    // operating point and must be refused loudly…
+    val e = intercept[IllegalArgumentException] {
+      Dedup.levenshteinPairs(docs, maxDist = 60).collect()
+    }
+    assert(e.getMessage.contains("minHashLsh"), e.getMessage)
+    // …while the tight typo/OCR regime passes the guard
+    assert(Dedup.levenshteinPairs(docs, maxDist = 5).count() >= 0)
   }
 
   test("dedupAgainst drops exact-text matches of the seen corpus only") {
@@ -252,6 +266,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded == brute, "32-bit chunk banding must lose nothing at hamming <= 3")
     assert(banded.exists(_._3 == 0L), "exact dups in the fixture must land at hamming 0")
+  }
+
+  test("semanticDedupPairs auto cell count equals the explicit max(16, floor(sqrt(n)))") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val expectedK = math.max(16L, math.sqrt(n.toDouble).toLong).toInt
+    val auto = Dedup.semanticDedupPairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val explicit = Dedup.semanticDedupPairs(emb, 0.45, centroids = expectedK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(auto == explicit, s"auto (n=$n) must pick k=$expectedK")
   }
 
   test("semanticDedupPairs is a same-cell subset of all-pairs with identical cosines") {

@@ -278,8 +278,9 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Keep top 3 rows.").ops == List(O.Limit(3)))
     assert(NLParser.parse("Dedup by semantic cosine 0.45 with 16 clusters.").ops ==
       List(O.DedupSemantic(0.45, 16)))
+    // no cluster clause → 0 = the operator's auto √n cell count
     assert(NLParser.parse("Dedup by semantic cosine 0.6.").ops ==
-      List(O.DedupSemantic(0.6, 16)))
+      List(O.DedupSemantic(0.6, 0)))
     // plain embedding dedup still routes to the all-pairs op
     assert(NLParser.parse("Dedup by embedding cosine 0.45.").ops ==
       List(O.DedupEmbedding(0.45)))
