@@ -26,6 +26,7 @@ object Validator {
     val rowChanging = plan.ops.exists {
       case _: Op.GroupAgg | _: Op.Limit | _: Op.Filter | _: Op.Having => true
       case _: Op.CorpusOp => true // derived tables (pairs/stats/clusters)
+      case _: Op.RelationalExtOp => true // grouping sets/reshape/joins/set ops
       case _ => false
     }
     lazy val inCount = input.count()

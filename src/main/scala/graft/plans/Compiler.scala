@@ -64,7 +64,50 @@ object Compiler {
       df.groupBy(keys.map(c => col(resolve(df, c))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case Op.Having(p)          => df.filter(predicate(df, p))
+    case r: Op.RelationalExtOp => applyRelationalExt(df, r, catalog)
     case c: Op.CorpusOp        => applyCorpusOp(df, c, catalog)
+  }
+
+  /** Relational analytics extensions (the q-family shapes). All stay
+    * declarative so Catalyst plans them the way the driver queries are
+    * planned: grouping sets are one Expand+partial/final aggregate, the
+    * pivot is a single groupBy (explicit value list — no distinct scan),
+    * window ops shuffle once on their partition key, and the generic
+    * equi-join broadcasts the named (dimension) side. */
+  private def applyRelationalExt(df: DataFrame, op: Op.RelationalExtOp,
+                                 catalog: Map[String, DataFrame]): DataFrame = op match {
+    case Op.RollupAgg(keys, as) =>
+      val aggCols = as.map(a => aggColumn(df, a))
+      df.rollup(keys.map(c => col(resolve(df, c))): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    case Op.CubeAgg(keys, as) =>
+      val aggCols = as.map(a => aggColumn(df, a))
+      df.cube(keys.map(c => col(resolve(df, c))): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    case Op.PivotCount(g, pc, values) =>
+      df.groupBy(col(resolve(df, g)))
+        .pivot(resolve(df, pc), values)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    case Op.UnpivotCols(valueCols, varCol, valueName) =>
+      val ids = df.columns.filterNot(valueCols.contains)
+      df.unpivot(ids.map(col), valueCols.map(col).toArray, varCol, valueName)
+    case Op.WindowTopN(oc, desc, pc, tie, k, alias) =>
+      val ord = if (desc) col(resolve(df, oc)).desc else col(resolve(df, oc)).asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(resolve(df, pc)))
+        .orderBy(ord, col(resolve(df, tie)).asc)
+      df.withColumn(alias, row_number().over(w).cast("long"))
+        .filter(col(alias) <= k)
+    case Op.NtileBucket(n, oc, pc, tie, alias) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(resolve(df, pc)))
+        .orderBy(col(resolve(df, oc)).asc, col(resolve(df, tie)).asc)
+      df.withColumn(alias, ntile(n).over(w).cast("long"))
+    case Op.UnionTable(t)  => df.unionByName(resolveTable(t, catalog))
+    case Op.ExceptTable(t) => df.except(resolveTable(t, catalog))
+    case Op.JoinTable(t, lk, rk) =>
+      df.join(broadcast(resolveTable(t, catalog)), col(lk) === col(rk))
   }
 
   /** Corpus operators reached from natural language. Column conventions
@@ -198,8 +241,10 @@ object Compiler {
   }
 
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {
-    val c = col(resolve(df, a.col))
+    // "*" with Count is count-star (counts rows, not non-nulls of a column)
+    lazy val c = col(resolve(df, a.col))
     val base = a.func match {
+      case AggFunc.Count if a.col == "*" => count(lit(1))
       case AggFunc.Count => count(c)
       case AggFunc.Avg   => avg(c)
       case AggFunc.Sum   => sum(c)
@@ -208,7 +253,7 @@ object Compiler {
       // exact interpolated, matching DuckDB's numeric median/quantile_cont
       case AggFunc.Median => percentile(c, lit(0.5))
     }
-    base.as(a.alias)
+    a.roundTo.fold(base)(s => round(base, s)).as(a.alias)
   }
 
   def predicate(df: DataFrame, p: Pred): Column = p match {

@@ -55,7 +55,17 @@ package graft.plans
   *                              WITH THE? table
   *            | JOIN noise* TO THE? table
   *                ( AS OF (TIME|TS|TIMESTAMP)?
-  *                | ON col (=|==)? col SALTED int WAYS? )
+  *                | ON col (=|==)? col (SALTED int WAYS?)? )
+  *            | (ROLLUP|CUBE) BY? collist          -- then SHOW agglist
+  *            | SHOW agg ((,|AND) agg)*            -- agg := func col
+  *                (ROUNDED TO? int)? (AS alias)?;  func also COUNT (ROWS→*)
+  *            | PIVOT COUNT? OF? col VALUES? str ((,|AND) str)* BY col
+  *            | UNPIVOT collist TO col (AS name)?
+  *            | RANK BY? col (DESC|ASC)? WITHIN col TIE BY? col
+  *                                       KEEP? TOP int (AS alias)?
+  *            | NTILE col INTO int WITHIN col TIE BY? col (AS alias)?
+  *            | UNION (ALL|WITH)? table
+  *            | EXCEPT THE? table
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -128,7 +138,10 @@ object NLParser {
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
-        "normalize", "funnel", "cohort", "zorder", "z-order")
+        "normalize", "funnel", "cohort", "zorder", "z-order",
+        // relational analytics extensions (q-family NL routes)
+        "rollup", "cube", "pivot", "unpivot", "rank", "ntile", "union",
+        "except")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -183,7 +196,10 @@ object NLParser {
                 case _                                  => i + 1
               }
               k < toks.length && (toks(k) match {
-                case n: Word => clauseKeywords(n.lower) && n.lower != "then"
+                case n: Word => clauseKeywords(n.lower) && n.lower != "then" &&
+                  // "show sum x as a and count rows as b": count after a
+                  // show head is an aggregate continuation, never a clause
+                  !(n.lower == "count" && curHead.contains("show"))
                 case _       => false
               }) && {
                 // lookahead past the keyword: "and score > 0.5" is a
@@ -198,7 +214,11 @@ object NLParser {
                 else !predicateContinuation(toks(k + 1))
               }
             } =>
-          out += cur.result(); cur = Vector.newBuilder[Tok]; curEmpty = true
+          // an oxford comma before the boundary ("keep top 3, and select
+          // …") belongs to the sentence, not the finished clause
+          val done = cur.result()
+          out += (if (done.lastOption.contains(Sym(","))) done.dropRight(1) else done)
+          cur = Vector.newBuilder[Tok]; curEmpty = true
           i += 1 // drop the "and"
           // drop a following "then"
           toks(i) match { case w2: Word if w2.lower == "then" => i += 1; case _ => () }
@@ -210,17 +230,27 @@ object NLParser {
     out.result()
   }
 
+  /** A pending grouping clause awaiting its aggregate: plain `group by`,
+    * `rollup by` or `cube by`. */
+  private sealed trait GroupMode
+  private case object PlainGroup extends GroupMode
+  private case object RollupGroup extends GroupMode
+  private case object CubeGroup extends GroupMode
+
   // --------------------------------------------------------------- parse
   def parse(description: String): Plan = {
     val clauses = splitClauses(tokenize(description))
-    var groupKeys: Option[Seq[String]] = None
+    var groupKeys: Option[(Seq[String], GroupMode)] = None
     val ops = List.newBuilder[Op]
     clauses.foreach { cl =>
       parseClause(cl, groupKeys) match {
         case Left(keys) => groupKeys = Some(keys)
         case Right(clauseOps) =>
           ops ++= clauseOps
-          if (clauseOps.exists(_.isInstanceOf[Op.GroupAgg])) groupKeys = None
+          if (clauseOps.exists {
+                case _: Op.GroupAgg | _: Op.RollupAgg | _: Op.CubeAgg => true
+                case _ => false
+              }) groupKeys = None
       }
     }
     if (groupKeys.isDefined)
@@ -228,10 +258,11 @@ object NLParser {
     Plan(ops.result())
   }
 
-  /** Left(groupKeys) for a bare `group by` awaiting its aggregate clause. */
+  /** Left(groupKeys, mode) for a bare grouping clause awaiting its
+    * aggregate clause. */
   private def parseClause(
       toks: Vector[Tok],
-      pendingGroup: Option[Seq[String]]): Either[Seq[String], List[Op]] = {
+      pendingGroup: Option[(Seq[String], GroupMode)]): Either[(Seq[String], GroupMode), List[Op]] = {
     val p = new TokCursor(toks)
     p.peekWordLower match {
       case Some("filter") =>
@@ -322,7 +353,111 @@ object NLParser {
         Right(List(Op.Sort(keys.result())))
       case Some("group") =>
         p.next(); p.expectWord("by")
-        Left(parseColList(p))
+        Left((parseColList(p), PlainGroup))
+      case Some("rollup") =>
+        // "Rollup by r_name and n_name" — grouping-sets rollup awaiting
+        // its aggregate ("show …") clause
+        p.next(); p.dropWords("by")
+        Left((parseColList(p), RollupGroup))
+      case Some("cube") =>
+        p.next(); p.dropWords("by")
+        Left((parseColList(p), CubeGroup))
+      case Some("pivot") =>
+        // "Pivot count of o_orderstatus values 'F', 'O' and 'P' by
+        //  o_orderpriority." — explicit value list (never a distinct scan)
+        p.next(); p.dropWords("count", "counts", "of", "the")
+        val pivotCol = p.expectWordRaw()
+        p.dropWords("values", "value", "with")
+        val values = Seq.newBuilder[String]
+        var moreVals = true
+        while (moreVals) {
+          values += p.expectStr()
+          p.peek match {
+            case Some(Sym(","))                    => p.next(); p.dropWords("and")
+            case Some(w: Word) if w.lower == "and" => p.next()
+            case _                                 => moreVals = false
+          }
+        }
+        p.dropWords("by", "per", "grouped")
+        val groupCol = p.expectWordRaw()
+        val vals = values.result()
+        if (vals.isEmpty) throw ParseException("pivot needs an explicit value list")
+        if (vals.distinct.size != vals.size)
+          throw ParseException(s"duplicate pivot values: ${vals.mkString(", ")}")
+        requireDone(p)
+        Right(List(Op.PivotCount(groupCol, pivotCol, vals)))
+      case Some("unpivot") =>
+        // "Unpivot F, O and P to o_orderstatus as n_orders." — melt the
+        // named columns back to long form
+        p.next(); p.dropWords("columns", "the")
+        val cols = parseColList(p, stopWords = Set("to", "into"))
+        p.dropWords("to", "into")
+        val varCol = p.expectWordRaw()
+        p.dropWords("as", "values", "value")
+        val valueName = if (p.done) "value" else p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.UnpivotCols(cols, varCol, valueName)))
+      case Some("rank") =>
+        // "Rank by o_totalprice desc within o_custkey tie by o_orderkey
+        //  keep top 3 (as rn)?" — per-partition row_number top-N
+        p.next(); p.dropWords("rows", "orders", "documents", "docs", "by")
+        val oc = p.expectWordRaw()
+        val desc = p.peekWordLower match {
+          case Some("desc") | Some("descending") => p.next(); true
+          case Some("asc") | Some("ascending")   => p.next(); false
+          case _                                 => false
+        }
+        p.expectWord("within")
+        p.dropWords("each", "the")
+        val pc = p.expectWordRaw()
+        p.dropWords("tie", "ties")
+        p.dropWords("by", "breaking")
+        val tie = p.expectWordRaw()
+        p.dropWords("keep", "take")
+        p.expectWord("top")
+        val k = p.expectNum().toInt
+        if (k <= 0) throw ParseException(s"rank top-N must be positive: $k")
+        p.dropWords("rows", "per", "group", "partition")
+        val alias = p.peekWordLower match {
+          case Some("as") => p.next(); p.expectWordRaw()
+          case _          => "rn"
+        }
+        requireDone(p)
+        Right(List(Op.WindowTopN(oc, desc, pc, tie, k, alias)))
+      case Some("ntile") =>
+        // "Ntile o_totalprice into 4 within o_orderpriority tie by
+        //  o_orderkey as quartile."
+        p.next(); p.dropWords("the", "by")
+        val oc = p.expectWordRaw()
+        p.dropWords("into", "in")
+        val n = p.expectNum().toInt
+        if (n <= 0) throw ParseException(s"ntile bucket count must be positive: $n")
+        p.dropWords("tiles", "tile", "buckets", "bucket", "quantiles",
+                    "quartiles", "deciles")
+        p.expectWord("within")
+        p.dropWords("each", "the")
+        val pc = p.expectWordRaw()
+        p.dropWords("tie", "ties")
+        p.dropWords("by", "breaking")
+        val tie = p.expectWordRaw()
+        val alias = p.peekWordLower match {
+          case Some("as") => p.next(); p.expectWordRaw()
+          case _          => "bucket"
+        }
+        requireDone(p)
+        Right(List(Op.NtileBucket(n, oc, pc, tie, alias)))
+      case Some("union") =>
+        // "Union with <table>." — UNION ALL of the named catalog table
+        p.next(); p.dropWords("all", "with", "the")
+        val tbl = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.UnionTable(tbl)))
+      case Some("except") =>
+        // "Except <table>." — set difference (distinct) vs the named table
+        p.next(); p.dropWords("the", "rows", "of")
+        val tbl = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.ExceptTable(tbl)))
       case Some("count") =>
         p.next()
         // "count events per 1 hour window" → tumbling window counts, with
@@ -363,12 +498,15 @@ object NLParser {
           }
         } else {
           val c = p.expectWordRaw()
-          val keys = pendingGroup.getOrElse(
+          val (keys, mode) = pendingGroup.getOrElse(
             throw ParseException("count without preceding group by"))
-          Right(List(Op.GroupAgg(keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
+          Right(List(groupedAgg(mode, keys, Seq(AggSpec(AggFunc.Count, c, "count")))))
         }
       case Some("show") =>
         // "show average age" / "show average age and sum salary, max bonus"
+        // Each aggregate takes an optional "rounded to n" (HALF_UP round,
+        // for float sums matching a rounding oracle) and "as alias" tail;
+        // "count rows" is the count-star form.
         p.next()
         def parseAgg(): AggSpec = {
           val func = p.expectWordRaw().toLowerCase match {
@@ -377,10 +515,23 @@ object NLParser {
             case "min" | "minimum" => AggFunc.Min
             case "max" | "maximum" => AggFunc.Max
             case "median"          => AggFunc.Median
+            case "count"           => AggFunc.Count
             case other => throw ParseException(s"unknown aggregate '$other'")
           }
-          val c = p.expectWordRaw()
-          val alias = func match {
+          val rawCol = p.expectWordRaw()
+          val c =
+            if (func == AggFunc.Count &&
+                Set("rows", "all", "*")(rawCol.toLowerCase)) "*"
+            else rawCol
+          val roundTo = p.peekWordLower match {
+            case Some("rounded") =>
+              p.next(); p.dropWords("to")
+              val s = p.expectNum().toInt
+              p.dropWords("decimals", "decimal", "places", "digits")
+              Some(s)
+            case _ => None
+          }
+          val alias0 = func match {
             case AggFunc.Avg => s"average_$c"
             case AggFunc.Sum => s"sum_$c"
             case AggFunc.Min => s"min_$c"
@@ -388,7 +539,11 @@ object NLParser {
             case AggFunc.Median => s"median_$c"
             case AggFunc.Count => "count"
           }
-          AggSpec(func, c, alias)
+          val alias = p.peekWordLower match {
+            case Some("as") => p.next(); p.expectWordRaw()
+            case _          => alias0
+          }
+          AggSpec(func, c, alias, roundTo)
         }
         val aggs = Seq.newBuilder[AggSpec]
         aggs += parseAgg()
@@ -404,9 +559,9 @@ object NLParser {
         if (specs.map(_.alias).distinct.size != specs.size)
           throw ParseException(
             s"duplicate aggregate: ${specs.map(_.alias).mkString(", ")}")
-        val keys = pendingGroup.getOrElse(
+        val (keys, mode) = pendingGroup.getOrElse(
           throw ParseException("aggregate without preceding group by"))
-        val agg = Op.GroupAgg(keys, specs)
+        val agg = groupedAgg(mode, keys, specs)
         if (p.peekWordLower.contains("where")) {
           p.next()
           Right(List(agg, Op.Having(parsePred(p).ensuringDone(p))))
@@ -803,15 +958,24 @@ object NLParser {
               case _                                => ()
             }
             val rk = p.expectWordRaw()
-            p.expectWord("salted")
-            val buckets = p.expectNum().toInt
-            if (buckets <= 0)
-              throw ParseException(s"salt bucket count must be positive: $buckets")
-            p.dropWords("ways", "way", "buckets")
-            requireDone(p)
-            Right(List(Op.SaltedJoin(table, lk, rk, buckets)))
+            p.peekWordLower match {
+              case Some("salted") =>
+                p.next()
+                val buckets = p.expectNum().toInt
+                if (buckets <= 0)
+                  throw ParseException(s"salt bucket count must be positive: $buckets")
+                p.dropWords("ways", "way", "buckets")
+                requireDone(p)
+                Right(List(Op.SaltedJoin(table, lk, rk, buckets)))
+              case _ =>
+                // plain (broadcast) equi-join — the dimension enrichment
+                // of the q-family join queries
+                p.dropWords("broadcast", "broadcasted")
+                requireDone(p)
+                Right(List(Op.JoinTable(table, lk, rk)))
+            }
           case other => throw ParseException(
-            s"expected 'as of' or 'on <left> = <right> salted <n> ways' after join table, got $other")
+            s"expected 'as of' or 'on <left> = <right> (salted <n> ways)?' after join table, got $other")
         }
       case Some("curate") =>
         // "Curate the best documents up to 10000 tokens."
@@ -1015,6 +1179,14 @@ object NLParser {
     if (f < 0.0 || f > 1.0)
       throw ParseException(s"sample fraction out of [0,1]: $f")
     f
+  }
+
+  /** Build the aggregate op matching the pending grouping clause's mode. */
+  private def groupedAgg(mode: GroupMode, keys: Seq[String],
+                         specs: Seq[AggSpec]): Op = mode match {
+    case PlainGroup  => Op.GroupAgg(keys, specs)
+    case RollupGroup => Op.RollupAgg(keys, specs)
+    case CubeGroup   => Op.CubeAgg(keys, specs)
   }
 
   /** Optional `WITH SEED n` tail; the fixed default keeps bare

@@ -61,7 +61,11 @@ object AggFunc {
   case object Median extends AggFunc
 }
 
-final case class AggSpec(func: AggFunc, col: String, alias: String)
+/** One aggregate column. `col = "*"` with [[AggFunc.Count]] is the
+  * count-star form ("count rows"); `roundTo` applies Spark's HALF_UP
+  * `round(expr, n)` so float sums can match a rounding oracle exactly. */
+final case class AggSpec(func: AggFunc, col: String, alias: String,
+                         roundTo: Option[Int] = None)
 
 /** One relational step. A full plan is `Plan(ops: List[Op])` applied in
   * order — mirroring how each reference eval description composes
@@ -243,6 +247,45 @@ object Op {
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,
                                      seed: Long)                   extends CorpusOp
+
+  /** Relational analytics extensions — the NL-reachable twins of the
+    * q-family driver queries (rollup/cube grouping sets, pivot/unpivot
+    * reshape, window rank, ntile, set ops, generic equi-join). Grouped
+    * under one trait so the Validator can treat them uniformly as
+    * row-count-changing derived tables. */
+  sealed trait RelationalExtOp extends Op
+
+  /** Hierarchical rollup grouping sets ([[org.apache.spark.sql.Dataset]]
+    * `.rollup`): (k1..kn), (k1..kn-1), …, grand total, in one pass. */
+  final case class RollupAgg(keys: Seq[String], aggs: Seq[AggSpec]) extends RelationalExtOp
+  /** Full cube over the keys (all 2^n grouping sets). */
+  final case class CubeAgg(keys: Seq[String], aggs: Seq[AggSpec])   extends RelationalExtOp
+  /** Pivot: one row per `groupCol`, one count column per pivot value —
+    * values are EXPLICIT (at scale never let pivot scan for distincts);
+    * absent combinations fill 0. */
+  final case class PivotCount(groupCol: String, pivotCol: String,
+                              values: Seq[String])                  extends RelationalExtOp
+  /** Unpivot (melt): fold `valueCols` into (varCol, valueName) long form;
+    * all other columns are carried as ids. */
+  final case class UnpivotCols(valueCols: Seq[String], varCol: String,
+                               valueName: String)                   extends RelationalExtOp
+  /** Per-partition top-N by row_number (rank alias kept in the output);
+    * ordering ends in the unique `tieCol` so ranks are deterministic. */
+  final case class WindowTopN(orderCol: String, desc: Boolean,
+                              partCol: String, tieCol: String, k: Int,
+                              alias: String = "rn")                 extends RelationalExtOp
+  /** ntile(n) quantile bucket per partition, ascending by
+    * (orderCol, tieCol) — deterministic tile boundaries. */
+  final case class NtileBucket(n: Int, orderCol: String, partCol: String,
+                               tieCol: String, alias: String)       extends RelationalExtOp
+  /** UNION ALL with the named catalog table (by column name). */
+  final case class UnionTable(table: String)                        extends RelationalExtOp
+  /** EXCEPT (distinct) the named catalog table. */
+  final case class ExceptTable(table: String)                       extends RelationalExtOp
+  /** Generic broadcast equi-join to the named catalog table — the
+    * dimension-enrichment step of the q-family join queries. */
+  final case class JoinTable(rightTable: String, leftKey: String,
+                             rightKey: String)                      extends RelationalExtOp
 
   /** Two-table operators: the right side is a *named* table resolved from
     * the catalog passed to [[Compiler.compile]] / `Engine.run` — the

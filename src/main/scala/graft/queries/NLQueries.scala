@@ -311,7 +311,93 @@ object NLQueries extends QueryPack {
                  s.read.parquet(s"$d/orders.parquet"))),
     "nl50_outlier_clip" -> ((s: SparkSession, d: String) =>
       Engine.run("Clip outliers above the 99th percentile of n_chars " +
-                 "and select columns doc_id and n_chars.", docs(s, d))))
+                 "and select columns doc_id and n_chars.", docs(s, d))),
+
+    // ---- relational q-family NL routes: the analytics shapes a pipeline
+    // user types first ("revenue rollup by region", "pivot order counts
+    // by status"), each compiling to the exact plan of its hash-checked
+    // q-family driver twin so that oracle applies verbatim.
+
+    // q13's three broadcast-dim join chain + rollup grouping sets.
+    "nl60_rollup_revenue" -> ((s: SparkSession, d: String) =>
+      Engine.run("Join orders to customer on o_custkey = c_custkey, " +
+                 "and join to nation on c_nationkey = n_nationkey, " +
+                 "and join to region on n_regionkey = r_regionkey, " +
+                 "and rollup by r_name and n_name, " +
+                 "and show sum o_totalprice rounded to 2 as revenue " +
+                 "and count rows as n_orders.",
+                 s.read.parquet(s"$d/orders.parquet"),
+                 Map("customer" -> s.read.parquet(s"$d/customer.parquet"),
+                     "nation" -> s.read.parquet(s"$d/nation.parquet"),
+                     "region" -> s.read.parquet(s"$d/region.parquet")))),
+
+    // q15's full cube over (status, priority).
+    "nl61_cube_orders" -> ((s: SparkSession, d: String) =>
+      Engine.run("Cube by o_orderstatus and o_orderpriority, " +
+                 "and show count rows as n_orders " +
+                 "and sum o_totalprice rounded to 2 as revenue.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q17's pivot with its explicit value list.
+    "nl62_pivot_status" -> ((s: SparkSession, d: String) =>
+      Engine.run("Pivot count of o_orderstatus values 'F', 'O' and 'P' " +
+                 "by o_orderpriority.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q18's pivot → unpivot round trip.
+    "nl63_unpivot_status" -> ((s: SparkSession, d: String) =>
+      Engine.run("Pivot count of o_orderstatus values 'F', 'O' and 'P' " +
+                 "by o_orderpriority, and unpivot F, O and P to " +
+                 "o_orderstatus as n_orders.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q4's per-customer window top-3.
+    "nl64_window_rank" -> ((s: SparkSession, d: String) =>
+      Engine.run("Rank by o_totalprice desc within o_custkey tie by " +
+                 "o_orderkey keep top 3, and select columns o_custkey, " +
+                 "o_orderkey, o_totalprice and rn.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q20's ntile quartile buckets + per-cell aggregate.
+    "nl65_ntile_quartiles" -> ((s: SparkSession, d: String) =>
+      Engine.run("Ntile o_totalprice into 4 within o_orderpriority tie by " +
+                 "o_orderkey as quartile, and group by o_orderpriority and " +
+                 "quartile, and show count rows as n " +
+                 "and sum o_totalprice rounded to 2 as revenue.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q10's union/except — the side tables are themselves built by NL
+    // sub-descriptions, so the whole set expression is grammar-reachable.
+    "nl66_setops" -> ((s: SparkSession, d: String) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val richAuto = Engine.run(
+        "Filter rows where c_mktsegment == 'AUTOMOBILE' and c_acctbal > 5000 " +
+        "and select columns c_custkey and c_name.", cust)
+      val negBal = Engine.run(
+        "Filter rows where c_acctbal < 0 " +
+        "and select columns c_custkey and c_name.", cust)
+      Engine.run("Filter rows where c_mktsegment == 'BUILDING' " +
+                 "and select columns c_custkey and c_name, " +
+                 "and union with rich_auto, and except neg_bal.",
+                 cust,
+                 Map("rich_auto" -> richAuto, "neg_bal" -> negBal))
+    }),
+
+    // q2's global top-k through the plain sort/limit grammar.
+    "nl67_topk_orders" -> ((s: SparkSession, d: String) =>
+      Engine.run("Sort by o_totalprice desc and then by o_orderkey, " +
+                 "and keep top 10 rows, and select columns o_orderkey, " +
+                 "o_custkey and o_totalprice.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q3's broadcast dim join + revenue aggregate.
+    "nl68_join_revenue" -> ((s: SparkSession, d: String) =>
+      Engine.run("Join orders to customer on o_custkey = c_custkey, " +
+                 "and group by c_mktsegment, " +
+                 "and show sum o_totalprice rounded to 2 as revenue " +
+                 "and count rows as n_orders.",
+                 s.read.parquet(s"$d/orders.parquet"),
+                 Map("customer" -> s.read.parquet(s"$d/customer.parquet")))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -404,6 +490,16 @@ object NLQueries extends QueryPack {
     "nl57_cohort_retention" -> EventQueries.oracleSql("x58_cohort_retention"),
     "nl58_dedup_levenshtein" -> DedupQueries.oracleSql("x59_dedup_levenshtein"),
     "nl59_zorder" -> RelationalQueries.oracleSql("x52_zorder_layout"),
+    // q-family oracles reused verbatim by the relational NL routes.
+    "nl60_rollup_revenue" -> RelationalQueries.oracleSql("q13_rollup_revenue"),
+    "nl61_cube_orders" -> RelationalQueries.oracleSql("q15_cube_orders"),
+    "nl62_pivot_status" -> RelationalQueries.oracleSql("q17_pivot_status"),
+    "nl63_unpivot_status" -> RelationalQueries.oracleSql("q18_unpivot_status"),
+    "nl64_window_rank" -> RelationalQueries.oracleSql("q4_window_rank"),
+    "nl65_ntile_quartiles" -> RelationalQueries.oracleSql("q20_ntile_quartiles"),
+    "nl66_setops" -> RelationalQueries.oracleSql("q10_setops"),
+    "nl67_topk_orders" -> RelationalQueries.oracleSql("q2_topk_orders"),
+    "nl68_join_revenue" -> RelationalQueries.oracleSql("q3_join_revenue"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -548,4 +548,78 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Select columns doc_id and fingerprint.").ops ==
       List(O.Select(Seq("doc_id", "fingerprint"))))
   }
+
+  test("rollup/cube grouping clauses with rounded + aliased aggregates") {
+    assert(NLParser.parse(
+      "Rollup by r_name and n_name, and show sum o_totalprice rounded to 2 " +
+      "as revenue and count rows as n_orders.").ops ==
+      List(O.RollupAgg(Seq("r_name", "n_name"), Seq(
+        AggSpec(AggFunc.Sum, "o_totalprice", "revenue", Some(2)),
+        AggSpec(AggFunc.Count, "*", "n_orders")))))
+    assert(NLParser.parse(
+      "Cube by o_orderstatus and o_orderpriority, and show count rows as " +
+      "n_orders and sum o_totalprice rounded to 2 as revenue.").ops ==
+      List(O.CubeAgg(Seq("o_orderstatus", "o_orderpriority"), Seq(
+        AggSpec(AggFunc.Count, "*", "n_orders"),
+        AggSpec(AggFunc.Sum, "o_totalprice", "revenue", Some(2))))))
+    // a dangling rollup without its aggregate clause is rejected
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Rollup by r_name and n_name.")
+    }
+  }
+
+  test("pivot and unpivot clauses") {
+    assert(NLParser.parse(
+      "Pivot count of o_orderstatus values 'F', 'O' and 'P' by o_orderpriority.").ops ==
+      List(O.PivotCount("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))))
+    assert(NLParser.parse(
+      "Pivot count of o_orderstatus values 'F', 'O' and 'P' by o_orderpriority, " +
+      "and unpivot F, O and P to o_orderstatus as n_orders.").ops ==
+      List(O.PivotCount("o_orderpriority", "o_orderstatus", Seq("F", "O", "P")),
+           O.UnpivotCols(Seq("F", "O", "P"), "o_orderstatus", "n_orders")))
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Pivot count of o_orderstatus values 'F' and 'F' by x.")
+    }
+  }
+
+  test("rank and ntile window clauses") {
+    assert(NLParser.parse(
+      "Rank by o_totalprice desc within o_custkey tie by o_orderkey keep top 3.").ops ==
+      List(O.WindowTopN("o_totalprice", desc = true, "o_custkey",
+                        "o_orderkey", 3, "rn")))
+    assert(NLParser.parse(
+      "Ntile o_totalprice into 4 within o_orderpriority tie by o_orderkey " +
+      "as quartile.").ops ==
+      List(O.NtileBucket(4, "o_totalprice", "o_orderpriority",
+                         "o_orderkey", "quartile")))
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Rank by x desc within g tie by t keep top 0.")
+    }
+  }
+
+  test("union/except set ops and the plain broadcast join") {
+    assert(NLParser.parse(
+      "Filter rows where c_mktsegment == 'BUILDING' and select columns " +
+      "c_custkey and c_name, and union with rich_auto, and except neg_bal.").ops ==
+      List(O.Filter(P.Cmp(P.Eq, "c_mktsegment", Lit.Str("BUILDING"))),
+           O.Select(Seq("c_custkey", "c_name")),
+           O.UnionTable("rich_auto"),
+           O.ExceptTable("neg_bal")))
+    assert(NLParser.parse(
+      "Join orders to customer on o_custkey = c_custkey.").ops ==
+      List(O.JoinTable("customer", "o_custkey", "c_custkey")))
+    // the salted form still routes to the skew join
+    assert(NLParser.parse(
+      "Join orders to customer on o_custkey = c_custkey salted 8 ways.").ops ==
+      List(O.SaltedJoin("customer", "o_custkey", "c_custkey", 8)))
+  }
+
+  test("oxford comma before a clause boundary is tolerated") {
+    assert(NLParser.parse(
+      "Sort by o_totalprice desc and then by o_orderkey, and keep top 10 rows, " +
+      "and select columns o_orderkey, o_custkey and o_totalprice.").ops ==
+      List(O.Sort(Seq("o_totalprice" -> false, "o_orderkey" -> true)),
+           O.Limit(10),
+           O.Select(Seq("o_orderkey", "o_custkey", "o_totalprice"))))
+  }
 }
