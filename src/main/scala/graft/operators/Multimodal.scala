@@ -6,20 +6,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus decode / frame-sample / resize operators.
   *
-  * The container has no image/audio codecs, so the *decode kernels are
-  * deterministic STUBS* (clearly marked below): they derive fake
-  * dimensions from payload length and hash the bytes. Everything around
-  * them — the schema (`binary` payload + metadata struct), the
-  * partition-batched decode shape, the explode-per-frame layout, the
-  * typed Dataset plumbing — is the real design a codec drop-in would
-  * inherit unchanged.
+  * IMAGE decode is REAL: the JDK ships PNG/JPEG codecs (`javax.imageio`),
+  * so [[pngMedia]] synthesizes genuine PNG payloads (the driver ships no
+  * binary table) and [[decodeImages]] parses the actual bytes — width and
+  * height come from the IHDR chunk, channels from the decoded raster.
+  * The planted-dimension scheme makes this oracle-checkable in an engine
+  * with no codec: dimensions are a deterministic function of document
+  * metadata, the PNG is encoded AT those dimensions, and DuckDB replays
+  * the formula — a hash match proves the decoder recovered the planted
+  * values from real bytes (the same certification pattern as the q12
+  * approximate-stats booleans).
   *
-  * Scale notes: payloads stay opaque binary end-to-end (no driver
-  * materialization); decode is `mapPartitions` with explicit micro-batches
-  * so a real codec amortizes per-batch setup (model load, GPU transfer)
-  * across rows, the same batch shape `mapInPandas`/`mapInArrow` give
-  * Python UDFs; frame sampling explodes to one row per frame, keeping
-  * downstream ops row-parallel.
+  * AUDIO/VIDEO kernels remain deterministic stubs (clearly marked): the
+  * JDK carries no audio/video codecs and the container ships none. The
+  * surrounding design — opaque binary end-to-end (no driver
+  * materialization), `mapPartitions` micro-batches so a real codec
+  * amortizes per-batch setup (model load, GPU transfer) the way
+  * `mapInPandas`/`mapInArrow` batch Python UDFs, explode-per-frame
+  * layout keeping downstream ops row-parallel — is what a codec drop-in
+  * inherits unchanged.
   */
 object Multimodal {
 
@@ -29,8 +34,9 @@ object Multimodal {
   final case class DecodedImage(media_id: Long, width: Long, height: Long,
                                 channels: Long, content_hash: String)
 
-  /** Synthesize a media table from `documents` (the driver ships no binary
-    * table): payload = UTF-8 bytes of the text, kind cycles by id. */
+  /** Synthesize a mixed-kind media table from `documents` (payload =
+    * UTF-8 bytes of the text, kind cycles by id) — the audio/video
+    * surface, where payloads stay opaque. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -40,49 +46,87 @@ object Multimodal {
       struct(length(col("text").cast("binary")).cast("long").as("n_bytes"),
              col("source").as("source")).as("meta"))
 
-  // ---------------------------------------------------------------- STUB
-  // Deterministic fake image decode: a real implementation replaces the
-  // width/height/channels derivation with an actual codec call on
-  // `payload`. Dimensions are a pure function of byte length so the
-  // column path and the mapPartitions path are provably identical.
-  private def fakeWidth(nBytes: Long): Long  = (nBytes % 64) * 10 + 32
-  private def fakeHeight(nBytes: Long): Long = ((nBytes / 64) % 64) * 10 + 32
-  private val FakeChannels = 3L
-  // --------------------------------------------------------------- /STUB
+  /** Planted PNG dimensions: a pure function of (doc_id, n_chars) both
+    * engines compute exactly — the ASCII corpus makes byte length = char
+    * length, so DuckDB's `length(text)` matches. Range 8..55 keeps the
+    * rasters tiny (≤ 55×55). */
+  private[operators] def plantedWidth(nChars: Long): Int = (nChars % 48 + 8).toInt
+  private[operators] def plantedHeight(id: Long): Int = (id % 48 + 8).toInt
 
-  /** Column-path decode: pure codegen'd expressions (fast path when the
-    * "decode" is metadata-derivable; oracle-checkable). */
-  def decodeImageMeta(media: DataFrame): DataFrame =
-    media.select(
-      col("media_id"),
-      col("kind"),
-      ((col("meta.n_bytes") % 64) * 10 + 32).as("width"),
-      (expr("meta.n_bytes div 64") % 64 * 10 + 32).as("height"),
-      lit(FakeChannels).as("channels"),
-      md5(col("payload")).as("content_hash"))
+  /** Real PNG media from `documents`: each payload is a genuine PNG
+    * (encoded with the JDK codec, executor-side, micro-batched) whose
+    * dimensions are planted from document metadata. Constant fill color
+    * derived from the id — content is irrelevant to the decode contract,
+    * only the planted dimensions are. */
+  def pngMedia(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+                col("source"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, nChars, source) =>
+            val w = plantedWidth(nChars)
+            val h = plantedHeight(id)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val rgb = (id & 0xffffffL).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            val bytes = baos.toByteArray
+            MediaRecord(id, "image", bytes, MediaMeta(bytes.length.toLong, source))
+          }
+        }
+      }
+  }
 
-  /** mapPartitions decode: the batch shape for real codecs. Processes the
-    * partition in micro-batches of `batchSize` records (where a real
-    * kernel would decode the whole batch in one native/GPU call). */
-  def decodeImagesBatched(media: Dataset[MediaRecord],
-                          batchSize: Int = 64): Dataset[DecodedImage] = {
+  /** REAL image decode over the payload bytes: `javax.imageio` parses the
+    * PNG/JPEG container — dimensions from the header, channel count from
+    * the decoded raster, md5 of the payload as the content identity.
+    * Micro-batched `mapPartitions` (the shape a native/GPU codec would
+    * decode per batch). Fails loudly on an undecodable payload rather
+    * than inventing metadata. */
+  def decodeImages(media: Dataset[MediaRecord],
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // STUB: a real codec decodes `batch.map(_.payload)` here in one call
+        val digest = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"media ${r.media_id}: payload is not a decodable image " +
+              "(javax.imageio found no reader)")
+          digest.reset()
           val hash = digest.digest(r.payload).map("%02x".format(_)).mkString
-          DecodedImage(r.media_id, fakeWidth(r.meta.n_bytes),
-                       fakeHeight(r.meta.n_bytes), FakeChannels, hash)
+          DecodedImage(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
+                       img.getRaster.getNumBands.toLong, hash)
         }
       }
     }
   }
 
+  /** Oracle-facing projection of the real decode: the payload-dependent
+    * content hash is dropped (no codec-free engine can recompute it);
+    * what remains is exactly what the planted-dimension oracle certifies. */
+  def decodeImageMeta(media: Dataset[MediaRecord]): DataFrame =
+    decodeImages(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("channels"))
+
+  // ---------------------------------------------------------------- STUB
   /** Frame sampling for video payloads: one output row per sampled frame,
-    * n_frames = n_bytes % 7 + 1 (STUB for container-derived frame count),
-    * frame hash binds payload identity to the frame index. */
+    * n_frames = n_bytes % 7 + 1 (STUB for container-derived frame count —
+    * the JDK has no video demuxer), frame hash binds payload identity to
+    * the frame index. */
   def sampleFrames(media: DataFrame): DataFrame = {
     val nFrames = (col("meta.n_bytes") % 7 + 1).cast("int")
     media.filter(col("kind") === "video")
@@ -92,9 +136,12 @@ object Multimodal {
               md5(concat(col("payload").cast("string"), lit("#"),
                          col("frame_idx").cast("string"))).as("frame_hash"))
   }
+  // --------------------------------------------------------------- /STUB
 
   /** Metadata-level resize: recompute target dimensions preserving aspect
-    * ratio against a bounding box (pure arithmetic — runs at scan speed). */
+    * ratio against a bounding box (pure arithmetic — runs at scan speed).
+    * Composes with the real decode: width/height are the actual decoded
+    * dimensions. */
   def resizeMeta(decoded: DataFrame, maxDim: Long): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxDim.toDouble) / greatest(col("width"), col("height")))
@@ -105,7 +152,7 @@ object Multimodal {
       round(scale, 6).as("scale"))
   }
 
-  /** Typed view of the synthesized media table. */
+  /** Typed view of the synthesized mixed-kind media table. */
   def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     fromDocuments(docs).as[MediaRecord]

@@ -5,10 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Multimodal
 import graft.sources.Sources.table
 
-/** Multimodal queries: media synthesized from `documents` (payload =
-  * UTF-8 bytes), decode/frames/resize stubs. The ASCII corpus makes byte
-  * length = char length, so the DuckDB oracle derives identical metadata
-  * from `length(text)`/`md5(text)`. */
+/** Multimodal queries.
+  *
+  * x17/x19 run the REAL `javax.imageio` path: payloads are genuine PNGs
+  * ([[Multimodal.pngMedia]]) whose dimensions are planted from document
+  * metadata, and the decode parses the actual bytes. DuckDB has no codec,
+  * so the oracle replays the planted-dimension formula — the hash match
+  * proves the decoder recovered the planted values from the IHDR.
+  *
+  * x18 (video frames) stays on the honest stub surface: media synthesized
+  * from text bytes (the ASCII corpus makes byte length = char length, so
+  * the oracle derives identical metadata from `length(text)`/`md5(text)`).
+  */
 object MultimodalQueries extends QueryPack {
 
   private def media(s: SparkSession, d: String): DataFrame =
@@ -16,21 +24,25 @@ object MultimodalQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_multimodal_decode" -> ((s: SparkSession, d: String) =>
-      Multimodal.decodeImageMeta(media(s, d))),
+      Multimodal.decodeImageMeta(
+        Multimodal.pngMedia(table(s, d, "documents")))),
 
     "x18_multimodal_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(media(s, d))),
 
     "x19_multimodal_resize" -> ((s: SparkSession, d: String) =>
-      Multimodal.resizeMeta(Multimodal.decodeImageMeta(media(s, d)), maxDim = 256)))
+      Multimodal.resizeMeta(
+        Multimodal.decodeImageMeta(
+          Multimodal.pngMedia(table(s, d, "documents"))), maxDim = 32)))
 
   override val oracleSql: Map[String, String] = Map(
+    // The planted-dimension replay: width/height below are the values the
+    // PNG was ENCODED at; the Spark side reports what ImageIO DECODED.
     "x17_multimodal_decode" ->
       """SELECT doc_id AS media_id,
-        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-        |  (length(text) % 64) * 10 + 32 AS width,
-        |  ((length(text) // 64) % 64) * 10 + 32 AS height,
-        |  3::BIGINT AS channels, md5(text) AS content_hash
+        |  (length(text) % 48 + 8)::BIGINT AS width,
+        |  (doc_id % 48 + 8)::BIGINT AS height,
+        |  3::BIGINT AS channels
         |FROM documents""".stripMargin,
 
     "x18_multimodal_frames" ->
@@ -39,15 +51,17 @@ object MultimodalQueries extends QueryPack {
         |FROM documents, unnest(range(0, length(text) % 7 + 1)) AS t(f)
         |WHERE doc_id % 3 = 2""".stripMargin,
 
+    // Same planted dims, then the identical single-rounded resize
+    // arithmetic (divide, multiply, floor — IEEE-exact in both engines).
     "x19_multimodal_resize" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,
-        |    (length(text) % 64) * 10 + 32 AS width,
-        |    ((length(text) // 64) % 64) * 10 + 32 AS height
+        |    (length(text) % 48 + 8)::BIGINT AS width,
+        |    (doc_id % 48 + 8)::BIGINT AS height
         |  FROM documents)
         |SELECT media_id, width, height,
         |  floor(width * s)::BIGINT AS out_width,
         |  floor(height * s)::BIGINT AS out_height,
         |  round(s, 6) AS scale
-        |FROM (SELECT *, least(1.0::DOUBLE, 256.0::DOUBLE / greatest(width, height)) AS s FROM d)""".stripMargin)
+        |FROM (SELECT *, least(1.0::DOUBLE, 32.0::DOUBLE / greatest(width, height)) AS s FROM d)""".stripMargin)
 }

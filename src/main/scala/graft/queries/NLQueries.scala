@@ -93,7 +93,7 @@ object NLQueries extends QueryPack {
       Engine.run("Sample frames from the videos.", docs(s, d))),
 
     "nl19_resize_media" -> ((s: SparkSession, d: String) =>
-      Engine.run("Decode the media and resize images to 256 pixels.", docs(s, d))),
+      Engine.run("Decode the media and resize images to 32 pixels.", docs(s, d))),
 
     "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
       Engine.run("Compute corpus statistics by source.", docs(s, d))),

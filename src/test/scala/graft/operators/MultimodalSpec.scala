@@ -19,16 +19,43 @@ class MultimodalSpec extends SparkSpec {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("column-path decode and mapPartitions batch decode are identical") {
-    val viaColumns = Multimodal.decodeImageMeta(media)
-      .select("media_id", "width", "height", "channels", "content_hash")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-                           r.getLong(3), r.getString(4))).toSet
-    val viaBatches = Multimodal.decodeImagesBatched(
-        Multimodal.mediaDataset(spark, docs), batchSize = 32)
-      .collect().map(d => (d.media_id, d.width, d.height, d.channels,
-                           d.content_hash)).toSet
-    assert(viaColumns == viaBatches)
+  test("pngMedia payloads are genuine PNGs; decode recovers planted dimensions") {
+    val png = Multimodal.pngMedia(docs, batchSize = 32)
+    // payload starts with the PNG magic — these are real containers
+    val first = png.head()
+    val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    assert(first.payload.take(4).sameElements(magic),
+      "payload must be an actual PNG container")
+    // javax.imageio decode must recover exactly the planted (w, h, 3)
+    val decoded = Multimodal.decodeImages(png, batchSize = 32)
+      .collect().map(d => d.media_id -> (d.width, d.height, d.channels)).toMap
+    val expected = docs.selectExpr("doc_id", "length(text)").collect()
+      .map(r => r.getLong(0) ->
+        ((Multimodal.plantedWidth(r.getInt(1).toLong).toLong,
+          Multimodal.plantedHeight(r.getLong(0)).toLong, 3L))).toMap
+    assert(decoded == expected)
+  }
+
+  test("decode reads the actual bytes, not metadata: a hand-built 17x5 PNG") {
+    import spark.implicits._
+    // dimensions deliberately off-formula — only a real header parse
+    // can report them
+    val img = new java.awt.image.BufferedImage(
+      17, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rec = Multimodal.MediaRecord(99L, "image", baos.toByteArray,
+      Multimodal.MediaMeta(baos.size().toLong, "hand"))
+    val out = Multimodal.decodeImages(Seq(rec).toDS()).head()
+    assert((out.width, out.height, out.channels) == ((17L, 5L, 3L)))
+    // an undecodable payload fails loudly instead of inventing metadata
+    val bogus = Multimodal.MediaRecord(100L, "image",
+      "not a png".getBytes("UTF-8"), Multimodal.MediaMeta(9L, "hand"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(Seq(bogus).toDS()).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+           Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
   test("frame sampling: only videos, 1..7 frames each, distinct hashes") {
@@ -46,8 +73,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize preserves aspect ratio within the bounding box") {
-    val resized = Multimodal.resizeMeta(Multimodal.decodeImageMeta(media), maxDim = 256)
-    val bad = resized.filter(col("out_width") > 256 || col("out_height") > 256)
+    val resized = Multimodal.resizeMeta(
+      Multimodal.decodeImageMeta(Multimodal.pngMedia(docs)), maxDim = 32)
+    val bad = resized.filter(col("out_width") > 32 || col("out_height") > 32)
     assert(bad.count() == 0)
     // anything already within bounds is untouched (scale 1.0)
     val untouched = resized.filter(col("scale") === 1.0)
