@@ -108,6 +108,9 @@ object Compiler {
     case Op.ExceptTable(t) => df.except(resolveTable(t, catalog))
     case Op.JoinTable(t, lk, rk) =>
       df.join(broadcast(resolveTable(t, catalog)), col(lk) === col(rk))
+    case Op.WriteBucketed(tbl, key, buckets) =>
+      graft.sources.Bucketing.writeBucketed(df, tbl, resolve(df, key), buckets)
+      df.sparkSession.table(tbl)
   }
 
   /** Corpus operators reached from natural language. Column conventions

@@ -66,6 +66,8 @@ package graft.plans
   *            | NTILE col INTO int WITHIN col TIE BY? col (AS alias)?
   *            | UNION (ALL|WITH)? table
   *            | EXCEPT THE? table
+  *            | WRITE noise* BUCKETED BY col INTO int BUCKETS?
+  *                                             ((AS|TO) table)?
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -141,7 +143,7 @@ object NLParser {
         "normalize", "funnel", "cohort", "zorder", "z-order",
         // relational analytics extensions (q-family NL routes)
         "rollup", "cube", "pivot", "unpivot", "rank", "ntile", "union",
-        "except")
+        "except", "write")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -458,6 +460,26 @@ object NLParser {
         val tbl = p.expectWordRaw()
         requireDone(p)
         Right(List(Op.ExceptTable(tbl)))
+      case Some("write") =>
+        // "Write orders bucketed by o_custkey into 16 buckets (as <table>)."
+        // — the pay-the-shuffle-once layout step; words before "bucketed"
+        // only re-describe the input frame
+        p.next()
+        while (!p.done && !p.peekWordLower.contains("bucketed")) p.next()
+        p.expectWord("bucketed")
+        p.dropWords("by", "on")
+        val key = p.expectWordRaw()
+        p.dropWords("into", "in", "across")
+        val buckets = p.expectNum().toInt
+        if (buckets <= 0)
+          throw ParseException(s"bucket count must be positive: $buckets")
+        p.dropWords("buckets", "bucket")
+        val tbl = p.peekWordLower match {
+          case Some("as") | Some("to") => p.next(); p.dropWords("table"); p.expectWordRaw()
+          case _                       => "graft_bucketed"
+        }
+        requireDone(p)
+        Right(List(Op.WriteBucketed(tbl, key, buckets)))
       case Some("count") =>
         p.next()
         // "count events per 1 hour window" → tumbling window counts, with

@@ -286,6 +286,13 @@ object Op {
     * dimension-enrichment step of the q-family join queries. */
   final case class JoinTable(rightTable: String, leftKey: String,
                              rightKey: String)                      extends RelationalExtOp
+  /** Bucketed+sorted managed-table write
+    * ([[graft.sources.Bucketing.writeBucketed]]) — the pay-the-shuffle-
+    * once layout step. The ONE eager op in the IR (a write is an
+    * action); the compiled result is the read-back table, so the route
+    * carries a round-trip content-fidelity oracle. */
+  final case class WriteBucketed(table: String, key: String,
+                                 buckets: Int)                      extends RelationalExtOp
 
   /** Two-table operators: the right side is a *named* table resolved from
     * the catalog passed to [[Compiler.compile]] / `Engine.run` — the

@@ -397,7 +397,17 @@ object NLQueries extends QueryPack {
                  "and show sum o_totalprice rounded to 2 as revenue " +
                  "and count rows as n_orders.",
                  s.read.parquet(s"$d/orders.parquet"),
-                 Map("customer" -> s.read.parquet(s"$d/customer.parquet")))))
+                 Map("customer" -> s.read.parquet(s"$d/customer.parquet")))),
+
+    // Bucketed layout write — the pay-the-shuffle-once step, previously
+    // spec-only. The result is the READ-BACK of the bucketed managed
+    // table, so the oracle is round-trip content fidelity; the
+    // exchange-free join over the written table is asserted in
+    // BucketedJoinSpec.
+    "nl69_bucketed_write" -> ((s: SparkSession, d: String) =>
+      Engine.run("Write orders bucketed by o_custkey into 16 buckets " +
+                 "as graft_nl_orders_bucketed.",
+                 s.read.parquet(s"$d/orders.parquet"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -500,6 +510,8 @@ object NLQueries extends QueryPack {
     "nl66_setops" -> RelationalQueries.oracleSql("q10_setops"),
     "nl67_topk_orders" -> RelationalQueries.oracleSql("q2_topk_orders"),
     "nl68_join_revenue" -> RelationalQueries.oracleSql("q3_join_revenue"),
+    // round-trip content fidelity of the bucketed write
+    "nl69_bucketed_write" -> "SELECT * FROM orders",
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -170,6 +170,52 @@ object EventStreams extends Serializable {
   final case class FunnelResult(user_id: Long, first_from_us: Long,
                                 first_to_us: Option[Long], converted: Boolean)
 
+  final case class RetentionCell(user_id: Long, cohort_week: Long,
+                                 weeks_since: Long)
+
+  /** Streaming cohort retention — the incremental twin of
+    * [[graft.operators.Events.cohortRetention]]: per user, emit one cell
+    * the first time the user is active `weeks_since` epoch-weeks after
+    * their first event (cohort_week = epoch-week of that first event).
+    * Aggregating the emitted cells per (cohort_week, weeks_since) gives
+    * the batch retention matrix incrementally.
+    *
+    * State per user: the first-seen timestamp (the funnel twin's shape)
+    * plus the set of weeks already emitted — O(weeks the user has been
+    * active), bounded by the product's retention horizon, not the log.
+    * Same micro-batch discipline as the funnel: `first` settles over the
+    * whole sorted batch before cells are computed, so a same-batch event
+    * pair can never see a stale first-timestamp. Cross-batch it assumes
+    * within-watermark arrival order for the first event — a LATER-arriving
+    * earlier first event would shift the user's cohort, the same
+    * documented trade of bounded state the funnel makes. */
+  def statefulCohortCells(events: Dataset[Event]): Dataset[RetentionCell] = {
+    import events.sparkSession.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[(Long, Seq[Long])]): Iterator[RetentionCell] = {
+      var (first, seen) = state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      sorted.foreach { e => val t = micros(e.ts); if (t < first) first = t }
+      val out = List.newBuilder[RetentionCell]
+      val cohort = Math.floorDiv(first, weekUs)
+      sorted.foreach { e =>
+        val w = Math.floorDiv(micros(e.ts) - first, weekUs)
+        if (!seen.contains(w)) {
+          seen = seen :+ w
+          out += RetentionCell(userId, cohort, w)
+        }
+      }
+      state.update((first, seen))
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming conversion funnel — the incremental twin of
     * [[graft.operators.Events.funnel]]: per user, the first `fromType`
     * event and the first `toType` at-or-after it. State is two optional

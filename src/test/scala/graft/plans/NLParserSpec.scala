@@ -614,6 +614,17 @@ class NLParserSpec extends AnyFunSuite {
       List(O.SaltedJoin("customer", "o_custkey", "c_custkey", 8)))
   }
 
+  test("bucketed-write clause parses with key, count, and table name") {
+    assert(NLParser.parse(
+      "Write orders bucketed by o_custkey into 16 buckets as my_table.").ops ==
+      List(O.WriteBucketed("my_table", "o_custkey", 16)))
+    assert(NLParser.parse("Write bucketed by k into 4 buckets.").ops ==
+      List(O.WriteBucketed("graft_bucketed", "k", 4)))
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Write orders bucketed by k into 0 buckets.")
+    }
+  }
+
   test("oxford comma before a clause boundary is tolerated") {
     assert(NLParser.parse(
       "Sort by o_totalprice desc and then by o_orderkey, and keep top 10 rows, " +

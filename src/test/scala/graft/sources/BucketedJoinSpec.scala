@@ -46,6 +46,28 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("the NL bucketed-write route joins exchange-free and round-trips content") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    Bucketing.writeBucketed(lineitem, "graft_lineitem_nl_b", "l_orderkey", 4)
+    val readBack = graft.Engine.run(
+      "Write orders bucketed by o_orderkey into 4 buckets as graft_orders_nl_b.",
+      orders)
+    // round-trip fidelity: the route's result IS the written table
+    assert(readBack.count() == orders.count())
+    assert(readBack.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq ==
+           orders.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
+    withoutAutoBroadcast {
+      val joined = Bucketing.coLocatedJoin(spark, "graft_lineitem_nl_b",
+        "graft_orders_nl_b", "l_orderkey", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"NL-written bucketed join must not shuffle:\n${plan.take(1500)}")
+    }
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     withoutAutoBroadcast {
       val agg = spark.table("graft_orders_b")

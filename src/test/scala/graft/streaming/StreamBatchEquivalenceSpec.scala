@@ -396,6 +396,39 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("statefulCohortCells aggregates to batch Events.cohortRetention (x58)") {
+    val events = Events.load(spark, sfDir)
+    val batch = Events.cohortRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch.values.sum > batch.size,
+      "fixture should produce a multi-week retention matrix")
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .collect()
+      .sortBy(e => (EventStreams.micros(e.ts), e.event_id))
+    val chunks = typed.grouped(math.max(1, typed.length / 10)).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.statefulCohortCells(input.toDS())
+      .writeStream.format("memory").queryName("equiv_cohort")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // cells are unique per (user, cohort, week) by construction, so a
+      // plain count per cell IS the distinct-user count batch computes
+      val streamed = spark.table("equiv_cohort")
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"matrices diverged, e.g. ${batch.collect { case (k, v) if streamed.get(k) != Some(v) =>
+          (k, v, streamed.get(k)) }.take(3)}")
+    } finally stopQuietly(q)
+  }
+
   test("streaming contaminationScore reproduces batch Dedup.contaminationScore (x47)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = docs.filter(col("source") === "src19")
