@@ -270,6 +270,135 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ---------------------------------------------------------- calibration
+
+  /** A measured LSH operating point: recall@k on the calibration sample
+    * and the candidate fraction (scored pairs / all pairs) its bucketing
+    * produced — the recall/cost trade made explicit. */
+  final case class LshParams(bands: Int, bitsPerBand: Int,
+                             recall: Double, candidateFraction: Double)
+
+  /** A measured IVF operating point: recall@k and the fraction of the
+    * corpus each query scans (probed-cell mass / corpus). */
+  final case class IvfParams(centroids: Int, nprobe: Int,
+                             recall: Double, scanFraction: Double)
+
+  /** Measured recall of `approx` (query_id, neighbor_id, …) against the
+    * exact `truth` top-k sets: |found ∩ true| / |true| summed over
+    * queries. */
+  private def recallOf(truth: Map[Long, Set[Long]],
+                       approx: DataFrame): Double = {
+    val got = approx.select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hit = truth.map { case (q, t) =>
+      (t intersect got.getOrElse(q, Set.empty)).size }.sum
+    hit.toDouble / math.max(1, truth.map(_._2.size).sum)
+  }
+
+  /** Pick (bands, bitsPerBand) for [[lshTopK]] from a DETERMINISTIC
+    * sample so the chosen operating point hits `targetRecall` on the
+    * corpus's OWN cosine distribution — the fixture-tuned defaults above
+    * assume neighbors near cosine 0.3 and mis-size on corpora with
+    * tighter or looser neighborhoods.
+    *
+    * Recipe (the VectorFunctionsSpec measurement, packaged): the
+    * `nSample` smallest-id vectors form the calibration corpus and the
+    * first `nQueries` of them the query set (id-ordered — no RNG, so the
+    * same corpus always calibrates to the same answer); ground truth is
+    * the exact [[bruteForceTopK]]; every grid point measures real recall
+    * AND the real candidate fraction its buckets induce; the cheapest
+    * point meeting the target wins (ties → fewer candidates), falling
+    * back to the highest-recall point with a require if nothing reaches
+    * it. Sample-sized work only — grid × O(nSample²) at the default 512
+    * ≈ a few million cosine ops, driver-negligible next to the corpus
+    * job it parameterizes. */
+  def calibrateLsh(corpus: DataFrame, targetRecall: Double, k: Int = 5,
+                   nQueries: Int = 8, nSample: Int = 512,
+                   grid: Seq[(Int, Int)] =
+                     for (b <- Seq(4, 8, 16); w <- Seq(4, 6, 8)) yield (b, w),
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): LshParams = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"target recall out of (0,1]: $targetRecall")
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nSample).cache()
+    try {
+      val queries = sample.orderBy(col(idCol)).limit(nQueries)
+      val n = sample.count()
+      val dim = sample.select(size(col(vecCol))).head().getInt(0)
+      val truth = bruteForceTopK(queries, sample, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val measured = grid.map { case (bands, bits) =>
+        val planes = hyperplanes(dim, bands, bits)
+        val qb = withLshBuckets(
+          queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+          planes, bands, bits, "q_vec")
+          .select(col("query_id"), col("band"), col("bucket"))
+        val cb = withLshBuckets(
+          sample.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+          planes, bands, bits, "c_vec")
+          .select(col("neighbor_id"), col("band"), col("bucket"))
+        val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id")).distinct().count()
+        val frac = cand.toDouble / math.max(1L, truth.size.toLong * (n - 1))
+        LshParams(bands, bits,
+          recallOf(truth, lshTopK(queries, sample, k, bands, bits, dim,
+                                  idCol, vecCol)), frac)
+      }
+      measured.filter(_.recall >= targetRecall)
+        .sortBy(p => (p.candidateFraction, -p.recall))
+        .headOption
+        .getOrElse(measured.maxBy(_.recall))
+    } finally { sample.unpersist(); () }
+  }
+
+  /** IVF twin of [[calibrateLsh]]: pick (centroids, nprobe) from the same
+    * deterministic sample. The scan fraction is MEASURED — the mass of
+    * the cells each query actually probes over the sample size — not the
+    * balanced-cell nprobe/centroids approximation. */
+  def calibrateIvf(corpus: DataFrame, targetRecall: Double, k: Int = 5,
+                   nQueries: Int = 8, nSample: Int = 512,
+                   centroidGrid: Seq[Int] = Seq(8, 16, 32),
+                   nprobeGrid: Seq[Int] = Seq(1, 2, 4),
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): IvfParams = {
+    import graft.functions.SketchFunctions.nearestCentroids
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"target recall out of (0,1]: $targetRecall")
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nSample).cache()
+    try {
+      val queries = sample.orderBy(col(idCol)).limit(nQueries)
+      val n = sample.count()
+      val truth = bruteForceTopK(queries, sample, k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val measured = for (c <- centroidGrid; if c <= n; p <- nprobeGrid; if p <= c)
+        yield {
+          val cents = refineCentroids(
+            sample, sampleCentroids(sample, c, idCol, vecCol), 2, vecCol)
+          val cellSizes = sample
+            .select(nearestCentroids(col(vecCol), cents, 1)(0).as("cell"))
+            .groupBy(col("cell")).agg(count(lit(1)).as("sz")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val probedMass = queries
+            .select(explode(nearestCentroids(col(vecCol), cents, p)).as("cell"))
+            .collect().map(r => cellSizes.getOrElse(r.getLong(0), 0L)).sum
+          IvfParams(c, p,
+            recallOf(truth, ivfTopK(queries, sample, k, c, p, 2, idCol, vecCol)),
+            probedMass.toDouble / math.max(1L, truth.size.toLong * n))
+        }
+      measured.filter(_.recall >= targetRecall)
+        .sortBy(p => (p.scanFraction, -p.recall))
+        .headOption
+        .getOrElse(measured.maxBy(_.recall))
+    } finally { sample.unpersist(); () }
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-compression
     * step of an embedding pipeline (4× smaller than float32, 8× than
     * float64; recall cost is measured, not assumed — see
