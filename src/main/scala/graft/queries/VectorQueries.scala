@@ -73,7 +73,23 @@ object VectorQueries extends QueryPack {
     "x50_semantic_dedup" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup
         .semanticDedupPairs(table(s, d, "embeddings"), PairThreshold)
-        .withColumn("cosine", round(col("cosine"), 6))))
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    // Measured LSH calibration certified q12-style: the helper picks an
+    // operating point from a deterministic sample; the booleans assert
+    // it actually hit the recall target without degenerating to
+    // all-pairs, and the oracle's TRUE literals make the hash gate
+    // prove both. (The chosen bands/bits themselves are corpus-sized —
+    // value-pinning them would couple the oracle to the SF.)
+    "x60_lsh_calibration" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val cal = Similarity.calibrateLsh(
+        table(s, d, "embeddings"), targetRecall = CalibrationTarget)
+      Seq((cal.recall >= CalibrationTarget, cal.candidateFraction < 1.0))
+        .toDF("recall_hit", "sub_all_pairs")
+    }))
+
+  private val CalibrationTarget = 0.7
 
   private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
 
@@ -259,6 +275,9 @@ object VectorQueries extends QueryPack {
          |  JOIN embeddings a ON a.vec_id = cand.id_a
          |  JOIN embeddings b ON b.vec_id = cand.id_b)
          |WHERE cos >= $PairThreshold""".stripMargin,
+
+    "x60_lsh_calibration" ->
+      "SELECT TRUE AS recall_hit, TRUE AS sub_all_pairs",
 
     // 127.0 spelled ::DOUBLE — a bare DuckDB decimal literal would pull
     // the arithmetic into DECIMAL and off the IEEE path Spark computes.
