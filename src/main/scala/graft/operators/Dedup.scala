@@ -591,9 +591,16 @@ object Dedup {
     val cents = Similarity.refineCentroids(
       embs, Similarity.sampleCentroids(embs, k, idCol, vecCol),
       refineIters, vecCol)
+    // repartition on the cell BEFORE the self-join: the two join sides
+    // then share one identical Exchange, which Spark de-duplicates
+    // (ReusedExchange) — the assignment kernel runs ONCE over the corpus
+    // instead of once per side (measured 2-3× on the pair stage at sf1),
+    // and each cell's pairs are physically co-located, the layout the
+    // scale story above promises
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", nearestCentroids(col("v"), cents, 1)(0))
+      .repartition(col("cell"))
     assigned.as("l")
       .join(assigned.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
