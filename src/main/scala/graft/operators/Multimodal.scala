@@ -71,12 +71,16 @@ object Multimodal {
             val h = plantedHeight(id)
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            val rgb = (id & 0xffffffL).toInt
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
+            // constant fill straight into the raster's backing byte array —
+            // per-pixel setRGB was the measured encode bottleneck (150M
+            // interpreted calls across a 50k-image corpus)
+            val buf = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            val (rB, gB, bB) = (((id >> 16) & 0xff).toByte,
+                                ((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
+            var i = 0
+            while (i < buf.length) {
+              buf(i) = bB; buf(i + 1) = gB; buf(i + 2) = rB; i += 3
             }
             val baos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", baos)

@@ -64,6 +64,33 @@ object Compiler {
       df.groupBy(keys.map(c => col(resolve(df, c))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case Op.Having(p)          => df.filter(predicate(df, p))
+    case Op.DeriveDatePart(part, c, alias) =>
+      val src = col(resolve(df, c))
+      val e = part match {
+        case "year"     => year(src).cast("long")
+        case "month"    => month(src).cast("long")
+        case "day"      => dayofmonth(src).cast("long")
+        // TIMESTAMP_NTZ under the UTC session: the cast is the identity
+        // mapping DuckDB's epoch_ms applies to the same naive value (q14)
+        case "epoch_ms" => unix_millis(src.cast("timestamp"))
+        case other => throw InvalidPlanException(
+          s"unknown date part '$other' (year/month/day/epoch_ms)")
+      }
+      df.withColumn(alias, e)
+    case Op.WindowAgg(v, pc, ords, alias, roundTo, rangeBack) =>
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(resolve(df, pc)))
+      val w = rangeBack match {
+        case Some(ms) =>
+          // trailing value-range frame on the single numeric order column
+          w0.orderBy(col(resolve(df, ords.head))).rangeBetween(-ms, 0L)
+        case None =>
+          w0.orderBy(ords.map(o => col(resolve(df, o))): _*)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                         org.apache.spark.sql.expressions.Window.currentRow)
+      }
+      val agg = sum(col(resolve(df, v))).over(w)
+      df.withColumn(alias, roundTo.fold(agg)(s => round(agg, s)))
     case r: Op.RelationalExtOp => applyRelationalExt(df, r, catalog)
     case c: Op.CorpusOp        => applyCorpusOp(df, c, catalog)
   }
@@ -108,6 +135,14 @@ object Compiler {
     case Op.ExceptTable(t) => df.except(resolveTable(t, catalog))
     case Op.JoinTable(t, lk, rk) =>
       df.join(broadcast(resolveTable(t, catalog)), col(lk) === col(rk))
+    case Op.SemiJoinTable(t, lk, rk) =>
+      // rename the right key so same-named keys never go ambiguous
+      // (left_semi/left_anti keep left columns only)
+      df.join(resolveTable(t, catalog).select(col(rk).as("__right_key")),
+              col(lk) === col("__right_key"), "left_semi")
+    case Op.AntiJoinTable(t, lk, rk) =>
+      df.join(resolveTable(t, catalog).select(col(rk).as("__right_key")),
+              col(lk) === col("__right_key"), "left_anti")
     case Op.WriteBucketed(tbl, key, buckets) =>
       graft.sources.Bucketing.writeBucketed(df, tbl, resolve(df, key), buckets)
       df.sparkSession.table(tbl)
@@ -249,6 +284,7 @@ object Compiler {
     val base = a.func match {
       case AggFunc.Count if a.col == "*" => count(lit(1))
       case AggFunc.Count => count(c)
+      case AggFunc.CountDistinct => countDistinct(c)
       case AggFunc.Avg   => avg(c)
       case AggFunc.Sum   => sum(c)
       case AggFunc.Min   => min(c)

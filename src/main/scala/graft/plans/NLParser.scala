@@ -68,6 +68,13 @@ package graft.plans
   *            | EXCEPT THE? table
   *            | WRITE noise* BUCKETED BY col INTO int BUCKETS?
   *                                             ((AS|TO) table)?
+  *            | EXTRACT (YEAR|MONTH|DAY|EPOCH MILLIS?) OF col AS alias
+  *            | SHOW RUNNING SUM OF? col PER col ORDERED? BY col
+  *                (TIE BY? col)? (ROUNDED TO? int)? AS alias
+  *            | SHOW TRAILING int (DAY|HOUR|MINUTE)S? SUM OF? col PER col
+  *                ORDERED? BY col (ROUNDED TO? int)? AS alias
+  *            | KEEP ROWS? MATCHING table ON col (=|==)? col   -- left semi
+  *            | DROP ROWS? MATCHING table ON col (=|==)? col   -- left anti
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -143,7 +150,7 @@ object NLParser {
         "normalize", "funnel", "cohort", "zorder", "z-order",
         // relational analytics extensions (q-family NL routes)
         "rollup", "cube", "pivot", "unpivot", "rank", "ntile", "union",
-        "except", "write")
+        "except", "write", "extract")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -308,7 +315,9 @@ object NLParser {
             Right(List(Op.LatestPerKey(key, ts, id)))
           case Some("only") | Some("rows") | Some("documents") | Some("docs")
                | Some("matching") =>
-            // "Keep rows matching <table> on l = r with a bloom filter."
+            // "Keep rows matching <table> on l = r (with a bloom filter)?"
+            // — bloom-pruned semi-join with the tail, plain left-semi
+            // without it
             p.dropWords("only", "rows", "documents", "docs")
             p.expectWord("matching")
             p.dropWords("the")
@@ -320,11 +329,17 @@ object NLParser {
               case _                                => ()
             }
             val rk = p.expectWordRaw()
-            p.dropWords("with", "using", "a")
-            p.expectWord("bloom")
-            p.dropWords("filter", "filtered", "prune", "pruning")
-            requireDone(p)
-            Right(List(Op.BloomSemiJoin(tbl, lk, rk)))
+            p.peekWordLower match {
+              case Some("with") | Some("using") | Some("bloom") =>
+                p.dropWords("with", "using", "a")
+                p.expectWord("bloom")
+                p.dropWords("filter", "filtered", "prune", "pruning")
+                requireDone(p)
+                Right(List(Op.BloomSemiJoin(tbl, lk, rk)))
+              case _ =>
+                requireDone(p)
+                Right(List(Op.SemiJoinTable(tbl, lk, rk)))
+            }
           case _ =>
             p.expectWord("top")
             val k = p.expectNum().toInt
@@ -460,6 +475,24 @@ object NLParser {
         val tbl = p.expectWordRaw()
         requireDone(p)
         Right(List(Op.ExceptTable(tbl)))
+      case Some("extract") =>
+        // "Extract year of o_orderdate as order_year." /
+        // "Extract epoch millis of o_orderdate as order_ms."
+        p.next(); p.dropWords("the")
+        val part = p.expectWordRaw().toLowerCase match {
+          case "year" | "years"   => "year"
+          case "month" | "months" => "month"
+          case "day" | "days"     => "day"
+          case "epoch"            => p.dropWords("millis", "ms", "milliseconds"); "epoch_ms"
+          case other => throw ParseException(
+            s"unknown date part '$other' (year/month/day/epoch millis)")
+        }
+        p.dropWords("of", "from")
+        val src = p.expectWordRaw()
+        p.expectWord("as")
+        val alias = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.DeriveDatePart(part, src, alias)))
       case Some("write") =>
         // "Write orders bucketed by o_custkey into 16 buckets (as <table>)."
         // — the pay-the-shuffle-once layout step; words before "bucketed"
@@ -528,8 +561,60 @@ object NLParser {
         // "show average age" / "show average age and sum salary, max bonus"
         // Each aggregate takes an optional "rounded to n" (HALF_UP round,
         // for float sums matching a rounding oracle) and "as alias" tail;
-        // "count rows" is the count-star form.
+        // "count rows" is the count-star form, "count distinct <col>" the
+        // exact distinct count. Window forms: "show running sum of v per
+        // part ordered by o (tie by t)? …" and "show trailing N day sum
+        // of v per part ordered by o …" (value-range frame).
         p.next()
+        if (p.peekWordLower.contains("running") ||
+            p.peekWordLower.contains("trailing")) {
+          val trailing = p.peekWordLower.contains("trailing")
+          p.next()
+          val rangeBackMs =
+            if (!trailing) None
+            else {
+              val n = p.expectNum().toLong
+              val unitMs = p.expectWordRaw().toLowerCase.stripSuffix("s") match {
+                case "day"    => 86400000L
+                case "hour"   => 3600000L
+                case "minute" => 60000L
+                case other => throw ParseException(
+                  s"unknown trailing unit '$other' (day/hour/minute)")
+              }
+              Some(n * unitMs)
+            }
+          p.expectWord("sum")
+          p.dropWords("of")
+          val v = p.expectWordRaw()
+          p.expectWord("per")
+          val part = p.expectWordRaw()
+          p.dropWords("ordered", "order")
+          p.expectWord("by")
+          val ords = Seq.newBuilder[String]
+          ords += p.expectWordRaw()
+          if (!trailing) {
+            // running frames are row-based: a tie-break keeps them
+            // deterministic; trailing range frames are tie-insensitive
+            p.peekWordLower match {
+              case Some("tie") | Some("ties") =>
+                p.next(); p.dropWords("by", "breaking"); ords += p.expectWordRaw()
+              case _ => ()
+            }
+          }
+          val roundTo = p.peekWordLower match {
+            case Some("rounded") =>
+              p.next(); p.dropWords("to")
+              val s = p.expectNum().toInt
+              p.dropWords("decimals", "decimal", "places", "digits")
+              Some(s)
+            case _ => None
+          }
+          p.expectWord("as")
+          val alias = p.expectWordRaw()
+          requireDone(p)
+          return Right(List(
+            Op.WindowAgg(v, part, ords.result(), alias, roundTo, rangeBackMs)))
+        }
         def parseAgg(): AggSpec = {
           val func = p.expectWordRaw().toLowerCase match {
             case "average" | "avg" => AggFunc.Avg
@@ -537,6 +622,8 @@ object NLParser {
             case "min" | "minimum" => AggFunc.Min
             case "max" | "maximum" => AggFunc.Max
             case "median"          => AggFunc.Median
+            case "count" if p.peekWordLower.contains("distinct") =>
+              p.next(); AggFunc.CountDistinct
             case "count"           => AggFunc.Count
             case other => throw ParseException(s"unknown aggregate '$other'")
           }
@@ -559,6 +646,7 @@ object NLParser {
             case AggFunc.Min => s"min_$c"
             case AggFunc.Max => s"max_$c"
             case AggFunc.Median => s"median_$c"
+            case AggFunc.CountDistinct => s"distinct_$c"
             case AggFunc.Count => "count"
           }
           val alias = p.peekWordLower match {
@@ -625,7 +713,27 @@ object NLParser {
           case w: Word => w.lower == "already"
           case _       => false
         }
-        if (alreadyIn) {
+        val antiJoin = !decontaminate && !alreadyIn && toks.exists {
+          case w: Word => w.lower == "matching"
+          case _       => false
+        }
+        if (antiJoin) {
+          // "Drop rows matching <table> on l = r." — left-anti join
+          // (NOT EXISTS without the NOT-IN null hazard)
+          p.dropWords("the", "documents", "docs", "rows")
+          p.expectWord("matching")
+          p.dropWords("the")
+          val tbl = p.expectWordRaw()
+          p.expectWord("on")
+          val lk = p.expectWordRaw()
+          p.peek match {
+            case Some(Sym("=")) | Some(Sym("==")) => p.next()
+            case _                                => ()
+          }
+          val rk = p.expectWordRaw()
+          requireDone(p)
+          Right(List(Op.AntiJoinTable(tbl, lk, rk)))
+        } else if (alreadyIn) {
           // "Drop documents already in <table>." — incremental ingest
           // dedup against the named historical corpus
           p.dropWords("the", "documents", "docs", "rows")

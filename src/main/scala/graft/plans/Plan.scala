@@ -59,6 +59,8 @@ object AggFunc {
   case object Max   extends AggFunc
   /** Exact interpolated median (percentile 0.5). */
   case object Median extends AggFunc
+  /** Exact distinct count ("show count distinct custkey"). */
+  case object CountDistinct extends AggFunc
 }
 
 /** One aggregate column. `col = "*"` with [[AggFunc.Count]] is the
@@ -87,6 +89,19 @@ object Op {
   final case class GroupAgg(keys: Seq[String], aggs: Seq[AggSpec]) extends Op
   /** Post-aggregation filter referencing an agg alias (A3 / HAVING). */
   final case class Having(pred: Pred)                              extends Op
+  /** Derived date-part column: year/month/day/epoch_ms of a date column
+    * ("extract year of o_orderdate as order_year"). Row-preserving. */
+  final case class DeriveDatePart(part: String, col: String,
+                                  alias: String)                   extends Op
+  /** Running (rows unbounded→current) or trailing (range [-ms, 0] on the
+    * single numeric order column) window sum per partition — the q14/q16
+    * frame shapes. Ordering ends in the caller-supplied keys, which must
+    * make the frame deterministic (include a unique tie-break for the
+    * running form). Row-preserving. */
+  final case class WindowAgg(valueCol: String, partCol: String,
+                             orderCols: Seq[String], alias: String,
+                             roundTo: Option[Int] = None,
+                             rangeBackMs: Option[Long] = None)     extends Op
 
   /** Corpus-level operators — the extension surface (SURVEY.md §2.2 X1–X3)
     * reachable from natural language, closing the capability delta vs the
@@ -286,6 +301,14 @@ object Op {
     * dimension-enrichment step of the q-family join queries. */
   final case class JoinTable(rightTable: String, leftKey: String,
                              rightKey: String)                      extends RelationalExtOp
+  /** Plain left-semi join to the named catalog table ("keep rows
+    * matching T on l = r" without a bloom tail). */
+  final case class SemiJoinTable(rightTable: String, leftKey: String,
+                                 rightKey: String)                  extends RelationalExtOp
+  /** Left-anti join to the named catalog table ("drop rows matching T
+    * on l = r") — the NOT-EXISTS shape without the NOT-IN null hazard. */
+  final case class AntiJoinTable(rightTable: String, leftKey: String,
+                                 rightKey: String)                  extends RelationalExtOp
   /** Bucketed+sorted managed-table write
     * ([[graft.sources.Bucketing.writeBucketed]]) — the pay-the-shuffle-
     * once layout step. The ONE eager op in the IR (a write is an

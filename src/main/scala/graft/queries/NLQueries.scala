@@ -407,7 +407,69 @@ object NLQueries extends QueryPack {
     "nl69_bucketed_write" -> ((s: SparkSession, d: String) =>
       Engine.run("Write orders bucketed by o_custkey into 16 buckets " +
                  "as graft_nl_orders_bucketed.",
-                 s.read.parquet(s"$d/orders.parquet"))))
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q19's date-part aggregate via the extract clause.
+    "nl70_orders_by_month" -> ((s: SparkSession, d: String) =>
+      Engine.run("Extract year of o_orderdate as order_year, " +
+                 "and extract month of o_orderdate as order_month, " +
+                 "and group by order_year and order_month, " +
+                 "and show count rows as n_orders " +
+                 "and sum o_totalprice rounded to 2 as revenue.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q14's running-revenue ROWS frame.
+    "nl71_running_revenue" -> ((s: SparkSession, d: String) =>
+      Engine.run("Extract epoch millis of o_orderdate as order_ms, " +
+                 "and show running sum of o_totalprice per o_custkey " +
+                 "ordered by o_orderdate tie by o_orderkey rounded to 2 " +
+                 "as running_revenue, " +
+                 "and select columns o_custkey, o_orderkey, order_ms " +
+                 "and running_revenue.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q16's trailing-30-day RANGE frame over the derived epoch column.
+    "nl72_trailing_revenue" -> ((s: SparkSession, d: String) =>
+      Engine.run("Extract epoch millis of o_orderdate as order_ms, " +
+                 "and show trailing 30 day sum of o_totalprice per " +
+                 "o_custkey ordered by order_ms rounded to 2 " +
+                 "as trailing_30d_revenue, " +
+                 "and select columns o_custkey, o_orderkey, order_ms " +
+                 "and trailing_30d_revenue.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q5's pushdown-verified selective scan — pure existing grammar.
+    "nl73_filter_pushdown" -> ((s: SparkSession, d: String) =>
+      Engine.run("Filter rows where l_returnflag in ('A', 'R') and " +
+                 "l_quantity < 10 and l_discount between 0.02 and 0.08 " +
+                 "and select columns l_orderkey, l_partkey, l_quantity, " +
+                 "l_discount and l_returnflag.",
+                 s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // q7's distinct aggregate via "count distinct".
+    "nl74_distinct_agg" -> ((s: SparkSession, d: String) =>
+      Engine.run("Group by o_orderstatus and show count distinct " +
+                 "o_custkey as n_customers and count rows as n_orders.",
+                 s.read.parquet(s"$d/orders.parquet"))),
+
+    // q9's semi join (parts with sales) via plain keep-matching.
+    "nl75_parts_with_sales" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep rows matching lineitem on p_partkey = l_partkey, " +
+                 "and select columns p_partkey, p_name and p_retailprice.",
+                 s.read.parquet(s"$d/part.parquet"),
+                 Map("lineitem" -> s.read.parquet(s"$d/lineitem.parquet")))),
+
+    // q8's anti join — the big-order side is itself NL-built.
+    "nl76_customers_without_orders" -> ((s: SparkSession, d: String) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val big = Engine.run(
+        "Filter rows where o_totalprice > 300000 and select columns o_custkey.",
+        orders)
+      Engine.run("Drop rows matching bigorders on c_custkey = o_custkey, " +
+                 "and select columns c_custkey and c_name.",
+                 s.read.parquet(s"$d/customer.parquet"),
+                 Map("bigorders" -> big))
+    }))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -512,6 +574,14 @@ object NLQueries extends QueryPack {
     "nl68_join_revenue" -> RelationalQueries.oracleSql("q3_join_revenue"),
     // round-trip content fidelity of the bucketed write
     "nl69_bucketed_write" -> "SELECT * FROM orders",
+    "nl70_orders_by_month" -> RelationalQueries.oracleSql("q19_orders_by_month"),
+    "nl71_running_revenue" -> RelationalQueries.oracleSql("q14_running_revenue"),
+    "nl72_trailing_revenue" -> RelationalQueries.oracleSql("q16_trailing_revenue"),
+    "nl73_filter_pushdown" -> RelationalQueries.oracleSql("q5_filter_pushdown"),
+    "nl74_distinct_agg" -> RelationalQueries.oracleSql("q7_distinct_agg"),
+    "nl75_parts_with_sales" -> RelationalQueries.oracleSql("q9_parts_with_sales"),
+    "nl76_customers_without_orders" ->
+      RelationalQueries.oracleSql("q8_customers_without_orders"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -625,6 +625,46 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("extract, running/trailing window, and count-distinct clauses parse") {
+    assert(NLParser.parse("Extract year of o_orderdate as order_year.").ops ==
+      List(O.DeriveDatePart("year", "o_orderdate", "order_year")))
+    assert(NLParser.parse("Extract epoch millis of o_orderdate as order_ms.").ops ==
+      List(O.DeriveDatePart("epoch_ms", "o_orderdate", "order_ms")))
+    assert(NLParser.parse(
+      "Show running sum of o_totalprice per o_custkey ordered by " +
+      "o_orderdate tie by o_orderkey rounded to 2 as running_revenue.").ops ==
+      List(O.WindowAgg("o_totalprice", "o_custkey",
+        Seq("o_orderdate", "o_orderkey"), "running_revenue", Some(2), None)))
+    assert(NLParser.parse(
+      "Show trailing 30 day sum of o_totalprice per o_custkey ordered by " +
+      "order_ms rounded to 2 as t30.").ops ==
+      List(O.WindowAgg("o_totalprice", "o_custkey", Seq("order_ms"),
+        "t30", Some(2), Some(30L * 86400000L))))
+    assert(NLParser.parse(
+      "Group by o_orderstatus and show count distinct o_custkey as " +
+      "n_customers and count rows as n_orders.").ops ==
+      List(O.GroupAgg(Seq("o_orderstatus"), Seq(
+        AggSpec(AggFunc.CountDistinct, "o_custkey", "n_customers"),
+        AggSpec(AggFunc.Count, "*", "n_orders")))))
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Extract century of o_orderdate as c.")
+    }
+  }
+
+  test("plain semi and anti joins parse; the bloom tail still routes to bloom") {
+    assert(NLParser.parse(
+      "Keep rows matching lineitem on p_partkey = l_partkey.").ops ==
+      List(O.SemiJoinTable("lineitem", "p_partkey", "l_partkey")))
+    assert(NLParser.parse(
+      "Keep rows matching urgent on l_orderkey = o_orderkey with a bloom filter.").ops ==
+      List(O.BloomSemiJoin("urgent", "l_orderkey", "o_orderkey")))
+    assert(NLParser.parse(
+      "Drop rows matching bigorders on c_custkey = o_custkey.").ops ==
+      List(O.AntiJoinTable("bigorders", "c_custkey", "o_custkey")))
+    // plain column drops are unaffected
+    assert(NLParser.parse("Drop city column.").ops == List(O.Drop(Seq("city"))))
+  }
+
   test("oxford comma before a clause boundary is tolerated") {
     assert(NLParser.parse(
       "Sort by o_totalprice desc and then by o_orderkey, and keep top 10 rows, " +
