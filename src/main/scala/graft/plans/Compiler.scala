@@ -133,8 +133,9 @@ object Compiler {
       df.withColumn(alias, ntile(n).over(w).cast("long"))
     case Op.UnionTable(t)  => df.unionByName(resolveTable(t, catalog))
     case Op.ExceptTable(t) => df.except(resolveTable(t, catalog))
-    case Op.JoinTable(t, lk, rk) =>
-      df.join(broadcast(resolveTable(t, catalog)), col(lk) === col(rk))
+    case Op.JoinTable(t, lk, rk, bc) =>
+      val right = resolveTable(t, catalog)
+      df.join(if (bc) broadcast(right) else right, col(lk) === col(rk))
     case Op.SemiJoinTable(t, lk, rk) =>
       // rename the right key so same-named keys never go ambiguous
       // (left_semi/left_anti keep left columns only)
@@ -278,9 +279,21 @@ object Compiler {
       SkewJoin.saltedInnerJoin(df, resolveTable(t, catalog), lk, rk, b)
   }
 
+  /** Compile a scalar aggregate-argument expression; integral constants
+    * stay integers (the same `Lit.Num.asAny` rule predicates use), so
+    * `1 - l_discount` compiles to the exact int-minus-double the driver
+    * queries and oracles compute. */
+  private def numExpr(df: DataFrame, e: NumExpr): Column = e match {
+    case NumExpr.ColRef(n) => col(resolve(df, n))
+    case NumExpr.Const(v)  => lit(Lit.Num(v).asAny)
+    case NumExpr.Mul(l, r) => numExpr(df, l) * numExpr(df, r)
+    case NumExpr.Add(l, r) => numExpr(df, l) + numExpr(df, r)
+    case NumExpr.Sub(l, r) => numExpr(df, l) - numExpr(df, r)
+  }
+
   private def aggColumn(df: DataFrame, a: AggSpec): Column = {
     // "*" with Count is count-star (counts rows, not non-nulls of a column)
-    lazy val c = col(resolve(df, a.col))
+    lazy val c = a.arg.map(numExpr(df, _)).getOrElse(col(resolve(df, a.col)))
     val base = a.func match {
       case AggFunc.Count if a.col == "*" => count(lit(1))
       case AggFunc.Count => count(c)

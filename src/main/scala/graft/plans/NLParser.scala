@@ -75,6 +75,9 @@ package graft.plans
   *                ORDERED? BY col (ROUNDED TO? int)? AS alias
   *            | KEEP ROWS? MATCHING table ON col (=|==)? col   -- left semi
   *            | DROP ROWS? MATCHING table ON col (=|==)? col   -- left anti
+  *            | (inside SHOW) agg arg := numExpr; numExpr := mulE
+  *                ((+|PLUS|-|MINUS) mulE)*; mulE := atom ((*|TIMES) atom)*;
+  *                atom := col | number | '(' numExpr ')'
   *   pred    := andp (OR andp)*
   *   andp    := unary (AND unary)*
   *   unary   := NOT unary | '(' pred ')' | atom
@@ -114,11 +117,17 @@ object NLParser {
         val end = input.indexOf(c, i + 1)
         if (end < 0) throw ParseException(s"unterminated quote at $i in: $input0")
         toks += Quoted(input.substring(i + 1, end)); i = end + 1
-      } else if (c == '(' || c == ')' || c == ',' || c == '%') { toks += Sym(c.toString); i += 1 }
+      } else if (c == '(' || c == ')' || c == ',' || c == '%' ||
+                 c == '*' || c == '+') { toks += Sym(c.toString); i += 1 }
       else if ("<>=!".contains(c)) {
         val start = i
         while (i < input.length && "<>=!".contains(input(i))) i += 1
         toks += Sym(input.substring(start, i))
+      } else if (c == '-' && !(i + 1 < input.length && input(i + 1).isDigit) &&
+                 !hyphenIntoWord(input, i)) {
+        // a bare '-' (arithmetic minus); '-digit' stays a negative number
+        // and '-letter' a hyphenated word, both handled below
+        toks += Sym("-"); i += 1
       } else if (c.isDigit || (c == '-' && i + 1 < input.length && input(i + 1).isDigit)) {
         val start = i
         i += 1
@@ -627,11 +636,19 @@ object NLParser {
             case "count"           => AggFunc.Count
             case other => throw ParseException(s"unknown aggregate '$other'")
           }
-          val rawCol = p.expectWordRaw()
-          val c =
-            if (func == AggFunc.Count &&
-                Set("rows", "all", "*")(rawCol.toLowerCase)) "*"
-            else rawCol
+          val (c, argOpt) =
+            if (func == AggFunc.Count || func == AggFunc.CountDistinct) {
+              val rawCol = p.expectWordRaw()
+              (if (func == AggFunc.Count &&
+                   Set("rows", "all")(rawCol.toLowerCase)) "*" else rawCol,
+               Option.empty[NumExpr])
+            } else {
+              p.dropWords("of")
+              parseNumExpr(p) match {
+                case NumExpr.ColRef(n) => (n, Option.empty[NumExpr])
+                case e                 => ("__expr__", Some(e))
+              }
+            }
           val roundTo = p.peekWordLower match {
             case Some("rounded") =>
               p.next(); p.dropWords("to")
@@ -651,9 +668,11 @@ object NLParser {
           }
           val alias = p.peekWordLower match {
             case Some("as") => p.next(); p.expectWordRaw()
+            case _ if argOpt.isDefined => throw ParseException(
+              "expression aggregates need an explicit 'as <alias>'")
             case _          => alias0
           }
-          AggSpec(func, c, alias, roundTo)
+          AggSpec(func, c, alias, roundTo, argOpt)
         }
         val aggs = Seq.newBuilder[AggSpec]
         aggs += parseAgg()
@@ -1098,11 +1117,14 @@ object NLParser {
                 requireDone(p)
                 Right(List(Op.SaltedJoin(table, lk, rk, buckets)))
               case _ =>
-                // plain (broadcast) equi-join — the dimension enrichment
-                // of the q-family join queries
-                p.dropWords("broadcast", "broadcasted")
+                // plain equi-join; a spoken "broadcast" forces the
+                // dimension-enrichment broadcast, otherwise the planner
+                // decides (fact⋈fact shuffles — correct at scale)
+                val bc = p.peekWordLower.exists(w =>
+                  w == "broadcast" || w == "broadcasted")
+                if (bc) p.next()
                 requireDone(p)
-                Right(List(Op.JoinTable(table, lk, rk)))
+                Right(List(Op.JoinTable(table, lk, rk, bc)))
             }
           case other => throw ParseException(
             s"expected 'as of' or 'on <left> = <right> (salted <n> ways)?' after join table, got $other")
@@ -1309,6 +1331,47 @@ object NLParser {
     if (f < 0.0 || f > 1.0)
       throw ParseException(s"sample fraction out of [0,1]: $f")
     f
+  }
+
+  /** Scalar expression inside an aggregate argument: two precedence
+    * levels (times over plus/minus, word or symbol operators), parens,
+    * numbers, column references. Stops cleanly at any non-expression
+    * token ("rounded", "as", ",", "and"). */
+  private def parseNumExpr(p: TokCursor): NumExpr = {
+    def atom(): NumExpr = p.peek match {
+      case Some(Sym("(")) =>
+        p.next(); val e = addsub(); p.expectSym(")"); e
+      case Some(Num(v))  => p.next(); NumExpr.Const(v)
+      case Some(_: Word) => NumExpr.ColRef(p.expectWordRaw())
+      case other => throw ParseException(
+        s"expected column, number or '(' in aggregate expression, got $other")
+    }
+    def mul(): NumExpr = {
+      var l = atom()
+      var go = true
+      while (go) p.peek match {
+        case Some(Sym("*")) => p.next(); l = NumExpr.Mul(l, atom())
+        case Some(w: Word) if w.lower == "times" =>
+          p.next(); l = NumExpr.Mul(l, atom())
+        case _ => go = false
+      }
+      l
+    }
+    def addsub(): NumExpr = {
+      var l = mul()
+      var go = true
+      while (go) p.peek match {
+        case Some(Sym("+")) => p.next(); l = NumExpr.Add(l, mul())
+        case Some(w: Word) if w.lower == "plus" =>
+          p.next(); l = NumExpr.Add(l, mul())
+        case Some(Sym("-")) => p.next(); l = NumExpr.Sub(l, mul())
+        case Some(w: Word) if w.lower == "minus" =>
+          p.next(); l = NumExpr.Sub(l, mul())
+        case _ => go = false
+      }
+      l
+    }
+    addsub()
   }
 
   /** Build the aggregate op matching the pending grouping clause's mode. */

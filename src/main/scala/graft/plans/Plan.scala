@@ -63,11 +63,28 @@ object AggFunc {
   case object CountDistinct extends AggFunc
 }
 
+/** Numeric scalar expression inside an aggregate argument — the TPC-H
+  * `sum(price · (1 − discount))` shape ("show sum of l_extendedprice
+  * times (1 - l_discount)"). Two precedence levels (mul over add/sub),
+  * parenthesized sub-expressions; every node compiles to one codegen'd
+  * `Column` op, so a rounding oracle replays it exactly. */
+sealed trait NumExpr extends Product with Serializable
+object NumExpr {
+  final case class ColRef(name: String)           extends NumExpr
+  final case class Const(value: Double)           extends NumExpr
+  final case class Mul(l: NumExpr, r: NumExpr)    extends NumExpr
+  final case class Add(l: NumExpr, r: NumExpr)    extends NumExpr
+  final case class Sub(l: NumExpr, r: NumExpr)    extends NumExpr
+}
+
 /** One aggregate column. `col = "*"` with [[AggFunc.Count]] is the
-  * count-star form ("count rows"); `roundTo` applies Spark's HALF_UP
-  * `round(expr, n)` so float sums can match a rounding oracle exactly. */
+  * count-star form ("count rows"); `arg`, when set, aggregates a scalar
+  * [[NumExpr]] instead of the bare column; `roundTo` applies Spark's
+  * HALF_UP `round(expr, n)` so float sums can match a rounding oracle
+  * exactly. */
 final case class AggSpec(func: AggFunc, col: String, alias: String,
-                         roundTo: Option[Int] = None)
+                         roundTo: Option[Int] = None,
+                         arg: Option[NumExpr] = None)
 
 /** One relational step. A full plan is `Plan(ops: List[Op])` applied in
   * order — mirroring how each reference eval description composes
@@ -297,10 +314,14 @@ object Op {
   final case class UnionTable(table: String)                        extends RelationalExtOp
   /** EXCEPT (distinct) the named catalog table. */
   final case class ExceptTable(table: String)                       extends RelationalExtOp
-  /** Generic broadcast equi-join to the named catalog table — the
-    * dimension-enrichment step of the q-family join queries. */
+  /** Generic equi-join to the named catalog table. `broadcastRight`
+    * (the spoken "broadcast" hint) forces a broadcast of the right side
+    * — the dimension-enrichment shape; without it the planner decides
+    * (AQE auto-broadcasts small sides, fact⋈fact shuffles — the correct
+    * default at scale). */
   final case class JoinTable(rightTable: String, leftKey: String,
-                             rightKey: String)                      extends RelationalExtOp
+                             rightKey: String,
+                             broadcastRight: Boolean = false)       extends RelationalExtOp
   /** Plain left-semi join to the named catalog table ("keep rows
     * matching T on l = r" without a bloom tail). */
   final case class SemiJoinTable(rightTable: String, leftKey: String,

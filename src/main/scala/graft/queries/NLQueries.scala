@@ -320,9 +320,9 @@ object NLQueries extends QueryPack {
 
     // q13's three broadcast-dim join chain + rollup grouping sets.
     "nl60_rollup_revenue" -> ((s: SparkSession, d: String) =>
-      Engine.run("Join orders to customer on o_custkey = c_custkey, " +
-                 "and join to nation on c_nationkey = n_nationkey, " +
-                 "and join to region on n_regionkey = r_regionkey, " +
+      Engine.run("Join orders to customer on o_custkey = c_custkey broadcast, " +
+                 "and join to nation on c_nationkey = n_nationkey broadcast, " +
+                 "and join to region on n_regionkey = r_regionkey broadcast, " +
                  "and rollup by r_name and n_name, " +
                  "and show sum o_totalprice rounded to 2 as revenue " +
                  "and count rows as n_orders.",
@@ -392,7 +392,7 @@ object NLQueries extends QueryPack {
 
     // q3's broadcast dim join + revenue aggregate.
     "nl68_join_revenue" -> ((s: SparkSession, d: String) =>
-      Engine.run("Join orders to customer on o_custkey = c_custkey, " +
+      Engine.run("Join orders to customer on o_custkey = c_custkey broadcast, " +
                  "and group by c_mktsegment, " +
                  "and show sum o_totalprice rounded to 2 as revenue " +
                  "and count rows as n_orders.",
@@ -469,7 +469,37 @@ object NLQueries extends QueryPack {
                  "and select columns c_custkey and c_name.",
                  s.read.parquet(s"$d/customer.parquet"),
                  Map("bigorders" -> big))
-    }))
+    }),
+
+    // q1's TPC-H pricing summary — the expression aggregate
+    // sum(price · (1 − discount)) through the arithmetic sub-grammar.
+    "nl77_pricing_summary" -> ((s: SparkSession, d: String) =>
+      Engine.run("Filter rows where l_shipdate <= '1999-06-01 00:00:00', " +
+                 "and group by l_returnflag and l_linestatus, " +
+                 "and show sum l_quantity rounded to 2 as sum_qty " +
+                 "and sum l_extendedprice rounded to 2 as sum_base_price " +
+                 "and sum of l_extendedprice times (1 - l_discount) " +
+                 "rounded to 2 as sum_disc_price " +
+                 "and average l_quantity rounded to 4 as avg_qty " +
+                 "and average l_extendedprice rounded to 4 as avg_price " +
+                 "and count rows as count_order.",
+                 s.read.parquet(s"$d/lineitem.parquet"))),
+
+    // q6's multi-join revenue rollup-free aggregate, same expression.
+    "nl78_multi_join_revenue" -> ((s: SparkSession, d: String) =>
+      Engine.run("Join lineitem to orders on l_orderkey = o_orderkey, " +
+                 "and join to customer on o_custkey = c_custkey broadcast, " +
+                 "and join to nation on c_nationkey = n_nationkey broadcast, " +
+                 "and join to region on n_regionkey = r_regionkey broadcast, " +
+                 "and group by r_name and n_name, " +
+                 "and show sum of l_extendedprice times (1 - l_discount) " +
+                 "rounded to 2 as revenue " +
+                 "and count rows as n_lineitems.",
+                 s.read.parquet(s"$d/lineitem.parquet"),
+                 Map("orders" -> s.read.parquet(s"$d/orders.parquet"),
+                     "customer" -> s.read.parquet(s"$d/customer.parquet"),
+                     "nation" -> s.read.parquet(s"$d/nation.parquet"),
+                     "region" -> s.read.parquet(s"$d/region.parquet")))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -582,6 +612,8 @@ object NLQueries extends QueryPack {
     "nl75_parts_with_sales" -> RelationalQueries.oracleSql("q9_parts_with_sales"),
     "nl76_customers_without_orders" ->
       RelationalQueries.oracleSql("q8_customers_without_orders"),
+    "nl77_pricing_summary" -> RelationalQueries.oracleSql("q1_pricing_summary"),
+    "nl78_multi_join_revenue" -> RelationalQueries.oracleSql("q6_multi_join_revenue"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

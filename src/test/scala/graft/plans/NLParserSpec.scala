@@ -665,6 +665,40 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Drop city column.").ops == List(O.Drop(Seq("city"))))
   }
 
+  test("arithmetic expression aggregates parse with precedence and parens") {
+    import graft.plans.{NumExpr => N}
+    assert(NLParser.parse(
+      "Group by g and show sum of l_extendedprice times (1 - l_discount) " +
+      "rounded to 2 as revenue.").ops ==
+      List(O.GroupAgg(Seq("g"), Seq(AggSpec(AggFunc.Sum, "__expr__", "revenue",
+        Some(2), Some(N.Mul(N.ColRef("l_extendedprice"),
+                            N.Sub(N.Const(1), N.ColRef("l_discount")))))))))
+    // times binds tighter than plus; bare columns stay the plain path
+    assert(NLParser.parse("Group by g and show sum of a plus b times c as s.").ops ==
+      List(O.GroupAgg(Seq("g"), Seq(AggSpec(AggFunc.Sum, "__expr__", "s", None,
+        Some(N.Add(N.ColRef("a"), N.Mul(N.ColRef("b"), N.ColRef("c")))))))))
+    assert(NLParser.parse("Group by g and show sum of x as s.").ops ==
+      List(O.GroupAgg(Seq("g"), Seq(AggSpec(AggFunc.Sum, "x", "s")))))
+    // an expression aggregate without an alias is rejected
+    intercept[NLParser.ParseException] {
+      NLParser.parse("Group by g and show sum of a times b.")
+    }
+    // hyphenated words and negative numbers still lex as before
+    assert(NLParser.parse("Dedup by 3-gram jaccard 0.5.").ops ==
+      List(O.DedupJaccard(3, 0.5, None)))
+    assert(NLParser.parse("Filter rows where t > -5.").ops ==
+      List(O.Filter(P.Cmp(P.Gt, "t", Lit.Num(-5)))))
+  }
+
+  test("join broadcast hint is opt-in; plain joins leave the planner free") {
+    assert(NLParser.parse(
+      "Join orders to customer on o_custkey = c_custkey broadcast.").ops ==
+      List(O.JoinTable("customer", "o_custkey", "c_custkey", broadcastRight = true)))
+    assert(NLParser.parse(
+      "Join lineitem to orders on l_orderkey = o_orderkey.").ops ==
+      List(O.JoinTable("orders", "l_orderkey", "o_orderkey", broadcastRight = false)))
+  }
+
   test("oxford comma before a clause boundary is tolerated") {
     assert(NLParser.parse(
       "Sort by o_totalprice desc and then by o_orderkey, and keep top 10 rows, " +
