@@ -40,6 +40,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 3, s"expected >=3 broadcast joins, got $n")
   }
 
+  test("nl78 keeps the fact-fact join planner-decided while dims broadcast") {
+    // the NL twin of q6: the lineitem⋈orders join carries NO spoken
+    // broadcast hint, so the plan must not force-broadcast a fact side;
+    // the three dimension joins carry the hint and must broadcast. At
+    // fixture scale the planner may still auto-broadcast the small fact
+    // side, so the assertion is on the LOGICAL hints, not the runtime
+    // pick: exactly three ResolvedHint/broadcast markers.
+    val df = graft.SparkEntry.queries("nl78_multi_join_revenue")(spark, sf)
+    val optimized = df.queryExecution.analyzed.toString
+    val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(optimized).length
+    assert(hints == 3, s"expected exactly 3 broadcast hints (dims only):\n" +
+      optimized.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("q2 top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q2_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
