@@ -330,7 +330,10 @@ object Dedup {
                        idCol: String = "doc_id",
                        allowLooseThreshold: Boolean = false): DataFrame = {
     require(maxDist > 0, "maxDist must be positive")
-    if (!allowLooseThreshold) {
+    // guard only non-empty corpora: the median is undefined on an empty
+    // frame (percentileByHistogram throws), and the pair join it protects
+    // is vacuously empty anyway
+    if (!allowLooseThreshold && !docs.isEmpty) {
       val medianLen = Profiling.percentileByHistogram(
         docs.select(length(col(textCol)).as("len")), "len", 0.5)
       require(20L * maxDist <= medianLen,
@@ -609,10 +612,37 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact all-pairs embedding near-dup pairs — the oracle-anchor
+    * formulation ([[embeddingPairsLsh]] is the scale path). Without a
+    * block column the plan broadcasts the whole vector table and scores
+    * O(n²/2) pairs: correct, and the right baseline for a bounded slice,
+    * but a scale-killer on a full corpus (measured 171s of a 489s sf1
+    * suite before this guard; at 100× the broadcast side alone exceeds
+    * executor memory).
+    *
+    * OPERATING REGIME — bounded inputs only. The same pattern as
+    * [[levenshteinPairs]]' loose-threshold guard: unless a `blockCol`
+    * bounds the self-join, the corpus must fit `maxAllPairsRows`
+    * (default 10k rows ≈ 50M scored pairs); larger inputs throw with the
+    * error naming the scale tools rather than silently quadratizing.
+    * `maxAllPairsRows <= 0` disables the check for callers who have
+    * measured their operating point. */
   def embeddingPairs(embs: DataFrame, threshold: Double,
                      blockCol: Option[Column] = None,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxAllPairsRows: Long = 10000L): DataFrame = {
+    if (blockCol.isEmpty && maxAllPairsRows > 0) {
+      val n = embs.count()
+      require(n <= maxAllPairsRows,
+        s"all-pairs embedding dedup over $n rows exceeds maxAllPairsRows=" +
+        s"$maxAllPairsRows (≈${n * n / 2} scored pairs, one broadcast of the " +
+        "whole vector table): this exact formulation is the bounded-slice " +
+        "oracle baseline, not the corpus path. Use embeddingPairsLsh (banded " +
+        "sign-LSH candidates, exact cosine verify) or semanticDedupPairs " +
+        "(within-cell scoring) at corpus scale, pass a blockCol to bound the " +
+        "self-join, or raise maxAllPairsRows after measuring.")
+    }
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val joined = blockCol match {
       case Some(bc) =>

@@ -112,10 +112,12 @@ object Compiler {
       df.cube(keys.map(c => col(resolve(df, c))): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     case Op.PivotCount(g, pc, values) =>
+      // fill only the pivoted count columns: a whole-frame fill would also
+      // rewrite a null group KEY to 0, colliding with a genuine 0 group
       df.groupBy(col(resolve(df, g)))
         .pivot(resolve(df, pc), values)
         .agg(count(lit(1)))
-        .na.fill(0L)
+        .na.fill(0L, values.map(_.toString))
     case Op.UnpivotCols(valueCols, varCol, valueName) =>
       val ids = df.columns.filterNot(valueCols.contains)
       df.unpivot(ids.map(col), valueCols.map(col).toArray, varCol, valueName)
@@ -134,8 +136,13 @@ object Compiler {
     case Op.UnionTable(t)  => df.unionByName(resolveTable(t, catalog))
     case Op.ExceptTable(t) => df.except(resolveTable(t, catalog))
     case Op.JoinTable(t, lk, rk, bc) =>
-      val right = resolveTable(t, catalog)
-      df.join(if (bc) broadcast(right) else right, col(lk) === col(rk))
+      // rename the right key before joining (the semi/anti-join pattern):
+      // same-named keys would make the condition ambiguous at analysis
+      // time, and a surviving duplicate-named column breaks later resolve()
+      val right = resolveTable(t, catalog).withColumnRenamed(rk, "__right_key")
+      df.join(if (bc) broadcast(right) else right,
+              col(lk) === col("__right_key"))
+        .drop("__right_key")
     case Op.SemiJoinTable(t, lk, rk) =>
       // rename the right key so same-named keys never go ambiguous
       // (left_semi/left_anti keep left columns only)

@@ -37,8 +37,14 @@ object DedupQueries extends QueryPack {
     "x34_dedup_simhash_wide" -> ((s: SparkSession, d: String) =>
       Dedup.simHash128Pairs(table(s, d, "documents"), maxHamming = 3)),
 
+    // Exact all-pairs baseline on a bounded slice (ids ≡ 0 mod 3): the
+    // oracle anchor for the LSH/SemDeDup scale paths. The slice keeps the
+    // O(n²) formulation inside embeddingPairs' operating-regime guard at
+    // every SF — the full corpus belongs to x33's banded LSH.
     "x7_dedup_embedding" -> ((s: SparkSession, d: String) =>
-      Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold)
+      Dedup.embeddingPairs(
+          table(s, d, "embeddings").filter(col("vec_id") % 3 === 0),
+          CosineThreshold)
         .withColumn("cosine", round(col("cosine"), 6))),
 
     "x24_dedup_clusters" -> ((s: SparkSession, d: String) =>
@@ -121,7 +127,8 @@ object DedupQueries extends QueryPack {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_cosine_similarity(a.embedding::DOUBLE[],
          |                           b.embedding::DOUBLE[]) AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0)
          |WHERE cosine >= $CosineThreshold""".stripMargin,
 
     "x24_dedup_clusters" ->

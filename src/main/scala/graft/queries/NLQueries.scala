@@ -115,8 +115,12 @@ object NLQueries extends QueryPack {
     "nl24_top_tokens" -> ((s: SparkSession, d: String) =>
       Engine.run("Find top 10 tokens by source.", docs(s, d))),
 
+    // Same bounded slice as x7 (the frame bound to the NL run is the
+    // slice), so x7's oracle applies verbatim and the all-pairs guard
+    // holds at every SF.
     "nl25_dedup_embedding" -> ((s: SparkSession, d: String) =>
-      Engine.run("Dedup by embedding cosine above 0.45.", embs(s, d))),
+      Engine.run("Dedup by embedding cosine above 0.45.",
+                 embs(s, d).filter(col("vec_id") % 3 === 0))),
 
     // Sampling keyed on a non-documents id — the "by <col>" tail.
     "nl26_sample_by_key" -> ((s: SparkSession, d: String) =>
