@@ -669,14 +669,35 @@ object Dedup {
     *
     * Recall is the LSH OR-of-ANDs 1-(1-p^bits)^bands with per-plane
     * agreement p = 1-θ/π — tunable, deliberately < 1 (≈0.46 for
-    * cosine 0.45 at the 8×6 defaults, asserted in DedupSpec); candidate
-    * count is the banded birthday bound n²·bands/2^(bits+1) instead of
-    * n²/2 — 16× less verify work at the defaults, and the gap widens
-    * with `bits` when the target threshold is higher. */
+    * cosine 0.45 at 8×6, asserted in DedupSpec); candidate count is the
+    * banded birthday bound n²·bands/2^(bits+1) instead of n²/2 — 16×
+    * less verify work at 8×6, and the gap widens with `bits` when the
+    * target threshold is higher.
+    *
+    * bands/bits left at the sentinel (-1) are MEASURED on this corpus:
+    * [[Similarity.calibrateLsh]] at [[Similarity.DefaultTargetRecall]]
+    * picks the cheapest point hitting the target on a deterministic
+    * sample, so a corpus with different cosine geometry doesn't silently
+    * lose recall to a fixture-tuned constant. Pass explicit values to
+    * pin an operating point (oracle replay, measured production config). */
   def embeddingPairsLsh(embs: DataFrame, threshold: Double,
-                        bands: Int = 8, bitsPerBand: Int = 6, dim: Int = 64,
+                        bands: Int = -1, bitsPerBand: Int = -1, dim: Int = 64,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    val (b, w) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else {
+        val cal = Similarity.calibrateLsh(embs, Similarity.DefaultTargetRecall,
+                                          idCol = idCol, vecCol = vecCol)
+        (cal.bands, cal.bitsPerBand)
+      }
+    embeddingPairsLshAt(embs, threshold, b, w, dim, idCol, vecCol)
+  }
+
+  private def embeddingPairsLshAt(embs: DataFrame, threshold: Double,
+                                  bands: Int, bitsPerBand: Int, dim: Int,
+                                  idCol: String,
+                                  vecCol: String): DataFrame = {
     val planes = Similarity.hyperplanes(dim, bands, bitsPerBand)
     val bucketed = Similarity.withLshBuckets(
       embs.select(col(idCol).as("id"), col(vecCol).as("v")),

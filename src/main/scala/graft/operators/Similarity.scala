@@ -223,18 +223,29 @@ object Similarity {
     * scanned fraction to ~nprobe/centroids of the corpus — the standard
     * billion-vector serving layout (cells ↔ partitions on a cluster).
     * Seeds (smallest ids) are refined by `refineIters` Lloyd passes —
-    * deterministic and oracle-replayable, see [[refineCentroids]]. */
+    * deterministic and oracle-replayable, see [[refineCentroids]].
+    *
+    * Like [[lshTopK]], the default (sentinel -1) centroids/nprobe come
+    * from [[calibrateIvf]] at [[DefaultTargetRecall]] — measured on this
+    * corpus, not assumed from a fixture. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroids: Int = 16, nprobe: Int = 4, refineIters: Int = 2,
+              centroids: Int = -1, nprobe: Int = -1, refineIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.SketchFunctions.nearestCentroids
+    val (nc, np) =
+      if (centroids > 0 && nprobe > 0) (centroids, nprobe)
+      else {
+        val cal = calibrateIvf(corpus, DefaultTargetRecall, k,
+                               idCol = idCol, vecCol = vecCol)
+        (cal.centroids, cal.nprobe)
+      }
     val cents = refineCentroids(
-      corpus, sampleCentroids(corpus, centroids, idCol, vecCol),
+      corpus, sampleCentroids(corpus, nc, idCol, vecCol),
       refineIters, vecCol)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", nearestCentroids(col("c_vec"), cents, 1)(0))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, nprobe)))
+      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, np)))
     val scored = cb.join(broadcast(qb), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -245,14 +256,32 @@ object Similarity {
   /** Approximate top-k: candidates = corpus rows sharing any (band, bucket)
     * with the query, rescored exactly, deduped, top-k per query. Recall is
     * tunable via bands/bits; candidate generation is a hash equi-join on
-    * (band, bucket) instead of a full cross product. */
-  /** Default band/bit sizing: for neighbors at cosine ≈ 0.3 (typical for
-    * high-dim embeddings), per-plane agreement p = 1-θ/π ≈ 0.6, so 8 bands
-    * × 6 bits gives recall ≈ 1-(1-p⁶)⁸ ≈ 0.33 while scanning ~L/2^b ≈ 12%
-    * of the corpus per query. Raise bands for recall, bits for selectivity. */
+    * (band, bucket) instead of a full cross product.
+    *
+    * DEFAULT PARAMETER PATH IS MEASURED, NOT ASSUMED: with bands/bits
+    * left at their sentinel (-1), the operating point comes from
+    * [[calibrateLsh]] at [[DefaultTargetRecall]] on a deterministic
+    * corpus sample — a corpus with tighter or looser cosine geometry
+    * gets parameters that measurably hit the target instead of silent
+    * recall loss from a fixture-tuned constant. Pass explicit bands/bits
+    * to pin an operating point (e.g. for oracle replay or a measured
+    * production config). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bands: Int = 8, bitsPerBand: Int = 6, dim: Int = 64,
+              bands: Int = -1, bitsPerBand: Int = -1, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (b, w) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else {
+        val cal = calibrateLsh(corpus, DefaultTargetRecall, k,
+                               idCol = idCol, vecCol = vecCol)
+        (cal.bands, cal.bitsPerBand)
+      }
+    lshTopKAt(queries, corpus, k, b, w, dim, idCol, vecCol)
+  }
+
+  private def lshTopKAt(queries: DataFrame, corpus: DataFrame, k: Int,
+                        bands: Int, bitsPerBand: Int, dim: Int,
+                        idCol: String, vecCol: String): DataFrame = {
     val planes = hyperplanes(dim, bands, bitsPerBand)
     val qb = withLshBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
@@ -283,17 +312,125 @@ object Similarity {
   final case class IvfParams(centroids: Int, nprobe: Int,
                              recall: Double, scanFraction: Double)
 
-  /** Measured recall of `approx` (query_id, neighbor_id, …) against the
-    * exact `truth` top-k sets: |found ∩ true| / |true| summed over
-    * queries. */
-  private def recallOf(truth: Map[Long, Set[Long]],
-                       approx: DataFrame): Double = {
-    val got = approx.select(col("query_id"), col("neighbor_id")).collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val hit = truth.map { case (q, t) =>
-      (t intersect got.getOrElse(q, Set.empty)).size }.sum
-    hit.toDouble / math.max(1, truth.map(_._2.size).sum)
+  /** Recall target the parameterless operator entry points calibrate to
+    * ([[lshTopK]]/[[ivfTopK]]/[[graft.operators.Dedup.embeddingPairsLsh]]
+    * with sentinel defaults). */
+  val DefaultTargetRecall = 0.7
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Driver-side mirrors of the cluster kernels, for the calibrators: the
+    * grid search runs on the one collected bounded sample, so measuring
+    * nine grid points costs zero Spark jobs — but every arithmetic step
+    * (cosine accumulation order, sign-bucket test, argmax tie-break,
+    * quantized Lloyd update) is kept literally identical to the
+    * distributed kernels, so a measured recall/cost IS what the
+    * corpus-scale operator does at that operating point (asserted against
+    * Spark-measured quantities in CalibrationSpec). */
+  private object InProcess {
+    /** [[graft.functions.CosineSimilarity]]'s interpreted/codegen loop. */
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    /** [[graft.functions.SketchKernels.lshBuckets]]. */
+    def lshBuckets(vec: Array[Float], planes: Array[Array[Float]],
+                   bands: Int, bitsPerBand: Int): Array[Long] = {
+      val out = new Array[Long](bands)
+      var p = 0
+      while (p < bands * bitsPerBand) {
+        val plane = planes(p)
+        var dot = 0.0
+        var d = 0
+        while (d < plane.length) {
+          dot += vec(d).toDouble * plane(d).toDouble
+          d += 1
+        }
+        if (dot > 0.0) out(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+        p += 1
+      }
+      out
+    }
+
+    /** [[graft.functions.SketchKernels.nearestCentroids]] — including its
+      * zero-vector sentinel (-2.0, below any true cosine). */
+    def nearestCells(vec: Array[Float], cents: Array[Array[Float]],
+                     n: Int): Array[Int] = {
+      val k = cents.length
+      val sims = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cent = cents(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var d = 0
+        while (d < cent.length) {
+          val x = vec(d).toDouble; val y = cent(d).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          d += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        sims(c) = if (denom == 0.0) -2.0 else dot / denom
+        c += 1
+      }
+      Array.range(0, k).sortBy(i => (-sims(i), i)).take(math.min(n, k))
+    }
+
+    /** Exact top-k neighbor ids by (cosine desc, id asc) — [[TopK]]'s
+      * comparator — excluding the query itself. */
+    def topKIds(q: (Long, Array[Float]),
+                cands: Iterator[(Long, Array[Float])], k: Int): Set[Long] =
+      cands.filter(_._1 != q._1)
+        .map { case (id, v) => (id, cosine(q._2, v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(k).map(_._1).toSet
+
+    /** [[Similarity.refineCentroids]]'s quantized Lloyd update over the
+      * sample: the per-dimension sums are exact integers (order-free, the
+      * point of the quantization), and the final division + float
+      * rounding replicate the collected Spark rows bit for bit. */
+    def refine(entries: Array[(Long, Array[Float])],
+               seeds: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+      var cents = seeds
+      for (_ <- 0 until iters) {
+        val byCell = entries.groupBy(e => nearestCells(e._2, cents, 1)(0))
+        cents = cents.zipWithIndex.map { case (old, cell) =>
+          byCell.get(cell) match {
+            case Some(rows) =>
+              val next = old.clone()
+              var d = 0
+              while (d < next.length) {
+                var sq = 0L
+                rows.foreach { r =>
+                  sq += math.floor(r._2(d).toDouble * QuantScale.toDouble).toLong
+                }
+                next(d) = (sq.toDouble / (rows.length.toDouble * QuantScale)).toFloat
+                d += 1
+              }
+              next
+            case None => old
+          }
+        }
+      }
+      cents
+    }
   }
+
+  /** Collect the deterministic calibration sample: the `nSample`
+    * smallest-id vectors, id-ordered (no RNG — the same corpus always
+    * calibrates to the same answer). */
+  private def collectSample(corpus: DataFrame, nSample: Int,
+                            idCol: String, vecCol: String): Array[(Long, Array[Float])] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nSample).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
 
   /** Pick (bands, bitsPerBand) for [[lshTopK]] from a DETERMINISTIC
     * sample so the chosen operating point hits `targetRecall` on the
@@ -301,17 +438,22 @@ object Similarity {
     * assume neighbors near cosine 0.3 and mis-size on corpora with
     * tighter or looser neighborhoods.
     *
-    * Recipe (the VectorFunctionsSpec measurement, packaged): the
-    * `nSample` smallest-id vectors form the calibration corpus and the
-    * first `nQueries` of them the query set (id-ordered — no RNG, so the
-    * same corpus always calibrates to the same answer); ground truth is
-    * the exact [[bruteForceTopK]]; every grid point measures real recall
-    * AND the real candidate fraction its buckets induce; the cheapest
-    * point meeting the target wins (ties → fewer candidates), falling
-    * back to the highest-recall point with a require if nothing reaches
-    * it. Sample-sized work only — grid × O(nSample²) at the default 512
-    * ≈ a few million cosine ops, driver-negligible next to the corpus
-    * job it parameterizes. */
+    * Recipe: the `nSample` smallest-id vectors form the calibration
+    * corpus and the first `nQueries` of them the query set (id-ordered —
+    * no RNG, so the same corpus always calibrates to the same answer);
+    * ground truth is the exact top-k; every grid point measures real
+    * recall AND the real candidate fraction its buckets induce; the
+    * cheapest point meeting the target wins (ties → fewer candidates).
+    * If NO grid point reaches the target, the highest-recall point is
+    * returned and a warning is logged — callers needing a hard guarantee
+    * must check `.recall` on the result.
+    *
+    * Cost: ONE bounded Spark job (the sample collect); the grid loop is
+    * in-process over the [[InProcess]] kernel mirrors — identical
+    * arithmetic to the distributed operators, measured in
+    * CalibrationSpec — so calibration adds no per-grid-point job
+    * overhead (the previous formulation's dominant cost at ~4 jobs per
+    * point). */
   def calibrateLsh(corpus: DataFrame, targetRecall: Double, k: Int = 5,
                    nQueries: Int = 8, nSample: Int = 512,
                    grid: Seq[(Int, Int)] =
@@ -320,83 +462,117 @@ object Similarity {
                    vecCol: String = "embedding"): LshParams = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"target recall out of (0,1]: $targetRecall")
-    val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nSample).cache()
-    try {
-      val queries = sample.orderBy(col(idCol)).limit(nQueries)
-      val n = sample.count()
-      val dim = sample.select(size(col(vecCol))).head().getInt(0)
-      val truth = bruteForceTopK(queries, sample, k, idCol, vecCol)
-        .select(col("query_id"), col("neighbor_id")).collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val measured = grid.map { case (bands, bits) =>
-        val planes = hyperplanes(dim, bands, bits)
-        val qb = withLshBuckets(
-          queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-          planes, bands, bits, "q_vec")
-          .select(col("query_id"), col("band"), col("bucket"))
-        val cb = withLshBuckets(
-          sample.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-          planes, bands, bits, "c_vec")
-          .select(col("neighbor_id"), col("band"), col("bucket"))
-        val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id")).distinct().count()
-        val frac = cand.toDouble / math.max(1L, truth.size.toLong * (n - 1))
-        LshParams(bands, bits,
-          recallOf(truth, lshTopK(queries, sample, k, bands, bits, dim,
-                                  idCol, vecCol)), frac)
+    val entries = collectSample(corpus, nSample, idCol, vecCol)
+    val n = entries.length
+    val dim = if (n == 0) 0 else entries.head._2.length
+    val queries = entries.take(nQueries)
+    val truth = queries
+      .map(q => q._1 -> InProcess.topKIds(q, entries.iterator, k))
+      .filter(_._2.nonEmpty).toMap
+    val totalTruth = math.max(1, truth.valuesIterator.map(_.size).sum)
+    val measured = grid.map { case (bands, bits) =>
+      val planes = hyperplanes(dim, bands, bits)
+      val buckets = entries.map(e => InProcess.lshBuckets(e._2, planes, bands, bits))
+      // band → bucket → entry indexes (the (band, bucket) equi-join)
+      val byBand = Array.tabulate(bands) { b =>
+        val m = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+        var i = 0
+        while (i < n) {
+          m.getOrElseUpdate(buckets(i)(b),
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+          i += 1
+        }
+        m
       }
-      measured.filter(_.recall >= targetRecall)
-        .sortBy(p => (p.candidateFraction, -p.recall))
-        .headOption
-        .getOrElse(measured.maxBy(_.recall))
-    } finally { sample.unpersist(); () }
+      var candTotal = 0L
+      var hits = 0
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        val cand = scala.collection.mutable.HashSet.empty[Int]
+        var b = 0
+        while (b < bands) {
+          byBand(b).get(buckets(qi)(b)).foreach(_.foreach(cand += _))
+          b += 1
+        }
+        cand -= qi
+        candTotal += cand.size
+        val top = InProcess.topKIds(q, cand.iterator.map(entries(_)), k)
+        hits += (truth.getOrElse(q._1, Set.empty[Long]) intersect top).size
+      }
+      LshParams(bands, bits, hits.toDouble / totalTruth,
+        candTotal.toDouble / math.max(1L, truth.size.toLong * (n - 1)))
+    }
+    measured.filter(_.recall >= targetRecall)
+      .sortBy(p => (p.candidateFraction, -p.recall))
+      .headOption
+      .getOrElse {
+        val best = measured.maxBy(_.recall)
+        log.warn(s"calibrateLsh: no grid point reaches target recall " +
+          s"$targetRecall on this corpus (best: $best over ${grid.size} " +
+          "points) — returning the highest-recall point; widen the grid " +
+          "or lower the target for a guaranteed hit")
+        best
+      }
   }
 
   /** IVF twin of [[calibrateLsh]]: pick (centroids, nprobe) from the same
-    * deterministic sample. The scan fraction is MEASURED — the mass of
-    * the cells each query actually probes over the sample size — not the
-    * balanced-cell nprobe/centroids approximation. */
+    * deterministic sample — one bounded collect, in-process grid loop
+    * (kernel-mirror arithmetic, including the quantized Lloyd
+    * refinement). The scan fraction is MEASURED — the mass of the cells
+    * each query actually probes over the sample size — not the
+    * balanced-cell nprobe/centroids approximation. Same fallback contract
+    * as [[calibrateLsh]]: an unreachable target logs a warning and
+    * returns the highest-recall point. Throws when no grid point is
+    * admissible at all (every centroid count exceeds the sample). */
   def calibrateIvf(corpus: DataFrame, targetRecall: Double, k: Int = 5,
                    nQueries: Int = 8, nSample: Int = 512,
                    centroidGrid: Seq[Int] = Seq(8, 16, 32),
                    nprobeGrid: Seq[Int] = Seq(1, 2, 4),
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): IvfParams = {
-    import graft.functions.SketchFunctions.nearestCentroids
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"target recall out of (0,1]: $targetRecall")
-    val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nSample).cache()
-    try {
-      val queries = sample.orderBy(col(idCol)).limit(nQueries)
-      val n = sample.count()
-      val truth = bruteForceTopK(queries, sample, k, idCol, vecCol)
-        .select(col("query_id"), col("neighbor_id")).collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val measured = for (c <- centroidGrid; if c <= n; p <- nprobeGrid; if p <= c)
-        yield {
-          val cents = refineCentroids(
-            sample, sampleCentroids(sample, c, idCol, vecCol), 2, vecCol)
-          val cellSizes = sample
-            .select(nearestCentroids(col(vecCol), cents, 1)(0).as("cell"))
-            .groupBy(col("cell")).agg(count(lit(1)).as("sz")).collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          val probedMass = queries
-            .select(explode(nearestCentroids(col(vecCol), cents, p)).as("cell"))
-            .collect().map(r => cellSizes.getOrElse(r.getLong(0), 0L)).sum
-          IvfParams(c, p,
-            recallOf(truth, ivfTopK(queries, sample, k, c, p, 2, idCol, vecCol)),
-            probedMass.toDouble / math.max(1L, truth.size.toLong * n))
+    val entries = collectSample(corpus, nSample, idCol, vecCol)
+    val n = entries.length
+    val queries = entries.take(nQueries)
+    val truth = queries
+      .map(q => q._1 -> InProcess.topKIds(q, entries.iterator, k))
+      .filter(_._2.nonEmpty).toMap
+    val totalTruth = math.max(1, truth.valuesIterator.map(_.size).sum)
+    val measured = for (c <- centroidGrid; if c <= n; p <- nprobeGrid; if p <= c)
+      yield {
+        val cents = InProcess.refine(entries, entries.take(c).map(_._2), 2)
+        val cellOf = entries.map(e => InProcess.nearestCells(e._2, cents, 1)(0))
+        val cellSizes = cellOf.groupBy(identity).map { case (cell, xs) => cell -> xs.length }
+        var probedMass = 0L
+        var hits = 0
+        queries.zipWithIndex.foreach { case (q, qi) =>
+          val probed = InProcess.nearestCells(q._2, cents, p).toSet
+          probedMass += probed.iterator.map(cellSizes.getOrElse(_, 0).toLong).sum
+          val cand = entries.indices.iterator
+            .filter(i => i != qi && probed.contains(cellOf(i)))
+            .map(entries(_))
+          val top = InProcess.topKIds(q, cand, k)
+          hits += (truth.getOrElse(q._1, Set.empty[Long]) intersect top).size
         }
-      measured.filter(_.recall >= targetRecall)
-        .sortBy(p => (p.scanFraction, -p.recall))
-        .headOption
-        .getOrElse(measured.maxBy(_.recall))
-    } finally { sample.unpersist(); () }
+        IvfParams(c, p, hits.toDouble / totalTruth,
+          probedMass.toDouble / math.max(1L, truth.size.toLong * n))
+      }
+    require(measured.nonEmpty,
+      s"calibrateIvf: no admissible grid point — the sample has $n vectors " +
+      s"but centroidGrid=${centroidGrid.mkString("[", ",", "]")} (every " +
+      "centroid count must be ≤ the sample size; shrink the grid or raise " +
+      "nSample)")
+    measured.filter(_.recall >= targetRecall)
+      .sortBy(p => (p.scanFraction, -p.recall))
+      .headOption
+      .getOrElse {
+        val best = measured.maxBy(_.recall)
+        log.warn(s"calibrateIvf: no grid point reaches target recall " +
+          s"$targetRecall on this corpus (best: $best) — returning the " +
+          "highest-recall point; widen the grid or lower the target")
+        best
+      }
   }
 
   /** Symmetric per-vector int8 quantization — the storage-compression

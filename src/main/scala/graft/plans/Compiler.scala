@@ -216,7 +216,11 @@ object Compiler {
     case Op.DedupEmbedding(t) =>
       Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupEmbeddingLsh(t) =>
-      Dedup.embeddingPairsLsh(df, t).withColumn("cosine", round(col("cosine"), 6))
+      // pinned 8×6×64 operating point: the NL surface replays against the
+      // same baked-plane oracle as x33; the operator's parameterless
+      // default calibrates instead
+      Dedup.embeddingPairsLsh(df, t, bands = 8, bitsPerBand = 6, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupSimHashWide(h) => Dedup.simHash128Pairs(df, maxHamming = h)
     case Op.DedupLevenshtein(d, block) =>
       Dedup.levenshteinPairs(df, d, block.getOrElse("source"))

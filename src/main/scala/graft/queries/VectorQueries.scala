@@ -41,15 +41,21 @@ object VectorQueries extends QueryPack {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // Pinned operating points (the oracle bakes the 8×6 plane matrix /
+    // the 16-cell Lloyd replay into SQL — a pinned point is what makes
+    // the bit-exact replay possible). The parameterless default of both
+    // operators calibrates instead (CalibrationSpec).
     "x2_ann_lsh" -> ((s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, K)
+      Similarity.lshTopK(emb.filter(col("vec_id") < NQueries), emb, K,
+                         Bands, BitsPerBand, Dim)
         .withColumn("score", round(col("score"), 6))
     }),
 
     "x20_ann_ivf" -> ((s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, K)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < NQueries), emb, K,
+                         IvfCentroids, IvfNProbe)
         .withColumn("score", round(col("score"), 6))
     }),
 
@@ -58,7 +64,8 @@ object VectorQueries extends QueryPack {
     // replayable since the planes bake into SQL like x2's.
     "x33_embedding_pairs_lsh" -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup
-        .embeddingPairsLsh(table(s, d, "embeddings"), PairThreshold)
+        .embeddingPairsLsh(table(s, d, "embeddings"), PairThreshold,
+                           Bands, BitsPerBand, Dim)
         .withColumn("cosine", round(col("cosine"), 6))),
 
     // Storage-compression step: per-vector symmetric int8. Every arithmetic

@@ -81,4 +81,91 @@ class CalibrationSpec extends SparkSpec {
     assert(cal.bands == 1 && cal.bitsPerBand == 12)
     assert(cal.recall <= 1.0)
   }
+
+  /** The calibrator's in-process kernel mirrors must measure EXACTLY what
+    * the distributed operators do — otherwise a calibrated pick describes
+    * a different operator than the one that runs. A single-point grid
+    * returns that point's measured values whatever the target, so each
+    * grid point is directly comparable against a Spark-side measurement
+    * built from the real kernels. */
+  test("in-process measurement equals the distributed operators' quantities") {
+    val k = 5
+    for ((bands, bits) <- Seq((4, 4), (8, 6))) {
+      val cal = Similarity.calibrateLsh(clustered, targetRecall = 0.01,
+        k = k, grid = Seq((bands, bits)))
+      assert(cal.bands == bands && cal.bitsPerBand == bits)
+
+      // Spark-side replay: sample = whole fixture (400 < 512), queries =
+      // 8 smallest ids — the calibrator's own recipe, via the real kernels
+      val sample = clustered
+      val n = sample.count()
+      val queries = sample.orderBy($"vec_id").limit(8)
+      val truth = Similarity.bruteForceTopK(queries, sample, k)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val approx = Similarity.lshTopK(queries, sample, k, bands, bits, Dim)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val hits = truth.map { case (q, t) =>
+        (t intersect approx.getOrElse(q, Set.empty)).size }.sum
+      val sparkRecall = hits.toDouble / truth.map(_._2.size).sum
+
+      val planes = Similarity.hyperplanes(Dim, bands, bits)
+      val qb = Similarity.withLshBuckets(
+        queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec")),
+        planes, bands, bits, "q_vec")
+        .select($"query_id", $"band", $"bucket")
+      val cb = Similarity.withLshBuckets(
+        sample.select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec")),
+        planes, bands, bits, "c_vec")
+        .select($"neighbor_id", $"band", $"bucket")
+      val cand = cb.join(qb, Seq("band", "bucket"))
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id").distinct().count()
+      val sparkFrac = cand.toDouble / (truth.size.toLong * (n - 1))
+
+      assert(cal.recall == sparkRecall,
+        s"($bands,$bits): in-process recall ${cal.recall} != Spark $sparkRecall")
+      assert(cal.candidateFraction == sparkFrac,
+        s"($bands,$bits): in-process frac ${cal.candidateFraction} != Spark $sparkFrac")
+    }
+  }
+
+  test("parameterless lshTopK calibrates: target recall with no hand-picked point") {
+    val queries = clustered.filter($"vec_id" < 8)
+    val truth = Similarity.bruteForceTopK(queries, clustered, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = Similarity.lshTopK(queries, clustered, k = 5, dim = Dim)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hit = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size }.sum
+    val recall = hit.toDouble / truth.map(_._2.size).sum
+    assert(recall >= Similarity.DefaultTargetRecall,
+      s"calibrated default path should hit ${Similarity.DefaultTargetRecall}: $recall")
+  }
+
+  test("parameterless ivfTopK calibrates to a working operating point") {
+    val queries = clustered.filter($"vec_id" < 8)
+    val truth = Similarity.bruteForceTopK(queries, clustered, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = Similarity.ivfTopK(queries, clustered, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hit = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size }.sum
+    val recall = hit.toDouble / truth.map(_._2.size).sum
+    assert(recall >= Similarity.DefaultTargetRecall,
+      s"calibrated IVF default path should hit ${Similarity.DefaultTargetRecall}: $recall")
+  }
+
+  test("calibrateIvf rejects a grid with no admissible point") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.calibrateIvf(clustered, targetRecall = 0.8,
+        centroidGrid = Seq(100000))
+    }
+    assert(e.getMessage.contains("no admissible grid point"))
+  }
 }

@@ -305,8 +305,8 @@ class DedupSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val all = pairs(Dedup.embeddingPairs(embs, 0.45))
-    val lsh = pairs(Dedup.embeddingPairsLsh(embs, 0.45))
-    assert(lsh.nonEmpty, "banding should recover some pairs at these defaults")
+    val lsh = pairs(Dedup.embeddingPairsLsh(embs, 0.45, 8, 6, 64))
+    assert(lsh.nonEmpty, "banding should recover some pairs at this point")
     assert(lsh.keySet.subsetOf(all.keySet), "LSH must never invent pairs")
     lsh.foreach { case (k, c) => assert(c == all(k), s"cosine differs for $k") }
     val recall = lsh.size.toDouble / all.size
