@@ -7,9 +7,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * typed metadata, plus decode / frame-sample / resize operators.
   *
   * IMAGE decode is REAL: the JDK ships PNG/JPEG codecs (`javax.imageio`),
-  * so [[pngMedia]] synthesizes genuine PNG payloads (the driver ships no
-  * binary table) and [[decodeImages]] parses the actual bytes — width and
-  * height come from the IHDR chunk, channels from the decoded raster.
+  * so [[imageMedia]] synthesizes genuine PNG AND JPEG payloads (format
+  * cycles by id; the driver ships no binary table) and [[decodeImages]]
+  * parses the actual bytes — width and height come from the container
+  * header (PNG IHDR / JPEG SOF), channels from the decoded raster.
   * The planted-dimension scheme makes this oracle-checkable in an engine
   * with no codec: dimensions are a deterministic function of document
   * metadata, the PNG is encoded AT those dimensions, and DuckDB replays
@@ -53,12 +54,24 @@ object Multimodal {
   private[operators] def plantedWidth(nChars: Long): Int = (nChars % 48 + 8).toInt
   private[operators] def plantedHeight(id: Long): Int = (id % 48 + 8).toInt
 
-  /** Real PNG media from `documents`: each payload is a genuine PNG
-    * (encoded with the JDK codec, executor-side, micro-batched) whose
-    * dimensions are planted from document metadata. Constant fill color
-    * derived from the id — content is irrelevant to the decode contract,
-    * only the planted dimensions are. */
-  def pngMedia(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+  /** Real image media from `documents`: each payload is a genuine PNG or
+    * JPEG container (encoded with the JDK codec, executor-side,
+    * micro-batched — format cycles by id, so every corpus exercises BOTH
+    * decode paths) whose dimensions are planted from document metadata.
+    * Constant fill color derived from the id — content is irrelevant to
+    * the decode contract, only the planted dimensions are, which is also
+    * why JPEG's lossy pixel round-trip doesn't matter here: the container
+    * header and raster geometry are lossless in both formats. */
+  def imageMedia(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] =
+    encodeImages(docs, batchSize, id => if (id % 2 == 0) "png" else "jpg")
+
+  /** PNG-only variant of [[imageMedia]] (single-format corpora exist too;
+    * the decode path is identical). */
+  def pngMedia(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] =
+    encodeImages(docs, batchSize, _ => "png")
+
+  private def encodeImages(docs: DataFrame, batchSize: Int,
+                           formatOf: Long => String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
@@ -83,7 +96,7 @@ object Multimodal {
               buf(i) = bB; buf(i + 1) = gB; buf(i + 2) = rB; i += 3
             }
             val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", baos)
+            javax.imageio.ImageIO.write(img, formatOf(id), baos)
             val bytes = baos.toByteArray
             MediaRecord(id, "image", bytes, MediaMeta(bytes.length.toLong, source))
           }

@@ -200,13 +200,13 @@ object Compiler {
     case Op.TumblingCount(n, unit)  => Events.tumblingCounts(df, s"$n $unit")
     case Op.SlidingCount(wn, wu, sn, su) =>
       Events.slidingCounts(df, s"$wn $wu", s"$sn $su")
-    case Op.DecodeMedia  => Multimodal.decodeImageMeta(Multimodal.pngMedia(df))
+    case Op.DecodeMedia  => Multimodal.decodeImageMeta(Multimodal.imageMedia(df))
     case Op.SampleFrames => Multimodal.sampleFrames(Multimodal.fromDocuments(df))
     case Op.ResizeMedia(maxDim) =>
       // accepts decoded metadata, or raw documents which are decoded first
       val decoded =
         if (df.columns.contains("width")) df
-        else Multimodal.decodeImageMeta(Multimodal.pngMedia(df))
+        else Multimodal.decodeImageMeta(Multimodal.imageMedia(df))
       Multimodal.resizeMeta(decoded, maxDim)
     case Op.CorpusStats(gc) => TextAnalysis.corpusStats(df, gc)
     case Op.RepeatedSpans(n, minDocs) => Dedup.repeatedSpans(df, n, minDocs)

@@ -7,11 +7,15 @@ import graft.sources.Sources.table
 
 /** Multimodal queries.
   *
-  * x17/x19 run the REAL `javax.imageio` path: payloads are genuine PNGs
-  * ([[Multimodal.pngMedia]]) whose dimensions are planted from document
+  * x17/x19 run the REAL `javax.imageio` path over a MIXED-FORMAT corpus:
+  * payloads are genuine PNG and JPEG containers ([[Multimodal.imageMedia]]
+  * — format cycles by id) whose dimensions are planted from document
   * metadata, and the decode parses the actual bytes. DuckDB has no codec,
   * so the oracle replays the planted-dimension formula — the hash match
-  * proves the decoder recovered the planted values from the IHDR.
+  * proves the decoder recovered the planted values from the real
+  * container headers (PNG IHDR / JPEG SOF), i.e. it is
+  * container-agnostic, not PNG-trained. Dimensions and channel count are
+  * lossless in both formats, so the oracle is format-independent.
   *
   * x18 (video frames) stays on the honest stub surface: media synthesized
   * from text bytes (the ASCII corpus makes byte length = char length, so
@@ -25,7 +29,7 @@ object MultimodalQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_multimodal_decode" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeImageMeta(
-        Multimodal.pngMedia(table(s, d, "documents")))),
+        Multimodal.imageMedia(table(s, d, "documents")))),
 
     "x18_multimodal_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(media(s, d))),
@@ -33,7 +37,7 @@ object MultimodalQueries extends QueryPack {
     "x19_multimodal_resize" -> ((s: SparkSession, d: String) =>
       Multimodal.resizeMeta(
         Multimodal.decodeImageMeta(
-          Multimodal.pngMedia(table(s, d, "documents"))), maxDim = 32)))
+          Multimodal.imageMedia(table(s, d, "documents"))), maxDim = 32)))
 
   override val oracleSql: Map[String, String] = Map(
     // The planted-dimension replay: width/height below are the values the

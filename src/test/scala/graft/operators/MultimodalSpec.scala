@@ -36,6 +36,30 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded == expected)
   }
 
+  test("imageMedia cycles real PNG and JPEG containers; decode is format-agnostic") {
+    val mixed = Multimodal.imageMedia(docs, batchSize = 32)
+    val byId = mixed.collect().map(r => r.media_id -> r.payload).toMap
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    val jpegMagic = Array(0xff, 0xd8, 0xff).map(_.toByte)
+    assert(byId.nonEmpty)
+    byId.foreach { case (id, payload) =>
+      if (id % 2 == 0)
+        assert(payload.take(4).sameElements(pngMagic), s"id $id must be PNG")
+      else
+        assert(payload.take(3).sameElements(jpegMagic), s"id $id must be JPEG")
+    }
+    // both container families decode to exactly the planted (w, h, 3)
+    val decoded = Multimodal.decodeImages(mixed, batchSize = 32)
+      .collect().map(d => d.media_id -> (d.width, d.height, d.channels)).toMap
+    val expected = docs.selectExpr("doc_id", "length(text)").collect()
+      .map(r => r.getLong(0) ->
+        ((Multimodal.plantedWidth(r.getInt(1).toLong).toLong,
+          Multimodal.plantedHeight(r.getLong(0)).toLong, 3L))).toMap
+    assert(decoded == expected)
+    assert(decoded.keys.exists(_ % 2 == 0) && decoded.keys.exists(_ % 2 == 1),
+      "the corpus must actually exercise both formats")
+  }
+
   test("decode reads the actual bytes, not metadata: a hand-built 17x5 PNG") {
     import spark.implicits._
     // dimensions deliberately off-formula — only a real header parse
