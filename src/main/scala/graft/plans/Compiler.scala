@@ -154,6 +154,26 @@ object Compiler {
     case Op.WriteBucketed(tbl, key, buckets) =>
       graft.sources.Bucketing.writeBucketed(df, tbl, resolve(df, key), buckets)
       df.sparkSession.table(tbl)
+    case Op.CertifyApproxStats(dc, alias, vc, gc) =>
+      // the q12 construct: exact columns plus within-5% booleans over the
+      // approximations — the error-bound gate an approximate answer can
+      // actually carry through a value-exact oracle compare
+      val (dcr, vcr) = (resolve(df, dc), resolve(df, vc))
+      df.groupBy(col(resolve(df, gc)))
+        .agg(approx_count_distinct(col(dcr)).as("__approx"),
+             countDistinct(col(dcr)).as(s"n_$alias"),
+             percentile_approx(col(vcr), lit(0.5), lit(1000)).as("__ap50"),
+             percentile_approx(col(vcr), lit(0.95), lit(1000)).as("__ap95"),
+             expr(s"percentile($vcr, 0.5)").as("__ep50"),
+             expr(s"percentile($vcr, 0.95)").as("__ep95"),
+             count(lit(1)).as("n"))
+        .select(col(resolve(df, gc)), col("n"), col(s"n_$alias"),
+          (abs(col("__approx") - col(s"n_$alias"))
+            <= col(s"n_$alias") * 0.05).as(s"${alias}_within_5pct"),
+          (abs(col("__ap50") - col("__ep50"))
+            <= abs(col("__ep50")) * 0.05).as("p50_within_5pct"),
+          (abs(col("__ap95") - col("__ep95"))
+            <= abs(col("__ep95")) * 0.05).as("p95_within_5pct"))
   }
 
   /** Corpus operators reached from natural language. Column conventions

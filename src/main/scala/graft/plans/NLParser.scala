@@ -1223,6 +1223,33 @@ object NLParser {
         }
         requireDone(p)
         Right(List(Op.PackSequences(budget, buckets)))
+      case Some("certify") =>
+        // "Certify approximate stats of distinct l_partkey as parts and
+        //  percentiles of l_extendedprice per l_returnflag." — the q12
+        // sketch-error certification: exact columns + within-5% booleans
+        p.next(); p.dropWords("the", "approximate", "approx")
+        p.peekWordLower match {
+          case Some("stats") | Some("statistics") => p.next()
+          case other => throw ParseException(
+            s"expected 'stats' after certify, got $other")
+        }
+        p.dropWords("of", "for")
+        p.expectWord("distinct")
+        val dc = p.expectWordRaw()
+        p.expectWord("as")
+        val alias = p.expectWordRaw()
+        p.dropWords("and")
+        p.peekWordLower match {
+          case Some("percentiles") | Some("percentile") => p.next()
+          case other => throw ParseException(
+            s"expected 'percentiles' in certify clause, got $other")
+        }
+        p.dropWords("of")
+        val vc = p.expectWordRaw()
+        p.expectWord("per")
+        val gc = p.expectWordRaw()
+        requireDone(p)
+        Right(List(Op.CertifyApproxStats(dc, alias, vc, gc)))
       case Some("compute") =>
         // "Compute corpus statistics by source."
         p.next(); p.dropWords("the", "corpus")

@@ -337,6 +337,16 @@ object Op {
     * carries a round-trip content-fidelity oracle. */
   final case class WriteBucketed(table: String, key: String,
                                  buckets: Int)                      extends RelationalExtOp
+  /** Sketch-error certification per group (the q12 construct): exact
+    * count / distinct count alongside within-5% booleans over
+    * approx_count_distinct and percentile_approx(0.5/0.95) of
+    * `valueCol` — the oracle emits TRUE literals, so a hash match
+    * PROVES each approximation landed inside its error bound. `alias`
+    * names the distinct-count columns (n_<alias>,
+    * <alias>_within_5pct). */
+  final case class CertifyApproxStats(distinctCol: String, alias: String,
+                                      valueCol: String,
+                                      groupCol: String)             extends RelationalExtOp
 
   /** Two-table operators: the right side is a *named* table resolved from
     * the catalog passed to [[Compiler.compile]] / `Engine.run` — the

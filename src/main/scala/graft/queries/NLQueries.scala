@@ -503,7 +503,14 @@ object NLQueries extends QueryPack {
                  Map("orders" -> s.read.parquet(s"$d/orders.parquet"),
                      "customer" -> s.read.parquet(s"$d/customer.parquet"),
                      "nation" -> s.read.parquet(s"$d/nation.parquet"),
-                     "region" -> s.read.parquet(s"$d/region.parquet")))))
+                     "region" -> s.read.parquet(s"$d/region.parquet")))),
+
+    // q12's sketch-error certification, spoken: the last driver query to
+    // gain an NL twin — every driver query now has one.
+    "nl79_certify_sketch" -> ((s: SparkSession, d: String) =>
+      Engine.run("Certify approximate stats of distinct l_partkey as parts " +
+                 "and percentiles of l_extendedprice per l_returnflag.",
+                 table(s, d, "lineitem"))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -618,6 +625,7 @@ object NLQueries extends QueryPack {
       RelationalQueries.oracleSql("q8_customers_without_orders"),
     "nl77_pricing_summary" -> RelationalQueries.oracleSql("q1_pricing_summary"),
     "nl78_multi_join_revenue" -> RelationalQueries.oracleSql("q6_multi_join_revenue"),
+    "nl79_certify_sketch" -> RelationalQueries.oracleSql("q12_approx_stats"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -347,6 +347,22 @@ class NLParserSpec extends AnyFunSuite {
       List(O.ZScore("score", "source")))
   }
 
+  test("certify-approx-stats clause parses to the q12 construct") {
+    assert(NLParser.parse(
+      "Certify approximate stats of distinct l_partkey as parts " +
+      "and percentiles of l_extendedprice per l_returnflag.").ops ==
+      List(O.CertifyApproxStats("l_partkey", "parts",
+                                "l_extendedprice", "l_returnflag")))
+    // word variants: 'statistics', singular 'percentile'
+    assert(NLParser.parse(
+      "Certify the approx statistics of distinct user_id as users " +
+      "and percentile of amount per event_type.").ops ==
+      List(O.CertifyApproxStats("user_id", "users", "amount", "event_type")))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Certify approximate stats of l_partkey per l_returnflag.")
+    }
+  }
+
   test("distinct-sketch clause parses; grouped count still needs group by") {
     assert(NLParser.parse("Count distinct user_id per event_type with a sketch.").ops ==
       List(O.DistinctSketch("user_id", "event_type")))
