@@ -1109,11 +1109,19 @@ object NLParser {
             val rk = p.expectWordRaw()
             p.peekWordLower match {
               case Some("salted") =>
+                // "salted 8 ways" pins the spread; bare "salted" (or
+                // "salted automatically") derives it from the observed
+                // hottest key (SkewJoin.deriveBuckets)
                 p.next()
-                val buckets = p.expectNum().toInt
-                if (buckets <= 0)
-                  throw ParseException(s"salt bucket count must be positive: $buckets")
-                p.dropWords("ways", "way", "buckets")
+                val buckets = p.peek match {
+                  case Some(Num(_)) =>
+                    val b = p.expectNum().toInt
+                    if (b <= 0) throw ParseException(
+                      s"salt bucket count must be positive: $b")
+                    b
+                  case _ => 0
+                }
+                p.dropWords("automatically", "auto", "ways", "way", "buckets")
                 requireDone(p)
                 Right(List(Op.SaltedJoin(table, lk, rk, buckets)))
               case _ =>

@@ -375,7 +375,9 @@ object Op {
   final case class BloomSemiJoin(rightTable: String,
                                  leftKey: String, rightKey: String) extends CorpusOp
   /** Salted inner equi-join to the named table, each key spread over
-    * `buckets` reducers ([[graft.operators.SkewJoin.saltedInnerJoin]]). */
+    * `buckets` reducers ([[graft.operators.SkewJoin.saltedInnerJoin]]);
+    * `buckets <= 0` derives the spread from the observed hottest key
+    * ([[graft.operators.SkewJoin.deriveBuckets]]). */
   final case class SaltedJoin(rightTable: String, leftKey: String,
                               rightKey: String, buckets: Int)      extends CorpusOp
 }

@@ -168,9 +168,11 @@ object NLQueries extends QueryPack {
 
     // Salted-join route (q11's operator); count keeps the oracle integer-
     // exact and still checks join multiplicity end-to-end.
+    // bare "salted" derives the bucket count from the observed hottest
+    // key — the NL surface reaches the auto-sizing path
     "nl31_salted_join" -> ((s: SparkSession, d: String) =>
       Engine.run("Join orders to customers on o_custkey = c_custkey " +
-                 "salted 8 ways and group by c_mktsegment and count c_custkey.",
+                 "salted automatically and group by c_mktsegment and count c_custkey.",
                  table(s, d, "orders"),
                  Map("customers" -> table(s, d, "customer")
                    .select(col("c_custkey"), col("c_mktsegment"))))),

@@ -127,15 +127,17 @@ object RelationalQueries extends QueryPack {
     }),
 
     // Salted skew join: identical semantics to the plain inner join (the
-    // oracle), with each key spread over 8 reducers — the deterministic
-    // answer to hot keys that AQE can't always split.
+    // oracle), with each key spread over auto-derived buckets — the
+    // count comes from the observed hottest key (SkewJoin.deriveBuckets),
+    // not a fixed constant, so a 100×-skewed key spreads wider without a
+    // code change.
     "q11_skew_salted_join" -> ((s: SparkSession, d: String) => {
       val orders = table(s, d, "orders")
       val cust = table(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       graft.operators.SkewJoin
         .saltedInnerJoin(orders, cust, "o_custkey", "c_custkey",
-                         uniquifier = "o_orderkey", buckets = 8)
+                         uniquifier = "o_orderkey")
         .groupBy(col("c_mktsegment"))
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
              count(lit(1)).as("n_orders"))
