@@ -181,39 +181,69 @@ object EventStreams extends Serializable {
     * the batch retention matrix incrementally.
     *
     * State per user: the first-seen timestamp (the funnel twin's shape)
-    * plus the set of weeks already emitted — O(weeks the user has been
-    * active), bounded by the product's retention horizon, not the log.
+    * plus a BITSET of weeks already emitted — exactly 16 bytes per user,
+    * keyed to the `horizonWeeks` retention horizon (≤ 64 so the bitset is
+    * one long), never the log. State lifetime is bounded the way
+    * [[statefulFunnel]]'s is: an event-time timeout evicts the user once
+    * the horizon closes (first + horizonWeeks weeks past the watermark) —
+    * no cell can emit after that, so eviction is lossless; a user
+    * returning later re-enters as a NEW cohort (re-acquisition
+    * semantics, documented).
+    *
     * Same micro-batch discipline as the funnel: `first` settles over the
     * whole sorted batch before cells are computed, so a same-batch event
-    * pair can never see a stale first-timestamp. Cross-batch it assumes
-    * within-watermark arrival order for the first event — a LATER-arriving
-    * earlier first event would shift the user's cohort, the same
-    * documented trade of bounded state the funnel makes. */
-  def statefulCohortCells(events: Dataset[Event]): Dataset[RetentionCell] = {
+    * pair can never see a stale first-timestamp. Cross-batch the cohort
+    * base is FROZEN at first sight: a later-arriving earlier first event
+    * no longer silently re-bases cohort_week/weeks_since under already-
+    * emitted cells (the double-count the old Seq formulation allowed) —
+    * events before the frozen base are skipped, the same
+    * within-watermark-order trade the funnel makes, now fail-safe
+    * instead of fail-corrupt. */
+  def statefulCohortCells(events: Dataset[Event],
+                          horizonWeeks: Int = 64,
+                          watermark: String = "1 hour"): Dataset[RetentionCell] = {
     import events.sparkSession.implicits._
+    require(horizonWeeks > 0 && horizonWeeks <= 64,
+      s"horizonWeeks must be in 1..64 (one-long bitset): $horizonWeeks")
     val weekUs = 7L * 24 * 3600 * 1000000L
 
     def update(userId: Long, batch: Iterator[Event],
-               state: GroupState[(Long, Seq[Long])]): Iterator[RetentionCell] = {
-      var (first, seen) = state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
-      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      sorted.foreach { e => val t = micros(e.ts); if (t < first) first = t }
-      val out = List.newBuilder[RetentionCell]
-      val cohort = Math.floorDiv(first, weekUs)
-      sorted.foreach { e =>
-        val w = Math.floorDiv(micros(e.ts) - first, weekUs)
-        if (!seen.contains(w)) {
-          seen = seen :+ w
-          out += RetentionCell(userId, cohort, w)
+               state: GroupState[(Long, Long)]): Iterator[RetentionCell] = {
+      if (state.hasTimedOut) {
+        // horizon closed: every emittable cell has emitted; drop the state
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        val existing = state.getOption
+        var first = existing.map(_._1).getOrElse(Long.MaxValue)
+        if (existing.isEmpty)
+          sorted.foreach { e => val t = micros(e.ts); if (t < first) first = t }
+        var seenBits = existing.map(_._2).getOrElse(0L)
+        val cohort = Math.floorDiv(first, weekUs)
+        val out = List.newBuilder[RetentionCell]
+        sorted.foreach { e =>
+          val w = Math.floorDiv(micros(e.ts) - first, weekUs)
+          if (w >= 0 && w < horizonWeeks && (seenBits & (1L << w)) == 0L) {
+            seenBits |= 1L << w
+            out += RetentionCell(userId, cohort, w)
+          }
         }
+        state.update((first, seenBits))
+        // evict when the horizon closes in event time (timeout API is
+        // millis and must sit past the current watermark)
+        val horizonEndMs =
+          Math.floorDiv(first + horizonWeeks.toLong * weekUs + 999L, 1000L)
+        state.setTimeoutTimestamp(
+          math.max(horizonEndMs, state.getCurrentWatermarkMs() + 1L))
+        out.result().iterator
       }
-      state.update((first, seen))
-      out.result().iterator
     }
 
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Streaming conversion funnel — the incremental twin of

@@ -80,4 +80,34 @@ class EventStreamsSpec extends SparkSpec {
         s"got: ${rows.mkString(", ")}")
     } finally stopQuietly(q)
   }
+
+  test("cohort cells: frozen base, horizon bitset bound, lossless eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val weekMin = 7 * 24 * 60
+    val input = MemoryStream[Event]
+    // 2-week horizon: weeks_since ∈ {0, 1} only, state evicts after that
+    val q = EventStreams.statefulCohortCells(input.toDS(), horizonWeeks = 2,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("cohort_bound").outputMode("append").start()
+    try {
+      // user 1 active in weeks 0 and 1 → two cells, cohort = epoch week of ts(0)
+      input.addData(Event(1, ts(10), 1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(10 + weekMin), 1, "view", 0.0))
+      q.processAllAvailable()
+      // a LATE event before the frozen first must not re-base the cohort
+      // (fail-safe skip, not a silent double-count under new cohort_week)
+      input.addData(Event(3, ts(5), 1, "view", 0.0))
+      q.processAllAvailable()
+      // beyond the horizon: no third cell even though the user is active
+      input.addData(Event(4, ts(10 + 2 * weekMin), 1, "view", 0.0))
+      q.processAllAvailable()
+      val cells = spark.table("cohort_bound").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val cohort = Math.floorDiv(
+        EventStreams.micros(ts(10)), 7L * 24 * 3600 * 1000000L)
+      assert(cells == Set((1L, cohort, 0L), (1L, cohort, 1L)),
+        s"expected exactly the two in-horizon cells at the frozen base: $cells")
+    } finally stopQuietly(q)
+  }
 }
