@@ -22,13 +22,7 @@ object Eval {
     val inputCsv = args.lift(0).filter(_.nonEmpty)
     val outDir = args.lift(1).getOrElse("eval_out")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-eval")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus, "graft-eval")
     spark.sparkContext.setLogLevel("WARN")
 
     val input = inputCsv match {

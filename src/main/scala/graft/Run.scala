@@ -32,13 +32,7 @@ object Run {
     val inputCsv = args.lift(1).filter(_.nonEmpty)
     val outDir = args.lift(2).getOrElse("run_out")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-run")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus, "graft-run")
     spark.sparkContext.setLogLevel("WARN")
 
     def load(path: String): org.apache.spark.sql.DataFrame = path match {

@@ -1370,12 +1370,20 @@ object NLParser {
 
   /** Scalar expression inside an aggregate argument: two precedence
     * levels (times over plus/minus, word or symbol operators), parens,
-    * numbers, column references. Stops cleanly at any non-expression
-    * token ("rounded", "as", ",", "and"). */
+    * numbers, column references, unary minus (parsed as `0 - atom`, so
+    * the IR needs no extra node and `- a * b` folds to `(0-a)*b` —
+    * value-identical to `-(a*b)`). Stops cleanly at any non-expression
+    * token ("rounded", "as", ",", "and"); note `a -5` lexes the negative
+    * LITERAL -5 (no operator), so the expression ends at `a` and the
+    * stray number fails the clause loudly rather than silently binding
+    * as subtraction — spelled-out `a - 5` is the subtraction form
+    * (GrammarFuzzSpec pins both behaviors). */
   private def parseNumExpr(p: TokCursor): NumExpr = {
     def atom(): NumExpr = p.peek match {
       case Some(Sym("(")) =>
         p.next(); val e = addsub(); p.expectSym(")"); e
+      case Some(Sym("-")) =>
+        p.next(); NumExpr.Sub(NumExpr.Const(0), atom())
       case Some(Num(v))  => p.next(); NumExpr.Const(v)
       case Some(_: Word) => NumExpr.ColRef(p.expectWordRaw())
       case other => throw ParseException(

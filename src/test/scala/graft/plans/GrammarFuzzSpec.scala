@@ -125,6 +125,92 @@ class GrammarFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("400 generated arithmetic aggregates round-trip: parens, unary minus, mixed operands") {
+    import graft.plans.NumExpr
+    val rnd = new scala.util.Random(20260813L)
+    def col() = cols(rnd.nextInt(cols.size))
+
+    // Generator mirrors the parser's fold structure exactly (left-assoc
+    // chains, times over plus/minus, unary minus = 0 - atom), so the
+    // expected IR is the hand-built plan, not a re-parse.
+    def atom(depth: Int): (String, NumExpr) =
+      rnd.nextInt(if (depth > 0) 4 else 3) match {
+        case 0 => val c = col(); (c, NumExpr.ColRef(c))
+        case 1 => val n = rnd.nextInt(200) + 1; (s"$n", NumExpr.Const(n))
+        case 2 => // unary minus binds at atom level: parsed as 0 - atom
+          val (s, e) = atom(0); (s"- $s", NumExpr.Sub(NumExpr.Const(0), e))
+        case 3 =>
+          val (s, e) = addsub(depth - 1); (s"($s)", e)
+      }
+    def mul(depth: Int): (String, NumExpr) = {
+      var (s, e) = atom(depth)
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val op = if (rnd.nextBoolean()) "*" else "times"
+        val (s2, e2) = atom(depth)
+        s = s"$s $op $s2"; e = NumExpr.Mul(e, e2)
+      }
+      (s, e)
+    }
+    def addsub(depth: Int): (String, NumExpr) = {
+      var (s, e) = mul(depth)
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val (s2, e2) = mul(depth)
+        rnd.nextInt(4) match {
+          case 0 => s = s"$s + $s2"; e = NumExpr.Add(e, e2)
+          case 1 => s = s"$s plus $s2"; e = NumExpr.Add(e, e2)
+          case 2 => s = s"$s - $s2"; e = NumExpr.Sub(e, e2)
+          case 3 => s = s"$s minus $s2"; e = NumExpr.Sub(e, e2)
+        }
+      }
+      (s, e)
+    }
+
+    val funcs = Vector(("sum", AggFunc.Sum), ("average", AggFunc.Avg),
+                       ("min", AggFunc.Min), ("max", AggFunc.Max))
+    (1 to 400).foreach { i =>
+      val k = col()
+      val (fw, ff) = funcs(rnd.nextInt(funcs.size))
+      val (es, ee) = addsub(2)
+      val roundTo = if (rnd.nextBoolean()) Some(rnd.nextInt(6)) else None
+      val roundStr = roundTo.fold("")(s => s" rounded to $s decimals")
+      val desc = s"Group by $k and show $fw of $es$roundStr as v$i."
+      val expected = ee match {
+        // a bare column reference is a plain column aggregate, not an
+        // expression aggregate — the parser's own normalization
+        case NumExpr.ColRef(n) =>
+          List(O.GroupAgg(Seq(k), Seq(AggSpec(ff, n, s"v$i", roundTo, None))))
+        case e =>
+          List(O.GroupAgg(Seq(k), Seq(AggSpec(ff, "__expr__", s"v$i", roundTo, Some(e)))))
+      }
+      val got = NLParser.parse(desc).ops
+      assert(got == expected, s"[$i] $desc\n  got $got\n  expected $expected")
+    }
+  }
+
+  test("arithmetic ambiguity fails loudly, never silently mis-binds") {
+    import graft.plans.NumExpr
+    // `a -5` lexes a negative LITERAL, not a subtraction: the expression
+    // ends at `a`, the stray -5 must fail the clause
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by k and show sum of age -5 as v.")
+    }
+    // spelled out, it IS subtraction
+    assert(NLParser.parse("Group by k and show sum of age - 5 as v.").ops ==
+      List(O.GroupAgg(Seq("k"), Seq(AggSpec(AggFunc.Sum, "__expr__", "v", None,
+        Some(NumExpr.Sub(NumExpr.ColRef("age"), NumExpr.Const(5))))))))
+    // dangling operator / unbalanced paren
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by k and show sum of age + as v.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by k and show sum of (age + 1 as v.")
+    }
+    // expression aggregates demand an explicit alias
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Group by k and show sum of age + 1.")
+    }
+  }
+
   test("random garbage fails only with ParseException, never anything else") {
     val rnd = new scala.util.Random(42L)
     val alphabet = "abcdefghij <>=!()'%,.0123456789-"
