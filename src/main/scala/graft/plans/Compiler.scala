@@ -308,6 +308,13 @@ object Compiler {
       Events.asOfJoin(df, resolveTable(t, catalog), k, ts, ts, out)
     case Op.SaltedJoin(t, lk, rk, b) =>
       SkewJoin.saltedInnerJoin(df, resolveTable(t, catalog), lk, rk, b)
+    case Op.CalibrateLsh(target) => {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cal = Similarity.calibrateLsh(df, target)
+      Seq((cal.recall >= target, cal.candidateFraction < 1.0))
+        .toDF("recall_hit", "sub_all_pairs")
+    }
   }
 
   /** Compile a scalar aggregate-argument expression; integral constants

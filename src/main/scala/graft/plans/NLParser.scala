@@ -1258,6 +1258,18 @@ object NLParser {
         val gc = p.expectWordRaw()
         requireDone(p)
         Right(List(Op.CertifyApproxStats(dc, alias, vc, gc)))
+      case Some("calibrate") =>
+        // "Calibrate lsh for recall 0.7." — measured parameter pick over
+        // the bound embedding frame, certified by within-target booleans
+        p.next(); p.dropWords("the")
+        p.expectWord("lsh")
+        p.dropWords("for", "to", "at", "target")
+        p.expectWord("recall")
+        val t = p.expectNum()
+        if (t <= 0.0 || t > 1.0)
+          throw ParseException(s"target recall out of (0,1]: $t")
+        requireDone(p)
+        Right(List(Op.CalibrateLsh(t)))
       case Some("compute") =>
         // "Compute corpus statistics by source."
         p.next(); p.dropWords("the", "corpus")

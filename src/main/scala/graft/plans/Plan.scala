@@ -380,6 +380,12 @@ object Op {
     * ([[graft.operators.SkewJoin.deriveBuckets]]). */
   final case class SaltedJoin(rightTable: String, leftKey: String,
                               rightKey: String, buckets: Int)      extends CorpusOp
+  /** Measured LSH calibration over the bound embedding frame
+    * ([[graft.operators.Similarity.calibrateLsh]]), certified q12-style:
+    * the compiled frame carries (recall_hit, sub_all_pairs) booleans, so
+    * the oracle's TRUE literals prove the measured pick hit the target
+    * without degenerating to all-pairs. */
+  final case class CalibrateLsh(targetRecall: Double)              extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -512,7 +512,12 @@ object NLQueries extends QueryPack {
     "nl79_certify_sketch" -> ((s: SparkSession, d: String) =>
       Engine.run("Certify approximate stats of distinct l_partkey as parts " +
                  "and percentiles of l_extendedprice per l_returnflag.",
-                 table(s, d, "lineitem"))))
+                 table(s, d, "lineitem"))),
+
+    // measured LSH calibration is NL-reachable too: same target and
+    // boolean certification as x60, whose oracle applies verbatim
+    "nl80_calibrate_lsh" -> ((s: SparkSession, d: String) =>
+      Engine.run("Calibrate lsh for recall 0.7.", embs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -628,6 +633,7 @@ object NLQueries extends QueryPack {
     "nl77_pricing_summary" -> RelationalQueries.oracleSql("q1_pricing_summary"),
     "nl78_multi_join_revenue" -> RelationalQueries.oracleSql("q6_multi_join_revenue"),
     "nl79_certify_sketch" -> RelationalQueries.oracleSql("q12_approx_stats"),
+    "nl80_calibrate_lsh" -> VectorQueries.oracleSql("x60_lsh_calibration"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

@@ -363,6 +363,16 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrate-lsh clause parses; out-of-range target rejected") {
+    assert(NLParser.parse("Calibrate lsh for recall 0.7.").ops ==
+      List(O.CalibrateLsh(0.7)))
+    assert(NLParser.parse("Calibrate the lsh to target recall 0.9.").ops ==
+      List(O.CalibrateLsh(0.9)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Calibrate lsh for recall 1.5.")
+    }
+  }
+
   test("distinct-sketch clause parses; grouped count still needs group by") {
     assert(NLParser.parse("Count distinct user_id per event_type with a sketch.").ops ==
       List(O.DistinctSketch("user_id", "event_type")))
