@@ -233,8 +233,9 @@ object Compiler {
     case Op.TopTokens(k, gc) => TextAnalysis.topTokens(df, k, gc)
     case Op.TopTokensSketch(k, gc, cap) =>
       TextAnalysis.topTokensSketch(df, k, cap, gc)
-    case Op.DedupEmbedding(t) =>
-      Dedup.embeddingPairs(df, t).withColumn("cosine", round(col("cosine"), 6))
+    case Op.DedupEmbedding(t, block) =>
+      Dedup.embeddingPairs(df, t, block.map(b => col(resolve(df, b))))
+        .withColumn("cosine", round(col("cosine"), 6))
     case Op.DedupEmbeddingLsh(t) =>
       // pinned 8×6×64 operating point: the NL surface replays against the
       // same baked-plane oracle as x33; the operator's parameterless
@@ -314,6 +315,13 @@ object Compiler {
       val cal = Similarity.calibrateLsh(df, target)
       Seq((cal.recall >= target, cal.candidateFraction < 1.0))
         .toDF("recall_hit", "sub_all_pairs")
+    }
+    case Op.CalibrateIvf(target) => {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cal = Similarity.calibrateIvf(df, target)
+      Seq((cal.recall >= target, cal.scanFraction < 1.0))
+        .toDF("recall_hit", "sub_full_scan")
     }
   }
 

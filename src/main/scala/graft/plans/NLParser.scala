@@ -1259,17 +1259,23 @@ object NLParser {
         requireDone(p)
         Right(List(Op.CertifyApproxStats(dc, alias, vc, gc)))
       case Some("calibrate") =>
-        // "Calibrate lsh for recall 0.7." — measured parameter pick over
-        // the bound embedding frame, certified by within-target booleans
+        // "Calibrate lsh|ivf for recall 0.7." — measured parameter pick
+        // over the bound embedding frame, certified by within-target
+        // booleans
         p.next(); p.dropWords("the")
-        p.expectWord("lsh")
+        val kind = p.expectWordRaw().toLowerCase match {
+          case k @ ("lsh" | "ivf") => k
+          case other => throw ParseException(
+            s"expected 'lsh' or 'ivf' after calibrate, got '$other'")
+        }
         p.dropWords("for", "to", "at", "target")
         p.expectWord("recall")
         val t = p.expectNum()
         if (t <= 0.0 || t > 1.0)
           throw ParseException(s"target recall out of (0,1]: $t")
         requireDone(p)
-        Right(List(Op.CalibrateLsh(t)))
+        Right(List(
+          if (kind == "lsh") Op.CalibrateLsh(t) else Op.CalibrateIvf(t)))
       case Some("compute") =>
         // "Compute corpus statistics by source."
         p.next(); p.dropWords("the", "corpus")
@@ -1353,7 +1359,8 @@ object NLParser {
       Op.DedupSemantic(t, k)
     case Some(w: Word) if w.lower == "embedding" || w.lower == "cosine" =>
       // "… by embedding cosine 0.45" / "… by cosine above 0.45",
-      // optionally "… using lsh" for the banded scale sibling
+      // optionally "… using lsh" for the banded scale sibling or
+      // "… blocked by <col>" for the bounded within-block exact form
       p.next(); p.dropWords("embedding", "cosine", "above", "over")
       val t = p.expectNum()
       val lsh = p.peekWordLower match {
@@ -1362,8 +1369,17 @@ object NLParser {
         case Some("lsh") => p.next(); true
         case _ => false
       }
+      val block = p.peekWordLower match {
+        case Some("blocked") => p.next(); p.expectWord("by"); Some(p.expectWordRaw())
+        case _               => None
+      }
       requireDone(p)
-      if (lsh) Op.DedupEmbeddingLsh(t) else Op.DedupEmbedding(t)
+      if (lsh) {
+        if (block.isDefined) throw ParseException(
+          "LSH embedding dedup is bucket-blocked by construction; " +
+          "'blocked by' applies to the exact form only")
+        Op.DedupEmbeddingLsh(t)
+      } else Op.DedupEmbedding(t, block)
     case other => throw ParseException(s"unknown dedup method: $other")
   }
 

@@ -197,8 +197,11 @@ object Op {
   final case class TopTokensSketch(k: Int, groupCol: String,
                                    capacity: Int)                  extends CorpusOp
   /** Embedding-cosine near-dup pairs at/above a threshold
-    * ([[graft.operators.Dedup.embeddingPairs]]). */
-  final case class DedupEmbedding(threshold: Double)               extends CorpusOp
+    * ([[graft.operators.Dedup.embeddingPairs]]). `block` scopes the
+    * exact self-join to equal values of a column — the operating-regime
+    * guard's escape hatch for corpora past the all-pairs bound. */
+  final case class DedupEmbedding(threshold: Double,
+                                  block: Option[String] = None)    extends CorpusOp
   /** Banded (sign-LSH bucketed) embedding near-dup pairs — the scale
     * sibling of [[DedupEmbedding]]; recall < 1 by design
     * ([[graft.operators.Dedup.embeddingPairsLsh]]). */
@@ -386,6 +389,10 @@ object Op {
     * the oracle's TRUE literals prove the measured pick hit the target
     * without degenerating to all-pairs. */
   final case class CalibrateLsh(targetRecall: Double)              extends CorpusOp
+  /** IVF twin of [[CalibrateLsh]]
+    * ([[graft.operators.Similarity.calibrateIvf]]); booleans are
+    * (recall_hit, sub_full_scan). */
+  final case class CalibrateIvf(targetRecall: Double)              extends CorpusOp
 }
 
 final case class Plan(ops: List[Op]) {

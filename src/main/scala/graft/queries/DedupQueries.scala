@@ -47,6 +47,15 @@ object DedupQueries extends QueryPack {
           CosineThreshold)
         .withColumn("cosine", round(col("cosine"), 6))),
 
+    // The guard's escape hatch, oracle-checked: blocking by `label`
+    // scopes the exact self-join to equal-label pairs (Σ|block|²/2 work,
+    // co-located per block) — the formulation the guard points large
+    // corpora at when near-dups can't cross a partition key.
+    "x62_dedup_embedding_blocked" -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingPairs(table(s, d, "embeddings"), CosineThreshold,
+                           blockCol = Some(col("label")))
+        .withColumn("cosine", round(col("cosine"), 6))),
+
     "x24_dedup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.clusterPairs(
         Dedup.ngramJaccardPairs(table(s, d, "documents"), "source", JaccardThreshold)
@@ -129,6 +138,15 @@ object DedupQueries extends QueryPack {
          |                           b.embedding::DOUBLE[]) AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0)
+         |WHERE cosine >= $CosineThreshold""".stripMargin,
+
+    "x62_dedup_embedding_blocked" ->
+      s"""SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           b.embedding::DOUBLE[]) AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= $CosineThreshold""".stripMargin,
 
     "x24_dedup_clusters" ->

@@ -514,10 +514,18 @@ object NLQueries extends QueryPack {
                  "and percentiles of l_extendedprice per l_returnflag.",
                  table(s, d, "lineitem"))),
 
-    // measured LSH calibration is NL-reachable too: same target and
-    // boolean certification as x60, whose oracle applies verbatim
+    // measured LSH/IVF calibration is NL-reachable too: same targets and
+    // boolean certifications as x60/x61, whose oracles apply verbatim
     "nl80_calibrate_lsh" -> ((s: SparkSession, d: String) =>
-      Engine.run("Calibrate lsh for recall 0.7.", embs(s, d))))
+      Engine.run("Calibrate lsh for recall 0.7.", embs(s, d))),
+
+    "nl81_calibrate_ivf" -> ((s: SparkSession, d: String) =>
+      Engine.run("Calibrate ivf for recall 0.7.", embs(s, d))),
+
+    // the guard's blocked escape hatch, spoken — x62's oracle verbatim
+    "nl82_dedup_embedding_blocked" -> ((s: SparkSession, d: String) =>
+      Engine.run("Dedup by embedding cosine above 0.45 blocked by label.",
+                 embs(s, d))))
 
   override val oracleSql: Map[String, String] = Map(
     "nl1_dedup_exact"    -> DedupQueries.oracleSql("x3_dedup_exact"),
@@ -634,6 +642,9 @@ object NLQueries extends QueryPack {
     "nl78_multi_join_revenue" -> RelationalQueries.oracleSql("q6_multi_join_revenue"),
     "nl79_certify_sketch" -> RelationalQueries.oracleSql("q12_approx_stats"),
     "nl80_calibrate_lsh" -> VectorQueries.oracleSql("x60_lsh_calibration"),
+    "nl81_calibrate_ivf" -> VectorQueries.oracleSql("x61_ivf_calibration"),
+    "nl82_dedup_embedding_blocked" ->
+      DedupQueries.oracleSql("x62_dedup_embedding_blocked"),
     "nl32_top_tokens_sketch" -> TextQueries.oracleSql("x32_top_tokens_sketch"),
     "nl33_dedup_embedding_lsh" -> VectorQueries.oracleSql("x33_embedding_pairs_lsh"),
     "nl34_dedup_simhash_wide" -> DedupQueries.oracleSql("x34_dedup_simhash_wide"),

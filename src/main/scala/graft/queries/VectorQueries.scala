@@ -94,6 +94,16 @@ object VectorQueries extends QueryPack {
         table(s, d, "embeddings"), targetRecall = CalibrationTarget)
       Seq((cal.recall >= CalibrationTarget, cal.candidateFraction < 1.0))
         .toDF("recall_hit", "sub_all_pairs")
+    }),
+
+    // IVF twin of x60: the measured (centroids, nprobe) pick must hit the
+    // target while probing less than the full corpus.
+    "x61_ivf_calibration" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val cal = Similarity.calibrateIvf(
+        table(s, d, "embeddings"), targetRecall = CalibrationTarget)
+      Seq((cal.recall >= CalibrationTarget, cal.scanFraction < 1.0))
+        .toDF("recall_hit", "sub_full_scan")
     }))
 
   private val CalibrationTarget = 0.7
@@ -285,6 +295,9 @@ object VectorQueries extends QueryPack {
 
     "x60_lsh_calibration" ->
       "SELECT TRUE AS recall_hit, TRUE AS sub_all_pairs",
+
+    "x61_ivf_calibration" ->
+      "SELECT TRUE AS recall_hit, TRUE AS sub_full_scan",
 
     // 127.0 spelled ::DOUBLE — a bare DuckDB decimal literal would pull
     // the arithmetic into DECIMAL and off the IEEE path Spark computes.

@@ -363,13 +363,28 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
-  test("calibrate-lsh clause parses; out-of-range target rejected") {
+  test("calibrate-lsh/ivf clauses parse; out-of-range target rejected") {
     assert(NLParser.parse("Calibrate lsh for recall 0.7.").ops ==
       List(O.CalibrateLsh(0.7)))
     assert(NLParser.parse("Calibrate the lsh to target recall 0.9.").ops ==
       List(O.CalibrateLsh(0.9)))
+    assert(NLParser.parse("Calibrate ivf for recall 0.7.").ops ==
+      List(O.CalibrateIvf(0.7)))
     assertThrows[NLParser.ParseException] {
       NLParser.parse("Calibrate lsh for recall 1.5.")
+    }
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Calibrate hnsw for recall 0.7.")
+    }
+  }
+
+  test("embedding dedup accepts a blocked-by tail on the exact form only") {
+    assert(NLParser.parse("Dedup by embedding cosine above 0.45 blocked by label.").ops ==
+      List(O.DedupEmbedding(0.45, Some("label"))))
+    assert(NLParser.parse("Dedup by embedding cosine above 0.45.").ops ==
+      List(O.DedupEmbedding(0.45, None)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Dedup by cosine 0.45 using lsh blocked by label.")
     }
   }
 
