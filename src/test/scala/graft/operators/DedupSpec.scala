@@ -300,6 +300,35 @@ class DedupSpec extends SparkSpec {
       s"recall(4 cells)=$recall4 recall(16 cells)=$recall16")
   }
 
+  test("all-pairs embedding dedup guards its operating regime") {
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // over the bound and unblocked: throws, pointing at the scale paths
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(embs, 0.45, maxAllPairsRows = 100)
+    }
+    assert(e.getMessage.contains("embeddingPairsLsh"),
+      "the guard error must name the scale alternative")
+    // a block column bounds the self-join: no count probe, no throw
+    assert(Dedup.embeddingPairs(embs, 0.45,
+      blockCol = Some(org.apache.spark.sql.functions.col("label")),
+      maxAllPairsRows = 100).count() >= 0)
+    // an explicit opt-out for measured operating points
+    assert(Dedup.embeddingPairs(embs, 0.45, maxAllPairsRows = 0).count() > 0)
+  }
+
+  test("blocked embedding pairs equal all-pairs restricted to equal blocks") {
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val lbl = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = Dedup.embeddingPairs(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingPairs(embs, 0.45,
+        blockCol = Some(org.apache.spark.sql.functions.col("label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == all.filter { case (a, b) => lbl(a) == lbl(b) },
+      "blocking must be exactly the equal-block restriction of all-pairs")
+  }
+
   test("LSH embedding pairs are a subset of all-pairs with identical cosines") {
     val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
