@@ -703,12 +703,18 @@ object Dedup {
       embs.select(col(idCol).as("id"), col(vecCol).as("v")),
       planes, bands, bitsPerBand, "v")
       .select(col("id"), col("band"), col("bucket"))
+    // NO pre-verify distinct: a candidate pair colliding in k bands is
+    // verified k times (map-side flops) instead of deduplicated through a
+    // full-size exchange — measured at sf1, the distinct shuffled 25.4M
+    // rows to remove 7% duplicates and was ~2/3 of the operator's wall
+    // clock. The multiplicity is bounded by `bands`, concentrated on the
+    // true near-dups, and collapsed AFTER the threshold filter where the
+    // surviving set is the (tiny) answer itself.
     val cand = bucketed.as("l")
       .join(bucketed.as("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
     val byId = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(byId.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
@@ -716,5 +722,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
               cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }
