@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 import graft.operators.EvalHarness
 import graft.sources.{Sinks, Sources}

@@ -112,7 +112,11 @@ class GrammarFuzzSpec extends AnyFunSuite {
       "histogram score by cluster from 0 to 100 in 10 bins" ->
         List(O.Histogram("score", "cluster", 0.0, 100.0, 10)),
       "clip outliers above the 95th percentile of n" ->
-        List(O.ClipPercentile("n", 0.95)))
+        List(O.ClipPercentile("n", 0.95)),
+      "calibrate lsh for recall 0.7" -> List(O.CalibrateLsh(0.7)),
+      "calibrate ivf for recall 0.7" -> List(O.CalibrateIvf(0.7)),
+      "dedup by embedding cosine above 0.5 blocked by label" ->
+        List(O.DedupEmbedding(0.5, Some("label"))))
     (1 to 200).foreach { i =>
       val c = cols(rnd.nextInt(cols.size))
       val v = rnd.nextInt(100)
