@@ -157,6 +157,7 @@ object NLParser {
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
         "normalize", "funnel", "cohort", "zorder", "z-order",
+        "calibrate", "certify",
         // relational analytics extensions (q-family NL routes)
         "rollup", "cube", "pivot", "unpivot", "rank", "ntile", "union",
         "except", "write", "extract")
