@@ -74,21 +74,13 @@ object Multimodal {
                            formatOf: Long => String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // codec work must scale with CORES, not input splits: a compact
-    // parquet file scans as a handful of partitions (measured 2 at sf1 —
-    // 30 of 32 cores idle through the encode, 9.5s → 2.1s after this),
-    // so spread the projected rows to the cluster's parallelism first.
-    // The exchange moves three scalar columns — negligible against the
-    // per-row codec cost it parallelizes. Never shrinks an already-wide
-    // scan.
-    val projected = docs.select(
-      col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-      col("source"))
-    val target = spark.sparkContext.defaultParallelism
-    val spread =
-      if (projected.rdd.getNumPartitions >= target) projected
-      else projected.repartition(target)
-    spread
+    // codec work must scale with CORES, not input splits (measured 2
+    // scan partitions at sf1 — 30 of 32 cores idle through the encode,
+    // 9.5s → 2.1s after spreading). The exchange moves three scalar
+    // columns — negligible against the per-row codec cost.
+    Parallelism.spreadToCores(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+                  col("source")))
       .as[(Long, Long, String)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

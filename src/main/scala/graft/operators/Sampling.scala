@@ -239,7 +239,14 @@ object Sampling {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(tokenBudget > 0, s"token budget must be positive, got $tokenBudget")
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(
+    // the regex-heavy quality scoring runs once per BRANCH (offsets +
+    // join side) and would otherwise run at input-split parallelism —
+    // spread the raw docs to cores first (no-op on already-wide scans;
+    // measured 9.9s → 6.7s at sf1). A repartition-on-quality
+    // ReusedExchange variant was measured and did NOT collapse the two
+    // scoring passes (the broadcast branch replans under AQE), so the
+    // simpler shape stays.
+    val scored = Parallelism.spreadToCores(docs).select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.qualityColumn(col(textCol)).as("quality"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
