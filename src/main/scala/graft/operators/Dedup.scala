@@ -394,6 +394,65 @@ object Dedup {
     docs.join(seenFp, md5(col(textCol)) === col("__fp"), "left_anti")
   }
 
+  /** Near-dup incremental ingest dedup — [[dedupAgainst]]'s MinHash-LSH
+    * sibling: drop arriving documents whose n-gram Jaccard similarity to
+    * ANY document of the `seen` corpus reaches `threshold`. Candidates
+    * come from the same banded MinHash signatures as [[minHashPairs]]
+    * (recall follows the LSH OR-of-ANDs curve at the numHashes/bands
+    * operating point); every candidate is verified with the exact
+    * sorted-shingle Jaccard before it can drop a document, so a spurious
+    * band collision never costs a document.
+    *
+    * This is the every-batch shape of near-dup dedup on a growing
+    * corpus: exact [[dedupAgainst]] only catches byte-identical
+    * re-ingests, and re-running [[minHashPairs]] over history ∪ batch
+    * re-pays the whole corpus each batch. Here the history side
+    * contributes its (band, bucket) signature rows — `bands` 8-byte
+    * bucket hashes per stored doc, the index a 100 TB pipeline would
+    * persist instead of recomputing — and shingle re-joins for the exact
+    * verify touch only CANDIDATE docs on both sides, so per-batch cost
+    * scales with the batch and its collision set, not with history.
+    *
+    * Documents shorter than n tokens have no shingles, hence no
+    * signature, and are always kept — the [[minHashPairs]] contract. A
+    * batch doc byte-identical to a shingled history doc IS dropped
+    * (Jaccard 1), so on shingled docs this strictly subsumes
+    * [[dedupAgainst]]. */
+  def minHashLshAgainst(docs: DataFrame, seen: DataFrame, threshold: Double,
+                        numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val rowsPerBand = numHashes / bands
+    def bandRows(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(side), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(col(side),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bucket")))
+      .select(col(side), col("band"), col("bucket"))
+    val cand = bandRows(docs, "id_new")
+      .join(bandRows(seen, "id_seen"), Seq("band", "bucket"))
+      .select(col("id_new"), col("id_seen"))
+      .dropDuplicates("id_new", "id_seen")
+    val newSh = docs
+      .join(cand.select(col("id_new").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("id_new"), hashedShingles(col(textCol), n).as("sh_a"))
+    val seenSh = seen
+      .join(cand.select(col("id_seen").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("id_seen"), hashedShingles(col(textCol), n).as("sh_b"))
+    val dropIds = cand
+      .join(newSh, Seq("id_new"))
+      .join(seenSh, Seq("id_seen"))
+      .filter(sortedJaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Contamination *scoring* — the continuous companion to
     * [[decontaminate]]'s binary drop: for every document, the fraction of
     * its distinct n-token spans that appear anywhere in the benchmark

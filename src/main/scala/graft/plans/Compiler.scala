@@ -303,6 +303,8 @@ object Compiler {
       Dedup.contaminationScore(df, resolveTable(t, catalog), n)
     case Op.DedupAgainst(t) =>
       Dedup.dedupAgainst(df, resolveTable(t, catalog))
+    case Op.DedupNearAgainst(t, threshold) =>
+      Dedup.minHashLshAgainst(df, resolveTable(t, catalog), threshold)
     case Op.BloomSemiJoin(t, lk, rk) =>
       graft.operators.BloomJoin.bloomSemiJoin(df, resolveTable(t, catalog), lk, rk)
     case Op.AsOfJoin(t, k, ts, out) =>

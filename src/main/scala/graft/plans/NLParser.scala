@@ -726,17 +726,23 @@ object NLParser {
           case _       => false
         }
         val decontaminate = has(shareWords) && has(spanWords)
+        // near-dup ingest dedup: "Drop documents near-duplicated in
+        // <table> by minhash jaccard 0.5." — the hyphenated participle
+        // is unambiguous (a column drop would be a bare identifier)
+        val nearWords = Set("near-duplicated", "near-duplicating")
+        val nearAgainst = !decontaminate && has(nearWords)
         // "already" routes to ingest dedup ONLY when the clause is not a
         // span-decontamination form — "drop documents that share 8-token
         // spans already present in benchmark" must stay decontamination
-        val alreadyIn = !decontaminate && toks.exists {
+        val alreadyIn = !decontaminate && !nearAgainst && toks.exists {
           case w: Word => w.lower == "already"
           case _       => false
         }
-        val antiJoin = !decontaminate && !alreadyIn && toks.exists {
-          case w: Word => w.lower == "matching"
-          case _       => false
-        }
+        val antiJoin = !decontaminate && !nearAgainst && !alreadyIn &&
+          toks.exists {
+            case w: Word => w.lower == "matching"
+            case _       => false
+          }
         if (antiJoin) {
           // "Drop rows matching <table> on l = r." — left-anti join
           // (NOT EXISTS without the NOT-IN null hazard)
@@ -753,6 +759,27 @@ object NLParser {
           val rk = p.expectWordRaw()
           requireDone(p)
           Right(List(Op.AntiJoinTable(tbl, lk, rk)))
+        } else if (nearAgainst) {
+          // "Drop documents near-duplicated in <table> by minhash
+          // jaccard 0.5." — near-dup incremental ingest dedup: banded
+          // MinHash candidates vs the named historical corpus, every
+          // candidate exact-Jaccard verified before it drops a document
+          p.dropWords("the", "documents", "docs", "rows")
+          p.dropWords("that", "which", "are")
+          p.peekWordLower match {
+            case Some(w) if nearWords(w) => p.next()
+            case other => throw ParseException(
+              s"expected 'near-duplicated'/'near-duplicating', got $other")
+          }
+          p.dropWords("in", "against", "versus", "vs")
+          p.dropWords("the")
+          val tbl = p.expectWordRaw()
+          p.dropWords("by", "minhash", "at", "jaccard")
+          val t = p.expectNum()
+          if (t <= 0.0 || t > 1.0)
+            throw ParseException(s"jaccard threshold must be in (0, 1], got $t")
+          requireDone(p)
+          Right(List(Op.DedupNearAgainst(tbl, t)))
         } else if (alreadyIn) {
           // "Drop documents already in <table>." — incremental ingest
           // dedup against the named historical corpus

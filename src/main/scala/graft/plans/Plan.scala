@@ -373,6 +373,11 @@ object Op {
   /** Incremental ingest dedup vs the named historical corpus
     * ([[graft.operators.Dedup.dedupAgainst]]). */
   final case class DedupAgainst(seenTable: String)                 extends CorpusOp
+  /** Near-dup incremental ingest dedup vs the named historical corpus:
+    * banded-MinHash candidates, exact Jaccard ≥ threshold verify
+    * ([[graft.operators.Dedup.minHashLshAgainst]]). */
+  final case class DedupNearAgainst(seenTable: String,
+                                    threshold: Double)             extends CorpusOp
   /** Bloom-pruned semi-join against the named table
     * ([[graft.operators.BloomJoin.bloomSemiJoin]]). */
   final case class BloomSemiJoin(rightTable: String,

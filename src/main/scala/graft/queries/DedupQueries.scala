@@ -91,6 +91,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // x55's near-dup sibling on the SAME batch/history split: banded
+    // MinHash candidates vs history, exact-Jaccard verified — catches the
+    // re-ingests that changed a few tokens and so slip x55's md5 match.
+    "x63_dedup_near_against" -> ((s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      Dedup.minHashLshAgainst(docs.filter(col("doc_id") % 3 === 0),
+                              docs.filter(col("doc_id") % 7 === 0),
+                              JaccardThreshold)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Continuous contamination score (fraction of a doc's distinct
     // 8-token spans found in the src19 benchmark) — x30's threshold-free
     // companion.
@@ -207,6 +218,11 @@ object DedupQueries extends QueryPack {
         |WHERE doc_id % 3 = 0
         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents
         |                        WHERE doc_id % 7 = 0)""".stripMargin,
+
+    "x63_dedup_near_against" ->
+      OracleHashSql.minHashAgainstSql(JaccardThreshold, numHashes = 64,
+        bands = 16, newPred = id => s"$id % 3 = 0",
+        seenPred = id => s"$id % 7 = 0"),
 
     "x47_contamination_score" ->
       """WITH t AS (

@@ -279,6 +279,16 @@ object NLQueries extends QueryPack {
                  Map("corpus" -> all.filter(col("doc_id") % 7 === 0)))
     }),
 
+    // Near-dup ingest dedup route (x63's frames and oracle): the
+    // MinHash-LSH against-history screen, NL-reachable.
+    "nl83_dedup_near_against" -> ((s: SparkSession, d: String) => {
+      val all = docs(s, d)
+      Engine.run("Drop documents near-duplicated in corpus by minhash " +
+                 "jaccard 0.5 and select columns doc_id and source.",
+                 all.filter(col("doc_id") % 3 === 0),
+                 Map("corpus" -> all.filter(col("doc_id") % 7 === 0)))
+    }),
+
     // Certified HLL distinct sketch (x49's kernel, q12-style oracle).
     "nl52_distinct_sketch" -> ((s: SparkSession, d: String) =>
       Engine.run("Count distinct user_id per event_type with a sketch.",
@@ -603,6 +613,7 @@ object NLQueries extends QueryPack {
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
     "nl51_bloom_semi_join" -> RelationalQueries.oracleSql("x48_bloom_semi_join"),
     "nl53_dedup_against" -> DedupQueries.oracleSql("x55_dedup_against"),
+    "nl83_dedup_near_against" -> DedupQueries.oracleSql("x63_dedup_near_against"),
     "nl54_pipeline" ->
       s"""WITH ${OracleHashSql.sampleBucketCtes(7L, "doc_id, source, n_chars")}
          |SELECT doc_id, source FROM pb

@@ -97,9 +97,27 @@ object OracleHashSql {
     * xxhash collision would additionally need true Jaccard ≥ threshold
     * and no genuinely-equal band to change the result (probability
     * ~2^-64 per high-similarity pair — immaterial). */
-  def minHashPairsSql(threshold: Double, numHashes: Int, bands: Int): String = {
+  def minHashPairsSql(threshold: Double, numHashes: Int, bands: Int): String =
+    s"""WITH ${minHashSigCtes(numHashes, bands, docWhere = "")},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(x.sstr, y.sstr))::DOUBLE
+       |      / len(list_distinct(list_concat(x.sstr, y.sstr))) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  /** The shared signature chain of the MinHash oracles: tokens → distinct
+    * 3-gram shingle strings → FNV-hashed shingles (`sh`) → 64-lane
+    * splitmix64 MinHash signature → per-band signature slices (`bands`).
+    * `docWhere` (e.g. " WHERE doc_id % 3 = 0") bounds the chain to the
+    * documents a caller actually bands. */
+  private def minHashSigCtes(numHashes: Int, bands: Int,
+                             docWhere: String): String = {
     val rows = numHashes / bands
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents$docWhere),
        |shp AS (SELECT doc_id, $shingles3Sql AS sstr FROM t),
        |sh AS (SELECT doc_id, sstr,
        |         list_transform(sstr, s -> ${fnvUnsigned("s")}) AS shu
@@ -121,17 +139,32 @@ object OracleHashSql {
        |          SELECT doc_id, si, min(${toSigned("z")}) AS m
        |          FROM s5 GROUP BY doc_id, si) GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, list_slice(sig, b*$rows+1, b*$rows+$rows) AS slice
-       |          FROM sig, (SELECT unnest(range($bands)) AS b)),
+       |          FROM sig, (SELECT unnest(range($bands)) AS b))""".stripMargin
+  }
+
+  /** `Dedup.minHashLshAgainst` oracle: the [[minHashSigCtes]] chain over
+    * batch ∪ history (both predicates are SQL over a doc_id reference),
+    * candidates CROSSING sides only — no id ordering, so a batch doc
+    * byte-identical to a history doc is its own candidate — exact Jaccard
+    * verify, then the batch rows with no verified near-dup survive. */
+  def minHashAgainstSql(threshold: Double, numHashes: Int, bands: Int,
+                        newPred: String => String,
+                        seenPred: String => String): String =
+    s"""WITH ${minHashSigCtes(numHashes, bands,
+            s" WHERE ${newPred("doc_id")} OR ${seenPred("doc_id")}")},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
-       |           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    len(list_intersect(x.sstr, y.sstr))::DOUBLE
-       |      / len(list_distinct(list_concat(x.sstr, y.sstr))) AS jaccard
-       |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
-       |WHERE jaccard >= $threshold""".stripMargin
-  }
+       |           ON a.b = b.b AND a.slice = b.slice
+       |         WHERE ${newPred("a.doc_id")} AND ${seenPred("b.doc_id")}),
+       |drops AS (SELECT DISTINCT id_a FROM (
+       |    SELECT id_a,
+       |      len(list_intersect(x.sstr, y.sstr))::DOUBLE
+       |        / len(list_distinct(list_concat(x.sstr, y.sstr))) AS jaccard
+       |    FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+       |  WHERE jaccard >= $threshold)
+       |SELECT doc_id, source FROM documents
+       |WHERE ${newPred("doc_id")}
+       |  AND doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin
 
   /** Full `Dedup.simHashPairs` oracle. The Spark side bands the 64-bit
     * fingerprint into four 16-bit chunks for candidate generation, which

@@ -205,6 +205,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupAgainst(batch, none).count() == batch.count())
   }
 
+  test("minHashLshAgainst drops near-dups of history, keeps the rest") {
+    // history = docs 1 and 3; batch doc 2 is byte-identical to 1
+    // (jaccard 1) and doc 4 a one-word near-dup of 3 (jaccard ≈ 0.64,
+    // banding-caught per the minHashPairs test) → both drop; 5 survives
+    val batch = corpus.filter($"doc_id".isin(2L, 4L, 5L))
+    val seen = corpus.filter($"doc_id".isin(1L, 3L))
+    val kept = Dedup.minHashLshAgainst(batch, seen, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L))
+    // a stricter threshold keeps the near-dup and still drops the exact one
+    val strict = Dedup.minHashLshAgainst(batch, seen, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(4L, 5L))
+    // empty history drops nothing; docs shorter than n tokens have no
+    // signature and always survive
+    val shortDoc = Seq((9L, "one two", "s3")).toDF("doc_id", "text", "source")
+    val none = corpus.filter($"doc_id" === -1L)
+    assert(Dedup.minHashLshAgainst(batch.union(shortDoc), none, 0.5).count()
+           == batch.count() + 1)
+    assert(Dedup.minHashLshAgainst(shortDoc, seen, 0.5)
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    // a doc present on BOTH sides is its own near-dup and drops — the
+    // re-ingest shape (no id ordering on cross-side candidates)
+    val both = Dedup.minHashLshAgainst(seen, seen, 0.5)
+    assert(both.count() == 0)
+  }
+
   test("contaminationScore: per-doc overlap fraction, short docs score 0") {
     // benchmark = doc 3 (11 tokens -> 2 distinct 10-token spans); doc 4
     // shares exactly the first of its own 2 spans, doc 3 scores 1.0

@@ -42,6 +42,14 @@ class CatalogSpec extends SparkSpec {
       == Plan(List(Op.DedupAgainst("corpus"))))
     assert(NLParser.parse("Drop documents that are already in the ingested.")
       == Plan(List(Op.DedupAgainst("ingested"))))
+    // near-dup ingest dedup — the hyphenated participle discriminates;
+    // both wordings and the bare "at 0.5" threshold connector parse
+    assert(NLParser.parse(
+      "Drop documents near-duplicated in corpus by minhash jaccard 0.5.")
+      == Plan(List(Op.DedupNearAgainst("corpus", 0.5))))
+    assert(NLParser.parse(
+      "Drop docs that are near-duplicating the history at 0.7.")
+      == Plan(List(Op.DedupNearAgainst("history", 0.7))))
   }
 
   test("NL bloom semi-join route equals the direct operator (x48)") {
