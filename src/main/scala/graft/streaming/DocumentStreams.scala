@@ -79,6 +79,64 @@ object DocumentStreams {
       .drop("__hits")
   }
 
+  /** Streaming near-dup ingest screen — the continuous face of
+    * [[graft.operators.Dedup.minHashLshAgainst]]: history is a STATIC
+    * corpus whose banded MinHash signature rows broadcast (at scale this
+    * side IS the persisted signature index; the shingle arrays ride
+    * along only for the exact verify and would become a candidate-only
+    * text fetch); documents arrive as a stream; every emitted document
+    * has no history near-dup with Jaccard ≥ `threshold`.
+    *
+    * Shape: stream-side signatures are stateless map work (fused shingle
+    * kernel → 64-lane MinHash → per-band bucket hashes, `explode_outer`
+    * so signature-less short documents survive); candidates come from a
+    * broadcast stream-static equi-join on (band, bucket); the exact
+    * sorted-shingle Jaccard verify runs inline on each candidate row —
+    * a spurious band collision never drops a document; and a
+    * watermark-bounded aggregation keyed by the full document row emits
+    * it iff no candidate verified. State per document lives only to its
+    * watermark horizon. */
+  def nearDedupAgainst(docs: DataFrame, seen: DataFrame, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 16, n: Int = 3,
+                       watermark: String = "10 minutes",
+                       textCol: String = "text"): DataFrame = {
+    import graft.functions.ArrayJaccardFunctions.sortedJaccard
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val rowsPerBand = numHashes / bands
+    def bandArray(sig: org.apache.spark.sql.Column) =
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+               xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+                 .as("bucket"))
+      }: _*)
+    val seenIdx = seen
+      .select(Dedup.hashedShingles(col(textCol), n).as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+      .withColumn("__bb",
+        explode(bandArray(Dedup.minHashSignature(col("sh_b"), numHashes))))
+      .select(col("__bb.band").as("band"), col("__bb.bucket").as("bucket"),
+              col("sh_b"))
+    val docCols = docs.columns.toSeq
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("__sh", Dedup.hashedShingles(col(textCol), n))
+      .withColumn("__bb", explode_outer(when(size(col("__sh")) > 0,
+        bandArray(Dedup.minHashSignature(col("__sh"), numHashes)))))
+      .join(broadcast(seenIdx),
+            col("__bb.band") === col("band") &&
+              col("__bb.bucket") === col("bucket"),
+            "left_outer")
+      .withColumn("__hit",
+        when(sortedJaccard(col("__sh"), col("sh_b")) >= threshold, 1))
+      .groupBy(docCols.map(col): _*)
+      .agg(max(col("__hit")).as("__hits"))
+      .filter(col("__hits").isNull)
+      .drop("__hits")
+  }
+
   /** Streaming contamination scoring — the incremental face of
     * [[graft.operators.Dedup.contaminationScore]]: per arriving document,
     * the fraction of its distinct n-token spans found in the static

@@ -277,6 +277,46 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streaming nearDedupAgainst reproduces batch Dedup.minHashLshAgainst (x63) on the fixture") {
+    // x63's exact batch/history split: stream side = doc_id % 3, static
+    // history = doc_id % 7; surviving doc_id sets must be identical
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchSide = docs.filter(col("doc_id") % 3 === 0)
+    val seen = docs.filter(col("doc_id") % 7 === 0)
+    val batchKept = Dedup.minHashLshAgainst(batchSide, seen, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batchKept.nonEmpty && batchKept.length < batchSide.count(),
+      "fixture must have both surviving and near-duplicated docs")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val streamDocs = input.toDF().toDF("doc_id", "source", "text", "ingest_ts")
+    val q = DocumentStreams.nearDedupAgainst(streamDocs, seen, 0.5)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("equiv_near_against")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = batchSide.select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                   new Timestamp(base + r.getLong(0))))
+        .sortBy(_._1)
+      // three chunks exercise cross-batch grouping state; the far-future
+      // sentinel (too short to shingle, so never near-duplicated)
+      // advances the watermark past every real document
+      rows.grouped(math.max(1, rows.length / 3))
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((-1L, "zz", "sentinel",
+                     new Timestamp(base + 30L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+
+      val streamKept = spark.table("equiv_near_against")
+        .collect().map(_.getLong(0)).filter(_ >= 0).sorted
+      assert(streamKept.toSeq == batchKept.toSeq,
+        s"survivor sets diverged: batch=${batchKept.length} stream=${streamKept.length}")
+    } finally stopQuietly(q)
+  }
+
   test("streaming decontaminate reproduces batch Dedup.decontaminate (x30) on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = docs.filter(col("source") === "src19")
