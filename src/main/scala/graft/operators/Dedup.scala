@@ -774,12 +774,46 @@ object Dedup {
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // Thin candidates + two broadcast-hash vector fetches, NOT vectors
+    // carried through the band join: the join OUTPUT is the blown-up side
+    // (n²·bands/2^(bits+1) candidate rows), so a carried dim-float
+    // payload multiplies by the candidate count — measured at sf1 (20k ×
+    // 64-float vectors, ~25M candidates): 27.2s inline vs 12.3s re-join,
+    // identical pairs ([[embeddingPairsLshInline]]). The opposite call
+    // from minHashPairs' shingle arrays only because the verify payload
+    // there is per-DOC (re-join probes stay candidate-thin either way);
+    // the deciding quantity is payload bytes × candidate multiplicity
+    // through the widest operator, not payload size per row.
     val byId = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(byId.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(byId.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The inline formulation — vectors ride the band join and the verify
+    * runs on the join output directly. MEASURED SLOWER (27.2s vs 12.3s
+    * at sf1, see [[embeddingPairsLshAt]]): every candidate row
+    * materializes two dim-float payloads through the sort-merge join.
+    * Kept for the equivalence spec and as the recorded baseline of that
+    * measurement. */
+  private[graft] def embeddingPairsLshInline(embs: DataFrame, threshold: Double,
+                                             bands: Int, bitsPerBand: Int, dim: Int,
+                                             idCol: String = "vec_id",
+                                             vecCol: String = "embedding"): DataFrame = {
+    val planes = Similarity.hyperplanes(dim, bands, bitsPerBand)
+    val bucketed = Similarity.withLshBuckets(
+      embs.select(col(idCol).as("id"), col(vecCol).as("v")),
+      planes, bands, bitsPerBand, "v")
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+              cosineSim(col("l.v"), col("r.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
