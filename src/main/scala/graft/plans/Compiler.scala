@@ -254,6 +254,14 @@ object Compiler {
           "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
+    case Op.CdcApply(key, ts, id, op, tombstone) =>
+      for (c <- Seq(key, ts, id, op) if !df.columns.contains(c))
+        throw InvalidPlanException(
+          s"changelog apply needs column '$c' (have: ${df.columns.mkString(", ")}); " +
+          "name the timestamp with 'by <col>', the tie-break with 'tie by <col>', " +
+          "and the op column with 'op <col>'")
+      graft.operators.Cdc.applyChangelog(df, key, ts, id, op, tombstone,
+        df.columns.filterNot(_ == key).toSeq)
     case Op.PackSequences(budget, buckets) =>
       graft.operators.Packing.packSequences(df, budget, buckets).toDF()
     case Op.ChunkDocuments(window, overlap) =>

@@ -930,12 +930,38 @@ object NLParser {
         requireDone(p)
         Right(List(Op.ClipPercentile(valueCol, frac)))
       case Some("apply") =>
-        // "Apply the gopher quality rules."
+        // "Apply the gopher quality rules." | "Apply the changelog per
+        // user_id [by <tsCol>] [tie by <idCol>] [op <opCol>]
+        // [with tombstone <value>]."
         p.next(); p.dropWords("the")
-        p.expectWord("gopher")
-        p.dropWords("quality")
-        p.dropWords("rules", "rule", "filter", "filters")
-        requireDone(p); Right(List(Op.GopherRules))
+        p.peekWordLower match {
+          case Some("changelog") | Some("changes") =>
+            p.next(); p.dropWords("log")
+            p.expectWord("per")
+            p.dropWords("each")
+            val key = p.expectWordRaw()
+            var ts = "ts_us"; var id = "event_id"
+            var opC = "event_type"; var tomb = "error"
+            var more = true
+            while (more) p.peekWordLower match {
+              case Some("by")           => p.next(); ts = p.expectWordRaw()
+              case Some("tie") | Some("ties") =>
+                p.next(); p.dropWords("by", "breaking"); id = p.expectWordRaw()
+              case Some("op") | Some("operation") =>
+                p.next(); opC = p.expectWordRaw()
+              case Some("with") | Some("dropping") =>
+                p.next(); p.expectWord("tombstone"); tomb = p.expectWordRaw()
+              case Some("tombstone")    => p.next(); tomb = p.expectWordRaw()
+              case _                    => more = false
+            }
+            requireDone(p)
+            Right(List(Op.CdcApply(key, ts, id, opC, tomb)))
+          case _ =>
+            p.expectWord("gopher")
+            p.dropWords("quality")
+            p.dropWords("rules", "rule", "filter", "filters")
+            requireDone(p); Right(List(Op.GopherRules))
+        }
       case Some("detect") =>
         p.next(); p.dropWords("the", "document")
         p.peekWordLower match {

@@ -219,6 +219,13 @@ object Op {
   final case class LatestPerKey(keyCol: String,
                                 tsCol: String = "ts_us",
                                 idCol: String = "event_id")          extends CorpusOp
+  /** CDC changelog apply: latest-wins per key, then drop keys whose
+    * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
+  final case class CdcApply(keyCol: String,
+                            tsCol: String = "ts_us",
+                            idCol: String = "event_id",
+                            opCol: String = "event_type",
+                            tombstone: String = "error")             extends CorpusOp
   /** 128-bit wide-fingerprint SimHash pairs, Hamming ≤ maxHamming over
     * both lanes ([[graft.operators.Dedup.simHash128Pairs]]). */
   final case class DedupSimHashWide(maxHamming: Int)               extends CorpusOp

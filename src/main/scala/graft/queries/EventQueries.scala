@@ -43,6 +43,13 @@ object EventQueries extends QueryPack {
     "x46_latest_snapshot" -> ((s: SparkSession, d: String) =>
       Events.latestSnapshot(Events.load(s, d))),
 
+    // x46's full CDC semantics: the log is upserts + tombstones
+    // ('error' = delete marker); a key whose LATEST row is a tombstone
+    // is absent from the snapshot. Incremental merge ≡ full re-apply is
+    // proved in CdcSpec.
+    "x64_cdc_apply" -> ((s: SparkSession, d: String) =>
+      graft.operators.Cdc.applyChangelog(Events.load(s, d))),
+
     // Mergeable HLL sketches: per-type distinct users, estimated from a
     // binary sketch column; per-(type,day) partial sketches re-merged per
     // type must be register-identical to the direct sketch (the property
@@ -191,6 +198,13 @@ object EventQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "x64_cdc_apply" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "x22_event_props_json" ->
       """SELECT event_type, count(*) AS n_events,

@@ -242,6 +242,14 @@ object NLQueries extends QueryPack {
           .select(col("user_id"), col("event_id"), col("ts_us"),
                   col("event_type"), col("value")))),
 
+    // CDC changelog apply route (x64's operator and oracle): latest-wins
+    // compaction where a latest-row tombstone deletes the key.
+    "nl84_cdc_apply" -> ((s: SparkSession, d: String) =>
+      Engine.run("Apply the changelog per user_id with tombstone error.",
+        Events.load(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  col("event_type"), col("value")))),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -608,6 +616,7 @@ object NLQueries extends QueryPack {
     "nl29_decontaminate" -> DedupQueries.oracleSql("x30_decontaminate"),
     "nl45_contamination_score" -> DedupQueries.oracleSql("x47_contamination_score"),
     "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
+    "nl84_cdc_apply" -> EventQueries.oracleSql("x64_cdc_apply"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
