@@ -83,6 +83,22 @@ object EventStreams extends Serializable {
               col("latest.ts").as("ts"), col("latest.event_type").as("event_type"),
               col("latest.value").as("value"))
 
+  /** Streaming CDC read view — the incremental twin of
+    * [[graft.operators.Cdc.applyChangelog]]: the latest-wins compacted
+    * snapshot ([[latestSnapshot]], which retains the op column exactly so
+    * this filter can run downstream of it) minus keys whose latest op is
+    * the tombstone. Correct in `complete` mode against a memory/queryable
+    * sink: each trigger re-emits the full surviving key set, so a key
+    * that transitions TO the tombstone simply drops out. In `update`
+    * mode this filtered form would emit nothing for such a transition —
+    * an upsert sink would keep the stale row — so the production upsert
+    * shape consumes the UNfiltered [[latestSnapshot]] stream and maps
+    * latest-op = tombstone to a sink-side DELETE, mirroring the batch
+    * split between [[graft.operators.Cdc.compactLog]] (materialized,
+    * tombstones retained) and [[graft.operators.Cdc.readView]]. */
+  def cdcReadView(events: DataFrame, tombstone: String = "error"): DataFrame =
+    latestSnapshot(events).filter(col("event_type") =!= tombstone)
+
   /** Epoch microseconds of a Timestamp. `getTime` alone truncates to
     * milliseconds, which would make the streaming gap rule disagree with
     * the µs-exact batch [[graft.operators.Events.sessionize]] on data with
