@@ -37,14 +37,7 @@ object Run {
     def load(path: String): org.apache.spark.sql.DataFrame = path match {
       case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = Sources.parquet(spark, p)
-        val tsIsRawNanos = df.schema.fields.exists(f =>
-          f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        if (tsIsRawNanos)
-          df.withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.col("ts_us")))
-        else df
+        graft.operators.Events.normalizeEventTimeIfPossible(Sources.parquet(spark, p))
       case p if p.endsWith(".json") || p.endsWith(".jsonl") =>
         Sources.jsonLines(spark, p)
       case p if p.endsWith(".orc") => Sources.orc(spark, p)

@@ -2,32 +2,69 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Event-time operators over the `events` table (extension X4): tumbling
   * windows and gap-based sessionization, batch-first with streaming
   * equivalents in [[graft.streaming.EventStreams]].
   *
-  * Timestamp handling: the driver's events parquet carries
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` and derive microsecond
-  * precision (`ts_us = floor(ns/1000)`) — exactly the truncation DuckDB
-  * applies when it coerces ns parquet to its µs TIMESTAMP, so every
-  * derived value (window starts, session bounds, gaps) is integer-exact
-  * across engines.
+  * Timestamp handling is schema-adaptive (see [[normalizeEventTime]]):
+  * the fixture has shipped `ts` both as parquet TIMESTAMP(NANOS) (read
+  * as raw BIGINT under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+  * as native µs TIMESTAMP / TIMESTAMP_NTZ. All encodings normalize to
+  * the same two columns — `ts_us` (epoch micros, long) and `ts`
+  * (TimestampType) — with values integer-exact against DuckDB's µs
+  * TIMESTAMP view of the same file, so window starts, session bounds
+  * and gaps compare across engines without tolerance.
   */
 object Events {
 
-  /** Events with `ts_us` (epoch micros, long) and `ts` (TimestampType). */
+  /** Events with `ts_us` (epoch micros, long) and `ts` (TimestampType),
+    * whichever of the three encodings the parquet carries. */
   def load(spark: SparkSession, sfDir: String): DataFrame = {
+    // no-op for µs/NTZ fixtures; required at all for TIMESTAMP(NANOS)
+    // (Spark's reader otherwise rejects it with [PARQUET_TYPE_ILLEGAL])
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
-    // mantissa, so floating division would corrupt low-order digits
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    normalizeEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Dispatch on the physical `ts` type and emit `ts_us` + TimestampType
+    * `ts` for every encoding:
+    *  - `LongType` — legacy nanos-as-long. Integer `div`, not `/`:
+    *    epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa, so
+    *    floating division would corrupt low-order digits; `div 1000` is
+    *    the same truncation DuckDB applies coercing ns to µs.
+    *  - `TimestampType` — native µs; `unix_micros` is exact.
+    *  - `TimestampNTZType` — native µs without zone; the session runs
+    *    UTC (Sessions.builder), so the cast to TimestampType is a
+    *    micros-identity, after which `unix_micros` is exact.
+    * Anything else fails with a named error — a schema drift in the
+    * fixture should say so, not surface as 20 cryptic plan errors. */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampType =>
+        df.withColumn("ts_us", unix_micros(col("ts")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case other => sys.error(
+        s"events.ts has unsupported type $other — expected BIGINT " +
+          "(legacy nanos-as-long), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
+  /** Best-effort variant for generic inputs (the Run CLI): normalize
+    * only when a `ts` column with a supported encoding is present;
+    * otherwise pass through unchanged. */
+  def normalizeEventTimeIfPossible(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType | TimestampType | TimestampNTZType) =>
+        normalizeEventTime(df)
+      case _ => df
+    }
 
   /** Tumbling-window counts: epoch-aligned `window(ts, width)` per
     * event_type. Output keyed by `window_start_ms` (exact integer). */

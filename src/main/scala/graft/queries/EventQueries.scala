@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Events
 
-/** Event-time queries (X4). The DuckDB oracle sees the ns parquet coerced
-  * to µs TIMESTAMP — the identical truncation Events.load applies — so
-  * window starts and session bounds compare as exact integers. */
+/** Event-time queries (X4). The DuckDB oracle sees the fixture as a µs
+  * TIMESTAMP (native for the current µs/NTZ encoding; coerced by ns→µs
+  * truncation for the legacy nanos one) — the identical view
+  * Events.normalizeEventTime produces — so window starts and session
+  * bounds compare as exact integers under either encoding. */
 object EventQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -8,9 +8,9 @@ class EventsProbeSpec extends SparkSpec {
 
   private lazy val events = Events.load(spark, "/root/testdata/sf0.001")
 
-  test("nanos parquet loads via nanosAsLong with exact micro truncation") {
+  test("fixture loads with exact epoch-micro ts_us whatever its ts encoding") {
     val r = events.select(col("ts_us"), col("ts")).head
-    assert(r.getLong(0) > 1700000000000000L, "epoch micros expected")
+    assert(r.getLong(0) > 1500000000000000L, "epoch micros expected")
     assert(r.getTimestamp(1).getTime == r.getLong(0) / 1000, "ts must be µs-derived")
   }
 
