@@ -79,10 +79,12 @@ replicate("lineitem",
           f"FROM '{SRC}/lineitem.parquet'")
 
 # ------------------------------------------------------------- events
-# pyarrow keeps timestamp[ns]; duckdb would rewrite as microseconds and
-# break Events.load's nanosAsLong path.
+# Replicate via pyarrow to preserve the source's physical ts encoding
+# exactly (the fixture has shipped both TIMESTAMP(NANOS) and native µs;
+# Events.normalizeEventTime handles either, but the probe should measure
+# the same encoding the driver ships). duckdb COPY would rewrite it.
 ev = pq.read_table(f"{SRC}/events.parquet")
-assert ev.schema.field("ts").type == pa.timestamp("ns"), ev.schema
+assert ev.schema.field("ts").type in (pa.timestamp("ns"), pa.timestamp("us")), ev.schema
 chunks = []
 for r in range(REPS):
     t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
