@@ -66,6 +66,47 @@ object Events {
       case _ => df
     }
 
+  private[graft] def usInstant(us: Long): java.time.Instant =
+    java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
+
+  private[graft] def usLocalDateTime(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  /** `[fromUs, toUs)` range predicate expressed in the `ts` column's
+    * NATIVE type, so Catalyst pushes it into the parquet scan
+    * (PushedFilters → row-group/page min-max pruning). At 100 TB this is
+    * the difference between scanning a day and scanning the whole log.
+    * A filter on the derived `ts_us` does NOT push (`unix_micros(cast)`
+    * never reaches the scan) — pinned in EventScanPruningSpec, which is
+    * why range scans should route through here or filter `ts` directly
+    * (the normalized TimestampType also pushes: Catalyst unwraps the UTC
+    * NTZ cast in comparisons). */
+  def timeRange(df: DataFrame, fromUs: Long, toUs: Long): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= fromUs * 1000L && col("ts") < toUs * 1000L)
+      case TimestampType =>
+        df.filter(col("ts") >= lit(usInstant(fromUs)) &&
+                  col("ts") < lit(usInstant(toUs)))
+      case TimestampNTZType =>
+        df.filter(col("ts") >= lit(usLocalDateTime(fromUs)) &&
+                  col("ts") < lit(usLocalDateTime(toUs)))
+      case other => sys.error(
+        s"events.ts has unsupported type $other for time-range pruning")
+    }
+
+  /** Range-pruned events load: the predicate lands on the raw scan
+    * column (pruning at the source), then the survivors normalize. */
+  def loadRange(spark: SparkSession, sfDir: String,
+                fromUs: Long, toUs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTime(
+      timeRange(spark.read.parquet(s"$sfDir/events.parquet"), fromUs, toUs))
+  }
+
   /** Tumbling-window counts: epoch-aligned `window(ts, width)` per
     * event_type. Output keyed by `window_start_ms` (exact integer). */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =

@@ -254,6 +254,13 @@ object Compiler {
           "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
+    case Op.EventTimeRange(fromUs, toUs) =>
+      if (!df.columns.contains("ts"))
+        throw InvalidPlanException(
+          s"event time range needs a 'ts' column (have: ${df.columns.mkString(", ")}); " +
+          "load an events table first")
+      try graft.operators.Events.timeRange(df, fromUs, toUs)
+      catch { case e: RuntimeException => throw InvalidPlanException(e.getMessage) }
     case Op.CdcApply(key, ts, id, op, tombstone) =>
       for (c <- Seq(key, ts, id, op) if !df.columns.contains(c))
         throw InvalidPlanException(

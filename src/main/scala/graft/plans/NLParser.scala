@@ -323,6 +323,20 @@ object NLParser {
             }
             requireDone(p)
             Right(List(Op.LatestPerKey(key, ts, id)))
+          case Some("events") =>
+            // "Keep events between '<iso-8601>' and '<iso-8601>'." —
+            // event-time range scan [from, to); the compiled filter lands
+            // on the native ts column, so it reaches the parquet scan as
+            // a pushed min-max-prunable predicate (EventScanPruningSpec)
+            p.next()
+            p.expectWord("between")
+            val from = isoToUs(p.expectStr())
+            p.expectWord("and")
+            val to = isoToUs(p.expectStr())
+            if (to <= from) throw ParseException(
+              s"event time range is empty: from $from us to $to us")
+            requireDone(p)
+            Right(List(Op.EventTimeRange(from, to)))
           case Some("only") | Some("rows") | Some("documents") | Some("docs")
                | Some("matching") =>
             // "Keep rows matching <table> on l = r (with a bloom filter)?"
@@ -1614,6 +1628,25 @@ object NLParser {
     case Quoted(s) => Lit.Str(s)
     case Word(s)   => Lit.Str(s) // unquoted bareword literal
     case other     => throw ParseException(s"expected literal, got $other")
+  }
+
+  /** Quoted ISO-8601 instant → epoch micros. Accepts `...Z`/offset form
+    * (`Instant.parse`), zoneless datetime (read as UTC — the session
+    * timezone every oracle assumes), and a bare date (midnight UTC). */
+  private def isoToUs(s: String): Long = {
+    val inst =
+      try java.time.Instant.parse(s)
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+        catch { case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(s).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw ParseException(s"expected an ISO-8601 timestamp, got '$s'")
+          }
+        }
+      }
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+                  inst.getNano / 1000L)
   }
 
   // ------------------------------------------------------------- cursor

@@ -219,6 +219,10 @@ object Op {
   final case class LatestPerKey(keyCol: String,
                                 tsCol: String = "ts_us",
                                 idCol: String = "event_id")          extends CorpusOp
+  /** Event-time range scan `[fromUs, toUs)`: the predicate is applied in
+    * the `ts` column's native type so it reaches the parquet scan as a
+    * pushed filter ([[graft.operators.Events.timeRange]]). */
+  final case class EventTimeRange(fromUs: Long, toUs: Long)        extends CorpusOp
   /** CDC changelog apply: latest-wins per key, then drop keys whose
     * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
   final case class CdcApply(keyCol: String,

@@ -88,6 +88,16 @@ object EventQueries extends QueryPack {
     "x58_cohort_retention" -> ((s: SparkSession, d: String) =>
       Events.cohortRetention(Events.load(s, d))),
 
+    // Event-time range scan: the [from, to) predicate is applied in the
+    // raw ts column's native type, so it reaches the parquet scan as a
+    // pushed min-max-prunable filter (at 100 TB: scan a day, not the
+    // log). Pruning pinned in EventScanPruningSpec.
+    "x65_event_range_scan" -> ((s: SparkSession, d: String) =>
+      Events.loadRange(s, d,
+          fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
+          toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -207,6 +217,12 @@ object EventQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "x65_event_range_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "x22_event_props_json" ->
       """SELECT event_type, count(*) AS n_events,

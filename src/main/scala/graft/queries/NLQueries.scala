@@ -250,6 +250,15 @@ object NLQueries extends QueryPack {
           .select(col("user_id"), col("event_id"), col("ts_us"),
                   col("event_type"), col("value")))),
 
+    // Event-time range scan route (x65's operator and oracle): the
+    // compiled filter lands on the TimestampType ts column, so it pushes
+    // into the parquet scan exactly like the direct loadRange path.
+    "nl85_event_range" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep events between '2024-01-10T00:00:00Z' and " +
+                 "'2024-01-20T00:00:00Z' and select columns event_id, " +
+                 "user_id, ts_us, event_type, value.",
+        Events.load(s, d))),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -617,6 +626,7 @@ object NLQueries extends QueryPack {
     "nl45_contamination_score" -> DedupQueries.oracleSql("x47_contamination_score"),
     "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
     "nl84_cdc_apply" -> EventQueries.oracleSql("x64_cdc_apply"),
+    "nl85_event_range" -> EventQueries.oracleSql("x65_event_range_scan"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
