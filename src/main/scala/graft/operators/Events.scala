@@ -107,6 +107,31 @@ object Events {
       timeRange(spark.read.parquet(s"$sfDir/events.parquet"), fromUs, toUs))
   }
 
+  /** Day-partitioned event-log layout: `dt=yyyy-MM-dd` directories
+    * derived from `ts` in UTC — the standard 100 TB arrangement. A
+    * time-range read then prunes whole day directories from the file
+    * listing (PartitionFilters) before any parquet footer is opened;
+    * [[timeRange]]'s native-type predicate prunes row groups within the
+    * surviving days. The shuffle-free write preserves the source
+    * partitioning (one output file per input partition per day). */
+  def writeDayPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
+  /** Range read over a [[writeDayPartitioned]] layout: directory pruning
+    * on `dt`, row-group pruning on `ts`, then normalization. The `dt`
+    * bounds close over the UTC days of the [from, to) range, so they
+    * never drop a qualifying row. */
+  def loadRangePartitioned(spark: SparkSession, path: String,
+                           fromUs: Long, toUs: Long): DataFrame = {
+    val fromDt = usLocalDateTime(fromUs).toLocalDate.toString
+    val toDt   = usLocalDateTime(toUs - 1L).toLocalDate.toString
+    val pruned = spark.read.parquet(path)
+      .filter(col("dt") >= fromDt && col("dt") <= toDt)
+    normalizeEventTime(timeRange(pruned, fromUs, toUs)).drop("dt")
+  }
+
   /** Tumbling-window counts: epoch-aligned `window(ts, width)` per
     * event_type. Output keyed by `window_start_ms` (exact integer). */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =

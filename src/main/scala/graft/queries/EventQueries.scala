@@ -98,6 +98,20 @@ object EventQueries extends QueryPack {
           toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
 
+    // Day-partitioned log layout: write dt=yyyy-MM-dd directories, read
+    // the same range back with PartitionFilters directory pruning plus
+    // in-day row-group pruning (EventPartitionedLayoutSpec pins both).
+    // Same rows as x65, so it shares the oracle modulo the layout.
+    "x66_event_partitioned_range" -> ((s: SparkSession, d: String) => {
+      val path = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_events_day").toString
+      Events.writeDayPartitioned(Events.load(s, d), path)
+      Events.loadRangePartitioned(s, path,
+          fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
+          toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")
+    }),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -219,6 +233,12 @@ object EventQueries extends QueryPack {
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "x65_event_range_scan" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "x66_event_partitioned_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned event-log layout: writeDayPartitioned lays the log
+  * out as dt=yyyy-MM-dd directories; loadRangePartitioned must prune
+  * whole days from the FILE LISTING (PartitionFilters) — at 100 TB the
+  * pruning that happens before any parquet footer is opened — and still
+  * return exactly the rows the single-file range scan returns.
+  */
+class EventPartitionedLayoutSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val fromUs = 1704844800000000L // 2024-01-10T00:00:00Z
+  private val toUs   = 1705708800000000L // 2024-01-20T00:00:00Z
+
+  private lazy val layoutPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-daylayout")
+      .toString + "/events_day"
+    Events.writeDayPartitioned(Events.load(spark, sfDir), p)
+    p
+  }
+
+  test("layout writes one dt=yyyy-MM-dd directory per UTC day") {
+    val days = new java.io.File(layoutPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("dt="))
+    assert(days.length == 30, s"got ${days.toSeq.sorted}") // fixture spans Jan 2024
+    assert(days.forall(_.matches("dt=2024-01-\\d{2}")))
+  }
+
+  test("range read prunes day directories via PartitionFilters") {
+    val plan = Events.loadRangePartitioned(spark, layoutPath, fromUs, toUs)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(plan))
+    assert(scan.contains("PartitionFilters: [") &&
+           scan.contains("(dt#") && scan.contains("2024-01-10"), scan)
+    // the ts predicate still prunes row groups within surviving days
+    assert(scan.contains("GreaterThanOrEqual(ts"), scan)
+  }
+
+  test("partitioned range read equals the single-file range scan") {
+    val viaLayout = Events.loadRangePartitioned(spark, layoutPath, fromUs, toUs)
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFile = Events.loadRange(spark, sfDir, fromUs, toUs)
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLayout == viaFile)
+    assert(viaLayout.nonEmpty)
+  }
+
+  test("dt bounds cover ragged ranges: mid-day from, mid-day to") {
+    val f = fromUs + 7L * 3600 * 1000000 // 07:00 into the first day
+    val t = toUs - 5L * 3600 * 1000000   // 19:00 into the last day
+    val viaLayout = Events.loadRangePartitioned(spark, layoutPath, f, t)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val viaFile = Events.loadRange(spark, sfDir, f, t)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(viaLayout == viaFile)
+  }
+}
