@@ -112,11 +112,20 @@ object Events {
     * time-range read then prunes whole day directories from the file
     * listing (PartitionFilters) before any parquet footer is opened;
     * [[timeRange]]'s native-type predicate prunes row groups within the
-    * surviving days. The shuffle-free write preserves the source
-    * partitioning (one output file per input partition per day). */
+    * surviving days.
+    *
+    * Shuffle-free: the write preserves the source partitioning. The
+    * local sort is on (dt, ts) rather than the bare dt Spark would
+    * inject anyway for a dynamic-partition write — same single sort
+    * pass, but each written file then ascends by ts, so its row groups
+    * carry TIGHT non-overlapping ts ranges and [[timeRange]]'s pushed
+    * predicate prunes row groups even for sub-day ranges (unsorted
+    * input would give every row group the whole day's min-max span,
+    * making in-day pruning a no-op). */
   def writeDayPartitioned(events: DataFrame, path: String): Unit =
     events
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .sortWithinPartitions(col("dt"), col("ts"))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
   /** Range read over a [[writeDayPartitioned]] layout: directory pruning

@@ -51,6 +51,16 @@ class EventPartitionedLayoutSpec extends SparkSpec {
     assert(viaLayout.nonEmpty)
   }
 
+  test("files ascend by ts, so row-group stats carry tight time ranges") {
+    val day = new java.io.File(layoutPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=")).minBy(_.getName)
+    day.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val ts = spark.read.parquet(f.toString)
+        .select("ts").collect().map(_.getTimestamp(0).getTime)
+      assert(ts.sameElements(ts.sorted), s"${f.getName} not ts-ascending")
+    }
+  }
+
   test("dt bounds cover ragged ranges: mid-day from, mid-day to") {
     val f = fromUs + 7L * 3600 * 1000000 // 07:00 into the first day
     val t = toUs - 5L * 3600 * 1000000   // 19:00 into the last day
