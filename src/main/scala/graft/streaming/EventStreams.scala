@@ -99,6 +99,30 @@ object EventStreams extends Serializable {
   def cdcReadView(events: DataFrame, tombstone: String = "error"): DataFrame =
     latestSnapshot(events).filter(col("event_type") =!= tombstone)
 
+  /** Continuous ingest into the day-partitioned log layout — the
+    * streaming twin of [[graft.operators.Events.writeDayPartitioned]]:
+    * each micro-batch appends files under `dt=yyyy-MM-dd` directories,
+    * so the accumulating tree is exactly what
+    * [[graft.operators.Events.loadRangePartitioned]] directory-prunes.
+    * The file sink's commit log makes the append exactly-once across
+    * restarts. `dt` derives from EVENT time, so a late event lands in
+    * its own (closed) day's directory as a new file instead of
+    * rewriting anything — the append-only property that keeps per-day
+    * compaction and pruned readers safe to run concurrently with
+    * ingest. */
+  def ingestDayPartitioned(events: DataFrame, path: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Epoch microseconds of a Timestamp. `getTime` alone truncates to
     * milliseconds, which would make the streaming gap rule disagree with
     * the µs-exact batch [[graft.operators.Events.sessionize]] on data with
