@@ -128,6 +128,55 @@ object Events {
       .sortWithinPartitions(col("dt"), col("ts"))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
+  /** Compact ONE day of a [[writeDayPartitioned]] layout: rewrite the
+    * day's files (streaming ingest appends one per trigger — file
+    * count, not bytes, is what kills split enumeration at 100 TB) into
+    * ~`targetBytes` files that RANGE-tile the day on ts, restoring both
+    * prunabilities: tight per-file footer stats AND tight row groups.
+    * Sizing reads file status only (no data scan). Returns the new file
+    * count.
+    *
+    * The swap is delete-then-rename into place; the tmp directory is
+    * dot-prefixed so readers never list it. The rename pair is the
+    * non-atomic window — production object stores front this with a
+    * manifest/table format; compact only days behind the ingest
+    * watermark.
+    *
+    * REFUSES a tree still managed by a streaming file-sink commit log
+    * (`_spark_metadata`): root-level batch reads list files from that
+    * log, so rewriting files underneath it would break or silently
+    * un-dedup them. Stop the ingest query and delete the log first —
+    * "graduating" the tree to a plain directory table — exactly the
+    * hand-off a manifest-less layout requires (EventCompactionSpec
+    * drives it). */
+  def compactDay(spark: SparkSession, path: String, dt: String,
+                 targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val sinkLog = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) sys.error(
+      s"$path is managed by a streaming file-sink commit log " +
+        "(_spark_metadata); stop the ingest query and remove the log " +
+        "before compacting, or compact through a manifest table format")
+    val dayPath = new org.apache.hadoop.fs.Path(root, s"dt=$dt")
+    require(fs.exists(dayPath), s"no such day directory: $dayPath")
+    val totalBytes = fs.getContentSummary(dayPath).getLength
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(root, s".dt=$dt.compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dayPath.toString)
+      .repartitionByRange(parts, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    fs.delete(dayPath, true)
+    if (!fs.rename(tmp, dayPath))
+      sys.error(s"rename $tmp -> $dayPath failed; data is in $tmp")
+    parts.toLong
+  }
+
   /** Range read over a [[writeDayPartitioned]] layout: directory pruning
     * on `dt`, row-group pruning on `ts`, then normalization. The `dt`
     * bounds close over the UTC days of the [from, to) range, so they
