@@ -261,7 +261,7 @@ object Events {
                keyCol: String = "user_id",
                leftTsCol: String = "ts_us", rightTsCol: String = "ts_us",
                outCol: String = "last_signup_us"): DataFrame = {
-    val payload = struct(left.columns.map(col): _*)
+    val payload = struct(left.columns.toIndexedSeq.map(col): _*)
     val payloadType = left.select(payload.as("__p")).schema("__p").dataType
     val l = left.select(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
                         lit(1).as("__is_left"), payload.as("__p"))
@@ -275,7 +275,7 @@ object Events {
       .withColumn(outCol,
         last(when(col("__is_left") === 0, col("__t")), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .select(left.columns.map(c => col(s"__p.$c")) :+ col(outCol): _*)
+      .select(left.columns.toIndexedSeq.map(c => col(s"__p.$c")) :+ col(outCol): _*)
   }
 
   /** CDC-style snapshot compaction: the latest event per key,

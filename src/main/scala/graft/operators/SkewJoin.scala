@@ -69,7 +69,7 @@ object SkewJoin {
                       largeKey: String, smallKey: String,
                       buckets: Int): DataFrame =
     saltedInnerJoin(large, small, largeKey, smallKey,
-                    struct(large.columns.map(col): _*), buckets)
+                    struct(large.columns.toIndexedSeq.map(col): _*), buckets)
 
   def saltedInnerJoin(large: DataFrame, small: DataFrame,
                       largeKey: String, smallKey: String,
