@@ -37,7 +37,14 @@ object Run {
     def load(path: String): org.apache.spark.sql.DataFrame = path match {
       case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        graft.operators.Events.normalizeEventTimeIfPossible(Sources.parquet(spark, p))
+        val df = Sources.parquet(spark, p)
+        // Normalize ts only for tables following the events convention —
+        // a generic parquet with an incidental `ts` column keeps its
+        // schema verbatim (no surprise ts_us column / NTZ retype on
+        // select-* over arbitrary files).
+        if (graft.operators.Events.isEventsShaped(df))
+          graft.operators.Events.normalizeEventTimeIfPossible(df)
+        else df
       case p if p.endsWith(".json") || p.endsWith(".jsonl") =>
         Sources.jsonLines(spark, p)
       case p if p.endsWith(".orc") => Sources.orc(spark, p)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Event-time operators over the `events` table (extension X4): tumbling
   * windows and gap-based sessionization, batch-first with streaming
@@ -49,12 +49,37 @@ object Events {
       case TimestampType =>
         df.withColumn("ts_us", unix_micros(col("ts")))
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        // NTZ carries a wall time; the fixture's convention is that wall
+        // time IS UTC. Under a UTC session the plain cast is a
+        // micros-identity AND comparisons on the cast still reach the
+        // scan (Catalyst unwraps it), so keep that plan for the standard
+        // path. Under any other session zone the plain cast would shift
+        // every instant by the zone offset — re-render the wall time
+        // into the session zone first so the cast recovers the true UTC
+        // instant (correct everywhere, at the cost of pushdown on the
+        // NORMALIZED column; the raw-column paths loadRange /
+        // loadRangePartitioned filter before normalizing and keep full
+        // pruning either way).
+        val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val utcSession =
+          java.time.ZoneId.of(sessionTz).normalized() == java.time.ZoneOffset.UTC
+        val tsUtc =
+          if (utcSession) col("ts").cast(TimestampType)
+          else convert_timezone(lit("UTC"), lit(sessionTz), col("ts"))
+            .cast(TimestampType)
+        df.withColumn("ts", tsUtc)
           .withColumn("ts_us", unix_micros(col("ts")))
       case other => sys.error(
         s"events.ts has unsupported type $other — expected BIGINT " +
           "(legacy nanos-as-long), TIMESTAMP, or TIMESTAMP_NTZ")
     }
+
+  /** Column set that marks a frame as following the events-table
+    * convention — the gate the Run CLI uses before normalizing, so a
+    * generic parquet with an incidental `ts` column is left untouched. */
+  private val EventsCols = Set("event_id", "ts", "user_id", "event_type", "value")
+  def isEventsShaped(df: DataFrame): Boolean =
+    EventsCols.subsetOf(df.columns.toSet)
 
   /** Best-effort variant for generic inputs (the Run CLI): normalize
     * only when a `ts` column with a supported encoding is present;
@@ -75,6 +100,23 @@ object Events {
       (Math.floorMod(us, 1000000L) * 1000L).toInt,
       java.time.ZoneOffset.UTC)
 
+  /** UTC day string (`yyyy-MM-dd`) of a TimestampType column, derived
+    * arithmetically from epoch micros so it is INDEPENDENT of
+    * `spark.sql.session.timeZone`. `date_format(ts, ...)` renders in the
+    * session zone, so under a non-UTC session the written `dt=`
+    * directories would disagree with [[loadRangePartitioned]]'s
+    * hardcoded-UTC day bounds and boundary rows would silently fall out
+    * of range reads. floorDiv spelled as `(us - pmod(us, day)) / day`:
+    * `pmod` is non-negative, so pre-epoch timestamps land on the correct
+    * (earlier) day, and the division is exact (numerator is an exact
+    * multiple of day, |us| < 2^53 µs until year ~2255 — wider than
+    * [[timeRange]]'s own representable range). */
+  private[graft] def utcDt(ts: Column): Column = {
+    val dayUs = lit(86400000000L)
+    val us = unix_micros(ts)
+    date_from_unix_date(((us - pmod(us, dayUs)) / dayUs).cast("int")).cast("string")
+  }
+
   /** `[fromUs, toUs)` range predicate expressed in the `ts` column's
     * NATIVE type, so Catalyst pushes it into the parquet scan
     * (PushedFilters → row-group/page min-max pruning). At 100 TB this is
@@ -87,7 +129,11 @@ object Events {
   def timeRange(df: DataFrame, fromUs: Long, toUs: Long): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.filter(col("ts") >= fromUs * 1000L && col("ts") < toUs * 1000L)
+        // multiplyExact: a bound past ~2262 (µs beyond Long nanos range)
+        // must fail loudly, not overflow into a silently-wrong pushed
+        // predicate
+        df.filter(col("ts") >= Math.multiplyExact(fromUs, 1000L) &&
+                  col("ts") < Math.multiplyExact(toUs, 1000L))
       case TimestampType =>
         df.filter(col("ts") >= lit(usInstant(fromUs)) &&
                   col("ts") < lit(usInstant(toUs)))
@@ -124,7 +170,7 @@ object Events {
     * making in-day pruning a no-op). */
   def writeDayPartitioned(events: DataFrame, path: String): Unit =
     events
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("dt", utcDt(col("ts")))
       .sortWithinPartitions(col("dt"), col("ts"))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
@@ -136,9 +182,13 @@ object Events {
     * Sizing reads file status only (no data scan). Returns the new file
     * count.
     *
-    * The swap is delete-then-rename into place; the tmp directory is
-    * dot-prefixed so readers never list it. The rename pair is the
-    * non-atomic window — production object stores front this with a
+    * The swap is rename-aside → rename-into-place → delete-backup; both
+    * side directories are dot-prefixed so readers never list them. A
+    * crash mid-swap leaves the day recoverable by a single rename (the
+    * old files survive in `.dt=<dt>.replaced` until the new tree is in
+    * place — never a window where the day's only copy sits in an
+    * unlisted directory). The brief rename gap is still non-atomic for
+    * concurrent READERS — production object stores front this with a
     * manifest/table format; compact only days behind the ingest
     * watermark.
     *
@@ -171,9 +221,18 @@ object Events {
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-    fs.delete(dayPath, true)
-    if (!fs.rename(tmp, dayPath))
-      sys.error(s"rename $tmp -> $dayPath failed; data is in $tmp")
+    val backup = new org.apache.hadoop.fs.Path(root, s".dt=$dt.replaced")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(dayPath, backup))
+      sys.error(s"rename $dayPath -> $backup failed; day left untouched, " +
+        s"compacted data is in $tmp")
+    if (!fs.rename(tmp, dayPath)) {
+      val restored = fs.rename(backup, dayPath)
+      sys.error(s"rename $tmp -> $dayPath failed; " +
+        (if (restored) s"original day restored, compacted data is in $tmp"
+         else s"RECOVERY NEEDED: original day is in $backup, compacted data in $tmp"))
+    }
+    fs.delete(backup, true)
     parts.toLong
   }
 

@@ -109,12 +109,14 @@ object EventStreams extends Serializable {
     * its own (closed) day's directory as a new file instead of
     * rewriting anything — the append-only property that keeps per-day
     * compaction and pruned readers safe to run concurrently with
-    * ingest. */
+    * ingest. `dt` derives timezone-independently ([[graft.operators.Events.utcDt]])
+    * so the directories agree with the batch writer and the UTC range
+    * reader under any session timezone. */
   def ingestDayPartitioned(events: DataFrame, path: String,
                            checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("dt", graft.operators.Events.utcDt(col("ts")))
       .writeStream
       .format("parquet")
       .option("path", path)

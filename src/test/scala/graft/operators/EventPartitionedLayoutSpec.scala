@@ -61,6 +61,40 @@ class EventPartitionedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("dt derivation is session-timezone independent") {
+    // Under a non-UTC session, date_format(ts, ...) would shift day
+    // boundaries: an event at 2024-01-10T02:00Z formats as 2024-01-09 in
+    // America/Los_Angeles, so the written directories would disagree
+    // with loadRangePartitioned's hardcoded-UTC dt bounds and boundary
+    // rows would silently drop. utcDt derives the day arithmetically
+    // from epoch micros, so writer and reader agree under any zone.
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    val p = java.nio.file.Files.createTempDirectory("graft-daylayout-tz")
+      .toString + "/events_day"
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      Events.writeDayPartitioned(Events.load(spark, sfDir), p)
+      val viaLayout = Events.loadRangePartitioned(spark, p, fromUs, toUs)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      spark.conf.set(tzKey, saved)
+      val viaFile = Events.loadRange(spark, sfDir, fromUs, toUs)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(viaLayout == viaFile)
+      assert(viaLayout.nonEmpty)
+      val days = new java.io.File(p).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("dt="))
+      assert(days.length == 30, s"got ${days.toSeq.sorted}") // the UTC day set
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("timeRange rejects bounds whose nanos overflow Long") {
+    val ev = spark.range(1).selectExpr("id as ts") // LongType ts
+    intercept[ArithmeticException] {
+      Events.timeRange(ev.toDF(), Long.MaxValue / 100L, Long.MaxValue / 99L)
+    }
+  }
+
   test("dt bounds cover ragged ranges: mid-day from, mid-day to") {
     val f = fromUs + 7L * 3600 * 1000000 // 07:00 into the first day
     val t = toUs - 5L * 3600 * 1000000   // 19:00 into the last day

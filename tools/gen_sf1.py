@@ -84,7 +84,11 @@ replicate("lineitem",
 # Events.normalizeEventTime handles either, but the probe should measure
 # the same encoding the driver ships). duckdb COPY would rewrite it.
 ev = pq.read_table(f"{SRC}/events.parquet")
-assert ev.schema.field("ts").type in (pa.timestamp("ns"), pa.timestamp("us")), ev.schema
+# Accept every encoding Events.normalizeEventTime supports: bare ns/µs
+# (read as BIGINT-nanos / TIMESTAMP_NTZ) and tz-adjusted ns/µs (read as
+# TIMESTAMP) — a tz-annotated fixture drift should replicate, not crash.
+_ts = ev.schema.field("ts").type
+assert pa.types.is_timestamp(_ts) and _ts.unit in ("ns", "us"), ev.schema
 chunks = []
 for r in range(REPS):
     t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
