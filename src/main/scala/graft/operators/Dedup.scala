@@ -94,9 +94,16 @@ object Dedup {
     // qualify), and t > 1 makes the prefix length negative
     require(threshold > 0.0 && threshold <= 1.0,
             s"jaccard threshold must be in (0, 1], got $threshold")
-    val withSh = docs.select(
-      col(blockCol).as("block"), col(idCol).as("id"),
-      hashedShingles(col(textCol), n).as("sh"))
+    // respread BEFORE the shingle kernel: the exchange carries raw text
+    // (cheap), and shingling — the dominant map cost — then runs on every
+    // core instead of inside the corpus' single scan split; all three
+    // consumers below (both join sides, the verify fetch) share the one
+    // exchange (ReusedExchange)
+    val withSh = Spread.ensure(docs.select(
+        col(blockCol).as("block"), col(idCol).as("id"),
+        col(textCol).as("__t")))
+      .select(col("block"), col("id"),
+        hashedShingles(col("__t"), n).as("sh"))
     val prefixLen =
       (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
     val pref = withSh.select(col("block"), col("id"),
@@ -167,7 +174,10 @@ object Dedup {
                    idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // respread before the shingle + signature kernels (the dominant map
+    // cost), shared by the signature and verify branches
+    val base = Spread.ensure(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")))
     val sigs = base
       .select(col("id"), hashedShingles(col("__text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -344,12 +354,14 @@ object Dedup {
         "minHashLsh or simHashPairs for loose near-dup, or pass " +
         "allowLooseThreshold = true to force this operating point.")
     }
-    val base = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-                           col(textCol).as("t"),
-                           graft.functions.CharHistFunctions
-                             .charHist(col(textCol)).as("h"),
-                           (length(col(textCol)).cast("long") / maxDist)
-                             .cast("long").as("lb"))
+    // respread before the histogram kernel (see the join comment below)
+    val base = Spread.ensure(
+        docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+                    col(textCol).as("t")))
+      .select(col("block"), col("id"), col("t"),
+              graft.functions.CharHistFunctions.charHist(col("t")).as("h"),
+              (length(col("t")).cast("long") / maxDist)
+                .cast("long").as("lb"))
       .select(col("block"), col("id"), col("t"), col("h"),
               explode(array(col("lb"), col("lb") + 1)).as("bucket"))
     // lossless counting filter (1-gram, Gravano-style): one edit moves at
@@ -358,13 +370,18 @@ object Dedup {
     // INTERPRETED with per-row allocation and was itself the sf1
     // bottleneck on the ~50M-candidate join
     val l1 = graft.functions.CharHistFunctions.histL1(col("l.h"), col("r.h"))
+    // cheap-first conjunct order: id< / length-diff must short-circuit
+    // ahead of the O(alphabet) histogram kernel (conjuncts evaluate in
+    // written order — pushed-filter order put hist_l1 before id<,
+    // doubling its evals across pair orderings); base is pre-spread so
+    // collision checks and DP verifies use every core
     base.as("l")
       .join(base.as("r"),
         col("l.block") === col("r.block") &&
         col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .filter(abs(length(col("l.t")) - length(col("r.t"))) <= maxDist)
-      .filter(l1 <= 2L * maxDist)
+        col("l.id") < col("r.id") &&
+        abs(length(col("l.t")) - length(col("r.t"))) <= maxDist &&
+        l1 <= 2L * maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
               col("l.t").as("ta"), col("r.t").as("tb"))
       .dropDuplicates("id_a", "id_b")
@@ -494,8 +511,12 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
-    val fp = docs.select(col(idCol).as("id"),
-                         simhash64(col(textCol)).as("fp"))
+    // respread before the fingerprint kernel AND the chunk-collision
+    // expansion (n²/2¹⁷-scale candidates): neither may run in a single
+    // scan task
+    val fp = Spread.ensure(docs.select(col(idCol).as("id"),
+                                       col(textCol).as("__t")))
+      .select(col("id"), simhash64(col("__t")).as("fp"))
       .select(col("id"), col("fp"),
         posexplode(array((0 until 4).map { c =>
           shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))
@@ -531,7 +552,10 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
     import graft.functions.SimHashFunctions.simhash128
-    val fp = docs.select(col(idCol).as("id"), simhash128(col(textCol)).as("w"))
+    // respread before the fingerprint kernel, as in simHashPairs
+    val fp = Spread.ensure(docs.select(col(idCol).as("id"),
+                                       col(textCol).as("__t")))
+      .select(col("id"), simhash128(col("__t")).as("w"))
       .select(col("id"), col("w")(0).as("fp0"), col("w")(1).as("fp1"))
       .select(col("id"), col("fp0"), col("fp1"),
         posexplode(array((0 until 4).map { c =>
@@ -659,10 +683,14 @@ object Dedup {
     // instead of once per side (measured 2-3× on the pair stage at sf1),
     // and each cell's pairs are physically co-located, the layout the
     // scale story above promises
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalescing target, and the cell shuffle is tiny in BYTES while the
+    // within-cell pair expansion is the actual work — coalescing it to
+    // one partition single-threads the whole pair stage
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", nearestCentroids(col("v"), cents, 1)(0))
-      .repartition(col("cell"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism, col("cell"))
     assigned.as("l")
       .join(assigned.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
@@ -702,20 +730,27 @@ object Dedup {
         "(within-cell scoring) at corpus scale, pass a blockCol to bound the " +
         "self-join, or raise maxAllPairsRows after measuring.")
     }
+    // Probe side re-spread ([[Spread.ensure]]) — measured 10.4s → 0.8s
+    // at sf1, a single task versus the machine. The threshold rides the
+    // JOIN CONDITION (cheap id< conjunct first, short-circuiting half
+    // the kernel evals) so only surviving pairs materialize as output
+    // rows; the tiny survivor set re-computes cosine in the projection.
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val joined = blockCol match {
       case Some(bc) =>
         val e = embs.select(bc.as("block"), col(idCol).as("id"),
                             col(vecCol).as("vec"))
-        e.as("l").join(e.as("r"),
-          col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+        Spread.ensure(e).as("l").join(e.as("r"),
+          col("l.block") === col("r.block") && col("l.id") < col("r.id") &&
+            cosineSim(col("l.vec"), col("r.vec")) >= threshold)
       case None =>
-        base.as("l").join(broadcast(base.as("r")), col("l.id") < col("r.id"))
+        Spread.ensure(base).as("l").join(broadcast(base.as("r")),
+          col("l.id") < col("r.id") &&
+            cosineSim(col("l.vec"), col("r.vec")) >= threshold)
     }
     joined
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
               cosineSim(col("l.vec"), col("r.vec")).as("cosine"))
-      .filter(col("cosine") >= threshold)
   }
 
   /** Banded sign-LSH embedding near-dup pairs — the scale path for
@@ -769,7 +804,11 @@ object Dedup {
     // clock. The multiplicity is bounded by `bands`, concentrated on the
     // true near-dups, and collapsed AFTER the threshold filter where the
     // surviving set is the (tiny) answer itself.
-    val cand = bucketed.as("l")
+    // probe-side respread: (id, band, bucket) triples from a few-MB scan
+    // broadcast-join against themselves, so without the spread the whole
+    // candidate expansion AND both downstream vector fetches run in the
+    // scan's single task
+    val cand = Spread.ensure(bucketed).as("l")
       .join(bucketed.as("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))
@@ -785,12 +824,18 @@ object Dedup {
     // the deciding quantity is payload bytes × candidate multiplicity
     // through the widest operator, not payload size per row.
     val byId = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cand
+    val withA = cand
       .join(byId.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(byId.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // the verify rides the SECOND fetch's join condition: only pairs
+    // passing the threshold materialize with both vectors attached, so
+    // the widest operator's output is the answer set, not the candidate
+    // set (the survivor projection re-computes the tiny cosine column)
+    val fetchB = byId.select(col("id").as("id_b"), col("v").as("v_b"))
+    withA
+      .join(fetchB, withA("id_b") === fetchB("id_b") &&
+              cosineSim(col("v_a"), col("v_b")) >= threshold)
+      .select(withA("id_a"), withA("id_b"),
               cosineSim(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
 
