@@ -99,7 +99,7 @@ object Dedup {
     // core instead of inside the corpus' single scan split; all three
     // consumers below (both join sides, the verify fetch) share the one
     // exchange (ReusedExchange)
-    val withSh = Spread.ensure(docs.select(
+    val withSh = Parallelism.spreadToCores(docs.select(
         col(blockCol).as("block"), col(idCol).as("id"),
         col(textCol).as("__t")))
       .select(col("block"), col("id"),
@@ -176,7 +176,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // respread before the shingle + signature kernels (the dominant map
     // cost), shared by the signature and verify branches
-    val base = Spread.ensure(
+    val base = Parallelism.spreadToCores(
       docs.select(col(idCol).as("id"), col(textCol).as("__text")))
     val sigs = base
       .select(col("id"), hashedShingles(col("__text"), n).as("sh"))
@@ -261,9 +261,13 @@ object Dedup {
   def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-                explode(graft.functions.HashedShinglesFunctions
-                  .stringShingles(col(textCol), n)).as("span"))
+    // spreadToCores: span construction dominates (see below) and must
+    // scale with cores, not with the scan's split count
+    Parallelism.spreadToCores(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+              explode(graft.functions.HashedShinglesFunctions
+                .stringShingles(col("__t"), n)).as("span"))
       // Span construction is the fused StringShingles kernel (one pass,
       // no per-shingle lambda/slice allocations — the HOF formulation was
       // the dominant cost at sf0.1). Per-doc spans are distinct by
@@ -300,7 +304,7 @@ object Dedup {
     val benchSpans = benchmark
       .select(explode(stringShingles(col(textCol), n)).as("span"))
       .distinct()
-    val contaminated = docs
+    val contaminated = Parallelism.spreadToCores(docs)
       .select(col(idCol), explode(stringShingles(col(textCol), n)).as("span"))
       .join(benchSpans, "span")
       .select(col(idCol))
@@ -355,7 +359,7 @@ object Dedup {
         "allowLooseThreshold = true to force this operating point.")
     }
     // respread before the histogram kernel (see the join comment below)
-    val base = Spread.ensure(
+    val base = Parallelism.spreadToCores(
         docs.select(col(blockCol).as("block"), col(idCol).as("id"),
                     col(textCol).as("t")))
       .select(col("block"), col("id"), col("t"),
@@ -489,9 +493,10 @@ object Dedup {
     val benchSpans = benchmark
       .select(explode(stringShingles(col(textCol), n)).as("span"))
       .distinct()
-    val perDoc = docs.select(col(idCol),
+    val spreadDocs = Parallelism.spreadToCores(docs)
+    val perDoc = spreadDocs.select(col(idCol),
       size(stringShingles(col(textCol), n)).cast("long").as("n_spans"))
-    val hits = docs
+    val hits = spreadDocs
       .select(col(idCol), explode(stringShingles(col(textCol), n)).as("span"))
       .join(benchSpans, "span")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
@@ -514,7 +519,7 @@ object Dedup {
     // respread before the fingerprint kernel AND the chunk-collision
     // expansion (n²/2¹⁷-scale candidates): neither may run in a single
     // scan task
-    val fp = Spread.ensure(docs.select(col(idCol).as("id"),
+    val fp = Parallelism.spreadToCores(docs.select(col(idCol).as("id"),
                                        col(textCol).as("__t")))
       .select(col("id"), simhash64(col("__t")).as("fp"))
       .select(col("id"), col("fp"),
@@ -553,7 +558,7 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
     import graft.functions.SimHashFunctions.simhash128
     // respread before the fingerprint kernel, as in simHashPairs
-    val fp = Spread.ensure(docs.select(col(idCol).as("id"),
+    val fp = Parallelism.spreadToCores(docs.select(col(idCol).as("id"),
                                        col(textCol).as("__t")))
       .select(col("id"), simhash128(col("__t")).as("w"))
       .select(col("id"), col("w")(0).as("fp0"), col("w")(1).as("fp1"))
@@ -740,11 +745,11 @@ object Dedup {
       case Some(bc) =>
         val e = embs.select(bc.as("block"), col(idCol).as("id"),
                             col(vecCol).as("vec"))
-        Spread.ensure(e).as("l").join(e.as("r"),
+        Parallelism.spreadToCores(e).as("l").join(e.as("r"),
           col("l.block") === col("r.block") && col("l.id") < col("r.id") &&
             cosineSim(col("l.vec"), col("r.vec")) >= threshold)
       case None =>
-        Spread.ensure(base).as("l").join(broadcast(base.as("r")),
+        Parallelism.spreadToCores(base).as("l").join(broadcast(base.as("r")),
           col("l.id") < col("r.id") &&
             cosineSim(col("l.vec"), col("r.vec")) >= threshold)
     }
@@ -808,7 +813,7 @@ object Dedup {
     // broadcast-join against themselves, so without the spread the whole
     // candidate expansion AND both downstream vector fetches run in the
     // scan's single task
-    val cand = Spread.ensure(bucketed).as("l")
+    val cand = Parallelism.spreadToCores(bucketed).as("l")
       .join(bucketed.as("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.id") < col("r.id"))

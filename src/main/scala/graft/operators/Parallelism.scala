@@ -3,13 +3,25 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 /** Partitioning guard for CPU-bound per-row stages (codecs, scoring,
-  * DP kernels): their cost must scale with CORES, not with how few
-  * splits a compact input file happens to scan as (a single parquet
-  * file at local scale reads as 1-2 partitions, idling the rest of the
-  * machine through the expensive stage — measured 4.5× on the sf1 image
-  * decode). `spreadToCores` repartitions up to the cluster's default
-  * parallelism and NEVER shrinks an already-wide frame, so at real
-  * scale (scans already wider than the core count) it is a no-op. */
+  * DP kernels) AND for pair-expansion join probes (all-pairs cosine,
+  * LSH band buckets, simhash chunks, length-band levenshtein): their
+  * cost must scale with CORES, not with how few splits a compact input
+  * file happens to scan as (a single parquet file at local scale reads
+  * as 1-2 partitions, idling the rest of the machine through the
+  * expensive stage — measured 4.5× on the sf1 image decode and 7-13×
+  * on the sf1 pair-dedup family). AQE cannot fix the join case: its
+  * partition coalescing targets shuffle-READ bytes and is blind to
+  * join-OUTPUT expansion, so it happily merges a few-MB probe side back
+  * to one partition ahead of an O(n²/buckets) candidate loop.
+  * `spreadToCores` repartitions up to the cluster's default parallelism
+  * and NEVER shrinks an already-wide frame, so at real scale (scans
+  * already wider than the core count) it is a no-op and never inserts
+  * a corpus-wide shuffle where the layout is already parallel.
+  *
+  * NOT for stages whose output depends on partition merge order:
+  * global floating-point sums (corpusStats) and mergeable sketches with
+  * order-dependent state (Misra-Gries top-k) stay on their natural
+  * partitioning so results remain bit-reproducible against the oracle. */
 object Parallelism {
   def spreadToCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -246,10 +246,22 @@ object Sampling {
     // ReusedExchange variant was measured and did NOT collapse the two
     // scoring passes (the broadcast branch replans under AQE), so the
     // simpler shape stays.
+    // coalesce marks the quality join key NON-NULLABLE: the
+    // offsets-join otherwise implies isnotnull(quality), which Catalyst
+    // pushes through the respread exchange down to the scan — re-running
+    // the whole regex scorer on the scan's single split before the
+    // spread can help (measured: the pushed null-check alone was ~2/3 of
+    // the operator's sf1 wall clock). With the key non-nullable the
+    // null-check folds to true and the scorer runs only post-spread.
+    // Semantics: a null text scores 0 and sorts last (the fixture has
+    // none; previously such rows silently dropped at the join).
+    // n_tokens from the same fused stats struct the quality column uses:
+    // canonically-equal kernel calls, so codegen CSE runs the text scan
+    // once per row
     val scored = Parallelism.spreadToCores(docs).select(
       col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.qualityColumn(col(textCol)).as("quality"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      coalesce(TextAnalysis.qualityColumn(col(textCol)), lit(0.0)).as("quality"),
+      TextAnalysis.qualityStats(col(textCol)).getField("n_tokens").as("n_tokens"))
     val wq = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = scored.groupBy("quality")

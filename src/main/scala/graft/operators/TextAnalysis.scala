@@ -29,7 +29,10 @@ object TextAnalysis {
     * Output: doc_id, n_chars, ws_tokens, bpe_ish_tokens, est_tokens. */
   def tokenStats(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame =
-    docs.select(
+    // spreadToCores before the regex/tokenize kernels (here and in every
+    // per-row scorer below): per-row deterministic, so safe at any
+    // partitioning, and the kernel cost then scales with cores
+    Parallelism.spreadToCores(docs).select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),
       size(tokens(col(textCol))).cast("long").as("ws_tokens"),
@@ -44,10 +47,49 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(lit(words.toArray), t)))
 
+  /** The integer quality inputs via the fused single-pass
+    * [[graft.functions.TextQualityStats]] kernel — the HOF formulation
+    * re-tokenized the text once per referencing sub-expression (five
+    * times per row: codegen CSE skips lambda-bearing HOFs), which was
+    * the measured map-side cost of every quality-scored operator. */
+  private[graft] def qualityStats(textCol: Column): Column =
+    graft.functions.TextQualityStatsFunctions
+      .qualityStats(textCol, EnglishStopwords)
+
+  /** (n_tokens double, stop_ratio, punct_ratio) from the stats struct —
+    * the identical double arithmetic (same casts, same op order) as the
+    * HOF formulation, so scores are bit-identical ([[qualityColumnHof]]
+    * is spec-pinned against this). */
+  private def qualityParts(st: Column): (Column, Column, Column) = {
+    val nTokens = st.getField("n_tokens").cast("double")
+    val stopRatio = when(nTokens === 0d, 0d)
+      .otherwise(st.getField("stop_hits").cast("double") / nTokens)
+    val punctRatio = when(st.getField("n_chars") === 0, 0d)
+      .otherwise(st.getField("punct_chars").cast("double") /
+                 st.getField("n_chars").cast("double"))
+    (nTokens, stopRatio, punctRatio)
+  }
+
+  private def qualityFromParts(nTokens: Column, stopRatio: Column,
+                               punctRatio: Column): Column = {
+    val lenScore = least(lit(1.0), nTokens / lit(100.0))
+    val stopScore = least(lit(1.0), stopRatio * lit(5.0))
+    round(lit(0.4) * lenScore + lit(0.4) * stopScore +
+          lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
   /** The quality heuristic as a single appendable column (streaming- and
     * join-free): 0.4·length-score + 0.4·stopword-score + 0.2·(1 −
-    * punct-ratio), rounded to 6. */
+    * punct-ratio), rounded to 6. One fused kernel pass per row. */
   def qualityColumn(textCol: Column): Column = {
+    val (nTokens, stopRatio, punctRatio) = qualityParts(qualityStats(textCol))
+    qualityFromParts(nTokens, stopRatio, punctRatio)
+  }
+
+  /** The pre-kernel HOF formulation — kept as the equality anchor
+    * (QualityKernelSpec pins bit-identity on the fixture and on
+    * adversarial strings). */
+  private[graft] def qualityColumnHof(textCol: Column): Column = {
     val toks = tokens(textCol)
     val nTokens = size(toks).cast("double")
     val stopRatio = when(nTokens === 0d, 0d)
@@ -68,23 +110,14 @@ object TextAnalysis {
     * (length saturates at 100 tokens; stopword ratio saturates at 20%). */
   def qualityScore(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTokens = size(toks).cast("double")
-    val stopRatio = when(nTokens === 0d, 0d)
-      .otherwise(stopwordCount(toks, EnglishStopwords).cast("double") / nTokens)
-    val punct = length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))
-    val punctRatio = when(length(col(textCol)) === 0, 0d)
-      .otherwise(punct.cast("double") / length(col(textCol)).cast("double"))
-    val lenScore = least(lit(1.0), nTokens / lit(100.0))
-    val stopScore = least(lit(1.0), stopRatio * lit(5.0))
-    docs.select(
+    val st = qualityStats(col(textCol))
+    val (nTokens, stopRatio, punctRatio) = qualityParts(st)
+    Parallelism.spreadToCores(docs).select(
       col(idCol),
-      size(toks).cast("long").as("n_tokens"),
+      st.getField("n_tokens").as("n_tokens"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(lit(0.4) * lenScore + lit(0.4) * stopScore +
-            lit(0.2) * (lit(1.0) - punctRatio), 6).as("quality"))
+      qualityFromParts(nTokens, stopRatio, punctRatio).as("quality"))
   }
 
   /** Gopher-style quality-rule evaluation (Rae et al. 2021 §A1.1 shape):
@@ -120,7 +153,7 @@ object TextAnalysis {
     val dupBiFrac = when(nBi === 0L, 0d).otherwise(
       (nBi - size(array_distinct(bigrams))).cast("double") / nBi.cast("double"))
 
-    val out = docs.select(
+    val out = Parallelism.spreadToCores(docs).select(
       col(idCol),
       nWords.as("n_words"),
       round(meanLen, 4).as("mean_word_len"),
@@ -159,8 +192,9 @@ object TextAnalysis {
     val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lang).otherwise(acc)
     }
-    docs.select(col(idCol) +: pred.as("lang_pred") +:
-                scores.map { case (l, s) => s.as(s"score_$l") }: _*)
+    Parallelism.spreadToCores(docs)
+      .select(col(idCol) +: pred.as("lang_pred") +:
+              scores.map { case (l, s) => s.as(s"score_$l") }: _*)
   }
 
   /** PII scrubbing patterns (ASCII regex — identical under java.util.regex
@@ -178,7 +212,7 @@ object TextAnalysis {
   /** Content fingerprints: exact md5 plus the rolling polynomial hash. */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
-    docs.select(
+    Parallelism.spreadToCores(docs).select(
       col(idCol),
       md5(col(textCol)).as("md5_fp"),
       rollingHash(col(textCol)).as("rolling_fp"))
@@ -231,7 +265,8 @@ object TextAnalysis {
   def topTokens(docs: DataFrame, k: Int = 10, groupCol: String = "source",
                 textCol: String = "text"): DataFrame = {
     val topk = udaf(new TopTokensAgg(k))
-    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    Parallelism.spreadToCores(docs)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col(groupCol))
@@ -330,7 +365,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("n").desc, col("token").asc)
-    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    Parallelism.spreadToCores(docs)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -365,8 +401,9 @@ object TextAnalysis {
     * as a broadcast single row, and a per-document aggregate. */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
-    val terms = docs.select(col(idCol).cast("long").as("doc_id"),
-                            explode(tokens(col(textCol))).as("token"))
+    val terms = Parallelism.spreadToCores(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+              explode(tokens(col(textCol))).as("token"))
     val cnt = terms.groupBy("token").agg(count(lit(1)).as("c"))
     val total = cnt.agg(sum("c").as("total"))
     terms.join(cnt, "token")
@@ -395,8 +432,9 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame, k: Int = 5, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col(idCol).cast("long").as("doc_id"),
-                            explode(tokens(col(textCol))).as("token"))
+    val terms = Parallelism.spreadToCores(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+              explode(tokens(col(textCol))).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
