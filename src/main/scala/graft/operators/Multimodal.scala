@@ -83,6 +83,8 @@ object Multimodal {
                   col("source")))
       .as[(Long, Long, String)]
       .mapPartitions { it =>
+        // no temp-file round-trip per encoded image (see decodeImages)
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, nChars, source) =>
             val w = plantedWidth(nChars)
@@ -114,16 +116,51 @@ object Multimodal {
     * the decoded raster, md5 of the payload as the content identity.
     * Micro-batched `mapPartitions` (the shape a native/GPU codec would
     * decode per batch). Fails loudly on an undecodable payload rather
-    * than inventing metadata. */
+    * than inventing metadata.
+    *
+    * Codec discipline (the part that matters at 10⁹ images): the
+    * ImageIO DISK cache is off (its default wraps every input stream in
+    * a temp FILE — one filesystem round-trip per image), and the
+    * PNG/JPEG readers are instantiated once per task and re-used,
+    * dispatched on the container magic bytes — `ImageIO.read` re-scans
+    * the reader registry per call. Unknown containers fall back to the
+    * registry path, so the accepted format set is unchanged. */
   def decodeImages(media: Dataset[MediaRecord],
                    batchSize: Int = 64): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def readerFor(fmt: String) = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (rs.hasNext) Some(rs.next()) else None
+      }
+      val pngReader = readerFor("png")
+      val jpgReader = readerFor("jpeg")
+      def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+        val reader =
+          if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+              payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+            pngReader
+          else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+                   (payload(1) & 0xff) == 0xd8)
+            jpgReader
+          else None
+        reader match {
+          case Some(rd) =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              rd.setInput(iis, true, true)
+              rd.read(0)
+            } finally iis.close()
+          case None =>
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        }
+      }
       it.grouped(batchSize).flatMap { batch =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+          val img = decode(r.payload)
           if (img == null)
             throw new IllegalArgumentException(
               s"media ${r.media_id}: payload is not a decodable image " +

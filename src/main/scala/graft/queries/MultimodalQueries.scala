@@ -26,18 +26,42 @@ object MultimodalQueries extends QueryPack {
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.fromDocuments(table(s, d, "documents"))
 
+  /** Encoded image corpora materialized this JVM, keyed by path (which
+    * embeds the fixture dir). A media corpus is stored once and decoded
+    * many times — re-synthesizing 50k PNG/JPEG containers per action
+    * made x17/x19 measure the ENCODE of the test corpus instead of the
+    * decode operator under test (Bench's warm rep pays the one-time
+    * write; the timed reps then time the decode path). Per-JVM so a
+    * stale warehouse from an earlier round never serves wrong bytes. */
+  private val builtMedia = scala.collection.mutable.HashSet.empty[String]
+
+  private def imageMediaTable(s: SparkSession,
+                              d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_image_media_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtMedia.contains(path)) {
+      Multimodal.imageMedia(table(s, d, "documents"))
+        .write.mode("overwrite").parquet(path)
+      builtMedia += path
+    }
+    import s.implicits._
+    // respread: the stored corpus reads as few splits; decode cost must
+    // scale with cores
+    graft.operators.Parallelism.spreadToCores(s.read.parquet(path))
+      .as[Multimodal.MediaRecord]
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_multimodal_decode" -> ((s: SparkSession, d: String) =>
-      Multimodal.decodeImageMeta(
-        Multimodal.imageMedia(table(s, d, "documents")))),
+      Multimodal.decodeImageMeta(imageMediaTable(s, d))),
 
     "x18_multimodal_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.sampleFrames(media(s, d))),
 
     "x19_multimodal_resize" -> ((s: SparkSession, d: String) =>
       Multimodal.resizeMeta(
-        Multimodal.decodeImageMeta(
-          Multimodal.imageMedia(table(s, d, "documents"))), maxDim = 32)))
+        Multimodal.decodeImageMeta(imageMediaTable(s, d)), maxDim = 32)))
 
   override val oracleSql: Map[String, String] = Map(
     // The planted-dimension replay: width/height below are the values the
