@@ -692,8 +692,8 @@ object Dedup {
     // coalescing target, and the cell shuffle is tiny in BYTES while the
     // within-cell pair expansion is the actual work — coalescing it to
     // one partition single-threads the whole pair stage
-    val assigned = embs
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned = Parallelism.spreadToCores(
+        embs.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("cell", nearestCentroids(col("v"), cents, 1)(0))
       .repartition(embs.sparkSession.sparkContext.defaultParallelism, col("cell"))
     assigned.as("l")

@@ -18,10 +18,14 @@ import org.apache.spark.sql.DataFrame
   * already wider than the core count) it is a no-op and never inserts
   * a corpus-wide shuffle where the layout is already parallel.
   *
-  * NOT for stages whose output depends on partition merge order:
-  * global floating-point sums (corpusStats) and mergeable sketches with
-  * order-dependent state (Misra-Gries top-k) stay on their natural
-  * partitioning so results remain bit-reproducible against the oracle. */
+  * NOT for stages whose OUTPUT depends on partition merge order —
+  * genuine floating-point reductions whose partials are non-integer.
+  * Two lookalikes are actually safe and spread: integer-valued double
+  * sums (exact in double below 2^53 at any merge order, e.g.
+  * corpusStats' length average) and the Misra-Gries candidate sketch
+  * (order-dependent STATE, but the exact-count re-rank makes the
+  * output invariant whenever the top-k clear the heaviness bound the
+  * operator contract asserts). */
 object Parallelism {
   def spreadToCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -188,9 +188,13 @@ object Similarity {
                       iters: Int = 2,
                       vecCol: String = "embedding"): Array[Array[Float]] = {
     import graft.functions.SketchFunctions.nearestCentroids
+    // spread: each iteration's argmax-cosine assignment is n·k·dim
+    // kernel work; the quantized integer sums make the result identical
+    // under any partitioning BY DESIGN, so parallelism is free here
+    val wide = Parallelism.spreadToCores(corpus)
     var cents = seeds
     for (_ <- 0 until iters) {
-      val sums = corpus
+      val sums = wide
         .select(col(vecCol).as("v"),
                 nearestCentroids(col(vecCol), cents, 1)(0).as("cell"))
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))

@@ -334,7 +334,15 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     val mg = udaf(new MisraGriesAgg(capacity))
     val topk = udaf(new TopTokensAgg(k))
-    val toks = docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    // spread is output-safe here despite the merge-order-dependent
+    // sketch state: the sketch only PROPOSES candidates, counts are
+    // exact, and every token above the N/(capacity+1) heaviness bound
+    // survives any merge order — so whenever the true top-k are heavy
+    // (the operating contract, asserted by the oracle's
+    // heavy_guaranteed column) the ranked output is identical under any
+    // partitioning; extra light candidates can only rank below
+    val toks = Parallelism.spreadToCores(docs)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
     val sketches = toks.groupBy(col(groupCol))
       .agg(mg(col("token")).as("sk"), count(lit(1)).as("n_total"))
     val candidates = sketches
@@ -380,7 +388,11 @@ object TextAnalysis {
   def corpusStats(docs: DataFrame, groupCol: String = "source",
                   textCol: String = "text"): DataFrame = {
     import graft.functions.HashedShinglesFunctions.tokenCount
-    docs.groupBy(col(groupCol))
+    // spread is determinism-safe: both aggregates are integer-valued
+    // (long sum; avg's double buffer sums integer lengths, and integer
+    // sums below 2^53 are exact in double at ANY merge order, so the
+    // single final division is bit-stable under any partitioning)
+    Parallelism.spreadToCores(docs).groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
            sum(tokenCount(col(textCol))).as("total_tokens"),
            round(avg(length(col(textCol))), 4).as("avg_chars"))
