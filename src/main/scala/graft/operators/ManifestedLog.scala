@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-backed day-partitioned event log — the table-format answer
+  * to [[Events.compactDay]]'s documented rename window (cf. the public
+  * Iceberg/Delta designs: immutable data directories + an atomic
+  * pointer).
+  *
+  * Layout:
+  * {{{
+  *   <root>/manifest-000000001.txt      # newest version wins
+  *   <root>/dt=2024-01-10.v1/ ...       # immutable once referenced
+  *   <root>/dt=2024-01-10.v2/ ...       # compaction writes a NEW dir
+  * }}}
+  *
+  * Invariants that make every operation crash-safe and reader-safe:
+  *  - data directories are IMMUTABLE once a manifest references them;
+  *    compaction writes a fresh `dt=<day>.v<n+1>` directory and never
+  *    touches the old one;
+  *  - the only mutation is publishing the next manifest file, and that
+  *    is write-tmp → rename-to-new-name — atomic on HDFS and local
+  *    filesystems (the target never exists, so no delete window);
+  *  - readers resolve the newest manifest ONCE per query and then read
+  *    only directories it lists: a concurrent compaction publishes a
+  *    new manifest without disturbing the directories an in-flight
+  *    reader already resolved;
+  *  - a crash anywhere before the manifest rename leaves the table
+  *    exactly as it was — the half-written `.v<n+1>` directory is
+  *    unreferenced garbage for [[vacuum]].
+  *
+  * The manifest format is deliberately trivial (header line + one
+  * `day<TAB>dirname` line per day): zero parsing dependencies, diffable,
+  * and the version number lives in the FILENAME so "newest" needs no
+  * file reads. At 100 TB the per-day granularity keeps the manifest at
+  * O(days) lines, not O(files) — file enumeration stays inside each
+  * day's directory listing, which [[loadRange]] only does for days that
+  * survive pruning.
+  */
+object ManifestedLog {
+
+  private val Header = "graft-event-log-manifest-v1"
+  private val ManifestRe = "manifest-(\\d{9})\\.txt".r
+
+  private def fs(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, day → data-dir name) of the newest manifest. */
+  def readManifest(spark: SparkSession, path: String): (Long, Map[String, String]) = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val newest = f.listStatus(root).map(_.getPath.getName).collect {
+      case name @ ManifestRe(v) => (v.toLong, name)
+    }.sortBy(_._1).lastOption.getOrElse(
+      sys.error(s"no manifest under $path — not a manifested event log"))
+    val in = f.open(new Path(root, newest._2))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toList
+    require(lines.headOption.contains(Header),
+      s"${newest._2} is not a $Header file")
+    val days = lines.drop(1).filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(day, dir) => day -> dir
+        case _ => sys.error(s"malformed manifest line in ${newest._2}: '$l'")
+      }
+    }.toMap
+    (newest._1, days)
+  }
+
+  /** Publish `days` as manifest version `version` — atomic: the content
+    * lands under a dot-tmp name and renames to a path that never
+    * existed. Returns false (no overwrite) if `version` was already
+    * published by a racing writer. */
+  private def publish(spark: SparkSession, path: String, version: Long,
+                      days: Map[String, String]): Unit = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val target = new Path(root, f"manifest-$version%09d.txt")
+    if (f.exists(target)) sys.error(
+      s"manifest version $version already exists under $path " +
+        "(concurrent compaction?) — re-read and retry")
+    val tmp = new Path(root, s".manifest-$version.tmp")
+    val out = f.create(tmp, true)
+    try out.write((Header +: days.toSeq.sortBy(_._1).map { case (d, dir) =>
+      s"$d\t$dir"
+    }).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target))
+      sys.error(s"publishing $target failed; tmp content is in $tmp")
+  }
+
+  /** Initialize the table: one `dt=<day>.v1` directory per UTC day plus
+    * manifest version 1. Same shuffle-free sorted write as
+    * [[Events.writeDayPartitioned]] (files ascend by ts → tight row
+    * groups), then the flat partition tree is renamed into versioned
+    * day directories before the first manifest publishes — readers can
+    * never observe a half-built table. */
+  def write(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val staging = new Path(root, ".staging-v1")
+    events
+      .withColumn("dt", Events.utcDt(col("ts")))
+      .sortWithinPartitions(col("dt"), col("ts"))
+      .write.mode("overwrite").partitionBy("dt").parquet(staging.toString)
+    val days = f.listStatus(staging).map(_.getPath.getName)
+      .filter(_.startsWith("dt=")).sorted
+    val mapping = days.map { dirName =>
+      val day = dirName.stripPrefix("dt=")
+      val target = new Path(root, s"dt=$day.v1")
+      if (f.exists(target)) f.delete(target, true)
+      if (!f.rename(new Path(staging, dirName), target))
+        sys.error(s"staging rename failed for $dirName")
+      day -> s"dt=$day.v1"
+    }.toMap
+    f.delete(staging, true)
+    publish(spark, path, 1L, mapping)
+  }
+
+  /** Range read `[fromUs, toUs)`: day pruning happens against the
+    * MANIFEST (no directory listing outside qualifying days), then the
+    * native-type pushed predicate prunes row groups within them. */
+  def loadRange(spark: SparkSession, path: String,
+                fromUs: Long, toUs: Long): DataFrame = {
+    val (_, days) = readManifest(spark, path)
+    val fromDt = Events.usLocalDateTime(fromUs).toLocalDate.toString
+    val toDt   = Events.usLocalDateTime(toUs - 1L).toLocalDate.toString
+    val dirs = days.toSeq
+      .filter { case (d, _) => d >= fromDt && d <= toDt }
+      .sortBy(_._1)
+      .map { case (_, dir) => new Path(new Path(path), dir).toString }
+    if (dirs.isEmpty) {
+      // preserve the schema without reading data: scan any one day, keep 0 rows
+      val any = days.toSeq.sortBy(_._1).headOption.getOrElse(
+        sys.error(s"manifested log at $path lists no days"))
+      return Events.normalizeEventTime(
+        spark.read.parquet(new Path(new Path(path), any._2).toString).limit(0))
+    }
+    Events.normalizeEventTime(
+      Events.timeRange(spark.read.parquet(dirs: _*), fromUs, toUs))
+  }
+
+  /** Full-table read (all days of the newest manifest). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val (_, days) = readManifest(spark, path)
+    val dirs = days.toSeq.sortBy(_._1)
+      .map { case (_, dir) => new Path(new Path(path), dir).toString }
+    require(dirs.nonEmpty, s"manifested log at $path lists no days")
+    Events.normalizeEventTime(spark.read.parquet(dirs: _*))
+  }
+
+  /** Compact one day into ~targetBytes ts-range-tiled files, then flip
+    * the manifest. The old version directory is untouched (in-flight
+    * readers keep a consistent view); [[vacuum]] reclaims it. Returns
+    * the new file count. */
+  def compactDay(spark: SparkSession, path: String, dt: String,
+                 targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (version, days) = readManifest(spark, path)
+    val currentDir = days.getOrElse(dt,
+      sys.error(s"day $dt is not in the manifest of $path"))
+    val curVersion = currentDir.substring(currentDir.lastIndexOf(".v") + 2).toLong
+    val nextDir = s"dt=$dt.v${curVersion + 1}"
+    val target = new Path(root, nextDir)
+    if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+    val dayPath = new Path(root, currentDir)
+    val totalBytes = f.getContentSummary(dayPath).getLength
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dayPath.toString)
+      .repartitionByRange(parts, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+    publish(spark, path, version + 1, days.updated(dt, nextDir))
+    parts.toLong
+  }
+
+  /** Delete data directories the NEWEST manifest no longer references,
+    * and manifests older than it. Run behind the longest reader you
+    * care about (the standard table-format retention trade; a reader
+    * that resolved an older manifest loses its directories once vacuum
+    * passes). Returns the number of paths removed. */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (version, days) = readManifest(spark, path)
+    val live = days.values.toSet
+    var removed = 0L
+    f.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case ManifestRe(v) if v.toLong < version =>
+          f.delete(st.getPath, false); removed += 1
+        case _ if name.startsWith("dt=") && !live.contains(name) =>
+          f.delete(st.getPath, true); removed += 1
+        case _ if name.startsWith(".") => // tmp/staging leftovers
+          f.delete(st.getPath, true); removed += 1
+        case _ => ()
+      }
+    }
+    removed
+  }
+}

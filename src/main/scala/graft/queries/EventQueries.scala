@@ -29,6 +29,22 @@ object EventQueries extends QueryPack {
     path
   }
 
+  /** Manifested twin of [[dayLayout]]: built once per JVM per fixture,
+    * then one day compacted and vacuumed so the read path runs against
+    * a post-maintenance table (the steady state of a real log). */
+  private def manifestLayout(s: SparkSession, sfDir: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_manifest_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtLayouts.contains(path)) {
+      graft.operators.ManifestedLog.write(Events.load(s, sfDir), path)
+      graft.operators.ManifestedLog.compactDay(s, path, "2024-01-10")
+      graft.operators.ManifestedLog.vacuum(s, path)
+      builtLayouts += path
+    }
+    path
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x14_event_tumbling" -> ((s: SparkSession, d: String) =>
       Events.tumblingCounts(Events.load(s, d))),
@@ -126,6 +142,18 @@ object EventQueries extends QueryPack {
     // measure the READ path, which is the number that matters at 100 TB.
     "x66_event_partitioned_range" -> ((s: SparkSession, d: String) =>
       Events.loadRangePartitioned(s, dayLayout(s, d),
+          fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
+          toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Manifest-backed log (immutable versioned day dirs + atomic
+    // manifest pointer — the table-format layout whose compaction never
+    // disturbs readers, ManifestedLogSpec): same range, day pruning
+    // against the manifest, then the pushed ts predicate. The table
+    // builds once per JVM and is compacted+vacuumed before reading, so
+    // the timed path exercises the post-compaction read.
+    "x67_event_manifest_range" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.loadRange(s, manifestLayout(s, d),
           fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
           toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
@@ -257,6 +285,12 @@ object EventQueries extends QueryPack {
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "x66_event_partitioned_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "x67_event_manifest_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Manifest-backed day-partitioned log: immutable versioned day
+  * directories + an atomic manifest pointer — the table-format shape
+  * that closes compactDay's delete/rename windows. */
+class ManifestedLogSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val fromUs = 1704844800000000L // 2024-01-10T00:00:00Z
+  private val toUs   = 1705708800000000L // 2024-01-20T00:00:00Z
+
+  private def freshTable(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest")
+      .toString + "/events_log"
+    ManifestedLog.write(Events.load(spark, sfDir), p)
+    p
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
+
+  test("write publishes v1 day dirs + manifest; range read equals the file scan") {
+    val p = freshTable()
+    val (version, days) = ManifestedLog.readManifest(spark, p)
+    assert(version == 1L)
+    assert(days.size == 30 && days.values.forall(_.endsWith(".v1")))
+    val viaManifest = ids(ManifestedLog.loadRange(spark, p, fromUs, toUs))
+    val viaFile = ids(Events.loadRange(spark, sfDir, fromUs, toUs))
+    assert(viaManifest == viaFile && viaManifest.nonEmpty)
+  }
+
+  test("compactDay flips the manifest, preserves rows, leaves the old version") {
+    val p = freshTable()
+    val before = ids(ManifestedLog.load(spark, p))
+    val n = ManifestedLog.compactDay(spark, p, "2024-01-10")
+    assert(n >= 1L)
+    val (version, days) = ManifestedLog.readManifest(spark, p)
+    assert(version == 2L)
+    assert(days("2024-01-10") == "dt=2024-01-10.v2")
+    assert(days.count(_._2.endsWith(".v1")) == 29)
+    // old version dir still on disk: in-flight readers keep their view
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(p, "dt=2024-01-10.v1")))
+    assert(ids(ManifestedLog.load(spark, p)) == before)
+  }
+
+  test("a reader resolved before compaction is undisturbed by it") {
+    val p = freshTable()
+    // resolve the day dirs under manifest v1 the way loadRange does
+    val (_, daysV1) = ManifestedLog.readManifest(spark, p)
+    val oldDir = new Path(new Path(p), daysV1("2024-01-10")).toString
+    val oldRows = spark.read.parquet(oldDir).count()
+    ManifestedLog.compactDay(spark, p, "2024-01-10")
+    // the directory the old reader resolved still reads in full
+    assert(spark.read.parquet(oldDir).count() == oldRows)
+  }
+
+  test("a crash before manifest publish leaves the table unchanged") {
+    val p = freshTable()
+    val before = ManifestedLog.readManifest(spark, p)
+    // simulate the crash remnant: a half-written next-version dir that
+    // no manifest references
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(p, "dt=2024-01-10.v2"))
+    assert(ManifestedLog.readManifest(spark, p) == before)
+    val viaManifest = ids(ManifestedLog.loadRange(spark, p, fromUs, toUs))
+    assert(viaManifest == ids(Events.loadRange(spark, sfDir, fromUs, toUs)))
+    // vacuum reclaims the orphan
+    assert(ManifestedLog.vacuum(spark, p) >= 1L)
+    assert(!fs.exists(new Path(p, "dt=2024-01-10.v2")))
+  }
+
+  test("vacuum removes superseded versions and old manifests, keeps data") {
+    val p = freshTable()
+    ManifestedLog.compactDay(spark, p, "2024-01-10")
+    ManifestedLog.compactDay(spark, p, "2024-01-11")
+    val before = ids(ManifestedLog.load(spark, p))
+    val removed = ManifestedLog.vacuum(spark, p)
+    assert(removed >= 4L) // 2 old day dirs + 2 old manifests
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(p, "dt=2024-01-10.v1")))
+    assert(!fs.exists(new Path(p, "dt=2024-01-11.v1")))
+    assert(ids(ManifestedLog.load(spark, p)) == before)
+  }
+
+  test("compaction collapses files and keeps in-day rows identical") {
+    val p = freshTable()
+    val day = "2024-01-12"
+    val (_, days) = ManifestedLog.readManifest(spark, p)
+    val oldDir = new Path(new Path(p), days(day))
+    val fs = oldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRows = spark.read.parquet(oldDir.toString).count()
+    ManifestedLog.compactDay(spark, p, day)
+    val (_, days2) = ManifestedLog.readManifest(spark, p)
+    val newDir = new Path(new Path(p), days2(day))
+    val newFiles = fs.listStatus(newDir)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(newFiles == 1) // tiny day: one ~targetBytes file
+    assert(spark.read.parquet(newDir.toString).count() == oldRows)
+  }
+
+  test("manifest range pruning reads only qualifying day directories") {
+    val p = freshTable()
+    // a one-day range must produce a plan over exactly one directory
+    val oneDay = ManifestedLog.loadRange(spark, p,
+      fromUs, fromUs + 86400000000L)
+    val scan = oneDay.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse(fail())
+    assert(scan.contains("dt=2024-01-10.v1"))
+    assert(!scan.contains("dt=2024-01-11"))
+  }
+}
