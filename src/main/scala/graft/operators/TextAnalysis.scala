@@ -227,14 +227,15 @@ object TextAnalysis {
     * vocabulary co-located (a window-rank formulation puts every
     * (group, token) row of a group in ONE partition — fine until a group's
     * vocabulary is web-scale). */
+  // Tie-break must be UTF-8 *byte* order (Spark/DuckDB binary collation),
+  // not Java's UTF-16 code-unit order — they differ for supplementary
+  // (non-BMP) characters, where UTF-16 surrogates sort below U+E000..FFFF.
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   final class TopTokensAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[TokenFreq, TokenTopBuf, TokenTopBuf] {
-    // Tie-break must be UTF-8 *byte* order (Spark/DuckDB binary collation),
-    // not Java's UTF-16 code-unit order — they differ for supplementary
-    // (non-BMP) characters, where UTF-16 surrogates sort below U+E000..FFFF.
-    private def utf8Lt(a: String, b: String): Boolean =
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     private def better(a: TokenFreq, b: TokenFreq): Boolean =
       a.n > b.n || (a.n == b.n && utf8Lt(a.token, b.token))
     private def insert(buf: List[TokenFreq], t: TokenFreq): List[TokenFreq] = {
@@ -443,22 +444,79 @@ object TextAnalysis {
     * driver. */
   def tfIdf(docs: DataFrame, k: Int = 5, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val scored = tfIdfScored(docs, textCol, idCol)
+    // per-doc top-k via the partial aggregator, NOT a window rank: the
+    // window shuffles every (doc, term) row to its doc partition and
+    // SORTS whole partitions; the aggregator's map-side partials emit at
+    // most k entries per (doc, partition) and the (score desc, token
+    // asc) order is total (scores pre-rounded), so the result row set is
+    // identical to the window formulation (spec-pinned)
+    val topk = udaf(new TfIdfTopKAgg(k))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(topk(col("token"), col("tf"), col("df"), col("tf_idf")).as("top"))
+      .select(col("doc_id"), posexplode(col("top.items")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("t.token").as("token"), col("t.tf").as("tf"),
+              col("t.df").as("df"), col("t.tf_idf").as("tf_idf"))
+  }
+
+  /** Shared scoring stage: (doc_id, token, tf, df, tf_idf-rounded-6). */
+  private def tfIdfScored(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
     val terms = Parallelism.spreadToCores(docs)
       .select(col(idCol).cast("long").as("doc_id"),
               explode(tokens(col(textCol))).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf_idf").desc, col("token").asc)
     tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("tf_idf",
         round(col("tf") * log(col("n_docs") / col("df")), 6))
+  }
+
+  /** The window-rank formulation — kept as the equality anchor for the
+    * aggregator path (same total order, so identical rows). */
+  private[graft] def tfIdfWindow(docs: DataFrame, k: Int = 5,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf_idf").desc, col("token").asc)
+    tfIdfScored(docs, textCol, idCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"),
               col("tf"), col("df"), col("tf_idf"))
+  }
+
+  final case class TfIdfEntry(token: String, tf: Long, df: Long, tf_idf: Double)
+  final case class TfIdfTopBuf(items: List[TfIdfEntry])
+
+  /** Map-side partial per-doc top-k over scored terms, ordered by
+    * (tf_idf desc, token asc) — [[TopTokensAgg]]'s shape for the TF-IDF
+    * record. The order is total because scores are pre-rounded and the
+    * token tie-break is byte order. */
+  final class TfIdfTopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TfIdfEntry, TfIdfTopBuf, TfIdfTopBuf] {
+    private def better(a: TfIdfEntry, b: TfIdfEntry): Boolean =
+      a.tf_idf > b.tf_idf || (a.tf_idf == b.tf_idf && utf8Lt(a.token, b.token))
+    private def insert(buf: List[TfIdfEntry], t: TfIdfEntry): List[TfIdfEntry] = {
+      val (pre, post) = buf.span(better(_, t))
+      val merged = pre ::: (t :: post)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: TfIdfTopBuf = TfIdfTopBuf(Nil)
+    override def reduce(b: TfIdfTopBuf, a: TfIdfEntry): TfIdfTopBuf =
+      if (b.items.length >= k && !better(a, b.items.last)) b
+      else TfIdfTopBuf(insert(b.items, a))
+    override def merge(b1: TfIdfTopBuf, b2: TfIdfTopBuf): TfIdfTopBuf =
+      TfIdfTopBuf(b2.items.foldLeft(b1.items)(insert))
+    override def finish(r: TfIdfTopBuf): TfIdfTopBuf = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TfIdfTopBuf] =
+      org.apache.spark.sql.Encoders.product
+    override def outputEncoder: org.apache.spark.sql.Encoder[TfIdfTopBuf] =
+      org.apache.spark.sql.Encoders.product
   }
 }

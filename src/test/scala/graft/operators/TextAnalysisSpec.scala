@@ -79,6 +79,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("tfIdf aggregator equals the window-rank formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rank", "token", "tf", "df", "tf_idf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                   r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val agg = key(TextAnalysis.tfIdf(real, k = 5))
+    val win = key(TextAnalysis.tfIdfWindow(real, k = 5))
+    assert(agg.nonEmpty)
+    assert(agg == win)
+  }
+
   test("Misra-Gries sketch: containment and undercount bounds hold") {
     val m = 4
     val agg = new TextAnalysis.MisraGriesAgg(m)
