@@ -48,13 +48,22 @@ object ManifestedLog {
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** (version, day → data-dir name) of the newest manifest. */
-  def readManifest(spark: SparkSession, path: String): (Long, Map[String, String]) = {
+  def readManifest(spark: SparkSession, path: String): (Long, Map[String, String]) =
+    readManifestOpt(spark, path).getOrElse(
+      sys.error(s"no manifest under $path — not a manifested event log"))
+
+  /** As [[readManifest]], but None for an uninitialized/absent table —
+    * the state [[append]] bootstraps from. */
+  def readManifestOpt(spark: SparkSession,
+                      path: String): Option[(Long, Map[String, String])] = {
     val root = new Path(path)
     val f = fs(spark, root)
-    val newest = f.listStatus(root).map(_.getPath.getName).collect {
+    if (!f.exists(root)) return None
+    val newestOpt = f.listStatus(root).map(_.getPath.getName).collect {
       case name @ ManifestRe(v) => (v.toLong, name)
-    }.sortBy(_._1).lastOption.getOrElse(
-      sys.error(s"no manifest under $path — not a manifested event log"))
+    }.sortBy(_._1).lastOption
+    if (newestOpt.isEmpty) return None
+    val newest = newestOpt.get
     val in = f.open(new Path(root, newest._2))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -67,7 +76,7 @@ object ManifestedLog {
         case _ => sys.error(s"malformed manifest line in ${newest._2}: '$l'")
       }
     }.toMap
-    (newest._1, days)
+    Some((newest._1, days))
   }
 
   /** Publish `days` as manifest version `version` — atomic: the content
@@ -180,6 +189,80 @@ object ManifestedLog {
     publish(spark, path, version + 1, days.updated(dt, nextDir))
     parts.toLong
   }
+
+  /** Incremental batch append — the every-batch ingest shape of a
+    * growing log. Days not yet in the manifest get a fresh `v1`
+    * directory; days that exist are rewritten copy-on-write
+    * (`v<n+1>` = old ∪ new), then ONE manifest publish covers the whole
+    * batch atomically — readers see all of the batch or none of it.
+    *
+    * With `dedupKey` set (the default, `event_id`), the union
+    * deduplicates latest-wins by key within each rewritten day AND new
+    * days drop in-batch duplicates, so re-delivering the same batch is
+    * a no-op — append is IDEMPOTENT, which upgrades at-least-once
+    * delivery (streaming `foreachBatch` retries, job restarts) to
+    * effective exactly-once without a commit log. Pass None for
+    * append-only logs whose duplicates are meaningful.
+    *
+    * Copy-on-write cost is proportional to the TOUCHED days, not the
+    * log: with event-time-bucketed arrivals a batch touches the open
+    * day (small, recent) and a late-data tail — the standard hot/cold
+    * asymmetry this layout is built around. Returns the new manifest
+    * version. */
+  def append(events: DataFrame, path: String,
+             dedupKey: Option[String] = Some("event_id")): Long = {
+    val spark = events.sparkSession
+    val root = new Path(path)
+    val f = fs(spark, root)
+    // bootstrap: appending to an uninitialized table creates version 1
+    val (version, days) =
+      readManifestOpt(spark, path).getOrElse((0L, Map.empty[String, String]))
+    val staged = events.withColumn("dt", Events.utcDt(col("ts")))
+    val batchDays = staged.select(col("dt")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (batchDays.isEmpty) return version
+    val updated = batchDays.map { day =>
+      val incoming = staged.filter(col("dt") === day).drop("dt")
+      val (nextDir, data) = days.get(day) match {
+        case Some(cur) =>
+          val curV = cur.substring(cur.lastIndexOf(".v") + 2).toLong
+          val old = spark.read.parquet(new Path(root, cur).toString)
+          (s"dt=$day.v${curV + 1}", old.unionByName(incoming))
+        case None =>
+          (s"dt=$day.v1", incoming)
+      }
+      val deduped = dedupKey match {
+        case Some(key) => data.dropDuplicates(key)
+        case None => data
+      }
+      val target = new Path(root, nextDir)
+      if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+      deduped.sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(target.toString)
+      f.delete(new Path(target, "_SUCCESS"), false)
+      day -> nextDir
+    }.toMap
+    publish(spark, path, version + 1, days ++ updated)
+    version + 1
+  }
+
+  /** Streaming ingest twin: each micro-batch runs [[append]] via
+    * `foreachBatch`. Delivery is at-least-once across restarts, but the
+    * default key-dedup makes re-appended batches no-ops, so the TABLE
+    * converges to exactly-once content; each batch is one atomic
+    * manifest flip, so downstream pruned readers never see a partial
+    * batch (and compaction/vacuum can run concurrently — they advance
+    * the same manifest chain, colliding versions fail loudly rather
+    * than corrupt). */
+  def ingest(events: DataFrame, path: String, checkpoint: String,
+             dedupKey: Option[String] = Some("event_id"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch, path, dedupKey); ()
+      }
+      .start()
 
   /** Delete data directories the NEWEST manifest no longer references,
     * and manifests older than it. Run behind the longest reader you

@@ -102,6 +102,64 @@ class ManifestedLogSpec extends SparkSpec {
     assert(spark.read.parquet(newDir.toString).count() == oldRows)
   }
 
+  test("append bootstraps, copies-on-write touched days, is idempotent") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-append")
+      .toString + "/events_log"
+    val all = Events.load(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val batch1 = all.filter(col("ts_us") < fromUs).drop("ts_us")
+    val batch2 = all.filter(col("ts_us") >= fromUs).drop("ts_us")
+    // bootstrap: first append initializes the table at version 1
+    assert(ManifestedLog.append(batch1, p) == 1L)
+    val (_, d1) = ManifestedLog.readManifest(spark, p)
+    assert(d1.values.forall(_.endsWith(".v1")))
+    val n1 = ManifestedLog.load(spark, p).count()
+    assert(n1 == batch1.count())
+    // second batch: new days v1; the boundary day (late tail) rewrites v2
+    assert(ManifestedLog.append(batch2, p) == 2L)
+    assert(ids(ManifestedLog.load(spark, p)) == ids(all))
+    // re-delivering batch2 wholesale: key-dedup makes it a no-op on rows
+    val v3 = ManifestedLog.append(batch2, p)
+    assert(v3 == 3L)
+    assert(ids(ManifestedLog.load(spark, p)) == ids(all))
+  }
+
+  test("appended table range-reads identically to the file scan") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-append2")
+      .toString + "/events_log"
+    val all = Events.load(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    // three arbitrary slices, out of time order (late data path)
+    ManifestedLog.append(all.filter(col("event_id") % 3 === 2), p)
+    ManifestedLog.append(all.filter(col("event_id") % 3 === 0), p)
+    ManifestedLog.append(all.filter(col("event_id") % 3 === 1), p)
+    val viaManifest = ids(ManifestedLog.loadRange(spark, p, fromUs, toUs))
+    assert(viaManifest == ids(Events.loadRange(spark, sfDir, fromUs, toUs)))
+  }
+
+  test("streaming ingest lands micro-batches as atomic manifest flips") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-stream").toString
+    val p = s"$dir/events_log"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.streaming.EventStreams.Event]
+    val q = ManifestedLog.ingest(input.toDF(), p, s"$dir/ckpt")
+    def ev(id: Long, us: Long) = graft.streaming.EventStreams.Event(
+      id, java.sql.Timestamp.from(Events.usInstant(us)), id % 5, "click", 1.0)
+    val day0 = 1704844800000000L // 2024-01-10T00:00:00Z
+    input.addData(ev(1, day0), ev(2, day0 + 3600000000L))
+    q.processAllAvailable()
+    input.addData(ev(3, day0 + 86400000000L), ev(2, day0 + 3600000000L)) // dup id 2
+    q.processAllAvailable()
+    q.stop()
+    val rows = ManifestedLog.load(spark, p)
+    assert(rows.count() == 3L) // duplicate re-delivery deduped by key
+    assert(ids(rows) == Set(1L, 2L, 3L))
+    val (version, days) = ManifestedLog.readManifest(spark, p)
+    assert(version == 2L && days.keySet == Set("2024-01-10", "2024-01-11"))
+  }
+
   test("manifest range pruning reads only qualifying day directories") {
     val p = freshTable()
     // a one-day range must produce a plan over exactly one directory
