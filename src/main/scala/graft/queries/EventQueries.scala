@@ -32,7 +32,7 @@ object EventQueries extends QueryPack {
   /** Manifested twin of [[dayLayout]]: built once per JVM per fixture,
     * then one day compacted and vacuumed so the read path runs against
     * a post-maintenance table (the steady state of a real log). */
-  private def manifestLayout(s: SparkSession, sfDir: String): String = synchronized {
+  private[queries] def manifestLayout(s: SparkSession, sfDir: String): String = synchronized {
     val path = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       "graft_events_manifest_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString

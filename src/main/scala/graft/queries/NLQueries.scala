@@ -259,6 +259,17 @@ object NLQueries extends QueryPack {
                  "user_id, ts_us, event_type, value.",
         Events.load(s, d))),
 
+    // Manifested-log range route (x67's table and oracle): the same
+    // NL-compiled ts range filter, but the input resolves through the
+    // manifest — day dirs prune at manifest level before the compiled
+    // predicate row-group-prunes within them.
+    "nl86_manifest_range" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep events between '2024-01-10T00:00:00Z' and " +
+                 "'2024-01-20T00:00:00Z' and select columns event_id, " +
+                 "user_id, ts_us, event_type, value.",
+        graft.operators.ManifestedLog.load(
+          s, EventQueries.manifestLayout(s, d)))),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -627,6 +638,7 @@ object NLQueries extends QueryPack {
     "nl46_latest_snapshot" -> EventQueries.oracleSql("x46_latest_snapshot"),
     "nl84_cdc_apply" -> EventQueries.oracleSql("x64_cdc_apply"),
     "nl85_event_range" -> EventQueries.oracleSql("x65_event_range_scan"),
+    "nl86_manifest_range" -> EventQueries.oracleSql("x67_event_manifest_range"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
