@@ -35,6 +35,12 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
 
     def load(path: String): org.apache.spark.sql.DataFrame = path match {
+      // a manifested event-log table (directory with manifest-*.txt):
+      // resolve through the newest manifest, normalized like any events
+      // input — `graft.Run "<description>" /path/to/events_log`
+      case p if graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        graft.operators.ManifestedLog.load(spark, p)
       case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = Sources.parquet(spark, p)
