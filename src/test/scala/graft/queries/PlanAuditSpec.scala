@@ -23,18 +23,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  /** Queries allowed above the default shuffle bound, each with the
-    * reason the extra exchanges are benign. MinHash (pair and
-    * against-history forms): the candidate-only verify path adds a
-    * union/distinct of candidate ids plus re-join — every extra exchange
-    * carries candidate-sized data (∝ true-dup density, never
-    * corpus-sized), the trade that stops the corpus being shingled three
-    * times; AQE broadcasts those sides at runtime. */
-  private val shuffleBoundExceptions: Map[String, Int] = Map(
-    "x5_dedup_minhash" -> 9,
-    "nl3_dedup_minhash" -> 9,
-    "x63_dedup_near_against" -> 9,
-    "nl83_dedup_near_against" -> 9)
+  /** No per-query exceptions: under the canonical (ReusedExchange-aware)
+    * count every declared query plans ≤ 6 distinct shuffles. A query
+    * that needs an entry here again should justify each extra exchange
+    * the way the old minhash exception did (candidate-sized, never
+    * corpus-sized). */
+  private val shuffleBoundExceptions: Map[String, Int] = Map.empty
 
   test("every query's shuffle count stays bounded") {
     val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
