@@ -52,6 +52,42 @@ object ManifestedLog {
     readManifestOpt(spark, path).getOrElse(
       sys.error(s"no manifest under $path — not a manifested event log"))
 
+  /** All manifest versions still on disk, ascending — the table's
+    * retained history ([[vacuum]] trims it to the newest). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    fs(spark, root).listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.sorted.toSeq
+  }
+
+  /** Day map of a SPECIFIC retained manifest version — time travel.
+    * Versions are immutable once published and their data directories
+    * survive until [[vacuum]], so pinning a version pins the exact byte
+    * content a training run read ("train on table@v12" reproducibility).
+    * Fails loudly when the version was vacuumed — a reproducibility
+    * claim must never silently degrade to "newest". */
+  def readManifestAt(spark: SparkSession, path: String,
+                     version: Long): Map[String, String] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val target = new Path(root, f"manifest-$version%09d.txt")
+    if (!f.exists(target)) sys.error(
+      s"manifest version $version of $path is not retained " +
+        s"(have: ${versions(spark, path).mkString(", ")}) — vacuumed history " +
+        "cannot be time-traveled to")
+    parseManifest(f, target)
+  }
+
+  /** Full read of a pinned version (time travel). */
+  def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val days = readManifestAt(spark, path, version)
+    val dirs = days.toSeq.sortBy(_._1)
+      .map { case (_, dir) => new Path(new Path(path), dir).toString }
+    require(dirs.nonEmpty, s"manifest version $version of $path lists no days")
+    Events.normalizeEventTime(spark.read.parquet(dirs: _*))
+  }
+
   /** As [[readManifest]], but None for an uninitialized/absent table —
     * the state [[append]] bootstraps from. */
   def readManifestOpt(spark: SparkSession,
@@ -59,24 +95,25 @@ object ManifestedLog {
     val root = new Path(path)
     val f = fs(spark, root)
     if (!f.exists(root)) return None
-    val newestOpt = f.listStatus(root).map(_.getPath.getName).collect {
+    f.listStatus(root).map(_.getPath.getName).collect {
       case name @ ManifestRe(v) => (v.toLong, name)
-    }.sortBy(_._1).lastOption
-    if (newestOpt.isEmpty) return None
-    val newest = newestOpt.get
-    val in = f.open(new Path(root, newest._2))
+    }.sortBy(_._1).lastOption.map { case (v, name) =>
+      (v, parseManifest(f, new Path(root, name)))
+    }
+  }
+
+  private def parseManifest(f: FileSystem, target: Path): Map[String, String] = {
+    val in = f.open(target)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.linesIterator.toList
-    require(lines.headOption.contains(Header),
-      s"${newest._2} is not a $Header file")
-    val days = lines.drop(1).filter(_.nonEmpty).map { l =>
+    require(lines.headOption.contains(Header), s"$target is not a $Header file")
+    lines.drop(1).filter(_.nonEmpty).map { l =>
       l.split('\t') match {
         case Array(day, dir) => day -> dir
-        case _ => sys.error(s"malformed manifest line in ${newest._2}: '$l'")
+        case _ => sys.error(s"malformed manifest line in $target: '$l'")
       }
     }.toMap
-    Some((newest._1, days))
   }
 
   /** Publish `days` as manifest version `version` — atomic: the content
@@ -264,21 +301,28 @@ object ManifestedLog {
       }
       .start()
 
-  /** Delete data directories the NEWEST manifest no longer references,
-    * and manifests older than it. Run behind the longest reader you
-    * care about (the standard table-format retention trade; a reader
-    * that resolved an older manifest loses its directories once vacuum
-    * passes). Returns the number of paths removed. */
-  def vacuum(spark: SparkSession, path: String): Long = {
+  /** Delete data directories no RETAINED manifest references, manifests
+    * older than the retention window, and dot-tmp leftovers.
+    * `keepVersions` is the time-travel retention: the newest K manifests
+    * — and every data directory any of them lists — survive, so
+    * [[loadAt]] keeps working for that window. Run behind the longest
+    * reader you care about (the standard table-format retention trade; a
+    * reader that resolved an already-vacuumed manifest loses its
+    * directories). Returns the number of paths removed. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val root = new Path(path)
     val f = fs(spark, root)
-    val (version, days) = readManifest(spark, path)
-    val live = days.values.toSet
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no manifest under $path — not a manifested event log")
+    val kept = vs.takeRight(keepVersions)
+    val oldestKept = kept.head
+    val live = kept.flatMap(v => readManifestAt(spark, path, v).values).toSet
     var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
-        case ManifestRe(v) if v.toLong < version =>
+        case ManifestRe(v) if v.toLong < oldestKept =>
           f.delete(st.getPath, false); removed += 1
         case _ if name.startsWith("dt=") && !live.contains(name) =>
           f.delete(st.getPath, true); removed += 1

@@ -160,6 +160,31 @@ class ManifestedLogSpec extends SparkSpec {
     assert(version == 2L && days.keySet == Set("2024-01-10", "2024-01-11"))
   }
 
+  test("time travel: a pinned version reads its exact content until vacuumed") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-tt")
+      .toString + "/events_log"
+    val all = Events.load(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val batch1 = all.filter(col("event_id") % 2 === 0).drop("ts_us")
+    ManifestedLog.append(batch1, p)                       // v1
+    ManifestedLog.append(all.filter(col("event_id") % 2 === 1).drop("ts_us"), p) // v2
+    ManifestedLog.compactDay(spark, p, "2024-01-10")      // v3
+    assert(ManifestedLog.versions(spark, p) == Seq(1L, 2L, 3L))
+    // v1 still reads exactly batch1 even though the table moved on
+    assert(ids(ManifestedLog.loadAt(spark, p, 1L)) == ids(batch1))
+    assert(ids(ManifestedLog.loadAt(spark, p, 3L)) == ids(all))
+    // retention window 2: v1 goes, v2/v3 (and every dir they list) stay
+    ManifestedLog.vacuum(spark, p, keepVersions = 2)
+    assert(ManifestedLog.versions(spark, p) == Seq(2L, 3L))
+    assert(ids(ManifestedLog.loadAt(spark, p, 2L)) == ids(all))
+    // the pre-compaction v2 still resolves its (now superseded) day dir
+    val (_, d2) = (2L, ManifestedLog.readManifestAt(spark, p, 2L))
+    assert(d2("2024-01-10") != ManifestedLog.readManifest(spark, p)._2("2024-01-10"))
+    // a vacuumed version fails loudly, never silently reads "newest"
+    val e = intercept[RuntimeException](ManifestedLog.loadAt(spark, p, 1L))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("manifest range pruning reads only qualifying day directories") {
     val p = freshTable()
     // a one-day range must produce a plan over exactly one directory
