@@ -236,6 +236,51 @@ object Events {
     parts.toLong
   }
 
+  private val DayDirRe = "dt=(\\d{4}-\\d{2}-\\d{2})".r
+
+  /** Epoch-µs bounds `[start, end)` of a `yyyy-MM-dd` UTC day. */
+  private[graft] def dayBoundsUs(dt: String): (Long, Long) = {
+    val start = Math.multiplyExact(
+      java.time.LocalDate.parse(dt).toEpochDay, 86400000000L)
+    (start, Math.addExact(start, 86400000000L))
+  }
+
+  /** Compaction DISCOVERY for a [[writeDayPartitioned]] tree: find every
+    * CLOSED day (its `[start, end)` entirely at or before `watermarkUs`,
+    * the ingest watermark — the open day and anything late data can
+    * still reach are skipped) that is FRAGMENTED (more files than the
+    * `targetBytes` tiling needs — the file-count pathology streaming
+    * ingest's one-file-per-trigger leaves behind), and [[compactDay]]
+    * each. Discovery reads file STATUS only — names, counts, lengths —
+    * never data: at 100 TB this scan is O(days) listings, and an
+    * already-compact day costs one directory listing to skip.
+    *
+    * Returns day → new file count for exactly the days compacted. */
+  def compactClosedDays(spark: SparkSession, path: String, watermarkUs: Long,
+                        targetBytes: Long = 128L << 20): Map[String, Long] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkLog = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) sys.error(
+      s"$path is managed by a streaming file-sink commit log " +
+        "(_spark_metadata); stop the ingest query and remove the log " +
+        "before compacting, or compact through a manifest table format")
+    fs.listStatus(root).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case DayDirRe(dt) if st.isDirectory && dayBoundsUs(dt)._2 <= watermarkUs =>
+          val files = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val bytes = files.map(_.getLen).sum
+          val needed = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          if (files.length > needed)
+            Some(dt -> compactDay(spark, path, dt, targetBytes))
+          else None
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Range read over a [[writeDayPartitioned]] layout: directory pruning
     * on `dt`, row-group pruning on `ts`, then normalization. The `dt`
     * bounds close over the UTC days of the [from, to) range, so they

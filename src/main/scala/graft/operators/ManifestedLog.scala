@@ -227,6 +227,54 @@ object ManifestedLog {
     parts.toLong
   }
 
+  /** Compaction discovery over the manifest: rewrite every CLOSED day
+    * (entirely at or before `watermarkUs` — the open day and anything
+    * late data can still reach are skipped) that is FRAGMENTED (more
+    * files than the `targetBytes` tiling needs), then flip the manifest
+    * ONCE — unlike per-day [[compactDay]] loops, readers go from the
+    * old layout to the fully-compacted one in a single atomic step, and
+    * a crash mid-run leaves only unreferenced `.v<n+1>` garbage for
+    * [[vacuum]]. Discovery reads the manifest (O(days) lines, no
+    * listing) plus one file-status listing per closed day; an
+    * already-compact day costs a listing to skip, never a data read.
+    *
+    * Returns day → new file count for exactly the days rewritten; an
+    * empty map publishes nothing. */
+  def compactClosedDays(spark: SparkSession, path: String, watermarkUs: Long,
+                        targetBytes: Long = 128L << 20): Map[String, Long] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (version, days) = readManifest(spark, path)
+    val rewritten = days.toSeq.sortBy(_._1).flatMap { case (dt, dir) =>
+      if (Events.dayBoundsUs(dt)._2 > watermarkUs) None
+      else {
+        val dayPath = new Path(root, dir)
+        val files = f.listStatus(dayPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val needed = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        if (files.length <= needed) None
+        else {
+          val curV = dir.substring(dir.lastIndexOf(".v") + 2).toLong
+          val nextDir = s"dt=$dt.v${curV + 1}"
+          val target = new Path(root, nextDir)
+          if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+          spark.read.parquet(dayPath.toString)
+            .repartitionByRange(needed.toInt, col("ts"))
+            .sortWithinPartitions(col("ts"))
+            .write.mode("overwrite").parquet(target.toString)
+          f.delete(new Path(target, "_SUCCESS"), false)
+          Some((dt, nextDir, needed))
+        }
+      }
+    }
+    if (rewritten.isEmpty) return Map.empty
+    publish(spark, path, version + 1,
+      days ++ rewritten.map { case (dt, dir, _) => dt -> dir })
+    rewritten.map { case (dt, _, n) => dt -> n }.toMap
+  }
+
   /** Incremental batch append — the every-batch ingest shape of a
     * growing log. Days not yet in the manifest get a fresh `v1`
     * directory; days that exist are rewritten copy-on-write

@@ -185,6 +185,36 @@ class ManifestedLogSpec extends SparkSpec {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("compactClosedDays rewrites closed fragmented days in ONE flip") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-cc")
+      .toString + "/events_log"
+    // fragment every day: 8 round-robin input partitions → up to 8
+    // files per day directory
+    ManifestedLog.write(Events.load(spark, sfDir).repartition(8), p)
+    val before = ids(ManifestedLog.load(spark, p))
+    val (v1, days1) = ManifestedLog.readManifest(spark, p)
+    assert(days1.values.forall(_.endsWith(".v1")))
+
+    // watermark at the end of 2024-01-12: every day through the 12th is
+    // closed (and fragmented), everything after stays open
+    val wm = Events.dayBoundsUs("2024-01-12")._2
+    val expected = days1.keySet.filter(d => Events.dayBoundsUs(d)._2 <= wm)
+    val done = ManifestedLog.compactClosedDays(spark, p, wm)
+    assert(done.keySet == expected && expected.contains("2024-01-10") &&
+      expected.size < days1.size)
+    val (v2, days2) = ManifestedLog.readManifest(spark, p)
+    assert(v2 == v1 + 1, "all rewritten days publish as one manifest flip")
+    done.keySet.foreach(d => assert(days2(d) == s"dt=$d.v2"))
+    assert(days2.collect { case (d, dir) if !done.contains(d) => dir }
+      .forall(_.endsWith(".v1")))
+    assert(ids(ManifestedLog.load(spark, p)) == before)
+    // a pinned pre-compaction read still resolves the old layout
+    assert(ids(ManifestedLog.loadAt(spark, p, v1)) == before)
+    // second sweep: nothing fragmented below the watermark → no publish
+    assert(ManifestedLog.compactClosedDays(spark, p, wm).isEmpty)
+    assert(ManifestedLog.readManifest(spark, p)._1 == v2)
+  }
+
   test("manifest range pruning reads only qualifying day directories") {
     val p = freshTable()
     // a one-day range must produce a plan over exactly one directory
