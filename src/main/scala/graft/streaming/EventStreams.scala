@@ -125,6 +125,40 @@ object EventStreams extends Serializable {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming CONSUMER twin of
+    * [[graft.operators.Events.loadRangePartitioned]]: a `readStream`
+    * tail of a day-partitioned log from `fromUs` onward, with the same
+    * two-level pruning the batch reader gets — the `dt` bounds prune
+    * day partitions inside each micro-batch's scan and the range
+    * predicate lands on the NATIVE `ts` column
+    * ([[graft.operators.Events.timeRange]]) so parquet row groups prune
+    * too — then the same normalization, so batch and streaming reads of
+    * the same tree are row-identical over `[fromUs, toUs)`.
+    *
+    * New files appended by [[ingestDayPartitioned]] (or a batch append)
+    * surface in later micro-batches; when the tree is an ACTIVE file
+    * sink (`_spark_metadata` present), the source reads the sink's
+    * commit log, so the tail sees exactly the committed files —
+    * end-to-end exactly-once from ingest to tail. The upper bound
+    * defaults to the largest µs [[graft.operators.Events.timeRange]]
+    * can push without overflow, i.e. effectively unbounded. */
+  def tailDayPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, fromUs: Long,
+                         toUs: Long = Long.MaxValue / 1000L): DataFrame = {
+    // file sources need an explicit schema; probe it with a batch read
+    // (footer-only — no data scan)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val fromDt = graft.operators.Events.usLocalDateTime(fromUs)
+      .toLocalDate.toString
+    val toDt = graft.operators.Events.usLocalDateTime(toUs - 1L)
+      .toLocalDate.toString
+    val pruned = spark.readStream.schema(schema).parquet(path)
+      .filter(col("dt") >= fromDt && col("dt") <= toDt)
+    graft.operators.Events.normalizeEventTime(
+      graft.operators.Events.timeRange(pruned, fromUs, toUs)).drop("dt")
+  }
+
   /** Epoch microseconds of a Timestamp. `getTime` alone truncates to
     * milliseconds, which would make the streaming gap rule disagree with
     * the µs-exact batch [[graft.operators.Events.sessionize]] on data with
