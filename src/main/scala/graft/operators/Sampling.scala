@@ -277,6 +277,37 @@ object Sampling {
   }
 
   /** Quality-gated sample: the standard "filter then sample" corpus cut. */
+  /** Deterministic epoch shuffle: every row gets a pseudo-random but
+    * REPRODUCIBLE position (`shuffle_key` — its splitmix64 sample
+    * bucket) and a `shard` in [0, numShards) (`key % numShards`). The
+    * training order of an epoch is then (shard, shuffle_key, id) — a
+    * pure function of (id, seed), so a restarted/re-run job replays the
+    * identical order on any partitioning or cluster size, and changing
+    * `seed` gives an independent permutation per epoch. Map-side only —
+    * assignment itself shuffles nothing. */
+  def shuffleAssign(df: DataFrame, numShards: Int, seed: Long,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    df.withColumn("shuffle_key", sampleBucket(col(idCol), seed))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
+  }
+
+  /** Materialize [[shuffleAssign]] as a `shard=K/` directory per shard,
+    * each holding its rows ascending by (shuffle_key, id) — the on-disk
+    * shape a training loader streams sequentially. One hash shuffle on
+    * the uniform shard key (no global sort, no skew, no driver pass);
+    * the per-partition sort leads with `shard` because hash partitioning
+    * may co-locate several shards, and the dynamic-partition writer then
+    * splits them into their directories without a second sort. Uniform
+    * hash ⇒ shard sizes concentrate tightly around corpus/numShards, so
+    * the files that reach a 1000-executor training job are balanced. */
+  def writeShuffleShards(df: DataFrame, path: String, numShards: Int,
+                         seed: Long, idCol: String = "doc_id"): Unit =
+    shuffleAssign(df, numShards, seed, idCol)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def qualitySample(docs: DataFrame, minQuality: Double, fraction: Double,
                     seed: Long): DataFrame =
     docs.withColumn("quality", TextAnalysis.qualityColumn(col("text")))

@@ -312,6 +312,7 @@ object Compiler {
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
+    case Op.ShuffleShards(n, seed) => Sampling.shuffleAssign(df, n, seed)
     case Op.Decontaminate(n, t) =>
       Dedup.decontaminate(df, resolveTable(t, catalog), n)
     case Op.ContaminationScore(n, t) =>

@@ -154,6 +154,7 @@ object NLParser {
         // corpus-operator clauses (extension surface)
         "dedup", "deduplicate", "cluster", "tokenize", "score", "detect",
         "fingerprint", "scrub", "find", "sample", "stratified", "sessionize",
+        "shuffle",
         "decode", "resize", "compute", "join", "pack", "quantize", "chunk",
         "split", "repeat", "upsample", "curate", "apply", "histogram", "clip",
         "normalize", "funnel", "cohort", "zorder", "z-order",
@@ -1099,6 +1100,17 @@ object NLParser {
           requireDone(p)
           Right(List(Op.SampleHash(f, seed, idCol)))
         }
+      case Some("shuffle") =>
+        // "Shuffle documents into 8 shards with seed 13" — deterministic
+        // epoch shuffle: shard + position are pure functions of (id, seed)
+        p.next(); p.dropWords("the", "documents", "docs", "corpus", "rows")
+        p.expectWord("into")
+        val n = p.expectNum().toInt
+        if (n <= 0) throw ParseException(s"shard count must be positive: $n")
+        p.dropWords("shards", "shard")
+        val seed = parseSeed(p)
+        requireDone(p)
+        Right(List(Op.ShuffleShards(n, seed)))
       case Some("stratified") =>
         // "Stratified sample by source src0 at 0.8, src1 at 0.5 with seed 7"
         p.next(); p.expectWord("sample"); p.expectWord("by")

@@ -293,6 +293,10 @@ object Op {
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,
                                      seed: Long)                   extends CorpusOp
+  /** Deterministic epoch shuffle: shard and shuffle position as pure
+    * functions of (id, seed)
+    * ([[graft.operators.Sampling.shuffleAssign]]). */
+  final case class ShuffleShards(numShards: Int, seed: Long)       extends CorpusOp
 
   /** Relational analytics extensions — the NL-reachable twins of the
     * q-family driver queries (rollup/cube grouping sets, pivot/unpivot

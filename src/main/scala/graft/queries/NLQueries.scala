@@ -270,6 +270,13 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(
           s, EventQueries.manifestLayout(s, d)))),
 
+    // Deterministic epoch shuffle (x68's shards and seed, so its
+    // bit-exact oracle applies verbatim).
+    "nl87_shuffle_shards" -> ((s: SparkSession, d: String) =>
+      Engine.run("Shuffle documents into 8 shards with seed 13 and " +
+                 "select columns doc_id, shard and shuffle_key.",
+        docs(s, d))),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -639,6 +646,7 @@ object NLQueries extends QueryPack {
     "nl84_cdc_apply" -> EventQueries.oracleSql("x64_cdc_apply"),
     "nl85_event_range" -> EventQueries.oracleSql("x65_event_range_scan"),
     "nl86_manifest_range" -> EventQueries.oracleSql("x67_event_manifest_range"),
+    "nl87_shuffle_shards" -> SamplingQueries.oracleSql("x68_shuffle_shards"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -67,9 +67,17 @@ object SamplingQueries extends QueryPack {
 
     "x43_sample_exact_k" -> ((s: SparkSession, d: String) =>
       Sampling.sampleExactK(table(s, d, "documents"), ExactK, Seed)
-        .select(col("doc_id"), col("source"))))
+        .select(col("doc_id"), col("source"))),
+
+    // Deterministic epoch shuffle: position + shard are pure functions
+    // of (doc_id, seed), so the oracle replays the permutation exactly.
+    "x68_shuffle_shards" -> ((s: SparkSession, d: String) =>
+      Sampling.shuffleAssign(table(s, d, "documents"), NumShards, ShardSeed)
+        .select(col("doc_id"), col("shard"), col("shuffle_key"))))
 
   private val ExactK = 100
+  private val ShardSeed = 13L
+  private val NumShards = 8
 
   /** The canonical 80/10/10 train/validation/test cut. */
   private val SplitSpec: Seq[(String, Double)] =
@@ -109,6 +117,12 @@ object SamplingQueries extends QueryPack {
       s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}
          |SELECT doc_id, source FROM pb
          |WHERE bucket < $caseThreshold""".stripMargin,
+
+    "x68_shuffle_shards" ->
+      s"""WITH ${OracleHashSql.sampleBucketCtes(ShardSeed, "doc_id")}
+         |SELECT doc_id, CAST(bucket % $NumShards AS BIGINT) AS shard,
+         |       CAST(bucket AS BIGINT) AS shuffle_key
+         |FROM pb""".stripMargin,
 
     "x31_sample_cap_per_group" ->
       s"""WITH ${OracleHashSql.sampleBucketCtes(Seed, "doc_id, source")}

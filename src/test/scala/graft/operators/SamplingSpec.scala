@@ -274,4 +274,49 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(docs, Seq(("a", 0.5), ("a", 0.5)), 1L).collect()
     }
   }
+
+  test("shuffleAssign: total, deterministic, seed-independent permutations") {
+    val n = docs.count()
+    val a = Sampling.shuffleAssign(docs, 8, seed = 3L)
+    assert(a.count() == n, "shuffle assignment keeps every row")
+    val pos = a.select("doc_id", "shard", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pure function of (id, seed): a differently-partitioned input agrees
+    val b = Sampling.shuffleAssign(docs.repartition(7), 8, seed = 3L)
+      .select("doc_id", "shard", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pos == b, "assignment must be partition-invariant")
+    assert(pos.values.forall { case (s, k) => s == Math.floorMod(k, 8L) })
+    // another seed is a different permutation of the same rows
+    val c = Sampling.shuffleAssign(docs, 8, seed = 4L)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos.keySet == c.keySet && pos.exists { case (id, (_, k)) => c(id) != k })
+    // shards are near-uniform: no shard more than 2x the ideal share
+    val sizes = a.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.max <= 2 * n / 8)
+  }
+
+  test("writeShuffleShards: one sorted dir per shard, union is the corpus") {
+    val path = java.nio.file.Files.createTempDirectory("graft-shards")
+      .toString + "/shards"
+    Sampling.writeShuffleShards(docs, path, numShards = 8, seed = 3L)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(dirs.toSet == (0 until 8).map(i => s"shard=$i").toSet)
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // every shard directory holds exactly its rows, ascending by
+    // (shuffle_key, doc_id) — the order a training loader streams
+    (0 until 8).foreach { s =>
+      val rows = spark.read.parquet(s"$path/shard=$s")
+        .select("shuffle_key", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.forall { case (k, _) => Math.floorMod(k, 8L) == s })
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"shard $s must be stored in training order")
+    }
+  }
 }

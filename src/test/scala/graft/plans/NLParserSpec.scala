@@ -396,6 +396,20 @@ class NLParserSpec extends AnyFunSuite {
       List(O.GroupAgg(Seq("city"), Seq(AggSpec(AggFunc.Count, "names", "count")))))
   }
 
+  test("shuffle-shards clause parses; bad shard counts rejected") {
+    assert(NLParser.parse("Shuffle documents into 8 shards with seed 13.").ops ==
+      List(O.ShuffleShards(8, 13L)))
+    assert(NLParser.parse("Shuffle the corpus into 16 shards.").ops ==
+      List(O.ShuffleShards(16, 42L)))
+    assert(NLParser.parse("Shuffle documents into 8 shards with seed 13 " +
+        "and select columns doc_id, shard and shuffle_key.").ops ==
+      List(O.ShuffleShards(8, 13L),
+        O.Select(Seq("doc_id", "shard", "shuffle_key"))))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Shuffle documents into 0 shards.")
+    }
+  }
+
   test("temperature sampling clause parses; non-2 temperatures rejected") {
     assert(NLParser.parse("Sample sources at temperature 2 with seed 7.").ops ==
       List(O.SampleTemperature("source", 7L)))
