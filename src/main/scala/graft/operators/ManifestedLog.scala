@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Manifest-backed day-partitioned event log — the table-format answer
@@ -85,7 +86,8 @@ object ManifestedLog {
     val dirs = days.toSeq.sortBy(_._1)
       .map { case (_, dir) => new Path(new Path(path), dir).toString }
     require(dirs.nonEmpty, s"manifest version $version of $path lists no days")
-    Events.normalizeEventTime(spark.read.parquet(dirs: _*))
+    Events.normalizeEventTime(
+      readDirs(spark, dirs, readSchemaAt(spark, path, version)))
   }
 
   /** As [[readManifest]], but None for an uninitialized/absent table —
@@ -102,18 +104,36 @@ object ManifestedLog {
     }
   }
 
-  private def parseManifest(f: FileSystem, target: Path): Map[String, String] = {
+  /** A parsed manifest: the day → directory map plus the table schema.
+    * The schema line (`#schema<TAB><StructType json>`) is what makes
+    * SCHEMA EVOLUTION cheap at scale: readers take the authoritative
+    * current schema from the manifest (parquet fills columns missing in
+    * older files with null) instead of merging O(files) footers; early
+    * manifests without the line fall back to footer inference. */
+  private final case class Manifest(days: Map[String, String],
+                                    schema: Option[StructType])
+
+  private def parseManifest(f: FileSystem, target: Path): Map[String, String] =
+    parseManifestFull(f, target).days
+
+  private def parseManifestFull(f: FileSystem, target: Path): Manifest = {
     val in = f.open(target)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.linesIterator.toList
     require(lines.headOption.contains(Header), s"$target is not a $Header file")
-    lines.drop(1).filter(_.nonEmpty).map { l =>
+    val (meta, dayLines) = lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
+    val schema = meta.collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema\t"))
+          .asInstanceOf[StructType]
+    }
+    Manifest(dayLines.map { l =>
       l.split('\t') match {
         case Array(day, dir) => day -> dir
         case _ => sys.error(s"malformed manifest line in $target: '$l'")
       }
-    }.toMap
+    }.toMap, schema)
   }
 
   /** Publish `days` as manifest version `version` — atomic: the content
@@ -121,7 +141,8 @@ object ManifestedLog {
     * existed. Returns false (no overwrite) if `version` was already
     * published by a racing writer. */
   private def publish(spark: SparkSession, path: String, version: Long,
-                      days: Map[String, String]): Unit = {
+                      days: Map[String, String],
+                      schema: Option[StructType]): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     val target = new Path(root, f"manifest-$version%09d.txt")
@@ -130,13 +151,65 @@ object ManifestedLog {
         "(concurrent compaction?) — re-read and retry")
     val tmp = new Path(root, s".manifest-$version.tmp")
     val out = f.create(tmp, true)
-    try out.write((Header +: days.toSeq.sortBy(_._1).map { case (d, dir) =>
-      s"$d\t$dir"
-    }).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val schemaLines = schema.map(s => s"#schema\t${s.json}").toSeq
+    try out.write((Header +: (schemaLines ++ days.toSeq.sortBy(_._1).map {
+      case (d, dir) => s"$d\t$dir"
+    })).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target))
       sys.error(s"publishing $target failed; tmp content is in $tmp")
   }
+
+  /** The table schema recorded in a manifest (newest, or a pinned
+    * version); None for early tables predating the schema line, which
+    * read by footer inference instead. */
+  def readSchemaAt(spark: SparkSession, path: String,
+                   version: Long): Option[StructType] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val target = new Path(root, f"manifest-$version%09d.txt")
+    if (!f.exists(target)) sys.error(
+      s"manifest version $version of $path is not retained")
+    parseManifestFull(f, target).schema
+  }
+
+  def readSchema(spark: SparkSession, path: String): Option[StructType] = {
+    val (v, _) = readManifest(spark, path)
+    readSchemaAt(spark, path, v)
+  }
+
+  /** Read a set of day directories under the table's authoritative
+    * schema when one is recorded: columns added by later appends
+    * surface as null in days written before them, with zero footer
+    * merging. */
+  private def readDirs(spark: SparkSession, dirs: Seq[String],
+                       schema: Option[StructType]): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+
+  /** The schema an append publishes: existing columns keep their
+    * position and type, brand-new incoming columns are appended. A
+    * same-name type conflict fails loudly — silent coercion at 100 TB
+    * is how a table corrupts. */
+  private def mergeSchemas(current: Option[StructType],
+                           incoming: StructType): StructType =
+    current match {
+      case None => incoming
+      case Some(cur) =>
+        incoming.fields.foreach { fNew =>
+          cur.fields.find(_.name == fNew.name).foreach { fOld =>
+            if (fOld.dataType != fNew.dataType) sys.error(
+              s"schema conflict on column '${fNew.name}': table has " +
+                s"${fOld.dataType.simpleString}, batch has " +
+                s"${fNew.dataType.simpleString} — evolve by ADDING columns, " +
+                "not retyping them")
+          }
+        }
+        val known = cur.fieldNames.toSet
+        StructType(cur.fields ++ incoming.fields.filterNot(f => known(f.name)))
+    }
 
   /** Initialize the table: one `dt=<day>.v1` directory per UTC day plus
     * manifest version 1. Same shuffle-free sorted write as
@@ -164,7 +237,7 @@ object ManifestedLog {
       day -> s"dt=$day.v1"
     }.toMap
     f.delete(staging, true)
-    publish(spark, path, 1L, mapping)
+    publish(spark, path, 1L, mapping, Some(events.schema))
   }
 
   /** Range read `[fromUs, toUs)`: day pruning happens against the
@@ -172,7 +245,8 @@ object ManifestedLog {
     * native-type pushed predicate prunes row groups within them. */
   def loadRange(spark: SparkSession, path: String,
                 fromUs: Long, toUs: Long): DataFrame = {
-    val (_, days) = readManifest(spark, path)
+    val (version, days) = readManifest(spark, path)
+    val schema = readSchemaAt(spark, path, version)
     val fromDt = Events.usLocalDateTime(fromUs).toLocalDate.toString
     val toDt   = Events.usLocalDateTime(toUs - 1L).toLocalDate.toString
     val dirs = days.toSeq
@@ -183,20 +257,21 @@ object ManifestedLog {
       // preserve the schema without reading data: scan any one day, keep 0 rows
       val any = days.toSeq.sortBy(_._1).headOption.getOrElse(
         sys.error(s"manifested log at $path lists no days"))
-      return Events.normalizeEventTime(
-        spark.read.parquet(new Path(new Path(path), any._2).toString).limit(0))
+      return Events.normalizeEventTime(readDirs(spark,
+        Seq(new Path(new Path(path), any._2).toString), schema).limit(0))
     }
     Events.normalizeEventTime(
-      Events.timeRange(spark.read.parquet(dirs: _*), fromUs, toUs))
+      Events.timeRange(readDirs(spark, dirs, schema), fromUs, toUs))
   }
 
   /** Full-table read (all days of the newest manifest). */
   def load(spark: SparkSession, path: String): DataFrame = {
-    val (_, days) = readManifest(spark, path)
+    val (version, days) = readManifest(spark, path)
     val dirs = days.toSeq.sortBy(_._1)
       .map { case (_, dir) => new Path(new Path(path), dir).toString }
     require(dirs.nonEmpty, s"manifested log at $path lists no days")
-    Events.normalizeEventTime(spark.read.parquet(dirs: _*))
+    Events.normalizeEventTime(
+      readDirs(spark, dirs, readSchemaAt(spark, path, version)))
   }
 
   /** Compact one day into ~targetBytes ts-range-tiled files, then flip
@@ -218,12 +293,15 @@ object ManifestedLog {
     val dayPath = new Path(root, currentDir)
     val totalBytes = f.getContentSummary(dayPath).getLength
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(dayPath.toString)
+    val schema = readSchemaAt(spark, path, version)
+    // compacting under the table schema also MIGRATES the day: columns
+    // added by later appends materialize (as null) in the rewritten files
+    readDirs(spark, Seq(dayPath.toString), schema)
       .repartitionByRange(parts, col("ts"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
-    publish(spark, path, version + 1, days.updated(dt, nextDir))
+    publish(spark, path, version + 1, days.updated(dt, nextDir), schema)
     parts.toLong
   }
 
@@ -246,6 +324,7 @@ object ManifestedLog {
     val root = new Path(path)
     val f = fs(spark, root)
     val (version, days) = readManifest(spark, path)
+    val schema = readSchemaAt(spark, path, version)
     val rewritten = days.toSeq.sortBy(_._1).flatMap { case (dt, dir) =>
       if (Events.dayBoundsUs(dt)._2 > watermarkUs) None
       else {
@@ -260,7 +339,7 @@ object ManifestedLog {
           val nextDir = s"dt=$dt.v${curV + 1}"
           val target = new Path(root, nextDir)
           if (f.exists(target)) f.delete(target, true) // unreferenced leftover
-          spark.read.parquet(dayPath.toString)
+          readDirs(spark, Seq(dayPath.toString), schema)
             .repartitionByRange(needed.toInt, col("ts"))
             .sortWithinPartitions(col("ts"))
             .write.mode("overwrite").parquet(target.toString)
@@ -271,7 +350,7 @@ object ManifestedLog {
     }
     if (rewritten.isEmpty) return Map.empty
     publish(spark, path, version + 1,
-      days ++ rewritten.map { case (dt, dir, _) => dt -> dir })
+      days ++ rewritten.map { case (dt, dir, _) => dt -> dir }, schema)
     rewritten.map { case (dt, _, n) => dt -> n }.toMap
   }
 
@@ -292,8 +371,13 @@ object ManifestedLog {
     * Copy-on-write cost is proportional to the TOUCHED days, not the
     * log: with event-time-bucketed arrivals a batch touches the open
     * day (small, recent) and a late-data tail — the standard hot/cold
-    * asymmetry this layout is built around. Returns the new manifest
-    * version. */
+    * asymmetry this layout is built around.
+    *
+    * SCHEMA EVOLUTION: a batch may carry columns the table doesn't have
+    * yet — they append to the table schema in the published manifest and
+    * surface as null in untouched days; a batch may also OMIT existing
+    * columns (null-filled in the rewritten days). A same-name type
+    * conflict fails loudly. Returns the new manifest version. */
   def append(events: DataFrame, path: String,
              dedupKey: Option[String] = Some("event_id")): Long = {
     val spark = events.sparkSession
@@ -302,6 +386,16 @@ object ManifestedLog {
     // bootstrap: appending to an uninitialized table creates version 1
     val (version, days) =
       readManifestOpt(spark, path).getOrElse((0L, Map.empty[String, String]))
+    // the table's current schema: from the manifest when recorded, by
+    // one-off footer merge for tables predating the schema line
+    val current: Option[StructType] =
+      if (version == 0L) None
+      else readSchemaAt(spark, path, version).orElse {
+        val dirs = days.toSeq.sortBy(_._1)
+          .map { case (_, dir) => new Path(root, dir).toString }
+        Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
+      }
+    val merged = mergeSchemas(current, events.schema)
     val staged = events.withColumn("dt", Events.utcDt(col("ts")))
     val batchDays = staged.select(col("dt")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -311,8 +405,9 @@ object ManifestedLog {
       val (nextDir, data) = days.get(day) match {
         case Some(cur) =>
           val curV = cur.substring(cur.lastIndexOf(".v") + 2).toLong
-          val old = spark.read.parquet(new Path(root, cur).toString)
-          (s"dt=$day.v${curV + 1}", old.unionByName(incoming))
+          val old = readDirs(spark, Seq(new Path(root, cur).toString), current)
+          (s"dt=$day.v${curV + 1}",
+            old.unionByName(incoming, allowMissingColumns = true))
         case None =>
           (s"dt=$day.v1", incoming)
       }
@@ -327,8 +422,51 @@ object ManifestedLog {
       f.delete(new Path(target, "_SUCCESS"), false)
       day -> nextDir
     }.toMap
-    publish(spark, path, version + 1, days ++ updated)
+    publish(spark, path, version + 1, days ++ updated, Some(merged))
     version + 1
+  }
+
+  /** Incremental consumption — the table's CHANGE FEED. Returns the
+    * rows ADDED between two retained manifest versions, so a downstream
+    * pipeline (feature build, index refresh, replication) processes only
+    * the delta instead of rescanning the table — at 100 TB the
+    * difference between a per-batch job and a per-day one.
+    *
+    * Day-level diffing against the manifests keeps the cost proportional
+    * to the TOUCHED days: a day whose directory name is unchanged
+    * between the versions is skipped without listing or reading it; a
+    * brand-new day contributes wholesale; a rewritten day contributes
+    * its new keys via an anti-join of new-dir against old-dir keys
+    * ([[append]] is insert-only per key, so new keys ARE the delta —
+    * and a pure compaction rewrite, which changes the directory but not
+    * the content, anti-joins to empty rather than re-emitting the day).
+    * Both versions must still be retained ([[vacuum]] window); a
+    * vacuumed bound fails loudly like [[loadAt]]. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long,
+                     key: String = "event_id"): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"change feed runs forward: $fromVersion > $toVersion")
+    val from = readManifestAt(spark, path, fromVersion)
+    val to = readManifestAt(spark, path, toVersion)
+    val schema = readSchemaAt(spark, path, toVersion)
+    val root = new Path(path)
+    def dir(name: String): String = new Path(root, name).toString
+    val perDay = to.toSeq.sortBy(_._1).flatMap { case (day, d) =>
+      from.get(day) match {
+        case Some(old) if old == d => None // untouched day: zero cost
+        case Some(old) => Some(
+          readDirs(spark, Seq(dir(d)), schema).join(
+            spark.read.parquet(dir(old)).select(key), Seq(key), "left_anti"))
+        case None => Some(readDirs(spark, Seq(dir(d)), schema))
+      }
+    }
+    val delta = perDay.reduceOption(_.unionByName(_)).getOrElse {
+      val any = to.toSeq.sortBy(_._1).headOption.getOrElse(
+        sys.error(s"manifest version $toVersion of $path lists no days"))
+      readDirs(spark, Seq(dir(any._2)), schema).limit(0)
+    }
+    Events.normalizeEventTime(delta)
   }
 
   /** Streaming ingest twin: each micro-batch runs [[append]] via

@@ -29,6 +29,24 @@ object EventQueries extends QueryPack {
     path
   }
 
+  /** Two-version incremental table for the change-feed query: version 1
+    * is the corpus minus every third event, version 2 appends the rest —
+    * so `changesBetween(1, 2)` has a closed-form oracle (the appended
+    * slice). NOT vacuumed: the feed needs both versions retained. */
+  private[queries] def manifestIncrLayout(s: SparkSession, sfDir: String): String = synchronized {
+    import org.apache.spark.sql.functions.col
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_manifest_incr_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtLayouts.contains(path)) {
+      val ev = Events.load(s, sfDir).drop("ts_us")
+      graft.operators.ManifestedLog.append(ev.filter(col("event_id") % 3 =!= 1), path)
+      graft.operators.ManifestedLog.append(ev.filter(col("event_id") % 3 === 1), path)
+      builtLayouts += path
+    }
+    path
+  }
+
   /** Manifested twin of [[dayLayout]]: built once per JVM per fixture,
     * then one day compacted and vacuumed so the read path runs against
     * a post-maintenance table (the steady state of a real log). */
@@ -156,6 +174,16 @@ object EventQueries extends QueryPack {
       graft.operators.ManifestedLog.loadRange(s, manifestLayout(s, d),
           fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
           toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Change feed over the manifested table: only the rows ADDED between
+    // two retained versions, diffed day-wise against the manifests —
+    // unchanged days are skipped without a read. Incremental consumption
+    // is what lets a downstream pipeline keep up with a growing log
+    // without rescanning it.
+    "x69_manifest_changes" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.changesBetween(
+          s, manifestIncrLayout(s, d), 1L, 2L)
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
 
     // JSON column surface: extract props.k and aggregate per event type.
@@ -295,6 +323,11 @@ object EventQueries extends QueryPack {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "x69_manifest_changes" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE event_id % 3 = 1""".stripMargin,
 
     "x22_event_props_json" ->
       """SELECT event_type, count(*) AS n_events,

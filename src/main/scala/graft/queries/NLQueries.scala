@@ -270,6 +270,14 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(
           s, EventQueries.manifestLayout(s, d)))),
 
+    // Change-feed route (x69's table and oracle): the NL projection
+    // runs over the delta between two retained manifest versions.
+    "nl88_manifest_changes" -> ((s: SparkSession, d: String) =>
+      Engine.run("Select columns event_id, user_id, ts_us, event_type " +
+                 "and value.",
+        graft.operators.ManifestedLog.changesBetween(
+          s, EventQueries.manifestIncrLayout(s, d), 1L, 2L))),
+
     // Deterministic epoch shuffle (x68's shards and seed, so its
     // bit-exact oracle applies verbatim).
     "nl87_shuffle_shards" -> ((s: SparkSession, d: String) =>
@@ -647,6 +655,7 @@ object NLQueries extends QueryPack {
     "nl85_event_range" -> EventQueries.oracleSql("x65_event_range_scan"),
     "nl86_manifest_range" -> EventQueries.oracleSql("x67_event_manifest_range"),
     "nl87_shuffle_shards" -> SamplingQueries.oracleSql("x68_shuffle_shards"),
+    "nl88_manifest_changes" -> EventQueries.oracleSql("x69_manifest_changes"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

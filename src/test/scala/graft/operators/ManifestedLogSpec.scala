@@ -215,6 +215,69 @@ class ManifestedLogSpec extends SparkSpec {
     assert(ManifestedLog.readManifest(spark, p)._1 == v2)
   }
 
+  test("change feed emits exactly the rows added between versions") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-cf")
+      .toString + "/events_log"
+    val all = Events.load(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val sliceA = all.filter(col("event_id") % 3 =!= 1).drop("ts_us")
+    val sliceB = all.filter(col("event_id") % 3 === 1).drop("ts_us")
+    ManifestedLog.append(sliceA, p)                  // v1
+    ManifestedLog.append(sliceB, p)                  // v2
+    ManifestedLog.compactDay(spark, p, "2024-01-10") // v3: layout-only
+
+    assert(ids(ManifestedLog.changesBetween(spark, p, 1L, 2L)) == ids(sliceB))
+    // compaction changed directories but not content → empty delta
+    assert(ManifestedLog.changesBetween(spark, p, 2L, 3L).count() == 0L)
+    assert(ids(ManifestedLog.changesBetween(spark, p, 1L, 3L)) == ids(sliceB))
+    // a re-delivered batch adds nothing, so its delta is empty too
+    ManifestedLog.append(sliceB, p)                  // v4: idempotent no-op
+    assert(ManifestedLog.changesBetween(spark, p, 3L, 4L).count() == 0L)
+    // identical bounds → empty, same schema as a load
+    val same = ManifestedLog.changesBetween(spark, p, 2L, 2L)
+    assert(same.count() == 0L &&
+      same.columns.toSet == ManifestedLog.load(spark, p).columns.toSet)
+    intercept[IllegalArgumentException](
+      ManifestedLog.changesBetween(spark, p, 3L, 1L))
+  }
+
+  test("schema evolution: new columns null-fill old days, compaction migrates") {
+    val p = java.nio.file.Files.createTempDirectory("graft-manifest-se")
+      .toString + "/events_log"
+    val all = Events.load(spark, sfDir).drop("ts_us")
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    val mid = 1705276800000000L // 2024-01-15T00:00:00Z
+    val early = all.filter(unix_micros(col("ts")) < mid)
+    val late = all.filter(unix_micros(col("ts")) >= mid)
+      .withColumn("quality", col("value") * 2)
+    ManifestedLog.append(early, p) // v1: base schema
+    ManifestedLog.append(late, p)  // v2: + quality column
+    val t = ManifestedLog.load(spark, p)
+    assert(t.count() == all.count())
+    // untouched early days read under the evolved schema: null quality
+    assert(t.filter(col("ts_us") < mid && col("quality").isNotNull).count() == 0)
+    assert(t.filter(col("ts_us") >= mid && col("quality").isNull).count() == 0)
+    // the change feed carries the evolved schema too
+    assert(ManifestedLog.changesBetween(spark, p, 1L, 2L)
+      .columns.contains("quality"))
+    // physically, an early day's files predate the column...
+    val (_, days) = ManifestedLog.readManifest(spark, p)
+    def physicalCols(day: String): Set[String] =
+      spark.read.parquet(new Path(new Path(p), days(day)).toString)
+        .columns.toSet
+    assert(!physicalCols("2024-01-10").contains("quality"))
+    // ...until compaction rewrites it under the table schema
+    ManifestedLog.compactDay(spark, p, "2024-01-10")
+    val (_, days2) = ManifestedLog.readManifest(spark, p)
+    assert(spark.read.parquet(new Path(new Path(p), days2("2024-01-10")).toString)
+      .columns.contains("quality"))
+    assert(ids(ManifestedLog.load(spark, p)) == ids(all))
+    // retyping an existing column is refused, not coerced
+    val bad = late.withColumn("quality", lit("high"))
+    val e = intercept[RuntimeException](ManifestedLog.append(bad, p))
+    assert(e.getMessage.contains("schema conflict"))
+  }
+
   test("manifest range pruning reads only qualifying day directories") {
     val p = freshTable()
     // a one-day range must produce a plan over exactly one directory
