@@ -469,6 +469,15 @@ object ManifestedLog {
     Events.normalizeEventTime(delta)
   }
 
+  /** Incremental-consumer loop shape: the delta since `sinceVersion`
+    * and the version it runs to. Persist the returned version as the
+    * consumer's cursor and call again on the next schedule. */
+  def changesSince(spark: SparkSession, path: String,
+                   sinceVersion: Long): (Long, DataFrame) = {
+    val (newest, _) = readManifest(spark, path)
+    (newest, changesBetween(spark, path, sinceVersion, newest))
+  }
+
   /** Streaming ingest twin: each micro-batch runs [[append]] via
     * `foreachBatch`. Delivery is at-least-once across restarts, but the
     * default key-dedup makes re-appended batches no-ops, so the TABLE

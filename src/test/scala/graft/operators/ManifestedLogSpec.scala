@@ -233,6 +233,9 @@ class ManifestedLogSpec extends SparkSpec {
     // a re-delivered batch adds nothing, so its delta is empty too
     ManifestedLog.append(sliceB, p)                  // v4: idempotent no-op
     assert(ManifestedLog.changesBetween(spark, p, 3L, 4L).count() == 0L)
+    // cursor-style consumption: delta since v1 runs to the newest version
+    val (cursor, delta) = ManifestedLog.changesSince(spark, p, 1L)
+    assert(cursor == 4L && ids(delta) == ids(sliceB))
     // identical bounds → empty, same schema as a load
     val same = ManifestedLog.changesBetween(spark, p, 2L, 2L)
     assert(same.count() == 0L &&

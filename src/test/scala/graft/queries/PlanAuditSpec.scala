@@ -73,6 +73,15 @@ class PlanAuditSpec extends SparkSpec {
     val x28 = plan("x28_event_sliding")
     assert("(?<!Broadcast)Exchange".r.findAllIn(x28).length <= 1,
       s"x28 should aggregate with one shuffle:\n${x28.take(800)}")
+    // x68: shard/position assignment is pure map-side — zero exchanges
+    val x68 = plan("x68_shuffle_shards")
+    assert(!x68.contains("Exchange"),
+      s"x68 shuffle assignment must not shuffle:\n${x68.take(800)}")
+    // x69: the change feed's per-day key anti-joins broadcast the old
+    // day's keys — no shuffle exchange anywhere in the delta plan
+    val x69 = plan("x69_manifest_changes")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(x69).isEmpty,
+      s"x69 delta should anti-join via broadcast, not shuffle:\n${x69.take(800)}")
   }
 
   test("broadcast joins stay broadcast at the dim tables") {
