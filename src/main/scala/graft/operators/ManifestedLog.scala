@@ -440,6 +440,9 @@ object ManifestedLog {
     * ([[append]] is insert-only per key, so new keys ARE the delta —
     * and a pure compaction rewrite, which changes the directory but not
     * the content, anti-joins to empty rather than re-emitting the day).
+    * `key` is assumed unique table-wide (event_id is — [[append]]'s
+    * dedup makes re-deliveries no-ops), which is what lets the
+    * many-days regime consolidate the per-day joins into one.
     * Both versions must still be retained ([[vacuum]] window); a
     * vacuumed bound fails loudly like [[loadAt]]. */
   def changesBetween(spark: SparkSession, path: String,
@@ -452,20 +455,40 @@ object ManifestedLog {
     val schema = readSchemaAt(spark, path, toVersion)
     val root = new Path(path)
     def dir(name: String): String = new Path(root, name).toString
-    val perDay = to.toSeq.sortBy(_._1).flatMap { case (day, d) =>
+    val (rewrites, adds) = to.toSeq.sortBy(_._1).flatMap { case (day, d) =>
       from.get(day) match {
         case Some(old) if old == d => None // untouched day: zero cost
-        case Some(old) => Some(
-          readDirs(spark, Seq(dir(d)), schema).join(
-            spark.read.parquet(dir(old)).select(key), Seq(key), "left_anti"))
-        case None => Some(readDirs(spark, Seq(dir(d)), schema))
+        case Some(old) => Some((dir(d), Some(dir(old))))
+        case None => Some((dir(d), None))
       }
-    }
-    val delta = perDay.reduceOption(_.unionByName(_)).getOrElse {
-      val any = to.toSeq.sortBy(_._1).headOption.getOrElse(
-        sys.error(s"manifest version $toVersion of $path lists no days"))
-      readDirs(spark, Seq(dir(any._2)), schema).limit(0)
-    }
+    }.partition(_._2.isDefined)
+    // Two join regimes, picked by touched-day count (keys are unique
+    // table-wide, so both compute the same delta): a hot/cold batch
+    // touches FEW days — per-day anti-joins broadcast each old day's
+    // bounded key set and shuffle nothing; a backfill/bench batch
+    // touches MANY days — per-day joins would run one broadcast-build
+    // job per day (driver round-trips dominate), so consolidate into
+    // ONE scan of all new dirs anti-joined against one scan of all old
+    // keys, letting Spark pick broadcast vs shuffle from actual sizes.
+    val rewritten: Option[DataFrame] =
+      if (rewrites.isEmpty) None
+      else if (rewrites.size <= 8) Some(rewrites.map { case (d, old) =>
+        readDirs(spark, Seq(d), schema).join(
+          spark.read.parquet(old.get).select(key), Seq(key), "left_anti")
+      }.reduce(_.unionByName(_)))
+      else Some(
+        readDirs(spark, rewrites.map(_._1), schema).join(
+          spark.read.parquet(rewrites.map(_._2.get): _*).select(key),
+          Seq(key), "left_anti"))
+    val added: Option[DataFrame] =
+      if (adds.isEmpty) None
+      else Some(readDirs(spark, adds.map(_._1), schema))
+    val delta = (rewritten.toSeq ++ added.toSeq)
+      .reduceOption(_.unionByName(_)).getOrElse {
+        val any = to.toSeq.sortBy(_._1).headOption.getOrElse(
+          sys.error(s"manifest version $toVersion of $path lists no days"))
+        readDirs(spark, Seq(dir(any._2)), schema).limit(0)
+      }
     Events.normalizeEventTime(delta)
   }
 

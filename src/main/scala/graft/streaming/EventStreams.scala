@@ -141,10 +141,16 @@ object EventStreams extends Serializable {
     * commit log, so the tail sees exactly the committed files —
     * end-to-end exactly-once from ingest to tail. The upper bound
     * defaults to the largest µs [[graft.operators.Events.timeRange]]
-    * can push without overflow, i.e. effectively unbounded. */
+    * can push without overflow, i.e. effectively unbounded.
+    * `maxFilesPerTrigger` bounds each micro-batch's file count — a
+    * fresh tail over a deep history otherwise swallows the entire
+    * backlog as ONE batch (at 100 TB: one executor-flattening scan);
+    * bounded, the backlog drains as a sequence of right-sized batches
+    * before the tail goes steady-state. */
   def tailDayPartitioned(spark: org.apache.spark.sql.SparkSession,
                          path: String, fromUs: Long,
-                         toUs: Long = Long.MaxValue / 1000L): DataFrame = {
+                         toUs: Long = Long.MaxValue / 1000L,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // file sources need an explicit schema; probe it with a batch read
     // (footer-only — no data scan)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -153,7 +159,10 @@ object EventStreams extends Serializable {
       .toLocalDate.toString
     val toDt = graft.operators.Events.usLocalDateTime(toUs - 1L)
       .toLocalDate.toString
-    val pruned = spark.readStream.schema(schema).parquet(path)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val pruned = reader.parquet(path)
       .filter(col("dt") >= fromDt && col("dt") <= toDt)
     graft.operators.Events.normalizeEventTime(
       graft.operators.Events.timeRange(pruned, fromUs, toUs)).drop("dt")

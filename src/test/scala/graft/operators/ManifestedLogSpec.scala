@@ -236,6 +236,12 @@ class ManifestedLogSpec extends SparkSpec {
     // cursor-style consumption: delta since v1 runs to the newest version
     val (cursor, delta) = ManifestedLog.changesSince(spark, p, 1L)
     assert(cursor == 4L && ids(delta) == ids(sliceB))
+    // few-days regime (hot/cold batch): a batch touching one or two
+    // days takes the per-day broadcast path and emits its new keys
+    val tiny = all.filter(col("event_id").isin(1L, 2L))
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val v5 = ManifestedLog.append(tiny, p)
+    assert(ids(ManifestedLog.changesBetween(spark, p, 4L, v5)) == ids(tiny))
     // identical bounds → empty, same schema as a load
     val same = ManifestedLog.changesBetween(spark, p, 2L, 2L)
     assert(same.count() == 0L &&

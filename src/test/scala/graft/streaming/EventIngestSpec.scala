@@ -139,7 +139,10 @@ class EventIngestSpec extends SparkSpec {
       df.select("event_id", "ts_us").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val tail = EventStreams.tailDayPartitioned(spark, path, fromUs, toUs)
+    // one file per micro-batch: a deep backlog drains as many small
+    // batches (the 100 TB cold-start shape), same final content
+    val tail = EventStreams.tailDayPartitioned(spark, path, fromUs, toUs,
+      maxFilesPerTrigger = Some(1))
     assert(tail.isStreaming)
     val q = tail.writeStream.format("memory").queryName("graft_tail_q")
       .outputMode("append").start()
