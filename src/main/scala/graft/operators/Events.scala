@@ -342,6 +342,39 @@ object Events {
            round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Generic interval (range) join WITHOUT an equi-key: each `points`
+    * row whose `tCol` falls in a `[loCol, hiCol)` interval of
+    * `intervals`, paired with that interval's columns. Spark plans a
+    * bare range condition as a nested-loop cross — O(points × intervals)
+    * — so this composes it from an equi-join instead (preference (a) of
+    * the custom-operator ladder): each interval EXPLODES into the
+    * fixed-width time bins it covers (`sequence` over floor-div bin
+    * ids), each point maps to its single bin, the sides equi-join on
+    * the bin id (shuffle bounded by points + interval-bin covers, never
+    * their product), and the residual `lo <= t < hi` filter runs only
+    * within co-binned candidates. A point lives in exactly one bin, so
+    * a matching pair materializes exactly once — no dedup pass.
+    *
+    * `binUs` trades explode factor against candidate precision: bins ≈
+    * the typical interval span keep covers-per-interval ~1-2 while
+    * candidates stay near-true-matches. Uniform bins also spread the
+    * shuffle evenly unless the DATA is time-skewed (then salt the hot
+    * bins — same playbook as any hot-key join). */
+  def intervalJoin(points: DataFrame, tCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   binUs: Long = 3600000000L): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    // exact: the numerator is a multiple of binUs and |ts_us| < 2^53
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(binUs))) / lit(binUs)).cast("long")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(loCol)), binOf(col(hiCol) - 1))))
+    points.withColumn("__bin", binOf(col(tCol)))
+      .join(binned, Seq("__bin"))
+      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Generic as-of join: for each `left` row, the latest `rightTsCol`
     * value of `right` at-or-before the row's `leftTsCol`, within `keyCol`
     * — the standard event-stream enrichment ("state as of this event").

@@ -186,6 +186,23 @@ object EventQueries extends QueryPack {
           s, manifestIncrLayout(s, d), 1L, 2L)
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
 
+    // Generic keyless interval join: purchases landing inside ANY
+    // session of a watched user cohort — the range-join shape Spark
+    // would otherwise nested-loop. Bin-bucketed equi-join, candidates
+    // bounded by points + interval bin covers.
+    "x70_interval_join" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Events.load(s, d)
+      val iv = Events.sessionize(ev.filter(col("user_id") % 100 === 7))
+        .select(col("user_id").as("watch_user"), col("session_idx"),
+          col("session_start_us").as("lo"),
+          (col("session_end_us") + 1).as("hi"))
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us"))
+      Events.intervalJoin(pts, "ts_us", iv, "lo", "hi")
+        .select(col("event_id"), col("watch_user"), col("session_idx"))
+    }),
+
     // JSON column surface: extract props.k and aggregate per event type.
     "x22_event_props_json" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
@@ -328,6 +345,27 @@ object EventQueries extends QueryPack {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events
         |WHERE event_id % 3 = 1""".stripMargin,
+
+    "x70_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id % 100 = 7
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id AS watch_user, session_idx,
+        |    min(ts_us) AS lo, max(ts_us) + 1 AS hi
+        |  FROM sessions GROUP BY user_id, session_idx)
+        |SELECT e.event_id, iv.watch_user, iv.session_idx
+        |FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase') e
+        |JOIN iv ON e.ts_us >= iv.lo AND e.ts_us < iv.hi""".stripMargin,
 
     "x22_event_props_json" ->
       """SELECT event_type, count(*) AS n_events,

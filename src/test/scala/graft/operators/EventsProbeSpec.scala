@@ -107,4 +107,47 @@ class EventsProbeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaLag == viaNative)
   }
+
+  test("intervalJoin matches the brute-force range join exactly once per pair") {
+    import spark.implicits._
+    // intervals deliberately: multi-bin spans, sub-bin spans, an empty
+    // [x, x) interval, overlapping intervals, and boundary-exact points
+    val bin = 1000L
+    val iv = Seq(
+      (1L, 0L, 2500L),     // spans bins 0-2
+      (2L, 2400L, 2600L),  // sub-bin, overlaps interval 1
+      (3L, 5000L, 5000L),  // empty: matches nothing
+      (4L, 999L, 1001L)    // straddles a bin boundary
+    ).toDF("iv_id", "lo", "hi")
+    val pts = Seq(0L, 999L, 1000L, 2400L, 2499L, 2500L, 2599L, 5000L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("p_id", "t")
+    val got = Events.intervalJoin(pts, "t", iv, "lo", "hi", binUs = bin)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      (pid, t) <- Seq(0L, 999L, 1000L, 2400L, 2499L, 2500L, 2599L, 5000L)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      (ivId, lo, hi) <- Seq((1L, 0L, 2500L), (2L, 2400L, 2600L),
+        (3L, 5000L, 5000L), (4L, 999L, 1001L))
+      if t >= lo && t < hi
+    } yield (pid, ivId)
+    // sets equal AND no duplicate pairs (each match exactly once)
+    assert(got.toSet == brute.toSet && got.length == brute.length)
+    // hi is exclusive, lo inclusive: t=2500 missed iv1, t=999/1000 hit iv4
+    assert(!got.contains((5L, 1L)) && got.contains((1L, 4L)) && got.contains((2L, 4L)))
+  }
+
+  test("intervalJoin on the fixture: purchases within watched sessions") {
+    val iv = Events.sessionize(events.filter(col("user_id") % 100 === 7))
+      .select(col("user_id").as("watch_user"), col("session_idx"),
+        col("session_start_us").as("lo"), (col("session_end_us") + 1).as("hi"))
+    val pts = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us"))
+    val got = Events.intervalJoin(pts, "ts_us", iv, "lo", "hi")
+    val brute = pts.join(iv, col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+    assert(got.count() == brute.count() && got.count() > 0)
+    // the composed plan must be an equi-join, not a nested-loop cross
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"intervalJoin must equi-join on bins:\n${plan.take(600)}")
+  }
 }
