@@ -30,5 +30,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark's default parquet timestamp encoding is the deprecated
+      // INT96, which carries NO column statistics — a silently
+      // pruning-hostile layout: a pushed ts predicate can't skip a
+      // single row group of our own written event logs, and footer-based
+      // file stats (ManifestedLog sidecars) read as unknown. INT64
+      // micros restores both and matches TimestampType semantics exactly.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 }

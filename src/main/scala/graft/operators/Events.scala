@@ -168,11 +168,18 @@ object Events {
     * predicate prunes row groups even for sub-day ranges (unsorted
     * input would give every row group the whole day's min-max span,
     * making in-day pruning a no-op). */
-  def writeDayPartitioned(events: DataFrame, path: String): Unit =
+  def writeDayPartitioned(events: DataFrame, path: String): Unit = {
+    // INT64 micros, never INT96: INT96 parquet chunks carry no column
+    // statistics, which would void the row-group pruning this layout
+    // exists for (Sessions.builder sets this too; repeated here for
+    // sessions built elsewhere)
+    events.sparkSession.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     events
       .withColumn("dt", utcDt(col("ts")))
       .sortWithinPartitions(col("dt"), col("ts"))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
+  }
 
   /** Compact ONE day of a [[writeDayPartitioned]] layout: rewrite the
     * day's files (streaming ingest appends one per trigger — file

@@ -44,9 +44,144 @@ object ManifestedLog {
 
   private val Header = "graft-event-log-manifest-v1"
   private val ManifestRe = "manifest-(\\d{9})\\.txt".r
+  private val StatsHeader = "graft-day-stats-v1"
+  private val StatsFile = "_stats.txt"
+
+  // ------------------------------------------------------------------
+  // Per-file statistics sidecar (the data-skipping layer; cf. the
+  // public Iceberg manifest-entry / Delta add-file stats designs).
+  //
+  // Every day directory carries a `_stats.txt` listing, per parquet
+  // file, its row count and the [min, max] of `ts` in epoch-µs — read
+  // from the parquet FOOTERS at write time (no data scan). The sidecar
+  // is written before the directory is first referenced by a manifest,
+  // so it shares the directory's immutability: once published it never
+  // changes, and a range reader can go manifest → sidecar → exact file
+  // set without listing the directory or opening a single footer. At
+  // 100 TB that turns a range read's planning cost from O(files) footer
+  // round-trips into O(days-in-range) small-file reads, and the
+  // manifest itself stays O(days) lines.
+  //
+  // A file whose footer lacks usable ts statistics records `?` bounds
+  // and is never skipped — conservative inclusion, never wrong results.
+  // ------------------------------------------------------------------
+
+  private final case class FileStat(
+      name: String, rows: Long, minUs: Option[Long], maxUs: Option[Long]) {
+    /** Could this file hold rows in `[fromUs, toUs)`? Unknown → yes. */
+    def overlaps(fromUs: Long, toUs: Long): Boolean = (minUs, maxUs) match {
+      case (Some(lo), Some(hi)) => hi >= fromUs && lo < toUs
+      case _ => true
+    }
+  }
+
+  /** Row count and ts-bounds of one parquet file, from its footer only.
+    * Bounds are converted to epoch-µs from the column's logical-type
+    * unit (µs native; ns floor-divides — the same truncation
+    * [[Events.normalizeEventTime]] applies to the data itself, so the
+    * sidecar bounds are exact for the normalized values readers see). */
+  private def footerStat(conf: org.apache.hadoop.conf.Configuration,
+                         file: Path): FileStat = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val toUs: Option[Long => Long] =
+        footer.getFileMetaData.getSchema.getFields.asScala
+          .find(f => f.getName == "ts" && f.isPrimitive)
+          .flatMap(f => Option(f.asPrimitiveType.getLogicalTypeAnnotation))
+          .collect {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some((n: Long) => n)
+                case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                  Some((n: Long) => Math.floorDiv(n, 1000L))
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some((n: Long) => Math.multiplyExact(n, 1000L))
+                case _ => None
+              }
+          }.flatten
+      val bounds: Option[(Long, Long)] = toUs.flatMap { cv =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { cc =>
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                Some((cv(lo.longValue), cv(hi.longValue)))
+              case _ => None
+            }
+          }
+        }
+        // every row group must report bounds, else the file is unknown
+        if (perBlock.exists(_.isEmpty) || perBlock.isEmpty) None
+        else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
+      }
+      FileStat(file.getName, rows, bounds.map(_._1), bounds.map(_._2))
+    } finally reader.close()
+  }
+
+  /** Compute footer stats for every parquet file of a day directory. */
+  private def dirStats(spark: SparkSession, dayDir: Path): Seq[FileStat] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs(spark, dayDir).listStatus(dayDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => footerStat(conf, s.getPath)).sortBy(_.name).toSeq
+  }
+
+  /** Write the `_stats.txt` sidecar into a just-written day directory.
+    * Called strictly BEFORE the directory is referenced by a manifest,
+    * so no reader can observe the directory without it. */
+  private def writeStatsSidecar(spark: SparkSession, dayDir: Path): Unit = {
+    val f = fs(spark, dayDir)
+    val lines = StatsHeader +: dirStats(spark, dayDir).map { st =>
+      s"${st.name}\t${st.rows}\t${st.minUs.fold("?")(_.toString)}" +
+        s"\t${st.maxUs.fold("?")(_.toString)}"
+    }
+    val out = f.create(new Path(dayDir, StatsFile), true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The sidecar of a published day directory; None for directories
+    * written before the sidecar existed (readers fall back to the
+    * whole-directory scan — older tables keep working unchanged). */
+  private def readStatsSidecar(spark: SparkSession,
+                               dayDir: Path): Option[Seq[FileStat]] = {
+    val f = fs(spark, dayDir)
+    val p = new Path(dayDir, StatsFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toList
+    if (!lines.headOption.contains(StatsHeader)) return None
+    def parse(s: String): Option[Long] = if (s == "?") None else Some(s.toLong)
+    Some(lines.drop(1).filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(name, rows, lo, hi) =>
+          FileStat(name, rows.toLong, parse(lo), parse(hi))
+        case _ => sys.error(s"malformed stats line in $p: '$l'")
+      }
+    })
+  }
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All table writes force INT64-micros timestamps: Spark's default
+    * INT96 encoding ships no column statistics, which would void both
+    * the footer-derived `_stats.txt` sidecars and in-file row-group
+    * pruning (Sessions.builder sets this globally; repeated here for
+    * sessions built elsewhere). */
+  private def ensureMicrosWrites(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** (version, day → data-dir name) of the newest manifest. */
   def readManifest(spark: SparkSession, path: String): (Long, Map[String, String]) =
@@ -219,6 +354,7 @@ object ManifestedLog {
     * never observe a half-built table. */
   def write(events: DataFrame, path: String): Unit = {
     val spark = events.sparkSession
+    ensureMicrosWrites(spark)
     val root = new Path(path)
     val f = fs(spark, root)
     val staging = new Path(root, ".staging-v1")
@@ -234,34 +370,84 @@ object ManifestedLog {
       if (f.exists(target)) f.delete(target, true)
       if (!f.rename(new Path(staging, dirName), target))
         sys.error(s"staging rename failed for $dirName")
+      writeStatsSidecar(spark, target)
       day -> s"dt=$day.v1"
     }.toMap
     f.delete(staging, true)
     publish(spark, path, 1L, mapping, Some(events.schema))
   }
 
-  /** Range read `[fromUs, toUs)`: day pruning happens against the
-    * MANIFEST (no directory listing outside qualifying days), then the
-    * native-type pushed predicate prunes row groups within them. */
+  /** Range read `[fromUs, toUs)`: three pruning layers, each cheaper
+    * than the one below it —
+    *  1. DAY pruning against the MANIFEST (no filesystem access outside
+    *     qualifying days);
+    *  2. FILE pruning against each qualifying day's `_stats.txt`
+    *     sidecar: only files whose recorded [min, max] ts intersects
+    *     the range are handed to the scan — no directory listing, no
+    *     footer reads for skipped files (days written before sidecars
+    *     existed fall back to the whole-directory read);
+    *  3. the native-type pushed predicate prunes ROW GROUPS within the
+    *     surviving files. */
   def loadRange(spark: SparkSession, path: String,
                 fromUs: Long, toUs: Long): DataFrame = {
     val (version, days) = readManifest(spark, path)
     val schema = readSchemaAt(spark, path, version)
     val fromDt = Events.usLocalDateTime(fromUs).toLocalDate.toString
     val toDt   = Events.usLocalDateTime(toUs - 1L).toLocalDate.toString
-    val dirs = days.toSeq
+    val root = new Path(path)
+    val paths = days.toSeq
       .filter { case (d, _) => d >= fromDt && d <= toDt }
       .sortBy(_._1)
-      .map { case (_, dir) => new Path(new Path(path), dir).toString }
-    if (dirs.isEmpty) {
+      .flatMap { case (_, dir) =>
+        val dayDir = new Path(root, dir)
+        readStatsSidecar(spark, dayDir) match {
+          case Some(stats) => stats.filter(_.overlaps(fromUs, toUs))
+            .map(st => new Path(dayDir, st.name).toString)
+          case None => Seq(dayDir.toString)
+        }
+      }
+    if (paths.isEmpty) {
       // preserve the schema without reading data: scan any one day, keep 0 rows
       val any = days.toSeq.sortBy(_._1).headOption.getOrElse(
         sys.error(s"manifested log at $path lists no days"))
       return Events.normalizeEventTime(readDirs(spark,
-        Seq(new Path(new Path(path), any._2).toString), schema).limit(0))
+        Seq(new Path(root, any._2).toString), schema).limit(0))
     }
     Events.normalizeEventTime(
-      Events.timeRange(readDirs(spark, dirs, schema), fromUs, toUs))
+      Events.timeRange(readDirs(spark, paths, schema), fromUs, toUs))
+  }
+
+  /** Per-day table profile from METADATA ONLY — the manifest names the
+    * days, each day's sidecar carries per-file rows and ts bounds, and
+    * nothing reads a data byte (a day predating sidecars pays one
+    * footer pass, still no data). At 100 TB this is the monitoring /
+    * planning query ("how big is each day, is ingest current, where are
+    * the bounds") that must not cost a table scan. Row counts are exact
+    * (footer counts); bounds are exact for the normalized µs values.
+    * Returns one row per day: dt, n_files, n_rows, min_ts_us, max_ts_us. */
+  def dayStats(spark: SparkSession, path: String): DataFrame = {
+    val (_, days) = readManifest(spark, path)
+    val root = new Path(path)
+    val rows = days.toSeq.sortBy(_._1).map { case (day, dir) =>
+      val dayDir = new Path(root, dir)
+      val stats = readStatsSidecar(spark, dayDir)
+        .getOrElse(dirStats(spark, dayDir))
+      val bounds = stats.map(s => (s.minUs, s.maxUs))
+      val known = bounds.forall { case (lo, hi) => lo.isDefined && hi.isDefined }
+      (day, stats.size.toLong, stats.map(_.rows).sum,
+        if (known && bounds.nonEmpty) bounds.map(_._1.get).min else null.asInstanceOf[Any],
+        if (known && bounds.nonEmpty) bounds.map(_._2.get).max else null.asInstanceOf[Any])
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dt", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("min_ts_us", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("max_ts_us", org.apache.spark.sql.types.LongType, true)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5)).asJava,
+      schema)
   }
 
   /** Full-table read (all days of the newest manifest). */
@@ -281,6 +467,7 @@ object ManifestedLog {
   def compactDay(spark: SparkSession, path: String, dt: String,
                  targetBytes: Long = 128L << 20): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
+    ensureMicrosWrites(spark)
     val root = new Path(path)
     val f = fs(spark, root)
     val (version, days) = readManifest(spark, path)
@@ -301,6 +488,7 @@ object ManifestedLog {
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
+    writeStatsSidecar(spark, target)
     publish(spark, path, version + 1, days.updated(dt, nextDir), schema)
     parts.toLong
   }
@@ -321,6 +509,7 @@ object ManifestedLog {
   def compactClosedDays(spark: SparkSession, path: String, watermarkUs: Long,
                         targetBytes: Long = 128L << 20): Map[String, Long] = {
     require(targetBytes > 0, "targetBytes must be positive")
+    ensureMicrosWrites(spark)
     val root = new Path(path)
     val f = fs(spark, root)
     val (version, days) = readManifest(spark, path)
@@ -344,6 +533,7 @@ object ManifestedLog {
             .sortWithinPartitions(col("ts"))
             .write.mode("overwrite").parquet(target.toString)
           f.delete(new Path(target, "_SUCCESS"), false)
+          writeStatsSidecar(spark, target)
           Some((dt, nextDir, needed))
         }
       }
@@ -381,6 +571,7 @@ object ManifestedLog {
   def append(events: DataFrame, path: String,
              dedupKey: Option[String] = Some("event_id")): Long = {
     val spark = events.sparkSession
+    ensureMicrosWrites(spark)
     val root = new Path(path)
     val f = fs(spark, root)
     // bootstrap: appending to an uninitialized table creates version 1
@@ -420,6 +611,7 @@ object ManifestedLog {
       deduped.sortWithinPartitions(col("ts"))
         .write.mode("overwrite").parquet(target.toString)
       f.delete(new Path(target, "_SUCCESS"), false)
+      writeStatsSidecar(spark, target)
       day -> nextDir
     }.toMap
     publish(spark, path, version + 1, days ++ updated, Some(merged))

@@ -57,6 +57,11 @@ object EventQueries extends QueryPack {
     if (!builtLayouts.contains(path)) {
       graft.operators.ManifestedLog.write(Events.load(s, sfDir), path)
       graft.operators.ManifestedLog.compactDay(s, path, "2024-01-10")
+      // 2024-01-15 compacts into ~256 KB ts-range-tiled files so the
+      // sub-day range read (x71) has sidecar file skipping to exercise
+      // at every fixture scale
+      graft.operators.ManifestedLog.compactDay(s, path, "2024-01-15",
+        targetBytes = 256L << 10)
       graft.operators.ManifestedLog.vacuum(s, path)
       builtLayouts += path
     }
@@ -175,6 +180,28 @@ object EventQueries extends QueryPack {
           fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
           toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Sub-day range over the manifested log: manifest day pruning cuts
+    // the read to one day, then the day's `_stats.txt` sidecar (per-file
+    // ts bounds captured from parquet footers at write time) skips the
+    // day's non-overlapping files WITHOUT listing the directory or
+    // opening their footers — at 100 TB the planning cost of a range
+    // read becomes O(days-in-range) sidecar reads, not O(files) footer
+    // round-trips. ManifestedLogStatsSpec pins the skipped-file set.
+    "x71_manifest_file_skip" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.loadRange(s, manifestLayout(s, d),
+          fromUs = 1705298400000000L,  // 2024-01-15T06:00:00Z
+          toUs   = 1705320000000000L)  // 2024-01-15T12:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Metadata-only per-day profile of the manifested log: row counts
+    // and ts bounds come from the manifest + sidecars (exact footer
+    // counts, exact normalized-µs bounds) — zero data bytes read. The
+    // oracle computes the same profile by scanning the events table, so
+    // the hash check proves metadata == data.
+    "x72_log_day_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.dayStats(s, manifestLayout(s, d))
+        .select("dt", "n_rows", "min_ts_us", "max_ts_us")),
 
     // Change feed over the manifested table: only the rows ADDED between
     // two retained versions, diffed day-wise against the manifests —
@@ -345,6 +372,17 @@ object EventQueries extends QueryPack {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events
         |WHERE event_id % 3 = 1""".stripMargin,
+
+    "x71_manifest_file_skip" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 06:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 12:00:00'""".stripMargin,
+
+    "x72_log_day_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_rows,
+        |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
 
     "x70_interval_join" ->
       """WITH flagged AS (
