@@ -254,6 +254,16 @@ object Compiler {
           "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
+    case Op.DayProfile =>
+      if (!df.columns.contains("ts"))
+        throw InvalidPlanException(
+          s"day profile needs a 'ts' column (have: ${df.columns.mkString(", ")}); " +
+          "load an events table first")
+      val tsUs =
+        if (df.columns.contains("ts_us")) col("ts_us") else unix_micros(col("ts"))
+      df.groupBy(graft.operators.Events.utcDt(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(tsUs).as("min_ts_us"), max(tsUs).as("max_ts_us"))
     case Op.EventTimeRange(fromUs, toUs) =>
       if (!df.columns.contains("ts"))
         throw InvalidPlanException(

@@ -1367,6 +1367,16 @@ object NLParser {
                  else "source"
         requireDone(p)
         Right(List(Op.CorpusStats(gc)))
+      case Some("profile") =>
+        // "Profile events by day." — per-UTC-day row counts + ts bounds
+        p.next(); p.dropWords("the", "events", "event", "log", "table")
+        p.expectWord("by")
+        p.peekWordLower match {
+          case Some("day") | Some("date") => p.next()
+          case other => throw ParseException(s"expected 'day' after profile ... by, got $other")
+        }
+        requireDone(p)
+        Right(List(Op.DayProfile))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }

@@ -223,6 +223,10 @@ object Op {
     * the `ts` column's native type so it reaches the parquet scan as a
     * pushed filter ([[graft.operators.Events.timeRange]]). */
   final case class EventTimeRange(fromUs: Long, toUs: Long)        extends CorpusOp
+  /** Per-UTC-day profile of an event table: row count and ts bounds
+    * (`dt, n_rows, min_ts_us, max_ts_us`) — the scan-side twin of
+    * [[graft.operators.ManifestedLog.dayStats]]'s metadata-only read. */
+  case object DayProfile                                           extends CorpusOp
   /** CDC changelog apply: latest-wins per key, then drop keys whose
     * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
   final case class CdcApply(keyCol: String,

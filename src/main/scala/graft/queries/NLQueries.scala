@@ -270,6 +270,26 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(
           s, EventQueries.manifestLayout(s, d)))),
 
+    // Sub-day manifested range (x71's table and oracle): the compiled
+    // BETWEEN lands on the native ts column of the manifest-resolved
+    // table, row-group-pruning within the one qualifying day (the
+    // direct x71 path additionally file-skips via the stats sidecar
+    // before the scan even plans).
+    "nl89_manifest_subday" -> ((s: SparkSession, d: String) =>
+      Engine.run("Keep events between '2024-01-15T06:00:00Z' and " +
+                 "'2024-01-15T12:00:00Z' and select columns event_id, " +
+                 "user_id, ts_us, event_type, value.",
+        graft.operators.ManifestedLog.load(
+          s, EventQueries.manifestLayout(s, d)))),
+
+    // Day-profile route (x72's oracle): the NL verb computes the per-day
+    // profile by scanning; x72 answers the same question from manifest +
+    // sidecar metadata alone.
+    "nl90_day_profile" -> ((s: SparkSession, d: String) =>
+      Engine.run("Profile events by day.",
+        graft.operators.ManifestedLog.load(
+          s, EventQueries.manifestLayout(s, d)))),
+
     // Change-feed route (x69's table and oracle): the NL projection
     // runs over the delta between two retained manifest versions.
     "nl88_manifest_changes" -> ((s: SparkSession, d: String) =>
@@ -656,6 +676,8 @@ object NLQueries extends QueryPack {
     "nl86_manifest_range" -> EventQueries.oracleSql("x67_event_manifest_range"),
     "nl87_shuffle_shards" -> SamplingQueries.oracleSql("x68_shuffle_shards"),
     "nl88_manifest_changes" -> EventQueries.oracleSql("x69_manifest_changes"),
+    "nl89_manifest_subday" -> EventQueries.oracleSql("x71_manifest_file_skip"),
+    "nl90_day_profile" -> EventQueries.oracleSql("x72_log_day_stats"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

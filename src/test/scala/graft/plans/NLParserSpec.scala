@@ -410,6 +410,15 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("day-profile clause parses; missing 'by day' rejected") {
+    assert(NLParser.parse("Profile events by day.").ops == List(O.DayProfile))
+    assert(NLParser.parse("Profile the event log by date.").ops ==
+      List(O.DayProfile))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Profile events by user.")
+    }
+  }
+
   test("temperature sampling clause parses; non-2 temperatures rejected") {
     assert(NLParser.parse("Sample sources at temperature 2 with seed 7.").ops ==
       List(O.SampleTemperature("source", 7L)))
