@@ -1367,6 +1367,15 @@ object NLParser {
                  else "source"
         requireDone(p)
         Right(List(Op.CorpusStats(gc)))
+      case Some("demux") =>
+        // "Demux video frames." — real ISO-BMFF sample-table demux
+        p.next(); p.dropWords("the", "video", "videos")
+        p.peekWordLower match {
+          case Some("frames") | Some("frame") => p.next()
+          case other => throw ParseException(s"expected 'frames' after demux, got $other")
+        }
+        requireDone(p)
+        Right(List(Op.DemuxFrames))
       case Some("profile") =>
         // "Profile events by day." — per-UTC-day row counts + ts bounds
         p.next(); p.dropWords("the", "events", "event", "log", "table")

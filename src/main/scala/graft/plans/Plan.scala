@@ -227,6 +227,10 @@ object Op {
     * (`dt, n_rows, min_ts_us, max_ts_us`) — the scan-side twin of
     * [[graft.operators.ManifestedLog.dayStats]]'s metadata-only read. */
   case object DayProfile                                           extends CorpusOp
+  /** Real ISO-BMFF demux of a video media table: one row per frame with
+    * its container-derived size, pts, and sync flag
+    * ([[graft.operators.Multimodal.demuxFrameMeta]]). */
+  case object DemuxFrames                                          extends CorpusOp
   /** CDC changelog apply: latest-wins per key, then drop keys whose
     * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
   final case class CdcApply(keyCol: String,

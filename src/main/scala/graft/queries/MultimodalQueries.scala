@@ -52,7 +52,32 @@ object MultimodalQueries extends QueryPack {
       .as[Multimodal.MediaRecord]
   }
 
+  private[queries] def mp4MediaTable(s: SparkSession,
+                            d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_mp4_media_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtMedia.contains(path)) {
+      Multimodal.mp4Media(table(s, d, "documents"))
+        .write.mode("overwrite").parquet(path)
+      builtMedia += path
+    }
+    import s.implicits._
+    graft.operators.Parallelism.spreadToCores(s.read.parquet(path))
+      .as[Multimodal.MediaRecord]
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL ISO-BMFF demux: payloads are genuine MP4 containers whose
+    // sample tables index planted frames; the engine parses the actual
+    // box tree (stts/stsc/stsz/stco/stss) and resolves every frame's
+    // byte range, pts and sync flag. DuckDB has no demuxer, so the
+    // oracle replays the planted-geometry formula — a hash match proves
+    // the demuxer recovered the planted values from real container
+    // bytes (the x17 certification pattern, one level down the stack).
+    "x73_video_demux" -> ((s: SparkSession, d: String) =>
+      Multimodal.demuxFrameMeta(mp4MediaTable(s, d))),
+
     "x17_multimodal_decode" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeImageMeta(imageMediaTable(s, d))),
 
@@ -64,6 +89,13 @@ object MultimodalQueries extends QueryPack {
         Multimodal.decodeImageMeta(imageMediaTable(s, d)), maxDim = 32)))
 
   override val oracleSql: Map[String, String] = Map(
+    "x73_video_demux" ->
+      """SELECT d.doc_id AS media_id, t.k AS frame_idx,
+        |  (d.doc_id * 31 + t.k * 17) % 113 + 16 AS n_bytes,
+        |  t.k * 40 AS pts_ms,
+        |  t.k % 3 = 0 AS keyframe
+        |FROM documents d, unnest(range(d.doc_id % 7 + 1)) AS t(k)""".stripMargin,
+
     // The planted-dimension replay: width/height below are the values the
     // PNG was ENCODED at; the Spark side reports what ImageIO DECODED.
     "x17_multimodal_decode" ->

@@ -95,6 +95,12 @@ object NLQueries extends QueryPack {
     "nl19_resize_media" -> ((s: SparkSession, d: String) =>
       Engine.run("Decode the media and resize images to 32 pixels.", docs(s, d))),
 
+    // Real ISO-BMFF demux route (x73's corpus and oracle): the verb runs
+    // the sample-table walk over genuine MP4 payloads.
+    "nl91_video_demux" -> ((s: SparkSession, d: String) =>
+      Engine.run("Demux video frames.",
+        MultimodalQueries.mp4MediaTable(s, d).toDF())),
+
     "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
       Engine.run("Compute corpus statistics by source.", docs(s, d))),
 
@@ -646,6 +652,7 @@ object NLQueries extends QueryPack {
 
     "nl17_decode_media"  -> MultimodalQueries.oracleSql("x17_multimodal_decode"),
     "nl18_sample_frames" -> MultimodalQueries.oracleSql("x18_multimodal_frames"),
+    "nl91_video_demux" -> MultimodalQueries.oracleSql("x73_video_demux"),
     "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
     "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
     "nl21_repeated_spans" -> DedupQueries.oracleSql("x27_repeated_spans"),

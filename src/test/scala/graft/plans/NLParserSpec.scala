@@ -410,6 +410,14 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("demux clause parses; missing 'frames' rejected") {
+    assert(NLParser.parse("Demux video frames.").ops == List(O.DemuxFrames))
+    assert(NLParser.parse("Demux the videos frames.").ops == List(O.DemuxFrames))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Demux video tracks.")
+    }
+  }
+
   test("day-profile clause parses; missing 'by day' rejected") {
     assert(NLParser.parse("Profile events by day.").ops == List(O.DayProfile))
     assert(NLParser.parse("Profile the event log by date.").ops ==
