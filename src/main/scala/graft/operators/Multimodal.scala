@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -18,14 +20,20 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * values from real bytes (the same certification pattern as the q12
   * approximate-stats booleans).
   *
-  * AUDIO/VIDEO kernels remain deterministic stubs (clearly marked): the
-  * JDK carries no audio/video codecs and the container ships none. The
+  * AUDIO decode is REAL too: [[wavMedia]] hand-assembles genuine
+  * RIFF/WAVE containers with planted PCM and [[decodeAudio]] parses
+  * them through the JDK's independent `javax.sound` codec. VIDEO is
+  * real at the CONTAINER level: [[Mp4]] builds genuine ISO-BMFF files
+  * and [[demuxFrames]] resolves every frame's byte range from the
+  * sample tables; only codec-level pixel decode of the extracted frames
+  * remains out of scope (no JVM video codec — the one honest stub,
+  * [[sampleFrames]], covers opaque non-container payloads). The
   * surrounding design — opaque binary end-to-end (no driver
   * materialization), `mapPartitions` micro-batches so a real codec
   * amortizes per-batch setup (model load, GPU transfer) the way
   * `mapInPandas`/`mapInArrow` batch Python UDFs, explode-per-frame
-  * layout keeping downstream ops row-parallel — is what a codec drop-in
-  * inherits unchanged.
+  * layout keeping downstream ops row-parallel — is what a pixel-codec
+  * drop-in inherits unchanged.
   */
 object Multimodal {
 
@@ -254,6 +262,117 @@ object Multimodal {
     demuxFrames(media).toDF()
       .select(col("media_id"), col("frame_idx"), col("n_bytes"),
               col("pts_ms"), col("keyframe"))
+
+  // ------------------------------------------------------------- audio
+
+  /** Planted audio geometry: sample count 160..479 at a fixed 8 kHz
+    * mono 16-bit format; sample k's amplitude is an exact integer
+    * formula in (doc_id, k), so peak/sum-of-abs statistics replay in
+    * SQL with no floating point anywhere. */
+  private[operators] val AudioSampleRate = 8000
+  private[operators] def plantedSampleCount(id: Long): Int = (id % 320 + 160).toInt
+  private[operators] def plantedSample(id: Long, k: Int): Int =
+    ((id * 37 + k * 11) % 2048 - 1024).toInt
+
+  /** Hand-assembled RIFF/WAVE container (PCM 16-bit LE): the writer
+    * emits raw bytes with no library involved, so the decode side's
+    * `javax.sound` parse is a genuine cross-implementation check. */
+  private def buildWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                            // PCM
+    buf.putShort(1)                            // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)                 // byte rate
+    buf.putShort(2)                            // block align
+    buf.putShort(16)                           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Real audio media from `documents`: each payload is a genuine WAV
+    * container with planted PCM content (executor-side, micro-batched —
+    * the image/video synthesis pattern, third modality). */
+  def wavMedia(docs: DataFrame, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Parallelism.spreadToCores(docs.select(col("doc_id"), col("source")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, source) =>
+            val samples = Array.tabulate[Short](plantedSampleCount(id))(
+              k => plantedSample(id, k).toShort)
+            val bytes = buildWav(samples, AudioSampleRate)
+            MediaRecord(id, "audio", bytes, MediaMeta(bytes.length.toLong, source))
+          }
+        }
+      }
+  }
+
+  final case class DecodedAudio(media_id: Long, sample_rate: Long,
+                                channels: Long, n_samples: Long,
+                                duration_ms: Long, peak_amp: Long,
+                                sum_abs: Long, content_hash: String)
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (the JDK's
+    * WAV codec — independent of our hand-assembled writer) parses the
+    * RIFF header and yields the PCM frames; format facts come from the
+    * parsed header, amplitude statistics from the decoded samples in
+    * exact integer arithmetic. 16-bit PCM only — anything else fails
+    * loudly rather than inventing amplitudes. */
+  def decodeAudio(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              sys.error(s"media ${r.media_id}: unsupported audio format $fmt " +
+                "(16-bit signed PCM only)")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var peak = 0L; var sumAbs = 0L
+            var i = 0
+            while (i < n) {
+              val v: Int =
+                if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+                else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            val channels = fmt.getChannels.toLong
+            val frames = n / channels
+            digest.reset()
+            val hash = digest.digest(r.payload).map("%02x".format(_)).mkString
+            DecodedAudio(r.media_id, fmt.getSampleRate.toLong, channels,
+              frames, frames * 1000L / fmt.getSampleRate.toLong,
+              peak, sumAbs, hash)
+          } finally ais.close()
+        }
+      }
+    }
+  }
+
+  /** Oracle-facing projection (payload hash dropped, as with images). */
+  def decodeAudioMeta(media: Dataset[MediaRecord]): DataFrame =
+    decodeAudio(media).toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+              col("n_samples"), col("duration_ms"), col("peak_amp"),
+              col("sum_abs"))
 
   // ---------------------------------------------------------------- STUB
   /** Frame sampling for OPAQUE video payloads: one output row per sampled

@@ -254,6 +254,14 @@ object Compiler {
           "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
+    case Op.DecodeAudio =>
+      for (c <- Seq("media_id", "kind", "payload", "meta") if !df.columns.contains(c))
+        throw InvalidPlanException(
+          s"audio decode needs a media table with column '$c' " +
+          s"(have: ${df.columns.mkString(", ")}); load a wav media table first")
+      graft.operators.Multimodal.decodeAudioMeta(
+        df.as(org.apache.spark.sql.Encoders.product[
+          graft.operators.Multimodal.MediaRecord]))
     case Op.DemuxFrames =>
       for (c <- Seq("media_id", "kind", "payload", "meta") if !df.columns.contains(c))
         throw InvalidPlanException(

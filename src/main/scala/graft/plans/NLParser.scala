@@ -1152,10 +1152,19 @@ object NLParser {
         requireDone(p)
         Right(List(Op.Sessionize(gapMinutes)))
       case Some("decode") =>
-        // "Decode the media." / "Decode images metadata."
-        p.next(); p.dropWords("the", "media", "images", "image", "metadata")
-        requireDone(p)
-        Right(List(Op.DecodeMedia))
+        // "Decode the media." / "Decode images metadata." /
+        // "Decode the audio."
+        p.next(); p.dropWords("the")
+        p.peekWordLower match {
+          case Some("audio") | Some("sound") =>
+            p.next(); p.dropWords("metadata")
+            requireDone(p)
+            Right(List(Op.DecodeAudio))
+          case _ =>
+            p.dropWords("media", "images", "image", "metadata")
+            requireDone(p)
+            Right(List(Op.DecodeMedia))
+        }
       case Some("resize") =>
         // "Resize the images to 256 pixels."
         p.next(); p.dropWords("the", "media", "images", "image")

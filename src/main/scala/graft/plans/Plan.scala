@@ -231,6 +231,10 @@ object Op {
     * its container-derived size, pts, and sync flag
     * ([[graft.operators.Multimodal.demuxFrameMeta]]). */
   case object DemuxFrames                                          extends CorpusOp
+  /** Real WAV decode of an audio media table: format facts from the
+    * parsed RIFF header, amplitude stats from the decoded PCM
+    * ([[graft.operators.Multimodal.decodeAudioMeta]]). */
+  case object DecodeAudio                                          extends CorpusOp
   /** CDC changelog apply: latest-wins per key, then drop keys whose
     * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
   final case class CdcApply(keyCol: String,

@@ -17,9 +17,12 @@ import graft.sources.Sources.table
   * container-agnostic, not PNG-trained. Dimensions and channel count are
   * lossless in both formats, so the oracle is format-independent.
   *
-  * x18 (video frames) stays on the honest stub surface: media synthesized
-  * from text bytes (the ASCII corpus makes byte length = char length, so
-  * the oracle derives identical metadata from `length(text)`/`md5(text)`).
+  * x18 (video frames) stays on the honest stub surface for OPAQUE
+  * payloads: media synthesized from text bytes (the ASCII corpus makes
+  * byte length = char length, so the oracle derives identical metadata
+  * from `length(text)`/`md5(text)`). x73 is the real-container version
+  * (genuine MP4s, sample-table demux) and x74 the real audio version
+  * (genuine WAVs, JDK codec decode) — both planted-value certified.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -67,7 +70,30 @@ object MultimodalQueries extends QueryPack {
       .as[Multimodal.MediaRecord]
   }
 
+  private[queries] def wavMediaTable(s: SparkSession,
+                                     d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_wav_media_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtMedia.contains(path)) {
+      Multimodal.wavMedia(table(s, d, "documents"))
+        .write.mode("overwrite").parquet(path)
+      builtMedia += path
+    }
+    import s.implicits._
+    graft.operators.Parallelism.spreadToCores(s.read.parquet(path))
+      .as[Multimodal.MediaRecord]
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REAL audio decode: payloads are genuine hand-assembled RIFF/WAV
+    // containers with planted PCM; the engine decodes them through the
+    // JDK's own WAV codec (javax.sound — an independent implementation
+    // from the writer), reporting header facts and exact-integer
+    // amplitude statistics the oracle replays from the planted formula.
+    "x74_audio_decode" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeAudioMeta(wavMediaTable(s, d))),
+
     // REAL ISO-BMFF demux: payloads are genuine MP4 containers whose
     // sample tables index planted frames; the engine parses the actual
     // box tree (stts/stsc/stsz/stco/stss) and resolves every frame's
@@ -89,6 +115,16 @@ object MultimodalQueries extends QueryPack {
         Multimodal.decodeImageMeta(imageMediaTable(s, d)), maxDim = 32)))
 
   override val oracleSql: Map[String, String] = Map(
+    "x74_audio_decode" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, abs((d.doc_id * 37 + t.k * 11) % 2048 - 1024) AS a
+        |  FROM documents d, unnest(range(d.doc_id % 320 + 160)) AS t(k))
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  1::BIGINT AS channels, count(*)::BIGINT AS n_samples,
+        |  (count(*) * 1000 // 8000)::BIGINT AS duration_ms,
+        |  max(a)::BIGINT AS peak_amp, sum(a)::BIGINT AS sum_abs
+        |FROM s GROUP BY doc_id""".stripMargin,
+
     "x73_video_demux" ->
       """SELECT d.doc_id AS media_id, t.k AS frame_idx,
         |  (d.doc_id * 31 + t.k * 17) % 113 + 16 AS n_bytes,

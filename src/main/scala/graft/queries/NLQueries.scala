@@ -101,6 +101,11 @@ object NLQueries extends QueryPack {
       Engine.run("Demux video frames.",
         MultimodalQueries.mp4MediaTable(s, d).toDF())),
 
+    // Real WAV decode route (x74's corpus and oracle).
+    "nl92_audio_decode" -> ((s: SparkSession, d: String) =>
+      Engine.run("Decode the audio.",
+        MultimodalQueries.wavMediaTable(s, d).toDF())),
+
     "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
       Engine.run("Compute corpus statistics by source.", docs(s, d))),
 
@@ -653,6 +658,7 @@ object NLQueries extends QueryPack {
     "nl17_decode_media"  -> MultimodalQueries.oracleSql("x17_multimodal_decode"),
     "nl18_sample_frames" -> MultimodalQueries.oracleSql("x18_multimodal_frames"),
     "nl91_video_demux" -> MultimodalQueries.oracleSql("x73_video_demux"),
+    "nl92_audio_decode" -> MultimodalQueries.oracleSql("x74_audio_decode"),
     "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
     "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
     "nl21_repeated_spans" -> DedupQueries.oracleSql("x27_repeated_spans"),

@@ -410,6 +410,12 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode clause parses; image route unchanged") {
+    assert(NLParser.parse("Decode the audio.").ops == List(O.DecodeAudio))
+    assert(NLParser.parse("Decode audio metadata.").ops == List(O.DecodeAudio))
+    assert(NLParser.parse("Decode the media.").ops == List(O.DecodeMedia))
+  }
+
   test("demux clause parses; missing 'frames' rejected") {
     assert(NLParser.parse("Demux video frames.").ops == List(O.DemuxFrames))
     assert(NLParser.parse("Demux the videos frames.").ops == List(O.DemuxFrames))
