@@ -135,18 +135,121 @@ object ManifestedLog {
       .map(s => footerStat(conf, s.getPath)).sortBy(_.name).toSeq
   }
 
+  /** Key columns that get a per-file Bloom filter in the sidecar (when
+    * present with an integral type). user_id is THE unclustered
+    * point-lookup key of an event log: files tile on ts, so "all events
+    * of user X" would otherwise scan every file of every day. */
+  private val SidecarBloomCols = Seq("user_id")
+
+  /** Per-file Bloom filters over `keyCol`, built in ONE aggregate pass
+    * over the just-written day (only the key column is read — columnar,
+    * proportional to the batch; the write path already paid orders of
+    * magnitude more to produce the files). Map-side partial OR-merge:
+    * per-partition bit sets cross the wire, never keys. */
+  private def fileBlooms(spark: SparkSession, dayDir: Path, keyCol: String,
+                         numBits: Int, numHashes: Int): Map[String, Array[Long]] = {
+    import spark.implicits._
+    import graft.functions.BloomKernel
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), BloomJoin.BloomBits, BloomJoin.BloomBits] {
+      override def zero: BloomJoin.BloomBits =
+        BloomJoin.BloomBits(new Array[Long](BloomKernel.words(numBits)))
+      override def reduce(b: BloomJoin.BloomBits, kv: (String, Long)): BloomJoin.BloomBits = {
+        BloomKernel.insert(b.bits, kv._2, numHashes); b
+      }
+      override def merge(a: BloomJoin.BloomBits, b: BloomJoin.BloomBits): BloomJoin.BloomBits = {
+        var i = 0
+        while (i < a.bits.length) { a.bits(i) |= b.bits(i); i += 1 }
+        a
+      }
+      override def finish(r: BloomJoin.BloomBits): BloomJoin.BloomBits = r
+      override def bufferEncoder: org.apache.spark.sql.Encoder[BloomJoin.BloomBits] =
+        org.apache.spark.sql.Encoders.product
+      override def outputEncoder: org.apache.spark.sql.Encoder[BloomJoin.BloomBits] =
+        org.apache.spark.sql.Encoders.product
+    }
+    spark.read.parquet(dayDir.toString)
+      .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
+      .filter(col("_k").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .collect()
+      .map { case (f, b) => f.substring(f.lastIndexOf('/') + 1) -> b.bits }
+      .toMap
+  }
+
   /** Write the `_stats.txt` sidecar into a just-written day directory.
     * Called strictly BEFORE the directory is referenced by a manifest,
-    * so no reader can observe the directory without it. */
+    * so no reader can observe the directory without it. Besides the
+    * per-file stats lines, `#bloom` meta lines carry a per-file Bloom
+    * filter of each [[SidecarBloomCols]] column (integral types only —
+    * a lossy cast would silently produce false NEGATIVES, the one
+    * failure mode a Bloom prune must never have), sized from the
+    * largest file's footer row count (~16 bits/row, capped at 1 MiB). */
   private def writeStatsSidecar(spark: SparkSession, dayDir: Path): Unit = {
     val f = fs(spark, dayDir)
-    val lines = StatsHeader +: dirStats(spark, dayDir).map { st =>
+    val stats = dirStats(spark, dayDir)
+    val statLines = stats.map { st =>
       s"${st.name}\t${st.rows}\t${st.minUs.fold("?")(_.toString)}" +
         s"\t${st.maxUs.fold("?")(_.toString)}"
     }
+    val schema = spark.read.parquet(dayDir.toString).schema
+    val maxRows = if (stats.isEmpty) 0L else stats.map(_.rows).max
+    val numBits = {
+      val target = math.min(1L << 23, math.max(1L << 12, maxRows * 16L))
+      java.lang.Long.highestOneBit(target * 2L - 1L).toInt // round up to pow2
+    }
+    val numHashes = 6
+    val bloomLines = SidecarBloomCols.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType
+                | org.apache.spark.sql.types.IntegerType) =>
+          fileBlooms(spark, dayDir, c, numBits, numHashes).toSeq.sortBy(_._1)
+            .map { case (file, bits) =>
+              val bb = ByteBufferOf(bits)
+              s"#bloom\t$file\t$c\t$numBits\t$numHashes\t" +
+                java.util.Base64.getEncoder.encodeToString(bb)
+            }
+        case _ => Nil
+      }
+    }
+    val lines = StatsHeader +: (statLines ++ bloomLines)
     val out = f.create(new Path(dayDir, StatsFile), true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  private def ByteBufferOf(bits: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bits.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def longsOf(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** `(file, col) → (bits, numHashes)` from a day's sidecar `#bloom`
+    * lines; empty for sidecars predating blooms. */
+  private def readBloomSidecar(spark: SparkSession, dayDir: Path)
+      : Map[(String, String), (Array[Long], Int)] = {
+    val f = fs(spark, dayDir)
+    val p = new Path(dayDir, StatsFile)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    text.linesIterator.filter(_.startsWith("#bloom\t")).map { l =>
+      l.split('\t') match {
+        case Array(_, file, c, _, k, b64) =>
+          (file, c) -> ((longsOf(java.util.Base64.getDecoder.decode(b64)), k.toInt))
+        case _ => sys.error(s"malformed #bloom line in $p: '$l'")
+      }
+    }.toMap
   }
 
   /** The sidecar of a published day directory; None for directories
@@ -163,7 +266,7 @@ object ManifestedLog {
     val lines = text.linesIterator.toList
     if (!lines.headOption.contains(StatsHeader)) return None
     def parse(s: String): Option[Long] = if (s == "?") None else Some(s.toLong)
-    Some(lines.drop(1).filter(_.nonEmpty).map { l =>
+    Some(lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(name, rows, lo, hi) =>
           FileStat(name, rows.toLong, parse(lo), parse(hi))
@@ -415,6 +518,50 @@ object ManifestedLog {
     }
     Events.normalizeEventTime(
       Events.timeRange(readDirs(spark, paths, schema), fromUs, toUs))
+  }
+
+  /** Point lookup on an UNCLUSTERED key: all rows with `keyCol` in
+    * `values`, reading only the files whose sidecar Bloom filter might
+    * contain one of the values. Files tile on ts, so without this every
+    * file of every day is opened for a "all events of user X" query; with
+    * it the read set shrinks to the ~fp-rate fraction that can match
+    * (no false negatives — [[graft.functions.BloomKernel]]'s contract —
+    * so the result equals the full-scan filter exactly; the pushed
+    * equality predicate still row-group-prunes within surviving files).
+    * Files or days without a Bloom for `keyCol` are conservatively
+    * included. Planning cost: O(days) sidecar reads, zero data reads for
+    * skipped files. */
+  def loadByKey(spark: SparkSession, path: String, keyCol: String,
+                values: Seq[Long]): DataFrame = {
+    import graft.functions.BloomKernel
+    require(values.nonEmpty, "loadByKey needs at least one key value")
+    val (version, days) = readManifest(spark, path)
+    val schema = readSchemaAt(spark, path, version)
+    val root = new Path(path)
+    val paths = days.toSeq.sortBy(_._1).flatMap { case (_, dir) =>
+      val dayDir = new Path(root, dir)
+      readStatsSidecar(spark, dayDir) match {
+        case Some(stats) =>
+          val blooms = readBloomSidecar(spark, dayDir)
+          stats.filter { st =>
+            blooms.get((st.name, keyCol)) match {
+              case Some((bits, k)) =>
+                values.exists(v => BloomKernel.mightContain(bits, v, k))
+              case None => true // no bloom recorded: never skip
+            }
+          }.map(st => new Path(dayDir, st.name).toString)
+        case None => Seq(dayDir.toString)
+      }
+    }
+    val pred = if (values.size == 1) col(keyCol) === values.head
+               else col(keyCol).isin(values: _*)
+    if (paths.isEmpty) {
+      val any = days.toSeq.sortBy(_._1).headOption.getOrElse(
+        sys.error(s"manifested log at $path lists no days"))
+      return Events.normalizeEventTime(readDirs(spark,
+        Seq(new Path(root, any._2).toString), schema).limit(0))
+    }
+    Events.normalizeEventTime(readDirs(spark, paths, schema).filter(pred))
   }
 
   /** Per-day table profile from METADATA ONLY — the manifest names the

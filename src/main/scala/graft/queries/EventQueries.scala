@@ -194,6 +194,16 @@ object EventQueries extends QueryPack {
           toUs   = 1705320000000000L)  // 2024-01-15T12:00:00Z
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
 
+    // Point lookup on the UNCLUSTERED key: files tile on ts, so "all
+    // events of user 42" would read every file of every day; the
+    // per-file Bloom filters in the stats sidecars shrink the read set
+    // to the files that can match (no false negatives — result equals
+    // the full-scan filter exactly, which is what the oracle runs).
+    "x75_manifest_point_lookup" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.loadByKey(
+          s, manifestLayout(s, d), "user_id", Seq(42L))
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
     // Metadata-only per-day profile of the manifested log: row counts
     // and ts bounds come from the manifest + sidecars (exact footer
     // counts, exact normalized-µs bounds) — zero data bytes read. The
@@ -378,6 +388,10 @@ object EventQueries extends QueryPack {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 06:00:00'
         |  AND ts <  TIMESTAMP '2024-01-15 12:00:00'""".stripMargin,
+
+    "x75_manifest_point_lookup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id = 42""".stripMargin,
 
     "x72_log_day_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_rows,

@@ -36,7 +36,7 @@ class ManifestedLogStatsSpec extends SparkSpec {
                finally in.close()
     val lines = text.linesIterator.toList
     assert(lines.head == "graft-day-stats-v1")
-    lines.tail.filter(_.nonEmpty).map(_.split('\t'))
+    lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split('\t'))
   }
 
   test("write() leaves a sidecar in every day dir with exact rows and ts bounds") {
@@ -112,6 +112,67 @@ class ManifestedLogStatsSpec extends SparkSpec {
     val dayCount = ManifestedLog.load(spark, p)
       .filter(Events.utcDt(col("ts")) === "2024-01-10").count()
     assert(lines.map(_(1).toLong).sum == dayCount)
+  }
+
+  test("point lookup equals the full-scan filter for present and absent keys") {
+    val p = freshTable()
+    val full = ManifestedLog.load(spark, p)
+    for (user <- Seq(7L, 42L, 101L)) {
+      val got = ids(ManifestedLog.loadByKey(spark, p, "user_id", Seq(user)))
+      val want = ids(full.filter(col("user_id") === user))
+      assert(got == want, s"user $user: $got != $want")
+    }
+    // multi-value lookup
+    val got2 = ids(ManifestedLog.loadByKey(spark, p, "user_id", Seq(7L, 42L)))
+    assert(got2 == ids(full.filter(col("user_id").isin(7L, 42L))))
+    // absent key: empty, and schema preserved
+    val absent = ManifestedLog.loadByKey(spark, p, "user_id", Seq(-987654321L))
+    assert(absent.count() == 0L)
+    assert(absent.columns.contains("ts_us"))
+  }
+
+  test("bloom prune skips files whose day holds a disjoint user population") {
+    import spark.implicits._
+    // two days, disjoint user ranges: a lookup for a day-1 user must not
+    // read day 2's files
+    val day1 = 1704844800000000L // 2024-01-10T00:00:00Z
+    val day2 = day1 + 86400000000L
+    val ev = (0 until 200).map { i =>
+      val (dayStart, user) =
+        if (i % 2 == 0) (day1, (i % 10).toLong) else (day2, (100 + i % 10).toLong)
+      (i.toLong, user, dayStart + i * 1000000L, "view", 1.0, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val p = java.nio.file.Files.createTempDirectory("graft-bloom-lookup")
+      .toString + "/events_log"
+    ManifestedLog.write(ev, p)
+    val df = ManifestedLog.loadByKey(spark, p, "user_id", Seq(4L))
+    val read = df.inputFiles
+    assert(read.nonEmpty && read.forall(_.contains("dt=2024-01-10")),
+      s"expected only day-1 files, read: ${read.mkString(", ")}")
+    assert(ids(df) == ids(ManifestedLog.load(spark, p)
+      .filter(col("user_id") === 4L)))
+    // and a day-2 user reads only day-2 files
+    val df2 = ManifestedLog.loadByKey(spark, p, "user_id", Seq(105L))
+    assert(df2.inputFiles.nonEmpty && df2.inputFiles.forall(_.contains("dt=2024-01-11")))
+  }
+
+  test("a sidecar without bloom lines still serves lookups (conservative include)") {
+    val p = freshTable()
+    val (_, days) = ManifestedLog.readManifest(spark, p)
+    // strip the #bloom lines of one day (simulating a pre-bloom sidecar)
+    val dayDir = new Path(new Path(p), days("2024-01-10"))
+    val sp = new Path(dayDir, "_stats.txt")
+    val in = fs(p).open(sp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val stripped = text.linesIterator.filterNot(_.startsWith("#bloom"))
+      .mkString("", "\n", "\n")
+    val out = fs(p).create(sp, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val got = ids(ManifestedLog.loadByKey(spark, p, "user_id", Seq(42L)))
+    assert(got == ids(ManifestedLog.load(spark, p)
+      .filter(col("user_id") === 42L)))
   }
 
   test("dayStats is metadata-exact against the scanned per-day aggregate") {
