@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * implementations, so agreement certifies the container bytes. */
 class WavSpec extends SparkSpec {
 
-  test("JDK codec parses the hand-assembled container and recovers planted PCM") {
+  test("decodeAudio recovers the planted PCM from the container bytes") {
     val docs = graft.sources.Sources
       .table(spark, "/root/testdata/sf0.001", "documents").limit(40)
     val got = Multimodal.decodeAudio(Multimodal.wavMedia(docs)).collect()
@@ -22,6 +22,38 @@ class WavSpec extends SparkSpec {
       assert(a.duration_ms == n.toLong * 1000L / 8000L)
       assert(a.peak_amp == samples.map(s => math.abs(s.toLong)).max)
       assert(a.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
+    }
+  }
+
+  test("the JDK javax.sound codec agrees with parseWav on every container") {
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    Multimodal.wavMedia(docs).collect().foreach { r =>
+      val ours = Multimodal.parseWav(r.payload, s"media ${r.media_id}")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = ais.getFormat
+        assert(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        assert(fmt.getSampleRate.toLong == ours.sampleRate)
+        assert(fmt.getChannels.toLong == ours.channels)
+        assert(fmt.getSampleSizeInBits == 16)
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        assert(n.toLong / fmt.getChannels == ours.frames)
+        var peak = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val v = (((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort).toInt
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        assert(peak == ours.peakAmp && sumAbs == ours.sumAbs,
+          s"media ${r.media_id}: JDK-decoded PCM stats differ from parseWav")
+      } finally ais.close()
     }
   }
 
