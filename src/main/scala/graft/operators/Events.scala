@@ -172,9 +172,14 @@ object Events {
     // INT64 micros, never INT96: INT96 parquet chunks carry no column
     // statistics, which would void the row-group pruning this layout
     // exists for (Sessions.builder sets this too; repeated here for
-    // sessions built elsewhere)
+    // sessions built elsewhere). Native parquet blooms on user_id give
+    // point lookups row-group pruning on the unclustered key (adaptive
+    // sizing; see ManifestedLog.ensureMicrosWrites).
     events.sparkSession.conf.set(
       "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val hc = events.sparkSession.sparkContext.hadoopConfiguration
+    hc.set("parquet.bloom.filter.enabled#user_id", "true")
+    hc.set("parquet.bloom.filter.adaptive.enabled", "true")
     events
       .withColumn("dt", utcDt(col("ts")))
       .sortWithinPartitions(col("dt"), col("ts"))

@@ -282,9 +282,23 @@ object ManifestedLog {
     * INT96 encoding ships no column statistics, which would void both
     * the footer-derived `_stats.txt` sidecars and in-file row-group
     * pruning (Sessions.builder sets this globally; repeated here for
-    * sessions built elsewhere). */
-  private def ensureMicrosWrites(spark: SparkSession): Unit =
+    * sessions built elsewhere).
+    *
+    * Writes also enable parquet's NATIVE per-row-group Bloom filter on
+    * the point-lookup key (adaptive sizing — parquet picks the filter
+    * size from the actual NDV instead of a 1 MiB default that would
+    * dwarf small files): the sidecar Bloom prunes FILES without opening
+    * them, and inside a surviving file the pushed `user_id = X`
+    * predicate then Bloom-prunes ROW GROUPS — the reader applies footer
+    * blooms automatically under Spark's parquet filter pushdown. */
+  private def ensureMicrosWrites(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val hc = spark.sparkContext.hadoopConfiguration
+    SidecarBloomCols.foreach { c =>
+      hc.set(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    hc.set("parquet.bloom.filter.adaptive.enabled", "true")
+  }
 
   /** (version, day → data-dir name) of the newest manifest. */
   def readManifest(spark: SparkSession, path: String): (Long, Map[String, String]) =

@@ -175,6 +175,55 @@ class ManifestedLogStatsSpec extends SparkSpec {
       .filter(col("user_id") === 42L)))
   }
 
+  // Native parquet row-group pruning on the point-lookup key has two
+  // regimes, and each must hold in its own: a LOW-cardinality chunk is
+  // fully dictionary-encoded and parquet-mr deliberately skips the bloom
+  // (DictionaryFilter already answers exact membership per row group);
+  // once the key outgrows the dictionary page the encoding falls back to
+  // PLAIN and the enabled bloom must actually be written.
+  private def userIdChunk(p: String, dir: String)
+      : (Boolean, Boolean) = { // (fullyDictEncoded, bloomPresent)
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = fs(p).listStatus(new Path(new Path(p), dir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = reader.getFooter.getBlocks.asScala.head
+      val cc = block.getColumns.asScala
+        .find(_.getPath.toDotString == "user_id").get
+      val dict = !cc.getEncodings.asScala.exists(e =>
+        e == org.apache.parquet.column.Encoding.PLAIN)
+      (dict, reader.getBloomFilterDataReader(block).readBloomFilter(cc) != null)
+    } finally reader.close()
+  }
+
+  test("low-cardinality key: fully dictionary-encoded (exact row-group pruning)") {
+    val p = freshTable()
+    val (_, days) = ManifestedLog.readManifest(spark, p)
+    val (dict, _) = userIdChunk(p, days("2024-01-10"))
+    assert(dict, "fixture-scale user_id chunk should be dictionary-encoded")
+  }
+
+  test("high-cardinality key: native parquet bloom is written") {
+    import spark.implicits._
+    // 200k unique user ids: the dictionary page (8 B/entry, 1 MiB cap)
+    // overflows, encoding falls back to PLAIN, the bloom must appear
+    val day = 1704844800000000L
+    val ev = spark.range(200000).select(
+      col("id").as("event_id"), col("id").as("user_id"),
+      timestamp_micros(lit(day) + col("id")).as("ts"),
+      lit("view").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val p = java.nio.file.Files.createTempDirectory("graft-bloom-native")
+      .toString + "/events_log"
+    ManifestedLog.write(ev, p)
+    val (_, days) = ManifestedLog.readManifest(spark, p)
+    val (dict, bloom) = userIdChunk(p, days("2024-01-10"))
+    assert(!dict, "200k unique ids should overflow the dictionary")
+    assert(bloom, "no native parquet bloom for high-cardinality user_id")
+  }
+
   test("dayStats is metadata-exact against the scanned per-day aggregate") {
     val p = freshTable()
     // include a compacted day so stats survive maintenance
