@@ -68,6 +68,24 @@ object EventQueries extends QueryPack {
     path
   }
 
+  /** Snapshot table bootstrapped at log version 1 once per JVM per
+    * fixture (stale on-disk state from an earlier round is deleted —
+    * the same fresh-process rule as the layouts above); the query then
+    * advances it incrementally. */
+  private def snapshotLayout(s: SparkSession, sfDir: String,
+                             logPath: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_snapshot_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtLayouts.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.SnapshotTable.update(s, logPath, path, toVersion = Some(1L))
+      builtLayouts += path
+    }
+    path
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x14_event_tumbling" -> ((s: SparkSession, d: String) =>
       Events.tumblingCounts(Events.load(s, d))),
@@ -193,6 +211,22 @@ object EventQueries extends QueryPack {
           fromUs = 1705298400000000L,  // 2024-01-15T06:00:00Z
           toUs   = 1705320000000000L)  // 2024-01-15T12:00:00Z
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Incrementally-maintained CDC snapshot: bootstrap compacts log
+    // version 1, then every call folds only the CHANGE FEED into the
+    // stored state (one keyed merge over state ∪ delta) and publishes a
+    // new immutable version with an atomic commit marker — maintenance
+    // cost proportional to the delta, never the log. The oracle
+    // recomputes the snapshot from the full event table, so the hash
+    // match proves incremental ≡ recompute (CdcSpec's associativity,
+    // now end-to-end through the on-disk table).
+    "x76_incremental_snapshot" -> ((s: SparkSession, d: String) => {
+      val log = manifestIncrLayout(s, d)
+      val snap = snapshotLayout(s, d, log)
+      graft.operators.SnapshotTable.update(s, log, snap) // delta-only (no-op when current)
+      graft.operators.SnapshotTable.readView(s, snap)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    }),
 
     // Point lookup on the UNCLUSTERED key: files tile on ts, so "all
     // events of user 42" would read every file of every day; the
@@ -392,6 +426,13 @@ object EventQueries extends QueryPack {
     "x75_manifest_point_lookup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events WHERE user_id = 42""".stripMargin,
+
+    "x76_incremental_snapshot" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "x72_log_day_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_rows,

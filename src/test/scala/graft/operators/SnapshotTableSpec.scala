@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained CDC snapshot over a manifested log: every
+  * update folds only the change feed into the compacted state, and the
+  * result must equal the full-log recompute at every version. */
+class SnapshotTableSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** A three-version log: v1 = two thirds of the corpus, v2 and v3
+    * append one half of the remainder each. */
+  private def threeVersionLog(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-snap-log")
+      .toString + "/events_log"
+    val ev = Events.load(spark, sfDir).drop("ts_us")
+    ManifestedLog.append(ev.filter(col("event_id") % 3 =!= 0), p)
+    ManifestedLog.append(ev.filter(col("event_id") % 6 === 0), p)
+    ManifestedLog.append(ev.filter(col("event_id") % 6 === 3), p)
+    p
+  }
+
+  private def snapDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/snapshot"
+
+  private def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bootstrap + incremental updates equal the full recompute at each version") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    for (v <- 1L to 3L) {
+      assert(SnapshotTable.update(spark, log, snap, toVersion = Some(v)) == v)
+      val got = keyed(SnapshotTable.readView(spark, snap))
+      val want = keyed(Cdc.applyChangelog(
+        ManifestedLog.loadAt(spark, log, v)))
+      assert(got == want, s"version $v: incremental != full recompute")
+    }
+    assert(SnapshotTable.version(spark, snap) == 3L)
+  }
+
+  test("update to an unchanged version is a no-op; snapshots never move backward") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap)
+    val before = keyed(SnapshotTable.read(spark, snap))
+    assert(SnapshotTable.update(spark, log, snap) == 3L)
+    assert(keyed(SnapshotTable.read(spark, snap)) == before)
+    val e = intercept[RuntimeException](
+      SnapshotTable.update(spark, log, snap, toVersion = Some(2L)))
+    assert(e.getMessage.contains("only advances"))
+  }
+
+  test("tombstones keep deleting across incremental merges") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap)
+    // a user whose latest row is a tombstone must be absent from the
+    // view but PRESENT (as a tombstone) in the compacted state
+    val compacted = SnapshotTable.read(spark, snap)
+    val dead = compacted.filter(col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0))
+    if (dead.nonEmpty) {
+      val view = SnapshotTable.readView(spark, snap)
+      assert(view.filter(col("user_id").isin(dead.take(5): _*)).count() == 0L)
+    }
+  }
+
+  test("a crash before the commit marker leaves the snapshot unchanged") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap, toVersion = Some(2L))
+    val before = keyed(SnapshotTable.read(spark, snap))
+    // simulate the crash remnant: a half-written v3 dir, no marker
+    val f = new Path(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(snap, "v3"))
+    assert(SnapshotTable.version(spark, snap) == 2L)
+    assert(keyed(SnapshotTable.read(spark, snap)) == before)
+    // the next update overwrites the orphan and commits
+    assert(SnapshotTable.update(spark, log, snap) == 3L)
+    assert(keyed(SnapshotTable.readView(spark, snap)) ==
+      keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
+  }
+
+  test("vacuum keeps the newest versions and reclaims the rest") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    for (v <- 1L to 3L) SnapshotTable.update(spark, log, snap, toVersion = Some(v))
+    val before = keyed(SnapshotTable.read(spark, snap))
+    assert(SnapshotTable.vacuum(spark, snap) >= 2L)
+    val f = new Path(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(snap, "v1")) && !f.exists(new Path(snap, "v2")))
+    assert(keyed(SnapshotTable.read(spark, snap)) == before)
+  }
+}
