@@ -109,6 +109,27 @@ object SnapshotTable {
     target
   }
 
+  /** Streaming maintenance twin: each micro-batch appends to the log
+    * (idempotent copy-on-write, one atomic manifest flip —
+    * [[ManifestedLog.append]]) and then advances the snapshot through
+    * the change feed, so the materialized view trails the stream by at
+    * most one trigger. A re-delivered batch appends as a no-op and the
+    * snapshot update sees an unchanged version — the whole chain is
+    * idempotent, upgrading at-least-once delivery to exactly-once
+    * table AND view content. */
+  def ingestMaintained(events: DataFrame, logPath: String, snapPath: String,
+                       checkpoint: String,
+                       dedupKey: Option[String] = Some("event_id"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ManifestedLog.append(batch, logPath, dedupKey)
+        update(batch.sparkSession, logPath, snapPath)
+        ()
+      }
+      .start()
+
   /** Remove state directories and markers older than the newest
     * `keepVersions` commits, plus unreferenced/tmp leftovers. */
   def vacuum(spark: SparkSession, snapPath: String,

@@ -155,6 +155,12 @@ class ManifestedLogStatsSpec extends SparkSpec {
     // and a day-2 user reads only day-2 files
     val df2 = ManifestedLog.loadByKey(spark, p, "user_id", Seq(105L))
     assert(df2.inputFiles.nonEmpty && df2.inputFiles.forall(_.contains("dt=2024-01-11")))
+    // the equality predicate reaches the scan (row-group pruning inside
+    // surviving files: min-max, dictionary, or native bloom per regime)
+    val scan = df2.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("EqualTo(user_id,105)"),
+      s"user_id equality not pushed into the scan: $scan")
   }
 
   test("a sidecar without bloom lines still serves lookups (conservative include)") {

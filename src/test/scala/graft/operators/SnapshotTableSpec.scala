@@ -86,6 +86,33 @@ class SnapshotTableSpec extends SparkSpec {
       keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
   }
 
+  test("streaming ingest keeps the snapshot current after every trigger") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.Event
+    def ts(iso: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-stream").toString
+    val log = s"$dir/log"; val snap = s"$dir/snapshot"
+    val batch1 = Seq(
+      Event(1L, ts("2024-01-10T06:00:00Z"), 10L, "view", 1.0),
+      Event(2L, ts("2024-01-10T07:00:00Z"), 11L, "click", 2.0))
+    val batch2 = Seq( // upsert user 10, tombstone user 11
+      Event(3L, ts("2024-01-10T08:00:00Z"), 10L, "purchase", 3.0),
+      Event(4L, ts("2024-01-10T09:00:00Z"), 11L, "error", 4.0))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = SnapshotTable.ingestMaintained(input.toDF(), log, snap, s"$dir/ckpt")
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      assert(keyed(SnapshotTable.readView(spark, snap)) ==
+        keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
+      input.addData(batch2: _*); q.processAllAvailable()
+      val view = keyed(SnapshotTable.readView(spark, snap))
+      assert(view == keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
+      assert(view == Set((10L, 3L))) // user 11 tombstoned, user 10 upserted
+    } finally q.stop()
+  }
+
   test("vacuum keeps the newest versions and reclaims the rest") {
     val log = threeVersionLog()
     val snap = snapDir()
