@@ -18,6 +18,11 @@ object EventQueries extends QueryPack {
     * can't serve wrong rows. */
   private val builtLayouts = scala.collection.mutable.HashSet.empty[String]
 
+  private def deleteDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   private def dayLayout(s: SparkSession, sfDir: String): String = synchronized {
     val path = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
@@ -39,6 +44,10 @@ object EventQueries extends QueryPack {
       s.conf.get("spark.sql.warehouse.dir"),
       "graft_events_manifest_incr_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     if (!builtLayouts.contains(path)) {
+      // fresh-process rule, enforced for manifest tables too: appending
+      // onto a previous JVM's table would silently extend its version
+      // chain (stale state under a changed fixture — the r9 drift class)
+      deleteDir(s, path)
       val ev = Events.load(s, sfDir).drop("ts_us")
       graft.operators.ManifestedLog.append(ev.filter(col("event_id") % 3 =!= 1), path)
       graft.operators.ManifestedLog.append(ev.filter(col("event_id") % 3 === 1), path)
@@ -55,6 +64,7 @@ object EventQueries extends QueryPack {
       s.conf.get("spark.sql.warehouse.dir"),
       "graft_events_manifest_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     if (!builtLayouts.contains(path)) {
+      deleteDir(s, path) // fresh-process rule (see manifestIncrLayout)
       graft.operators.ManifestedLog.write(Events.load(s, sfDir), path)
       graft.operators.ManifestedLog.compactDay(s, path, "2024-01-10")
       // 2024-01-15 compacts into ~256 KB ts-range-tiled files so the
