@@ -546,27 +546,44 @@ object ManifestedLog {
     * included. Planning cost: O(days) sidecar reads, zero data reads for
     * skipped files. */
   def loadByKey(spark: SparkSession, path: String, keyCol: String,
-                values: Seq[Long]): DataFrame = {
+                values: Seq[Long]): DataFrame =
+    loadByKeyRange(spark, path, keyCol, values, Long.MinValue, Long.MaxValue)
+
+  /** [[loadByKey]] restricted to `[fromUs, toUs)` — "user X last week",
+    * the realistic point query. All three metadata layers compose:
+    * manifest day pruning on the range, then per-file sidecar ts-bounds
+    * AND key-Bloom (a file survives only if it can match BOTH), then
+    * the pushed conjunction prunes row groups in the survivors. */
+  def loadByKeyRange(spark: SparkSession, path: String, keyCol: String,
+                     values: Seq[Long], fromUs: Long, toUs: Long): DataFrame = {
     import graft.functions.BloomKernel
     require(values.nonEmpty, "loadByKey needs at least one key value")
     val (version, days) = readManifest(spark, path)
     val schema = readSchemaAt(spark, path, version)
     val root = new Path(path)
-    val paths = days.toSeq.sortBy(_._1).flatMap { case (_, dir) =>
-      val dayDir = new Path(root, dir)
-      readStatsSidecar(spark, dayDir) match {
-        case Some(stats) =>
-          val blooms = readBloomSidecar(spark, dayDir)
-          stats.filter { st =>
-            blooms.get((st.name, keyCol)) match {
-              case Some((bits, k)) =>
-                values.exists(v => BloomKernel.mightContain(bits, v, k))
-              case None => true // no bloom recorded: never skip
-            }
-          }.map(st => new Path(dayDir, st.name).toString)
-        case None => Seq(dayDir.toString)
+    val bounded = fromUs != Long.MinValue || toUs != Long.MaxValue
+    val (fromDt, toDt) =
+      if (!bounded) (null, null)
+      else (Events.usLocalDateTime(fromUs).toLocalDate.toString,
+            Events.usLocalDateTime(toUs - 1L).toLocalDate.toString)
+    val paths = days.toSeq
+      .filter { case (d, _) => !bounded || (d >= fromDt && d <= toDt) }
+      .sortBy(_._1)
+      .flatMap { case (_, dir) =>
+        val dayDir = new Path(root, dir)
+        readStatsSidecar(spark, dayDir) match {
+          case Some(stats) =>
+            val blooms = readBloomSidecar(spark, dayDir)
+            stats.filter { st =>
+              st.overlaps(fromUs, toUs) && (blooms.get((st.name, keyCol)) match {
+                case Some((bits, k)) =>
+                  values.exists(v => BloomKernel.mightContain(bits, v, k))
+                case None => true // no bloom recorded: never skip
+              })
+            }.map(st => new Path(dayDir, st.name).toString)
+          case None => Seq(dayDir.toString)
+        }
       }
-    }
     val pred = if (values.size == 1) col(keyCol) === values.head
                else col(keyCol).isin(values: _*)
     if (paths.isEmpty) {
@@ -575,7 +592,9 @@ object ManifestedLog {
       return Events.normalizeEventTime(readDirs(spark,
         Seq(new Path(root, any._2).toString), schema).limit(0))
     }
-    Events.normalizeEventTime(readDirs(spark, paths, schema).filter(pred))
+    val base = readDirs(spark, paths, schema).filter(pred)
+    Events.normalizeEventTime(
+      if (bounded) Events.timeRange(base, fromUs, toUs) else base)
   }
 
   /** Per-day table profile from METADATA ONLY — the manifest names the

@@ -163,6 +163,21 @@ class ManifestedLogStatsSpec extends SparkSpec {
       s"user_id equality not pushed into the scan: $scan")
   }
 
+  test("key+range lookup composes both pruning layers, same rows as full filter") {
+    val p = freshTable()
+    val full = ManifestedLog.load(spark, p)
+    for (user <- Seq(7L, 42L)) {
+      val got = ids(ManifestedLog.loadByKeyRange(
+        spark, p, "user_id", Seq(user), fromUs, toUs))
+      val want = ids(full.filter(col("user_id") === user &&
+        col("ts_us") >= fromUs && col("ts_us") < toUs))
+      assert(got == want, s"user $user in range: $got != $want")
+    }
+    // the day pruning layer is active: only the window's day is read
+    val df = ManifestedLog.loadByKeyRange(spark, p, "user_id", Seq(7L), fromUs, toUs)
+    assert(df.inputFiles.forall(_.contains("dt=2024-01-10")))
+  }
+
   test("a sidecar without bloom lines still serves lookups (conservative include)") {
     val p = freshTable()
     val (_, days) = ManifestedLog.readManifest(spark, p)
