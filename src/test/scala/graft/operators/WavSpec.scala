@@ -57,6 +57,32 @@ class WavSpec extends SparkSpec {
     }
   }
 
+  test("unknown and odd-sized RIFF chunks are skipped with word alignment") {
+    // hand-splice a 3-byte LIST chunk (odd size → 1 pad byte) between
+    // fmt and data; any conforming RIFF reader must skip it
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(1)
+    val r = Multimodal.wavMedia(docs).collect().head
+    val original = r.payload
+    val dataIdx = {
+      var i = 12
+      while (!(original(i) == 'd' && original(i + 1) == 'a' &&
+               original(i + 2) == 't' && original(i + 3) == 'a')) i += 1
+      i
+    }
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = original.take(dataIdx) ++ junk ++ original.drop(dataIdx)
+    // fix the RIFF size field (LE32 at offset 4)
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte
+    spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val want = Multimodal.parseWav(original, "original")
+    val got = Multimodal.parseWav(spliced, "spliced")
+    assert(got == want, "spliced junk chunk changed the parse")
+  }
+
   test("non-PCM or truncated payloads fail loudly") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRecord(
