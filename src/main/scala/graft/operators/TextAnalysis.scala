@@ -40,6 +40,24 @@ object TextAnalysis {
         .cast("long").as("bpe_ish_tokens"),
       ceil(length(col(textCol)) / lit(4.0)).cast("long").as("est_tokens"))
 
+  /** Token-budget truncation (context-length capping for training
+    * sequences): keep the first `maxTokens` whitespace tokens of each
+    * document. The rebuilt text normalizes whitespace runs to single
+    * spaces (slice + join — the canonicalization both engines express
+    * identically); casing is preserved (the cut never lowercases).
+    * Stateless per-row kernel: no shuffle, scales with cores. */
+  def truncateTokens(docs: DataFrame, maxTokens: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    Parallelism.spreadToCores(docs).select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      concat_ws(" ", slice(toks, 1, maxTokens)).as("text_trunc"),
+      (size(toks) > maxTokens).as("truncated"))
+  }
+
   /** Stopwords used by the quality score (top-frequency English words). */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "to", "in", "is", "that", "it", "was")

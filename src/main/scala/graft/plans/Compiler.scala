@@ -254,6 +254,12 @@ object Compiler {
           "name the timestamp with 'by <col>' and the tie-break with 'tie by <col>'")
       graft.operators.Events.latestSnapshot(df, key, ts, id,
         df.columns.filterNot(_ == key).toSeq)
+    case Op.TruncateTokens(n) =>
+      for (c <- Seq("doc_id", "text") if !df.columns.contains(c))
+        throw InvalidPlanException(
+          s"truncate needs a documents table with column '$c' " +
+          s"(have: ${df.columns.mkString(", ")})")
+      TextAnalysis.truncateTokens(df, n)
     case Op.DecodeAudio =>
       for (c <- Seq("media_id", "kind", "payload", "meta") if !df.columns.contains(c))
         throw InvalidPlanException(

@@ -1376,6 +1376,16 @@ object NLParser {
                  else "source"
         requireDone(p)
         Right(List(Op.CorpusStats(gc)))
+      case Some("truncate") =>
+        // "Truncate documents to 128 tokens."
+        p.next(); p.dropWords("the", "documents", "docs", "texts", "text")
+        p.expectWord("to")
+        val n = p.expectNum()
+        if (n <= 0 || n != n.toInt) throw ParseException(
+          s"token budget must be a positive integer: $n")
+        p.dropWords("tokens", "token")
+        requireDone(p)
+        Right(List(Op.TruncateTokens(n.toInt)))
       case Some("demux") =>
         // "Demux video frames." — real ISO-BMFF sample-table demux
         p.next(); p.dropWords("the", "video", "videos")

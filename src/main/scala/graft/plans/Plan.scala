@@ -235,6 +235,9 @@ object Op {
     * parsed RIFF header, amplitude stats from the decoded PCM
     * ([[graft.operators.Multimodal.decodeAudioMeta]]). */
   case object DecodeAudio                                          extends CorpusOp
+  /** Context-length capping: first-`maxTokens` whitespace-token cut
+    * ([[graft.operators.TextAnalysis.truncateTokens]]). */
+  final case class TruncateTokens(maxTokens: Int)                  extends CorpusOp
   /** CDC changelog apply: latest-wins per key, then drop keys whose
     * latest op is the tombstone ([[graft.operators.Cdc.applyChangelog]]). */
   final case class CdcApply(keyCol: String,

@@ -106,6 +106,10 @@ object NLQueries extends QueryPack {
       Engine.run("Decode the audio.",
         MultimodalQueries.wavMediaTable(s, d).toDF())),
 
+    // Context-length capping route (x77's oracle).
+    "nl93_truncate_tokens" -> ((s: SparkSession, d: String) =>
+      Engine.run("Truncate documents to 128 tokens.", docs(s, d))),
+
     "nl20_corpus_stats" -> ((s: SparkSession, d: String) =>
       Engine.run("Compute corpus statistics by source.", docs(s, d))),
 
@@ -659,6 +663,7 @@ object NLQueries extends QueryPack {
     "nl18_sample_frames" -> MultimodalQueries.oracleSql("x18_multimodal_frames"),
     "nl91_video_demux" -> MultimodalQueries.oracleSql("x73_video_demux"),
     "nl92_audio_decode" -> MultimodalQueries.oracleSql("x74_audio_decode"),
+    "nl93_truncate_tokens" -> TextQueries.oracleSql("x77_truncate_tokens"),
     "nl19_resize_media"  -> MultimodalQueries.oracleSql("x19_multimodal_resize"),
     "nl20_corpus_stats"  -> TextQueries.oracleSql("x13_corpus_stats"),
     "nl21_repeated_spans" -> DedupQueries.oracleSql("x27_repeated_spans"),

@@ -22,6 +22,11 @@ object TextQueries extends QueryPack {
     "x8_text_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenStats(table(s, d, "documents"))),
 
+    // Context-length capping: first-128-token cut, rebuilt text +
+    // truncation flag; whitespace-normalized identically in both engines.
+    "x77_truncate_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.truncateTokens(table(s, d, "documents"), maxTokens = 128)),
+
     // Per-language length normalization: exact integer moments → a fixed
     // IEEE op sequence both engines replay bit-for-bit.
     "x56_normalize_zscore" -> ((s: SparkSession, d: String) =>
@@ -121,6 +126,16 @@ object TextQueries extends QueryPack {
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens,
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
          |FROM documents""".stripMargin,
+
+    "x77_truncate_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  array_to_string(toks[1:128], ' ') AS text_trunc,
+        |  len(toks) > 128 AS truncated
+        |FROM t""".stripMargin,
 
     "x9_text_quality" ->
       s"""WITH s AS (

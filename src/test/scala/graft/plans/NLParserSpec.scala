@@ -410,6 +410,16 @@ class NLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("truncate clause parses; non-positive budgets rejected") {
+    assert(NLParser.parse("Truncate documents to 128 tokens.").ops ==
+      List(O.TruncateTokens(128)))
+    assert(NLParser.parse("Truncate the texts to 5 tokens.").ops ==
+      List(O.TruncateTokens(5)))
+    assertThrows[NLParser.ParseException] {
+      NLParser.parse("Truncate documents to 0 tokens.")
+    }
+  }
+
   test("audio decode clause parses; image route unchanged") {
     assert(NLParser.parse("Decode the audio.").ops == List(O.DecodeAudio))
     assert(NLParser.parse("Decode audio metadata.").ops == List(O.DecodeAudio))
