@@ -891,6 +891,31 @@ object ManifestedLog {
       }
       .start()
 
+  /** One-call maintenance sweep — the scheduled-job shape of this table:
+    * compact the closed fragmented days behind `watermarkUs` (ONE atomic
+    * manifest flip for all of them), advance the optional materialized
+    * snapshot through the change feed ([[SnapshotTable.update]], cost ∝
+    * delta), then trim history on both tables to `keepVersions`. Order
+    * matters: the snapshot advances BEFORE vacuum so its cursor always
+    * lands inside the retained window, and every step is individually
+    * atomic — a crash between steps leaves two consistent tables plus
+    * reclaimable garbage, never a torn view. Returns the compacted
+    * day → file-count map and the snapshot's new version.
+    *
+    * External change-feed consumers holding cursors older than the
+    * retention window lose them at vacuum (the standard table-format
+    * retention trade) — size `keepVersions` to the slowest consumer. */
+  def maintain(spark: SparkSession, path: String, watermarkUs: Long,
+               snapshotPath: Option[String] = None,
+               keepVersions: Int = 2,
+               targetBytes: Long = 128L << 20): (Map[String, Long], Option[Long]) = {
+    val compacted = compactClosedDays(spark, path, watermarkUs, targetBytes)
+    val snapV = snapshotPath.map(sp => SnapshotTable.update(spark, path, sp))
+    vacuum(spark, path, keepVersions)
+    snapshotPath.foreach(sp => SnapshotTable.vacuum(spark, sp, keepVersions))
+    (compacted, snapV)
+  }
+
   /** Delete data directories no RETAINED manifest references, manifests
     * older than the retention window, and dot-tmp leftovers.
     * `keepVersions` is the time-travel retention: the newest K manifests

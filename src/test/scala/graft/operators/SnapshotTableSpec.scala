@@ -113,6 +113,34 @@ class SnapshotTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintain: one sweep compacts, advances the snapshot, trims history") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    val maxUs = ManifestedLog.load(spark, log)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    val (compacted, snapV) = ManifestedLog.maintain(
+      spark, log, watermarkUs = maxUs + 86400000000L,
+      snapshotPath = Some(snap), keepVersions = 1)
+    // every closed fragmented day got one rewrite; the snapshot is
+    // current; only the newest manifest survives
+    assert(snapV.contains(ManifestedLog.readManifest(spark, log)._1))
+    assert(ManifestedLog.versions(spark, log).size == 1)
+    assert(keyed(SnapshotTable.readView(spark, snap)) ==
+      keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
+    // post-maintenance reads are intact and every kept day is compact
+    val f = new Path(log).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, days) = ManifestedLog.readManifest(spark, log)
+    if (compacted.nonEmpty) days.foreach { case (_, dir) =>
+      val files = f.listStatus(new Path(new Path(log), dir))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"$dir still fragmented after maintain: $files files")
+    }
+    // a second sweep is a no-op (nothing fragmented, snapshot current)
+    val (again, v2) = ManifestedLog.maintain(
+      spark, log, maxUs + 86400000000L, Some(snap), keepVersions = 1)
+    assert(again.isEmpty && v2 == snapV)
+  }
+
   test("vacuum keeps the newest versions and reclaims the rest") {
     val log = threeVersionLog()
     val snap = snapDir()
