@@ -137,9 +137,12 @@ object ManifestedLog {
 
   /** Key columns that get a per-file Bloom filter in the sidecar (when
     * present with an integral type). user_id is THE unclustered
-    * point-lookup key of an event log: files tile on ts, so "all events
-    * of user X" would otherwise scan every file of every day. */
-  private val SidecarBloomCols = Seq("user_id")
+    * point-lookup key of an event log ("all events of user X");
+    * event_id covers the single-record ops lookup ("find this exact
+    * event") — each costs one key-column aggregate pass at write time,
+    * and files tile on ts, so without them either query scans every
+    * file of every day. */
+  private val SidecarBloomCols = Seq("user_id", "event_id")
 
   /** Per-file Bloom filters over `keyCol`, built in ONE aggregate pass
     * over the just-written day (only the key column is read — columnar,

@@ -129,6 +129,13 @@ class ManifestedLogStatsSpec extends SparkSpec {
     val absent = ManifestedLog.loadByKey(spark, p, "user_id", Seq(-987654321L))
     assert(absent.count() == 0L)
     assert(absent.columns.contains("ts_us"))
+    // the single-record ops lookup: event_id blooms keep it to the one
+    // file that can hold the row
+    val oneId = full.select("event_id").limit(1).collect().head.getLong(0)
+    val one = ManifestedLog.loadByKey(spark, p, "event_id", Seq(oneId))
+    assert(ids(one) == Set(oneId))
+    assert(one.inputFiles.length <= 2,
+      s"event_id lookup read ${one.inputFiles.length} files")
   }
 
   test("bloom prune skips files whose day holds a disjoint user population") {
