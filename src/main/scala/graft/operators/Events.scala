@@ -127,22 +127,33 @@ object Events {
     * (the normalized TimestampType also pushes: Catalyst unwraps the UTC
     * NTZ cast in comparisons). */
   def timeRange(df: DataFrame, fromUs: Long, toUs: Long): DataFrame =
-    df.schema("ts").dataType match {
+    timeRangeOpen(df, Some(fromUs), Some(toUs))
+
+  /** [[timeRange]] with independently optional bounds — the half-open
+    * variant point lookups need: a `None` side applies no predicate at
+    * all, because the sentinel extremes CANNOT be converted to the ts
+    * column's native type (`multiplyExact`/`usInstant` on
+    * Long.MinValue/MaxValue overflow or throw DateTimeException). */
+  def timeRangeOpen(df: DataFrame, fromUs: Option[Long],
+                    toUs: Option[Long]): DataFrame = {
+    val preds: Seq[Column] = df.schema("ts").dataType match {
       case LongType =>
         // multiplyExact: a bound past ~2262 (µs beyond Long nanos range)
         // must fail loudly, not overflow into a silently-wrong pushed
         // predicate
-        df.filter(col("ts") >= Math.multiplyExact(fromUs, 1000L) &&
-                  col("ts") < Math.multiplyExact(toUs, 1000L))
+        fromUs.map(f => col("ts") >= Math.multiplyExact(f, 1000L)).toSeq ++
+          toUs.map(t => col("ts") < Math.multiplyExact(t, 1000L))
       case TimestampType =>
-        df.filter(col("ts") >= lit(usInstant(fromUs)) &&
-                  col("ts") < lit(usInstant(toUs)))
+        fromUs.map(f => col("ts") >= lit(usInstant(f))).toSeq ++
+          toUs.map(t => col("ts") < lit(usInstant(t)))
       case TimestampNTZType =>
-        df.filter(col("ts") >= lit(usLocalDateTime(fromUs)) &&
-                  col("ts") < lit(usLocalDateTime(toUs)))
+        fromUs.map(f => col("ts") >= lit(usLocalDateTime(f))).toSeq ++
+          toUs.map(t => col("ts") < lit(usLocalDateTime(t)))
       case other => sys.error(
         s"events.ts has unsupported type $other for time-range pruning")
     }
+    preds.reduceOption(_ && _).fold(df)(df.filter)
+  }
 
   /** Range-pruned events load: the predicate lands on the raw scan
     * column (pruning at the source), then the survivors normalize. */

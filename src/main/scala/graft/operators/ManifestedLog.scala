@@ -564,13 +564,15 @@ object ManifestedLog {
     val (version, days) = readManifest(spark, path)
     val schema = readSchemaAt(spark, path, version)
     val root = new Path(path)
-    val bounded = fromUs != Long.MinValue || toUs != Long.MaxValue
-    val (fromDt, toDt) =
-      if (!bounded) (null, null)
-      else (Events.usLocalDateTime(fromUs).toLocalDate.toString,
-            Events.usLocalDateTime(toUs - 1L).toLocalDate.toString)
+    // each bound clamps INDEPENDENTLY: a half-open range (one sentinel
+    // end) must not push its extreme through usLocalDateTime (throws) or
+    // into the data predicate (overflows) — only the finite side prunes
+    val fromOpt = if (fromUs == Long.MinValue) None else Some(fromUs)
+    val toOpt   = if (toUs == Long.MaxValue) None else Some(toUs)
+    val fromDt = fromOpt.map(u => Events.usLocalDateTime(u).toLocalDate.toString)
+    val toDt   = toOpt.map(u => Events.usLocalDateTime(u - 1L).toLocalDate.toString)
     val paths = days.toSeq
-      .filter { case (d, _) => !bounded || (d >= fromDt && d <= toDt) }
+      .filter { case (d, _) => fromDt.forall(d >= _) && toDt.forall(d <= _) }
       .sortBy(_._1)
       .flatMap { case (_, dir) =>
         val dayDir = new Path(root, dir)
@@ -596,8 +598,7 @@ object ManifestedLog {
         Seq(new Path(root, any._2).toString), schema).limit(0))
     }
     val base = readDirs(spark, paths, schema).filter(pred)
-    Events.normalizeEventTime(
-      if (bounded) Events.timeRange(base, fromUs, toUs) else base)
+    Events.normalizeEventTime(Events.timeRangeOpen(base, fromOpt, toOpt))
   }
 
   /** Per-day table profile from METADATA ONLY — the manifest names the

@@ -349,12 +349,17 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0
     var p = 12
     while (p + 8 <= payload.length) {
-      val id = tag(p); val size = u32(p + 4).toInt
-      if (p + 8 + size > payload.length) fail(
+      // chunk size stays a Long END TO END: a hostile size >= 2^31 cast
+      // to Int goes negative, slips past this bounds check, and then
+      // either never advances p (infinite loop pinning the executor) or
+      // yields a negative dataLen (silent 0-sample "success") — both
+      // violations of this parser's fail-loudly contract
+      val id = tag(p); val size = u32(p + 4)
+      if (p.toLong + 8L + size > payload.length) fail(
         s"chunk '$id' claims $size bytes past end of payload")
       id match {
         case "fmt " =>
-          if (size < 16) fail("fmt chunk too short")
+          if (size < 16L) fail("fmt chunk too short")
           val audioFormat = u16(p + 8)
           channels = u16(p + 10)
           sampleRate = u32(p + 12)
@@ -364,14 +369,15 @@ object Multimodal {
               "16-bit signed PCM only)")
           fmtSeen = true
         case "data" =>
-          dataOff = p + 8; dataLen = size
+          dataOff = p + 8; dataLen = size.toInt // bounds-checked above: fits Int
         case _ => () // LIST/INFO etc: skipped, as any RIFF reader must
       }
-      p += 8 + size + (size & 1) // chunks are word-aligned
+      p += (8L + size + (size & 1L)).toInt // chunks are word-aligned; fits: checked
     }
     if (!fmtSeen) fail("no fmt chunk")
     if (dataOff < 0) fail("no data chunk")
     if (channels <= 0) fail("fmt chunk declares zero channels")
+    if (sampleRate <= 0) fail("fmt chunk declares zero sample rate")
     val n = dataLen / 2
     var peak = 0L; var sumAbs = 0L
     var i = 0

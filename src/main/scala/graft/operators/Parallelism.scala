@@ -29,6 +29,14 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
   def spreadToCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Partition count from the Dataset's OWN cached QueryExecution:
+    // `df.rdd` would wrap the plan in DeserializeToObject and run a
+    // SECOND analyze/optimize/plan pass on every guarded call (plus a
+    // row-conversion stage nobody executes). `toRdd` reuses the physical
+    // plan the subsequent action will execute anyway — still no job for
+    // the scan-rooted frames this guard sees (partition enumeration is
+    // file-split listing, already cached in the FileIndex).
+    val current = df.queryExecution.toRdd.getNumPartitions
+    if (current >= target) df else df.repartition(target)
   }
 }

@@ -185,6 +185,22 @@ class ManifestedLogStatsSpec extends SparkSpec {
     assert(df.inputFiles.forall(_.contains("dt=2024-01-10")))
   }
 
+  test("half-open key+range lookups work (one sentinel end, one finite)") {
+    // a sentinel extreme must not reach usLocalDateTime (DateTimeException)
+    // or the data predicate (multiplyExact overflow) — only the finite
+    // side prunes and filters
+    val p = freshTable()
+    val full = ManifestedLog.load(spark, p)
+    val upTo = ids(ManifestedLog.loadByKeyRange(
+      spark, p, "user_id", Seq(7L), Long.MinValue, toUs))
+    assert(upTo == ids(full.filter(col("user_id") === 7L && col("ts_us") < toUs)))
+    val from = ids(ManifestedLog.loadByKeyRange(
+      spark, p, "user_id", Seq(7L), fromUs, Long.MaxValue))
+    assert(from == ids(full.filter(col("user_id") === 7L && col("ts_us") >= fromUs)))
+    // both halves tile the unbounded lookup exactly
+    assert((upTo ++ from) == ids(ManifestedLog.loadByKey(spark, p, "user_id", Seq(7L))))
+  }
+
   test("a sidecar without bloom lines still serves lookups (conservative include)") {
     val p = freshTable()
     val (_, days) = ManifestedLog.readManifest(spark, p)

@@ -83,6 +83,41 @@ class WavSpec extends SparkSpec {
     assert(got == want, "spliced junk chunk changed the parse")
   }
 
+  test("a hostile >=2^31 chunk size fails loudly instead of looping/underflowing") {
+    // chunk size 0xFFFFFFF8 as Int is negative: it would pass the bounds
+    // check and advance p by 0 (infinite loop) or record a negative
+    // dataLen (silent zero-sample success). The parser must reject it.
+    def wavWithChunkSize(size: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("JUNK".getBytes("US-ASCII")).putInt((size & 0xffffffffL).toInt)
+      b.array()
+    }
+    for (size <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL)) {
+      val e = intercept[RuntimeException] {
+        Multimodal.parseWav(wavWithChunkSize(size), "hostile")
+      }
+      assert(e.getMessage.contains("past end of payload"),
+        s"chunk size $size: wrong failure '${e.getMessage}'")
+    }
+  }
+
+  test("a zero sample rate fails loudly before any duration math") {
+    // legit 16-bit PCM container whose fmt chunk declares rate 0: the
+    // downstream frames*1000/rate would divide by zero
+    val docs = graft.sources.Sources
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(1)
+    val payload = Multimodal.wavMedia(docs).collect().head.payload.clone()
+    // sample rate is LE32 at fmt payload offset 4 → file offset 12+8+4=24
+    payload(24) = 0; payload(25) = 0; payload(26) = 0; payload(27) = 0
+    val e = intercept[RuntimeException] {
+      Multimodal.parseWav(payload, "zero-rate")
+    }
+    assert(e.getMessage.contains("zero sample rate"))
+  }
+
   test("non-PCM or truncated payloads fail loudly") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRecord(
