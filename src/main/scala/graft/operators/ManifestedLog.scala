@@ -44,239 +44,21 @@ object ManifestedLog {
 
   private val Header = "graft-event-log-manifest-v1"
   private val ManifestRe = "manifest-(\\d{9})\\.txt".r
-  private val StatsHeader = "graft-day-stats-v1"
-  private val StatsFile = "_stats.txt"
 
-  // ------------------------------------------------------------------
-  // Per-file statistics sidecar (the data-skipping layer; cf. the
-  // public Iceberg manifest-entry / Delta add-file stats designs).
-  //
-  // Every day directory carries a `_stats.txt` listing, per parquet
-  // file, its row count and the [min, max] of `ts` in epoch-µs — read
-  // from the parquet FOOTERS at write time (no data scan). The sidecar
-  // is written before the directory is first referenced by a manifest,
-  // so it shares the directory's immutability: once published it never
-  // changes, and a range reader can go manifest → sidecar → exact file
-  // set without listing the directory or opening a single footer. At
-  // 100 TB that turns a range read's planning cost from O(files) footer
+  // Per-file statistics sidecars (`_stats.txt`: ts bounds + key Blooms)
+  // live in [[Sidecars]] — shared with [[SnapshotTable]]. At 100 TB the
+  // sidecars turn a range read's planning cost from O(files) footer
   // round-trips into O(days-in-range) small-file reads, and the
   // manifest itself stays O(days) lines.
-  //
-  // A file whose footer lacks usable ts statistics records `?` bounds
-  // and is never skipped — conservative inclusion, never wrong results.
-  // ------------------------------------------------------------------
-
-  private final case class FileStat(
-      name: String, rows: Long, minUs: Option[Long], maxUs: Option[Long]) {
-    /** Could this file hold rows in `[fromUs, toUs)`? Unknown → yes. */
-    def overlaps(fromUs: Long, toUs: Long): Boolean = (minUs, maxUs) match {
-      case (Some(lo), Some(hi)) => hi >= fromUs && lo < toUs
-      case _ => true
-    }
-  }
-
-  /** Row count and ts-bounds of one parquet file, from its footer only.
-    * Bounds are converted to epoch-µs from the column's logical-type
-    * unit (µs native; ns floor-divides — the same truncation
-    * [[Events.normalizeEventTime]] applies to the data itself, so the
-    * sidecar bounds are exact for the normalized values readers see). */
-  private def footerStat(conf: org.apache.hadoop.conf.Configuration,
-                         file: Path): FileStat = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val footer = reader.getFooter
-      val blocks = footer.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val toUs: Option[Long => Long] =
-        footer.getFileMetaData.getSchema.getFields.asScala
-          .find(f => f.getName == "ts" && f.isPrimitive)
-          .flatMap(f => Option(f.asPrimitiveType.getLogicalTypeAnnotation))
-          .collect {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MICROS => Some((n: Long) => n)
-                case LogicalTypeAnnotation.TimeUnit.NANOS =>
-                  Some((n: Long) => Math.floorDiv(n, 1000L))
-                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                  Some((n: Long) => Math.multiplyExact(n, 1000L))
-                case _ => None
-              }
-          }.flatten
-      val bounds: Option[(Long, Long)] = toUs.flatMap { cv =>
-        val perBlock = blocks.map { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "ts").flatMap { cc =>
-            val st: org.apache.parquet.column.statistics.Statistics[_] =
-              cc.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                Some((cv(lo.longValue), cv(hi.longValue)))
-              case _ => None
-            }
-          }
-        }
-        // every row group must report bounds, else the file is unknown
-        if (perBlock.exists(_.isEmpty) || perBlock.isEmpty) None
-        else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max))
-      }
-      FileStat(file.getName, rows, bounds.map(_._1), bounds.map(_._2))
-    } finally reader.close()
-  }
-
-  /** Compute footer stats for every parquet file of a day directory. */
-  private def dirStats(spark: SparkSession, dayDir: Path): Seq[FileStat] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    fs(spark, dayDir).listStatus(dayDir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => footerStat(conf, s.getPath)).sortBy(_.name).toSeq
-  }
 
   /** Key columns that get a per-file Bloom filter in the sidecar (when
     * present with an integral type). user_id is THE unclustered
     * point-lookup key of an event log ("all events of user X");
     * event_id covers the single-record ops lookup ("find this exact
-    * event") — each costs one key-column aggregate pass at write time,
-    * and files tile on ts, so without them either query scans every
-    * file of every day. */
+    * event") — together they cost ONE key-column aggregate pass at
+    * write time (both filters build in the same job), and files tile on
+    * ts, so without them either query scans every file of every day. */
   private val SidecarBloomCols = Seq("user_id", "event_id")
-
-  /** Per-file Bloom filters over `keyCol`, built in ONE aggregate pass
-    * over the just-written day (only the key column is read — columnar,
-    * proportional to the batch; the write path already paid orders of
-    * magnitude more to produce the files). Map-side partial OR-merge:
-    * per-partition bit sets cross the wire, never keys. */
-  private def fileBlooms(spark: SparkSession, dayDir: Path, keyCol: String,
-                         numBits: Int, numHashes: Int): Map[String, Array[Long]] = {
-    import spark.implicits._
-    import graft.functions.BloomKernel
-    val agg = new org.apache.spark.sql.expressions.Aggregator[
-        (String, Long), BloomJoin.BloomBits, BloomJoin.BloomBits] {
-      override def zero: BloomJoin.BloomBits =
-        BloomJoin.BloomBits(new Array[Long](BloomKernel.words(numBits)))
-      override def reduce(b: BloomJoin.BloomBits, kv: (String, Long)): BloomJoin.BloomBits = {
-        BloomKernel.insert(b.bits, kv._2, numHashes); b
-      }
-      override def merge(a: BloomJoin.BloomBits, b: BloomJoin.BloomBits): BloomJoin.BloomBits = {
-        var i = 0
-        while (i < a.bits.length) { a.bits(i) |= b.bits(i); i += 1 }
-        a
-      }
-      override def finish(r: BloomJoin.BloomBits): BloomJoin.BloomBits = r
-      override def bufferEncoder: org.apache.spark.sql.Encoder[BloomJoin.BloomBits] =
-        org.apache.spark.sql.Encoders.product
-      override def outputEncoder: org.apache.spark.sql.Encoder[BloomJoin.BloomBits] =
-        org.apache.spark.sql.Encoders.product
-    }
-    spark.read.parquet(dayDir.toString)
-      .select(input_file_name().as("_f"), col(keyCol).cast("long").as("_k"))
-      .filter(col("_k").isNotNull)
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .agg(agg.toColumn)
-      .collect()
-      .map { case (f, b) => f.substring(f.lastIndexOf('/') + 1) -> b.bits }
-      .toMap
-  }
-
-  /** Write the `_stats.txt` sidecar into a just-written day directory.
-    * Called strictly BEFORE the directory is referenced by a manifest,
-    * so no reader can observe the directory without it. Besides the
-    * per-file stats lines, `#bloom` meta lines carry a per-file Bloom
-    * filter of each [[SidecarBloomCols]] column (integral types only —
-    * a lossy cast would silently produce false NEGATIVES, the one
-    * failure mode a Bloom prune must never have), sized from the
-    * largest file's footer row count (~16 bits/row, capped at 1 MiB). */
-  private def writeStatsSidecar(spark: SparkSession, dayDir: Path): Unit = {
-    val f = fs(spark, dayDir)
-    val stats = dirStats(spark, dayDir)
-    val statLines = stats.map { st =>
-      s"${st.name}\t${st.rows}\t${st.minUs.fold("?")(_.toString)}" +
-        s"\t${st.maxUs.fold("?")(_.toString)}"
-    }
-    val schema = spark.read.parquet(dayDir.toString).schema
-    val maxRows = if (stats.isEmpty) 0L else stats.map(_.rows).max
-    val numBits = {
-      val target = math.min(1L << 23, math.max(1L << 12, maxRows * 16L))
-      java.lang.Long.highestOneBit(target * 2L - 1L).toInt // round up to pow2
-    }
-    val numHashes = 6
-    val bloomLines = SidecarBloomCols.flatMap { c =>
-      schema.fields.find(_.name == c).map(_.dataType) match {
-        case Some(org.apache.spark.sql.types.LongType
-                | org.apache.spark.sql.types.IntegerType) =>
-          fileBlooms(spark, dayDir, c, numBits, numHashes).toSeq.sortBy(_._1)
-            .map { case (file, bits) =>
-              val bb = ByteBufferOf(bits)
-              s"#bloom\t$file\t$c\t$numBits\t$numHashes\t" +
-                java.util.Base64.getEncoder.encodeToString(bb)
-            }
-        case _ => Nil
-      }
-    }
-    val lines = StatsHeader +: (statLines ++ bloomLines)
-    val out = f.create(new Path(dayDir, StatsFile), true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def ByteBufferOf(bits: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bits.foreach(bb.putLong)
-    bb.array()
-  }
-
-  private def longsOf(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
-
-  /** `(file, col) → (bits, numHashes)` from a day's sidecar `#bloom`
-    * lines; empty for sidecars predating blooms. */
-  private def readBloomSidecar(spark: SparkSession, dayDir: Path)
-      : Map[(String, String), (Array[Long], Int)] = {
-    val f = fs(spark, dayDir)
-    val p = new Path(dayDir, StatsFile)
-    if (!f.exists(p)) return Map.empty
-    val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    text.linesIterator.filter(_.startsWith("#bloom\t")).map { l =>
-      l.split('\t') match {
-        case Array(_, file, c, _, k, b64) =>
-          (file, c) -> ((longsOf(java.util.Base64.getDecoder.decode(b64)), k.toInt))
-        case _ => sys.error(s"malformed #bloom line in $p: '$l'")
-      }
-    }.toMap
-  }
-
-  /** The sidecar of a published day directory; None for directories
-    * written before the sidecar existed (readers fall back to the
-    * whole-directory scan — older tables keep working unchanged). */
-  private def readStatsSidecar(spark: SparkSession,
-                               dayDir: Path): Option[Seq[FileStat]] = {
-    val f = fs(spark, dayDir)
-    val p = new Path(dayDir, StatsFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val lines = text.linesIterator.toList
-    if (!lines.headOption.contains(StatsHeader)) return None
-    def parse(s: String): Option[Long] = if (s == "?") None else Some(s.toLong)
-    Some(lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-      l.split('\t') match {
-        case Array(name, rows, lo, hi) =>
-          FileStat(name, rows.toLong, parse(lo), parse(hi))
-        case _ => sys.error(s"malformed stats line in $p: '$l'")
-      }
-    })
-  }
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -490,12 +272,22 @@ object ManifestedLog {
       if (f.exists(target)) f.delete(target, true)
       if (!f.rename(new Path(staging, dirName), target))
         sys.error(s"staging rename failed for $dirName")
-      writeStatsSidecar(spark, target)
       day -> s"dt=$day.v1"
     }.toMap
     f.delete(staging, true)
+    writeSidecars(spark, root, mapping.values.toSeq, Some(events.schema))
     publish(spark, path, 1L, mapping, Some(events.schema))
   }
+
+  /** One sidecar sweep over freshly-written day directories — a single
+    * Spark job builds every directory's per-file ts bounds and BOTH key
+    * Blooms (see [[Sidecars.write]]); must run before the dirs are
+    * referenced by a manifest. */
+  private def writeSidecars(spark: SparkSession, root: Path,
+                            dirNames: Seq[String],
+                            schema: Option[StructType]): Unit =
+    Sidecars.write(spark, dirNames.sorted.map(new Path(root, _)),
+      schema, boundsCol = "ts", bloomCols = SidecarBloomCols)
 
   /** Range read `[fromUs, toUs)`: three pruning layers, each cheaper
     * than the one below it —
@@ -520,7 +312,7 @@ object ManifestedLog {
       .sortBy(_._1)
       .flatMap { case (_, dir) =>
         val dayDir = new Path(root, dir)
-        readStatsSidecar(spark, dayDir) match {
+        Sidecars.read(spark, dayDir) match {
           case Some(stats) => stats.filter(_.overlaps(fromUs, toUs))
             .map(st => new Path(dayDir, st.name).toString)
           case None => Seq(dayDir.toString)
@@ -576,9 +368,9 @@ object ManifestedLog {
       .sortBy(_._1)
       .flatMap { case (_, dir) =>
         val dayDir = new Path(root, dir)
-        readStatsSidecar(spark, dayDir) match {
+        Sidecars.read(spark, dayDir) match {
           case Some(stats) =>
-            val blooms = readBloomSidecar(spark, dayDir)
+            val blooms = Sidecars.readBlooms(spark, dayDir)
             stats.filter { st =>
               st.overlaps(fromUs, toUs) && (blooms.get((st.name, keyCol)) match {
                 case Some((bits, k)) =>
@@ -614,9 +406,9 @@ object ManifestedLog {
     val root = new Path(path)
     val rows = days.toSeq.sortBy(_._1).map { case (day, dir) =>
       val dayDir = new Path(root, dir)
-      val stats = readStatsSidecar(spark, dayDir)
-        .getOrElse(dirStats(spark, dayDir))
-      val bounds = stats.map(s => (s.minUs, s.maxUs))
+      val stats = Sidecars.read(spark, dayDir)
+        .getOrElse(Sidecars.dirStats(spark, dayDir, "ts"))
+      val bounds = stats.map(s => (s.minV, s.maxV))
       val known = bounds.forall { case (lo, hi) => lo.isDefined && hi.isDefined }
       (day, stats.size.toLong, stats.map(_.rows).sum,
         if (known && bounds.nonEmpty) bounds.map(_._1.get).min else null.asInstanceOf[Any],
@@ -672,7 +464,7 @@ object ManifestedLog {
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
-    writeStatsSidecar(spark, target)
+    writeSidecars(spark, root, Seq(nextDir), schema)
     publish(spark, path, version + 1, days.updated(dt, nextDir), schema)
     parts.toLong
   }
@@ -717,12 +509,12 @@ object ManifestedLog {
             .sortWithinPartitions(col("ts"))
             .write.mode("overwrite").parquet(target.toString)
           f.delete(new Path(target, "_SUCCESS"), false)
-          writeStatsSidecar(spark, target)
           Some((dt, nextDir, needed))
         }
       }
     }
     if (rewritten.isEmpty) return Map.empty
+    writeSidecars(spark, root, rewritten.map(_._2), schema)
     publish(spark, path, version + 1,
       days ++ rewritten.map { case (dt, dir, _) => dt -> dir }, schema)
     rewritten.map { case (dt, _, n) => dt -> n }.toMap
@@ -751,7 +543,19 @@ object ManifestedLog {
     * yet — they append to the table schema in the published manifest and
     * surface as null in untouched days; a batch may also OMIT existing
     * columns (null-filled in the rewritten days). A same-name type
-    * conflict fails loudly. Returns the new manifest version. */
+    * conflict fails loudly. Returns the new manifest version.
+    *
+    * TWO WRITE REGIMES, picked by touched-day count (both publish the
+    * identical table — pinned in ManifestedLogSpec):
+    *  - ≤ [[BackfillDays]] days (the hot/cold ingest shape): per-day
+    *    copy-on-write — each day is one filter pass over the batch plus
+    *    one write job, and the batch stays cached-scan-sized;
+    *  - more days (a backfill / replay batch): the per-day loop would
+    *    re-scan the batch once per day and pay O(days) driver
+    *    round-trip write jobs, so instead ONE dt-partitioned job writes
+    *    the whole union (touched old days ∪ batch, deduped per
+    *    (day, key)) into a staging tree that renames into the versioned
+    *    day directories — a 30-day backfill pays one pass, not 30. */
   def append(events: DataFrame, path: String,
              dedupKey: Option[String] = Some("event_id")): Long = {
     val spark = events.sparkSession
@@ -775,32 +579,83 @@ object ManifestedLog {
     val batchDays = staged.select(col("dt")).distinct()
       .collect().map(_.getString(0)).sorted
     if (batchDays.isEmpty) return version
-    val updated = batchDays.map { day =>
-      val incoming = staged.filter(col("dt") === day).drop("dt")
-      val (nextDir, data) = days.get(day) match {
-        case Some(cur) =>
-          val curV = cur.substring(cur.lastIndexOf(".v") + 2).toLong
-          val old = readDirs(spark, Seq(new Path(root, cur).toString), current)
-          (s"dt=$day.v${curV + 1}",
-            old.unionByName(incoming, allowMissingColumns = true))
-        case None =>
-          (s"dt=$day.v1", incoming)
+
+    def nextDirName(day: String): String = days.get(day) match {
+      case Some(cur) =>
+        s"dt=$day.v${cur.substring(cur.lastIndexOf(".v") + 2).toLong + 1}"
+      case None => s"dt=$day.v1"
+    }
+
+    val updated: Map[String, String] =
+      if (batchDays.length <= BackfillDays) {
+        // hot/cold regime: per-day copy-on-write
+        batchDays.map { day =>
+          val incoming = staged.filter(col("dt") === day).drop("dt")
+          val data = days.get(day) match {
+            case Some(cur) =>
+              readDirs(spark, Seq(new Path(root, cur).toString), current)
+                .unionByName(incoming, allowMissingColumns = true)
+            case None => incoming
+          }
+          val deduped = dedupKey match {
+            case Some(key) => data.dropDuplicates(key)
+            case None => data
+          }
+          val nextDir = nextDirName(day)
+          val target = new Path(root, nextDir)
+          if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+          deduped.sortWithinPartitions(col("ts"))
+            .write.mode("overwrite").parquet(target.toString)
+          f.delete(new Path(target, "_SUCCESS"), false)
+          day -> nextDir
+        }.toMap
+      } else {
+        // backfill regime: one dt-partitioned staging write of
+        // (touched old days ∪ batch), then O(days) renames. Dedup is
+        // per (day, key) — identical to the per-day regime, where each
+        // day deduped its own union (a key recurring across DIFFERENT
+        // days survives in both, in both regimes). The range shuffle
+        // clusters each day into few contiguous tasks so the staging
+        // tree lands ~1 file per day per overlapping partition instead
+        // of days × partitions fragments.
+        val stagingRoot = new Path(root, s".staging-append-v${version + 1}")
+        if (f.exists(stagingRoot)) f.delete(stagingRoot, true)
+        val oldDirs = batchDays.toSeq.flatMap(d =>
+          days.get(d).map(dir => new Path(root, dir).toString))
+        val unioned = if (oldDirs.isEmpty) staged else
+          readDirs(spark, oldDirs, current)
+            .withColumn("dt", Events.utcDt(col("ts")))
+            .unionByName(staged, allowMissingColumns = true)
+        val deduped = dedupKey match {
+          case Some(key) => unioned.dropDuplicates("dt", key)
+          case None => unioned
+        }
+        deduped
+          .repartitionByRange(col("dt"), col("ts"))
+          .sortWithinPartitions(col("dt"), col("ts"))
+          .write.mode("overwrite").partitionBy("dt").parquet(stagingRoot.toString)
+        val mapping = f.listStatus(stagingRoot).map(_.getPath.getName)
+          .filter(_.startsWith("dt=")).sorted.map { dirName =>
+            val day = dirName.stripPrefix("dt=")
+            val nextDir = nextDirName(day)
+            val target = new Path(root, nextDir)
+            if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+            if (!f.rename(new Path(stagingRoot, dirName), target))
+              sys.error(s"staging rename failed for $dirName")
+            day -> nextDir
+          }.toMap
+        f.delete(stagingRoot, true)
+        mapping
       }
-      val deduped = dedupKey match {
-        case Some(key) => data.dropDuplicates(key)
-        case None => data
-      }
-      val target = new Path(root, nextDir)
-      if (f.exists(target)) f.delete(target, true) // unreferenced leftover
-      deduped.sortWithinPartitions(col("ts"))
-        .write.mode("overwrite").parquet(target.toString)
-      f.delete(new Path(target, "_SUCCESS"), false)
-      writeStatsSidecar(spark, target)
-      day -> nextDir
-    }.toMap
+    writeSidecars(spark, root, updated.values.toSeq, Some(merged))
     publish(spark, path, version + 1, days ++ updated, Some(merged))
     version + 1
   }
+
+  /** Touched-day count above which [[append]] switches from per-day
+    * copy-on-write to the one-pass dt-partitioned staging write (the
+    * same break-even the change feed uses for its consolidated join). */
+  private val BackfillDays = 8
 
   /** Incremental consumption — the table's CHANGE FEED. Returns the
     * rows ADDED between two retained manifest versions, so a downstream
@@ -906,42 +761,133 @@ object ManifestedLog {
     * reclaimable garbage, never a torn view. Returns the compacted
     * day → file-count map and the snapshot's new version.
     *
-    * External change-feed consumers holding cursors older than the
-    * retention window lose them at vacuum (the standard table-format
-    * retention trade) — size `keepVersions` to the slowest consumer. */
+    * External change-feed consumers protect their cursors with [[pin]]s
+    * (honored by both vacuums below — a pinned log version keeps its
+    * manifest AND its snapshot commit); unpinned consumers older than
+    * `keepVersions` lose them at vacuum (the standard table-format
+    * retention trade) — pin, or size `keepVersions` to the slowest
+    * consumer. `minAgeMs` additionally shields just-published versions
+    * from the sweep (in-flight readers that resolved moments ago). */
   def maintain(spark: SparkSession, path: String, watermarkUs: Long,
                snapshotPath: Option[String] = None,
                keepVersions: Int = 2,
-               targetBytes: Long = 128L << 20): (Map[String, Long], Option[Long]) = {
+               targetBytes: Long = 128L << 20,
+               minAgeMs: Long = 0L): (Map[String, Long], Option[Long]) = {
     val compacted = compactClosedDays(spark, path, watermarkUs, targetBytes)
     val snapV = snapshotPath.map(sp => SnapshotTable.update(spark, path, sp))
-    vacuum(spark, path, keepVersions)
-    snapshotPath.foreach(sp => SnapshotTable.vacuum(spark, sp, keepVersions))
+    val pinned = pins(spark, path).values.toSet
+    vacuum(spark, path, keepVersions, minAgeMs)
+    snapshotPath.foreach(sp =>
+      SnapshotTable.vacuum(spark, sp, keepVersions, alsoKeep = pinned))
     (compacted, snapV)
   }
 
+  // ------------------------------------------------------------------
+  // Reader pins — retention as a MECHANISM, not a sizing convention.
+  // A long-running consumer (training run, slow replica) registers a
+  // named pin on the manifest version it resolved; [[vacuum]] then
+  // keeps that manifest and every data directory it lists, regardless
+  // of `keepVersions`, until [[unpin]]. Pins are tiny files under
+  // `_pins/` — no coordination service, same crash-safety idiom as the
+  // manifests themselves.
+  // ------------------------------------------------------------------
+
+  private val PinRe = "pin-(.+)\\.txt".r
+  private def pinsDir(root: Path) = new Path(root, "_pins")
+
+  /** Register (or move) the named pin onto a RETAINED version. Returns
+    * the pinned version. Pin BEFORE starting the long read: a pin
+    * created after a racing vacuum already deleted the version fails
+    * here, loudly, instead of silently protecting nothing. Re-pinning
+    * an existing name replaces it (delete + rename — the crash window
+    * between the two leaves the name unpinned; a restarting reader
+    * re-pins as its first step, which is also what makes the window
+    * harmless). */
+  def pin(spark: SparkSession, path: String, name: String, version: Long): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"pin names are [A-Za-z0-9_-]+, got '$name'")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!versions(spark, path).contains(version)) sys.error(
+      s"cannot pin version $version of $path: not retained " +
+        s"(have: ${versions(spark, path).mkString(", ")})")
+    val dir = pinsDir(root)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val target = new Path(dir, s"pin-$name.txt")
+    val tmp = new Path(dir, s".pin-$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target))
+      sys.error(s"publishing pin $target failed; tmp content is in $tmp")
+    version
+  }
+
+  /** Drop the named pin; true if it existed. */
+  def unpin(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    f.delete(new Path(pinsDir(root), s"pin-$name.txt"), false)
+  }
+
+  /** All registered pins, name → version. */
+  def pins(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val dir = pinsDir(root)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).flatMap { st =>
+      st.getPath.getName match {
+        case PinRe(name) =>
+          val in = f.open(st.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          Some(name -> text.trim.toLong)
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Delete data directories no RETAINED manifest references, manifests
-    * older than the retention window, and dot-tmp leftovers.
-    * `keepVersions` is the time-travel retention: the newest K manifests
-    * — and every data directory any of them lists — survive, so
-    * [[loadAt]] keeps working for that window. Run behind the longest
-    * reader you care about (the standard table-format retention trade; a
-    * reader that resolved an already-vacuumed manifest loses its
-    * directories). Returns the number of paths removed. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Long = {
+    * older than the retention window, and dot-tmp leftovers. Retention
+    * is the UNION of three guards, each a mechanism a different consumer
+    * relies on:
+    *  - `keepVersions`: the newest K manifests (time-travel window);
+    *  - [[pin]]s: every pinned manifest survives until unpinned, so a
+    *    pinned `loadAt(v)` / change-feed cursor cannot lose its data to
+    *    a concurrent maintenance sweep;
+    *  - `minAgeMs`: manifests PUBLISHED within the last `minAgeMs`
+    *    are never reclaimed (by file modification time), covering the
+    *    unpinned in-flight reader that resolved a manifest moments
+    *    before the sweep.
+    * Every data directory any surviving manifest lists survives with
+    * it. Returns the number of paths removed. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     val root = new Path(path)
     val f = fs(spark, root)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no manifest under $path — not a manifested event log")
-    val kept = vs.takeRight(keepVersions)
-    val oldestKept = kept.head
+    // pins referencing already-gone versions (pinned after an older
+    // vacuum raced them out) protect nothing — the pin() path fails
+    // loudly at creation, which is where the reader can still react
+    val pinnedKept = pins(spark, path).values.filter(vs.contains).toSet
+    val cutoffMs = System.currentTimeMillis() - minAgeMs
+    def youngerThanCutoff(v: Long): Boolean = minAgeMs > 0L &&
+      f.getFileStatus(new Path(root, f"manifest-$v%09d.txt"))
+        .getModificationTime > cutoffMs
+    val kept = (vs.takeRight(keepVersions).toSet ++ pinnedKept ++
+      vs.filter(youngerThanCutoff)).toSeq.sorted
     val live = kept.flatMap(v => readManifestAt(spark, path, v).values).toSet
+    val keptSet = kept.toSet
     var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
-        case ManifestRe(v) if v.toLong < oldestKept =>
+        case ManifestRe(v) if !keptSet.contains(v.toLong) =>
           f.delete(st.getPath, false); removed += 1
         case _ if name.startsWith("dt=") && !live.contains(name) =>
           f.delete(st.getPath, true); removed += 1

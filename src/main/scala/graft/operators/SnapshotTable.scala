@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Materialized CDC snapshot maintained INCREMENTALLY from a
@@ -66,6 +67,45 @@ object SnapshotTable {
     read(spark, snapPath).filter(col(opCol) =!= tombstone)
   }
 
+  /** Point lookup into the CURRENT state: the live row(s) of `keys`,
+    * reading only the state files whose sidecar (key Bloom + key
+    * min/max, written at publish) might hold one of them — without it a
+    * "current state of key X" query scans every state file, the one
+    * read shape the log's x75 layers could not prune. No false
+    * negatives (Bloom contract + conservative include for files without
+    * a sidecar), so the result equals the full-view filter exactly; the
+    * pushed equality predicate then row-group-prunes within survivors
+    * (state files are key-sorted within partitions at publish).
+    * Planning cost: one sidecar read, zero data reads for skipped
+    * files. */
+  def readViewByKey(spark: SparkSession, snapPath: String, keys: Seq[Long],
+                    keyCol: String = "user_id",
+                    opCol: String = "event_type",
+                    tombstone: String = "error"): DataFrame = {
+    import graft.functions.BloomKernel
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "readViewByKey needs at least one key value")
+    val v = version(spark, snapPath)
+    val dir = new Path(new Path(snapPath), s"v$v")
+    val files: Seq[String] = Sidecars.read(spark, dir) match {
+      case Some(stats) =>
+        val blooms = Sidecars.readBlooms(spark, dir)
+        stats.filter { st =>
+          st.mightHold(keys) && (blooms.get((st.name, keyCol)) match {
+            case Some((bits, k)) =>
+              keys.exists(BloomKernel.mightContain(bits, _, k))
+            case None => true // no bloom recorded: never skip
+          })
+        }.map(st => new Path(dir, st.name).toString)
+      case None => Seq(dir.toString)
+    }
+    val pred = if (keys.size == 1) col(keyCol) === keys.head
+               else col(keyCol).isin(keys: _*)
+    val base = if (files.isEmpty) read(spark, snapPath).limit(0)
+               else spark.read.parquet(files: _*)
+    base.filter(pred && col(opCol) =!= tombstone)
+  }
+
   /** Advance the snapshot to the log's newest retained version (or a
     * pinned `toVersion` — bootstrap replays and deterministic tests).
     * Bootstrap (no prior commit) compacts the full log AT that version;
@@ -98,8 +138,16 @@ object SnapshotTable {
     }
     val dir = new Path(root, s"v$target")
     if (f.exists(dir)) f.delete(dir, true) // unreferenced leftover
-    nextState.write.mode("overwrite").parquet(dir.toString)
+    // state files are hash-partitioned by the merge's keyed aggregation;
+    // sorting within partitions by key tightens row-group min/max (no
+    // extra shuffle), and the sidecar Bloom below prunes whole FILES —
+    // together they give "current state of key X" the same three-layer
+    // read path the log's point lookups have
+    nextState.sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(dir.toString)
     f.delete(new Path(dir, "_SUCCESS"), false)
+    Sidecars.write(spark, Seq(dir), Some(nextState.schema),
+      boundsCol = keyCol, bloomCols = Seq(keyCol))
     val marker = new Path(root, f"commit-$target%09d.txt")
     val tmp = new Path(root, s".commit-$target.tmp")
     val out = f.create(tmp, true)
@@ -131,9 +179,12 @@ object SnapshotTable {
       .start()
 
   /** Remove state directories and markers older than the newest
-    * `keepVersions` commits, plus unreferenced/tmp leftovers. */
+    * `keepVersions` commits, plus unreferenced/tmp leftovers.
+    * `alsoKeep` protects specific versions regardless of age —
+    * [[ManifestedLog.maintain]] passes the log's reader pins through,
+    * so a pinned log version keeps its matching snapshot commit too. */
   def vacuum(spark: SparkSession, snapPath: String,
-             keepVersions: Int = 1): Long = {
+             keepVersions: Int = 1, alsoKeep: Set[Long] = Set.empty): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val root = new Path(snapPath)
     val f = fs(spark, root)
@@ -141,7 +192,7 @@ object SnapshotTable {
       case CommitRe(v) => v.toLong
     }.sorted.toSeq
     require(vs.nonEmpty, s"no snapshot commit under $snapPath")
-    val kept = vs.takeRight(keepVersions).toSet
+    val kept = vs.takeRight(keepVersions).toSet ++ alsoKeep.filter(vs.contains)
     var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName

@@ -238,6 +238,22 @@ object EventQueries extends QueryPack {
         .select("user_id", "event_id", "ts_us", "event_type", "value")
     }),
 
+    // Point lookup into the CURRENT CDC state: "what is user 42's live
+    // row NOW". The snapshot's state files get the same sidecar
+    // treatment at publish (key Bloom + key bounds), so the lookup
+    // reads only the state files that can hold the key instead of the
+    // whole materialized view — composing x76's incremental maintenance
+    // with x75's pruned-read discipline. The oracle recomputes the
+    // CDC view from the full event table and filters, so the hash match
+    // proves pruned-incremental == full-recompute-filtered.
+    "x78_snapshot_point_lookup" -> ((s: SparkSession, d: String) => {
+      val log = manifestIncrLayout(s, d)
+      val snap = snapshotLayout(s, d, log)
+      graft.operators.SnapshotTable.update(s, log, snap) // no-op when current
+      graft.operators.SnapshotTable.readViewByKey(s, snap, Seq(42L))
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    }),
+
     // Point lookup on the UNCLUSTERED key: files tile on ts, so "all
     // events of user 42" would read every file of every day; the
     // per-file Bloom filters in the stats sidecars shrink the read set
@@ -443,6 +459,14 @@ object EventQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "x78_snapshot_point_lookup" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+        |  AND user_id = 42""".stripMargin,
 
     "x72_log_day_stats" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n_rows,

@@ -296,4 +296,68 @@ class ManifestedLogSpec extends SparkSpec {
     assert(read.nonEmpty && read.forall(_.contains("dt=2024-01-10.v1")),
       s"expected only the 2024-01-10 day dir, read: ${read.mkString(", ")}")
   }
+
+  test("backfill append (one dt-partitioned pass) equals the per-day regime") {
+    import org.apache.spark.sql.functions.col
+    val ev = Events.load(spark, sfDir).drop("ts_us")
+    val base = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    // backfill regime: the full 30-day corpus in ONE append
+    val pBack = base + "/events_backfill"
+    assert(ManifestedLog.append(ev, pBack) == 1L)
+    // per-day regime: the same corpus in <=8-day slices
+    val pSlice = base + "/events_sliced"
+    val days = ev.select(Events.utcDt(col("ts")).as("dt")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.length > 8,
+      "fixture must span >8 days for the backfill regime to engage")
+    days.grouped(8).foreach { slice =>
+      ManifestedLog.append(
+        ev.filter(Events.utcDt(col("ts")).isin(slice.toSeq: _*)), pSlice)
+    }
+    // identical table content under both regimes
+    val back = ManifestedLog.load(spark, pBack)
+    val sliced = ManifestedLog.load(spark, pSlice)
+    assert(back.exceptAll(sliced).isEmpty && sliced.exceptAll(back).isEmpty,
+      "backfill and per-day regimes published different content")
+    // sidecars landed in every backfill day dir (range reads file-skip)
+    val (_, dayMap) = ManifestedLog.readManifest(spark, pBack)
+    val f = new Path(pBack).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(dayMap.values.forall(d =>
+      f.exists(new Path(new Path(pBack), s"$d/_stats.txt"))))
+    // re-delivering the whole backfill is a no-op (idempotent, COW path)
+    assert(ManifestedLog.append(ev, pBack) == 2L)
+    val again = ManifestedLog.load(spark, pBack)
+    assert(again.count() == back.count() &&
+      again.exceptAll(back).isEmpty, "re-delivered backfill changed content")
+  }
+
+  test("a pinned version survives vacuum; unpinning releases it") {
+    val p = freshTable()                              // v1
+    ManifestedLog.compactDay(spark, p, "2024-01-10")  // v2
+    val before = ids(ManifestedLog.loadAt(spark, p, 1L))
+    assert(ManifestedLog.pin(spark, p, "trainer", 1L) == 1L)
+    assert(ManifestedLog.pins(spark, p) == Map("trainer" -> 1L))
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    // the pinned manifest AND the data dirs it lists survived
+    assert(ManifestedLog.versions(spark, p) == Seq(1L, 2L))
+    assert(ids(ManifestedLog.loadAt(spark, p, 1L)) == before)
+    // released pin → next vacuum reclaims; late re-pin fails loudly
+    assert(ManifestedLog.unpin(spark, p, "trainer"))
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    assert(ManifestedLog.versions(spark, p) == Seq(2L))
+    intercept[RuntimeException](ManifestedLog.loadAt(spark, p, 1L))
+    val e = intercept[RuntimeException](
+      ManifestedLog.pin(spark, p, "late", 1L))
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("minAge shields just-published manifests from vacuum") {
+    val p = freshTable()                              // v1, seconds old
+    ManifestedLog.compactDay(spark, p, "2024-01-10")  // v2
+    ManifestedLog.vacuum(spark, p, keepVersions = 1, minAgeMs = 3600000L)
+    assert(ManifestedLog.versions(spark, p) == Seq(1L, 2L),
+      "a manifest published within minAge must survive the sweep")
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    assert(ManifestedLog.versions(spark, p) == Seq(2L))
+  }
 }

@@ -151,4 +151,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!f.exists(new Path(snap, "v1")) && !f.exists(new Path(snap, "v2")))
     assert(keyed(SnapshotTable.read(spark, snap)) == before)
   }
+
+  test("point lookup prunes state files via the sidecar, same rows as the view") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap)
+    val view = SnapshotTable.readView(spark, snap)
+    val stateDir = new Path(snap, s"v${SnapshotTable.version(spark, snap)}")
+    val f = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(stateDir, "_stats.txt")),
+      "publish must leave a sidecar in the state dir")
+    val allFiles = f.listStatus(stateDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath).toSet
+    // pick live keys actually present and check exact equality + pruning
+    val someKeys = view.select("user_id").limit(3).collect().map(_.getLong(0))
+    for (k <- someKeys) {
+      val got = SnapshotTable.readViewByKey(spark, snap, Seq(k))
+      assert(keyed(got) == keyed(view.filter(col("user_id") === k)),
+        s"key $k: pruned lookup != view filter")
+      // the exact file set holding the key (ground truth from the data)
+      val holding = allFiles.filter(p =>
+        spark.read.parquet(p).filter(col("user_id") === k).count() > 0)
+      val readSet = got.inputFiles.map(p => new java.net.URI(p).getPath).toSet
+      assert(readSet == holding,
+        s"key $k: read $readSet, expected exactly $holding")
+    }
+    // absent key: no files read at all (bloom skips every file)
+    val absent = SnapshotTable.readViewByKey(spark, snap, Seq(-987654321L))
+    assert(absent.count() == 0L)
+    // multi-key lookups equal the view filter too
+    val multi = SnapshotTable.readViewByKey(spark, snap, someKeys.toSeq)
+    assert(keyed(multi) ==
+      keyed(view.filter(col("user_id").isin(someKeys.toSeq: _*))))
+  }
+
+  test("maintain honors reader pins across the log AND snapshot chain") {
+    val log = threeVersionLog()
+    val snap = snapDir()
+    // snapshot advanced at every version, so commits v1..v3 exist
+    for (v <- 1L to 3L) SnapshotTable.update(spark, log, snap, toVersion = Some(v))
+    val pinnedLog = ids(ManifestedLog.loadAt(spark, log, 2L))
+    ManifestedLog.pin(spark, log, "replica", 2L)
+    val maxUs = ManifestedLog.load(spark, log)
+      .agg(max(col("ts_us"))).collect().head.getLong(0)
+    ManifestedLog.maintain(spark, log, watermarkUs = maxUs + 86400000000L,
+      snapshotPath = Some(snap), keepVersions = 1)
+    // the pinned log version survived the sweep with its data...
+    assert(ManifestedLog.versions(spark, log).contains(2L))
+    assert(ids(ManifestedLog.loadAt(spark, log, 2L)) == pinnedLog)
+    // ...and so did its matching snapshot commit (v1 did not)
+    val f = new Path(snap).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(snap, "v2")) && !f.exists(new Path(snap, "v1")))
+    // the pinned snapshot state is still readable
+    assert(spark.read.parquet(new Path(snap, "v2").toString).count() > 0L)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
 }
