@@ -22,16 +22,20 @@ object Engine {
     * holds one frame (agentic_workflow_transformation.py:17), so the
     * catalog is the capability step beyond its `exec()` surface. */
   def run(description: String, input: DataFrame,
-          catalog: Map[String, DataFrame] = Map.empty): DataFrame =
-    Compiler.compile(plan(description), input, catalog)
+          catalog: Map[String, DataFrame] = Map.empty,
+          tablePath: Option[String] = None): DataFrame =
+    Compiler.compile(plan(description), input, catalog, tablePath)
 
   /** Full lifecycle on a [[TransformState]] — the deterministic
     * `app.invoke(state)` (agentic_workflow_transformation.py:259-267):
-    * plan → compile → (optionally) execute to CSV → validate. */
+    * plan → compile → (optionally) execute to CSV → validate.
+    * `tablePath` binds the manifested table the input was resolved from
+    * (maintenance / time-travel verbs act on it). */
   def invoke(state: TransformState, outDir: Option[String] = None,
-             catalog: Map[String, DataFrame] = Map.empty): TransformState = {
+             catalog: Map[String, DataFrame] = Map.empty,
+             tablePath: Option[String] = None): TransformState = {
     val p = plan(state.description)
-    val result = Compiler.compile(p, state.input, catalog)
+    val result = Compiler.compile(p, state.input, catalog, tablePath)
     val path = outDir.map { dir =>
       graft.sources.Sinks.csvSingleFile(
         result, dir, graft.sources.Sinks.timestampedName(state.description)).toString

@@ -58,6 +58,11 @@ object Run {
     }
 
     val input = inputCsv.map(load).getOrElse(Sources.canonicalSample(spark))
+    // a manifested input additionally binds its PATH, so maintenance /
+    // time-travel verbs ("Read the table at version 2", "Compact closed
+    // days …", "Vacuum …") can act on the table itself
+    val tablePath = inputCsv.filter(p =>
+      graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined)
     val catalog = args.drop(3).map { binding =>
       binding.split("=", 2) match {
         case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> load(path)
@@ -65,7 +70,8 @@ object Run {
       }
     }.toMap
     val finalState = Engine.invoke(
-      TransformState(description, input), outDir = Some(outDir), catalog = catalog)
+      TransformState(description, input), outDir = Some(outDir),
+      catalog = catalog, tablePath = tablePath)
     println(s"description : $description")
     println(s"plan        : ${finalState.plan.get.ops.mkString(" -> ")}")
     println(s"output      : ${finalState.outputPath.get}")

@@ -27,6 +27,7 @@ object Validator {
       case _: Op.GroupAgg | _: Op.Limit | _: Op.Filter | _: Op.Having => true
       case _: Op.CorpusOp => true // derived tables (pairs/stats/clusters)
       case _: Op.RelationalExtOp => true // grouping sets/reshape/joins/set ops
+      case _: Op.TableOp => true // replaces the input with a table read
       case _ => false
     }
     lazy val inCount = input.count()

@@ -27,7 +27,49 @@ object Compiler {
     * description reach a second one. */
   def compile(plan: Plan, input: DataFrame,
               catalog: Map[String, DataFrame]): DataFrame =
-    plan.ops.foldLeft(input)((df, op) => applyOp(df, op, catalog))
+    compile(plan, input, catalog, None)
+
+  /** As above, additionally binding the MANIFESTED TABLE PATH the input
+    * was resolved from (the CLI binds it when the input is a manifest
+    * directory): [[Op.TableOp]] maintenance / time-travel verbs act on
+    * the table itself, so they need the path, not just the frame. They
+    * must lead the plan — they (re)define the source the remaining ops
+    * read. */
+  def compile(plan: Plan, input: DataFrame,
+              catalog: Map[String, DataFrame],
+              tablePath: Option[String]): DataFrame = {
+    plan.ops.zipWithIndex.drop(1).foreach {
+      case (t: Op.TableOp, i) => throw InvalidPlanException(
+        s"table op $t must lead the plan, found at position ${i + 1}")
+      case _ => ()
+    }
+    plan.ops.foldLeft(input) {
+      case (df, t: Op.TableOp) => applyTableOp(df, t, tablePath)
+      case (df, op)            => applyOp(df, op, catalog)
+    }
+  }
+
+  /** Maintenance / time-travel against the bound table path. Every verb
+    * returns the post-op TABLE CONTENT (normalized like any events
+    * read), so downstream clauses compose and a content oracle certifies
+    * the op changed layout/history, never data. */
+  private def applyTableOp(df: DataFrame, op: Op.TableOp,
+                           tablePath: Option[String]): DataFrame = {
+    import graft.operators.ManifestedLog
+    val spark = df.sparkSession
+    val path = tablePath.getOrElse(throw InvalidPlanException(
+      s"$op needs a manifested table input (a directory with " +
+        "manifest-*.txt) — plain frames have no versions to act on"))
+    op match {
+      case Op.LoadAtVersion(v) => ManifestedLog.loadAt(spark, path, v)
+      case Op.CompactClosedDays(wmUs) =>
+        ManifestedLog.compactClosedDays(spark, path, wmUs)
+        ManifestedLog.load(spark, path)
+      case Op.VacuumKeep(k) =>
+        ManifestedLog.vacuum(spark, path, keepVersions = k)
+        ManifestedLog.load(spark, path)
+    }
+  }
 
   private def resolveTable(name: String,
                            catalog: Map[String, DataFrame]): DataFrame =
@@ -93,6 +135,9 @@ object Compiler {
       df.withColumn(alias, roundTo.fold(agg)(s => round(agg, s)))
     case r: Op.RelationalExtOp => applyRelationalExt(df, r, catalog)
     case c: Op.CorpusOp        => applyCorpusOp(df, c, catalog)
+    case t: Op.TableOp         => throw InvalidPlanException(
+      s"$t acts on a manifested table, not a frame — compile the plan " +
+        "with a bound tablePath")
   }
 
   /** Relational analytics extensions (the q-family shapes). All stay

@@ -161,7 +161,9 @@ object NLParser {
         "calibrate", "certify",
         // relational analytics extensions (q-family NL routes)
         "rollup", "cube", "pivot", "unpivot", "rank", "ntile", "union",
-        "except", "write", "extract")
+        "except", "write", "extract",
+        // manifested-table maintenance + time travel
+        "read", "load", "compact", "vacuum")
 
   /** Tokens that, appearing right after a clause-keyword word, mean the
     * word is being used as a *column* inside a predicate ("… and score >
@@ -1405,6 +1407,43 @@ object NLParser {
         }
         requireDone(p)
         Right(List(Op.DayProfile))
+      case Some("read") | Some("load") =>
+        // "Read the table at version 12." — time travel against the
+        // bound manifested table; downstream clauses compose over the
+        // pinned content
+        p.next(); p.dropWords("the", "table", "log", "events")
+        p.expectWord("at")
+        p.expectWord("version")
+        val v = p.expectNum()
+        if (v < 1 || v != v.toLong) throw ParseException(
+          s"manifest versions are positive integers: $v")
+        requireDone(p)
+        Right(List(Op.LoadAtVersion(v.toLong)))
+      case Some("compact") =>
+        // "Compact closed days before '<iso-8601>'." (or "... with
+        // watermark '<iso>'") — compaction discovery behind the
+        // watermark, one atomic manifest flip, table content invariant
+        p.next(); p.dropWords("the", "closed", "days", "day", "table", "log")
+        p.peekWordLower match {
+          case Some("before") => p.next()
+          case Some("with")   => p.next(); p.expectWord("watermark")
+          case other => throw ParseException(
+            s"expected 'before <ts>' or 'with watermark <ts>' after compact, got $other")
+        }
+        val wm = isoToUs(p.expectStr())
+        requireDone(p)
+        Right(List(Op.CompactClosedDays(wm)))
+      case Some("vacuum") =>
+        // "Vacuum the table keeping 3 versions." — trim retained
+        // history (reader pins are honored); content invariant
+        p.next(); p.dropWords("the", "table", "log", "events")
+        p.dropWords("keeping", "keep")
+        val k = p.expectNum()
+        if (k < 1 || k != k.toInt) throw ParseException(
+          s"vacuum keeps a positive integer version count: $k")
+        p.dropWords("versions", "version")
+        requireDone(p)
+        Right(List(Op.VacuumKeep(k.toInt)))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }

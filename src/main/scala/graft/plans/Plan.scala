@@ -428,6 +428,25 @@ object Op {
     * ([[graft.operators.Similarity.calibrateIvf]]); booleans are
     * (recall_hit, sub_full_scan). */
   final case class CalibrateIvf(targetRecall: Double)              extends CorpusOp
+
+  /** Table maintenance / time-travel over a MANIFESTED TABLE
+    * ([[graft.operators.ManifestedLog]]): these resolve against the
+    * table PATH bound at compile time (the CLI binds it when the input
+    * is a manifest directory), not against the input frame, and must
+    * LEAD the plan — they (re)define the source the remaining ops read.
+    * Maintenance verbs return the post-op table content, so downstream
+    * clauses compose and the oracle can certify content invariance. */
+  sealed trait TableOp extends Op
+  /** Time travel: read the table exactly as manifest `version` lists it. */
+  final case class LoadAtVersion(version: Long)                    extends TableOp
+  /** Compaction discovery behind the watermark
+    * ([[graft.operators.ManifestedLog.compactClosedDays]]), then read
+    * the table back — content must be invariant under compaction. */
+  final case class CompactClosedDays(watermarkUs: Long)            extends TableOp
+  /** Trim retained history to the newest `keep` versions
+    * ([[graft.operators.ManifestedLog.vacuum]] — reader pins are
+    * honored), then read the table back. */
+  final case class VacuumKeep(keep: Int)                           extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

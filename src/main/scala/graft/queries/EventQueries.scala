@@ -78,6 +78,25 @@ object EventQueries extends QueryPack {
     path
   }
 
+  /** Mutable maintenance twin of [[manifestLayout]] for the NL
+    * maintenance routes (nl95/nl96): compaction and vacuum MUTATE the
+    * table (they advance its manifest chain), so they get their own
+    * per-JVM copy instead of disturbing the shared read-only layout.
+    * Both verbs preserve content, so the full-corpus oracle applies in
+    * either execution order, and both are idempotent across bench
+    * repetitions. */
+  private[queries] def manifestMaintLayout(s: SparkSession, sfDir: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_manifest_maint_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtLayouts.contains(path)) {
+      deleteDir(s, path) // fresh-process rule (see manifestIncrLayout)
+      graft.operators.ManifestedLog.write(Events.load(s, sfDir), path)
+      builtLayouts += path
+    }
+    path
+  }
+
   /** Snapshot table bootstrapped at log version 1 once per JVM per
     * fixture (stale on-disk state from an earlier round is deleted —
     * the same fresh-process rule as the layouts above); the query then

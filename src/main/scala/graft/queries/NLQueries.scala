@@ -320,6 +320,38 @@ object NLQueries extends QueryPack {
                  "select columns doc_id, shard and shuffle_key.",
         docs(s, d))),
 
+    // Time-travel route: pin the shared manifested layout's retained
+    // version (write→compact→compact→vacuum leaves exactly version 3),
+    // then x67's range + projection over the pinned content — the
+    // loadAt twin of nl86, certified by the same oracle.
+    "nl94_manifest_time_travel" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestLayout(s, d)
+      Engine.run("Read the table at version 3 and keep events between " +
+                 "'2024-01-10T00:00:00Z' and '2024-01-20T00:00:00Z' and " +
+                 "select columns event_id, user_id, ts_us, event_type, value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
+    // Maintenance route: compaction discovery behind the watermark (one
+    // atomic manifest flip), then read the table back — the full-corpus
+    // oracle certifies compaction changed LAYOUT, never data. Runs on a
+    // private mutable layout so the shared read-only tables stay put.
+    "nl95_manifest_compact" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestMaintLayout(s, d)
+      Engine.run("Compact closed days before '2030-01-01T00:00:00Z' and " +
+                 "select columns event_id, user_id, ts_us, event_type, value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
+    // Maintenance route: trim retained history (reader pins honored),
+    // then read the table back — same content-invariance oracle.
+    "nl96_manifest_vacuum" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestMaintLayout(s, d)
+      Engine.run("Vacuum the table keeping 1 versions and " +
+                 "select columns event_id, user_id, ts_us, event_type, value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -696,6 +728,14 @@ object NLQueries extends QueryPack {
     "nl88_manifest_changes" -> EventQueries.oracleSql("x69_manifest_changes"),
     "nl89_manifest_subday" -> EventQueries.oracleSql("x71_manifest_file_skip"),
     "nl90_day_profile" -> EventQueries.oracleSql("x72_log_day_stats"),
+    "nl94_manifest_time_travel" -> EventQueries.oracleSql("x67_event_manifest_range"),
+    // maintenance preserves content: the oracle is the raw corpus
+    "nl95_manifest_compact" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events""".stripMargin,
+    "nl96_manifest_vacuum" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events""".stripMargin,
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),
