@@ -34,11 +34,29 @@ object Bench {
     // malformed env must not break the always-emit-one-JSON-line contract
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
       .getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // median of `reps` runs; a failure aborts the rep loop (no point
-      // timing a broken query thrice) and flags the query
+    // INTERLEAVED twin reps: queries sharing an oracle SQL string are the
+    // same computation reached through different surfaces (nl vs x
+    // routes), so their numbers should agree — but on a shared box,
+    // minute-scale ambient noise made provably-identical twin plans
+    // diverge up to 9× when each query ran all its reps in one burst.
+    // Grouping twins and running rep r of EVERY member back-to-back
+    // before rep r+1 puts both members under the same instantaneous load,
+    // so box noise cancels within a pair instead of landing on one side.
+    // Queries without an oracle (or with a unique one) are singleton
+    // groups and behave exactly as before.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val groups: Seq[Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]] =
+      named.groupBy { case (n, _) =>
+        SparkEntry.oracleSql.get(n).map(Left(_)).getOrElse(Right(n))
+      }.values.map(_.sortBy(_._1)).toSeq.sortBy(_.head._1)
+    final class QState(val name: String,
+                       val fn: (org.apache.spark.sql.SparkSession, String) =>
+                           org.apache.spark.sql.DataFrame) {
       var ok = true
-      def runOnce(): Double = {
+      var lastWall = 0.0
+      val times = Seq.newBuilder[Double]
+      def runOnce(timed: Boolean): Unit = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
@@ -46,29 +64,34 @@ object Bench {
             System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
             ok = false
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        lastWall = t
+        if (timed && ok) times += t
       }
+    }
+    val results = groups.flatMap { members =>
+      val states = members.map { case (n, fn) => new QState(n, fn) }
       // One untimed warm rep per query: first-touch costs (kernel codegen,
       // parquet footer reads) otherwise land on whichever of a twin pair
       // benches first — nl* sorts before x*, so identical plans looked 4×
       // apart. The warm run also absorbs the failure path, so `sec` is the
       // median of SUCCESSFUL timed reps only (a failed query reports its
       // failing wall clock, flagged, never mixed into a success median).
-      val warm = runOnce()
-      val times = Seq.newBuilder[Double]
+      states.foreach(_.runOnce(timed = false))
       var r = 0
-      while (ok && r < reps) {
-        val t = runOnce()
-        if (ok) times += t
+      while (r < reps) {
+        states.foreach(st => if (st.ok) st.runOnce(timed = true))
         r += 1
       }
-      val ts = times.result().sorted
-      val median =
-        if (ts.isEmpty) warm
-        else if (ts.size % 2 == 1) ts(ts.size / 2)
-        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-      (name, median, ts.size, ok)
-    }
+      states.map { st =>
+        val ts = st.times.result().sorted
+        val median =
+          if (ts.isEmpty) st.lastWall
+          else if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        (st.name, median, ts.size, st.ok)
+      }
+    }.sortBy(_._1)
     val qs = results.map { case (k, t, n, ok) =>
       s""""$k":{"sec":$t,"reps":$n,"ok":$ok}"""
     }.mkString("{", ",", "}")

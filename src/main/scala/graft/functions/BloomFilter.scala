@@ -91,6 +91,17 @@ case class BloomMightContain(child: Expression, bits: Array[Long],
       c => s"graft.functions.BloomKernel.mightContain($bitsRef, (long)$c, $numHashes)")
   }
 
+  // Deep value equality over the bit set: case-class equality on an
+  // Array field is reference equality, which breaks plan canonicalization
+  // and Catalyst's reuse of identical filters (see LshBuckets).
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain => child == o.child &&
+      numHashes == o.numHashes && java.util.Arrays.equals(bits, o.bits)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(numHashes), Int.box(java.util.Arrays.hashCode(bits)))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "bloom_might_contain"
 }

@@ -175,6 +175,22 @@ case class LshBuckets(child: Expression, planes: Array[Array[Float]],
       s"graft.functions.SketchKernels.lshBuckets($c, $planesRef, $bands, $bitsPerBand)")
   }
 
+  // Case-class equality on an Array field is REFERENCE equality, so two
+  // independently built but numerically identical plane matrices (the
+  // generator is deterministic) compared unequal — making twin plans
+  // report "different" under canonicalization and hiding identical scans
+  // from Catalyst's exchange/subquery reuse. Deep value equality restores
+  // both.
+  override def equals(other: Any): Boolean = other match {
+    case o: LshBuckets => child == o.child && bands == o.bands &&
+      bitsPerBand == o.bitsPerBand && planes.length == o.planes.length &&
+      planes.indices.forall(i => java.util.Arrays.equals(planes(i), o.planes(i)))
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(bands), Int.box(bitsPerBand),
+    Int.box(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "lsh_buckets"
 }
@@ -199,6 +215,18 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.SketchKernels.nearestCentroids($c, $ref, $n)")
   }
+
+  // Deep value equality over the centroid matrix — see [[LshBuckets]].
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroids => child == o.child && n == o.n &&
+      centroids.length == o.centroids.length &&
+      centroids.indices.forall(i =>
+        java.util.Arrays.equals(centroids(i), o.centroids(i)))
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(n),
+    Int.box(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "nearest_centroids"

@@ -69,6 +69,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected a single shuffle, got $exchanges")
   }
 
+  test("nl/x twin queries produce canonically identical plans") {
+    // The twins are the same operator call reached through two surfaces
+    // (NL route vs direct query registration), so their OPTIMIZED plans
+    // must be indistinguishable — `sameResult` compares canonicalized
+    // plans (expression IDs normalized). This is the structural half of
+    // the bench-credibility argument: any twin timing divergence in a
+    // BENCH run is then box noise by elimination, never a plan
+    // difference. (Bench additionally interleaves twin reps so the noise
+    // cancels within a pair.)
+    val twins = Seq(
+      "nl3_dedup_minhash"       -> "x5_dedup_minhash",
+      "nl4_dedup_simhash"       -> "x6_dedup_simhash",
+      "nl33_dedup_embedding_lsh" -> "x33_embedding_pairs_lsh",
+      "nl37_chunk_documents"    -> "x38_chunk_documents",
+      "nl80_calibrate_lsh"      -> "x60_lsh_calibration",
+      "nl81_calibrate_ivf"      -> "x61_ivf_calibration")
+    twins.foreach { case (nl, x) =>
+      val a = graft.SparkEntry.queries(nl)(spark, sf).queryExecution.optimizedPlan
+      val b = graft.SparkEntry.queries(x)(spark, sf).queryExecution.optimizedPlan
+      assert(a.sameResult(b),
+        s"$nl and $x should plan identically:\n--- $nl ---\n$a\n--- $x ---\n$b")
+    }
+  }
+
   test("q1 executes inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, sf)
     df.collect()
