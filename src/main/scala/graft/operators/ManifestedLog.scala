@@ -313,7 +313,7 @@ object ManifestedLog {
       .flatMap { case (_, dir) =>
         val dayDir = new Path(root, dir)
         Sidecars.read(spark, dayDir) match {
-          case Some(stats) => stats.filter(_.overlaps(fromUs, toUs))
+          case Some(ds) => ds.overlapping("ts", fromUs, toUs)
             .map(st => new Path(dayDir, st.name).toString)
           case None => Seq(dayDir.toString)
         }
@@ -369,14 +369,14 @@ object ManifestedLog {
       .flatMap { case (_, dir) =>
         val dayDir = new Path(root, dir)
         Sidecars.read(spark, dayDir) match {
-          case Some(stats) =>
+          case Some(ds) =>
             val blooms = Sidecars.readBlooms(spark, dayDir)
-            stats.filter { st =>
-              st.overlaps(fromUs, toUs) && (blooms.get((st.name, keyCol)) match {
+            ds.overlapping("ts", fromUs, toUs).filter { st =>
+              blooms.get((st.name, keyCol)) match {
                 case Some((bits, k)) =>
                   values.exists(v => BloomKernel.mightContain(bits, v, k))
                 case None => true // no bloom recorded: never skip
-              })
+              }
             }.map(st => new Path(dayDir, st.name).toString)
           case None => Seq(dayDir.toString)
         }
@@ -406,7 +406,12 @@ object ManifestedLog {
     val root = new Path(path)
     val rows = days.toSeq.sortBy(_._1).map { case (day, dir) =>
       val dayDir = new Path(root, dir)
+      // a sidecar whose recorded bounds are for some other column would
+      // misreport ts bounds — recompute from footers in that case (the
+      // log always writes ts-bounds sidecars, so this is a guard, not a
+      // hot path)
       val stats = Sidecars.read(spark, dayDir)
+        .filter(_.boundsCol.contains("ts")).map(_.files)
         .getOrElse(Sidecars.dirStats(spark, dayDir, "ts"))
       val bounds = stats.map(s => (s.minV, s.maxV))
       val known = bounds.forall { case (lo, hi) => lo.isDefined && hi.isDefined }
@@ -821,6 +826,21 @@ object ManifestedLog {
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target))
       sys.error(s"publishing pin $target failed; tmp content is in $tmp")
+    // Re-verify AFTER publishing: a vacuum sweep that listed _pins/
+    // before this pin landed can still delete the version right after
+    // the retention check above passed. The pin file now exists, so any
+    // FUTURE sweep honors it — if the manifest also still exists here,
+    // no sweep can reclaim it anymore and the pin genuinely protects.
+    // If the manifest is gone, the pin protected nothing: remove it and
+    // fail loudly (the contract is fail-at-pin-time, where the reader
+    // can still react, never a silently useless pin).
+    if (!f.exists(new Path(root, f"manifest-$version%09d.txt"))) {
+      f.delete(target, false)
+      sys.error(
+        s"version $version of $path was vacuumed while pin '$name' was " +
+          "being created — the pin would protect nothing; re-resolve the " +
+          "newest version and pin again")
+    }
     version
   }
 
@@ -862,7 +882,15 @@ object ManifestedLog {
     *    unpinned in-flight reader that resolved a manifest moments
     *    before the sweep.
     * Every data directory any surviving manifest lists survives with
-    * it. Returns the number of paths removed. */
+    * it. Returns the number of paths removed.
+    *
+    * NOTE: once pins exist, the retained set may be NON-CONTIGUOUS
+    * (e.g. pinned v1 plus newest v3, with v2 reclaimed). A change-feed
+    * consumer must therefore advance its cursor to the next *retained*
+    * version ([[versions]] lists them), not blindly to `v+1` —
+    * [[changesBetween]] on a reclaimed intermediate version fails
+    * loudly, and day-level diffing across a gap still yields exactly
+    * the rows added in between (appends are insert-only per key). */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
              minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")

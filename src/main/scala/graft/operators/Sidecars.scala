@@ -43,6 +43,27 @@ private[operators] object Sidecars {
   val StatsHeader = "graft-day-stats-v1"
   val StatsFile = "_stats.txt"
 
+  /** A parsed `_stats.txt`: the column the per-file [min, max] bounds
+    * were captured for (from the `#bounds` header line; None for
+    * sidecars predating it) plus the per-file stats. Bounds pruning must
+    * be COLUMN-AWARE: a caller probing a different column than the one
+    * recorded at write time must not compare its keys against another
+    * column's range — that produces false NEGATIVES (silently skipped
+    * matching files), the one failure mode a prune may never have. The
+    * helpers below apply the bounds only when the queried column matches
+    * and fall back to conservative inclusion otherwise. */
+  final case class DirStats(boundsCol: Option[String], files: Seq[FileStat]) {
+    /** Files that could hold rows with `col` in `[fromV, toV)` —
+      * bounds-pruned only when `col` is the recorded bounds column. */
+    def overlapping(col: String, fromV: Long, toV: Long): Seq[FileStat] =
+      if (boundsCol.contains(col)) files.filter(_.overlaps(fromV, toV))
+      else files
+    /** Is `f` a candidate for holding any of `values` in `col`?
+      * Conservative true when the bounds are for a different column. */
+    def mightHold(f: FileStat, col: String, values: Seq[Long]): Boolean =
+      !boundsCol.contains(col) || f.mightHold(values)
+  }
+
   final case class FileStat(
       name: String, rows: Long, minV: Option[Long], maxV: Option[Long]) {
     /** Could this file hold rows with the bounds column in
@@ -279,13 +300,34 @@ private[operators] object Sidecars {
       opened += name
       curDir = name
     }
-    val it = lines.toLocalIterator()
-    while (it.hasNext) {
-      val (dirName, _, bloomLines) = it.next()
-      if (dirName != curDir) { closeCur(); openDir(dirName) }
-      bloomLines.foreach(l => out.write(s"\n$l".getBytes("UTF-8")))
+    // The drain holds one open stream across the iterator; a failure
+    // mid-stream (task retry exhaustion, unknown-directory error) must
+    // not leak it or leave a torn sidecar behind — the directory is
+    // unreferenced until publish, but that invariant should not be the
+    // only thing standing between a crash and a half-written _stats.txt
+    // with a truncated base64 #bloom line. On failure, close the stream
+    // and DELETE the partial file so the directory reads as
+    // sidecar-less (conservative full scan), never as a corrupt prune.
+    try {
+      val it = lines.toLocalIterator()
+      while (it.hasNext) {
+        val (dirName, _, bloomLines) = it.next()
+        if (dirName != curDir) { closeCur(); openDir(dirName) }
+        bloomLines.foreach(l => out.write(s"\n$l".getBytes("UTF-8")))
+      }
+      closeCur()
+    } catch {
+      case e: Throwable =>
+        if (out != null) {
+          try out.close() catch { case _: Throwable => () }
+          out = null
+          if (curDir != null) statsByName.get(curDir).foreach { case (dir, _) =>
+            try f.delete(new Path(dir, StatsFile), false)
+            catch { case _: Throwable => () }
+          }
+        }
+        throw e
     }
-    closeCur()
     // directories whose files produced no aggregate rows (empty files)
     // still get a stats-only sidecar
     statsByDir.foreach { case (dir, stats) =>
@@ -299,8 +341,11 @@ private[operators] object Sidecars {
 
   /** The sidecar of a published directory; None for directories written
     * before sidecars existed (readers fall back to the whole-directory
-    * scan — older tables keep working unchanged). */
-  def read(spark: SparkSession, dir: Path): Option[Seq[FileStat]] = {
+    * scan — older tables keep working unchanged). The `#bounds` header
+    * line names the column the min/max were captured for; a sidecar
+    * predating that line parses with `boundsCol = None` and its bounds
+    * are never applied (conservative include). */
+  def read(spark: SparkSession, dir: Path): Option[DirStats] = {
     val f = fs(spark, dir)
     val p = new Path(dir, StatsFile)
     if (!f.exists(p)) return None
@@ -310,13 +355,17 @@ private[operators] object Sidecars {
     val lines = text.linesIterator.toList
     if (!lines.headOption.contains(StatsHeader)) return None
     def parse(s: String): Option[Long] = if (s == "?") None else Some(s.toLong)
-    Some(lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+    val boundsCol = lines.collectFirst {
+      case l if l.startsWith("#bounds\t") => l.stripPrefix("#bounds\t").trim
+    }.filter(_.nonEmpty)
+    val files = lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       l.split('\t') match {
         case Array(name, rows, lo, hi) =>
           FileStat(name, rows.toLong, parse(lo), parse(hi))
         case _ => sys.error(s"malformed stats line in $p: '$l'")
       }
-    })
+    }
+    Some(DirStats(boundsCol, files))
   }
 
   /** `(file, col) → (bits, numHashes)` from a directory's sidecar

@@ -88,14 +88,22 @@ object SnapshotTable {
     val v = version(spark, snapPath)
     val dir = new Path(new Path(snapPath), s"v$v")
     val files: Seq[String] = Sidecars.read(spark, dir) match {
-      case Some(stats) =>
+      case Some(ds) =>
+        // bounds apply only when the sidecar recorded them for THIS
+        // keyCol (DirStats.mightHold is column-aware): update() publishes
+        // bounds for its own keyCol default, and a caller probing a
+        // different column must not have its keys compared against
+        // another column's range — the Bloom check below already keys on
+        // (file, col), so a mismatched column falls back to Bloom-or-
+        // include, never a silent false negative.
         val blooms = Sidecars.readBlooms(spark, dir)
-        stats.filter { st =>
-          st.mightHold(keys) && (blooms.get((st.name, keyCol)) match {
-            case Some((bits, k)) =>
-              keys.exists(BloomKernel.mightContain(bits, _, k))
-            case None => true // no bloom recorded: never skip
-          })
+        ds.files.filter { st =>
+          ds.mightHold(st, keyCol, keys) &&
+            (blooms.get((st.name, keyCol)) match {
+              case Some((bits, k)) =>
+                keys.exists(BloomKernel.mightContain(bits, _, k))
+              case None => true // no bloom recorded: never skip
+            })
         }.map(st => new Path(dir, st.name).toString)
       case None => Seq(dir.toString)
     }

@@ -186,6 +186,28 @@ class SnapshotTableSpec extends SparkSpec {
       keyed(view.filter(col("user_id").isin(someKeys.toSeq: _*))))
   }
 
+  test("point lookup on a non-bounds column stays exact (no false negatives)") {
+    // publish writes bounds + Bloom for the DEFAULT keyCol (user_id);
+    // a lookup keyed on a different column must not compare its keys
+    // against user_id's min/max — that bounds check silently skipped
+    // files holding matching rows (event_ids are far outside the
+    // user_id range). The sidecar's '#bounds' column is now parsed and
+    // the bounds apply only when it matches the queried column; the
+    // Bloom path already keys on (file, col) and conservatively
+    // includes on mismatch.
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap)
+    val view = SnapshotTable.readView(spark, snap)
+    val someEids = view.select("event_id").limit(3).collect().map(_.getLong(0))
+    for (eid <- someEids) {
+      val got = SnapshotTable.readViewByKey(spark, snap, Seq(eid),
+        keyCol = "event_id")
+      assert(keyed(got) == keyed(view.filter(col("event_id") === eid)),
+        s"event_id $eid: lookup on a non-bounds column lost rows")
+    }
+  }
+
   test("maintain honors reader pins across the log AND snapshot chain") {
     val log = threeVersionLog()
     val snap = snapDir()
