@@ -40,6 +40,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * day's directory listing, which [[loadRange]] only does for days that
   * survive pruning.
   */
+/** A concurrent writer published the manifest version this writer was
+  * about to claim. [[ManifestedLog.append]] catches it and retries from
+  * the re-read manifest (bounded attempts, exactly-once content);
+  * compaction and vacuum surface it — they run from the single
+  * scheduled [[ManifestedLog.maintain]] sweep by contract, so a
+  * collision there is a deployment error to fail loudly on, not a race
+  * to absorb. */
+final case class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
 object ManifestedLog {
 
   private val Header = "graft-event-log-manifest-v1"
@@ -174,28 +184,52 @@ object ManifestedLog {
   }
 
   /** Publish `days` as manifest version `version` — atomic: the content
-    * lands under a dot-tmp name and renames to a path that never
-    * existed. Returns false (no overwrite) if `version` was already
-    * published by a racing writer. */
+    * lands under a WRITER-UNIQUE dot-tmp name and renames to a target
+    * path that never existed. The tmp must be unique per call: two
+    * racers claiming the same version would otherwise share a tmp path,
+    * and the loser's content could overwrite the winner's tmp just
+    * before the winner's rename — publishing the LOSER's day map under
+    * the winner's success. The rename itself is the commit: a target
+    * that already exists (either before the write or at rename time)
+    * means a concurrent writer won — [[ConcurrentWriteException]],
+    * which [[append]] absorbs by retrying from the new manifest. */
   private def publish(spark: SparkSession, path: String, version: Long,
                       days: Map[String, String],
                       schema: Option[StructType]): Unit = {
     val root = new Path(path)
     val f = fs(spark, root)
     val target = new Path(root, f"manifest-$version%09d.txt")
-    if (f.exists(target)) sys.error(
-      s"manifest version $version already exists under $path " +
-        "(concurrent compaction?) — re-read and retry")
-    val tmp = new Path(root, s".manifest-$version.tmp")
+    def lost(): Nothing = throw ConcurrentWriteException(
+      s"manifest version $version already exists under $path — a " +
+        "concurrent writer won the race")
+    if (f.exists(target)) lost()
+    val tmp = new Path(root, s".manifest-$version-${writerToken()}.tmp")
     val out = f.create(tmp, true)
     val schemaLines = schema.map(s => s"#schema\t${s.json}").toSeq
     try out.write((Header +: (schemaLines ++ days.toSeq.sortBy(_._1).map {
       case (d, dir) => s"$d\t$dir"
     })).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target))
-      sys.error(s"publishing $target failed; tmp content is in $tmp")
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      if (f.exists(target)) lost()
+      sys.error(s"publishing $target failed and the target is absent — " +
+        "filesystem refused the rename")
+    }
   }
+
+  /** 8-hex uniqueness token for writer-private paths (staged append day
+    * directories, manifest tmp files) — what makes two concurrent
+    * writers' staged artifacts disjoint BY CONSTRUCTION, so the only
+    * contended operation left is the atomic manifest rename. */
+  private def writerToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Logical version of a day directory name
+    * `dt=<day>.v<n>[-<token>]` — append-written dirs carry the writer
+    * token suffix, [[write]]/compaction dirs do not. */
+  private def dirVersion(dir: String): Long =
+    dir.substring(dir.lastIndexOf(".v") + 2).takeWhile(_.isDigit).toLong
 
   /** The table schema recorded in a manifest (newest, or a pinned
     * version); None for early tables predating the schema line, which
@@ -454,8 +488,7 @@ object ManifestedLog {
     val (version, days) = readManifest(spark, path)
     val currentDir = days.getOrElse(dt,
       sys.error(s"day $dt is not in the manifest of $path"))
-    val curVersion = currentDir.substring(currentDir.lastIndexOf(".v") + 2).toLong
-    val nextDir = s"dt=$dt.v${curVersion + 1}"
+    val nextDir = s"dt=$dt.v${dirVersion(currentDir) + 1}"
     val target = new Path(root, nextDir)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
     val dayPath = new Path(root, currentDir)
@@ -505,8 +538,7 @@ object ManifestedLog {
         val needed = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
         if (files.length <= needed) None
         else {
-          val curV = dir.substring(dir.lastIndexOf(".v") + 2).toLong
-          val nextDir = s"dt=$dt.v${curV + 1}"
+          val nextDir = s"dt=$dt.v${dirVersion(dir) + 1}"
           val target = new Path(root, nextDir)
           if (f.exists(target)) f.delete(target, true) // unreferenced leftover
           readDirs(spark, Seq(dayPath.toString), schema)
@@ -560,9 +592,41 @@ object ManifestedLog {
     *    round-trip write jobs, so instead ONE dt-partitioned job writes
     *    the whole union (touched old days ∪ batch, deduped per
     *    (day, key)) into a staging tree that renames into the versioned
-    *    day directories — a 30-day backfill pays one pass, not 30. */
+    *    day directories — a 30-day backfill pays one pass, not 30.
+    *
+    * CONCURRENT APPENDERS both land exactly-once: every append
+    * attempt's day directories carry a writer-unique token suffix
+    * (`dt=<day>.v<n>-<token>`), so two racers never touch each other's
+    * staged bytes — the only contended step is the atomic manifest
+    * rename. The loser's publish throws [[ConcurrentWriteException]];
+    * append deletes its now-stale staged dirs, re-reads the winner's
+    * manifest (whose new day content it then unions), and retries, up
+    * to [[MaxAppendRetries]] times before surfacing the error. The
+    * result under any interleaving is the union of both batches in one
+    * linear version chain (spec: two threaded appenders, both
+    * regimes). */
   def append(events: DataFrame, path: String,
              dedupKey: Option[String] = Some("event_id")): Long = {
+    var attempt = 0
+    var last: ConcurrentWriteException = null
+    while (attempt <= MaxAppendRetries) {
+      try return appendOnce(events, path, dedupKey)
+      catch {
+        case e: ConcurrentWriteException => last = e; attempt += 1
+      }
+    }
+    throw ConcurrentWriteException(
+      s"append to $path lost the manifest race $attempt times — " +
+        s"writer contention is pathological (last: ${last.getMessage})")
+  }
+
+  /** Retry budget for [[append]]'s manifest race. Each retry means a
+    * competitor PUBLISHED (the system made progress), so this bounds
+    * starvation reporting, not correctness. */
+  private val MaxAppendRetries = 5
+
+  private def appendOnce(events: DataFrame, path: String,
+                         dedupKey: Option[String]): Long = {
     val spark = events.sparkSession
     ensureMicrosWrites(spark)
     val root = new Path(path)
@@ -585,10 +649,12 @@ object ManifestedLog {
       .collect().map(_.getString(0)).sorted
     if (batchDays.isEmpty) return version
 
+    // every dir this attempt writes carries the attempt's token, so a
+    // racing appender can never overwrite it; a lost race deletes them
+    val token = writerToken()
     def nextDirName(day: String): String = days.get(day) match {
-      case Some(cur) =>
-        s"dt=$day.v${cur.substring(cur.lastIndexOf(".v") + 2).toLong + 1}"
-      case None => s"dt=$day.v1"
+      case Some(cur) => s"dt=$day.v${dirVersion(cur) + 1}-$token"
+      case None => s"dt=$day.v1-$token"
     }
 
     val updated: Map[String, String] =
@@ -623,7 +689,9 @@ object ManifestedLog {
         // clusters each day into few contiguous tasks so the staging
         // tree lands ~1 file per day per overlapping partition instead
         // of days × partitions fragments.
-        val stagingRoot = new Path(root, s".staging-append-v${version + 1}")
+        // token-named like the day dirs: two racing backfills must not
+        // share (and mutually delete) one staging tree
+        val stagingRoot = new Path(root, s".staging-append-v${version + 1}-$token")
         if (f.exists(stagingRoot)) f.delete(stagingRoot, true)
         val oldDirs = batchDays.toSeq.flatMap(d =>
           days.get(d).map(dir => new Path(root, dir).toString))
@@ -653,7 +721,18 @@ object ManifestedLog {
         mapping
       }
     writeSidecars(spark, root, updated.values.toSeq, Some(merged))
-    publish(spark, path, version + 1, days ++ updated, Some(merged))
+    try publish(spark, path, version + 1, days ++ updated, Some(merged))
+    catch {
+      case e: ConcurrentWriteException =>
+        // stale staged output: token-named, referenced by nothing, and
+        // about to be rebuilt against the winner's manifest — delete
+        // eagerly rather than leaving it for vacuum
+        updated.values.foreach { d =>
+          try f.delete(new Path(root, d), true)
+          catch { case _: Throwable => () }
+        }
+        throw e
+    }
     version + 1
   }
 

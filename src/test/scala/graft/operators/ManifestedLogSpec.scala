@@ -112,7 +112,8 @@ class ManifestedLogSpec extends SparkSpec {
     // bootstrap: first append initializes the table at version 1
     assert(ManifestedLog.append(batch1, p) == 1L)
     val (_, d1) = ManifestedLog.readManifest(spark, p)
-    assert(d1.values.forall(_.endsWith(".v1")))
+    // append dirs are `dt=<day>.v1-<token>` (writer-unique suffix)
+    assert(d1.values.forall(_.contains(".v1")))
     val n1 = ManifestedLog.load(spark, p).count()
     assert(n1 == batch1.count())
     // second batch: new days v1; the boundary day (late tail) rewrites v2
@@ -359,5 +360,74 @@ class ManifestedLogSpec extends SparkSpec {
       "a manifest published within minAge must survive the sweep")
     ManifestedLog.vacuum(spark, p, keepVersions = 1)
     assert(ManifestedLog.versions(spark, p) == Seq(2L))
+  }
+
+  /** Two appenders racing the same table must BOTH land exactly-once:
+    * staged day dirs are writer-token-named (no mutual overwrite), the
+    * loser's publish throws ConcurrentWriteException, and append's
+    * bounded retry rebuilds against the winner's manifest. Run for both
+    * write regimes; any thread interleaving must converge to the union
+    * in a linear version chain. */
+  private def raceAppenders(a: org.apache.spark.sql.DataFrame,
+                            b: org.apache.spark.sql.DataFrame,
+                            p: String): Unit = {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    try {
+      Seq(a, b).foreach { batch =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try ManifestedLog.append(batch, p)
+            catch { case t: Throwable => failures.add(t) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "appenders hung")
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty,
+      s"racing append failed: ${Option(failures.peek()).map(_.toString)}")
+  }
+
+  test("two racing appenders converge to the union (per-day regime)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Events.load(spark, sfDir).drop("ts_us")
+    // restrict to 3 days so both appends take the per-day COW path
+    val days3 = Seq("2024-01-10", "2024-01-11", "2024-01-12")
+    val slice = ev.filter(Events.utcDt(col("ts")).isin(days3: _*))
+    val p = java.nio.file.Files.createTempDirectory("graft-race-cow")
+      .toString + "/events_log"
+    ManifestedLog.write(slice.filter(col("event_id") % 3 === 0), p) // v1
+    val a = slice.filter(col("event_id") % 3 === 1)
+    val b = slice.filter(col("event_id") % 3 === 2)
+    raceAppenders(a, b, p)
+    // both batches landed, one linear version chain, no lost update
+    assert(ManifestedLog.readManifest(spark, p)._1 == 3L)
+    assert(ids(ManifestedLog.load(spark, p)) == ids(slice))
+    // staged leftovers of the losing attempt were cleaned eagerly
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, live) = ManifestedLog.readManifest(spark, p)
+    val liveAt1 = ManifestedLog.readManifestAt(spark, p, 1L).values.toSet
+    val liveAt2 = ManifestedLog.readManifestAt(spark, p, 2L).values.toSet
+    val onDisk = f.listStatus(new Path(p)).map(_.getPath.getName)
+      .filter(_.startsWith("dt=")).toSet
+    assert(onDisk == live.values.toSet ++ liveAt1 ++ liveAt2,
+      s"orphaned staged dirs left behind: ${onDisk -- live.values.toSet -- liveAt1 -- liveAt2}")
+  }
+
+  test("two racing appenders converge to the union (backfill regime)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Events.load(spark, sfDir).drop("ts_us") // 30 days > BackfillDays
+    val p = java.nio.file.Files.createTempDirectory("graft-race-backfill")
+      .toString + "/events_log"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    raceAppenders(a, b, p) // includes a racing BOOTSTRAP (version 0 base)
+    assert(ManifestedLog.readManifest(spark, p)._1 == 2L)
+    assert(ids(ManifestedLog.load(spark, p)) == ids(ev))
   }
 }

@@ -107,7 +107,8 @@ class ManifestedLogStatsSpec extends SparkSpec {
     assert(added > 0)
     ManifestedLog.append(extra, p)
     val (_, days) = ManifestedLog.readManifest(spark, p)
-    assert(days("2024-01-10") == "dt=2024-01-10.v2")
+    // append dirs carry a writer-unique token: dt=<day>.v2-<token>
+    assert(days("2024-01-10").startsWith("dt=2024-01-10.v2"))
     val lines = statLines(p, days("2024-01-10"))
     val dayCount = ManifestedLog.load(spark, p)
       .filter(Events.utcDt(col("ts")) === "2024-01-10").count()
