@@ -68,13 +68,25 @@ object Cdc {
     * snapshot. Compacted rows re-enter carrying their original
     * `(ts, seq)` — a delta row older than the compacted row correctly
     * loses, and a retained tombstone keeps deleting until something
-    * newer upserts the key. */
+    * newer upserts the key.
+    *
+    * SCHEMA EVOLUTION: either side may lack payload columns the other
+    * has (state written before a column was appended to the log, or a
+    * delta read under an older pinned schema) — missing columns
+    * null-fill, so pre-evolution state migrates through the merge
+    * instead of failing the union. A same-name TYPE conflict still
+    * fails loudly (Spark's union refuses it; the log's append guard
+    * rejects retyping upstream anyway). */
   def mergeCompacted(compacted: DataFrame, delta: DataFrame,
                      keyCol: String = "user_id", tsCol: String = "ts_us",
                      seqCol: String = "event_id", opCol: String = "event_type",
                      payloadCols: Seq[String] = DefaultPayload): DataFrame = {
-    val cols = (col(keyCol) +: (payloadCols :+ opCol).distinct.map(col)).toSeq
-    compactLog(compacted.select(cols: _*).unionByName(delta.select(cols: _*)),
+    val names = keyCol +: (payloadCols :+ opCol).distinct
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(names.map(c => if (have(c)) col(c) else lit(null).as(c)): _*)
+    }
+    compactLog(aligned(compacted).unionByName(aligned(delta)),
                keyCol, tsCol, seqCol, opCol, payloadCols)
   }
 

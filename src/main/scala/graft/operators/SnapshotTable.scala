@@ -135,33 +135,67 @@ object SnapshotTable {
           "— a snapshot only advances")
       if (c == target) return c // no-op: nothing written
     }
+    // SCHEMA EVOLUTION: columns appended to the log mid-chain must flow
+    // through the snapshot — the source frame reads under the log's
+    // authoritative schema at `target`, so extend the payload with every
+    // source column beyond the fixed surface (raw `ts` excluded: the
+    // normalized ts_us already carries the instant). The keyed merge
+    // null-fills the extension in pre-evolution stored state
+    // (Cdc.mergeCompacted aligns both sides), so compacted state
+    // MIGRATES and readView exposes the new column: null for keys last
+    // touched before the evolution, populated after.
+    def withEvolved(frame: DataFrame): Seq[String] = {
+      val reserved = Set(keyCol, "ts", "dt")
+      (payloadCols ++ frame.columns.filterNot(c =>
+        reserved(c) || payloadCols.contains(c))).distinct
+    }
     val nextState = cursor match {
       case None =>
-        Cdc.compactLog(ManifestedLog.loadAt(spark, logPath, target),
-          keyCol, tsCol, seqCol, opCol, payloadCols)
+        val full = ManifestedLog.loadAt(spark, logPath, target)
+        Cdc.compactLog(full, keyCol, tsCol, seqCol, opCol, withEvolved(full))
       case Some(c) =>
         val delta = ManifestedLog.changesBetween(spark, logPath, c, target, seqCol)
         Cdc.mergeCompacted(read(spark, snapPath), delta,
-          keyCol, tsCol, seqCol, opCol, payloadCols)
+          keyCol, tsCol, seqCol, opCol, withEvolved(delta))
     }
     val dir = new Path(root, s"v$target")
-    if (f.exists(dir)) f.delete(dir, true) // unreferenced leftover
+    val marker = new Path(root, f"commit-$target%09d.txt")
+    // Build the state under a WRITER-UNIQUE staging name and rename it
+    // into place: two updaters racing to the same target version would
+    // otherwise share the v<N> directory, and the loser's
+    // mode("overwrite") could tear the winner's already-published files
+    // mid-read. With staging, the only contended steps are two renames;
+    // a loser whose target already exists discards its staging — both
+    // racers computed the state from the SAME log version, so the
+    // winner's content is identical and losing is a benign no-op.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s".v$target-$token")
     // state files are hash-partitioned by the merge's keyed aggregation;
     // sorting within partitions by key tightens row-group min/max (no
     // extra shuffle), and the sidecar Bloom below prunes whole FILES —
     // together they give "current state of key X" the same three-layer
     // read path the log's point lookups have
     nextState.sortWithinPartitions(col(keyCol))
-      .write.mode("overwrite").parquet(dir.toString)
-    f.delete(new Path(dir, "_SUCCESS"), false)
-    Sidecars.write(spark, Seq(dir), Some(nextState.schema),
+      .write.mode("overwrite").parquet(stage.toString)
+    f.delete(new Path(stage, "_SUCCESS"), false)
+    Sidecars.write(spark, Seq(stage), Some(nextState.schema),
       boundsCol = keyCol, bloomCols = Seq(keyCol))
-    val marker = new Path(root, f"commit-$target%09d.txt")
-    val tmp = new Path(root, s".commit-$target.tmp")
+    def racerWon(): Boolean = f.exists(marker)
+    if (racerWon()) { f.delete(stage, true); return target }
+    if (f.exists(dir)) f.delete(dir, true) // unreferenced crash leftover
+    if (!f.rename(stage, dir)) {
+      f.delete(stage, true)
+      if (racerWon()) return target
+      sys.error(s"staging rename to $dir failed and no commit exists")
+    }
+    val tmp = new Path(root, s".commit-$target-$token.tmp")
     val out = f.create(tmp, true)
     try out.write(s"v$target\n".getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, marker))
-      sys.error(s"publishing $marker failed; tmp content is in $tmp")
+    if (!f.rename(tmp, marker)) {
+      f.delete(tmp, false)
+      if (racerWon()) return target // identical content already published
+      sys.error(s"publishing $marker failed")
+    }
     target
   }
 

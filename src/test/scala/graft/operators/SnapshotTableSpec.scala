@@ -208,6 +208,52 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("a column added mid-log flows through the incremental snapshot") {
+    // state written BEFORE the evolution must migrate through update's
+    // keyed merge: null for keys last touched pre-evolution, populated
+    // for keys the evolved delta upserts — and incremental must equal
+    // the full recompute under the evolved schema at every step.
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap, toVersion = Some(3L))
+    assert(!SnapshotTable.read(spark, snap).columns.contains("note"))
+    // v4 appends a batch carrying a brand-new column
+    val evolved = Events.load(spark, sfDir).drop("ts_us")
+      .filter(col("event_id") % 7 === 0)
+      .withColumn("event_id", col("event_id") + 50000000L)
+      .withColumn("note", concat(lit("n"), col("user_id")))
+    ManifestedLog.append(evolved, log)
+    SnapshotTable.update(spark, log, snap)
+    val view = SnapshotTable.readView(spark, snap)
+    assert(view.columns.contains("note"),
+      "evolved column lost in the snapshot merge")
+    // equals the full recompute with the evolved payload
+    val want = Cdc.applyChangelog(ManifestedLog.load(spark, log),
+      payloadCols = Seq("event_id", "ts_us", "event_type", "value", "note"))
+    assert(keyed(view) == keyed(want))
+    val gotNotes = view.select("user_id", "note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    val wantNotes = want.select("user_id", "note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(gotNotes == wantNotes,
+      "evolved column values diverge from the full recompute")
+    // both populated and null-migrated keys exist (the fixture split
+    // guarantees pre-evolution keys survive the evolved upserts)
+    assert(gotNotes.values.exists(_.isDefined))
+    assert(gotNotes.values.exists(_.isEmpty))
+    // a later no-evolution update keeps the migrated column
+    val more = Events.load(spark, sfDir).drop("ts_us")
+      .filter(col("event_id") % 11 === 0)
+      .withColumn("event_id", col("event_id") + 90000000L)
+    ManifestedLog.append(more, log)
+    SnapshotTable.update(spark, log, snap)
+    assert(SnapshotTable.readView(spark, snap).columns.contains("note"))
+    // point lookups read the evolved state too
+    val k = evolved.select("user_id").head().getLong(0)
+    val byKey = SnapshotTable.readViewByKey(spark, snap, Seq(k))
+    assert(byKey.columns.contains("note"))
+  }
+
   test("maintain honors reader pins across the log AND snapshot chain") {
     val log = threeVersionLog()
     val snap = snapDir()
