@@ -68,8 +68,25 @@ object Compiler {
       case Op.VacuumKeep(k) =>
         ManifestedLog.vacuum(spark, path, keepVersions = k)
         ManifestedLog.load(spark, path)
+      case Op.SnapshotMaintain =>
+        val snap = snapshotPathOf(path)
+        graft.operators.SnapshotTable.update(spark, path, snap)
+        graft.operators.SnapshotTable.readView(spark, snap)
+      case Op.SnapshotLookup(keys) =>
+        val snap = snapshotPathOf(path)
+        graft.operators.SnapshotTable.update(spark, path, snap)
+        graft.operators.SnapshotTable.readViewByKey(spark, snap, keys)
+      case Op.KeyLookup(kc, keys, from, to) =>
+        ManifestedLog.loadByKeyRange(spark, path, kc, keys,
+          from.getOrElse(Long.MinValue), to.getOrElse(Long.MaxValue))
     }
   }
+
+  /** The table's colocated snapshot sidecar table: an underscore name
+    * under the table root, invisible to the manifest/day namespace and
+    * never touched by the log's vacuum (same convention as `_pins/`). */
+  private def snapshotPathOf(tablePath: String): String =
+    new org.apache.hadoop.fs.Path(tablePath, "_snapshot").toString
 
   private def resolveTable(name: String,
                            catalog: Map[String, DataFrame]): DataFrame =
@@ -79,8 +96,11 @@ object Compiler {
 
   /** Resolve a column name against the frame, tolerating the reference's
     * loose plural phrasing ("count names" over a `name` column —
-    * agentic_workflow_transformation.py:345 vs input.csv header). */
-  private def resolve(df: DataFrame, name: String): String = {
+    * agentic_workflow_transformation.py:345 vs input.csv header).
+    * Package-visible so [[graft.Validator]] checks projections against
+    * the EXACT resolution the compiler applied — one implementation,
+    * zero drift, instead of a second guessed heuristic. */
+  private[graft] def resolve(df: DataFrame, name: String): String = {
     val cols = df.columns
     if (cols.contains(name)) name
     else if (name.endsWith("s") && cols.contains(name.dropRight(1))) name.dropRight(1)

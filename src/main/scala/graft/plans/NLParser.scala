@@ -1444,6 +1444,52 @@ object NLParser {
         p.dropWords("versions", "version")
         requireDone(p)
         Right(List(Op.VacuumKeep(k.toInt)))
+      case Some("maintain") =>
+        // "Maintain the snapshot of the table." — advance the colocated
+        // CDC snapshot through the change feed (cost ∝ delta, no-op
+        // when current), then read the current view back
+        p.next(); p.dropWords("the")
+        p.expectWord("snapshot")
+        p.dropWords("of", "the", "table", "log", "events")
+        requireDone(p)
+        Right(List(Op.SnapshotMaintain))
+      case Some("lookup") =>
+        // "Lookup key 42 in the snapshot."       — current live row(s)
+        //   from the maintained snapshot (pruned point lookup);
+        // "Lookup user_id 42."                   — all events of the key
+        //   over the log (sidecar Bloom file skipping);
+        // "Lookup user_id 42 between '<iso>' and '<iso>'." — the same
+        //   composed through manifest day pruning (all three layers)
+        p.next(); p.dropWords("the")
+        val word = p.expectWordRaw()
+        val keys = Seq.newBuilder[Long]
+        def oneKey(): Unit = {
+          val v = p.expectNum()
+          if (v != v.toLong) throw ParseException(
+            s"lookup keys are integers, got $v")
+          keys += v.toLong
+        }
+        oneKey()
+        while (p.peek.contains(Sym(","))) { p.next(); oneKey() }
+        if (word.toLowerCase == "key" || word.toLowerCase == "keys") {
+          p.expectWord("in"); p.dropWords("the"); p.expectWord("snapshot")
+          requireDone(p)
+          Right(List(Op.SnapshotLookup(keys.result())))
+        } else {
+          val (from, to) = p.peekWordLower match {
+            case Some("between") =>
+              p.next()
+              val f = isoToUs(p.expectStr())
+              p.expectWord("and")
+              val t = isoToUs(p.expectStr())
+              if (t <= f) throw ParseException(
+                s"lookup time range is empty: from $f us to $t us")
+              (Some(f), Some(t))
+            case _ => (None, None)
+          }
+          requireDone(p)
+          Right(List(Op.KeyLookup(word, keys.result(), from, to)))
+        }
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }

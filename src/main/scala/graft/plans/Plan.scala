@@ -447,6 +447,25 @@ object Op {
     * ([[graft.operators.ManifestedLog.vacuum]] — reader pins are
     * honored), then read the table back. */
   final case class VacuumKeep(keep: Int)                           extends TableOp
+  /** Advance the table's incremental CDC snapshot (colocated under
+    * `<path>/_snapshot` — [[graft.operators.SnapshotTable.update]],
+    * cost ∝ change-feed delta, no-op when current), then read the
+    * snapshot VIEW back (current live row per key). */
+  case object SnapshotMaintain                                     extends TableOp
+  /** Current live row(s) of `keys` from the colocated snapshot through
+    * the pruned point-lookup path
+    * ([[graft.operators.SnapshotTable.readViewByKey]] — sidecar key
+    * bounds + Bloom skip whole state files); maintains the snapshot
+    * first so "current" means the newest log version. */
+  final case class SnapshotLookup(keys: Seq[Long])                 extends TableOp
+  /** Point lookup on an unclustered key over the manifested log with
+    * all three pruning layers composed
+    * ([[graft.operators.ManifestedLog.loadByKeyRange]]): manifest day
+    * pruning when a time range is spoken, per-file ts-bounds ∧ key-Bloom
+    * from the sidecars, pushed row-group predicate in the survivors. */
+  final case class KeyLookup(keyCol: String, keys: Seq[Long],
+                             fromUs: Option[Long] = None,
+                             toUs: Option[Long] = None)            extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -283,6 +283,18 @@ object EventQueries extends QueryPack {
           s, manifestLayout(s, d), "user_id", Seq(42L))
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
 
+    // Key + time-range lookup — "user 42 that week", the realistic
+    // point query: all three metadata layers compose (manifest day
+    // pruning on the range, per-file sidecar ts-bounds AND key-Bloom —
+    // a file survives only if it can match BOTH — then the pushed
+    // conjunction prunes row groups in the survivors).
+    "x79_manifest_key_range" -> ((s: SparkSession, d: String) =>
+      graft.operators.ManifestedLog.loadByKeyRange(
+          s, manifestLayout(s, d), "user_id", Seq(42L),
+          fromUs = 1704844800000000L,  // 2024-01-10T00:00:00Z
+          toUs   = 1705708800000000L)  // 2024-01-20T00:00:00Z
+        .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
     // Metadata-only per-day profile of the manifested log: row counts
     // and ts bounds come from the manifest + sidecars (exact footer
     // counts, exact normalized-µs bounds) — zero data bytes read. The
@@ -471,6 +483,12 @@ object EventQueries extends QueryPack {
     "x75_manifest_point_lookup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events WHERE user_id = 42""".stripMargin,
+
+    "x79_manifest_key_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id = 42
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "x76_incremental_snapshot" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (

@@ -352,6 +352,48 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
     }),
 
+    // Snapshot maintenance route (x76's log and oracle): advance the
+    // COLOCATED CDC snapshot (<table>/_snapshot) through the change
+    // feed, read the live view back. The oracle recomputes the view
+    // from the full event table, so the hash match proves the
+    // NL-maintained incremental snapshot == full recompute.
+    "nl97_snapshot_maintain" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestIncrLayout(s, d)
+      Engine.run("Maintain the snapshot of the table and select columns " +
+                 "user_id, event_id, ts_us, event_type and value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
+    // Snapshot point-lookup route (x78's oracle): "current state of key
+    // 42" through the pruned readViewByKey path against the colocated
+    // snapshot.
+    "nl98_snapshot_lookup" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestIncrLayout(s, d)
+      Engine.run("Lookup key 42 in the snapshot and select columns " +
+                 "user_id, event_id, ts_us, event_type and value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
+    // Log point-lookup route (x75's table and oracle): all events of
+    // user 42 via the sidecar key Blooms.
+    "nl99_key_lookup" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestLayout(s, d)
+      Engine.run("Lookup user_id 42 and select columns event_id, " +
+                 "user_id, ts_us, event_type and value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
+    // Key + range lookup route (x79's table and oracle): "all events of
+    // user 42 between A and B" composing loadByKeyRange's three pruning
+    // layers from natural language.
+    "nl100_key_range_lookup" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestLayout(s, d)
+      Engine.run("Lookup user_id 42 between '2024-01-10T00:00:00Z' and " +
+                 "'2024-01-20T00:00:00Z' and select columns event_id, " +
+                 "user_id, ts_us, event_type and value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -736,6 +778,10 @@ object NLQueries extends QueryPack {
     "nl96_manifest_vacuum" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM events""".stripMargin,
+    "nl97_snapshot_maintain" -> EventQueries.oracleSql("x76_incremental_snapshot"),
+    "nl98_snapshot_lookup" -> EventQueries.oracleSql("x78_snapshot_point_lookup"),
+    "nl99_key_lookup" -> EventQueries.oracleSql("x75_manifest_point_lookup"),
+    "nl100_key_range_lookup" -> EventQueries.oracleSql("x79_manifest_key_range"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

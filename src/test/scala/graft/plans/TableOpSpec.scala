@@ -44,6 +44,29 @@ class TableOpSpec extends SparkSpec {
       List(O.VacuumKeep(1)))
   }
 
+  test("snapshot and point-lookup verbs parse to their ops") {
+    assert(NLParser.parse("Maintain the snapshot of the table.").ops ==
+      List(O.SnapshotMaintain))
+    assert(NLParser.parse("Maintain the snapshot.").ops ==
+      List(O.SnapshotMaintain))
+    assert(NLParser.parse("Lookup key 42 in the snapshot.").ops ==
+      List(O.SnapshotLookup(Seq(42L))))
+    assert(NLParser.parse("Lookup keys 42, 43 in the snapshot.").ops ==
+      List(O.SnapshotLookup(Seq(42L, 43L))))
+    assert(NLParser.parse("Lookup user_id 42.").ops ==
+      List(O.KeyLookup("user_id", Seq(42L))))
+    assert(NLParser.parse(
+      "Lookup user_id 42 between '2024-01-10T00:00:00Z' and " +
+        "'2024-01-20T00:00:00Z'.").ops ==
+      List(O.KeyLookup("user_id", Seq(42L),
+        Some(1704844800000000L), Some(1705708800000000L))))
+    intercept[NLParser.ParseException](
+      NLParser.parse("Lookup user_id 42 between '2024-01-20T00:00:00Z' " +
+        "and '2024-01-10T00:00:00Z'.")) // empty range
+    intercept[NLParser.ParseException](
+      NLParser.parse("Lookup key 42.")) // snapshot form needs its table
+  }
+
   test("table verbs compose with downstream clauses") {
     val plan = NLParser.parse(
       "Read the table at version 2 and keep events between " +
@@ -119,5 +142,53 @@ class TableOpSpec extends SparkSpec {
     assert(afterVacuum == before)
     assert(ManifestedLog.versions(spark, p) == Seq(v2),
       "vacuum trimmed history to the newest version")
+  }
+
+  test("NL snapshot maintain + lookup run against the colocated snapshot") {
+    import org.apache.spark.sql.functions.col
+    val p = freshTable()
+    val view = graft.Engine.run(
+      "Maintain the snapshot of the table and select columns user_id, " +
+        "event_id, ts_us, event_type and value.",
+      ManifestedLog.load(spark, p), tablePath = Some(p))
+    val want = graft.operators.Cdc.applyChangelog(ManifestedLog.load(spark, p))
+    assert(ids(view) == ids(want) && ids(view).nonEmpty)
+    // the snapshot landed under <table>/_snapshot and is now current
+    val snap = new org.apache.hadoop.fs.Path(p, "_snapshot").toString
+    assert(graft.operators.SnapshotTable.version(spark, snap) ==
+      ManifestedLog.readManifest(spark, p)._1)
+    // point lookup equals the view filter
+    val k = want.select("user_id").head().getLong(0)
+    val got = graft.Engine.run(
+      s"Lookup key $k in the snapshot and select columns user_id, " +
+        "event_id, ts_us, event_type and value.",
+      ManifestedLog.load(spark, p), tablePath = Some(p))
+    assert(ids(got) == ids(want.filter(col("user_id") === k)))
+    // vacuum does not reclaim the underscore-named snapshot
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    assert(graft.operators.SnapshotTable.versionOpt(spark, snap).nonEmpty)
+  }
+
+  test("NL key lookup equals the full-scan filter, ranged and unranged") {
+    import org.apache.spark.sql.functions.col
+    val p = freshTable()
+    val full = ManifestedLog.load(spark, p)
+    // a key guaranteed to have events inside the spoken range
+    val k = full.filter(col("ts_us") >= 1704844800000000L &&
+        col("ts_us") < 1705708800000000L)
+      .select("user_id").head().getLong(0)
+    val plain = graft.Engine.run(
+      s"Lookup user_id $k and select columns event_id, user_id, ts_us, " +
+        "event_type and value.",
+      full, tablePath = Some(p))
+    assert(ids(plain) == ids(full.filter(col("user_id") === k)))
+    val ranged = graft.Engine.run(
+      s"Lookup user_id $k between '2024-01-10T00:00:00Z' and " +
+        "'2024-01-20T00:00:00Z' and select columns event_id, user_id, " +
+        "ts_us, event_type and value.",
+      full, tablePath = Some(p))
+    assert(ids(ranged) == ids(full.filter(col("user_id") === k &&
+      col("ts_us") >= 1704844800000000L && col("ts_us") < 1705708800000000L)))
+    assert(ids(ranged).nonEmpty && ids(ranged).subsetOf(ids(plain)))
   }
 }
