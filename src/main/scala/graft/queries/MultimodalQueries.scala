@@ -70,6 +70,23 @@ object MultimodalQueries extends QueryPack {
       .as[Multimodal.MediaRecord]
   }
 
+  /** MP4 corpus with REAL PNG frame payloads — the pixel-decode fixture
+    * (x80); materialized once per JVM like the other media tables. */
+  private def mp4PngMediaTable(s: SparkSession,
+                               d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_mp4png_media_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtMedia.contains(path)) {
+      Multimodal.mp4PngMedia(table(s, d, "documents"))
+        .write.mode("overwrite").parquet(path)
+      builtMedia += path
+    }
+    import s.implicits._
+    graft.operators.Parallelism.spreadToCores(s.read.parquet(path))
+      .as[Multimodal.MediaRecord]
+  }
+
   private[queries] def wavMediaTable(s: SparkSession,
                                      d: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = synchronized {
     val path = new org.apache.hadoop.fs.Path(
@@ -104,6 +121,14 @@ object MultimodalQueries extends QueryPack {
     "x73_video_demux" -> ((s: SparkSession, d: String) =>
       Multimodal.demuxFrameMeta(mp4MediaTable(s, d))),
 
+    // Codec-level PIXEL DECODE of demuxed frames (the former honest
+    // stub, closed): demux resolves each frame's (offset, size), the
+    // slice decodes through the same ImageIO path as still images, and
+    // the oracle replays the planted geometry AND constant fill color —
+    // a hash match binds decoded pixels to the demuxed byte ranges.
+    "x80_frame_pixels" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodeFrameMeta(mp4PngMediaTable(s, d))),
+
     "x17_multimodal_decode" -> ((s: SparkSession, d: String) =>
       Multimodal.decodeImageMeta(imageMediaTable(s, d))),
 
@@ -130,6 +155,16 @@ object MultimodalQueries extends QueryPack {
         |  (d.doc_id * 31 + t.k * 17) % 113 + 16 AS n_bytes,
         |  t.k * 40 AS pts_ms,
         |  t.k % 3 = 0 AS keyframe
+        |FROM documents d, unnest(range(d.doc_id % 7 + 1)) AS t(k)""".stripMargin,
+
+    "x80_frame_pixels" ->
+      """SELECT d.doc_id AS media_id, t.k AS frame_idx,
+        |  ((d.doc_id + 11 * t.k) % 14 + 2)::BIGINT AS width,
+        |  ((d.doc_id * 3 + 7 * t.k) % 14 + 2)::BIGINT AS height,
+        |  3::BIGINT AS channels,
+        |  ((d.doc_id * 13 + t.k * 7) % 256)::BIGINT AS px_r,
+        |  ((d.doc_id * 5 + t.k * 3) % 256)::BIGINT AS px_g,
+        |  ((d.doc_id + t.k) % 256)::BIGINT AS px_b
         |FROM documents d, unnest(range(d.doc_id % 7 + 1)) AS t(k)""".stripMargin,
 
     // The planted-dimension replay: width/height below are the values the

@@ -96,6 +96,42 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == videoIds)
   }
 
+  test("pixel decode of demuxed frames recovers the planted colors") {
+    import spark.implicits._
+    val sample = docs.limit(24)
+    val decoded = Multimodal.decodeFrames(
+      Multimodal.mp4PngMedia(sample, batchSize = 8)).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { f =>
+      val id = f.media_id; val k = f.frame_idx.toInt
+      assert(f.width == Multimodal.plantedPxWidth(id, k).toLong &&
+             f.height == Multimodal.plantedPxHeight(id, k).toLong,
+        s"frame ($id, $k): geometry ${f.width}x${f.height} != planted")
+      val (r, g, b) = Multimodal.plantedPxColor(id, k)
+      assert((f.px_r, f.px_g, f.px_b) == ((r.toLong, g.toLong, b.toLong)),
+        s"frame ($id, $k): decoded color != planted — range/pixel binding broken")
+      assert(f.channels == 3L)
+    }
+    // every demuxed frame of every sampled video decoded
+    val wantFrames = sample.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> Multimodal.plantedFrameCount(id)).toMap
+    val gotFrames = decoded.groupBy(_.media_id).view.mapValues(_.length).toMap
+    assert(gotFrames == wantFrames)
+  }
+
+  test("pixel decode fails loudly when a demuxed range is not an image") {
+    import spark.implicits._
+    // a genuine MP4 whose sample payload is NOT a PNG: the decode must
+    // refuse, never invent pixels (the range/codec binding's other half)
+    val bogus = Mp4.build(Seq(Array.tabulate[Byte](64)(_.toByte)))
+    val media = Seq(Multimodal.MediaRecord(
+      1L, "video", bogus, Multimodal.MediaMeta(bogus.length.toLong, "src0"))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeFrames(media).collect())
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("resize preserves aspect ratio within the bounding box") {
     val resized = Multimodal.resizeMeta(
       Multimodal.decodeImageMeta(Multimodal.pngMedia(docs)), maxDim = 32)
