@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.plans.{Op, Plan}
+import graft.plans.{Compiler, Op, Plan}
 
 /** Deterministic validator — the critic_agent's replacement
   * (agentic_workflow_transformation.py:157-255). The reference asks an
@@ -40,10 +40,13 @@ object Validator {
       case Op.Filter(_) | Op.Having(_) if outCount > inCount =>
         errors += s"filter grew the row count: $inCount -> $outCount"
       case Op.Select(cols) =>
-        // order-exact projection (AGENTIC_WORKFLOW.md:108)
-        val expected = cols.map(c =>
-          if (inCols.contains(c)) c
-          else if (c.endsWith("s") && inCols.contains(c.dropRight(1))) c.dropRight(1) else c)
+        // order-exact projection (AGENTIC_WORKFLOW.md:108): expected
+        // names come from the compiler's OWN resolution (the
+        // singular/plural tolerance lives in exactly one place —
+        // Compiler.resolve), so this check is exact against what the
+        // compiler actually projected, not a re-guessed heuristic that
+        // could drift and mask a genuine mismatch.
+        val expected = cols.map(c => Compiler.resolve(input, c))
         if (plan.ops.lastIndexOf(Op.Select(cols)) == plan.ops.length - 1 &&
             outCols != expected)
           errors += s"projection mismatch: $outCols != $expected"
