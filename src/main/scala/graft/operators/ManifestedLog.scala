@@ -741,6 +741,72 @@ object ManifestedLog {
     * same break-even the change feed uses for its consolidated join). */
   private val BackfillDays = 8
 
+  /** PHYSICAL delete of every row whose `keyCol` is in `values` — the
+    * compliance-erasure operation ("forget user X"), distinct from the
+    * LOGICAL delete that flows through the CDC tombstone path. Cost is
+    * bounded by the sidecar Blooms: only days with a file that MIGHT
+    * contain one of the values are rewritten (copy-on-write `v<n+1>`
+    * dir, anti-filter, fresh sidecar), everything else keeps its
+    * directory untouched — at 100 TB a single-user erasure rewrites the
+    * ~fp-rate fraction of days that can match, not the log. One atomic
+    * manifest flip covers all rewritten days; the pre-delete version
+    * stays readable until [[vacuum]] reclaims it. Erasure is COMPLETE
+    * only once vacuum has removed the superseded dirs — run it promptly
+    * after a compliance delete, and note that [[pin]]ned versions pin
+    * the old bytes: retention policy is the caller's, and
+    * [[versions]]/[[pins]] report exactly what still holds them.
+    *
+    * CHANGE-FEED CAVEAT, by design: [[changesBetween]] diffs ADDED keys
+    * (appends are insert-only per key), so a physical delete emits NO
+    * delta — downstream snapshots must re-bootstrap past a delete
+    * ([[SnapshotTable.update]] with a fresh snapshot path, or delete
+    * the snapshot dir first; spec-pinned recipe). Returns the new
+    * manifest version — unchanged if no file could contain the keys. */
+  def deleteByKey(spark: SparkSession, path: String, keyCol: String,
+                  values: Seq[Long]): Long = {
+    import graft.functions.BloomKernel
+    require(values.nonEmpty, "deleteByKey needs at least one key value")
+    ensureMicrosWrites(spark)
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (version, days) = readManifest(spark, path)
+    val schema = readSchemaAt(spark, path, version)
+    val touched = days.toSeq.sortBy(_._1).filter { case (_, dir) =>
+      val dayDir = new Path(root, dir)
+      Sidecars.read(spark, dayDir) match {
+        case Some(ds) =>
+          val blooms = Sidecars.readBlooms(spark, dayDir)
+          ds.files.exists { st =>
+            ds.mightHold(st, keyCol, values) &&
+              (blooms.get((st.name, keyCol)) match {
+                case Some((bits, k)) =>
+                  values.exists(BloomKernel.mightContain(bits, _, k))
+                case None => true
+              })
+          }
+        case None => true // no sidecar: conservatively rewrite
+      }
+    }
+    if (touched.isEmpty) return version
+    val pred = if (values.size == 1) col(keyCol) =!= values.head
+               else !col(keyCol).isin(values: _*)
+    val rewritten = touched.map { case (day, dir) =>
+      val nextDir = s"dt=$day.v${dirVersion(dir) + 1}"
+      val target = new Path(root, nextDir)
+      if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+      // keep null keys: a delete names concrete values, and null ∉ values
+      readDirs(spark, Seq(new Path(root, dir).toString), schema)
+        .filter(pred || col(keyCol).isNull)
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(target.toString)
+      f.delete(new Path(target, "_SUCCESS"), false)
+      day -> nextDir
+    }
+    writeSidecars(spark, root, rewritten.map(_._2), schema)
+    publish(spark, path, version + 1, days ++ rewritten, schema)
+    version + 1
+  }
+
   /** Incremental consumption — the table's CHANGE FEED. Returns the
     * rows ADDED between two retained manifest versions, so a downstream
     * pipeline (feature build, index refresh, replication) processes only

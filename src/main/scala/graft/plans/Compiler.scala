@@ -79,6 +79,9 @@ object Compiler {
       case Op.KeyLookup(kc, keys, from, to) =>
         ManifestedLog.loadByKeyRange(spark, path, kc, keys,
           from.getOrElse(Long.MinValue), to.getOrElse(Long.MaxValue))
+      case Op.DeleteByKey(kc, keys) =>
+        ManifestedLog.deleteByKey(spark, path, kc, keys)
+        ManifestedLog.load(spark, path)
     }
   }
 

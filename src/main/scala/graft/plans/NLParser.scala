@@ -1490,6 +1490,24 @@ object NLParser {
           requireDone(p)
           Right(List(Op.KeyLookup(word, keys.result(), from, to)))
         }
+      case Some("delete") | Some("forget") | Some("erase") =>
+        // "Delete user_id 42 from the table." — PHYSICAL compliance
+        // erasure (sidecar-Bloom-pruned copy-on-write rewrite); the
+        // post-delete table content reads back for the oracle
+        p.next(); p.dropWords("the")
+        val kc = p.expectWordRaw()
+        val ks = Seq.newBuilder[Long]
+        def oneDel(): Unit = {
+          val v = p.expectNum()
+          if (v != v.toLong) throw ParseException(
+            s"delete keys are integers, got $v")
+          ks += v.toLong
+        }
+        oneDel()
+        while (p.peek.contains(Sym(","))) { p.next(); oneDel() }
+        p.dropWords("from", "the", "table", "log", "events")
+        requireDone(p)
+        Right(List(Op.DeleteByKey(kc, ks.result())))
       case other =>
         throw ParseException(s"unrecognized clause start: $other in ${toks.mkString(" ")}")
     }

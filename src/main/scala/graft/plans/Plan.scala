@@ -466,6 +466,11 @@ object Op {
   final case class KeyLookup(keyCol: String, keys: Seq[Long],
                              fromUs: Option[Long] = None,
                              toUs: Option[Long] = None)            extends TableOp
+  /** Physical compliance erasure of `keys` from the table
+    * ([[graft.operators.ManifestedLog.deleteByKey]] — sidecar-Bloom-
+    * pruned copy-on-write rewrite of the may-match days, one atomic
+    * flip), then read the post-delete table back. */
+  final case class DeleteByKey(keyCol: String, keys: Seq[Long])    extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

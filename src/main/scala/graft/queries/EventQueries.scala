@@ -97,6 +97,24 @@ object EventQueries extends QueryPack {
     path
   }
 
+  /** Mutable layout for the PHYSICAL-DELETE routes (x81/nl101): the
+    * delete changes table content, so it gets its own copy. Both routes
+    * erase the same key, so the delete is idempotent across reps and
+    * execution order (the first call rewrites the may-match days; later
+    * calls find no Bloom hit and no-op), and one corpus-minus-key
+    * oracle certifies both. */
+  private[queries] def manifestDeleteLayout(s: SparkSession, sfDir: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_events_manifest_del_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtLayouts.contains(path)) {
+      deleteDir(s, path) // fresh-process rule (see manifestIncrLayout)
+      graft.operators.ManifestedLog.write(Events.load(s, sfDir), path)
+      builtLayouts += path
+    }
+    path
+  }
+
   /** Snapshot table bootstrapped at log version 1 once per JVM per
     * fixture (stale on-disk state from an earlier round is deleted —
     * the same fresh-process rule as the layouts above); the query then
@@ -282,6 +300,18 @@ object EventQueries extends QueryPack {
       graft.operators.ManifestedLog.loadByKey(
           s, manifestLayout(s, d), "user_id", Seq(42L))
         .select("event_id", "user_id", "ts_us", "event_type", "value")),
+
+    // Physical compliance erasure ("forget user 42"): sidecar Blooms
+    // bound the rewrite to the may-match days (copy-on-write v<n+1>
+    // dirs, one atomic flip); the post-delete read must equal the
+    // corpus minus the key. Idempotent: once deleted, the fresh
+    // sidecars have no Bloom hit and later calls no-op.
+    "x81_delete_by_key" -> ((s: SparkSession, d: String) => {
+      val p = manifestDeleteLayout(s, d)
+      graft.operators.ManifestedLog.deleteByKey(s, p, "user_id", Seq(42L))
+      graft.operators.ManifestedLog.load(s, p)
+        .select("event_id", "user_id", "ts_us", "event_type", "value")
+    }),
 
     // Key + time-range lookup — "user 42 that week", the realistic
     // point query: all three metadata layers compose (manifest day
@@ -489,6 +519,10 @@ object EventQueries extends QueryPack {
         |FROM events WHERE user_id = 42
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "x81_delete_by_key" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events WHERE user_id <> 42""".stripMargin,
 
     "x76_incremental_snapshot" ->
       """SELECT user_id, event_id, ts_us, event_type, value FROM (

@@ -394,6 +394,16 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
     }),
 
+    // Compliance-erasure route (x81's layout and oracle): "forget user
+    // 42" — physical delete bounded by the sidecar Blooms, post-delete
+    // content certified as corpus-minus-key.
+    "nl101_delete_by_key" -> ((s: SparkSession, d: String) => {
+      val p = EventQueries.manifestDeleteLayout(s, d)
+      Engine.run("Delete user_id 42 from the table and select columns " +
+                 "event_id, user_id, ts_us, event_type and value.",
+        graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -782,6 +792,7 @@ object NLQueries extends QueryPack {
     "nl98_snapshot_lookup" -> EventQueries.oracleSql("x78_snapshot_point_lookup"),
     "nl99_key_lookup" -> EventQueries.oracleSql("x75_manifest_point_lookup"),
     "nl100_key_range_lookup" -> EventQueries.oracleSql("x79_manifest_key_range"),
+    "nl101_delete_by_key" -> EventQueries.oracleSql("x81_delete_by_key"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -362,6 +362,43 @@ class ManifestedLogSpec extends SparkSpec {
     assert(ManifestedLog.versions(spark, p) == Seq(2L))
   }
 
+  test("deleteByKey erases exactly the key; Blooms bound the rewrite") {
+    import org.apache.spark.sql.functions.col
+    val p = freshTable()
+    val full = ManifestedLog.load(spark, p)
+    // a single event lives in exactly one day — the shape where the
+    // Bloom prune must show (the fixture's 15 users each span ~28 of 30
+    // days, so a USER delete legitimately rewrites almost everything)
+    val eid = full.select("event_id").head().getLong(0)
+    val (v1, days1) = ManifestedLog.readManifest(spark, p)
+    val v2 = ManifestedLog.deleteByKey(spark, p, "event_id", Seq(eid))
+    assert(v2 == v1 + 1)
+    val after = ManifestedLog.load(spark, p)
+    assert(ids(after) == ids(full) - eid)
+    // every day holding the key rewrote; the Bloom prune kept the
+    // rewrite to a small fraction of the table (fp-rate tolerance)
+    val (_, days2) = ManifestedLog.readManifest(spark, p)
+    val rewritten = days2.keySet.filter(d => days1(d) != days2(d))
+    val daysWithKey = full.filter(col("event_id") === eid)
+      .select(Events.utcDt(col("ts")).as("dt")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(daysWithKey.subsetOf(rewritten), "a day holding the key survived")
+    assert(rewritten.size <= math.max(2, days2.size / 4),
+      s"single-event delete rewrote ${rewritten.size}/${days2.size} days — no pruning")
+    // the pre-delete bytes remain until vacuum (and then are gone)
+    assert(ids(ManifestedLog.loadAt(spark, p, v1)) == ids(full))
+    // idempotent: the fresh sidecars carry no Bloom hit for the key
+    assert(ManifestedLog.deleteByKey(spark, p, "event_id", Seq(eid)) == v2)
+    // a multi-day USER erasure is correct too (no pruning claim here)
+    val u = after.select("user_id").head().getLong(0)
+    ManifestedLog.deleteByKey(spark, p, "user_id", Seq(u))
+    val erased = ManifestedLog.load(spark, p)
+    assert(erased.filter(col("user_id") === u).count() == 0L)
+    assert(ids(erased) == ids(after.filter(col("user_id") =!= u)))
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    intercept[RuntimeException](ManifestedLog.loadAt(spark, p, v1))
+  }
+
   /** Two appenders racing the same table must BOTH land exactly-once:
     * staged day dirs are writer-token-named (no mutual overwrite), the
     * loser's publish throws ConcurrentWriteException, and append's

@@ -254,6 +254,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(byKey.columns.contains("note"))
   }
 
+  test("a physical delete needs a snapshot re-bootstrap (pinned caveat + recipe)") {
+    // changesBetween diffs ADDED keys, so a physical deleteByKey emits
+    // NO delta — an incrementally-advanced snapshot retains the erased
+    // key (the documented caveat), and the documented recipe (fresh
+    // bootstrap) completes the erasure. Both halves pinned here.
+    val log = threeVersionLog()
+    val snap = snapDir()
+    SnapshotTable.update(spark, log, snap)
+    val victim = SnapshotTable.readView(spark, snap)
+      .select("user_id").head().getLong(0)
+    ManifestedLog.deleteByKey(spark, log, "user_id", Seq(victim))
+    SnapshotTable.update(spark, log, snap) // advances, but sees no delta
+    assert(SnapshotTable.readView(spark, snap)
+      .filter(col("user_id") === victim).count() > 0L,
+      "caveat no longer holds — update saw the physical delete; revisit the docs")
+    // the recipe: re-bootstrap a fresh snapshot
+    val snap2 = snapDir()
+    SnapshotTable.update(spark, log, snap2)
+    assert(SnapshotTable.readView(spark, snap2)
+      .filter(col("user_id") === victim).count() == 0L)
+    assert(keyed(SnapshotTable.readView(spark, snap2)) ==
+      keyed(Cdc.applyChangelog(ManifestedLog.load(spark, log))))
+  }
+
   test("maintain honors reader pins across the log AND snapshot chain") {
     val log = threeVersionLog()
     val snap = snapDir()

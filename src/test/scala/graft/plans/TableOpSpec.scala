@@ -65,6 +65,12 @@ class TableOpSpec extends SparkSpec {
         "and '2024-01-10T00:00:00Z'.")) // empty range
     intercept[NLParser.ParseException](
       NLParser.parse("Lookup key 42.")) // snapshot form needs its table
+    assert(NLParser.parse("Delete user_id 42 from the table.").ops ==
+      List(O.DeleteByKey("user_id", Seq(42L))))
+    assert(NLParser.parse("Forget user_id 42, 43.").ops ==
+      List(O.DeleteByKey("user_id", Seq(42L, 43L))))
+    assert(NLParser.parse("Erase event_id 7 from the log.").ops ==
+      List(O.DeleteByKey("event_id", Seq(7L))))
   }
 
   test("table verbs compose with downstream clauses") {
