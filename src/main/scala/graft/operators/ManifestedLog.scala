@@ -519,9 +519,34 @@ object ManifestedLog {
     * already-compact day costs a listing to skip, never a data read.
     *
     * Returns day → new file count for exactly the days rewritten; an
-    * empty map publishes nothing. */
+    * empty map publishes nothing.
+    *
+    * RACING INGEST: the scheduled maintenance sweep legitimately runs
+    * beside live appenders (the maintain-vs-ingest pair). When an
+    * appender wins the manifest version mid-sweep, the sweep's publish
+    * throws [[ConcurrentWriteException]]; this method deletes its stale
+    * rewrites and retries discovery against the fresh manifest (bounded
+    * — a compacted-by-the-retry day may now include the appender's new
+    * rows, which is exactly right). Two MAINTAINERS racing remains a
+    * deployment error by contract; the retry merely also absorbs it. */
   def compactClosedDays(spark: SparkSession, path: String, watermarkUs: Long,
                         targetBytes: Long = 128L << 20): Map[String, Long] = {
+    var attempt = 0
+    var last: ConcurrentWriteException = null
+    while (attempt <= MaxAppendRetries) {
+      try return compactClosedDaysOnce(spark, path, watermarkUs, targetBytes)
+      catch {
+        case e: ConcurrentWriteException => last = e; attempt += 1
+      }
+    }
+    throw ConcurrentWriteException(
+      s"compaction sweep of $path lost the manifest race $attempt times " +
+        s"(last: ${last.getMessage})")
+  }
+
+  private def compactClosedDaysOnce(spark: SparkSession, path: String,
+                                    watermarkUs: Long,
+                                    targetBytes: Long): Map[String, Long] = {
     require(targetBytes > 0, "targetBytes must be positive")
     ensureMicrosWrites(spark)
     val root = new Path(path)
@@ -552,8 +577,19 @@ object ManifestedLog {
     }
     if (rewritten.isEmpty) return Map.empty
     writeSidecars(spark, root, rewritten.map(_._2), schema)
-    publish(spark, path, version + 1,
+    try publish(spark, path, version + 1,
       days ++ rewritten.map { case (dt, dir, _) => dt -> dir }, schema)
+    catch {
+      case e: ConcurrentWriteException =>
+        // an appender won the version: these rewrites are stale (the
+        // retry re-discovers against the fresh manifest, which may have
+        // grown the very days just rewritten) — delete eagerly
+        rewritten.foreach { case (_, dir, _) =>
+          try f.delete(new Path(root, dir), true)
+          catch { case _: Throwable => () }
+        }
+        throw e
+    }
     rewritten.map { case (dt, _, n) => dt -> n }.toMap
   }
 
@@ -922,11 +958,12 @@ object ManifestedLog {
                snapshotPath: Option[String] = None,
                keepVersions: Int = 2,
                targetBytes: Long = 128L << 20,
-               minAgeMs: Long = 0L): (Map[String, Long], Option[Long]) = {
+               minAgeMs: Long = 0L,
+               orphanMinAgeMs: Long = 0L): (Map[String, Long], Option[Long]) = {
     val compacted = compactClosedDays(spark, path, watermarkUs, targetBytes)
     val snapV = snapshotPath.map(sp => SnapshotTable.update(spark, path, sp))
     val pinned = pins(spark, path).values.toSet
-    vacuum(spark, path, keepVersions, minAgeMs)
+    vacuum(spark, path, keepVersions, minAgeMs, orphanMinAgeMs)
     snapshotPath.foreach(sp =>
       SnapshotTable.vacuum(spark, sp, keepVersions, alsoKeep = pinned))
     (compacted, snapV)
@@ -1035,11 +1072,26 @@ object ManifestedLog {
     * version ([[versions]] lists them), not blindly to `v+1` —
     * [[changesBetween]] on a reclaimed intermediate version fails
     * loudly, and day-level diffing across a gap still yields exactly
-    * the rows added in between (appends are insert-only per key). */
+    * the rows added in between (appends are insert-only per key).
+    *
+    * `orphanMinAgeMs` guards dirs/tmp files NO manifest has EVER
+    * referenced: an in-flight [[append]]'s token-named day dirs and
+    * staging tree are exactly such entries until its publish, so a
+    * vacuum racing a live appender would otherwise delete the bytes a
+    * manifest is about to reference — corrupting the table the moment
+    * the appender wins its rename. With the guard, never-referenced
+    * entries are reclaimed only once older than the cutoff; dirs that
+    * WERE referenced by a now-deleted manifest are superseded published
+    * data and reclaim immediately regardless (no writer can be
+    * mid-write in a published dir). Production sweeps that run beside
+    * live ingest should set it comfortably above the longest append
+    * (e.g. 1h); the 0 default preserves eager cleanup for single-writer
+    * use and tests. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-             minAgeMs: Long = 0L): Long = {
+             minAgeMs: Long = 0L, orphanMinAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
+    require(orphanMinAgeMs >= 0L, s"orphanMinAgeMs must be >= 0, got $orphanMinAgeMs")
     val root = new Path(path)
     val f = fs(spark, root)
     val vs = versions(spark, path)
@@ -1048,13 +1100,21 @@ object ManifestedLog {
     // vacuum raced them out) protect nothing — the pin() path fails
     // loudly at creation, which is where the reader can still react
     val pinnedKept = pins(spark, path).values.filter(vs.contains).toSet
-    val cutoffMs = System.currentTimeMillis() - minAgeMs
+    val nowMs = System.currentTimeMillis()
+    val cutoffMs = nowMs - minAgeMs
     def youngerThanCutoff(v: Long): Boolean = minAgeMs > 0L &&
       f.getFileStatus(new Path(root, f"manifest-$v%09d.txt"))
         .getModificationTime > cutoffMs
     val kept = (vs.takeRight(keepVersions).toSet ++ pinnedKept ++
       vs.filter(youngerThanCutoff)).toSeq.sorted
     val live = kept.flatMap(v => readManifestAt(spark, path, v).values).toSet
+    // every dir ANY still-present manifest references — the complement
+    // (never-referenced) is where an in-flight appender may be writing
+    val referencedEver = vs.flatMap(v =>
+      readManifestAt(spark, path, v).values).toSet
+    val orphanCutoffMs = nowMs - orphanMinAgeMs
+    def orphanOldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanMinAgeMs == 0L || st.getModificationTime < orphanCutoffMs
     val keptSet = kept.toSet
     var removed = 0L
     f.listStatus(root).foreach { st =>
@@ -1063,9 +1123,11 @@ object ManifestedLog {
         case ManifestRe(v) if !keptSet.contains(v.toLong) =>
           f.delete(st.getPath, false); removed += 1
         case _ if name.startsWith("dt=") && !live.contains(name) =>
-          f.delete(st.getPath, true); removed += 1
+          if (referencedEver.contains(name) || orphanOldEnough(st)) {
+            f.delete(st.getPath, true); removed += 1
+          }
         case _ if name.startsWith(".") => // tmp/staging leftovers
-          f.delete(st.getPath, true); removed += 1
+          if (orphanOldEnough(st)) { f.delete(st.getPath, true); removed += 1 }
         case _ => ()
       }
     }

@@ -456,6 +456,57 @@ class ManifestedLogSpec extends SparkSpec {
       s"orphaned staged dirs left behind: ${onDisk -- live.values.toSet -- liveAt1 -- liveAt2}")
   }
 
+  test("a compaction sweep racing a live appender converges (maintain-vs-ingest)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import org.apache.spark.sql.functions.col
+    val ev = Events.load(spark, sfDir).drop("ts_us")
+    val p = java.nio.file.Files.createTempDirectory("graft-race-compact")
+      .toString + "/events_log"
+    // fragmented base so the sweep has work to find
+    ManifestedLog.write(ev.filter(col("event_id") % 2 === 0).repartition(6), p)
+    val batch = ev.filter(col("event_id") % 2 === 1)
+    val wm = Events.dayBoundsUs("2024-02-01")._2 // everything closed
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def submit(task: () => Unit): Unit = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try task() catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    submit(() => { ManifestedLog.append(batch, p); () })
+    submit(() => { ManifestedLog.compactClosedDays(spark, p, wm); () })
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "race hung")
+    assert(failures.isEmpty,
+      s"maintain-vs-ingest race failed: ${Option(failures.peek()).map(_.toString)}")
+    // whatever the interleaving, content is the union and nothing tore
+    assert(ids(ManifestedLog.load(spark, p)) == ids(ev))
+  }
+
+  test("vacuum's orphan age guard protects in-flight append staging") {
+    val p = freshTable()                              // v1
+    ManifestedLog.compactDay(spark, p, "2024-01-10")  // v2 (supersedes a dir)
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an in-flight appender: a token-named day dir and staging
+    // tree that NO manifest references yet
+    val inflight = new Path(p, "dt=2024-01-11.v2-abcd1234")
+    val staging = new Path(p, ".staging-append-v3-abcd1234")
+    f.mkdirs(inflight); f.mkdirs(staging)
+    ManifestedLog.vacuum(spark, p, keepVersions = 1, orphanMinAgeMs = 3600000L)
+    // never-referenced young entries survived the sweep...
+    assert(f.exists(inflight) && f.exists(staging),
+      "vacuum deleted an in-flight appender's staging — table corruption race")
+    // ...but the superseded PUBLISHED dir (referenced by deleted v1) is
+    // reclaimed immediately despite the orphan guard
+    assert(!f.exists(new Path(p, "dt=2024-01-10.v1")))
+    assert(ManifestedLog.versions(spark, p) == Seq(2L))
+    // an eager sweep (default 0) still reclaims the orphans
+    ManifestedLog.vacuum(spark, p, keepVersions = 1)
+    assert(!f.exists(inflight) && !f.exists(staging))
+  }
+
   test("two racing appenders converge to the union (backfill regime)") {
     import org.apache.spark.sql.functions.col
     val ev = Events.load(spark, sfDir).drop("ts_us") // 30 days > BackfillDays
