@@ -93,6 +93,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x39 executes the shared tf lineage once (runtime exchange reuse)") {
+    // TF-IDF fans the (doc, token) counts out to three consumers (the
+    // df aggregation, the N distinct-docs aggregation, and the score
+    // join); the plan is only right if the expensive scan+explode+agg
+    // lineage runs ONCE and the other branches consume ReusedExchange.
+    // AQE applies the reuse at runtime, so assert on the plan that
+    // actually executed (collect() runs the dataset's own
+    // QueryExecution; count() would plan a fresh one and show
+    // isFinalPlan=false with phantom duplicate scans).
+    val df = graft.SparkEntry.queries("x39_tfidf_keywords")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "not the executed AQE plan")
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      s"tf lineage recomputed per branch:\n${p.take(3000)}")
+  }
+
   test("q1 executes inside whole-stage codegen") {
     val df = graft.SparkEntry.queries("q1_pricing_summary")(spark, sf)
     df.collect()
