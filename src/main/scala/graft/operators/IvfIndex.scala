@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVF (inverted-file) vector index — the AT-REST form of
+  * [[Similarity.ivfTopK]]'s per-query build. At serving scale an ANN
+  * index is built once and queried many times, with fresh vectors
+  * arriving continuously; rebuilding the coarse quantizer per query
+  * (x20's shape) is a benchmark formulation, not a system. This table
+  * keeps the engine's storage idioms: immutable segment directories
+  * behind an atomic manifest rename (crash anywhere leaves the index
+  * unchanged), cell-partitioned parquet so a probe reads ONLY the
+  * probed cells' files via partition pruning, and deterministic
+  * centroids ([[Similarity.refineCentroids]]'s quantized Lloyd) so the
+  * whole index — assignments included — is oracle-replayable.
+  *
+  * Layout:
+  * {{{
+  *   <root>/centroids.txt                  # frozen at build
+  *   <root>/seg-000000001/cell=<c>/part-….parquet
+  *   <root>/index-manifest-000000001.txt   # newest wins; lists segments
+  * }}}
+  *
+  * Design points, each the 100 TB argument:
+  *  - CENTROIDS ARE FROZEN at build (standard IVF practice): appends
+  *    assign new vectors to the existing cells and land as a new
+  *    SEGMENT — cost ∝ batch, never ∝ index. Drifted geometry is a
+  *    rebuild, which [[build]] makes explicit.
+  *  - A query probes `nprobe` cells per query vector; the probed cell
+  *    set is pushed as a partition filter, so the scan lists and reads
+  *    only ~nprobe/cells of each segment's files. Scan fraction is the
+  *    coarse quantizer's contract, now enforced by the LAYOUT, not by
+  *    an in-memory join.
+  *  - Segments accumulate per append; [[compact]] folds them into one
+  *    (same content, fewer files), and [[vacuum]] reclaims superseded
+  *    segments + manifests — the same maintenance verbs as the event
+  *    log, because an index IS a table.
+  */
+object IvfIndex {
+
+  private val ManifestRe = "index-manifest-(\\d{9})\\.txt".r
+  private val Header = "graft-ivf-index-manifest-v1"
+  private val CentroidsFile = "centroids.txt"
+  private val CentroidsHeader = "graft-ivf-centroids-v1"
+
+  private def fs(spark: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ----------------------------------------------------------- manifest
+
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.sorted.toSeq
+  }
+
+  /** (version, segment dir names) of the newest manifest. */
+  def readManifest(spark: SparkSession, path: String): (Long, Seq[String]) = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val v = versions(spark, path).lastOption.getOrElse(
+      sys.error(s"no index manifest under $path — not an IVF index"))
+    val in = f.open(new Path(root, f"index-manifest-$v%09d.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toList
+    require(lines.headOption.contains(Header), s"$path is not a $Header index")
+    (v, lines.drop(1).filter(_.nonEmpty))
+  }
+
+  private def publish(spark: SparkSession, root: Path, version: Long,
+                      segs: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val target = new Path(root, f"index-manifest-$version%09d.txt")
+    if (f.exists(target)) throw ConcurrentWriteException(
+      s"index manifest version $version already exists under $root")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s".index-manifest-$version-$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write((Header +: segs).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw ConcurrentWriteException(s"publishing $target lost a race")
+    }
+  }
+
+  // ---------------------------------------------------------- centroids
+
+  /** The frozen coarse quantizer. `Float.toString`/`toFloat` round-trip
+    * exactly, so the persisted centroids are bit-identical to the built
+    * ones — what keeps stored assignments and re-derived assignments in
+    * agreement forever. */
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, CentroidsFile))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toList
+    require(lines.headOption.contains(CentroidsHeader),
+      s"$path/$CentroidsFile is not a $CentroidsHeader file")
+    lines.drop(1).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toFloat)).toArray
+  }
+
+  private def writeCentroids(spark: SparkSession, root: Path,
+                             cents: Array[Array[Float]]): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(new Path(root, CentroidsFile), true)
+    try out.write((CentroidsHeader +:
+      cents.map(_.map(_.toString).mkString(",")).toSeq)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  // -------------------------------------------------------------- write
+
+  /** One cell-partitioned segment from `vectors` under the given frozen
+    * centroids. Vectors inside a cell sort by id — stable files, and
+    * row-group stats on vec_id for point reads. */
+  private def writeSegment(spark: SparkSession, root: Path, segName: String,
+                           vectors: DataFrame, cents: Array[Array[Float]],
+                           idCol: String, vecCol: String): Unit = {
+    import graft.functions.SketchFunctions.nearestCentroids
+    val f = fs(spark, root)
+    val target = new Path(root, segName)
+    if (f.exists(target)) f.delete(target, true) // unreferenced leftover
+    Parallelism.spreadToCores(
+        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
+      .withColumn("cell", nearestCentroids(col("embedding"), cents, 1)(0))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+  }
+
+  /** Build the index: deterministic centroids (smallest-id seeds +
+    * `refineIters` quantized-Lloyd passes — [[Similarity.refineCentroids]],
+    * identical to [[Similarity.ivfTopK]]'s pipeline at the same
+    * parameters), one cell-partitioned segment, manifest v1. Building
+    * over an existing index replaces it logically (old segments become
+    * unreferenced — [[vacuum]] reclaims). */
+  def build(vectors: DataFrame, path: String, cells: Int,
+            refineIters: Int = 2, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Long = {
+    require(cells > 0, s"cells must be positive, got $cells")
+    val spark = vectors.sparkSession
+    val root = new Path(path)
+    val cents = Similarity.refineCentroids(
+      vectors, Similarity.sampleCentroids(vectors, cells, idCol, vecCol),
+      refineIters, vecCol)
+    val version = versions(spark, path).lastOption.getOrElse(0L) + 1
+    writeCentroids(spark, root, cents)
+    val seg = f"seg-$version%09d"
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol)
+    publish(spark, root, version, Seq(seg))
+    version
+  }
+
+  /** Append a batch: assign to the FROZEN centroids, land one new
+    * segment, one atomic manifest flip — cost ∝ batch. */
+  def append(vectors: DataFrame, path: String, idCol: String = "vec_id",
+             vecCol: String = "embedding"): Long = {
+    val spark = vectors.sparkSession
+    val root = new Path(path)
+    val cents = readCentroids(spark, path)
+    val (version, segs) = readManifest(spark, path)
+    val seg = f"seg-${version + 1}%09d"
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol)
+    publish(spark, root, version + 1, segs :+ seg)
+    version + 1
+  }
+
+  /** Fold every segment into one (content-identical, fewer files);
+    * readers flip atomically with the manifest. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val (version, segs) = readManifest(spark, path)
+    if (segs.size <= 1) return version
+    val merged = read(spark, path)
+    val seg = f"seg-${version + 1}%09d"
+    val f = fs(spark, root)
+    val target = new Path(root, seg)
+    if (f.exists(target)) f.delete(target, true)
+    merged
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+    publish(spark, root, version + 1, Seq(seg))
+    version + 1
+  }
+
+  /** Drop superseded manifests and the segments no retained manifest
+    * references. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no index manifest under $path")
+    val kept = vs.takeRight(keepVersions).toSet
+    val live = kept.flatMap { v =>
+      val in = f.open(new Path(root, f"index-manifest-$v%09d.txt"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.drop(1).filter(_.nonEmpty).toSet
+    }
+    var removed = 0L
+    f.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case ManifestRe(v) if !kept.contains(v.toLong) =>
+          f.delete(st.getPath, false); removed += 1
+        case _ if name.startsWith("seg-") && !live.contains(name) =>
+          f.delete(st.getPath, true); removed += 1
+        case _ if name.startsWith(".") =>
+          f.delete(st.getPath, true); removed += 1
+        case _ => ()
+      }
+    }
+    removed
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** Authoritative read schema: `cell` is declared LONG here rather
+    * than cast after partition inference (which would default it to
+    * int) — a cast on the partition column wraps the attribute and
+    * BLOCKS partition pruning, turning every probe into a full scan
+    * (spec-pinned via inputFiles). */
+  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Every indexed vector with its STORED cell: `(vec_id, embedding,
+    * cell)` across the newest manifest's segments. Each segment is its
+    * own partitioned-table root (multi-root partition discovery rejects
+    * sibling roots), so segments read independently and union — the
+    * probe filter prunes partitions inside every branch. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val (_, segs) = readManifest(spark, path)
+    segs.map(s => spark.read.schema(IndexSchema)
+        .parquet(new Path(root, s).toString))
+      .reduce(_.unionByName(_))
+  }
+
+  /** ANN search over the index: each query probes its `nprobe` nearest
+    * cells (the frozen quantizer, driver-side — centroids are KiBs),
+    * the probed cell set pushes down as a PARTITION filter (only those
+    * cells' files are listed and read — spec-pinned via inputFiles),
+    * candidates join on the STORED cell, exact cosine rescoring, ranked
+    * top-k per query via the map-side partial aggregator. Identical
+    * result contract to [[Similarity.ivfTopK]] at the same parameters —
+    * spec-pinned — with the per-query build replaced by the stored
+    * layout. When the probed set covers most cells (a huge query
+    * batch), the filter degenerates to a full scan, which is then the
+    * honest cost. */
+  def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+             nprobe: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.SketchFunctions.nearestCentroids
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
+    val cents = readCentroids(spark, path)
+    val qb = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, nprobe)))
+    // bounded driver collect: |queries| × nprobe cell ids
+    val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
+    val corpus = read(spark, path).filter(col("cell").isin(probed: _*))
+    val scored = corpus.join(broadcast(qb), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              graft.functions.VectorFunctions.cosineSim(
+                col("q_vec"), col("embedding")).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}

@@ -71,8 +71,9 @@ object Similarity {
   }
 
   /** Reduce scored (query_id, neighbor_id, score) pairs to ranked top-k per
-    * query via the map-side partial aggregator. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    * query via the map-side partial aggregator. Package-visible so
+    * [[IvfIndex.search]] produces bit-identical rankings to [[ivfTopK]]. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopK(k))
     scored
       .groupBy(col("query_id"))

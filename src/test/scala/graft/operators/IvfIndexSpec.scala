@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the at-rest search must equal the per-query
+  * build bit-for-bit, appends must assign against the FROZEN centroids,
+  * probes must read only the probed cells' files, and the lifecycle
+  * (compact/vacuum/crash) must follow the engine's manifest idioms. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Cells = 16
+  private val K = 5
+  private val NProbe = 4
+
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.select("query_id", "neighbor_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  test("search over the persisted index equals the per-query ivfTopK") {
+    val p = freshPath()
+    assert(IvfIndex.build(embs, p, Cells) == 1L)
+    val queries = embs.filter(col("vec_id") < 8)
+    val got = ranked(IvfIndex.search(spark, p, queries, K, NProbe))
+    val want = ranked(Similarity.ivfTopK(queries, embs, K, Cells, NProbe))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("a probe reads only the probed cells' files (partition pruning)") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells)
+    val oneQuery = embs.filter(col("vec_id") === 3)
+    val res = IvfIndex.search(spark, p, oneQuery, K, NProbe)
+    res.collect() // the dataset's own QueryExecution, so metrics populate
+    // inputFiles lists the whole FileIndex regardless of pruning; the
+    // honest probe is the EXECUTED index scan's partition metric
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // plan.collect does not descend into AQE query stages (their inner
+    // plan is a member, not a child) — recurse explicitly
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      plan match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val indexScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(indexScans.nonEmpty, "no index scan found in the executed plan")
+    val partitionsRead = indexScans.map(s =>
+      s.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))).sum
+    assert(partitionsRead <= NProbe,
+      s"one query with nprobe=$NProbe read $partitionsRead cell partitions")
+    // and the result is still exactly the in-memory formulation's
+    assert(ranked(res) ==
+      ranked(Similarity.ivfTopK(oneQuery, embs, K, Cells, NProbe)))
+  }
+
+  test("append assigns to the frozen centroids; content is the union") {
+    val p = freshPath()
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(half1, p, Cells)
+    val cents = IvfIndex.readCentroids(spark, p)
+    assert(IvfIndex.append(half2, p) == 2L)
+    // centroids unchanged by the append
+    assert(IvfIndex.readCentroids(spark, p).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq)
+    // every vector present exactly once, stored cell = frozen assignment
+    import graft.functions.SketchFunctions.nearestCentroids
+    val stored = IvfIndex.read(spark, p)
+    assert(stored.count() == embs.count())
+    val mismatched = stored.withColumn("want",
+        nearestCentroids(col("embedding"), cents, 1)(0))
+      .filter(col("cell") =!= col("want")).count()
+    assert(mismatched == 0L, "stored cells disagree with the frozen quantizer")
+    // search serves the union through the index
+    val queries = embs.filter(col("vec_id") < 4)
+    val got = IvfIndex.search(spark, p, queries, K, NProbe)
+    // ground truth: same frozen centroids, in-memory join over the union
+    val cb = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .withColumn("cell", nearestCentroids(col("c_vec"), cents, 1)(0))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, NProbe)))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    assert(ranked(got) == ranked(Similarity.topKPerQuery(scored, K)))
+  }
+
+  test("compact folds segments; vacuum reclaims; crash leaves the index intact") {
+    val p = freshPath()
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, Cells)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), p)
+    val queries = embs.filter(col("vec_id") < 4)
+    val before = ranked(IvfIndex.search(spark, p, queries, K, NProbe))
+    assert(IvfIndex.readManifest(spark, p)._2.size == 2)
+    assert(IvfIndex.compact(spark, p) == 3L)
+    assert(IvfIndex.readManifest(spark, p)._2.size == 1)
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) == before)
+    // crash remnant: an unreferenced segment dir + tmp — vacuum sweeps
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(p, "seg-000000099"))
+    assert(IvfIndex.vacuum(spark, p) >= 3L) // 2 old segs + 2 old manifests + orphan
+    assert(IvfIndex.versions(spark, p) == Seq(3L))
+    assert(!f.exists(new Path(p, "seg-000000099")))
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) == before)
+  }
+}
