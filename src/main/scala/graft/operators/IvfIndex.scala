@@ -163,18 +163,47 @@ object IvfIndex {
   }
 
   /** Append a batch: assign to the FROZEN centroids, land one new
-    * segment, one atomic manifest flip — cost ∝ batch. */
+    * segment, one atomic manifest flip — cost ∝ batch.
+    *
+    * `batchTag` makes the append IDEMPOTENT per tag: the tag rides in
+    * the segment name, and a manifest already listing a segment with it
+    * returns the current version without writing — which upgrades
+    * at-least-once delivery (streaming foreachBatch retries) to
+    * exactly-once index content, the same contract the event log gets
+    * from key-dedup. Untagged appends always land. */
   def append(vectors: DataFrame, path: String, idCol: String = "vec_id",
-             vecCol: String = "embedding"): Long = {
+             vecCol: String = "embedding",
+             batchTag: Option[String] = None): Long = {
+    batchTag.foreach(t => require(t.nonEmpty && t.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batch tags are [A-Za-z0-9_-]+, got '$t'"))
     val spark = vectors.sparkSession
     val root = new Path(path)
     val cents = readCentroids(spark, path)
     val (version, segs) = readManifest(spark, path)
-    val seg = f"seg-${version + 1}%09d"
+    val suffix = batchTag.map(t => s"-b$t").getOrElse("")
+    batchTag.foreach { t =>
+      if (segs.exists(_.endsWith(s"-b$t"))) return version // re-delivery
+    }
+    val seg = f"seg-${version + 1}%09d$suffix"
     writeSegment(spark, root, seg, vectors, cents, idCol, vecCol)
     publish(spark, root, version + 1, segs :+ seg)
     version + 1
   }
+
+  /** Streaming ingest twin: each micro-batch appends one batch-tagged
+    * segment — re-delivered batches no-op on the tag, so restarts
+    * upgrade to exactly-once index content; every batch is one atomic
+    * manifest flip, so a concurrent [[search]] sees whole batches or
+    * nothing. */
+  def ingest(vectors: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, path, batchTag = Some(batchId.toString)); ()
+      }
+      .start()
 
   /** Fold every segment into one (content-identical, fewer files);
     * readers flip atomically with the manifest. */

@@ -100,6 +100,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(ranked(got) == ranked(Similarity.topKPerQuery(scored, K)))
   }
 
+  test("tagged appends are idempotent; streaming ingest lands exactly-once") {
+    import spark.implicits._
+    val p = freshPath()
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(half1, p, Cells)
+    val v2 = IvfIndex.append(half2, p, batchTag = Some("42"))
+    assert(v2 == 2L)
+    // re-delivered batch: same tag → no write, no version bump
+    assert(IvfIndex.append(half2, p, batchTag = Some("42")) == 2L)
+    assert(IvfIndex.read(spark, p).count() == embs.count())
+    // streaming twin: micro-batches land as tagged segments
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val sp = s"$dir/index"
+    IvfIndex.build(half1, sp, Cells)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = IvfIndex.ingest(
+      input.toDF().toDF("vec_id", "embedding"), sp, s"$dir/ckpt")
+    try {
+      val rows = half2.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      input.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      assert(IvfIndex.read(spark, sp).count() == embs.count())
+      // the streamed index serves identically to the batch-built one
+      val queries = embs.filter(col("vec_id") < 4)
+      assert(ranked(IvfIndex.search(spark, sp, queries, K, NProbe)) ==
+        ranked(IvfIndex.search(spark, p, queries, K, NProbe)))
+    } finally q.stop()
+  }
+
   test("compact folds segments; vacuum reclaims; crash leaves the index intact") {
     val p = freshPath()
     IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, Cells)
