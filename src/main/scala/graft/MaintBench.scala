@@ -50,11 +50,45 @@ object MaintBench {
       ManifestedLog.append(
         ev.filter(Events.utcDt(col("ts")) === hotDay), s"$base/backfill")
     }
+    // 4. physical erasure: one EVENT (Bloom-bounded — should rewrite ~1
+    //    day) vs one USER (legitimately rewrites the days it lived in)
+    val someEvent = ev.select("event_id").head().getLong(0)
+    val tDeleteEvent = timed {
+      ManifestedLog.deleteByKey(spark, s"$base/backfill", "event_id",
+        Seq(someEvent))
+    }
+    val someUser = ev.select("user_id").head().getLong(0)
+    val tDeleteUser = timed {
+      ManifestedLog.deleteByKey(spark, s"$base/backfill", "user_id",
+        Seq(someUser))
+    }
+    // 5. IVF index lifecycle: build over the embeddings fixture, append
+    //    a re-keyed copy (cost ∝ batch against frozen centroids), one
+    //    pruned probe
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.count()
+    val idx = s"$base/ivf_index"
+    val tIndexBuild = timed {
+      graft.operators.IvfIndex.build(emb, idx, cells = 16)
+    }
+    val tIndexAppend = timed {
+      graft.operators.IvfIndex.append(
+        emb.withColumn("vec_id", col("vec_id") + 10000000L), idx)
+    }
+    val tIndexSearch = timed {
+      graft.operators.IvfIndex.search(spark, idx,
+        emb.filter(col("vec_id") < 8), k = 5, nprobe = 4).count()
+    }
     println(
       f"""{"metric":"maint_append","sf":"$sfDir","days":${days.length},""" +
       f""""backfill_one_pass_sec":$tBackfill%.2f,""" +
       f""""per_day_regime_sec":$tPerDay%.2f,""" +
-      f""""hot_single_day_sec":$tHot%.2f}""")
+      f""""hot_single_day_sec":$tHot%.2f,""" +
+      f""""delete_event_sec":$tDeleteEvent%.2f,""" +
+      f""""delete_user_sec":$tDeleteUser%.2f,""" +
+      f""""ivf_build_sec":$tIndexBuild%.2f,""" +
+      f""""ivf_append_sec":$tIndexAppend%.2f,""" +
+      f""""ivf_search_sec":$tIndexSearch%.2f}""")
     spark.stop()
   }
 }
