@@ -44,6 +44,8 @@ object IvfIndex {
   private val Header = "graft-ivf-index-manifest-v1"
   private val CentroidsFile = "centroids.txt"
   private val CentroidsHeader = "graft-ivf-centroids-v1"
+  private val PqFile = "pq.txt"
+  private val PqHeader = "graft-pq-codebooks-v1"
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,6 +121,39 @@ object IvfIndex {
     finally out.close()
   }
 
+  // --------------------------------------------------------- PQ layer
+
+  /** The frozen PQ codebooks, present iff the index was built with a
+    * [[Pq.PqParams]] layer. Same `Float.toString` round-trip contract as
+    * the centroids: the persisted codebooks are bit-identical to the
+    * trained ones, so stored code words and re-derived ones agree. */
+  def readPq(spark: SparkSession, path: String): Option[Pq.PqCodebooks] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val p = new Path(root, PqFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toList
+    require(lines.headOption.contains(PqHeader),
+      s"$path/$PqFile is not a $PqHeader file")
+    val Array(m, ksub, subDim) = lines(1).split(',').map(_.toInt)
+    val flat = lines.drop(2).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toFloat)).toArray
+    Some(Pq.PqCodebooks(m, ksub, subDim, flat))
+  }
+
+  private def writePq(spark: SparkSession, root: Path,
+                      cb: Pq.PqCodebooks): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(new Path(root, PqFile), true)
+    try out.write((Seq(PqHeader, s"${cb.m},${cb.ksub},${cb.subDim}") ++
+      cb.flat.map(_.map(_.toString).mkString(",")).toSeq)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   // -------------------------------------------------------------- write
 
   /** One cell-partitioned segment from `vectors` under the given frozen
@@ -126,13 +161,19 @@ object IvfIndex {
     * row-group stats on vec_id for point reads. */
   private def writeSegment(spark: SparkSession, root: Path, segName: String,
                            vectors: DataFrame, cents: Array[Array[Float]],
-                           idCol: String, vecCol: String): Unit = {
+                           idCol: String, vecCol: String,
+                           pqCb: Option[Pq.PqCodebooks] = None): Unit = {
     import graft.functions.SketchFunctions.nearestCentroids
     val f = fs(spark, root)
     val target = new Path(root, segName)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
-    Parallelism.spreadToCores(
+    val base = Parallelism.spreadToCores(
         vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
+    val withCodes = pqCb match {
+      case Some(cb) => Pq.encode(base, cb) // m-byte code word beside the floats
+      case None => base
+    }
+    withCodes
       .withColumn("cell", nearestCentroids(col("embedding"), cents, 1)(0))
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
@@ -147,17 +188,22 @@ object IvfIndex {
     * unreferenced — [[vacuum]] reclaims). */
   def build(vectors: DataFrame, path: String, cells: Int,
             refineIters: Int = 2, idCol: String = "vec_id",
-            vecCol: String = "embedding"): Long = {
+            vecCol: String = "embedding",
+            pq: Option[Pq.PqParams] = None): Long = {
     require(cells > 0, s"cells must be positive, got $cells")
     val spark = vectors.sparkSession
     val root = new Path(path)
     val cents = Similarity.refineCentroids(
       vectors, Similarity.sampleCentroids(vectors, cells, idCol, vecCol),
       refineIters, vecCol)
+    // the PQ codebooks freeze at build exactly like the coarse quantizer
+    val pqCb = pq.map(p =>
+      Pq.train(vectors, p.m, p.ksub, p.iters, idCol, vecCol))
     val version = versions(spark, path).lastOption.getOrElse(0L) + 1
     writeCentroids(spark, root, cents)
+    pqCb.foreach(writePq(spark, root, _))
     val seg = f"seg-$version%09d"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
     publish(spark, root, version, Seq(seg))
     version
   }
@@ -180,13 +226,14 @@ object IvfIndex {
     val spark = vectors.sparkSession
     val root = new Path(path)
     val cents = readCentroids(spark, path)
+    val pqCb = readPq(spark, path) // frozen with the centroids, if present
     val (version, segs) = readManifest(spark, path)
     val suffix = batchTag.map(t => s"-b$t").getOrElse("")
     batchTag.foreach { t =>
       if (segs.exists(_.endsWith(s"-b$t"))) return version // re-delivery
     }
     val seg = f"seg-${version + 1}%09d$suffix"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
     publish(spark, root, version + 1, segs :+ seg)
     version + 1
   }
@@ -263,24 +310,28 @@ object IvfIndex {
     * int) — a cast on the partition column wraps the attribute and
     * BLOCKS partition pruning, turning every probe into a full scan
     * (spec-pinned via inputFiles). */
-  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("vec_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("embedding",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType)),
-    org.apache.spark.sql.types.StructField("cell",
-      org.apache.spark.sql.types.LongType)))
+  private def indexSchema(hasPq: Boolean) = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))
+    val pq = if (hasPq) Seq(StructField("codes", BinaryType)) else Nil
+    StructType(base ++ pq :+ StructField("cell", LongType))
+  }
 
-  /** Every indexed vector with its STORED cell: `(vec_id, embedding,
-    * cell)` across the newest manifest's segments. Each segment is its
-    * own partitioned-table root (multi-root partition discovery rejects
+  /** Every indexed vector with its STORED cell: `(vec_id, embedding[,
+    * codes], cell)` across the newest manifest's segments (`codes` iff
+    * the index carries a PQ layer). Each segment is its own
+    * partitioned-table root (multi-root partition discovery rejects
     * sibling roots), so segments read independently and union — the
-    * probe filter prunes partitions inside every branch. */
+    * probe filter prunes partitions inside every branch, and a
+    * projection prunes columns inside every branch (an ADC probe never
+    * reads the float vectors). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = new Path(path)
     val (_, segs) = readManifest(spark, path)
-    segs.map(s => spark.read.schema(IndexSchema)
+    val schema = indexSchema(readPq(spark, path).isDefined)
+    segs.map(s => spark.read.schema(schema)
         .parquet(new Path(root, s).toString))
       .reduce(_.unionByName(_))
   }
@@ -313,6 +364,37 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               graft.functions.VectorFunctions.cosineSim(
                 col("q_vec"), col("embedding")).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ (IVFADC) search: cell pruning as [[search]], but candidates
+    * score through the PQ layer — the probe projects `(vec_id, codes,
+    * cell)` ONLY, so the pruned scan reads `m` bytes per candidate
+    * instead of the float vectors (spec-pinned on the executed scan's
+    * read schema). Scores are [[Pq.adcTopK]]'s quantized inner product;
+    * requires the index to have been built with `pq = Some(...)`. */
+  def searchAdc(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, nprobe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PqFunctions.{pqAdc, pqLut}
+    import graft.functions.SketchFunctions.nearestCentroids
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
+    val cents = readCentroids(spark, path)
+    val cb = readPq(spark, path).getOrElse(sys.error(
+      s"$path has no PQ layer — build(..., pq = Some(PqParams(...)))"))
+    val qb = queries
+      .select(col(idCol).as("query_id"),
+              pqLut(col(vecCol), cb.flat, cb.m, cb.ksub).as("lut"),
+              explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cell"))
+    // bounded driver collect: |queries| × nprobe cell ids
+    val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
+    val corpus = read(spark, path)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .filter(col("cell").isin(probed: _*))
+    val scored = corpus.join(broadcast(qb), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              pqAdc(col("lut"), col("codes"), cb.m, cb.ksub).as("score"))
     Similarity.topKPerQuery(scored, k)
   }
 }

@@ -159,7 +159,7 @@ object Similarity {
 
   /** Quantization scale for Lloyd refinement: a power of two, so
     * `x * Scale` only shifts the float's exponent — exact in double. */
-  private val QuantScale = 1 << 20
+  private[operators] val QuantScale = 1 << 20
 
   /** Fixed-iteration Lloyd's (spherical k-means) refinement of a seed
     * centroid set — deterministic AND cross-engine replayable:
