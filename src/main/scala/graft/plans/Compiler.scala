@@ -272,9 +272,20 @@ object Compiler {
         col("doc_id"),
         TextAnalysis.scrubPii(col("text")).as("scrubbed"),
         (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))
-    case Op.SimilarTopK(qid, k) =>
-      Similarity.bruteForceTopK(df.filter(col("vec_id") === qid), df, k)
-        .withColumn("score", round(col("score"), 6))
+    case Op.SimilarTopK(qid, k, pq, rerank) =>
+      val queries = df.filter(col("vec_id") === qid)
+      val result =
+        if (!pq) Similarity.bruteForceTopK(queries, df, k)
+        else {
+          // the classical PQ operating point (m=8, ksub=256): 32×
+          // compression at dim=64, replayable like every Lloyd path
+          val cb = graft.operators.Pq.train(df, 8, 256)
+          rerank match {
+            case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
+            case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
+          }
+        }
+      result.withColumn("score", round(col("score"), 6))
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>

@@ -1047,8 +1047,27 @@ object NLParser {
             p.dropWords("vectors", "neighbors", "documents", "items")
             p.expectWord("to")
             val qid = p.expectNum().toLong
-            requireDone(p)
-            Right(List(Op.SimilarTopK(qid, k)))
+            // "… using quantized codes [with rerank 50]" — the PQ/ADC
+            // serving path instead of the exact brute-force scan
+            if (p.peekWordLower.contains("using")) {
+              p.next()
+              p.dropWords("product")
+              p.expectWord("quantized")
+              p.dropWords("codes", "code", "vectors")
+              val rerank =
+                if (p.peekWordLower.contains("with")) {
+                  p.next(); p.expectWord("rerank")
+                  val r = p.expectNum().toInt
+                  if (r < k) throw ParseException(
+                    s"rerank $r must be at least k=$k")
+                  Some(r)
+                } else None
+              requireDone(p)
+              Right(List(Op.SimilarTopK(qid, k, pq = true, rerank = rerank)))
+            } else {
+              requireDone(p)
+              Right(List(Op.SimilarTopK(qid, k)))
+            }
           }
         }
       case Some("sample") =>

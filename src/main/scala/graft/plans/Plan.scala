@@ -152,8 +152,15 @@ object Op {
   case object Fingerprint extends CorpusOp
   /** PII scrubbing (emails, phone-like digit runs). */
   case object ScrubPii extends CorpusOp
-  /** Exact brute-force top-k cosine neighbors of one query vector. */
-  final case class SimilarTopK(queryId: Long, k: Int)              extends CorpusOp
+  /** Top-k neighbors of one query vector: exact brute-force cosine by
+    * default; `pq = true` ranks through product-quantized code words
+    * (ADC at the classical m=8/ksub=256 operating point —
+    * [[graft.operators.Pq.adcTopK]]), with `rerank = Some(r)` adding
+    * the exact rescore of the ADC top-r
+    * ([[graft.operators.Pq.adcTopKRefined]]). */
+  final case class SimilarTopK(queryId: Long, k: Int,
+                               pq: Boolean = false,
+                               rerank: Option[Int] = None)         extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults

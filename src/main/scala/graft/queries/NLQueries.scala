@@ -404,6 +404,17 @@ object NLQueries extends QueryPack {
         graft.operators.ManifestedLog.load(s, p), tablePath = Some(p))
     }),
 
+    // PQ serving routes: the compressed ADC ranking and its exact
+    // re-rank, spoken — x83/x85's kernels at the classical operating
+    // point, narrowed to the one spoken query id.
+    "nl102_similar_pq" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3 using quantized codes.",
+                 embs(s, d))),
+
+    "nl103_similar_pq_rerank" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3 using quantized " +
+                 "codes with rerank 50.", embs(s, d))),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -793,6 +804,9 @@ object NLQueries extends QueryPack {
     "nl99_key_lookup" -> EventQueries.oracleSql("x75_manifest_point_lookup"),
     "nl100_key_range_lookup" -> EventQueries.oracleSql("x79_manifest_key_range"),
     "nl101_delete_by_key" -> EventQueries.oracleSql("x81_delete_by_key"),
+    "nl102_similar_pq" -> VectorQueries.pqFlatReplaySql("q.vec_id = 3", 5),
+    "nl103_similar_pq_rerank" ->
+      VectorQueries.pqRefinedReplaySql("q.vec_id = 3", 5, 50),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -32,6 +32,13 @@ object VectorQueries extends QueryPack {
   private val Dim = 64
   private val IvfCentroids = 16
   private val IvfNProbe = 4
+  // PQ at the classical operating point: 8 subspaces × 8-bit codes — a
+  // 64-dim float vector compresses 32× to 8 bytes (PqSpec measures
+  // recall@5 = 0.58 ADC-alone, 1.00 with the 50-candidate re-rank)
+  private val PqM = 8
+  private val PqKsub = 256
+  private val PqSubDim = Dim / PqM
+  private val PqRerank = 50
 
   /** Persisted IVF index materialized once per JVM per fixture (stale
     * on-disk state from an earlier round is deleted — the fresh-process
@@ -46,6 +53,23 @@ object VectorQueries extends QueryPack {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
         cells = IvfCentroids)
+      builtIndexes += path
+    }
+    path
+  }
+
+  /** x84's twin index: same coarse quantizer plus the PQ layer, so ADC
+    * probes serve from code words without reading the float vectors. */
+  private def ivfPqIndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivfpq_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids,
+        pq = Some(graft.operators.Pq.PqParams(PqM, PqKsub)))
       builtIndexes += path
     }
     path
@@ -87,6 +111,42 @@ object VectorQueries extends QueryPack {
       val emb = table(s, d, "embeddings")
       graft.operators.IvfIndex.search(s, ivfIndexTable(s, d),
           emb.filter(col("vec_id") < NQueries), K, IvfNProbe)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Product quantization, flat (exhaustive-but-compressed) ADC: the
+    // corpus ranks through its m-byte code words — a 4·dim/m smaller
+    // candidate scan. Training is the same quantized-Lloyd recipe per
+    // subspace, so the codebooks, codes, and every quantized inner
+    // product replay bit-for-bit in SQL.
+    "x83_ann_pq" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val cb = graft.operators.Pq.train(emb, PqM, PqKsub)
+      graft.operators.Pq.adcTopK(
+          emb.filter(col("vec_id") < NQueries), emb, cb, K)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // IVF-PQ (IVFADC): the persisted index serves ADC probes from
+    // (vec_id, codes, cell) only — partition pruning bounds the files,
+    // column pruning keeps the float vectors on disk. Candidates are
+    // x20's probed cells; scores are x83's quantized inner products.
+    "x84_ivfpq_index_search" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfIndex.searchAdc(s, ivfPqIndexTable(s, d),
+          emb.filter(col("vec_id") < NQueries), K, IvfNProbe)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // ADC + exact re-rank (IVFADC+R): compressed codes rank the corpus,
+    // the exact cosine rescores only the top-50 per query — recall
+    // 0.58 → 1.00 on the fixture while the full-vector reads stay
+    // bounded by |queries|·rerank.
+    "x85_ann_pq_refined" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val cb = graft.operators.Pq.train(emb, PqM, PqKsub)
+      graft.operators.Pq.adcTopKRefined(
+          emb.filter(col("vec_id") < NQueries), emb, cb, K, PqRerank)
         .withColumn("score", round(col("score"), 6))
     }),
 
@@ -202,10 +262,12 @@ object VectorQueries extends QueryPack {
        |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
        |WHERE rank <= $K""".stripMargin
 
-  /** The x20 IVF Lloyd-replay oracle, shared verbatim with x82 (the
-    * persisted-index search must equal the per-query build). */
-  private lazy val ivfReplaySql: String =
-    s"""WITH cents0 AS (
+  /** The x20 Lloyd-replay candidate chain: refined centroids, every
+    * vector's argmax cell, and the probed-cell `cand(query_id,
+    * neighbor_id)` pairs. Shared by the IVF oracles (exact rescore) and
+    * the IVF-PQ oracle (ADC rescore). */
+  private lazy val ivfCandidatesCte: String =
+    s"""cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |    embedding::DOUBLE[] AS emb
        |  FROM embeddings ORDER BY vec_id LIMIT $IvfCentroids),
@@ -224,8 +286,122 @@ object VectorQueries extends QueryPack {
        |  FROM (SELECT vec_id, cell FROM ranked
        |        WHERE rn <= $IvfNProbe AND vec_id < $NQueries) q
        |  JOIN cellof c ON q.cell = c.cell
-       |  WHERE c.vec_id <> q.vec_id)
+       |  WHERE c.vec_id <> q.vec_id)""".stripMargin
+
+  /** The x20 IVF Lloyd-replay oracle, shared verbatim with x82 (the
+    * persisted-index search must equal the per-query build). */
+  private lazy val ivfReplaySql: String =
+    s"""WITH $ivfCandidatesCte
        |$rescoreTopK""".stripMargin
+
+  /** One PQ Lloyd iteration per subspace — [[lloydIteration]]'s shape
+    * over `psub`'s slices, keyed by (subspace, code): assignment is
+    * argmin `list_distance` (the sqrt both engines round identically;
+    * ties → smaller code, as `PqKernels.encode`), recentering is the
+    * same order-independent quantized mean. */
+  private def pqLloydIteration(prev: String, out: String): String =
+    s"""pasg_$out AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT b.vec_id, b.s, c.code,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY list_distance(b.sv, c.cb) ASC, c.code ASC) AS rn
+       |    FROM psub b JOIN $prev c ON c.s = b.s)
+       |  WHERE rn = 1),
+       |psums_$out AS (
+       |  SELECT a.s, a.code, i.d,
+       |    sum(floor(b.sv[i.d] * $QuantScale))::BIGINT AS sq,
+       |    count(*) AS n
+       |  FROM psub b JOIN pasg_$out a ON a.vec_id = b.vec_id AND a.s = b.s,
+       |       unnest(range(1, ${PqSubDim + 1})) AS i(d)
+       |  GROUP BY a.s, a.code, i.d),
+       |$out AS (
+       |  SELECT c.s, c.code,
+       |    CASE WHEN count(p.d) = 0 THEN c.cb
+       |         ELSE list((p.sq::DOUBLE / (p.n::DOUBLE * $QuantScale))::FLOAT::DOUBLE
+       |                   ORDER BY p.d)
+       |    END AS cb
+       |  FROM $prev c LEFT JOIN psums_$out p ON p.s = c.s AND p.code = c.code
+       |  GROUP BY c.s, c.code, c.cb)""".stripMargin
+
+  /** The PQ replay chain: per-(vector, subspace) slices, slice seeds,
+    * two Lloyd iterations, final code assignment (`pcodes` — the replay
+    * of `Pq.encode`), and per-query ADC lookup tables (`pluts` — the
+    * replay of `pq_lut`). */
+  private def pqChainCte(queryPred: String): String =
+    s"""psub AS (
+       |  SELECT vec_id, s.s AS s,
+       |    (embedding::DOUBLE[])[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS sv
+       |  FROM embeddings, unnest(range(0, $PqM)) AS s(s)),
+       |pq0 AS (
+       |  SELECT s, code, sv AS cb FROM (
+       |    SELECT s, sv,
+       |      row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code
+       |    FROM psub)
+       |  WHERE code < $PqKsub),
+       |${pqLloydIteration("pq0", "pq1")},
+       |${pqLloydIteration("pq1", "pq2")},
+       |pcodes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT b.vec_id, b.s, c.code,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY list_distance(b.sv, c.cb) ASC, c.code ASC) AS rn
+       |    FROM psub b JOIN pq2 c ON c.s = b.s)
+       |  WHERE rn = 1),
+       |pluts AS (
+       |  SELECT q.vec_id AS query_id, c.s, c.code,
+       |    list_dot_product(q.sv, c.cb) AS dp
+       |  FROM psub q JOIN pq2 c ON c.s = q.s
+       |  WHERE $queryPred)""".stripMargin
+
+  private lazy val pqDefaultQueryPred = s"q.vec_id < $NQueries"
+
+  /** Flat-ADC replay (x83's shape) for an arbitrary query predicate —
+    * shared with the NL twins, whose single spoken query id narrows the
+    * predicate. */
+  private[queries] def pqFlatReplaySql(queryPred: String, k: Int): String =
+    s"""WITH ${pqChainCte(queryPred)},
+       |$pqScoredAllCte
+       |${pqRankTail(k)}""".stripMargin
+
+  /** ADC + exact re-rank replay (x85's shape) for an arbitrary query
+    * predicate. */
+  private[queries] def pqRefinedReplaySql(queryPred: String, k: Int,
+                                          rerank: Int): String =
+    s"""WITH ${pqChainCte(queryPred)},
+       |$pqScoredAllCte,
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM pscored)
+       |  WHERE rn <= $rerank)
+       |$rescoreTopK""".stripMargin
+
+  /** The ADC sum: one pivoted term per subspace, added left-to-right —
+    * the exact association `PqKernels.adc` uses. */
+  private lazy val pqAdcSum: String =
+    (0 until PqM).map(s => s"max(CASE WHEN l.s = $s THEN l.dp END)")
+      .mkString("\n      + ")
+
+  /** Every (query, corpus vector) ADC score — the flat x83 scan. */
+  private lazy val pqScoredAllCte: String =
+    s"""pscored AS (
+       |  SELECT l.query_id, n.vec_id AS neighbor_id,
+       |    $pqAdcSum AS score
+       |  FROM pcodes n JOIN pluts l ON l.s = n.s AND l.code = n.code
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY l.query_id, n.vec_id)""".stripMargin
+
+  /** Rank `pscored` by the ADC score (ties → neighbor id, as the top-k
+    * aggregator) and keep the per-query top `limit`. */
+  private def pqRankTail(limit: Int): String =
+    s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank, score
+       |  FROM pscored)
+       |WHERE rank <= $limit""".stripMargin
 
   override val oracleSql: Map[String, String] = Map(
     "x1_ann_bruteforce" ->
@@ -271,6 +447,30 @@ object VectorQueries extends QueryPack {
     "x20_ann_ivf" -> ivfReplaySql,
 
     "x82_ivf_index_search" -> ivfReplaySql,
+
+    // Full PQ replay: slice seeds → two per-subspace Lloyd iterations →
+    // code assignment → per-query ADC tables → quantized inner products,
+    // every arithmetic step bit-identical to the Spark kernels.
+    "x83_ann_pq" -> pqFlatReplaySql(pqDefaultQueryPred, K),
+
+    // IVF-PQ: x20's probed-cell candidates scored by x83's ADC replay.
+    "x84_ivfpq_index_search" ->
+      s"""WITH $ivfCandidatesCte,
+         |${pqChainCte(pqDefaultQueryPred)},
+         |pscored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    $pqAdcSum AS score
+         |  FROM cand cd
+         |  JOIN pcodes n ON n.vec_id = cd.neighbor_id
+         |  JOIN pluts l ON l.query_id = cd.query_id
+         |    AND l.s = n.s AND l.code = n.code
+         |  GROUP BY cd.query_id, cd.neighbor_id)
+         |${pqRankTail(K)}""".stripMargin,
+
+    // ADC ranks, the exact cosine rescores the top-50 — the re-rank
+    // candidates become `cand` for the shared exact-rescore tail.
+    "x85_ann_pq_refined" ->
+      pqRefinedReplaySql(pqDefaultQueryPred, K, PqRerank),
 
     // Same plane replay as x2; candidates are bucket collisions over the
     // self-join, verified with the exact cosine at x7's threshold.

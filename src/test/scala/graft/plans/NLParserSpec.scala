@@ -163,6 +163,23 @@ class NLParserSpec extends AnyFunSuite {
       List(O.SimilarTopK(7L, 10)))
   }
 
+  test("find top-k similar through quantized codes") {
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
+      List(O.SimilarTopK(3L, 5, pq = true)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using product quantized codes.").ops ==
+      List(O.SimilarTopK(3L, 5, pq = true)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using quantized codes " +
+      "with rerank 50.").ops ==
+      List(O.SimilarTopK(3L, 5, pq = true, rerank = Some(50))))
+    // rerank below k is a contradiction, said loudly
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Find top 5 most similar vectors to 3 using quantized codes " +
+      "with rerank 2."))
+  }
+
   test("corpus ops compose with relational clauses") {
     assert(NLParser.parse(
       "Filter rows where source == 'src0' and then score quality.").ops ==
