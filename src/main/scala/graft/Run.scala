@@ -41,6 +41,11 @@ object Run {
       case p if graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         graft.operators.ManifestedLog.load(spark, p)
+      // a persisted vector index (directory with index-manifest-*.txt):
+      // reads as its indexed vectors; "Search the index …" verbs bind
+      // the path and probe it in place
+      case p if graft.operators.IvfIndex.versions(spark, p).nonEmpty =>
+        graft.operators.IvfIndex.read(spark, p)
       case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = Sources.parquet(spark, p)
@@ -62,7 +67,8 @@ object Run {
     // time-travel verbs ("Read the table at version 2", "Compact closed
     // days …", "Vacuum …") can act on the table itself
     val tablePath = inputCsv.filter(p =>
-      graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined)
+      graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined ||
+      graft.operators.IvfIndex.versions(spark, p).nonEmpty)
     val catalog = args.drop(3).map { binding =>
       binding.split("=", 2) match {
         case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> load(path)

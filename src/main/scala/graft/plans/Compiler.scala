@@ -58,8 +58,9 @@ object Compiler {
     import graft.operators.ManifestedLog
     val spark = df.sparkSession
     val path = tablePath.getOrElse(throw InvalidPlanException(
-      s"$op needs a manifested table input (a directory with " +
-        "manifest-*.txt) — plain frames have no versions to act on"))
+      s"$op needs a manifested table or vector index input (a directory " +
+        "with manifest-*.txt / index-manifest-*.txt) — plain frames " +
+        "have no versions to act on"))
     op match {
       case Op.LoadAtVersion(v) => ManifestedLog.loadAt(spark, path, v)
       case Op.CompactClosedDays(wmUs) =>
@@ -82,6 +83,15 @@ object Compiler {
       case Op.DeleteByKey(kc, keys) =>
         ManifestedLog.deleteByKey(spark, path, kc, keys)
         ManifestedLog.load(spark, path)
+      case Op.IndexSearch(qid, k, nprobe, adc) =>
+        import graft.operators.IvfIndex
+        // the spoken query id's STORED vector probes the index
+        val queries = IvfIndex.read(spark, path)
+          .filter(col("vec_id") === qid)
+        val res =
+          if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
+          else IvfIndex.search(spark, path, queries, k, nprobe)
+        res.withColumn("score", round(col("score"), 6))
     }
   }
 

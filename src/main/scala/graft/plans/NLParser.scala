@@ -1509,6 +1509,32 @@ object NLParser {
           requireDone(p)
           Right(List(Op.KeyLookup(word, keys.result(), from, to)))
         }
+      case Some("search") =>
+        // "Search the index for top 5 similar to 3 probing 4 cells." —
+        // ANN probe against the bound persisted vector index; "Search
+        // the index with quantized codes for …" serves through the PQ
+        // layer (ADC) instead of the exact cosine
+        p.next(); p.dropWords("the")
+        p.expectWord("index")
+        val adc = p.peekWordLower.contains("with") && {
+          p.next(); p.dropWords("product")
+          p.expectWord("quantized")
+          p.dropWords("codes", "code")
+          true
+        }
+        p.expectWord("for"); p.dropWords("top", "the")
+        val k = p.expectNum().toInt
+        if (k <= 0) throw ParseException(s"top-k must be positive: $k")
+        p.dropWords("most", "nearest", "similar", "neighbors", "vectors")
+        p.expectWord("to")
+        val qid = p.expectNum().toLong
+        p.expectWord("probing")
+        val nprobe = p.expectNum().toInt
+        if (nprobe <= 0) throw ParseException(
+          s"probed cell count must be positive: $nprobe")
+        p.dropWords("cells", "cell")
+        requireDone(p)
+        Right(List(Op.IndexSearch(qid, k, nprobe, adc)))
       case Some("delete") | Some("forget") | Some("erase") =>
         // "Delete user_id 42 from the table." — PHYSICAL compliance
         // erasure (sidecar-Bloom-pruned copy-on-write rewrite); the

@@ -478,6 +478,14 @@ object Op {
     * pruned copy-on-write rewrite of the may-match days, one atomic
     * flip), then read the post-delete table back. */
   final case class DeleteByKey(keyCol: String, keys: Seq[Long])    extends TableOp
+  /** ANN probe against a bound PERSISTED vector index
+    * ([[graft.operators.IvfIndex]]): the spoken query id's stored
+    * vector probes its `nprobe` nearest cells; `adc = true` scores
+    * through the index's PQ code words
+    * ([[graft.operators.IvfIndex.searchAdc]] — reads m bytes per
+    * candidate, never the floats) instead of the exact cosine. */
+  final case class IndexSearch(queryId: Long, k: Int, nprobe: Int,
+                               adc: Boolean = false)               extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

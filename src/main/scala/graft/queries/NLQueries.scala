@@ -415,6 +415,23 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 5 most similar vectors to 3 using quantized " +
                  "codes with rerank 50.", embs(s, d))),
 
+    // Persisted-index probes, spoken: the CLI binds an index directory
+    // the way it binds a manifested log, and "Search the index …" acts
+    // on it in place — exact rescore (x82's kernels/params) and the PQ
+    // ADC layer (x84's), both narrowed to the one spoken query id.
+    "nl104_index_search" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the index for top 5 similar to 3 probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    "nl105_index_search_pq" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfPqIndexTable(s, d)
+      Engine.run("Search the index with quantized codes for top 5 " +
+                 "similar to 3 probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -804,6 +821,9 @@ object NLQueries extends QueryPack {
     "nl99_key_lookup" -> EventQueries.oracleSql("x75_manifest_point_lookup"),
     "nl100_key_range_lookup" -> EventQueries.oracleSql("x79_manifest_key_range"),
     "nl101_delete_by_key" -> EventQueries.oracleSql("x81_delete_by_key"),
+    "nl104_index_search" -> VectorQueries.ivfReplaySqlFor("vec_id = 3", 4),
+    "nl105_index_search_pq" ->
+      VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl102_similar_pq" -> VectorQueries.pqFlatReplaySql("q.vec_id = 3", 5),
     "nl103_similar_pq_rerank" ->
       VectorQueries.pqRefinedReplaySql("q.vec_id = 3", 5, 50),

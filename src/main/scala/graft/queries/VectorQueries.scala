@@ -44,7 +44,7 @@ object VectorQueries extends QueryPack {
     * on-disk state from an earlier round is deleted — the fresh-process
     * rule the event layouts follow). */
   private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
-  private def ivfIndexTable(s: SparkSession, d: String): String = synchronized {
+  private[queries] def ivfIndexTable(s: SparkSession, d: String): String = synchronized {
     val path = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       "graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
@@ -60,7 +60,7 @@ object VectorQueries extends QueryPack {
 
   /** x84's twin index: same coarse quantizer plus the PQ layer, so ADC
     * probes serve from code words without reading the float vectors. */
-  private def ivfPqIndexTable(s: SparkSession, d: String): String = synchronized {
+  private[queries] def ivfPqIndexTable(s: SparkSession, d: String): String = synchronized {
     val path = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
       "graft_ivfpq_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
@@ -266,7 +266,7 @@ object VectorQueries extends QueryPack {
     * vector's argmax cell, and the probed-cell `cand(query_id,
     * neighbor_id)` pairs. Shared by the IVF oracles (exact rescore) and
     * the IVF-PQ oracle (ADC rescore). */
-  private lazy val ivfCandidatesCte: String =
+  private def ivfCandidatesCte(queryPred: String, nprobe: Int): String =
     s"""cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |    embedding::DOUBLE[] AS emb
@@ -284,15 +284,41 @@ object VectorQueries extends QueryPack {
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM (SELECT vec_id, cell FROM ranked
-       |        WHERE rn <= $IvfNProbe AND vec_id < $NQueries) q
+       |        WHERE rn <= $nprobe AND $queryPred) q
        |  JOIN cellof c ON q.cell = c.cell
        |  WHERE c.vec_id <> q.vec_id)""".stripMargin
+
+  private lazy val ivfDefaultQueryPred = s"vec_id < $NQueries"
 
   /** The x20 IVF Lloyd-replay oracle, shared verbatim with x82 (the
     * persisted-index search must equal the per-query build). */
   private lazy val ivfReplaySql: String =
-    s"""WITH $ivfCandidatesCte
+    ivfReplaySqlFor(ivfDefaultQueryPred, IvfNProbe)
+
+  /** IVF replay (probed-cell candidates + exact rescore) for an
+    * arbitrary query predicate and probe width — shared with the NL
+    * index-search twins. */
+  private[queries] def ivfReplaySqlFor(queryPred: String,
+                                       nprobe: Int): String =
+    s"""WITH ${ivfCandidatesCte(queryPred, nprobe)}
        |$rescoreTopK""".stripMargin
+
+  /** IVF-PQ replay (probed-cell candidates + ADC rescore). `candPred`
+    * filters bare `vec_id`; `lutPred` filters the aliased `q.vec_id`
+    * inside the PQ lookup-table CTE. */
+  private[queries] def ivfPqReplaySqlFor(candPred: String, lutPred: String,
+                                         k: Int, nprobe: Int): String =
+    s"""WITH ${ivfCandidatesCte(candPred, nprobe)},
+       |${pqChainCte(lutPred)},
+       |pscored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    $pqAdcSum AS score
+       |  FROM cand cd
+       |  JOIN pcodes n ON n.vec_id = cd.neighbor_id
+       |  JOIN pluts l ON l.query_id = cd.query_id
+       |    AND l.s = n.s AND l.code = n.code
+       |  GROUP BY cd.query_id, cd.neighbor_id)
+       |${pqRankTail(k)}""".stripMargin
 
   /** One PQ Lloyd iteration per subspace — [[lloydIteration]]'s shape
     * over `psub`'s slices, keyed by (subspace, code): assignment is
@@ -455,17 +481,8 @@ object VectorQueries extends QueryPack {
 
     // IVF-PQ: x20's probed-cell candidates scored by x83's ADC replay.
     "x84_ivfpq_index_search" ->
-      s"""WITH $ivfCandidatesCte,
-         |${pqChainCte(pqDefaultQueryPred)},
-         |pscored AS (
-         |  SELECT cd.query_id, cd.neighbor_id,
-         |    $pqAdcSum AS score
-         |  FROM cand cd
-         |  JOIN pcodes n ON n.vec_id = cd.neighbor_id
-         |  JOIN pluts l ON l.query_id = cd.query_id
-         |    AND l.s = n.s AND l.code = n.code
-         |  GROUP BY cd.query_id, cd.neighbor_id)
-         |${pqRankTail(K)}""".stripMargin,
+      ivfPqReplaySqlFor(ivfDefaultQueryPred, pqDefaultQueryPred,
+                        K, IvfNProbe),
 
     // ADC ranks, the exact cosine rescores the top-50 — the re-rank
     // candidates become `cand` for the shared exact-rescore tail.

@@ -163,6 +163,23 @@ class NLParserSpec extends AnyFunSuite {
       List(O.SimilarTopK(7L, 10)))
   }
 
+  test("search the persisted index") {
+    assert(NLParser.parse(
+      "Search the index for top 5 similar to 3 probing 4 cells.").ops ==
+      List(O.IndexSearch(3L, 5, 4)))
+    assert(NLParser.parse(
+      "Search the index for top 5 nearest to 3 probing 4.").ops ==
+      List(O.IndexSearch(3L, 5, 4)))
+    assert(NLParser.parse(
+      "Search the index with quantized codes for top 5 similar to 3 " +
+      "probing 4 cells.").ops ==
+      List(O.IndexSearch(3L, 5, 4, adc = true)))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Search the index for top 0 similar to 3 probing 4 cells."))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Search the index for top 5 similar to 3 probing 0 cells."))
+  }
+
   test("find top-k similar through quantized codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
