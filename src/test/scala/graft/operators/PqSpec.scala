@@ -183,6 +183,37 @@ class PqSpec extends SparkSpec {
     assert(ranked(IvfIndex.searchAdc(spark, p, queries, K, nprobe = Cells)) == got)
   }
 
+  test("streamed ingest into a PQ index serves ADC bit-identically") {
+    import spark.implicits._
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    // batch-built reference
+    val p = freshPath()
+    IvfIndex.build(half1, p, Cells, pq = Some(Pq.PqParams(M, 64)))
+    IvfIndex.append(half2, p)
+    // streaming twin over the same bootstrap
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-stream").toString
+    val sp = s"$dir/index"
+    IvfIndex.build(half1, sp, Cells, pq = Some(Pq.PqParams(M, 64)))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = IvfIndex.ingest(
+      input.toDF().toDF("vec_id", "embedding"), sp, s"$dir/ckpt")
+    try {
+      val rows = half2.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      input.addData(rows.take(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toSeq: _*)
+      q.processAllAvailable()
+      val queries = embs.filter(col("vec_id") < 4)
+      val got = ranked(IvfIndex.searchAdc(spark, sp, queries, K, NProbe))
+      assert(got == ranked(IvfIndex.searchAdc(spark, p, queries, K, NProbe)))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("searchAdc on a PQ-less index fails loudly") {
     val p = freshPath()
     IvfIndex.build(embs, p, Cells)
