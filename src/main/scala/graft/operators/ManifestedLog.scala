@@ -1008,14 +1008,15 @@ object ManifestedLog {
     if (f.exists(target)) f.delete(target, false)
     if (!f.rename(tmp, target))
       sys.error(s"publishing pin $target failed; tmp content is in $tmp")
-    // Re-verify AFTER publishing: a vacuum sweep that listed _pins/
-    // before this pin landed can still delete the version right after
-    // the retention check above passed. The pin file now exists, so any
-    // FUTURE sweep honors it — if the manifest also still exists here,
-    // no sweep can reclaim it anymore and the pin genuinely protects.
-    // If the manifest is gone, the pin protected nothing: remove it and
-    // fail loudly (the contract is fail-at-pin-time, where the reader
-    // can still react, never a silently useless pin).
+    // Re-verify AFTER publishing — one half of the pin-vs-vacuum
+    // handshake (vacuum's is trash-rename-then-re-read-pins): each side
+    // writes its claim, then checks the other's. If the manifest still
+    // exists here, any sweep that would reclaim it must trash-rename it
+    // FIRST and then re-read _pins/ — where this pin now sits — so it
+    // restores the manifest instead. If the manifest is gone (a sweep's
+    // rename won), the pin protected nothing: remove it and fail loudly
+    // (the contract is fail-at-pin-time, where the reader can still
+    // react, never a silently useless pin).
     if (!f.exists(new Path(root, f"manifest-$version%09d.txt"))) {
       f.delete(target, false)
       sys.error(
@@ -1107,21 +1108,46 @@ object ManifestedLog {
         .getModificationTime > cutoffMs
     val kept = (vs.takeRight(keepVersions).toSet ++ pinnedKept ++
       vs.filter(youngerThanCutoff)).toSeq.sorted
-    val live = kept.flatMap(v => readManifestAt(spark, path, v).values).toSet
-    // every dir ANY still-present manifest references — the complement
-    // (never-referenced) is where an in-flight appender may be writing
-    val referencedEver = vs.flatMap(v =>
-      readManifestAt(spark, path, v).values).toSet
+    // prefetch every manifest's refs BEFORE any delete, so the live set
+    // can be recomputed from whichever manifests actually survive
+    val refsByVersion = vs.map(v =>
+      v -> readManifestAt(spark, path, v).values.toSet).toMap
     val orphanCutoffMs = nowMs - orphanMinAgeMs
     def orphanOldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
       orphanMinAgeMs == 0L || st.getModificationTime < orphanCutoffMs
-    val keptSet = kept.toSet
     var removed = 0L
+    // Phase 1 — manifests, with the pin handshake that closes the
+    // pin-vs-vacuum race: TRASH-RENAME the manifest aside (atomic),
+    // THEN re-read _pins/ (tiny), then restore or drop. Symmetric to
+    // pin()'s publish-then-verify, so every interleaving resolves
+    // consistently: a pin that lands before our re-read restores the
+    // manifest (and its dirs — live is computed AFTER this phase); a
+    // pin that lands after our rename finds the manifest missing in
+    // its own verify step and fails loudly there. No ordering leaves a
+    // pin silently protecting nothing.
+    val alsoKept = scala.collection.mutable.Set.empty[Long]
+    vs.filterNot(kept.contains).foreach { v =>
+      val mf = new Path(root, f"manifest-$v%09d.txt")
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val trash = new Path(root, s".vacuum-trash-$v-$token")
+      if (f.rename(mf, trash)) {
+        if (pins(spark, path).values.exists(_ == v)) {
+          if (!f.rename(trash, mf)) sys.error(
+            s"restoring pinned manifest $mf from $trash failed — " +
+              "restore it manually before the next sweep")
+          alsoKept += v
+        } else { f.delete(trash, false); removed += 1 }
+      }
+    }
+    // Phase 2 — data dirs + staging, live recomputed from survivors
+    val live = (kept ++ alsoKept).flatMap(refsByVersion).toSet
+    // every dir ANY still-present manifest references — the complement
+    // (never-referenced) is where an in-flight appender may be writing
+    val referencedEver = vs.flatMap(refsByVersion).toSet
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
-        case ManifestRe(v) if !keptSet.contains(v.toLong) =>
-          f.delete(st.getPath, false); removed += 1
+        case ManifestRe(_) => () // survivors of phase 1 are all kept
         case _ if name.startsWith("dt=") && !live.contains(name) =>
           if (referencedEver.contains(name) || orphanOldEnough(st)) {
             f.delete(st.getPath, true); removed += 1
