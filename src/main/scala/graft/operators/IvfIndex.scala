@@ -18,9 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <root>/centroids.txt                  # frozen at build
+  *   <root>/centroids-000000001.txt        # quantizer, referenced FROM the manifest
   *   <root>/seg-000000001/cell=<c>/part-….parquet
-  *   <root>/index-manifest-000000001.txt   # newest wins; lists segments
+  *   <root>/index-manifest-000000001.txt   # newest wins; lists quantizer + segments
   * }}}
   *
   * Design points, each the 100 TB argument:
@@ -28,6 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    assign new vectors to the existing cells and land as a new
   *    SEGMENT — cost ∝ batch, never ∝ index. Drifted geometry is a
   *    rebuild, which [[build]] makes explicit.
+  *  - The quantizer files are VERSIONED and referenced from the
+  *    manifest, so (quantizer, segments) flips in the ONE manifest
+  *    rename: a reader mid-rebuild keeps the pairing its manifest was
+  *    published with, and a crashed rebuild leaves the old index
+  *    serving — never new centroids over old segments, which would
+  *    probe cells that disagree with stored assignments and silently
+  *    return wrong neighbors.
   *  - A query probes `nprobe` cells per query vector; the probed cell
   *    set is pushed as a partition filter, so the scan lists and reads
   *    only ~nprobe/cells of each segment's files. Scan fraction is the
@@ -42,10 +49,18 @@ object IvfIndex {
 
   private val ManifestRe = "index-manifest-(\\d{9})\\.txt".r
   private val Header = "graft-ivf-index-manifest-v1"
-  private val CentroidsFile = "centroids.txt"
+  private val LegacyCentroidsFile = "centroids.txt"
   private val CentroidsHeader = "graft-ivf-centroids-v1"
-  private val PqFile = "pq.txt"
+  private val LegacyPqFile = "pq.txt"
   private val PqHeader = "graft-pq-codebooks-v1"
+
+  /** One published index state: the segment list AND the quantizer
+    * files it was assigned under — resolved together from one manifest
+    * read, which is what makes a probe internally consistent under
+    * concurrent rebuild. */
+  final case class IndexManifest(version: Long, segments: Seq[String],
+                                 centroidsFile: String,
+                                 pqFile: Option[String])
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,20 +78,44 @@ object IvfIndex {
 
   /** (version, segment dir names) of the newest manifest. */
   def readManifest(spark: SparkSession, path: String): (Long, Seq[String]) = {
-    val root = new Path(path)
-    val f = fs(spark, root)
+    val m = readManifestFull(spark, path)
+    (m.version, m.segments)
+  }
+
+  /** The newest manifest, quantizer refs included. Manifests written
+    * before quantizer versioning carry no `centroids=`/`pq=` lines and
+    * resolve to the legacy fixed names (the pq fallback probes the
+    * filesystem — pre-versioning pq.txt presence WAS the PQ marker). */
+  def readManifestFull(spark: SparkSession, path: String): IndexManifest = {
     val v = versions(spark, path).lastOption.getOrElse(
       sys.error(s"no index manifest under $path — not an IVF index"))
+    readManifestAt(spark, path, v)
+  }
+
+  private def readManifestAt(spark: SparkSession, path: String,
+                             v: Long): IndexManifest = {
+    val root = new Path(path)
+    val f = fs(spark, root)
     val in = f.open(new Path(root, f"index-manifest-$v%09d.txt"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.linesIterator.toList
     require(lines.headOption.contains(Header), s"$path is not a $Header index")
-    (v, lines.drop(1).filter(_.nonEmpty))
+    val entries = lines.drop(1).filter(_.nonEmpty)
+    val cents = entries.collectFirst { case s if s.startsWith("centroids=") =>
+      s.stripPrefix("centroids=") }
+    val pq = entries.collectFirst { case s if s.startsWith("pq=") =>
+      s.stripPrefix("pq=") }
+    val segs = entries.filterNot(s => s.startsWith("centroids=") || s.startsWith("pq="))
+    IndexManifest(v, segs,
+      cents.getOrElse(LegacyCentroidsFile),
+      pq.orElse(if (cents.isEmpty && f.exists(new Path(root, LegacyPqFile)))
+                  Some(LegacyPqFile) else None))
   }
 
   private def publish(spark: SparkSession, root: Path, version: Long,
-                      segs: Seq[String]): Unit = {
+                      segs: Seq[String], centroidsFile: String,
+                      pqFile: Option[String]): Unit = {
     val f = fs(spark, root)
     val target = new Path(root, f"index-manifest-$version%09d.txt")
     if (f.exists(target)) throw ConcurrentWriteException(
@@ -84,7 +123,9 @@ object IvfIndex {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s".index-manifest-$version-$token.tmp")
     val out = f.create(tmp, true)
-    try out.write((Header +: segs).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val quant = s"centroids=$centroidsFile" +: pqFile.map(p => s"pq=$p").toSeq
+    try out.write((Header +: (quant ++ segs))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -94,27 +135,31 @@ object IvfIndex {
 
   // ---------------------------------------------------------- centroids
 
-  /** The frozen coarse quantizer. `Float.toString`/`toFloat` round-trip
-    * exactly, so the persisted centroids are bit-identical to the built
-    * ones — what keeps stored assignments and re-derived assignments in
-    * agreement forever. */
-  def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
-    val root = new Path(path)
+  /** The frozen coarse quantizer of the NEWEST manifest.
+    * `Float.toString`/`toFloat` round-trip exactly, so the persisted
+    * centroids are bit-identical to the built ones — what keeps stored
+    * assignments and re-derived assignments in agreement forever. */
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    readCentroidsFile(spark, new Path(path),
+      readManifestFull(spark, path).centroidsFile)
+
+  private def readCentroidsFile(spark: SparkSession, root: Path,
+                                file: String): Array[Array[Float]] = {
     val f = fs(spark, root)
-    val in = f.open(new Path(root, CentroidsFile))
+    val in = f.open(new Path(root, file))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.linesIterator.toList
     require(lines.headOption.contains(CentroidsHeader),
-      s"$path/$CentroidsFile is not a $CentroidsHeader file")
+      s"$root/$file is not a $CentroidsHeader file")
     lines.drop(1).filter(_.nonEmpty)
       .map(_.split(',').map(_.toFloat)).toArray
   }
 
-  private def writeCentroids(spark: SparkSession, root: Path,
+  private def writeCentroids(spark: SparkSession, root: Path, file: String,
                              cents: Array[Array[Float]]): Unit = {
     val f = fs(spark, root)
-    val out = f.create(new Path(root, CentroidsFile), true)
+    val out = f.create(new Path(root, file), true)
     try out.write((CentroidsHeader +:
       cents.map(_.map(_.toString).mkString(",")).toSeq)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -123,31 +168,34 @@ object IvfIndex {
 
   // --------------------------------------------------------- PQ layer
 
-  /** The frozen PQ codebooks, present iff the index was built with a
-    * [[Pq.PqParams]] layer. Same `Float.toString` round-trip contract as
-    * the centroids: the persisted codebooks are bit-identical to the
-    * trained ones, so stored code words and re-derived ones agree. */
-  def readPq(spark: SparkSession, path: String): Option[Pq.PqCodebooks] = {
-    val root = new Path(path)
+  /** The frozen PQ codebooks of the NEWEST manifest, present iff the
+    * index was built with a [[Pq.PqParams]] layer. Same
+    * `Float.toString` round-trip contract as the centroids: the
+    * persisted codebooks are bit-identical to the trained ones, so
+    * stored code words and re-derived ones agree. */
+  def readPq(spark: SparkSession, path: String): Option[Pq.PqCodebooks] =
+    readManifestFull(spark, path).pqFile
+      .map(readPqFile(spark, new Path(path), _))
+
+  private def readPqFile(spark: SparkSession, root: Path,
+                         file: String): Pq.PqCodebooks = {
     val f = fs(spark, root)
-    val p = new Path(root, PqFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
+    val in = f.open(new Path(root, file))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.linesIterator.toList
     require(lines.headOption.contains(PqHeader),
-      s"$path/$PqFile is not a $PqHeader file")
+      s"$root/$file is not a $PqHeader file")
     val Array(m, ksub, subDim) = lines(1).split(',').map(_.toInt)
     val flat = lines.drop(2).filter(_.nonEmpty)
       .map(_.split(',').map(_.toFloat)).toArray
-    Some(Pq.PqCodebooks(m, ksub, subDim, flat))
+    Pq.PqCodebooks(m, ksub, subDim, flat)
   }
 
-  private def writePq(spark: SparkSession, root: Path,
+  private def writePq(spark: SparkSession, root: Path, file: String,
                       cb: Pq.PqCodebooks): Unit = {
     val f = fs(spark, root)
-    val out = f.create(new Path(root, PqFile), true)
+    val out = f.create(new Path(root, file), true)
     try out.write((Seq(PqHeader, s"${cb.m},${cb.ksub},${cb.subDim}") ++
       cb.flat.map(_.map(_.toString).mkString(",")).toSeq)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -184,8 +232,11 @@ object IvfIndex {
     * `refineIters` quantized-Lloyd passes — [[Similarity.refineCentroids]],
     * identical to [[Similarity.ivfTopK]]'s pipeline at the same
     * parameters), one cell-partitioned segment, manifest v1. Building
-    * over an existing index replaces it logically (old segments become
-    * unreferenced — [[vacuum]] reclaims). */
+    * over an existing index replaces it logically in the ONE manifest
+    * rename — the new quantizer files and segment are invisible until
+    * the flip, so a crash mid-rebuild (or a concurrent reader) keeps
+    * serving the old (quantizer, segments) pairing; the superseded
+    * files become unreferenced and [[vacuum]] reclaims them. */
   def build(vectors: DataFrame, path: String, cells: Int,
             refineIters: Int = 2, idCol: String = "vec_id",
             vecCol: String = "embedding",
@@ -200,11 +251,13 @@ object IvfIndex {
     val pqCb = pq.map(p =>
       Pq.train(vectors, p.m, p.ksub, p.iters, idCol, vecCol))
     val version = versions(spark, path).lastOption.getOrElse(0L) + 1
-    writeCentroids(spark, root, cents)
-    pqCb.foreach(writePq(spark, root, _))
+    val centsFile = f"centroids-$version%09d.txt"
+    val pqFile = pqCb.map(_ => f"pq-$version%09d.txt")
+    writeCentroids(spark, root, centsFile, cents)
+    pqCb.foreach(cb => writePq(spark, root, pqFile.get, cb))
     val seg = f"seg-$version%09d"
     writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
-    publish(spark, root, version, Seq(seg))
+    publish(spark, root, version, Seq(seg), centsFile, pqFile)
     version
   }
 
@@ -216,7 +269,15 @@ object IvfIndex {
     * returns the current version without writing — which upgrades
     * at-least-once delivery (streaming foreachBatch retries) to
     * exactly-once index content, the same contract the event log gets
-    * from key-dedup. Untagged appends always land. */
+    * from key-dedup. Untagged appends always land.
+    *
+    * RACING appenders converge exactly-once, as the log's do: segment
+    * names carry a random token so two racers never write the same
+    * directory, and the loser of the manifest rename re-reads the
+    * manifest and re-publishes on top — its already-written segment's
+    * cell assignments stay valid because appends never change the
+    * quantizer. A REBUILD winning the race does change it, so the
+    * retry fails loudly instead of publishing stale assignments. */
   def append(vectors: DataFrame, path: String, idCol: String = "vec_id",
              vecCol: String = "embedding",
              batchTag: Option[String] = None): Long = {
@@ -225,17 +286,42 @@ object IvfIndex {
       s"batch tags are [A-Za-z0-9_-]+, got '$t'"))
     val spark = vectors.sparkSession
     val root = new Path(path)
-    val cents = readCentroids(spark, path)
-    val pqCb = readPq(spark, path) // frozen with the centroids, if present
-    val (version, segs) = readManifest(spark, path)
-    val suffix = batchTag.map(t => s"-b$t").getOrElse("")
+    val m0 = readManifestFull(spark, path)
+    val cents = readCentroidsFile(spark, root, m0.centroidsFile)
+    val pqCb = m0.pqFile.map(readPqFile(spark, root, _)) // frozen together
     batchTag.foreach { t =>
-      if (segs.exists(_.endsWith(s"-b$t"))) return version // re-delivery
+      if (m0.segments.exists(_.endsWith(s"-b$t"))) return m0.version
     }
-    val seg = f"seg-${version + 1}%09d$suffix"
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val suffix = batchTag.map(t => s"-b$t").getOrElse("")
+    val seg = s"seg-$token$suffix"
     writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
-    publish(spark, root, version + 1, segs :+ seg)
-    version + 1
+    var m = m0
+    while (true) {
+      try {
+        publish(spark, root, m.version + 1, m.segments :+ seg,
+                m.centroidsFile, m.pqFile)
+        return m.version + 1
+      } catch {
+        case _: ConcurrentWriteException =>
+          m = readManifestFull(spark, path)
+          if (m.centroidsFile != m0.centroidsFile) {
+            fs(spark, root).delete(new Path(root, seg), true)
+            sys.error(s"append to $path lost a race to a REBUILD — the " +
+              "segment was assigned under a replaced quantizer; re-append " +
+              "against the new index")
+          }
+          batchTag.foreach { t =>
+            if (m.segments.exists(_.endsWith(s"-b$t"))) {
+              // the racer delivered this very batch (a retried tagged
+              // append) — drop our duplicate segment and converge
+              fs(spark, root).delete(new Path(root, seg), true)
+              return m.version
+            }
+          }
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Streaming ingest twin: each micro-batch appends one batch-tagged
@@ -252,50 +338,140 @@ object IvfIndex {
       }
       .start()
 
-  /** Fold every segment into one (content-identical, fewer files);
-    * readers flip atomically with the manifest. */
-  def compact(spark: SparkSession, path: String): Long = {
+  /** Per-cell row/byte/file counts from parquet FOOTERS only — the
+    * index twin of the log's `dayStats`: monitoring-grade visibility
+    * into hot-cell skew (the classic IVF failure mode) at metadata
+    * cost, never a data scan. The file listing is driver-side planner
+    * work bounded by the manifest's file count; the footer reads
+    * distribute across the cluster. Row totals are exact, so the
+    * result hash-matches a full-scan group-by — that is its oracle. */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
     val root = new Path(path)
-    val (version, segs) = readManifest(spark, path)
-    if (segs.size <= 1) return version
-    val merged = read(spark, path)
-    val seg = f"seg-${version + 1}%09d"
+    val m = readManifestFull(spark, path)
+    val f = fs(spark, root)
+    val CellRe = "cell=(\\d+)".r
+    val files: Seq[(Long, String, Long)] = for {
+      seg <- m.segments
+      cellDir <- f.listStatus(new Path(root, seg)).toSeq
+      cm <- CellRe.findFirstMatchIn(cellDir.getPath.getName).toSeq
+      st <- f.listStatus(cellDir.getPath).toSeq
+      if st.getPath.getName.endsWith(".parquet")
+    } yield (cm.group(1).toLong, st.getPath.toString, st.getLen)
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .map { case (cell, file, bytes) =>
+        (cell, FooterRead.rowCount(bc.value.value, file), bytes)
+      }
+      .toDF("cell", "n_rows", "bytes")
+      .groupBy("cell")
+      .agg(sum("n_rows").as("n_rows"), sum("bytes").as("bytes"),
+           count(lit(1)).as("files"))
+  }
+
+  private object FooterRead extends Serializable {
+    def rowCount(conf: org.apache.hadoop.conf.Configuration,
+                 file: String): Long = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+  }
+
+  /** Fold every segment into one (content-identical, fewer files);
+    * readers flip atomically with the manifest, and the quantizer refs
+    * carry forward unchanged (compaction moves bytes, never geometry).
+    *
+    * Hot cells RE-TILE instead of re-concentrating: [[cellStats]]'
+    * footer counts size a per-cell tile count (⌈rows/maxRowsPerFile⌉),
+    * a broadcast join tags each row's tile, and the shuffle spreads a
+    * hot cell over that many write tasks — so compaction cost tracks
+    * the SKEWED cell's size with parallelism, not one straggler task,
+    * and `maxRecordsPerFile` makes the per-file bound hard. A probe of
+    * a cold cell stays bounded by that cell's files, never the hottest
+    * cell's. */
+  def compact(spark: SparkSession, path: String,
+              maxRowsPerFile: Long = 1L << 20): Long = {
+    require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive")
+    val root = new Path(path)
+    val m = readManifestFull(spark, path)
+    val merged = readSegments(spark, root, m)
+    val tiles = cellStats(spark, path)
+      .select(col("cell"),
+        ceil(col("n_rows").cast("double") / maxRowsPerFile)
+          .cast("long").as("tiles"))
+    val seg = f"seg-${m.version + 1}%09d"
     val f = fs(spark, root)
     val target = new Path(root, seg)
     if (f.exists(target)) f.delete(target, true)
     merged
-      .repartition(col("cell"))
+      .join(broadcast(tiles), Seq("cell"))
+      .withColumn("tile", pmod(col("vec_id"), greatest(col("tiles"), lit(1L))))
+      .repartition(col("cell"), col("tile"))
+      .drop("tile", "tiles")
       .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
-    publish(spark, root, version + 1, Seq(seg))
-    version + 1
+    publish(spark, root, m.version + 1, Seq(seg), m.centroidsFile, m.pqFile)
+    m.version + 1
   }
 
-  /** Drop superseded manifests and the segments no retained manifest
-    * references. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Long = {
+  /** Drop superseded manifests, and the segments and quantizer files no
+    * retained manifest references.
+    *
+    * `orphanMinAgeMs` guards entries NO manifest has EVER referenced —
+    * exactly what an in-flight [[append]]'s token-named segment, a
+    * mid-rebuild's quantizer files, and `.index-manifest-*.tmp` staging
+    * are until their publish. A vacuum racing live [[ingest]] would
+    * otherwise delete bytes a manifest is about to reference; with the
+    * guard, never-referenced entries reclaim only once older than the
+    * cutoff, while entries a now-deleted manifest DID reference are
+    * superseded published data and reclaim immediately. Sweeps beside
+    * live ingest should set it above the longest append (e.g. 1h); the
+    * 0 default keeps eager cleanup for single-writer use. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             orphanMinAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(orphanMinAgeMs >= 0L, s"orphanMinAgeMs must be >= 0, got $orphanMinAgeMs")
     val root = new Path(path)
     val f = fs(spark, root)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no index manifest under $path")
+    def refsOf(m: IndexManifest): Set[String] =
+      m.segments.toSet + m.centroidsFile ++ m.pqFile
     val kept = vs.takeRight(keepVersions).toSet
-    val live = kept.flatMap { v =>
-      val in = f.open(new Path(root, f"index-manifest-$v%09d.txt"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      text.linesIterator.drop(1).filter(_.nonEmpty).toSet
-    }
+    val manifests = vs.map(v => v -> readManifestAt(spark, path, v)).toMap
+    val live = kept.flatMap(v => refsOf(manifests(v)))
+    // the complement of ever-referenced is where an in-flight writer
+    // may still be staging — that's what the age guard protects
+    val referencedEver = vs.flatMap(v => refsOf(manifests(v))).toSet
+    val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
+    def orphanOldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanMinAgeMs == 0L || st.getModificationTime < orphanCutoffMs
+    def sweepable(name: String, st: org.apache.hadoop.fs.FileStatus): Boolean =
+      !live.contains(name) &&
+        (referencedEver.contains(name) || orphanOldEnough(st))
     var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
         case ManifestRe(v) if !kept.contains(v.toLong) =>
           f.delete(st.getPath, false); removed += 1
-        case _ if name.startsWith("seg-") && !live.contains(name) =>
+        case _ if name.startsWith("seg-") && sweepable(name, st) =>
           f.delete(st.getPath, true); removed += 1
-        case _ if name.startsWith(".") =>
+        case _ if (name.startsWith("centroids-") || name.startsWith("pq-")) &&
+                  sweepable(name, st) =>
+          f.delete(st.getPath, false); removed += 1
+        case _ if name.startsWith(".") && orphanOldEnough(st) =>
           f.delete(st.getPath, true); removed += 1
         case _ => ()
       }
@@ -327,13 +503,37 @@ object IvfIndex {
     * probe filter prunes partitions inside every branch, and a
     * projection prunes columns inside every branch (an ADC probe never
     * reads the float vectors). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val root = new Path(path)
-    val (_, segs) = readManifest(spark, path)
-    val schema = indexSchema(readPq(spark, path).isDefined)
-    segs.map(s => spark.read.schema(schema)
+  def read(spark: SparkSession, path: String): DataFrame =
+    readSegments(spark, new Path(path), readManifestFull(spark, path))
+
+  private def readSegments(spark: SparkSession, root: Path,
+                           m: IndexManifest): DataFrame = {
+    val schema = indexSchema(m.pqFile.isDefined)
+    m.segments.map(s => spark.read.schema(schema)
         .parquet(new Path(root, s).toString))
       .reduce(_.unionByName(_))
+  }
+
+  /** The pruned single-row plan behind [[lookupVector]], exposed so the
+    * executed scan is spec-pinnable: projection keeps `(vec_id,
+    * embedding)` only (a PQ index's code words stay on disk) and the id
+    * equality pushes into every segment's parquet scan, where the
+    * per-cell `vec_id` sort gives row-group min/max skipping. */
+  private[graft] def lookupFrame(spark: SparkSession, path: String,
+                                 id: Long): DataFrame =
+    read(spark, path)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") === id)
+
+  /** The STORED embedding of one indexed id — the bounded query-vector
+    * fetch the NL probe route uses. A one-row driver collect, same
+    * class as the centroid fetch; never feed [[read]] itself into a
+    * probe's query side (it would broadcast a full index scan — at
+    * scale, a full-table read per spoken probe). */
+  def lookupVector(spark: SparkSession, path: String, id: Long): Array[Float] = {
+    val rows = lookupFrame(spark, path, id).limit(1).collect()
+    require(rows.nonEmpty, s"vec_id $id is not stored in the index at $path")
+    rows(0).getSeq[Float](1).toArray
   }
 
   /** ANN search over the index: each query probes its `nprobe` nearest
@@ -352,13 +552,17 @@ object IvfIndex {
              vecCol: String = "embedding"): DataFrame = {
     import graft.functions.SketchFunctions.nearestCentroids
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
-    val cents = readCentroids(spark, path)
+    // ONE manifest read resolves quantizer + segments together — a
+    // rebuild landing mid-probe cannot mix new centroids with old cells
+    val m = readManifestFull(spark, path)
+    val root = new Path(path)
+    val cents = readCentroidsFile(spark, root, m.centroidsFile)
     val qb = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, nprobe)))
     // bounded driver collect: |queries| × nprobe cell ids
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
-    val corpus = read(spark, path).filter(col("cell").isin(probed: _*))
+    val corpus = readSegments(spark, root, m).filter(col("cell").isin(probed: _*))
     val scored = corpus.join(broadcast(qb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -379,8 +583,11 @@ object IvfIndex {
     import graft.functions.PqFunctions.{pqAdc, pqLut}
     import graft.functions.SketchFunctions.nearestCentroids
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
-    val cents = readCentroids(spark, path)
-    val cb = readPq(spark, path).getOrElse(sys.error(
+    // same single-manifest-read consistency as [[search]]
+    val m = readManifestFull(spark, path)
+    val root = new Path(path)
+    val cents = readCentroidsFile(spark, root, m.centroidsFile)
+    val cb = m.pqFile.map(readPqFile(spark, root, _)).getOrElse(sys.error(
       s"$path has no PQ layer — build(..., pq = Some(PqParams(...)))"))
     val qb = queries
       .select(col(idCol).as("query_id"),
@@ -388,7 +595,7 @@ object IvfIndex {
               explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cell"))
     // bounded driver collect: |queries| × nprobe cell ids
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
-    val corpus = read(spark, path)
+    val corpus = readSegments(spark, root, m)
       .select(col("vec_id"), col("codes"), col("cell"))
       .filter(col("cell").isin(probed: _*))
     val scored = corpus.join(broadcast(qb), Seq("cell"))

@@ -135,6 +135,178 @@ class IvfIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the NL probe routes scan only probed cells; the query-vector " +
+       "fetch is projected and pushed") {
+    import graft.SparkSpec.executedFileScans
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells,
+      pq = Some(Pq.PqParams(8, 64))) // PQ layer so the ADC route runs too
+    // the query-vector fetch: (vec_id, embedding) only, id pushed down
+    val lf = IvfIndex.lookupFrame(spark, p, 3L)
+    assert(lf.collect().length == 1)
+    val lookupScans = executedFileScans(lf)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(lookupScans.nonEmpty)
+    lookupScans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read == Set("vec_id", "embedding"),
+        s"lookup read more than the id and the vector: $read")
+      assert(s.dataFilters.nonEmpty,
+        "the id equality did not reach the lookup's data scan")
+    }
+    // the spoken probes: executed index scans bounded by nprobe cells,
+    // and the ADC route's scan never materializes the float vectors —
+    // the same pins x82/x84 carry, applied to the Engine.run path
+    for (adc <- Seq(false, true)) {
+      val nl = if (adc) "Search the index with quantized codes for top 5 " +
+                        "similar to 3 probing 4 cells."
+               else "Search the index for top 5 similar to 3 probing 4 cells."
+      val res = graft.Engine.run(nl, IvfIndex.read(spark, p), tablePath = Some(p))
+      res.collect()
+      val indexScans = executedFileScans(res)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+      assert(indexScans.nonEmpty, "no index scan in the NL probe's plan")
+      val partitionsRead = indexScans.map(s =>
+        s.metrics.get("numPartitions").map(_.value).getOrElse(
+          sys.error(s"scan has no partition metric: ${s.metrics.keys}"))).sum
+      assert(partitionsRead <= NProbe,
+        s"NL probe (adc=$adc) read $partitionsRead cell partitions")
+      if (adc) indexScans.foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        assert(read == Set("vec_id", "codes"),
+          s"NL ADC probe materialized more than the code words: $read")
+      }
+    }
+  }
+
+  test("a rebuild flips (quantizer, segments) atomically; a crashed " +
+       "rebuild leaves the old index serving") {
+    val p = freshPath()
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1: half the corpus at 8 cells
+    IvfIndex.build(embs.filter(col("vec_id") < 250), p, cells = 8)
+    val queries = embs.filter(col("vec_id") < 4)
+    val before = ranked(IvfIndex.search(spark, p, queries, K, NProbe))
+    val m1 = IvfIndex.readManifestFull(spark, p)
+    assert(m1.centroidsFile == "centroids-000000001.txt")
+    // crashed rebuild = everything a build writes EXCEPT the manifest:
+    // materialize a would-be v2 with different geometry in a twin dir,
+    // copy its quantizer + segment over, and do NOT publish
+    val twin = freshPath()
+    IvfIndex.build(embs, twin, cells = Cells)
+    for (name <- Seq("centroids-000000002.txt", "seg-000000002")) {
+      val src = new Path(new Path(twin), name match {
+        case "centroids-000000002.txt" => "centroids-000000001.txt"
+        case _ => "seg-000000001"
+      })
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, new Path(p, name),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    // readers see the OLD pairing — results unchanged
+    assert(IvfIndex.readManifestFull(spark, p) == m1)
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) == before)
+    // a completed rebuild flips in one rename and supersedes everything
+    // (it lands at v2 — crash remnants never bumped the manifest — and
+    // OVERWRITES them, exactly what a restarted rebuild does)
+    IvfIndex.build(embs, p, cells = Cells)
+    val m2 = IvfIndex.readManifestFull(spark, p)
+    assert(m2.centroidsFile == "centroids-000000002.txt" &&
+      m2.segments == Seq("seg-000000002"))
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) ==
+      ranked(Similarity.ivfTopK(queries, embs, K, Cells, NProbe)))
+    // vacuum reclaims the superseded v1 quantizer + segments, keeps v2's
+    assert(IvfIndex.vacuum(spark, p) > 0L)
+    assert(!f.exists(new Path(p, "centroids-000000001.txt")))
+    assert(f.exists(new Path(p, "centroids-000000002.txt")))
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) ==
+      ranked(Similarity.ivfTopK(queries, embs, K, Cells, NProbe)))
+  }
+
+  test("racing untagged appenders both land exactly-once via publish retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = freshPath()
+    IvfIndex.build(embs.filter(col("vec_id") < 100), p, Cells)
+    val parts = (0 until 4).map(i =>
+      embs.filter(col("vec_id") >= 100 && col("vec_id") % 4 === i))
+    val futures = parts.map(b => Future(IvfIndex.append(b, p)))
+    val versions = Await.result(Future.sequence(futures), 5.minutes)
+    // every racer published some version; together they reach v5
+    assert(versions.toSet.subsetOf(Set(2L, 3L, 4L, 5L)))
+    assert(IvfIndex.readManifestFull(spark, p).version == 5L)
+    assert(IvfIndex.read(spark, p).count() == embs.count())
+    // content identical to a serial build over the full corpus's cells
+    val queries = embs.filter(col("vec_id") < 4)
+    val cents = IvfIndex.readCentroids(spark, p)
+    import graft.functions.SketchFunctions.nearestCentroids
+    val mismatched = IvfIndex.read(spark, p).withColumn("want",
+        nearestCentroids(col("embedding"), cents, 1)(0))
+      .filter(col("cell") =!= col("want")).count()
+    assert(mismatched == 0L)
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)).nonEmpty)
+  }
+
+  test("cellStats equals the full-scan group-by; compact re-tiles " +
+       "oversized cells into bounded files") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, cells = 4) // few cells → every cell oversized
+    val queries = embs.filter(col("vec_id") < 4)
+    val before = ranked(IvfIndex.search(spark, p, queries, K, nprobe = 2))
+    // footer-only stats == full data scan
+    def scanCounts() = IvfIndex.read(spark, p).groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def statCounts() = IvfIndex.cellStats(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(statCounts() == scanCounts() && statCounts().nonEmpty)
+    // re-tile: every cell is > 50 rows here, so compaction must split
+    // them into multiple files, each within the hard bound
+    IvfIndex.compact(spark, p, maxRowsPerFile = 50)
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = IvfIndex.readManifestFull(spark, p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statuses = for {
+      seg <- m.segments
+      cellDir <- f.listStatus(new Path(p, seg)).toSeq
+      if cellDir.getPath.getName.startsWith("cell=")
+      st <- f.listStatus(cellDir.getPath).toSeq
+      if st.getPath.getName.endsWith(".parquet")
+    } yield st
+    assert(statuses.nonEmpty)
+    val perFileRows = statuses.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }
+    assert(perFileRows.forall(_ <= 50L),
+      s"a compacted file exceeds the bound: ${perFileRows.max} rows")
+    assert(perFileRows.size > statCounts().size,
+      "oversized cells did not split into multiple files")
+    // content and serving invariant under the re-tile
+    assert(statCounts() == scanCounts())
+    assert(ranked(IvfIndex.search(spark, p, queries, K, nprobe = 2)) == before)
+  }
+
+  test("vacuum's orphan-age guard shields a racing appender's staging") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells)
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a never-referenced young segment + tmp = an in-flight append
+    f.mkdirs(new Path(p, "seg-inflight01"))
+    f.create(new Path(p, ".index-manifest-2-abc.tmp"), true).close()
+    IvfIndex.vacuum(spark, p, keepVersions = 1, orphanMinAgeMs = 3600000L)
+    assert(f.exists(new Path(p, "seg-inflight01")),
+      "orphan-age guard failed to shield an in-flight segment")
+    assert(f.exists(new Path(p, ".index-manifest-2-abc.tmp")))
+    // eager default reclaims both
+    IvfIndex.vacuum(spark, p)
+    assert(!f.exists(new Path(p, "seg-inflight01")))
+    assert(!f.exists(new Path(p, ".index-manifest-2-abc.tmp")))
+  }
+
   test("compact folds segments; vacuum reclaims; crash leaves the index intact") {
     val p = freshPath()
     IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, Cells)
