@@ -85,14 +85,42 @@ object Compiler {
         ManifestedLog.load(spark, path)
       case Op.IndexSearch(qid, k, nprobe, adc) =>
         import graft.operators.IvfIndex
-        // the spoken query id's STORED vector probes the index
-        val queries = IvfIndex.read(spark, path)
-          .filter(col("vec_id") === qid)
-        val res =
-          if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
-          else IvfIndex.search(spark, path, queries, k, nprobe)
-        res.withColumn("score", round(col("score"), 6))
+        // The spoken id's STORED vector probes the index. Fetch it via
+        // the projected, predicate-pushed single-row read (bounded
+        // driver collect — same class as the centroid fetch) and probe
+        // with a one-row literal frame: the probe's broadcast query
+        // side must never carry an index scan, which at scale is a
+        // full-table read per spoken probe.
+        val vec = IvfIndex.lookupVector(spark, path, qid)
+        indexProbe(spark, path, qid, vec, k, nprobe, adc)
+      case Op.IndexSearchVec(vec, k, nprobe, adc) =>
+        // an UNSEEN literal query vector — nothing to fetch; the id -1
+        // is outside the stored id space, so no candidate is excluded
+        indexProbe(spark, path, -1L, vec.toArray, k, nprobe, adc)
+      case Op.IndexCompact =>
+        graft.operators.IvfIndex.compact(spark, path)
+        graft.operators.IvfIndex.read(spark, path)
+      case Op.IndexVacuumKeep(k) =>
+        graft.operators.IvfIndex.vacuum(spark, path, keepVersions = k)
+        graft.operators.IvfIndex.read(spark, path)
     }
+  }
+
+  /** One query vector, as a LITERAL one-row frame, against the bound
+    * index — shared by the stored-id and literal-vector probe routes.
+    * The local relation broadcasts as a handful of floats; all index
+    * bytes the probe touches flow through the partition-pruned
+    * candidate side. */
+  private def indexProbe(spark: org.apache.spark.sql.SparkSession,
+                         path: String, qid: Long, vec: Array[Float],
+                         k: Int, nprobe: Int, adc: Boolean): DataFrame = {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
+    val res =
+      if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
+      else IvfIndex.search(spark, path, queries, k, nprobe)
+    res.withColumn("score", round(col("score"), 6))
   }
 
   /** The table's colocated snapshot sidecar table: an underscore name

@@ -118,7 +118,9 @@ object NLParser {
         if (end < 0) throw ParseException(s"unterminated quote at $i in: $input0")
         toks += Quoted(input.substring(i + 1, end)); i = end + 1
       } else if (c == '(' || c == ')' || c == ',' || c == '%' ||
-                 c == '*' || c == '+') { toks += Sym(c.toString); i += 1 }
+                 c == '*' || c == '+' || c == '[' || c == ']') {
+        toks += Sym(c.toString); i += 1
+      }
       else if ("<>=!".contains(c)) {
         val start = i
         while (i < input.length && "<>=!".contains(input(i))) i += 1
@@ -1441,28 +1443,41 @@ object NLParser {
       case Some("compact") =>
         // "Compact closed days before '<iso-8601>'." (or "... with
         // watermark '<iso>'") — compaction discovery behind the
-        // watermark, one atomic manifest flip, table content invariant
-        p.next(); p.dropWords("the", "closed", "days", "day", "table", "log")
-        p.peekWordLower match {
-          case Some("before") => p.next()
-          case Some("with")   => p.next(); p.expectWord("watermark")
-          case other => throw ParseException(
-            s"expected 'before <ts>' or 'with watermark <ts>' after compact, got $other")
+        // watermark, one atomic manifest flip, table content invariant.
+        // "Compact the index." folds the bound VECTOR INDEX's segments
+        // (hot cells re-tile into bounded files) — content invariant.
+        p.next(); p.dropWords("the")
+        if (p.peekWordLower.contains("index")) {
+          p.next(); requireDone(p)
+          Right(List(Op.IndexCompact))
+        } else {
+          p.dropWords("closed", "days", "day", "table", "log")
+          p.peekWordLower match {
+            case Some("before") => p.next()
+            case Some("with")   => p.next(); p.expectWord("watermark")
+            case other => throw ParseException(
+              s"expected 'before <ts>' or 'with watermark <ts>' after compact, got $other")
+          }
+          val wm = isoToUs(p.expectStr())
+          requireDone(p)
+          Right(List(Op.CompactClosedDays(wm)))
         }
-        val wm = isoToUs(p.expectStr())
-        requireDone(p)
-        Right(List(Op.CompactClosedDays(wm)))
       case Some("vacuum") =>
         // "Vacuum the table keeping 3 versions." — trim retained
-        // history (reader pins are honored); content invariant
-        p.next(); p.dropWords("the", "table", "log", "events")
+        // history (reader pins are honored); content invariant.
+        // "Vacuum the index keeping 1 versions." is the VECTOR INDEX
+        // twin (unreferenced segments + quantizer files reclaimed).
+        p.next(); p.dropWords("the")
+        val onIndex = p.peekWordLower.contains("index") && { p.next(); true }
+        p.dropWords("table", "log", "events")
         p.dropWords("keeping", "keep")
         val k = p.expectNum()
         if (k < 1 || k != k.toInt) throw ParseException(
           s"vacuum keeps a positive integer version count: $k")
         p.dropWords("versions", "version")
         requireDone(p)
-        Right(List(Op.VacuumKeep(k.toInt)))
+        Right(List(
+          if (onIndex) Op.IndexVacuumKeep(k.toInt) else Op.VacuumKeep(k.toInt)))
       case Some("maintain") =>
         // "Maintain the snapshot of the table." — advance the colocated
         // CDC snapshot through the change feed (cost ∝ delta, no-op
@@ -1513,7 +1528,9 @@ object NLParser {
         // "Search the index for top 5 similar to 3 probing 4 cells." —
         // ANN probe against the bound persisted vector index; "Search
         // the index with quantized codes for …" serves through the PQ
-        // layer (ADC) instead of the exact cosine
+        // layer (ADC) instead of the exact cosine. "… similar to
+        // vector [0.1, -0.2, …] probing …" probes with an UNSEEN
+        // literal query vector — the actual serving shape.
         p.next(); p.dropWords("the")
         p.expectWord("index")
         val adc = p.peekWordLower.contains("with") && {
@@ -1527,14 +1544,27 @@ object NLParser {
         if (k <= 0) throw ParseException(s"top-k must be positive: $k")
         p.dropWords("most", "nearest", "similar", "neighbors", "vectors")
         p.expectWord("to")
-        val qid = p.expectNum().toLong
-        p.expectWord("probing")
-        val nprobe = p.expectNum().toInt
-        if (nprobe <= 0) throw ParseException(
-          s"probed cell count must be positive: $nprobe")
-        p.dropWords("cells", "cell")
-        requireDone(p)
-        Right(List(Op.IndexSearch(qid, k, nprobe, adc)))
+        def nprobeTail(): Int = {
+          p.expectWord("probing")
+          val nprobe = p.expectNum().toInt
+          if (nprobe <= 0) throw ParseException(
+            s"probed cell count must be positive: $nprobe")
+          p.dropWords("cells", "cell")
+          requireDone(p)
+          nprobe
+        }
+        if (p.peekWordLower.contains("vector")) {
+          p.next()
+          p.expectSym("[")
+          val vec = Seq.newBuilder[Float]
+          vec += p.expectNum().toFloat
+          while (p.peek.contains(Sym(","))) { p.next(); vec += p.expectNum().toFloat }
+          p.expectSym("]")
+          Right(List(Op.IndexSearchVec(vec.result(), k, nprobeTail(), adc)))
+        } else {
+          val qid = p.expectNum().toLong
+          Right(List(Op.IndexSearch(qid, k, nprobeTail(), adc)))
+        }
       case Some("delete") | Some("forget") | Some("erase") =>
         // "Delete user_id 42 from the table." — PHYSICAL compliance
         // erasure (sidecar-Bloom-pruned copy-on-write rewrite); the

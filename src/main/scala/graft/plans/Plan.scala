@@ -486,6 +486,20 @@ object Op {
     * candidate, never the floats) instead of the exact cosine. */
   final case class IndexSearch(queryId: Long, k: Int, nprobe: Int,
                                adc: Boolean = false)               extends TableOp
+  /** ANN probe with an UNSEEN literal query vector — the actual serving
+    * shape (a fresh embedding probes the index; the stored-id form is a
+    * benchmark convenience). The literal becomes a one-row broadcast
+    * frame with query_id -1; same probe kernels as [[IndexSearch]]. */
+  final case class IndexSearchVec(vec: Seq[Float], k: Int, nprobe: Int,
+                                  adc: Boolean = false)            extends TableOp
+  /** Fold the bound index's segments into one, re-tiling hot cells
+    * into bounded files ([[graft.operators.IvfIndex.compact]]), then
+    * read the index content back — content must be invariant. */
+  case object IndexCompact                                         extends TableOp
+  /** Trim the bound index's retained history to the newest `keep`
+    * manifests ([[graft.operators.IvfIndex.vacuum]]), then read the
+    * index content back — content invariant. */
+  final case class IndexVacuumKeep(keep: Int)                      extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

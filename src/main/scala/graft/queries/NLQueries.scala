@@ -432,6 +432,42 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Literal-vector probes — the ACTUAL serving shape: a fresh
+    // (unindexed) embedding spoken as a bracketed float list probes
+    // the index; the oracle replays the probe with the same literal's
+    // exact float→double widenings inlined.
+    "nl106_index_search_vec" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the index for top 5 similar to vector " +
+                 s"${VectorQueries.litVecSpoken} probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    "nl107_index_search_vec_pq" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfPqIndexTable(s, d)
+      Engine.run("Search the index with quantized codes for top 5 " +
+                 s"similar to vector ${VectorQueries.litVecSpoken} " +
+                 "probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    // Index maintenance routes, spoken — the log's nl95/nl96 pattern on
+    // the vector index: the verbs fold/trim layout and history, the
+    // read-back content must still be exactly the replayed Lloyd
+    // assignment (content invariance IS the oracle).
+    "nl108_index_compact" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Compact the index and select columns vec_id and cell.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    "nl109_index_vacuum" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Vacuum the index keeping 1 versions and select columns " +
+                 "vec_id and cell.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -824,6 +860,10 @@ object NLQueries extends QueryPack {
     "nl104_index_search" -> VectorQueries.ivfReplaySqlFor("vec_id = 3", 4),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
+    "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),
+    "nl107_index_search_vec_pq" -> VectorQueries.ivfPqLiteralReplaySql(5, 4),
+    "nl108_index_compact" -> VectorQueries.indexContentReplaySql,
+    "nl109_index_vacuum" -> VectorQueries.indexContentReplaySql,
     "nl102_similar_pq" -> VectorQueries.pqFlatReplaySql("q.vec_id = 3", 5),
     "nl103_similar_pq_rerank" ->
       VectorQueries.pqRefinedReplaySql("q.vec_id = 3", 5, 50),

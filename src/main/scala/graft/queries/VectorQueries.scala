@@ -150,6 +150,14 @@ object VectorQueries extends QueryPack {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // Per-cell index stats from parquet footers ONLY (no data scan) —
+    // hot-cell visibility for the IVF layout, the dayStats recipe
+    // applied to seg-*/cell=*. Row totals are exact, so the full-scan
+    // Lloyd-replay group-by is its oracle.
+    "x86_index_cell_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.IvfIndex.cellStats(s, ivfIndexTable(s, d))
+        .select(col("cell"), col("n_rows"))),
+
     // Banded near-dup pairs — the in-repo scale path for x7's all-pairs
     // cosine (measured quadratic at sf1): recall < 1 by design, exactly
     // replayable since the planes bake into SQL like x2's.
@@ -245,10 +253,12 @@ object VectorQueries extends QueryPack {
       }
       .mkString(",\n")
 
-  /** Exact rescore + per-query top-k over a candidate CTE named `cand`
-    * with columns (query_id, neighbor_id) — the shared tail of the x1
-    * semantics the approximate variants rescore with. */
-  private def rescoreTopK: String =
+  /** Exact rescore + per-query top-`limit` over a candidate CTE named
+    * `cand` with columns (query_id, neighbor_id) — the shared tail of
+    * the x1 semantics the approximate variants rescore with. The limit
+    * is a parameter (like [[pqRankTail]]'s) so a caller with k != $K
+    * gets the oracle it asked for, not a silently truncated one. */
+  private def rescoreTopK(limit: Int): String =
     s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
@@ -260,13 +270,13 @@ object VectorQueries extends QueryPack {
        |  FROM cand
        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
        |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
-       |WHERE rank <= $K""".stripMargin
+       |WHERE rank <= $limit""".stripMargin
 
-  /** The x20 Lloyd-replay candidate chain: refined centroids, every
-    * vector's argmax cell, and the probed-cell `cand(query_id,
-    * neighbor_id)` pairs. Shared by the IVF oracles (exact rescore) and
-    * the IVF-PQ oracle (ADC rescore). */
-  private def ivfCandidatesCte(queryPred: String, nprobe: Int): String =
+  /** The corpus side of the x20 Lloyd replay: refined centroids
+    * (`cents2`) and every vector's argmax cell (`cellof`). Shared by
+    * the embeddings-drawn candidate chain and the literal-vector probe
+    * replay. */
+  private def ivfCorpusCte: String =
     s"""cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
        |    embedding::DOUBLE[] AS emb
@@ -280,13 +290,105 @@ object VectorQueries extends QueryPack {
        |ranked AS (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, cell ASC) AS rn FROM cs),
-       |cellof AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       |cellof AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** The x20 Lloyd-replay candidate chain: [[ivfCorpusCte]] plus the
+    * probed-cell `cand(query_id, neighbor_id)` pairs for queries drawn
+    * from the embeddings table. Shared by the IVF oracles (exact
+    * rescore) and the IVF-PQ oracle (ADC rescore). */
+  private def ivfCandidatesCte(queryPred: String, nprobe: Int): String =
+    s"""$ivfCorpusCte,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM (SELECT vec_id, cell FROM ranked
        |        WHERE rn <= $nprobe AND $queryPred) q
        |  JOIN cellof c ON q.cell = c.cell
        |  WHERE c.vec_id <> q.vec_id)""".stripMargin
+
+  /** The literal probe vector of the NL index-search-by-vector routes:
+    * a deterministic 64-dim vector NOT in the corpus — the serving
+    * shape is a fresh embedding probing the index. The Spark side
+    * parses these floats from the spoken text; the oracle inlines
+    * their exact float→double widenings, so both engines score the
+    * bit-identical query. */
+  private[queries] val LitVec: Array[Float] =
+    Array.tabulate(Dim)(i => (((i * 37) % 19) - 9) / 10.0f)
+
+  /** The literal vector as it is SPOKEN ("[0.1, -0.2, …]") —
+    * `Float.toString`/`toFloat` round-trip, so the parsed floats are
+    * bit-identical to [[LitVec]]. */
+  private[queries] def litVecSpoken: String =
+    LitVec.map(_.toString).mkString("[", ", ", "]")
+
+  /** qv/qcs/qranked/cand CTEs for the literal query vector (query_id
+    * -1, so no corpus candidate is self-excluded): assigns the literal
+    * to its `nprobe` best cells against the replayed centroids, then
+    * joins candidates on the stored cell — exactly [[ivfCandidatesCte]]
+    * with the query drawn from a VALUES literal instead of the table. */
+  private def litCandCte(nprobe: Int): String = {
+    val lits = LitVec.map(_.toDouble.toString).mkString("[", ", ", "]")
+    s"""qv(query_id, emb) AS (VALUES (-1::BIGINT, $lits::DOUBLE[])),
+       |qcs AS (
+       |  SELECT q.query_id, c.cell,
+       |    list_cosine_similarity(q.emb, c.emb) AS sim
+       |  FROM qv q, cents2 c),
+       |qranked AS (
+       |  SELECT query_id, cell, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, cell ASC) AS rn FROM qcs),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM (SELECT query_id, cell FROM qranked WHERE rn <= $nprobe) q
+       |  JOIN cellof c ON q.cell = c.cell)""".stripMargin
+  }
+
+  /** Index CONTENT as (vec_id, cell) — the replayed Lloyd assignment of
+    * every corpus vector. The oracle of the NL index-maintenance
+    * routes: compact/vacuum must leave exactly this content. */
+  private[queries] def indexContentReplaySql: String =
+    s"""WITH $ivfCorpusCte
+       |SELECT vec_id, cell FROM cellof""".stripMargin
+
+  /** Literal-vector IVF probe replay (exact rescore): the query side of
+    * the rescore joins `qv`, not the embeddings table. */
+  private[queries] def ivfLiteralReplaySql(k: Int, nprobe: Int): String =
+    s"""WITH $ivfCorpusCte,
+       |${litCandCte(nprobe)}
+       |SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(qv.emb,
+       |                                      ce.embedding::DOUBLE[]) DESC,
+       |               cand.neighbor_id ASC) AS rank,
+       |    list_cosine_similarity(qv.emb, ce.embedding::DOUBLE[]) AS score
+       |  FROM cand
+       |  JOIN qv ON qv.query_id = cand.query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Literal-vector IVF-PQ probe replay: probed-cell candidates from
+    * the literal, ADC scores through the replayed codebooks, with the
+    * per-subspace lookup table built from the literal's slices. */
+  private[queries] def ivfPqLiteralReplaySql(k: Int, nprobe: Int): String =
+    s"""WITH $ivfCorpusCte,
+       |${litCandCte(nprobe)},
+       |$pqCodesCte,
+       |qsub AS (
+       |  SELECT query_id, s.s AS s,
+       |    (emb)[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS sv
+       |  FROM qv, unnest(range(0, $PqM)) AS s(s)),
+       |pluts AS (
+       |  SELECT q.query_id, c.s, c.code,
+       |    list_dot_product(q.sv, c.cb) AS dp
+       |  FROM qsub q JOIN pq2 c ON c.s = q.s),
+       |pscored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    $pqAdcSum AS score
+       |  FROM cand cd
+       |  JOIN pcodes n ON n.vec_id = cd.neighbor_id
+       |  JOIN pluts l ON l.query_id = cd.query_id
+       |    AND l.s = n.s AND l.code = n.code
+       |  GROUP BY cd.query_id, cd.neighbor_id)
+       |${pqRankTail(k)}""".stripMargin
 
   private lazy val ivfDefaultQueryPred = s"vec_id < $NQueries"
 
@@ -298,10 +400,10 @@ object VectorQueries extends QueryPack {
   /** IVF replay (probed-cell candidates + exact rescore) for an
     * arbitrary query predicate and probe width — shared with the NL
     * index-search twins. */
-  private[queries] def ivfReplaySqlFor(queryPred: String,
-                                       nprobe: Int): String =
+  private[queries] def ivfReplaySqlFor(queryPred: String, nprobe: Int,
+                                       k: Int = K): String =
     s"""WITH ${ivfCandidatesCte(queryPred, nprobe)}
-       |$rescoreTopK""".stripMargin
+       |${rescoreTopK(k)}""".stripMargin
 
   /** IVF-PQ replay (probed-cell candidates + ADC rescore). `candPred`
     * filters bare `vec_id`; `lutPred` filters the aliased `q.vec_id`
@@ -349,11 +451,11 @@ object VectorQueries extends QueryPack {
        |  FROM $prev c LEFT JOIN psums_$out p ON p.s = c.s AND p.code = c.code
        |  GROUP BY c.s, c.code, c.cb)""".stripMargin
 
-  /** The PQ replay chain: per-(vector, subspace) slices, slice seeds,
-    * two Lloyd iterations, final code assignment (`pcodes` — the replay
-    * of `Pq.encode`), and per-query ADC lookup tables (`pluts` — the
-    * replay of `pq_lut`). */
-  private def pqChainCte(queryPred: String): String =
+  /** Slices, seeds, two Lloyd iterations, and final code assignment
+    * (`pcodes` — the replay of `Pq.encode`), without any query-side
+    * lookup table: shared by the embeddings-query chain and the
+    * literal-vector ADC replay. */
+  private def pqCodesCte: String =
     s"""psub AS (
        |  SELECT vec_id, s.s AS s,
        |    (embedding::DOUBLE[])[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS sv
@@ -372,7 +474,12 @@ object VectorQueries extends QueryPack {
        |      row_number() OVER (PARTITION BY b.vec_id, b.s
        |        ORDER BY list_distance(b.sv, c.cb) ASC, c.code ASC) AS rn
        |    FROM psub b JOIN pq2 c ON c.s = b.s)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** [[pqCodesCte]] plus per-query ADC lookup tables (`pluts` — the
+    * replay of `pq_lut`) for queries drawn from the embeddings table. */
+  private def pqChainCte(queryPred: String): String =
+    s"""$pqCodesCte,
        |pluts AS (
        |  SELECT q.vec_id AS query_id, c.s, c.code,
        |    list_dot_product(q.sv, c.cb) AS dp
@@ -402,7 +509,7 @@ object VectorQueries extends QueryPack {
        |        ORDER BY score DESC, neighbor_id ASC) AS rn
        |    FROM pscored)
        |  WHERE rn <= $rerank)
-       |$rescoreTopK""".stripMargin
+       |${rescoreTopK(k)}""".stripMargin
 
   /** The ADC sum: one pivoted term per subspace, added left-to-right —
     * the exact association `PqKernels.adc` uses. */
@@ -461,7 +568,7 @@ object VectorQueries extends QueryPack {
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
          |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
-         |$rescoreTopK""".stripMargin,
+         |${rescoreTopK(K)}""".stripMargin,
 
     // Full IVF replay: seed centroids = the $IvfCentroids smallest corpus
     // ids, refined by two quantized Lloyd iterations (bit-identical to
@@ -473,6 +580,13 @@ object VectorQueries extends QueryPack {
     "x20_ann_ivf" -> ivfReplaySql,
 
     "x82_ivf_index_search" -> ivfReplaySql,
+
+    // The stored cells are the replayed Lloyd assignment; footer counts
+    // are exact, so the metadata-only stats hash-match this full
+    // recompute.
+    "x86_index_cell_stats" ->
+      s"""WITH $ivfCorpusCte
+         |SELECT cell, count(*) AS n_rows FROM cellof GROUP BY cell""".stripMargin,
 
     // Full PQ replay: slice seeds → two per-subspace Lloyd iterations →
     // code assignment → per-query ADC tables → quantized inner products,

@@ -180,6 +180,34 @@ class NLParserSpec extends AnyFunSuite {
       "Search the index for top 5 similar to 3 probing 0 cells."))
   }
 
+  test("search the index with a literal query vector") {
+    assert(NLParser.parse(
+      "Search the index for top 5 similar to vector [0.1, -0.2, 0.25] " +
+      "probing 4 cells.").ops ==
+      List(O.IndexSearchVec(Seq(0.1f, -0.2f, 0.25f), 5, 4)))
+    assert(NLParser.parse(
+      "Search the index with quantized codes for top 3 similar to " +
+      "vector [1, 0, -1] probing 2 cells.").ops ==
+      List(O.IndexSearchVec(Seq(1f, 0f, -1f), 3, 2, adc = true)))
+    // unterminated / empty brackets fail loudly
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Search the index for top 5 similar to vector [0.1, 0.2 probing 4 cells."))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Search the index for top 5 similar to vector [] probing 4 cells."))
+  }
+
+  test("index maintenance verbs") {
+    assert(NLParser.parse("Compact the index.").ops == List(O.IndexCompact))
+    assert(NLParser.parse("Vacuum the index keeping 1 versions.").ops ==
+      List(O.IndexVacuumKeep(1)))
+    assert(NLParser.parse(
+      "Compact the index and select columns vec_id and cell.").ops ==
+      List(O.IndexCompact, O.Select(Seq("vec_id", "cell"))))
+    // the table verbs are untouched by the index twins
+    assert(NLParser.parse("Vacuum the table keeping 2 versions.").ops ==
+      List(O.VacuumKeep(2)))
+  }
+
   test("find top-k similar through quantized codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
