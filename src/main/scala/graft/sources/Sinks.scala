@@ -30,10 +30,36 @@ object Sinks {
     s"transform_${slug(description)}_$ts.csv"
   }
 
+  /** Render columns the CSV datasource rejects (arrays, structs, maps,
+    * binary) as text — JSON for complex types, hex for bytes — so every
+    * NL verb's result is exportable through [[csvSingleFile]] (an index
+    * read carries `embedding: array<float>`; a PQ index adds `codes`).
+    * The single-file CSV is the human-facing path; lossless text
+    * rendering is the right contract there. Scale outputs go through
+    * [[parquetPartitioned]], which keeps the native types. */
+  private def csvSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hex, to_json}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          to_json(col(f.name)).as(f.name)
+        case BinaryType => hex(col(f.name)).as(f.name)
+        case _          => col(f.name)
+      }
+    }
+    val needsRewrite = df.schema.fields.exists(f => f.dataType match {
+      case _: ArrayType | _: StructType | _: MapType | BinaryType => true
+      case _ => false
+    })
+    if (needsRewrite) df.select(cols.toIndexedSeq: _*) else df
+  }
+
   /** S3 — single-file CSV export with header; header-only when empty.
     * Writes via a temp directory then renames the lone part file to the
     * target name. Returns the final file path. */
-  def csvSingleFile(df: DataFrame, outDir: String, fileName: String): Path = {
+  def csvSingleFile(df0: DataFrame, outDir: String, fileName: String): Path = {
+    val df = csvSafe(df0)
     val target = Paths.get(outDir, fileName)
     Files.createDirectories(target.getParent)
     val tmp = Files.createTempDirectory(Paths.get(outDir), ".csv_out")

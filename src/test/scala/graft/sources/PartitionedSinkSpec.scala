@@ -44,4 +44,17 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(filesPerPartition.forall(_ == 1),
       s"expected exactly one file per partition, got ${filesPerPartition.mkString(",")}")
   }
+
+  test("csvSingleFile renders array/binary columns as text instead of failing") {
+    import spark.implicits._
+    // the shape an index read exports: id + float vector + code bytes
+    val df = Seq((1L, Array(0.5f, -1.25f), Array[Byte](0x0a, 0x7f)))
+      .toDF("vec_id", "embedding", "codes")
+    val out = java.nio.file.Files.createTempDirectory("graft-csvsafe").toString
+    val path = Sinks.csvSingleFile(df, out, "export.csv")
+    val lines = java.nio.file.Files.readAllLines(path)
+    assert(lines.get(0) == "vec_id,embedding,codes")
+    assert(lines.get(1) == "1,\"[0.5,-1.25]\",0A7F",
+      s"unexpected rendering: ${lines.get(1)}")
+  }
 }
