@@ -103,6 +103,9 @@ object Compiler {
       case Op.IndexVacuumKeep(k) =>
         graft.operators.IvfIndex.vacuum(spark, path, keepVersions = k)
         graft.operators.IvfIndex.read(spark, path)
+      case Op.IndexCellProfile =>
+        graft.operators.IvfIndex.cellStats(spark, path)
+          .select(col("cell"), col("n_rows"))
     }
   }
 

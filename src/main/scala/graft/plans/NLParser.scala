@@ -1419,15 +1419,21 @@ object NLParser {
         requireDone(p)
         Right(List(Op.DemuxFrames))
       case Some("profile") =>
-        // "Profile events by day." — per-UTC-day row counts + ts bounds
-        p.next(); p.dropWords("the", "events", "event", "log", "table")
+        // "Profile events by day." — per-UTC-day row counts + ts bounds.
+        // "Profile the index by cell." — the IVF twin: per-cell counts
+        // from parquet footers only (hot-cell skew visibility).
+        p.next(); p.dropWords("the")
+        val onIndex = p.peekWordLower.contains("index") && { p.next(); true }
+        p.dropWords("events", "event", "log", "table")
         p.expectWord("by")
         p.peekWordLower match {
-          case Some("day") | Some("date") => p.next()
-          case other => throw ParseException(s"expected 'day' after profile ... by, got $other")
+          case Some("day") | Some("date") if !onIndex => p.next()
+          case Some("cell") if onIndex => p.next()
+          case other => throw ParseException(
+            s"expected '${if (onIndex) "cell" else "day"}' after profile ... by, got $other")
         }
         requireDone(p)
-        Right(List(Op.DayProfile))
+        Right(List(if (onIndex) Op.IndexCellProfile else Op.DayProfile))
       case Some("read") | Some("load") =>
         // "Read the table at version 12." — time travel against the
         // bound manifested table; downstream clauses compose over the

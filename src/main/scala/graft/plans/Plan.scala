@@ -500,6 +500,11 @@ object Op {
     * manifests ([[graft.operators.IvfIndex.vacuum]]), then read the
     * index content back — content invariant. */
   final case class IndexVacuumKeep(keep: Int)                      extends TableOp
+  /** Per-cell row counts of the bound index from parquet footers only
+    * ([[graft.operators.IvfIndex.cellStats]]) — hot-cell visibility at
+    * metadata cost; the spoken twin of [[DayProfile]] for the IVF
+    * layout. Exact totals, so the full-scan group-by is its oracle. */
+  case object IndexCellProfile                                     extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -468,6 +468,14 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Spoken hot-cell visibility (x86's oracle): per-cell counts from
+    // parquet footers only — the index twin of nl90's day profile.
+    "nl110_index_cell_profile" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Profile the index by cell.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // SemDeDup route (x50's operator at its threshold and the auto √n
     // cell count — no cluster clause → the scaled default).
     "nl47_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -864,6 +872,7 @@ object NLQueries extends QueryPack {
     "nl107_index_search_vec_pq" -> VectorQueries.ivfPqLiteralReplaySql(5, 4),
     "nl108_index_compact" -> VectorQueries.indexContentReplaySql,
     "nl109_index_vacuum" -> VectorQueries.indexContentReplaySql,
+    "nl110_index_cell_profile" -> VectorQueries.oracleSql("x86_index_cell_stats"),
     "nl102_similar_pq" -> VectorQueries.pqFlatReplaySql("q.vec_id = 3", 5),
     "nl103_similar_pq_rerank" ->
       VectorQueries.pqRefinedReplaySql("q.vec_id = 3", 5, 50),

@@ -290,6 +290,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(ranked(IvfIndex.search(spark, p, queries, K, nprobe = 2)) == before)
   }
 
+  test("on a skewed index, a cold-cell probe's cost is bounded by the " +
+       "probed cell's files, never the hottest cell's") {
+    import graft.SparkSpec.executedFileScans
+    import spark.implicits._
+    // 90% of the corpus piles into one direction (one hot cell); three
+    // cold directions share the rest. Seeds (smallest ids) span all four.
+    def unit(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(axis) = 1.0f; v(3) = v(3) + jitter; v
+    }
+    val rows =
+      (0 until 4).map(a => (a.toLong, unit(a, 0.0f))) ++
+      (4 until 1804).map(i => (i.toLong, unit(0, 0.001f * (i % 7)))) ++
+      (1804 until 1868).map(i => (i.toLong, unit(1, 0.001f * (i % 5)))) ++
+      (1868 until 1932).map(i => (i.toLong, unit(2, 0.001f * (i % 5)))) ++
+      (1932 until 2000).map(i => (i.toLong, unit(3, 0.001f * (i % 5))))
+    val skewed = rows.toDF("vec_id", "embedding")
+    val p = freshPath()
+    IvfIndex.build(skewed, p, cells = 4)
+    IvfIndex.compact(spark, p, maxRowsPerFile = 100) // hot cell → many files
+    val stats = IvfIndex.cellStats(spark, p)
+      .select("cell", "n_rows", "files")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hotFiles = stats.maxBy(_._2)._3
+    assert(hotFiles >= 10, s"fixture not skewed enough: $hotFiles hot files")
+    // a query on a COLD direction probing 1 cell
+    val coldQ = Seq((-1L, unit(1, 0.0f))).toDF("vec_id", "embedding")
+    val res = IvfIndex.search(spark, p, coldQ, K, nprobe = 1)
+    assert(res.count() == K)
+    val filesRead = executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(
+        sys.error("scan has no numFiles metric"))).sum
+    assert(filesRead <= 2,
+      s"cold-cell probe read $filesRead files (hot cell has $hotFiles)")
+  }
+
   test("vacuum's orphan-age guard shields a racing appender's staging") {
     val p = freshPath()
     IvfIndex.build(embs, p, Cells)

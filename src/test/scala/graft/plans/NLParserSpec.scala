@@ -200,6 +200,14 @@ class NLParserSpec extends AnyFunSuite {
     assert(NLParser.parse("Compact the index.").ops == List(O.IndexCompact))
     assert(NLParser.parse("Vacuum the index keeping 1 versions.").ops ==
       List(O.IndexVacuumKeep(1)))
+    assert(NLParser.parse("Profile the index by cell.").ops ==
+      List(O.IndexCellProfile))
+    assert(NLParser.parse("Profile events by day.").ops == List(O.DayProfile))
+    // the axis can't cross: a day profile of the index is nonsense
+    assertThrows[NLParser.ParseException](
+      NLParser.parse("Profile the index by day."))
+    assertThrows[NLParser.ParseException](
+      NLParser.parse("Profile events by cell."))
     assert(NLParser.parse(
       "Compact the index and select columns vec_id and cell.").ops ==
       List(O.IndexCompact, O.Select(Seq("vec_id", "cell"))))
