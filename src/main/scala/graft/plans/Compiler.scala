@@ -327,6 +327,22 @@ object Compiler {
           }
         }
       result.withColumn("score", round(col("score"), 6))
+    case Op.SimilarTopKVec(vec, k, pq, rerank) =>
+      // the literal becomes a one-row broadcast frame (query_id -1, so
+      // no candidate is self-excluded) — same kernels as SimilarTopK
+      val session = df.sparkSession
+      import session.implicits._
+      val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
+      val result =
+        if (!pq) Similarity.bruteForceTopK(queries, df, k)
+        else {
+          val cb = graft.operators.Pq.train(df, 8, 256)
+          rerank match {
+            case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
+            case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
+          }
+        }
+      result.withColumn("score", round(col("score"), 6))
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>

@@ -1048,28 +1048,35 @@ object NLParser {
             p.dropWords("most"); p.expectWord("similar")
             p.dropWords("vectors", "neighbors", "documents", "items")
             p.expectWord("to")
-            val qid = p.expectNum().toLong
+            // "… to vector [0.1, -0.2, …]" ranks an UNSEEN literal query
+            // vector against the corpus; "… to 3" uses the stored id
+            val query: Either[Long, Seq[Float]] =
+              if (p.peekWordLower.contains("vector")) {
+                p.next(); Right(vectorLiteral(p))
+              } else Left(p.expectNum().toLong)
             // "… using quantized codes [with rerank 50]" — the PQ/ADC
             // serving path instead of the exact brute-force scan
-            if (p.peekWordLower.contains("using")) {
-              p.next()
-              p.dropWords("product")
-              p.expectWord("quantized")
-              p.dropWords("codes", "code", "vectors")
-              val rerank =
-                if (p.peekWordLower.contains("with")) {
-                  p.next(); p.expectWord("rerank")
-                  val r = p.expectNum().toInt
-                  if (r < k) throw ParseException(
-                    s"rerank $r must be at least k=$k")
-                  Some(r)
-                } else None
-              requireDone(p)
-              Right(List(Op.SimilarTopK(qid, k, pq = true, rerank = rerank)))
-            } else {
-              requireDone(p)
-              Right(List(Op.SimilarTopK(qid, k)))
-            }
+            val (pq, rerank) =
+              if (p.peekWordLower.contains("using")) {
+                p.next()
+                p.dropWords("product")
+                p.expectWord("quantized")
+                p.dropWords("codes", "code", "vectors")
+                val rerank =
+                  if (p.peekWordLower.contains("with")) {
+                    p.next(); p.expectWord("rerank")
+                    val r = p.expectNum().toInt
+                    if (r < k) throw ParseException(
+                      s"rerank $r must be at least k=$k")
+                    Some(r)
+                  } else None
+                (true, rerank)
+              } else (false, None)
+            requireDone(p)
+            Right(List(query match {
+              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank)
+              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank)
+            }))
           }
         }
       case Some("sample") =>
@@ -1561,12 +1568,8 @@ object NLParser {
         }
         if (p.peekWordLower.contains("vector")) {
           p.next()
-          p.expectSym("[")
-          val vec = Seq.newBuilder[Float]
-          vec += p.expectNum().toFloat
-          while (p.peek.contains(Sym(","))) { p.next(); vec += p.expectNum().toFloat }
-          p.expectSym("]")
-          Right(List(Op.IndexSearchVec(vec.result(), k, nprobeTail(), adc)))
+          val vec = vectorLiteral(p)
+          Right(List(Op.IndexSearchVec(vec, k, nprobeTail(), adc)))
         } else {
           val qid = p.expectNum().toLong
           Right(List(Op.IndexSearch(qid, k, nprobeTail(), adc)))
@@ -1765,6 +1768,19 @@ object NLParser {
   private def requireDone(p: TokCursor): Unit =
     if (!p.done) throw ParseException(
       s"trailing tokens after clause: ${p.remaining.mkString(" ")}")
+
+  /** A bracketed float list — the spoken form of an unseen literal
+    * query vector ("vector [0.1, -0.2, …]"); the caller has already
+    * consumed the word "vector". `Float.toString`/`toFloat` round-trip,
+    * so spoken floats parse bit-identical to the vector they print. */
+  private def vectorLiteral(p: TokCursor): Seq[Float] = {
+    p.expectSym("[")
+    val vec = Seq.newBuilder[Float]
+    vec += p.expectNum().toFloat
+    while (p.peek.contains(Sym(","))) { p.next(); vec += p.expectNum().toFloat }
+    p.expectSym("]")
+    vec.result()
+  }
 
   private def parseColList(p: TokCursor,
                            stopWords: Set[String] = Set.empty): Seq[String] = {

@@ -161,6 +161,13 @@ object Op {
   final case class SimilarTopK(queryId: Long, k: Int,
                                pq: Boolean = false,
                                rerank: Option[Int] = None)         extends CorpusOp
+  /** [[SimilarTopK]] with an UNSEEN literal query vector (spoken as a
+    * bracketed float list) instead of a stored id — the serving shape
+    * where a fresh embedding ranks against the corpus; query_id -1 is
+    * outside the stored id space, so no candidate is self-excluded. */
+  final case class SimilarTopKVec(vec: Seq[Float], k: Int,
+                                  pq: Boolean = false,
+                                  rerank: Option[Int] = None)      extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults

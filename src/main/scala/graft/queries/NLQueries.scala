@@ -415,6 +415,25 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 5 most similar vectors to 3 using quantized " +
                  "codes with rerank 50.", embs(s, d))),
 
+    // The literal-vector twins of nl11/nl102/nl103 — an UNSEEN spoken
+    // embedding ranks against the corpus through every flat serving
+    // shape: exact brute force, compressed ADC, and ADC + exact
+    // re-rank. The oracle inlines the literal's exact float→double
+    // widenings, so both engines score the bit-identical query.
+    "nl111_similar_vec" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to vector " +
+                 s"${VectorQueries.litVecSpoken}.", embs(s, d))),
+
+    "nl112_similar_vec_pq" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to vector " +
+                 s"${VectorQueries.litVecSpoken} using quantized codes.",
+                 embs(s, d))),
+
+    "nl113_similar_vec_pq_rerank" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to vector " +
+                 s"${VectorQueries.litVecSpoken} using quantized codes " +
+                 "with rerank 50.", embs(s, d))),
+
     // Persisted-index probes, spoken: the CLI binds an index directory
     // the way it binds a manifested log, and "Search the index …" acts
     // on it in place — exact rescore (x82's kernels/params) and the PQ
@@ -876,6 +895,10 @@ object NLQueries extends QueryPack {
     "nl102_similar_pq" -> VectorQueries.pqFlatReplaySql("q.vec_id = 3", 5),
     "nl103_similar_pq_rerank" ->
       VectorQueries.pqRefinedReplaySql("q.vec_id = 3", 5, 50),
+    "nl111_similar_vec" -> VectorQueries.bruteLiteralReplaySql(5),
+    "nl112_similar_vec_pq" -> VectorQueries.pqFlatLiteralReplaySql(5),
+    "nl113_similar_vec_pq_rerank" ->
+      VectorQueries.pqRefinedLiteralReplaySql(5, 50),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -325,9 +325,16 @@ object VectorQueries extends QueryPack {
     * to its `nprobe` best cells against the replayed centroids, then
     * joins candidates on the stored cell — exactly [[ivfCandidatesCte]]
     * with the query drawn from a VALUES literal instead of the table. */
-  private def litCandCte(nprobe: Int): String = {
+  /** The literal query as a one-row VALUES relation — `qv(query_id,
+    * emb)` with query_id -1 and [[LitVec]]'s exact float→double
+    * widenings inlined. Every literal-vector replay starts here. */
+  private def litQvCte: String = {
     val lits = LitVec.map(_.toDouble.toString).mkString("[", ", ", "]")
-    s"""qv(query_id, emb) AS (VALUES (-1::BIGINT, $lits::DOUBLE[])),
+    s"qv(query_id, emb) AS (VALUES (-1::BIGINT, $lits::DOUBLE[]))"
+  }
+
+  private def litCandCte(nprobe: Int): String = {
+    s"""$litQvCte,
        |qcs AS (
        |  SELECT q.query_id, c.cell,
        |    list_cosine_similarity(q.emb, c.emb) AS sim
@@ -348,12 +355,11 @@ object VectorQueries extends QueryPack {
     s"""WITH $ivfCorpusCte
        |SELECT vec_id, cell FROM cellof""".stripMargin
 
-  /** Literal-vector IVF probe replay (exact rescore): the query side of
-    * the rescore joins `qv`, not the embeddings table. */
-  private[queries] def ivfLiteralReplaySql(k: Int, nprobe: Int): String =
-    s"""WITH $ivfCorpusCte,
-       |${litCandCte(nprobe)}
-       |SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+  /** Exact rescore of a `cand(query_id, neighbor_id)` CTE against the
+    * literal query — [[rescoreTopK]]'s shape with the query side joined
+    * from `qv`, not the embeddings table. */
+  private def litRescoreTail(k: Int): String =
+    s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    row_number() OVER (PARTITION BY cand.query_id
        |      ORDER BY list_cosine_similarity(qv.emb,
@@ -365,6 +371,26 @@ object VectorQueries extends QueryPack {
        |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
        |WHERE rank <= $k""".stripMargin
 
+  /** Literal-vector IVF probe replay (exact rescore): the query side of
+    * the rescore joins `qv`, not the embeddings table. */
+  private[queries] def ivfLiteralReplaySql(k: Int, nprobe: Int): String =
+    s"""WITH $ivfCorpusCte,
+       |${litCandCte(nprobe)}
+       |${litRescoreTail(k)}""".stripMargin
+
+  /** The literal query's per-subspace slices and ADC lookup tables —
+    * the `qsub`/`pluts` pair every literal PQ replay shares (requires
+    * `qv` and `pq2` upstream). */
+  private def litQsubPlutsCte: String =
+    s"""qsub AS (
+       |  SELECT query_id, s.s AS s,
+       |    (emb)[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS sv
+       |  FROM qv, unnest(range(0, $PqM)) AS s(s)),
+       |pluts AS (
+       |  SELECT q.query_id, c.s, c.code,
+       |    list_dot_product(q.sv, c.cb) AS dp
+       |  FROM qsub q JOIN pq2 c ON c.s = q.s)""".stripMargin
+
   /** Literal-vector IVF-PQ probe replay: probed-cell candidates from
     * the literal, ADC scores through the replayed codebooks, with the
     * per-subspace lookup table built from the literal's slices. */
@@ -372,14 +398,7 @@ object VectorQueries extends QueryPack {
     s"""WITH $ivfCorpusCte,
        |${litCandCte(nprobe)},
        |$pqCodesCte,
-       |qsub AS (
-       |  SELECT query_id, s.s AS s,
-       |    (emb)[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS sv
-       |  FROM qv, unnest(range(0, $PqM)) AS s(s)),
-       |pluts AS (
-       |  SELECT q.query_id, c.s, c.code,
-       |    list_dot_product(q.sv, c.cb) AS dp
-       |  FROM qsub q JOIN pq2 c ON c.s = q.s),
+       |$litQsubPlutsCte,
        |pscored AS (
        |  SELECT cd.query_id, cd.neighbor_id,
        |    $pqAdcSum AS score
@@ -389,6 +408,48 @@ object VectorQueries extends QueryPack {
        |    AND l.s = n.s AND l.code = n.code
        |  GROUP BY cd.query_id, cd.neighbor_id)
        |${pqRankTail(k)}""".stripMargin
+
+  /** Literal-vector brute-force replay (x1's shape with the query drawn
+    * from the VALUES literal): exact cosine against every corpus
+    * vector, no self-exclusion needed (-1 is outside the id space). */
+  private[queries] def bruteLiteralReplaySql(k: Int): String =
+    s"""WITH $litQvCte
+       |SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(q.emb,
+       |                                      c.embedding::DOUBLE[]) DESC,
+       |               c.vec_id ASC) AS rank,
+       |    list_cosine_similarity(q.emb, c.embedding::DOUBLE[]) AS score
+       |  FROM qv q CROSS JOIN embeddings c)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Literal-vector flat-ADC replay (x83's shape with the literal's
+    * lookup tables): every corpus vector scored through the replayed
+    * codebooks, ranked by the quantized inner product. */
+  private[queries] def pqFlatLiteralReplaySql(k: Int): String =
+    s"""WITH $litQvCte,
+       |$pqCodesCte,
+       |$litQsubPlutsCte,
+       |$pqScoredAllCte
+       |${pqRankTail(k)}""".stripMargin
+
+  /** Literal-vector ADC + exact re-rank replay (x85's shape): ADC
+    * top-`rerank` candidates, then the exact cosine against the literal
+    * decides the final top-`k`. */
+  private[queries] def pqRefinedLiteralReplaySql(k: Int, rerank: Int): String =
+    s"""WITH $litQvCte,
+       |$pqCodesCte,
+       |$litQsubPlutsCte,
+       |$pqScoredAllCte,
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM pscored)
+       |  WHERE rn <= $rerank)
+       |${litRescoreTail(k)}""".stripMargin
 
   private lazy val ivfDefaultQueryPred = s"vec_id < $NQueries"
 

@@ -216,6 +216,23 @@ class NLParserSpec extends AnyFunSuite {
       List(O.VacuumKeep(2)))
   }
 
+  test("find top-k similar to a literal query vector") {
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to vector [0.1, -0.2, 0.25].").ops ==
+      List(O.SimilarTopKVec(Seq(0.1f, -0.2f, 0.25f), 5)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to vector [1, 0] using quantized " +
+      "codes.").ops ==
+      List(O.SimilarTopKVec(Seq(1f, 0f), 5, pq = true)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to vector [1, 0] using quantized " +
+      "codes with rerank 50.").ops ==
+      List(O.SimilarTopKVec(Seq(1f, 0f), 5, pq = true, rerank = Some(50))))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Find top 5 most similar vectors to vector [1, 0] using quantized " +
+      "codes with rerank 2."))
+  }
+
   test("find top-k similar through quantized codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
