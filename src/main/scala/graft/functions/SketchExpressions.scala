@@ -100,6 +100,33 @@ object SketchKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Johnson–Lindenstrauss projection: out(p) = (vec · planes(p)) / div,
+    * dots accumulated in double over index order (the exact association
+    * DuckDB's `list_dot_product` uses, so the oracle replays bit-for-bit).
+    * With iid N(0,1) planes and div = sqrt(outDim) this is the classical
+    * JL map: pairwise distances distort by 1±ε w.h.p. for
+    * outDim = O(log n / ε²). */
+  def planeProject(vec: ArrayData, planes: Array[Array[Float]],
+                   div: Double): ArrayData = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (planes.nonEmpty)
+      VectorKernels.checkDims(vec.numElements(), dim, "plane_project")
+    val out = new Array[Double](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        dot += vec.getFloat(d).toDouble * plane(d).toDouble
+        d += 1
+      }
+      out(p) = dot / div
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** hash = sample_hash(id): splitmix64 of (id ^ salt) — the deterministic
@@ -232,6 +259,44 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** projected = plane_project(embedding): array<double> of plane dots
+  * scaled by 1/div — the JL random-projection map. Like [[LshBuckets]],
+  * the plane matrix ships as a codegen reference object and compares by
+  * deep value so twin plans canonicalize equal. */
+case class PlaneProject(child: Expression, planes: Array[Array[Float]],
+                        div: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"plane_project requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.planeProject(v.asInstanceOf[ArrayData], planes, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.planeProject($c, $planesRef, ${div}D)")
+  }
+
+  // Deep value equality over the plane matrix — see [[LshBuckets]].
+  override def equals(other: Any): Boolean = other match {
+    case o: PlaneProject => child == o.child && div == o.div &&
+      planes.length == o.planes.length &&
+      planes.indices.forall(i => java.util.Arrays.equals(planes(i), o.planes(i)))
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Double.box(div),
+    Int.box(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "plane_project"
+}
+
 object SketchFunctions {
   def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
     columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
@@ -247,4 +312,7 @@ object SketchFunctions {
 
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
     columnOf(NearestCentroids(expressionOf(vec), centroids, n))
+
+  def planeProject(vec: Column, planes: Array[Array[Float]], div: Double): Column =
+    columnOf(PlaneProject(expressionOf(vec), planes, div))
 }

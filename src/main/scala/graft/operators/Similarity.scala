@@ -145,6 +145,61 @@ object Similarity {
       .drop("buckets")
   }
 
+  // ----------------------------------------------- Random projection (JL)
+
+  /** Deterministic Johnson–Lindenstrauss projection matrix: `outDim`
+    * rows of `dim` iid N(0,1) weights — [[hyperplanes]] with one bit per
+    * band, so the same splitmix64/Box–Muller generation, the same
+    * bit-identical-across-engines guarantee, and the same SQL-bakeable
+    * literal form the LSH oracles use. */
+  def projectionPlanes(dim: Int, outDim: Int, seed: Long = 42L): Array[Array[Float]] =
+    hyperplanes(dim, outDim, 1, seed)
+
+  /** JL random projection: adds `projCol` = array<double> of
+    * (vec · plane_p) / sqrt(outDim), p < outDim. Map-only (no shuffle,
+    * codegen'd fused kernel): at 100 TB this is a pure scan-side
+    * transform that cuts every downstream distance computation and
+    * vector byte-read by dim/outDim (4x at 64→16) while distorting
+    * pairwise distances by only 1±ε w.h.p. (outDim = O(log n / ε²)). */
+  def randomProject(df: DataFrame, dim: Int, outDim: Int, seed: Long = 42L,
+                    vecCol: String = "embedding",
+                    projCol: String = "projected"): DataFrame = {
+    require(outDim > 0 && outDim <= dim,
+      s"outDim must be in (0, $dim], got $outDim")
+    val planes = projectionPlanes(dim, outDim, seed)
+    df.withColumn(projCol, graft.functions.SketchFunctions.planeProject(
+      col(vecCol), planes, StrictMath.sqrt(outDim.toDouble)))
+  }
+
+  /** ANN via projected candidates + exact re-rank: rank the corpus by
+    * cosine in the `outDim`-dim projected space (vectors cast to float —
+    * the candidate pass reads outDim/dim of the bytes a full-dim pass
+    * reads), then rescore the top `rerank` candidates per query with the
+    * exact full-dim cosine (reads bounded by |queries|·rerank, broadcast
+    * semi-join — the [[Pq.adcTopKRefined]] shape with a JL sketch in
+    * place of PQ codes). Same all-pairs candidate guard story as
+    * [[bruteForceTopK]]: compose with LSH/IVF over `projected` when the
+    * corpus side outgrows a single scan. */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    rerank: Int, dim: Int, outDim: Int, seed: Long = 42L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    def proj(df: DataFrame): DataFrame =
+      randomProject(df, dim, outDim, seed, vecCol)
+        .select(col(idCol), col("projected").cast("array<float>").as(vecCol))
+    val cand = bruteForceTopK(proj(queries), proj(corpus), rerank, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Deterministic centroid selection: the `k` corpus vectors with the

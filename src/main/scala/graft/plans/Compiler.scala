@@ -313,36 +313,15 @@ object Compiler {
         col("doc_id"),
         TextAnalysis.scrubPii(col("text")).as("scrubbed"),
         (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))
-    case Op.SimilarTopK(qid, k, pq, rerank) =>
-      val queries = df.filter(col("vec_id") === qid)
-      val result =
-        if (!pq) Similarity.bruteForceTopK(queries, df, k)
-        else {
-          // the classical PQ operating point (m=8, ksub=256): 32×
-          // compression at dim=64, replayable like every Lloyd path
-          val cb = graft.operators.Pq.train(df, 8, 256)
-          rerank match {
-            case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
-            case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
-          }
-        }
-      result.withColumn("score", round(col("score"), 6))
-    case Op.SimilarTopKVec(vec, k, pq, rerank) =>
+    case Op.SimilarTopK(qid, k, pq, rerank, proj) =>
+      similarServe(df, df.filter(col("vec_id") === qid), k, pq, rerank, proj)
+    case Op.SimilarTopKVec(vec, k, pq, rerank, proj) =>
       // the literal becomes a one-row broadcast frame (query_id -1, so
       // no candidate is self-excluded) — same kernels as SimilarTopK
       val session = df.sparkSession
       import session.implicits._
       val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-      val result =
-        if (!pq) Similarity.bruteForceTopK(queries, df, k)
-        else {
-          val cb = graft.operators.Pq.train(df, 8, 256)
-          rerank match {
-            case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
-            case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
-          }
-        }
-      result.withColumn("score", round(col("score"), 6))
+      similarServe(df, queries, k, pq, rerank, proj)
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>
@@ -509,6 +488,33 @@ object Compiler {
       Seq((cal.recall >= target, cal.scanFraction < 1.0))
         .toDF("recall_hit", "sub_full_scan")
     }
+  }
+
+  /** Shared serving tail of the spoken similarity verbs: exact brute
+    * force by default; `pq` ranks through ADC code words at the
+    * classical m=8/ksub=256 operating point (32x compression at
+    * dim=64), replayable like every Lloyd path; `proj` ranks
+    * candidates in the JL-projected space at 4x compression
+    * (outDim = dim/4) and exact-rescores the top-rerank. The dim fetch
+    * is a bounded one-row lookup (same class as the centroid fetch) —
+    * the plane matrix must materialize on the driver either way. */
+  private def similarServe(df: DataFrame, queries: DataFrame, k: Int,
+                           pq: Boolean, rerank: Option[Int],
+                           proj: Boolean): DataFrame = {
+    val result =
+      if (proj) {
+        val dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
+          .head.getInt(0)
+        Similarity.projectedTopK(queries, df, k,
+          rerank.getOrElse(math.max(50, k)), dim, math.max(1, dim / 4))
+      } else if (pq) {
+        val cb = graft.operators.Pq.train(df, 8, 256)
+        rerank match {
+          case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
+          case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
+        }
+      } else Similarity.bruteForceTopK(queries, df, k)
+    result.withColumn("score", round(col("score"), 6))
   }
 
   /** Compile a scalar aggregate-argument expression; integral constants

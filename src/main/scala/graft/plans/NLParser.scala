@@ -1055,13 +1055,22 @@ object NLParser {
                 p.next(); Right(vectorLiteral(p))
               } else Left(p.expectNum().toLong)
             // "… using quantized codes [with rerank 50]" — the PQ/ADC
-            // serving path instead of the exact brute-force scan
-            val (pq, rerank) =
+            // serving path — or "… using random projection [with rerank
+            // 50]" — the JL projected-candidates path — instead of the
+            // exact brute-force scan
+            val (pq, proj, rerank) =
               if (p.peekWordLower.contains("using")) {
-                p.next()
-                p.dropWords("product")
-                p.expectWord("quantized")
-                p.dropWords("codes", "code", "vectors")
+                p.next(); p.dropWords("a", "the")
+                val isProj =
+                  p.peekWordLower.contains("random") ||
+                  p.peekWordLower.contains("projection")
+                if (isProj) {
+                  p.dropWords("random"); p.expectWord("projection")
+                } else {
+                  p.dropWords("product")
+                  p.expectWord("quantized")
+                  p.dropWords("codes", "code", "vectors")
+                }
                 val rerank =
                   if (p.peekWordLower.contains("with")) {
                     p.next(); p.expectWord("rerank")
@@ -1070,12 +1079,12 @@ object NLParser {
                       s"rerank $r must be at least k=$k")
                     Some(r)
                   } else None
-                (true, rerank)
-              } else (false, None)
+                (!isProj, isProj, rerank)
+              } else (false, false, None)
             requireDone(p)
             Right(List(query match {
-              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank)
-              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank)
+              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank, proj)
+              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank, proj)
             }))
           }
         }

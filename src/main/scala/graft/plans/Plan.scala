@@ -157,17 +157,23 @@ object Op {
     * (ADC at the classical m=8/ksub=256 operating point —
     * [[graft.operators.Pq.adcTopK]]), with `rerank = Some(r)` adding
     * the exact rescore of the ADC top-r
-    * ([[graft.operators.Pq.adcTopKRefined]]). */
+    * ([[graft.operators.Pq.adcTopKRefined]]); `proj = true` ranks
+    * candidates by cosine in the 4x-compressed JL-projected space and
+    * exact-rescores the top-rerank
+    * ([[graft.operators.Similarity.projectedTopK]]). `pq` and `proj`
+    * are mutually exclusive (the parser speaks one or the other). */
   final case class SimilarTopK(queryId: Long, k: Int,
                                pq: Boolean = false,
-                               rerank: Option[Int] = None)         extends CorpusOp
+                               rerank: Option[Int] = None,
+                               proj: Boolean = false)              extends CorpusOp
   /** [[SimilarTopK]] with an UNSEEN literal query vector (spoken as a
     * bracketed float list) instead of a stored id — the serving shape
     * where a fresh embedding ranks against the corpus; query_id -1 is
     * outside the stored id space, so no candidate is self-excluded. */
   final case class SimilarTopKVec(vec: Seq[Float], k: Int,
                                   pq: Boolean = false,
-                                  rerank: Option[Int] = None)      extends CorpusOp
+                                  rerank: Option[Int] = None,
+                                  proj: Boolean = false)           extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults

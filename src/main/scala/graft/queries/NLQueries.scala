@@ -434,6 +434,18 @@ object NLQueries extends QueryPack {
                  s"${VectorQueries.litVecSpoken} using quantized codes " +
                  "with rerank 50.", embs(s, d))),
 
+    // JL projected-candidate serving, spoken — x88's kernels (4x
+    // compressed candidate pass + exact re-rank) for a stored id and
+    // for an unseen literal query vector.
+    "nl114_similar_projected" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3 using random " +
+                 "projection with rerank 50.", embs(s, d))),
+
+    "nl115_similar_vec_projected" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to vector " +
+                 s"${VectorQueries.litVecSpoken} using random projection " +
+                 "with rerank 50.", embs(s, d))),
+
     // Persisted-index probes, spoken: the CLI binds an index directory
     // the way it binds a manifested log, and "Search the index …" acts
     // on it in place — exact rescore (x82's kernels/params) and the PQ
@@ -899,6 +911,10 @@ object NLQueries extends QueryPack {
     "nl112_similar_vec_pq" -> VectorQueries.pqFlatLiteralReplaySql(5),
     "nl113_similar_vec_pq_rerank" ->
       VectorQueries.pqRefinedLiteralReplaySql(5, 50),
+    "nl114_similar_projected" ->
+      VectorQueries.jlReplaySqlFor("q.vec_id = 3", 5, 50),
+    "nl115_similar_vec_projected" ->
+      VectorQueries.jlLiteralReplaySql(5, 50),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -39,6 +39,10 @@ object VectorQueries extends QueryPack {
   private val PqKsub = 256
   private val PqSubDim = Dim / PqM
   private val PqRerank = 50
+  // JL random projection at 4x compression (64 -> 16 dims); distances
+  // distort 1±ε so the top-50 projected candidates feed an exact re-rank
+  private val JlOutDim = 16
+  private val JlRerank = 50
 
   /** Persisted IVF index materialized once per JVM per fixture (stale
     * on-disk state from an earlier round is deleted — the fresh-process
@@ -158,6 +162,29 @@ object VectorQueries extends QueryPack {
       graft.operators.IvfIndex.cellStats(s, ivfIndexTable(s, d))
         .select(col("cell"), col("n_rows"))),
 
+    // Johnson–Lindenstrauss random projection: a map-only scan-side
+    // transform (no shuffle — RandomProjectionSpec pins zero Exchanges)
+    // that cuts every downstream vector byte-read and distance FLOP by
+    // dim/outDim. Dots accumulate in double in index order, so the
+    // baked-plane oracle replays them bit-for-bit.
+    "x87_random_projection" -> ((s: SparkSession, d: String) =>
+      Similarity.randomProject(table(s, d, "embeddings"), Dim, JlOutDim)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("val"), 6).as("val"))),
+
+    // ANN through the projection: candidates ranked by cosine in the
+    // 16-dim projected space (4x fewer bytes than a full-dim pass),
+    // exact full-dim cosine rescores only the top-50 per query — the
+    // x85 re-rank shape with a JL sketch in place of PQ codes.
+    "x88_ann_projected" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.projectedTopK(emb.filter(col("vec_id") < NQueries), emb,
+          K, JlRerank, Dim, JlOutDim)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // Banded near-dup pairs — the in-repo scale path for x7's all-pairs
     // cosine (measured quadratic at sf1): recall < 1 by design, exactly
     // replayable since the planes bake into SQL like x2's.
@@ -242,16 +269,40 @@ object VectorQueries extends QueryPack {
        |  FROM $prev c LEFT JOIN sums_$out s ON s.cell = c.cell
        |  GROUP BY c.cell, c.emb)""".stripMargin
 
-  /** `(p, weights)` literal rows for the plane matrix — each weight
+  /** `(p, weights)` literal rows for a plane matrix — each weight
     * printed via `Double.toString`, whose shortest-round-trip contract
     * guarantees DuckDB parses back the bit-identical double the Spark
     * kernel uses (`float → double` widening is exact). */
-  private def planeRows: String =
-    Similarity.hyperplanes(Dim, Bands, BitsPerBand).zipWithIndex
+  private def planeRowsFor(planes: Array[Array[Float]]): String =
+    planes.zipWithIndex
       .map { case (w, p) =>
         w.map(_.toDouble).mkString(s"($p::BIGINT, [", ", ", "]::DOUBLE[])")
       }
       .mkString(",\n")
+
+  private def planeRows: String =
+    planeRowsFor(Similarity.hyperplanes(Dim, Bands, BitsPerBand))
+
+  private def jlPlanes: Array[Array[Float]] =
+    Similarity.projectionPlanes(Dim, JlOutDim)
+
+  /** `Double.toString` of sqrt(outDim) — round-trips, so DuckDB divides
+    * by the bit-identical scale the kernel uses. */
+  private lazy val JlDiv: String =
+    StrictMath.sqrt(JlOutDim.toDouble).toString
+
+  /** The projected corpus as DOUBLE lists post float-rounding — the
+    * replay of [[Similarity.randomProject]] plus the array<float> cast
+    * [[Similarity.projectedTopK]]'s candidate pass applies. */
+  private def jlProjCte: String =
+    s"""jlplanes(p, w) AS (VALUES
+       |${planeRowsFor(jlPlanes)}),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |    list((list_dot_product(e.embedding::DOUBLE[], w) / $JlDiv)::FLOAT::DOUBLE
+       |         ORDER BY p) AS pv
+       |  FROM embeddings e, jlplanes
+       |  GROUP BY e.vec_id)""".stripMargin
 
   /** Exact rescore + per-query top-`limit` over a candidate CTE named
     * `cand` with columns (query_id, neighbor_id) — the shared tail of
@@ -408,6 +459,46 @@ object VectorQueries extends QueryPack {
        |    AND l.s = n.s AND l.code = n.code
        |  GROUP BY cd.query_id, cd.neighbor_id)
        |${pqRankTail(k)}""".stripMargin
+
+  /** JL projected-candidate replay (x88's shape) for an arbitrary query
+    * predicate over the aliased `q.vec_id` — shared with the NL twin,
+    * whose single spoken query id narrows the predicate. */
+  private[queries] def jlReplaySqlFor(queryPred: String, k: Int,
+                                      rerank: Int): String =
+    s"""WITH $jlProjCte,
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.pv, c.pv) DESC,
+       |                 c.vec_id ASC) AS rn
+       |    FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+       |    WHERE $queryPred)
+       |  WHERE rn <= $rerank)
+       |${rescoreTopK(k)}""".stripMargin
+
+  /** Literal-vector JL replay: the spoken query projects through the
+    * same baked planes (then the same double->float rounding), ranks
+    * the projected corpus, and the exact cosine against the literal
+    * rescores the top-`rerank`. */
+  private[queries] def jlLiteralReplaySql(k: Int, rerank: Int): String =
+    s"""WITH $litQvCte,
+       |$jlProjCte,
+       |qproj AS (
+       |  SELECT q.query_id,
+       |    list((list_dot_product(q.emb, w) / $JlDiv)::FLOAT::DOUBLE
+       |         ORDER BY p) AS pv
+       |  FROM qv q, jlplanes
+       |  GROUP BY q.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.pv, c.pv) DESC,
+       |                 c.vec_id ASC) AS rn
+       |    FROM qproj q, proj c)
+       |  WHERE rn <= $rerank)
+       |${litRescoreTail(k)}""".stripMargin
 
   /** Literal-vector brute-force replay (x1's shape with the query drawn
     * from the VALUES literal): exact cosine against every corpus
@@ -648,6 +739,22 @@ object VectorQueries extends QueryPack {
     "x86_index_cell_stats" ->
       s"""WITH $ivfCorpusCte
          |SELECT cell, count(*) AS n_rows FROM cellof GROUP BY cell""".stripMargin,
+
+    // JL replay: the 16x64 plane matrix bakes into SQL like x2's; each
+    // projected coordinate is one list_dot_product (double, index order
+    // — the kernel's association) over the exact widened weights.
+    "x87_random_projection" ->
+      s"""WITH jlplanes(p, w) AS (VALUES
+         |${planeRowsFor(jlPlanes)})
+         |SELECT e.vec_id, p AS pos,
+         |  round(list_dot_product(e.embedding::DOUBLE[], w) / $JlDiv, 6) AS val
+         |FROM embeddings e, jlplanes""".stripMargin,
+
+    // Projected-candidate replay: project both sides (with the
+    // double->float rounding the candidate pass applies), rank by
+    // projected cosine, keep the per-query top-50, exact rescore tail.
+    "x88_ann_projected" ->
+      jlReplaySqlFor(s"q.vec_id < $NQueries", K, JlRerank),
 
     // Full PQ replay: slice seeds → two per-subspace Lloyd iterations →
     // code assignment → per-query ADC tables → quantized inner products,

@@ -233,6 +233,23 @@ class NLParserSpec extends AnyFunSuite {
       "codes with rerank 2."))
   }
 
+  test("find top-k similar through a random projection") {
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using random projection.").ops ==
+      List(O.SimilarTopK(3L, 5, proj = true)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using a random projection " +
+      "with rerank 50.").ops ==
+      List(O.SimilarTopK(3L, 5, proj = true, rerank = Some(50))))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to vector [1, 0] using random " +
+      "projection with rerank 50.").ops ==
+      List(O.SimilarTopKVec(Seq(1f, 0f), 5, proj = true, rerank = Some(50))))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Find top 5 most similar vectors to 3 using random projection " +
+      "with rerank 2."))
+  }
+
   test("find top-k similar through quantized codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
