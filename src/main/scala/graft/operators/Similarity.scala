@@ -190,6 +190,17 @@ object Similarity {
         .select(col(idCol), col("projected").cast("array<float>").as(vecCol))
     val cand = bruteForceTopK(proj(queries), proj(corpus), rerank, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(queries, corpus, cand, k, idCol, vecCol)
+  }
+
+  /** Shared exact-rescore tail of the compressed-candidates paths
+    * (JL projection, SQ8): the full-dim cosine scores only the
+    * `cand(query_id, neighbor_id)` pairs — reads bounded by
+    * |queries|·rerank via two broadcast equi-joins — then the same
+    * partial top-k aggregator ranks. */
+  private def exactRerank(queries: DataFrame, corpus: DataFrame,
+                          cand: DataFrame, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
@@ -198,6 +209,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("q_vec"), col("c_vec")).as("score"))
     topKPerQuery(scored, k)
+  }
+
+  // --------------------------------------------- Scalar quantization (SQ8)
+
+  /** Symmetric per-vector int8 codes and their integer self-dot — the
+    * serving form of [[quantizeInt8]]'s storage rows (identical code
+    * values: same max-abs scale, same floor(x·127/mx + 0.5) rounding).
+    * Map-only built-in column work; codes are LONGs in [-127, 127], so
+    * every downstream dot/self-dot is a sum of integers ≤ 127²·dim —
+    * exact in ANY accumulation order in either engine, which is what
+    * makes the SQ8 scores replayable without pinning association. */
+  private def sq8Coded(df: DataFrame, idAs: String, codesAs: String,
+                       ssqAs: String, idCol: String,
+                       vecCol: String): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(vecD, x => abs(x)))
+    val codes = transform(vecD, x =>
+      when(mx === lit(0.0), lit(0.0))
+        .otherwise(floor(x * lit(127.0) / mx + lit(0.5))).cast("long"))
+    df.select(col(idCol).as(idAs), codes.as(codesAs))
+      .withColumn(ssqAs,
+        aggregate(col(codesAs), lit(0L), (a, c) => a + c * c))
+  }
+
+  /** ANN via int8 scalar quantization + exact re-rank: candidates rank
+    * by the quantized cosine — integer code dot over the product of
+    * integer self-dot roots (per-vector scales CANCEL in cosine, so
+    * the approximation error is rounding only, ~1/254 per coordinate;
+    * a zero vector scores 0) — then the exact full-dim cosine rescores
+    * the top `rerank` per query. The candidate pass reads 4x fewer
+    * vector bytes than full-float at rest (codes are 1 byte/dim);
+    * here codes are computed at scan time like x83's train-per-query
+    * formulation — the at-rest form stores the code column. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val q = sq8Coded(queries, "query_id", "q_codes", "q_ssq", idCol, vecCol)
+    val c = sq8Coded(corpus, "neighbor_id", "c_codes", "c_ssq", idCol, vecCol)
+    val dot = aggregate(
+      zip_with(col("q_codes"), col("c_codes"), (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("q_ssq") === 0L || col("c_ssq") === 0L, lit(0.0))
+          .otherwise(dot.cast("double") /
+            (sqrt(col("q_ssq").cast("double")) *
+             sqrt(col("c_ssq").cast("double")))).as("score"))
+    val cand = topKPerQuery(scored, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(queries, corpus, cand, k, idCol, vecCol)
   }
 
   // ------------------------------------------------------------------ IVF

@@ -313,15 +313,16 @@ object Compiler {
         col("doc_id"),
         TextAnalysis.scrubPii(col("text")).as("scrubbed"),
         (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))
-    case Op.SimilarTopK(qid, k, pq, rerank, proj) =>
-      similarServe(df, df.filter(col("vec_id") === qid), k, pq, rerank, proj)
-    case Op.SimilarTopKVec(vec, k, pq, rerank, proj) =>
+    case Op.SimilarTopK(qid, k, pq, rerank, proj, sq8) =>
+      similarServe(df, df.filter(col("vec_id") === qid), k, pq, rerank,
+                   proj, sq8)
+    case Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8) =>
       // the literal becomes a one-row broadcast frame (query_id -1, so
       // no candidate is self-excluded) — same kernels as SimilarTopK
       val session = df.sparkSession
       import session.implicits._
       val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-      similarServe(df, queries, k, pq, rerank, proj)
+      similarServe(df, queries, k, pq, rerank, proj, sq8)
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>
@@ -495,18 +496,21 @@ object Compiler {
     * classical m=8/ksub=256 operating point (32x compression at
     * dim=64), replayable like every Lloyd path; `proj` ranks
     * candidates in the JL-projected space at 4x compression
-    * (outDim = dim/4) and exact-rescores the top-rerank. The dim fetch
-    * is a bounded one-row lookup (same class as the centroid fetch) —
-    * the plane matrix must materialize on the driver either way. */
+    * (outDim = dim/4) and exact-rescores the top-rerank — the dim fetch
+    * is a bounded one-row lookup (same class as the centroid fetch),
+    * since the plane matrix must materialize on the driver either way;
+    * `sq8` ranks by the integer-exact int8-quantized cosine. */
   private def similarServe(df: DataFrame, queries: DataFrame, k: Int,
                            pq: Boolean, rerank: Option[Int],
-                           proj: Boolean): DataFrame = {
+                           proj: Boolean, sq8: Boolean = false): DataFrame = {
     val result =
       if (proj) {
         val dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
           .head.getInt(0)
         Similarity.projectedTopK(queries, df, k,
           rerank.getOrElse(math.max(50, k)), dim, math.max(1, dim / 4))
+      } else if (sq8) {
+        Similarity.sq8TopK(queries, df, k, rerank.getOrElse(math.max(50, k)))
       } else if (pq) {
         val cb = graft.operators.Pq.train(df, 8, 256)
         rerank match {

@@ -1055,17 +1055,22 @@ object NLParser {
                 p.next(); Right(vectorLiteral(p))
               } else Left(p.expectNum().toLong)
             // "… using quantized codes [with rerank 50]" — the PQ/ADC
-            // serving path — or "… using random projection [with rerank
-            // 50]" — the JL projected-candidates path — instead of the
-            // exact brute-force scan
-            val (pq, proj, rerank) =
+            // serving path — or "… using random projection …" — the JL
+            // projected-candidates path — or "… using int8 codes …" —
+            // the scalar-quantized path — instead of the exact
+            // brute-force scan
+            val (pq, proj, sq8, rerank) =
               if (p.peekWordLower.contains("using")) {
                 p.next(); p.dropWords("a", "the")
                 val isProj =
                   p.peekWordLower.contains("random") ||
                   p.peekWordLower.contains("projection")
+                val isSq8 = !isProj && p.peekWordLower.contains("int8")
                 if (isProj) {
                   p.dropWords("random"); p.expectWord("projection")
+                } else if (isSq8) {
+                  p.next(); p.dropWords("quantized")
+                  p.dropWords("codes", "code", "quantization", "vectors")
                 } else {
                   p.dropWords("product")
                   p.expectWord("quantized")
@@ -1079,12 +1084,12 @@ object NLParser {
                       s"rerank $r must be at least k=$k")
                     Some(r)
                   } else None
-                (!isProj, isProj, rerank)
-              } else (false, false, None)
+                (!isProj && !isSq8, isProj, isSq8, rerank)
+              } else (false, false, false, None)
             requireDone(p)
             Right(List(query match {
-              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank, proj)
-              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank, proj)
+              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank, proj, sq8)
+              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8)
             }))
           }
         }

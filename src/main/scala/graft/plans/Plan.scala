@@ -160,12 +160,15 @@ object Op {
     * ([[graft.operators.Pq.adcTopKRefined]]); `proj = true` ranks
     * candidates by cosine in the 4x-compressed JL-projected space and
     * exact-rescores the top-rerank
-    * ([[graft.operators.Similarity.projectedTopK]]). `pq` and `proj`
-    * are mutually exclusive (the parser speaks one or the other). */
+    * ([[graft.operators.Similarity.projectedTopK]]); `sq8 = true`
+    * ranks by the integer-exact int8-quantized cosine and
+    * exact-rescores ([[graft.operators.Similarity.sq8TopK]]). `pq`,
+    * `proj` and `sq8` are mutually exclusive (the parser speaks one). */
   final case class SimilarTopK(queryId: Long, k: Int,
                                pq: Boolean = false,
                                rerank: Option[Int] = None,
-                               proj: Boolean = false)              extends CorpusOp
+                               proj: Boolean = false,
+                               sq8: Boolean = false)               extends CorpusOp
   /** [[SimilarTopK]] with an UNSEEN literal query vector (spoken as a
     * bracketed float list) instead of a stored id — the serving shape
     * where a fresh embedding ranks against the corpus; query_id -1 is
@@ -173,7 +176,8 @@ object Op {
   final case class SimilarTopKVec(vec: Seq[Float], k: Int,
                                   pq: Boolean = false,
                                   rerank: Option[Int] = None,
-                                  proj: Boolean = false)           extends CorpusOp
+                                  proj: Boolean = false,
+                                  sq8: Boolean = false)            extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults

@@ -446,6 +446,18 @@ object NLQueries extends QueryPack {
                  s"${VectorQueries.litVecSpoken} using random projection " +
                  "with rerank 50.", embs(s, d))),
 
+    // SQ8 serving, spoken — x89's integer-exact quantized-cosine
+    // candidates + exact re-rank, for a stored id and for an unseen
+    // literal query vector.
+    "nl116_similar_sq8" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3 using int8 codes " +
+                 "with rerank 50.", embs(s, d))),
+
+    "nl117_similar_vec_sq8" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to vector " +
+                 s"${VectorQueries.litVecSpoken} using int8 codes " +
+                 "with rerank 50.", embs(s, d))),
+
     // Persisted-index probes, spoken: the CLI binds an index directory
     // the way it binds a manifested log, and "Search the index …" acts
     // on it in place — exact rescore (x82's kernels/params) and the PQ
@@ -915,6 +927,10 @@ object NLQueries extends QueryPack {
       VectorQueries.jlReplaySqlFor("q.vec_id = 3", 5, 50),
     "nl115_similar_vec_projected" ->
       VectorQueries.jlLiteralReplaySql(5, 50),
+    "nl116_similar_sq8" ->
+      VectorQueries.sq8ReplaySqlFor("q.vec_id = 3", 5, 50),
+    "nl117_similar_vec_sq8" ->
+      VectorQueries.sq8LiteralReplaySql(5, 50),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -43,6 +43,7 @@ object VectorQueries extends QueryPack {
   // distort 1±ε so the top-50 projected candidates feed an exact re-rank
   private val JlOutDim = 16
   private val JlRerank = 50
+  private val Sq8Rerank = 50
 
   /** Persisted IVF index materialized once per JVM per fixture (stale
     * on-disk state from an earlier round is deleted — the fresh-process
@@ -182,6 +183,18 @@ object VectorQueries extends QueryPack {
       val emb = table(s, d, "embeddings")
       Similarity.projectedTopK(emb.filter(col("vec_id") < NQueries), emb,
           K, JlRerank, Dim, JlOutDim)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // ANN via int8 scalar quantization + exact re-rank: candidate
+    // scores are integer code dots over integer self-dot roots (the
+    // per-vector scales cancel in cosine), so every sum is exact in
+    // any order in either engine — the whole approximate pass replays
+    // without pinning association. 4x fewer vector bytes at rest.
+    "x89_ann_sq8" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.sq8TopK(emb.filter(col("vec_id") < NQueries), emb,
+          K, Sq8Rerank)
         .withColumn("score", round(col("score"), 6))
     }),
 
@@ -500,6 +513,68 @@ object VectorQueries extends QueryPack {
        |  WHERE rn <= $rerank)
        |${litRescoreTail(k)}""".stripMargin
 
+  /** SQ8 code lists + integer self-dots for the whole corpus — the
+    * replay of `Similarity.sq8Coded` (same max-abs scale, same
+    * floor(x·127/mx + 0.5) rounding). Codes are integer-valued
+    * doubles ≤ 127, so `list_dot_product` sums are exact integers in
+    * any accumulation order — no association pinning needed. */
+  private def sq8Cte: String =
+    s"""sq8 AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CASE WHEN mx = 0 THEN 0.0
+       |      ELSE floor(x * 127.0::DOUBLE / mx + 0.5::DOUBLE) END) AS c
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+       |        FROM embeddings)),
+       |sq8s AS (SELECT vec_id, c, list_dot_product(c, c) AS ssq FROM sq8)""".stripMargin
+
+  /** The quantized cosine: integer dot over the product of integer
+    * self-dot roots (sqrt/multiply/divide are the same IEEE sequence
+    * the Spark side computes); a zero vector scores 0. */
+  private def sq8Score(q: String, n: String): String =
+    s"""CASE WHEN $q.ssq = 0 OR $n.ssq = 0 THEN 0.0
+       |         ELSE list_dot_product($q.c, $n.c) / (sqrt($q.ssq) * sqrt($n.ssq)) END""".stripMargin
+
+  /** SQ8 replay (x89's shape) for an arbitrary query predicate over
+    * the aliased `q.vec_id`. */
+  private[queries] def sq8ReplaySqlFor(queryPred: String, k: Int,
+                                       rerank: Int): String =
+    s"""WITH $sq8Cte,
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sq8Score("q", "n")} DESC,
+       |                 n.vec_id ASC) AS rn
+       |    FROM sq8s q JOIN sq8s n ON n.vec_id <> q.vec_id
+       |    WHERE $queryPred)
+       |  WHERE rn <= $rerank)
+       |${rescoreTopK(k)}""".stripMargin
+
+  /** Literal-vector SQ8 replay: the spoken query quantizes through the
+    * same max-abs/floor recipe, ranks the quantized corpus, and the
+    * exact cosine against the literal rescores the top-`rerank`. */
+  private[queries] def sq8LiteralReplaySql(k: Int, rerank: Int): String =
+    s"""WITH $litQvCte,
+       |$sq8Cte,
+       |qsq AS (
+       |  SELECT query_id,
+       |    list_transform(emb, x -> CASE WHEN mx = 0 THEN 0.0
+       |      ELSE floor(x * 127.0::DOUBLE / mx + 0.5::DOUBLE) END) AS c
+       |  FROM (SELECT query_id, emb,
+       |          list_max(list_transform(emb, x -> abs(x))) AS mx
+       |        FROM qv)),
+       |qsqs AS (SELECT query_id, c, list_dot_product(c, c) AS ssq FROM qsq),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sq8Score("q", "n")} DESC,
+       |                 n.vec_id ASC) AS rn
+       |    FROM qsqs q, sq8s n)
+       |  WHERE rn <= $rerank)
+       |${litRescoreTail(k)}""".stripMargin
+
   /** Literal-vector brute-force replay (x1's shape with the query drawn
     * from the VALUES literal): exact cosine against every corpus
     * vector, no self-exclusion needed (-1 is outside the id space). */
@@ -755,6 +830,10 @@ object VectorQueries extends QueryPack {
     // projected cosine, keep the per-query top-50, exact rescore tail.
     "x88_ann_projected" ->
       jlReplaySqlFor(s"q.vec_id < $NQueries", K, JlRerank),
+
+    // SQ8 replay: quantize, rank by the integer-exact quantized
+    // cosine, exact rescore tail.
+    "x89_ann_sq8" -> sq8ReplaySqlFor(s"q.vec_id < $NQueries", K, Sq8Rerank),
 
     // Full PQ replay: slice seeds → two per-subspace Lloyd iterations →
     // code assignment → per-query ADC tables → quantized inner products,

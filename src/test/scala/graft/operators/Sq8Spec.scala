@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQ8 serving path: the candidate codes agree with the x37 storage
+  * quantizer, the quantized cosine degenerates to brute force at
+  * rerank = corpus, recall holds on clustered geometry (int8 rounding
+  * is ~1/254 per coordinate — far tighter than a JL sketch), and zero
+  * vectors score 0 instead of NaN. */
+class Sq8Spec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Dim = 64
+  private val K = 5
+  private val NQueries = 8
+
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "neighbor_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+
+  test("with rerank = corpus size the SQ8 path IS brute force") {
+    val q = embs.filter(col("vec_id") < NQueries)
+    val n = embs.count().toInt
+    val exact = ranked(Similarity.bruteForceTopK(q, embs, K))
+    val viaSq8 = ranked(Similarity.sq8TopK(q, embs, K, rerank = n))
+    assert(viaSq8 == exact)
+  }
+
+  test("recall at rerank 50 on the testdata geometry") {
+    // int8 rounding barely perturbs cosines, so unlike the JL sketch
+    // this holds even on the near-uniform testdata embeddings
+    val q = embs.filter(col("vec_id") < NQueries)
+    val exactRows = ranked(Similarity.bruteForceTopK(q, embs, K))
+    val gotRows = ranked(Similarity.sq8TopK(q, embs, K, rerank = 50))
+    val exact = exactRows.map { case (qid, nid, _, _) => (qid, nid) }.toSet
+    val got = gotRows.map { case (qid, nid, _, _) => (qid, nid) }.toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@$K = $recall")
+    // re-ranked hits carry the exact pipeline's score bit-for-bit
+    val exactScores = exactRows
+      .map { case (qid, nid, _, s) => (qid, nid) -> s }.toMap
+    gotRows.foreach { case (qid, nid, _, s) =>
+      exactScores.get((qid, nid)).foreach(es => assert(es == s))
+    }
+  }
+
+  test("a zero vector scores 0 in the candidate pass, never NaN") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array.fill(4)(0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    // rerank = 2: the zero vector (score 0) must lose to both real
+    // candidates (positive quantized cosines)
+    val got = ranked(Similarity.sq8TopK(q, corpus, 2, rerank = 2))
+    assert(got.map(_._2) == Seq(2L, 3L))
+    assert(got.forall(r => !r._4.isNaN))
+  }
+
+  test("rerank < k is rejected") {
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(embs.limit(1), embs, 5, rerank = 3)
+    }
+  }
+}

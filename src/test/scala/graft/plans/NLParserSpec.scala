@@ -250,6 +250,23 @@ class NLParserSpec extends AnyFunSuite {
       "with rerank 2."))
   }
 
+  test("find top-k similar through int8 codes") {
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using int8 codes.").ops ==
+      List(O.SimilarTopK(3L, 5, sq8 = true)))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 using int8 quantization " +
+      "with rerank 50.").ops ==
+      List(O.SimilarTopK(3L, 5, sq8 = true, rerank = Some(50))))
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to vector [1, 0] using int8 " +
+      "codes with rerank 50.").ops ==
+      List(O.SimilarTopKVec(Seq(1f, 0f), 5, sq8 = true, rerank = Some(50))))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Find top 5 most similar vectors to 3 using int8 codes " +
+      "with rerank 2."))
+  }
+
   test("find top-k similar through quantized codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using quantized codes.").ops ==
