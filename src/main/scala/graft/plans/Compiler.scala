@@ -459,6 +459,14 @@ object Compiler {
     case Op.ScoreUnigramLogProb => TextAnalysis.unigramLogProb(df)
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
+    case Op.ProjectEmbeddings(outDim) =>
+      val dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head.getInt(0)
+      Similarity.randomProject(df, dim, outDim)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("val"), 6).as("val"))
     case Op.SampleCapPerGroup(k, gc, seed) => Sampling.capPerGroup(df, gc, k, seed)
     case Op.ShuffleShards(n, seed) => Sampling.shuffleAssign(df, n, seed)
     case Op.Decontaminate(n, t) =>

@@ -1329,6 +1329,17 @@ object NLParser {
         }
         requireDone(p)
         Right(List(Op.QuantizeEmbeddings))
+      case Some("project") =>
+        // "Project the embeddings to 16 dimensions." — the JL
+        // random-projection dump (rounded values + positions)
+        p.next(); p.dropWords("the", "embeddings", "embedding", "vectors")
+        p.dropWords("to", "into", "down")
+        val n = p.expectNum().toInt
+        if (n <= 0) throw ParseException(
+          s"projection dimension must be positive: $n")
+        p.dropWords("dimensions", "dims", "dimension")
+        requireDone(p)
+        Right(List(Op.ProjectEmbeddings(n)))
       case Some("chunk") =>
         // "Chunk documents into 128 token windows with 16 token overlap."
         p.next(); p.dropWords("the", "documents", "rows", "into")

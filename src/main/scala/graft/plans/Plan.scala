@@ -328,6 +328,10 @@ object Op {
   /** Symmetric per-vector int8 embedding quantization
     * ([[graft.operators.Similarity.quantizeInt8]]). */
   case object QuantizeEmbeddings                                   extends CorpusOp
+  /** JL random projection of the embedding column to `outDim`
+    * dimensions, dumped as (vec_id, pos, rounded value) rows
+    * ([[graft.operators.Similarity.randomProject]]). */
+  final case class ProjectEmbeddings(outDim: Int)                  extends CorpusOp
   /** Deterministic ≤k rows per group by ascending sample hash
     * ([[graft.operators.Sampling.capPerGroup]]). */
   final case class SampleCapPerGroup(k: Int, groupCol: String,

@@ -458,6 +458,11 @@ object NLQueries extends QueryPack {
                  s"${VectorQueries.litVecSpoken} using int8 codes " +
                  "with rerank 50.", embs(s, d))),
 
+    // The JL projection dump, spoken — x87's map-only kernel and its
+    // baked-plane oracle verbatim.
+    "nl118_project_embeddings" -> ((s: SparkSession, d: String) =>
+      Engine.run("Project the embeddings to 16 dimensions.", embs(s, d))),
+
     // Persisted-index probes, spoken: the CLI binds an index directory
     // the way it binds a manifested log, and "Search the index …" acts
     // on it in place — exact rescore (x82's kernels/params) and the PQ
@@ -931,6 +936,8 @@ object NLQueries extends QueryPack {
       VectorQueries.sq8ReplaySqlFor("q.vec_id = 3", 5, 50),
     "nl117_similar_vec_sq8" ->
       VectorQueries.sq8LiteralReplaySql(5, 50),
+    "nl118_project_embeddings" ->
+      VectorQueries.oracleSql("x87_random_projection"),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

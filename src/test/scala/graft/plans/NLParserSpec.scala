@@ -250,6 +250,15 @@ class NLParserSpec extends AnyFunSuite {
       "with rerank 2."))
   }
 
+  test("project embeddings to fewer dimensions") {
+    assert(NLParser.parse("Project the embeddings to 16 dimensions.").ops ==
+      List(O.ProjectEmbeddings(16)))
+    assert(NLParser.parse("Project vectors to 8 dims.").ops ==
+      List(O.ProjectEmbeddings(8)))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Project the embeddings to 0 dimensions."))
+  }
+
   test("find top-k similar through int8 codes") {
     assert(NLParser.parse(
       "Find top 5 most similar vectors to 3 using int8 codes.").ops ==
