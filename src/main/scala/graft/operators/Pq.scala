@@ -158,14 +158,8 @@ object Pq {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cand = adcTopK(queries, corpus, cb, rerank, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorFunctions.cosineSim(
-          col("q_vec"), col("c_vec")).as("score"))
-    Similarity.topKPerQuery(scored, k)
+    // bounded-collect rescore: the exact pass reads only the may-match
+    // row groups (pushed IN), never a second full corpus scan
+    Similarity.exactRerank(queries, corpus, cand, k, idCol, vecCol)
   }
 }

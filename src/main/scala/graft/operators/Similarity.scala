@@ -194,17 +194,28 @@ object Similarity {
   }
 
   /** Shared exact-rescore tail of the compressed-candidates paths
-    * (JL projection, SQ8): the full-dim cosine scores only the
-    * `cand(query_id, neighbor_id)` pairs — reads bounded by
-    * |queries|·rerank via two broadcast equi-joins — then the same
-    * partial top-k aggregator ranks. */
-  private def exactRerank(queries: DataFrame, corpus: DataFrame,
-                          cand: DataFrame, k: Int,
-                          idCol: String, vecCol: String): DataFrame = {
+    * (JL projection, SQ8, PQ re-rank): the candidate pairs materialize
+    * on the DRIVER — bounded by |queries|·rerank, the probed-cells
+    * collect class — so the rescore scan carries `id IN (…)` as a
+    * PUSHED literal predicate: at rest the exact pass reads only the
+    * may-match row groups of the corpus instead of re-scanning it
+    * (the second-full-scan shape a pure broadcast-join rescore pays,
+    * since runtime filters don't reach an unpartitioned parquet scan
+    * through a broadcast join). Exact cosine over the pairs, then the
+    * same partial top-k aggregator ranks. */
+  private[operators] def exactRerank(queries: DataFrame, corpus: DataFrame,
+                                     cand: DataFrame, k: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val pairs = cand.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val candLit = spark.createDataFrame(pairs).toDF("query_id", "neighbor_id")
+    val ids = pairs.map(_._2).distinct.sorted
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = corpus
+      .filter(col(idCol).isin(ids: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(candLit), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(col("q_vec"), col("c_vec")).as("score"))
@@ -213,24 +224,24 @@ object Similarity {
 
   // --------------------------------------------- Scalar quantization (SQ8)
 
-  /** Symmetric per-vector int8 codes and their integer self-dot — the
-    * serving form of [[quantizeInt8]]'s storage rows (identical code
-    * values: same max-abs scale, same floor(x·127/mx + 0.5) rounding).
-    * Map-only built-in column work; codes are LONGs in [-127, 127], so
-    * every downstream dot/self-dot is a sum of integers ≤ 127²·dim —
-    * exact in ANY accumulation order in either engine, which is what
-    * makes the SQ8 scores replayable without pinning association. */
+  /** Symmetric per-vector int8 codes — the serving form of
+    * [[quantizeInt8]]'s storage rows (identical code values: same
+    * max-abs scale, same floor(x·127/mx + 0.5) rounding). Map-only
+    * built-in column work; codes are integers in [-127, 127] held in
+    * FLOAT (every value exact), so the pair scoring can run through
+    * the codegen'd [[graft.functions.CosineSimilarity]] kernel — its
+    * double accumulations over integer-valued operands are sums of
+    * exact integers ≤ 127²·dim, identical under ANY accumulation
+    * order in either engine, which is what makes the SQ8 scores
+    * replayable without pinning association. */
   private def sq8Coded(df: DataFrame, idAs: String, codesAs: String,
-                       ssqAs: String, idCol: String,
-                       vecCol: String): DataFrame = {
+                       idCol: String, vecCol: String): DataFrame = {
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(vecD, x => abs(x)))
     val codes = transform(vecD, x =>
       when(mx === lit(0.0), lit(0.0))
-        .otherwise(floor(x * lit(127.0) / mx + lit(0.5))).cast("long"))
+        .otherwise(floor(x * lit(127.0) / mx + lit(0.5))).cast("float"))
     df.select(col(idCol).as(idAs), codes.as(codesAs))
-      .withColumn(ssqAs,
-        aggregate(col(codesAs), lit(0L), (a, c) => a + c * c))
   }
 
   /** ANN via int8 scalar quantization + exact re-rank: candidates rank
@@ -246,18 +257,14 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val q = sq8Coded(queries, "query_id", "q_codes", "q_ssq", idCol, vecCol)
-    val c = sq8Coded(corpus, "neighbor_id", "c_codes", "c_ssq", idCol, vecCol)
-    val dot = aggregate(
-      zip_with(col("q_codes"), col("c_codes"), (a, b) => a * b),
-      lit(0L), (a, x) => a + x)
+    val q = sq8Coded(queries, "query_id", "q_codes", idCol, vecCol)
+    val c = sq8Coded(corpus, "neighbor_id", "c_codes", idCol, vecCol)
+    // the kernel's zero-denominator guard scores a zero vector 0.0 —
+    // the same CASE the SQL replay spells out
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        when(col("q_ssq") === 0L || col("c_ssq") === 0L, lit(0.0))
-          .otherwise(dot.cast("double") /
-            (sqrt(col("q_ssq").cast("double")) *
-             sqrt(col("c_ssq").cast("double")))).as("score"))
+        cosineSim(col("q_codes"), col("c_codes")).as("score"))
     val cand = topKPerQuery(scored, rerank)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(queries, corpus, cand, k, idCol, vecCol)

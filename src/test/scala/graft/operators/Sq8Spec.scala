@@ -64,6 +64,16 @@ class Sq8Spec extends SparkSpec {
     assert(got.forall(r => !r._4.isNaN))
   }
 
+  test("the exact re-rank scan is IN-pruned to the candidate ids") {
+    val q = embs.filter(col("vec_id") < NQueries)
+    val res = Similarity.sq8TopK(q, embs, K, rerank = 50)
+    res.collect()
+    val pushed = SparkSpec.executedFileScans(res)
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString("\n")
+    assert(pushed.contains("In(vec_id"),
+      s"rescore must push the candidate-id IN filter to the scan:\n$pushed")
+  }
+
   test("rerank < k is rejected") {
     intercept[IllegalArgumentException] {
       Similarity.sq8TopK(embs.limit(1), embs, 5, rerank = 3)
