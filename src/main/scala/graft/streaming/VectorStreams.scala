@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.IvfIndex
+
+/** Streaming twins of the vector-serving surface: a continuous stream
+  * of query vectors probes the persisted IVF index as it arrives —
+  * the online half of the serving story, where [[IvfIndex.ingest]] is
+  * the write half.
+  *
+  * Shape: `foreachBatch`, because a probe's bounded driver work
+  * (manifest read, centroid fetch, probed-cell collect) happens per
+  * micro-batch by design — each batch probes the INDEX AS OF that
+  * moment, so a concurrent ingest/compact/rebuild is picked up at the
+  * next batch boundary (the manifest flip is atomic; a batch never
+  * sees a torn index).
+  *
+  * Replay safety: each batch writes its results to its OWN
+  * `batch=<id>` directory with overwrite semantics, so a restarted
+  * stream that re-delivers a batch rewrites the same directory with
+  * the same deterministic content — duplicate-free output without a
+  * dedup pass (the per-batch-directory idempotence recipe, not the
+  * log's batch-tag one, because results are per-batch-partitioned
+  * reads downstream, not one merged table).
+  */
+object VectorStreams {
+
+  /** Serve a streaming frame of `(vec_id, embedding)` queries against
+    * the index at `path`: exact rescore probes ([[IvfIndex.search]]),
+    * or the PQ/ADC layer ([[IvfIndex.searchAdc]]) when `pq = true`.
+    * Results land under `outPath/batch=<id>/` as parquet
+    * `(query_id, neighbor_id, rank, score)`. */
+  def serve(queries: DataFrame, path: String, outPath: String,
+            checkpoint: String, k: Int, nprobe: Int,
+            pq: Boolean = false): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val res =
+            if (pq) IvfIndex.searchAdc(spark, path, batch, k, nprobe)
+            else IvfIndex.search(spark, path, batch, k, nprobe)
+          res.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Everything the stream has served so far, across batches. */
+  def served(spark: org.apache.spark.sql.SparkSession,
+             outPath: String): DataFrame =
+    spark.read
+      .option("basePath", outPath)
+      .parquet(outPath)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+}
