@@ -84,7 +84,8 @@ class PlanShapeSpec extends SparkSpec {
       "nl33_dedup_embedding_lsh" -> "x33_embedding_pairs_lsh",
       "nl37_chunk_documents"    -> "x38_chunk_documents",
       "nl80_calibrate_lsh"      -> "x60_lsh_calibration",
-      "nl81_calibrate_ivf"      -> "x61_ivf_calibration")
+      "nl81_calibrate_ivf"      -> "x61_ivf_calibration",
+      "nl118_project_embeddings" -> "x87_random_projection")
     twins.foreach { case (nl, x) =>
       val a = graft.SparkEntry.queries(nl)(spark, sf).queryExecution.optimizedPlan
       val b = graft.SparkEntry.queries(x)(spark, sf).queryExecution.optimizedPlan
