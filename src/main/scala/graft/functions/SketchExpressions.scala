@@ -101,6 +101,32 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** Symmetric int8 quantization codes as floats (every value in
+    * [-127, 127] is float-exact): floor(x·127/max|x| + 0.5) with the
+    * arithmetic in double — the exact sequence of the column-expression
+    * formulation (`x.cast(double) * 127.0 / array_max(abs(...))`), so
+    * codes agree bit-for-bit with the x37 storage quantizer. A zero
+    * vector encodes to all zeros. */
+  def sq8Encode(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Float](n)
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(vec.getFloat(i).toDouble * 127.0 / mx + 0.5).toFloat
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Johnson–Lindenstrauss projection: out(p) = (vec · planes(p)) / div,
     * dots accumulated in double over index order (the exact association
     * DuckDB's `list_dot_product` uses, so the oracle replays bit-for-bit).
@@ -297,6 +323,28 @@ case class PlaneProject(child: Expression, planes: Array[Array[Float]],
   override def prettyName: String = "plane_project"
 }
 
+/** codes = sq8_encode(embedding): array<float> of int8 quantization
+  * codes — the fused single-pass form of the max-abs/floor column
+  * expressions ([[SketchKernels.sq8Encode]]). */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.sq8Encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.sq8Encode($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sq8_encode"
+}
+
 object SketchFunctions {
   def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
     columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
@@ -315,4 +363,7 @@ object SketchFunctions {
 
   def planeProject(vec: Column, planes: Array[Array[Float]], div: Double): Column =
     columnOf(PlaneProject(expressionOf(vec), planes, div))
+
+  def sq8Encode(vec: Column): Column =
+    columnOf(Sq8Encode(expressionOf(vec)))
 }

@@ -226,23 +226,21 @@ object Similarity {
 
   /** Symmetric per-vector int8 codes — the serving form of
     * [[quantizeInt8]]'s storage rows (identical code values: same
-    * max-abs scale, same floor(x·127/mx + 0.5) rounding). Map-only
-    * built-in column work; codes are integers in [-127, 127] held in
-    * FLOAT (every value exact), so the pair scoring can run through
-    * the codegen'd [[graft.functions.CosineSimilarity]] kernel — its
+    * max-abs scale, same floor(x·127/mx + 0.5) rounding, spec-pinned
+    * equal). Map-only fused codegen kernel
+    * ([[graft.functions.Sq8Encode]] — the HOF formulation paid ~10s of
+    * interpreted lambda evals at sf1); codes are integers in
+    * [-127, 127] held in FLOAT (every value exact), so the pair
+    * scoring runs through the codegen'd
+    * [[graft.functions.CosineSimilarity]] kernel — its
     * double accumulations over integer-valued operands are sums of
     * exact integers ≤ 127²·dim, identical under ANY accumulation
     * order in either engine, which is what makes the SQ8 scores
     * replayable without pinning association. */
   private def sq8Coded(df: DataFrame, idAs: String, codesAs: String,
-                       idCol: String, vecCol: String): DataFrame = {
-    val vecD = transform(col(vecCol), x => x.cast("double"))
-    val mx = array_max(transform(vecD, x => abs(x)))
-    val codes = transform(vecD, x =>
-      when(mx === lit(0.0), lit(0.0))
-        .otherwise(floor(x * lit(127.0) / mx + lit(0.5))).cast("float"))
-    df.select(col(idCol).as(idAs), codes.as(codesAs))
-  }
+                       idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      graft.functions.SketchFunctions.sq8Encode(col(vecCol)).as(codesAs))
 
   /** ANN via int8 scalar quantization + exact re-rank: candidates rank
     * by the quantized cosine — integer code dot over the product of

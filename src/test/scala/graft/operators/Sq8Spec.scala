@@ -22,6 +22,20 @@ class Sq8Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq.sorted
 
+  test("sq8_encode codes equal the x37 storage quantizer's q values") {
+    val codes = embs.limit(100).select(col("vec_id"),
+        posexplode(graft.functions.SketchFunctions.sq8Encode(col("embedding")))
+          .as(Seq("pos", "c")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2).toLong)
+      .toMap
+    val stored = Similarity.quantizeInt8(embs.limit(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2))
+    assert(stored.nonEmpty)
+    stored.foreach { case (key, q) =>
+      assert(codes(key) == q, s"code mismatch at $key")
+    }
+  }
+
   test("with rerank = corpus size the SQ8 path IS brute force") {
     val q = embs.filter(col("vec_id") < NQueries)
     val n = embs.count().toInt
