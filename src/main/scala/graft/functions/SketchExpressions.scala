@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
 import org.apache.spark.sql.types._
@@ -125,6 +125,53 @@ object SketchKernels {
       }
     }
     new GenericArrayData(out)
+  }
+
+  /** [[sq8Encode]] packed as SIGNED BYTES — the at-rest form (1 byte
+    * per dimension, the 4x compression the SQ8 index layer stores).
+    * Same arithmetic, so a byte here always equals the float code. */
+  def sq8EncodeBytes(vec: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(vec.getFloat(i).toDouble * 127.0 / mx + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Quantized cosine over two byte-code words: integer dot and
+    * self-dots accumulated in LONG (exact — |code| ≤ 127), then the
+    * exact combine sequence of [[CosineSimilarity]]: denom =
+    * sqrt(na)·sqrt(nb), zero denominator → 0.0. long→double widenings
+    * are exact below 2^53, so this equals the float-codes path through
+    * the cosine kernel bit for bit. */
+  def sq8Cos(a: Array[Byte], b: Array[Byte]): Double = {
+    VectorKernels.checkDims(a.length, b.length, "sq8_cos")
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toLong
+      val y = b(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom == 0.0) 0.0 else dot.toDouble / denom
   }
 
   /** Johnson–Lindenstrauss projection: out(p) = (vec · planes(p)) / div,
@@ -345,6 +392,51 @@ case class Sq8Encode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sq8_encode"
 }
 
+/** codes8 = sq8_encode_bytes(embedding): BINARY of one signed byte per
+  * dimension — the at-rest SQ8 code word ([[SketchKernels.sq8EncodeBytes]]). */
+case class Sq8EncodeBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode_bytes requires array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.sq8EncodeBytes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.sq8EncodeBytes($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sq8_encode_bytes"
+}
+
+/** score = sq8_cos(codes8_a, codes8_b): the quantized cosine over two
+  * byte code words ([[SketchKernels.sq8Cos]]) — integer-exact sums,
+  * the cosine kernel's combine, zero vectors score 0. */
+case class Sq8Cosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_cos requires (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sq8Cos(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.sq8Cos($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq8_cos"
+}
+
 object SketchFunctions {
   def minHashSketch(hashedShingles: Column, numHashes: Int): Column =
     columnOf(MinHashSketch(expressionOf(hashedShingles), numHashes))
@@ -366,4 +458,10 @@ object SketchFunctions {
 
   def sq8Encode(vec: Column): Column =
     columnOf(Sq8Encode(expressionOf(vec)))
+
+  def sq8EncodeBytes(vec: Column): Column =
+    columnOf(Sq8EncodeBytes(expressionOf(vec)))
+
+  def sq8Cos(a: Column, b: Column): Column =
+    columnOf(Sq8Cosine(expressionOf(a), expressionOf(b)))
 }

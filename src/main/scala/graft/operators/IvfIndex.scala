@@ -60,7 +60,8 @@ object IvfIndex {
     * concurrent rebuild. */
   final case class IndexManifest(version: Long, segments: Seq[String],
                                  centroidsFile: String,
-                                 pqFile: Option[String])
+                                 pqFile: Option[String],
+                                 sq8: Boolean = false)
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,16 +107,20 @@ object IvfIndex {
       s.stripPrefix("centroids=") }
     val pq = entries.collectFirst { case s if s.startsWith("pq=") =>
       s.stripPrefix("pq=") }
-    val segs = entries.filterNot(s => s.startsWith("centroids=") || s.startsWith("pq="))
+    val sq8 = entries.contains("sq8=1")
+    val segs = entries.filterNot(s => s.startsWith("centroids=") ||
+      s.startsWith("pq=") || s.startsWith("sq8="))
     IndexManifest(v, segs,
       cents.getOrElse(LegacyCentroidsFile),
       pq.orElse(if (cents.isEmpty && f.exists(new Path(root, LegacyPqFile)))
-                  Some(LegacyPqFile) else None))
+                  Some(LegacyPqFile) else None),
+      sq8)
   }
 
   private def publish(spark: SparkSession, root: Path, version: Long,
                       segs: Seq[String], centroidsFile: String,
-                      pqFile: Option[String]): Unit = {
+                      pqFile: Option[String],
+                      sq8: Boolean = false): Unit = {
     val f = fs(spark, root)
     val target = new Path(root, f"index-manifest-$version%09d.txt")
     if (f.exists(target)) throw ConcurrentWriteException(
@@ -123,7 +128,8 @@ object IvfIndex {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s".index-manifest-$version-$token.tmp")
     val out = f.create(tmp, true)
-    val quant = s"centroids=$centroidsFile" +: pqFile.map(p => s"pq=$p").toSeq
+    val quant = (s"centroids=$centroidsFile" +: pqFile.map(p => s"pq=$p").toSeq) ++
+      (if (sq8) Seq("sq8=1") else Nil)
     try out.write((Header +: (quant ++ segs))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
@@ -210,17 +216,22 @@ object IvfIndex {
   private def writeSegment(spark: SparkSession, root: Path, segName: String,
                            vectors: DataFrame, cents: Array[Array[Float]],
                            idCol: String, vecCol: String,
-                           pqCb: Option[Pq.PqCodebooks] = None): Unit = {
+                           pqCb: Option[Pq.PqCodebooks] = None,
+                           sq8: Boolean = false): Unit = {
     import graft.functions.SketchFunctions.nearestCentroids
     val f = fs(spark, root)
     val target = new Path(root, segName)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
     val base = Parallelism.spreadToCores(
         vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
-    val withCodes = pqCb match {
+    val withPq = pqCb match {
       case Some(cb) => Pq.encode(base, cb) // m-byte code word beside the floats
       case None => base
     }
+    val withCodes = // per-vector SQ8 needs no trained quantizer — pure map
+      if (sq8) withPq.withColumn("codes8",
+        graft.functions.SketchFunctions.sq8EncodeBytes(col("embedding")))
+      else withPq
     withCodes
       .withColumn("cell", nearestCentroids(col("embedding"), cents, 1)(0))
       .sortWithinPartitions(col("cell"), col("vec_id"))
@@ -240,7 +251,8 @@ object IvfIndex {
   def build(vectors: DataFrame, path: String, cells: Int,
             refineIters: Int = 2, idCol: String = "vec_id",
             vecCol: String = "embedding",
-            pq: Option[Pq.PqParams] = None): Long = {
+            pq: Option[Pq.PqParams] = None,
+            sq8: Boolean = false): Long = {
     require(cells > 0, s"cells must be positive, got $cells")
     val spark = vectors.sparkSession
     val root = new Path(path)
@@ -256,8 +268,8 @@ object IvfIndex {
     writeCentroids(spark, root, centsFile, cents)
     pqCb.foreach(cb => writePq(spark, root, pqFile.get, cb))
     val seg = f"seg-$version%09d"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
-    publish(spark, root, version, Seq(seg), centsFile, pqFile)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, sq8)
+    publish(spark, root, version, Seq(seg), centsFile, pqFile, sq8)
     version
   }
 
@@ -295,12 +307,12 @@ object IvfIndex {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val suffix = batchTag.map(t => s"-b$t").getOrElse("")
     val seg = s"seg-$token$suffix"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, m0.sq8)
     var m = m0
     while (true) {
       try {
         publish(spark, root, m.version + 1, m.segments :+ seg,
-                m.centroidsFile, m.pqFile)
+                m.centroidsFile, m.pqFile, m.sq8)
         return m.version + 1
       } catch {
         case _: ConcurrentWriteException =>
@@ -421,7 +433,8 @@ object IvfIndex {
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
-    publish(spark, root, m.version + 1, Seq(seg), m.centroidsFile, m.pqFile)
+    publish(spark, root, m.version + 1, Seq(seg), m.centroidsFile, m.pqFile,
+            m.sq8)
     m.version + 1
   }
 
@@ -486,13 +499,14 @@ object IvfIndex {
     * int) — a cast on the partition column wraps the attribute and
     * BLOCKS partition pruning, turning every probe into a full scan
     * (spec-pinned via inputFiles). */
-  private def indexSchema(hasPq: Boolean) = {
+  private def indexSchema(hasPq: Boolean, hasSq8: Boolean) = {
     import org.apache.spark.sql.types._
     val base = Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)))
     val pq = if (hasPq) Seq(StructField("codes", BinaryType)) else Nil
-    StructType(base ++ pq :+ StructField("cell", LongType))
+    val sq8 = if (hasSq8) Seq(StructField("codes8", BinaryType)) else Nil
+    StructType(base ++ pq ++ sq8 :+ StructField("cell", LongType))
   }
 
   /** Every indexed vector with its STORED cell: `(vec_id, embedding[,
@@ -508,7 +522,7 @@ object IvfIndex {
 
   private def readSegments(spark: SparkSession, root: Path,
                            m: IndexManifest): DataFrame = {
-    val schema = indexSchema(m.pqFile.isDefined)
+    val schema = indexSchema(m.pqFile.isDefined, m.sq8)
     m.segments.map(s => spark.read.schema(schema)
         .parquet(new Path(root, s).toString))
       .reduce(_.unionByName(_))
@@ -602,6 +616,44 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               pqAdc(col("lut"), col("codes"), cb.m, cb.ksub).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** IVF-SQ8 search: cell pruning as [[search]], but candidates score
+    * through the per-vector int8 code words — the probe projects
+    * `(vec_id, codes8, cell)` ONLY, so the pruned scan reads 1 byte
+    * per dimension instead of the float vectors (4x fewer candidate
+    * bytes; spec-pinned on the executed scan's read schema). Scores
+    * are the quantized cosine ([[graft.functions.Sq8Cosine]]) —
+    * scales cancel, integer sums exact, so the replay needs no
+    * association pinning. SQ8 needs no trained quantizer: queries
+    * encode on the fly, appends encode against nothing — the layer
+    * survives any rebuild untouched. Requires
+    * `build(..., sq8 = true)`. */
+  def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
+                k: Int, nprobe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.SketchFunctions.{nearestCentroids, sq8Cos, sq8EncodeBytes}
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
+    // same single-manifest-read consistency as [[search]]
+    val m = readManifestFull(spark, path)
+    if (!m.sq8) sys.error(
+      s"$path has no SQ8 layer — build(..., sq8 = true)")
+    val root = new Path(path)
+    val cents = readCentroidsFile(spark, root, m.centroidsFile)
+    val qb = queries
+      .select(col(idCol).as("query_id"),
+              sq8EncodeBytes(col(vecCol)).as("q_codes8"),
+              explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cell"))
+    // bounded driver collect: |queries| × nprobe cell ids
+    val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
+    val corpus = readSegments(spark, root, m)
+      .select(col("vec_id"), col("codes8"), col("cell"))
+      .filter(col("cell").isin(probed: _*))
+    val scored = corpus.join(broadcast(qb), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              sq8Cos(col("q_codes8"), col("codes8")).as("score"))
     Similarity.topKPerQuery(scored, k)
   }
 }

@@ -83,7 +83,7 @@ object Compiler {
       case Op.DeleteByKey(kc, keys) =>
         ManifestedLog.deleteByKey(spark, path, kc, keys)
         ManifestedLog.load(spark, path)
-      case Op.IndexSearch(qid, k, nprobe, adc) =>
+      case Op.IndexSearch(qid, k, nprobe, adc, sq8) =>
         import graft.operators.IvfIndex
         // The spoken id's STORED vector probes the index. Fetch it via
         // the projected, predicate-pushed single-row read (bounded
@@ -92,11 +92,11 @@ object Compiler {
         // side must never carry an index scan, which at scale is a
         // full-table read per spoken probe.
         val vec = IvfIndex.lookupVector(spark, path, qid)
-        indexProbe(spark, path, qid, vec, k, nprobe, adc)
-      case Op.IndexSearchVec(vec, k, nprobe, adc) =>
+        indexProbe(spark, path, qid, vec, k, nprobe, adc, sq8)
+      case Op.IndexSearchVec(vec, k, nprobe, adc, sq8) =>
         // an UNSEEN literal query vector — nothing to fetch; the id -1
         // is outside the stored id space, so no candidate is excluded
-        indexProbe(spark, path, -1L, vec.toArray, k, nprobe, adc)
+        indexProbe(spark, path, -1L, vec.toArray, k, nprobe, adc, sq8)
       case Op.IndexCompact =>
         graft.operators.IvfIndex.compact(spark, path)
         graft.operators.IvfIndex.read(spark, path)
@@ -116,12 +116,14 @@ object Compiler {
     * candidate side. */
   private def indexProbe(spark: org.apache.spark.sql.SparkSession,
                          path: String, qid: Long, vec: Array[Float],
-                         k: Int, nprobe: Int, adc: Boolean): DataFrame = {
+                         k: Int, nprobe: Int, adc: Boolean,
+                         sq8: Boolean = false): DataFrame = {
     import graft.operators.IvfIndex
     import spark.implicits._
     val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
     val res =
-      if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
+      if (sq8) IvfIndex.searchSq8(spark, path, queries, k, nprobe)
+      else if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
       else IvfIndex.search(spark, path, queries, k, nprobe)
     res.withColumn("score", round(col("score"), 6))
   }

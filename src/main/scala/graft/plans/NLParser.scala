@@ -1571,12 +1571,22 @@ object NLParser {
         // literal query vector — the actual serving shape.
         p.next(); p.dropWords("the")
         p.expectWord("index")
-        val adc = p.peekWordLower.contains("with") && {
-          p.next(); p.dropWords("product")
-          p.expectWord("quantized")
-          p.dropWords("codes", "code")
-          true
-        }
+        // "with quantized codes" = the PQ/ADC layer; "with int8 codes"
+        // = the per-vector SQ8 layer
+        val (adc, sq8) =
+          if (p.peekWordLower.contains("with")) {
+            p.next()
+            if (p.peekWordLower.contains("int8")) {
+              p.next(); p.dropWords("quantized")
+              p.dropWords("codes", "code", "quantization")
+              (false, true)
+            } else {
+              p.dropWords("product")
+              p.expectWord("quantized")
+              p.dropWords("codes", "code")
+              (true, false)
+            }
+          } else (false, false)
         p.expectWord("for"); p.dropWords("top", "the")
         val k = p.expectNum().toInt
         if (k <= 0) throw ParseException(s"top-k must be positive: $k")
@@ -1594,10 +1604,10 @@ object NLParser {
         if (p.peekWordLower.contains("vector")) {
           p.next()
           val vec = vectorLiteral(p)
-          Right(List(Op.IndexSearchVec(vec, k, nprobeTail(), adc)))
+          Right(List(Op.IndexSearchVec(vec, k, nprobeTail(), adc, sq8)))
         } else {
           val qid = p.expectNum().toLong
-          Right(List(Op.IndexSearch(qid, k, nprobeTail(), adc)))
+          Right(List(Op.IndexSearch(qid, k, nprobeTail(), adc, sq8)))
         }
       case Some("delete") | Some("forget") | Some("erase") =>
         // "Delete user_id 42 from the table." — PHYSICAL compliance

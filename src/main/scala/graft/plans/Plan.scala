@@ -504,15 +504,20 @@ object Op {
     * vector probes its `nprobe` nearest cells; `adc = true` scores
     * through the index's PQ code words
     * ([[graft.operators.IvfIndex.searchAdc]] — reads m bytes per
-    * candidate, never the floats) instead of the exact cosine. */
+    * candidate, never the floats) instead of the exact cosine;
+    * `sq8 = true` scores through the index's per-vector int8 code
+    * words ([[graft.operators.IvfIndex.searchSq8]] — 1 byte/dim,
+    * integer-exact quantized cosine). */
   final case class IndexSearch(queryId: Long, k: Int, nprobe: Int,
-                               adc: Boolean = false)               extends TableOp
+                               adc: Boolean = false,
+                               sq8: Boolean = false)               extends TableOp
   /** ANN probe with an UNSEEN literal query vector — the actual serving
     * shape (a fresh embedding probes the index; the stored-id form is a
     * benchmark convenience). The literal becomes a one-row broadcast
     * frame with query_id -1; same probe kernels as [[IndexSearch]]. */
   final case class IndexSearchVec(vec: Seq[Float], k: Int, nprobe: Int,
-                                  adc: Boolean = false)            extends TableOp
+                                  adc: Boolean = false,
+                                  sq8: Boolean = false)            extends TableOp
   /** Fold the bound index's segments into one, re-tiling hot cells
     * into bounded files ([[graft.operators.IvfIndex.compact]]), then
     * read the index content back — content must be invariant. */

@@ -480,6 +480,15 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // The SQ8 layer, spoken — x90's per-vector int8 serving narrowed
+    // to the one spoken query id.
+    "nl119_index_search_sq8" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfSq8IndexTable(s, d)
+      Engine.run("Search the index with int8 codes for top 5 " +
+                 "similar to 3 probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // Literal-vector probes — the ACTUAL serving shape: a fresh
     // (unindexed) embedding spoken as a bracketed float list probes
     // the index; the oracle replays the probe with the same literal's
@@ -938,6 +947,8 @@ object NLQueries extends QueryPack {
       VectorQueries.sq8LiteralReplaySql(5, 50),
     "nl118_project_embeddings" ->
       VectorQueries.oracleSql("x87_random_projection"),
+    "nl119_index_search_sq8" ->
+      VectorQueries.sq8IvfReplaySqlFor("vec_id = 3", 5, 4),
     "nl47_semantic_dedup" -> VectorQueries.oracleSql("x50_semantic_dedup"),
     "nl48_temperature_sample" -> SamplingQueries.oracleSql("x51_temperature_sample"),
     "nl49_histogram" -> RelationalQueries.oracleSql("x53_histogram_profile"),

@@ -80,6 +80,22 @@ object VectorQueries extends QueryPack {
     path
   }
 
+  /** x90's index: same coarse quantizer plus the per-vector SQ8 layer,
+    * so probes serve from 1-byte-per-dim code words. */
+  private[queries] def ivfSq8IndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivfsq8_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids, sq8 = true)
+      builtIndexes += path
+    }
+    path
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_ann_bruteforce" -> ((s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
@@ -152,6 +168,17 @@ object VectorQueries extends QueryPack {
       val cb = graft.operators.Pq.train(emb, PqM, PqKsub)
       graft.operators.Pq.adcTopKRefined(
           emb.filter(col("vec_id") < NQueries), emb, cb, K, PqRerank)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // IVF-SQ8: the persisted index serves quantized-cosine probes from
+    // (vec_id, codes8, cell) only — 1 byte per dimension; candidates
+    // are x20's probed cells; scores are x89's integer-exact quantized
+    // cosine, so the replay composes the two chains directly.
+    "x90_ivfsq8_index_search" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfIndex.searchSq8(s, ivfSq8IndexTable(s, d),
+          emb.filter(col("vec_id") < NQueries), K, IvfNProbe)
         .withColumn("score", round(col("score"), 6))
     }),
 
@@ -551,6 +578,21 @@ object VectorQueries extends QueryPack {
        |  WHERE rn <= $rerank)
        |${rescoreTopK(k)}""".stripMargin
 
+  /** IVF-SQ8 replay: x20's probed-cell candidate chain scored by x89's
+    * quantized cosine — the two replays compose, reusing [[pqRankTail]]
+    * via the shared `pscored` CTE name. */
+  private[queries] def sq8IvfReplaySqlFor(queryPred: String, k: Int,
+                                          nprobe: Int): String =
+    s"""WITH ${ivfCandidatesCte(queryPred, nprobe)},
+       |$sq8Cte,
+       |pscored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    ${sq8Score("q", "n")} AS score
+       |  FROM cand cd
+       |  JOIN sq8s n ON n.vec_id = cd.neighbor_id
+       |  JOIN sq8s q ON q.vec_id = cd.query_id)
+       |${pqRankTail(k)}""".stripMargin
+
   /** Literal-vector SQ8 replay: the spoken query quantizes through the
     * same max-abs/floor recipe, ranks the quantized corpus, and the
     * exact cosine against the literal rescores the top-`rerank`. */
@@ -834,6 +876,10 @@ object VectorQueries extends QueryPack {
     // SQ8 replay: quantize, rank by the integer-exact quantized
     // cosine, exact rescore tail.
     "x89_ann_sq8" -> sq8ReplaySqlFor(s"q.vec_id < $NQueries", K, Sq8Rerank),
+
+    // IVF-SQ8: probed-cell candidates scored by the quantized cosine.
+    "x90_ivfsq8_index_search" ->
+      sq8IvfReplaySqlFor(ivfDefaultQueryPred, K, IvfNProbe),
 
     // Full PQ replay: slice seeds → two per-subspace Lloyd iterations →
     // code assignment → per-query ADC tables → quantized inner products,

@@ -135,6 +135,66 @@ class IvfIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IVF-SQ8: probe-everything equals the flat quantized-cosine rank; " +
+       "the probe reads (vec_id, codes8, cell) only") {
+    import graft.functions.SketchFunctions.{sq8Cos, sq8EncodeBytes}
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells, sq8 = true)
+    val queries = embs.filter(col("vec_id") < 8)
+
+    // nprobe = every cell → candidates are ALL non-self vectors, so the
+    // index must reproduce the flat sq8-cosine ranking exactly
+    val got = ranked(IvfIndex.searchSq8(spark, p, queries, K, nprobe = Cells))
+    val q = queries.select(col("vec_id").as("query_id"),
+      sq8EncodeBytes(col("embedding")).as("qc"))
+    val c = embs.select(col("vec_id").as("neighbor_id"),
+      sq8EncodeBytes(col("embedding")).as("cc"))
+    val flat = Similarity.topKPerQuery(
+      c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          sq8Cos(col("qc"), col("cc")).as("score")), K)
+    assert(got == ranked(flat) && got.nonEmpty)
+
+    // a narrow probe prunes partitions AND columns: the pruned scan
+    // reads 1 byte/dim code words, never the float vectors
+    val res = IvfIndex.searchSq8(spark, p,
+      embs.filter(col("vec_id") === 3), K, NProbe)
+    res.collect()
+    val indexScans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(indexScans.nonEmpty)
+    indexScans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("vec_id", "codes8"),
+        s"SQ8 probe must not read the float vectors: ${s.requiredSchema}")
+    }
+    val partitionsRead = indexScans.map(s =>
+      s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    assert(partitionsRead <= NProbe,
+      s"one query with nprobe=$NProbe read $partitionsRead cell partitions")
+    // an un-layered index refuses loudly
+    val bare = freshPath()
+    IvfIndex.build(embs, bare, Cells)
+    intercept[RuntimeException] {
+      IvfIndex.searchSq8(spark, bare, queries, K, NProbe)
+    }
+  }
+
+  test("IVF-SQ8: appends encode against nothing frozen and survive a rebuild") {
+    val p = freshPath()
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(half1, p, Cells, sq8 = true)
+    IvfIndex.append(half2, p) // sq8 flag rides the manifest
+    val queries = embs.filter(col("vec_id") < 4)
+    val afterAppend = ranked(IvfIndex.searchSq8(spark, p, queries, K, Cells))
+    // rebuild over the union: the quantizer changes, the SQ8 layer is
+    // per-vector so the probe-everything result is IDENTICAL
+    IvfIndex.build(embs, p, Cells, sq8 = true)
+    assert(ranked(IvfIndex.searchSq8(spark, p, queries, K, Cells)) ==
+      afterAppend)
+  }
+
   test("the NL probe routes scan only probed cells; the query-vector " +
        "fetch is projected and pushed") {
     import graft.SparkSpec.executedFileScans

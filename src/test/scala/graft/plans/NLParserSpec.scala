@@ -174,6 +174,14 @@ class NLParserSpec extends AnyFunSuite {
       "Search the index with quantized codes for top 5 similar to 3 " +
       "probing 4 cells.").ops ==
       List(O.IndexSearch(3L, 5, 4, adc = true)))
+    assert(NLParser.parse(
+      "Search the index with int8 codes for top 5 similar to 3 " +
+      "probing 4 cells.").ops ==
+      List(O.IndexSearch(3L, 5, 4, sq8 = true)))
+    assert(NLParser.parse(
+      "Search the index with int8 codes for top 3 similar to " +
+      "vector [1, 0, -1] probing 2 cells.").ops ==
+      List(O.IndexSearchVec(Seq(1f, 0f, -1f), 3, 2, sq8 = true)))
     assertThrows[NLParser.ParseException](NLParser.parse(
       "Search the index for top 0 similar to 3 probing 4 cells."))
     assertThrows[NLParser.ParseException](NLParser.parse(
