@@ -30,19 +30,21 @@ object VectorStreams {
 
   /** Serve a streaming frame of `(vec_id, embedding)` queries against
     * the index at `path`: exact rescore probes ([[IvfIndex.search]]),
-    * or the PQ/ADC layer ([[IvfIndex.searchAdc]]) when `pq = true`.
-    * Results land under `outPath/batch=<id>/` as parquet
+    * the PQ/ADC layer ([[IvfIndex.searchAdc]]) when `pq = true`, or
+    * the per-vector int8 layer ([[IvfIndex.searchSq8]]) when
+    * `sq8 = true`. Results land under `outPath/batch=<id>/` as parquet
     * `(query_id, neighbor_id, rank, score)`. */
   def serve(queries: DataFrame, path: String, outPath: String,
             checkpoint: String, k: Int, nprobe: Int,
-            pq: Boolean = false): StreamingQuery =
+            pq: Boolean = false, sq8: Boolean = false): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val res =
-            if (pq) IvfIndex.searchAdc(spark, path, batch, k, nprobe)
+            if (sq8) IvfIndex.searchSq8(spark, path, batch, k, nprobe)
+            else if (pq) IvfIndex.searchAdc(spark, path, batch, k, nprobe)
             else IvfIndex.search(spark, path, batch, k, nprobe)
           res.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         }

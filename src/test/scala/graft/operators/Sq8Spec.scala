@@ -88,6 +88,34 @@ class Sq8Spec extends SparkSpec {
       s"rescore must push the candidate-id IN filter to the scan:\n$pushed")
   }
 
+  test("byte codes and the binary cosine equal the float-codes path bit-for-bit") {
+    import graft.functions.SketchFunctions.{sq8Cos, sq8Encode, sq8EncodeBytes}
+    import graft.functions.VectorFunctions.cosineSim
+    // elementwise: every packed byte equals the float code
+    embs.limit(200)
+      .select(sq8Encode(col("embedding")).as("f"),
+              sq8EncodeBytes(col("embedding")).as("b"))
+      .collect().foreach { r =>
+        val f = r.getSeq[Float](0)
+        val b = r.getAs[Array[Byte]](1)
+        assert(f.length == b.length)
+        f.indices.foreach(i => assert(f(i) == b(i).toFloat, s"pos $i"))
+      }
+    // pairwise: the binary kernel's score is the cosine kernel's score
+    val a = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qa"),
+        sq8Encode(col("embedding")).as("fa"),
+        sq8EncodeBytes(col("embedding")).as("ba"))
+    val b = embs.filter(col("vec_id") >= 4 && col("vec_id") < 40)
+      .select(col("vec_id").as("qb"),
+        sq8Encode(col("embedding")).as("fb"),
+        sq8EncodeBytes(col("embedding")).as("bb"))
+    a.crossJoin(b)
+      .select(cosineSim(col("fa"), col("fb")).as("viaFloat"),
+              sq8Cos(col("ba"), col("bb")).as("viaBytes"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("rerank < k is rejected") {
     intercept[IllegalArgumentException] {
       Similarity.sq8TopK(embs.limit(1), embs, 5, rerank = 3)

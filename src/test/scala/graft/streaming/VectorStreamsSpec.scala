@@ -109,6 +109,30 @@ class VectorStreamsSpec extends SparkSpec {
     assert(ranked(VectorStreams.served(spark, s"$dir/out")) == once)
   }
 
+  test("the SQ8 layer streams too") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val index = s"$dir/index"
+    IvfIndex.build(embs, index, cells = Cells, sq8 = true)
+    val queryRows = embs.filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = VectorStreams.serve(
+      stream.toDF().toDF("vec_id", "embedding"),
+      index, s"$dir/out", s"$dir/ckpt", K, NProbe, sq8 = true)
+    try {
+      stream.addData(queryRows.take(2))
+      q.processAllAvailable()
+      stream.addData(queryRows.drop(2))
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(VectorStreams.served(spark, s"$dir/out"))
+    val batch = ranked(IvfIndex.searchSq8(spark,
+      index, embs.filter(col("vec_id") < 4), K, NProbe))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("a rebuilt index is picked up at the next batch boundary") {
     val dir = freshDir()
     val index = s"$dir/index"
