@@ -22,12 +22,20 @@ object Validator {
     val outCols = result.columns.toSeq
     if (outCols.isEmpty) errors += "result has no columns"
 
-    // row-count invariants derivable without running the plan twice
-    val rowChanging = plan.ops.exists {
+    // row-count invariants derivable without running the plan twice.
+    // SERVING OPT-OUT: a TableOp-led plan (index probe, maintenance,
+    // time travel) REPLACES the input with a table read, so comparing
+    // counts against the original input frame is meaningless — and on
+    // the hot serving path the two count() actions would be an extra
+    // pass over the table per spoken probe. Structural checks
+    // (projection/rename/drop) still run; count-based ones are skipped
+    // entirely, so validate() of a probe plan triggers ZERO Spark jobs
+    // (spec-pinned in ValidatorSpec).
+    val serving = plan.ops.exists(_.isInstanceOf[Op.TableOp])
+    val rowChanging = serving || plan.ops.exists {
       case _: Op.GroupAgg | _: Op.Limit | _: Op.Filter | _: Op.Having => true
       case _: Op.CorpusOp => true // derived tables (pairs/stats/clusters)
       case _: Op.RelationalExtOp => true // grouping sets/reshape/joins/set ops
-      case _: Op.TableOp => true // replaces the input with a table read
       case _ => false
     }
     lazy val inCount = input.count()
@@ -35,9 +43,9 @@ object Validator {
     if (!rowChanging && outCount != inCount)
       errors += s"row-preserving plan changed count: $inCount -> $outCount"
     plan.ops.foreach {
-      case Op.Limit(k) if outCount > k =>
+      case Op.Limit(k) if !serving && outCount > k =>
         errors += s"limit($k) produced $outCount rows"
-      case Op.Filter(_) | Op.Having(_) if outCount > inCount =>
+      case Op.Filter(_) | Op.Having(_) if !serving && outCount > inCount =>
         errors += s"filter grew the row count: $inCount -> $outCount"
       case Op.Select(cols) =>
         // order-exact projection (AGENTIC_WORKFLOW.md:108): expected

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Persisted IVF (inverted-file) vector index — the AT-REST form of
   * [[Similarity.ivfTopK]]'s per-query build. At serving scale an ANN
@@ -44,6 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (same content, fewer files), and [[vacuum]] reclaims superseded
   *    segments + manifests — the same maintenance verbs as the event
   *    log, because an index IS a table.
+  *  - ATTRIBUTE columns ride beside the vectors (`attrs` at [[build]]):
+  *    a filtered probe ("top-k where lang = 'en'") pushes its predicate
+  *    INTO the pruned candidate scan — pre-filtering, never the
+  *    under-returning post-filter of the top-k — because at serving
+  *    time the metadata must live where the candidates live.
+  *  - Compliance erasure ([[deleteByKey]]) is copy-on-write bounded to
+  *    the CELLS that contain the ids; [[vacuum]] completes the physical
+  *    reclaim, mirroring the manifested log's GDPR sweep.
   */
 object IvfIndex {
 
@@ -54,14 +63,54 @@ object IvfIndex {
   private val LegacyPqFile = "pq.txt"
   private val PqHeader = "graft-pq-codebooks-v1"
 
+  /** Column names the index layout owns; attribute columns may not
+    * collide with them. */
+  private val ReservedCols = Set("vec_id", "embedding", "codes", "codes8", "cell")
+
+  /** Past this many probed cells the `cell IN (…)` partition filter is
+    * dropped: a thousands-literal In is pathological for partition
+    * listing (|cells| × |probed| comparisons at planning) while pruning
+    * so wide a probe barely bounds the scan anyway. The equi-join on
+    * the stored cell keeps the RESULT identical either way — the
+    * literal list is a plan-only optimization. */
+  private[graft] val MaxProbedCellLiterals = 2048
+
+  /** One manifest segment reference: the directory name plus the cells
+    * a reader must SKIP (written by [[deleteByKey]]'s copy-on-write —
+    * the skipped cells' surviving rows live in a later erase segment).
+    * Skips render as `seg-xyz|skip=3,7`; pre-existing manifests carry
+    * bare names and parse with no skips. The skip filter is a partition
+    * predicate, so skipped cells are pruned at listing — never read. */
+  final case class SegEntry(name: String, skip: Seq[Long] = Nil) {
+    def render: String =
+      if (skip.isEmpty) name else s"$name|skip=${skip.mkString(",")}"
+  }
+  object SegEntry {
+    def parse(s: String): SegEntry = s.split("\\|", 2) match {
+      case Array(n) => SegEntry(n)
+      case Array(n, tail) if tail.startsWith("skip=") =>
+        SegEntry(n, tail.stripPrefix("skip=").split(',').toSeq
+          .filter(_.nonEmpty).map(_.toLong).sorted)
+      case _ => sys.error(s"unparseable index segment entry: '$s'")
+    }
+  }
+
   /** One published index state: the segment list AND the quantizer
     * files it was assigned under — resolved together from one manifest
     * read, which is what makes a probe internally consistent under
-    * concurrent rebuild. */
-  final case class IndexManifest(version: Long, segments: Seq[String],
+    * concurrent rebuild. `attrsDdl` is the DDL of the attribute columns
+    * stored beside the vectors (None → none). */
+  final case class IndexManifest(version: Long, entries: Seq[SegEntry],
                                  centroidsFile: String,
                                  pqFile: Option[String],
-                                 sq8: Boolean = false)
+                                 sq8: Boolean = false,
+                                 attrsDdl: Option[String] = None) {
+    /** Segment directory names (skip sets elided). */
+    def segments: Seq[String] = entries.map(_.name)
+    /** The stored attribute columns, parsed from the manifest's DDL. */
+    def attrs: StructType =
+      attrsDdl.map(StructType.fromDDL).getOrElse(new StructType())
+  }
 
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,19 +157,22 @@ object IvfIndex {
     val pq = entries.collectFirst { case s if s.startsWith("pq=") =>
       s.stripPrefix("pq=") }
     val sq8 = entries.contains("sq8=1")
+    val attrs = entries.collectFirst { case s if s.startsWith("attrs=") =>
+      s.stripPrefix("attrs=") }
     val segs = entries.filterNot(s => s.startsWith("centroids=") ||
-      s.startsWith("pq=") || s.startsWith("sq8="))
-    IndexManifest(v, segs,
+      s.startsWith("pq=") || s.startsWith("sq8=") || s.startsWith("attrs="))
+    IndexManifest(v, segs.map(SegEntry.parse),
       cents.getOrElse(LegacyCentroidsFile),
       pq.orElse(if (cents.isEmpty && f.exists(new Path(root, LegacyPqFile)))
                   Some(LegacyPqFile) else None),
-      sq8)
+      sq8, attrs)
   }
 
   private def publish(spark: SparkSession, root: Path, version: Long,
-                      segs: Seq[String], centroidsFile: String,
+                      entries: Seq[SegEntry], centroidsFile: String,
                       pqFile: Option[String],
-                      sq8: Boolean = false): Unit = {
+                      sq8: Boolean = false,
+                      attrsDdl: Option[String] = None): Unit = {
     val f = fs(spark, root)
     val target = new Path(root, f"index-manifest-$version%09d.txt")
     if (f.exists(target)) throw ConcurrentWriteException(
@@ -129,8 +181,9 @@ object IvfIndex {
     val tmp = new Path(root, s".index-manifest-$version-$token.tmp")
     val out = f.create(tmp, true)
     val quant = (s"centroids=$centroidsFile" +: pqFile.map(p => s"pq=$p").toSeq) ++
-      (if (sq8) Seq("sq8=1") else Nil)
-    try out.write((Header +: (quant ++ segs))
+      (if (sq8) Seq("sq8=1") else Nil) ++
+      attrsDdl.map(d => s"attrs=$d").toSeq
+    try out.write((Header +: (quant ++ entries.map(_.render)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {
@@ -212,18 +265,21 @@ object IvfIndex {
 
   /** One cell-partitioned segment from `vectors` under the given frozen
     * centroids. Vectors inside a cell sort by id — stable files, and
-    * row-group stats on vec_id for point reads. */
+    * row-group stats on vec_id for point reads. `attrs` columns are
+    * carried verbatim beside the vectors. */
   private def writeSegment(spark: SparkSession, root: Path, segName: String,
                            vectors: DataFrame, cents: Array[Array[Float]],
                            idCol: String, vecCol: String,
                            pqCb: Option[Pq.PqCodebooks] = None,
-                           sq8: Boolean = false): Unit = {
+                           sq8: Boolean = false,
+                           attrs: Seq[String] = Nil): Unit = {
     import graft.functions.SketchFunctions.nearestCentroids
     val f = fs(spark, root)
     val target = new Path(root, segName)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
     val base = Parallelism.spreadToCores(
-        vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
+        vectors.select(col(idCol).as("vec_id") +: col(vecCol).as("embedding") +:
+          attrs.map(col): _*))
     val withPq = pqCb match {
       case Some(cb) => Pq.encode(base, cb) // m-byte code word beside the floats
       case None => base
@@ -239,6 +295,33 @@ object IvfIndex {
     f.delete(new Path(target, "_SUCCESS"), false)
   }
 
+  /** A segment of rows ALREADY carrying the index schema (stored cell
+    * included) — the erase path's writer: assignments are preserved,
+    * never recomputed, so an erase can't drift a row's cell even across
+    * a concurrent rebuild attempt. */
+  private def writeRawSegment(spark: SparkSession, root: Path, segName: String,
+                              rows: DataFrame): Unit = {
+    val f = fs(spark, root)
+    val target = new Path(root, segName)
+    if (f.exists(target)) f.delete(target, true)
+    rows
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+  }
+
+  /** The attribute DDL for `attrs` drawn from the input frame's schema
+    * (name, type, nullability verbatim), after the reserved-name guard. */
+  private def attrsDdlOf(vectors: DataFrame, attrs: Seq[String]): Option[String] = {
+    attrs.foreach { a =>
+      require(!ReservedCols.contains(a),
+        s"attribute column '$a' collides with an index layout column " +
+          s"(${ReservedCols.toSeq.sorted.mkString(", ")})")
+    }
+    if (attrs.isEmpty) None
+    else Some(StructType(attrs.map(a => vectors.schema(a))).toDDL)
+  }
+
   /** Build the index: deterministic centroids (smallest-id seeds +
     * `refineIters` quantized-Lloyd passes — [[Similarity.refineCentroids]],
     * identical to [[Similarity.ivfTopK]]'s pipeline at the same
@@ -247,15 +330,23 @@ object IvfIndex {
     * rename — the new quantizer files and segment are invisible until
     * the flip, so a crash mid-rebuild (or a concurrent reader) keeps
     * serving the old (quantizer, segments) pairing; the superseded
-    * files become unreferenced and [[vacuum]] reclaims them. */
+    * files become unreferenced and [[vacuum]] reclaims them.
+    *
+    * `attrs` names metadata columns of `vectors` (e.g. lang, split,
+    * label) stored beside each vector: [[search]]'s `pred` then filters
+    * candidates INSIDE the pruned scan — the serving shape every
+    * RAG/curation pipeline needs, impossible to bolt on post-top-k
+    * without under-returning k. */
   def build(vectors: DataFrame, path: String, cells: Int,
             refineIters: Int = 2, idCol: String = "vec_id",
             vecCol: String = "embedding",
             pq: Option[Pq.PqParams] = None,
-            sq8: Boolean = false): Long = {
+            sq8: Boolean = false,
+            attrs: Seq[String] = Nil): Long = {
     require(cells > 0, s"cells must be positive, got $cells")
     val spark = vectors.sparkSession
     val root = new Path(path)
+    val attrsDdl = attrsDdlOf(vectors, attrs)
     val cents = Similarity.refineCentroids(
       vectors, Similarity.sampleCentroids(vectors, cells, idCol, vecCol),
       refineIters, vecCol)
@@ -268,13 +359,18 @@ object IvfIndex {
     writeCentroids(spark, root, centsFile, cents)
     pqCb.foreach(cb => writePq(spark, root, pqFile.get, cb))
     val seg = f"seg-$version%09d"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, sq8)
-    publish(spark, root, version, Seq(seg), centsFile, pqFile, sq8)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, sq8,
+                 attrs)
+    publish(spark, root, version, Seq(SegEntry(seg)), centsFile, pqFile, sq8,
+            attrsDdl)
     version
   }
 
   /** Append a batch: assign to the FROZEN centroids, land one new
-    * segment, one atomic manifest flip — cost ∝ batch.
+    * segment, one atomic manifest flip — cost ∝ batch. Attribute
+    * columns recorded at build are carried from the batch (a missing
+    * one fails loudly at analysis — an index row without its serving
+    * metadata would silently drop out of every filtered probe).
     *
     * `batchTag` makes the append IDEMPOTENT per tag: the tag rides in
     * the segment name, and a manifest already listing a segment with it
@@ -307,12 +403,13 @@ object IvfIndex {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val suffix = batchTag.map(t => s"-b$t").getOrElse("")
     val seg = s"seg-$token$suffix"
-    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, m0.sq8)
+    writeSegment(spark, root, seg, vectors, cents, idCol, vecCol, pqCb, m0.sq8,
+                 m0.attrs.fieldNames.toSeq)
     var m = m0
     while (true) {
       try {
-        publish(spark, root, m.version + 1, m.segments :+ seg,
-                m.centroidsFile, m.pqFile, m.sq8)
+        publish(spark, root, m.version + 1, m.entries :+ SegEntry(seg),
+                m.centroidsFile, m.pqFile, m.sq8, m.attrsDdl)
         return m.version + 1
       } catch {
         case _: ConcurrentWriteException =>
@@ -350,13 +447,135 @@ object IvfIndex {
       }
       .start()
 
+  // ------------------------------------------------- change-feed sync
+
+  /** Stable short id for a source log path — rides in sync batch tags
+    * (`log<h>-<from>-<to>`) and the sync-base filename, so one index
+    * can track several logs without the cursors colliding. */
+  private def logTag(logPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(new Path(logPath).toUri.getPath.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"log$h"
+  }
+
+  /** `_sync/` is a sidecar namespace (underscore-prefixed, like the
+    * log's `_pins/`): never part of the manifest/segment sweep. */
+  private def baseFilePath(root: Path, tag: String): Path =
+    new Path(root, s"_sync/base-$tag.txt")
+
+  /** Record that the index content reflects the log AS OF `version` —
+    * written by [[buildFromLog]], or by a caller that materialized the
+    * index from log content through another path. Atomic tmp+rename. */
+  def markSynced(spark: SparkSession, indexPath: String, logPath: String,
+                 version: Long): Unit = {
+    val root = new Path(indexPath)
+    val f = fs(spark, root)
+    val target = baseFilePath(root, logTag(logPath))
+    f.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      sys.error(s"publishing sync base $target lost a race")
+    }
+  }
+
+  /** The log version this index's content reflects: the max of the
+    * recorded build base and every sync tag's upper bound IN THE LIVE
+    * MANIFEST — the cursor is derived from the same atomic rename that
+    * published the synced segment, so "segment landed" and "cursor
+    * advanced" cannot diverge (the failure a cursor-in-a-separate-file
+    * protocol has between its write and the append). */
+  def syncedVersion(spark: SparkSession, indexPath: String,
+                    logPath: String): Option[Long] = {
+    val tag = logTag(logPath)
+    val root = new Path(indexPath)
+    val f = fs(spark, root)
+    val bf = baseFilePath(root, tag)
+    val base: Option[Long] = if (!f.exists(bf)) None else {
+      val in = f.open(bf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Some(text.trim.toLong)
+    }
+    val TagRe = ("-b" + tag + "-(\\d+)-(\\d+)$").r
+    val tagTos = readManifestFull(spark, indexPath).segments
+      .flatMap(n => TagRe.findFirstMatchIn(n).map(_.group(2).toLong))
+    (base.toSeq ++ tagTos).maxOption
+  }
+
+  /** Build the index from a manifested log's CURRENT content and record
+    * the log version it reflects — the starting point of the
+    * change-feed maintenance loop ([[syncFromLog]] then tracks the log
+    * forward without rebuilds). `key` must be unique in the log (append
+    * with `dedupKey = Some(key)`). */
+  def buildFromLog(spark: SparkSession, logPath: String, indexPath: String,
+                   cells: Int, refineIters: Int = 2,
+                   key: String = "vec_id", vecCol: String = "embedding",
+                   pq: Option[Pq.PqParams] = None, sq8: Boolean = false,
+                   attrs: Seq[String] = Nil): Long = {
+    val (logV, _) = ManifestedLog.readManifest(spark, logPath)
+    val vectors = ManifestedLog.load(spark, logPath)
+      .select(col(key) +: col(vecCol) +: attrs.map(col): _*)
+    val v = build(vectors, indexPath, cells, refineIters, key, vecCol, pq,
+                  sq8, attrs)
+    markSynced(spark, indexPath, logPath, logV)
+    v
+  }
+
+  /** Advance the index to the log's newest version: compute the delta
+    * with the log's own change feed ([[ManifestedLog.changesBetween]] —
+    * cost ∝ touched days, never the log) and [[append]] it under the
+    * sync batch tag `log<h>-<from>-<to>`. Returns
+    * (log version synced to, index manifest version).
+    *
+    * EXACTLY-ONCE by construction, restartable from any crash point:
+    * the cursor IS the newest sync tag in the live manifest (plus the
+    * build base), and the tag lands in the same atomic manifest rename
+    * as the segment itself — a crash before the publish leaves no tag
+    * (re-run recomputes the same delta; the orphaned staging segment is
+    * vacuum's age-guarded sweep), a crash after it leaves the cursor
+    * already advanced (re-run sees from == to and no-ops). A re-run
+    * against an unchanged log is a pure no-op: no scan of the log
+    * beyond its manifest, no index write. This is how a 100 TB index
+    * tracks a growing corpus: per-sync cost ∝ the delta, rebuilds only
+    * for quantizer drift. */
+  def syncFromLog(spark: SparkSession, logPath: String, indexPath: String,
+                  key: String = "vec_id",
+                  vecCol: String = "embedding"): (Long, Long) = {
+    val from = syncedVersion(spark, indexPath, logPath).getOrElse(sys.error(
+      s"$indexPath has no sync cursor for log $logPath — build it with " +
+        "buildFromLog (or markSynced the version its content reflects)"))
+    val (to, _) = ManifestedLog.readManifest(spark, logPath)
+    val m = readManifestFull(spark, indexPath)
+    if (to == from) return (from, m.version)
+    // cursor 0 means NONE of the log is reflected yet (markSynced(…, 0)
+    // on an index built elsewhere) — the delta is the whole log
+    val delta0 =
+      if (from == 0L) ManifestedLog.load(spark, logPath)
+      else ManifestedLog.changesBetween(spark, logPath, from, to, key)
+    val delta = delta0
+      .select(col(key) +: col(vecCol) +: m.attrs.fieldNames.toSeq.map(col): _*)
+    val v = append(delta, indexPath, idCol = key, vecCol = vecCol,
+                   batchTag = Some(s"${logTag(logPath)}-$from-$to"))
+    (to, v)
+  }
+
+  // -------------------------------------------------------------- stats
+
   /** Per-cell row/byte/file counts from parquet FOOTERS only — the
     * index twin of the log's `dayStats`: monitoring-grade visibility
     * into hot-cell skew (the classic IVF failure mode) at metadata
     * cost, never a data scan. The file listing is driver-side planner
     * work bounded by the manifest's file count; the footer reads
     * distribute across the cluster. Row totals are exact, so the
-    * result hash-matches a full-scan group-by — that is its oracle. */
+    * result hash-matches a full-scan group-by — that is its oracle.
+    * Skipped (erased) cells are excluded, as every reader excludes
+    * them. */
   def cellStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val root = new Path(path)
@@ -364,9 +583,10 @@ object IvfIndex {
     val f = fs(spark, root)
     val CellRe = "cell=(\\d+)".r
     val files: Seq[(Long, String, Long)] = for {
-      seg <- m.segments
-      cellDir <- f.listStatus(new Path(root, seg)).toSeq
+      e <- m.entries
+      cellDir <- f.listStatus(new Path(root, e.name)).toSeq
       cm <- CellRe.findFirstMatchIn(cellDir.getPath.getName).toSeq
+      if !e.skip.contains(cm.group(1).toLong)
       st <- f.listStatus(cellDir.getPath).toSeq
       if st.getPath.getName.endsWith(".parquet")
     } yield (cm.group(1).toLong, st.getPath.toString, st.getLen)
@@ -397,9 +617,15 @@ object IvfIndex {
     }
   }
 
+  // -------------------------------------------------------- maintenance
+
   /** Fold every segment into one (content-identical, fewer files);
     * readers flip atomically with the manifest, and the quantizer refs
     * carry forward unchanged (compaction moves bytes, never geometry).
+    * Erase skips fold away too: the merged read excludes skipped cells,
+    * so compaction doubles as the PHYSICAL completion of a prior
+    * [[deleteByKey]] (the superseded segments then reclaim via
+    * [[vacuum]]).
     *
     * Hot cells RE-TILE instead of re-concentrating: [[cellStats]]'
     * footer counts size a per-cell tile count (⌈rows/maxRowsPerFile⌉),
@@ -433,13 +659,87 @@ object IvfIndex {
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
-    publish(spark, root, m.version + 1, Seq(seg), m.centroidsFile, m.pqFile,
-            m.sq8)
+    publish(spark, root, m.version + 1, Seq(SegEntry(seg)), m.centroidsFile,
+            m.pqFile, m.sq8, m.attrsDdl)
     m.version + 1
   }
 
-  /** Drop superseded manifests, and the segments and quantizer files no
-    * retained manifest references.
+  /** Compliance erasure — the GDPR sweep the manifested log has
+    * ([[ManifestedLog.deleteByKey]]), for the vector index: after this,
+    * no probe, lookup, or read of the live index returns the ids.
+    *
+    * COPY-ON-WRITE BOUNDED TO CONTAINING CELLS: one pushed-predicate
+    * scan locates the (segment, cell) pairs holding the ids (vec_id
+    * sorts inside every cell, so row-group stats skip the rest); each
+    * affected segment contributes one ERASE segment holding only those
+    * cells' SURVIVING rows (stored assignments preserved, never
+    * recomputed), and the old segment's manifest entry gains a
+    * `skip=` set for them — untouched cells and untouched segments are
+    * not read, not rewritten, not even listed. One atomic manifest
+    * flip publishes the whole erase.
+    *
+    * Physical completion: the superseded bytes live in skipped cell
+    * dirs and older manifests until [[vacuum]] (which reclaims cell
+    * dirs every retained manifest skips) or [[compact]] (which folds
+    * to a skip-free segment). Idempotent: erasing already-absent ids
+    * publishes nothing and returns the current version. */
+  def deleteByKey(spark: SparkSession, path: String, keys: Seq[Long],
+                  maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "deleteByKey needs at least one id")
+    val root = new Path(path)
+    val m = readManifestFull(spark, path)
+    val schema = indexSchema(m)
+    // ONE job: per-segment branches union under a segment-name literal,
+    // each branch's id predicate pushed into its pruned scan
+    val hits = m.entries.map { e =>
+      segFrame(spark, root, e, schema)
+        .filter(col("vec_id").isin(keys: _*))
+        .select(lit(e.name).as("seg"), col("cell"))
+    }.reduce(_.unionByName(_)).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return m.version
+    val affected: Map[String, Seq[Long]] =
+      hits.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).toSeq.sorted }
+    val eraseEntries = affected.toSeq.sortBy(_._1).map { case (segName, cells) =>
+      val e = m.entries.find(_.name == segName).getOrElse(
+        sys.error(s"located segment $segName vanished from the manifest"))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val newSeg = s"seg-$token-e"
+      // partition filter first: the rewrite READS only the containing
+      // cells' files (pruned at listing), then drops the erased rows
+      val survivors = segFrame(spark, root, e, schema)
+        .filter(col("cell").isin(cells: _*))
+        .filter(!col("vec_id").isin(keys: _*))
+      writeRawSegment(spark, root, newSeg, survivors)
+      SegEntry(newSeg)
+    }
+    val newEntries = m.entries.map { e =>
+      affected.get(e.name) match {
+        case Some(cells) => e.copy(skip = (e.skip ++ cells).distinct.sorted)
+        case None => e
+      }
+    } ++ eraseEntries
+    try {
+      publish(spark, root, m.version + 1, newEntries, m.centroidsFile,
+              m.pqFile, m.sq8, m.attrsDdl)
+      m.version + 1
+    } catch {
+      case e: ConcurrentWriteException =>
+        // a racer published (append/compact/rebuild) — our located cells
+        // may be stale against its manifest, so drop the staged erase
+        // segments and redo the whole erase against the new state
+        val f = fs(spark, root)
+        eraseEntries.foreach(es => f.delete(new Path(root, es.name), true))
+        if (maxRetries <= 0) throw e
+        deleteByKey(spark, path, keys, maxRetries - 1)
+    }
+  }
+
+  /** Drop superseded manifests, the segments and quantizer files no
+    * retained manifest references, and — completing [[deleteByKey]]'s
+    * physical erasure — every cell directory ALL retaining manifests
+    * skip (a skipped cell is unreferenced by definition: readers prune
+    * it at listing).
     *
     * `orphanMinAgeMs` guards entries NO manifest has EVER referenced —
     * exactly what an in-flight [[append]]'s token-named segment, a
@@ -489,6 +789,17 @@ object IvfIndex {
         case _ => ()
       }
     }
+    // physical erase completion: a live segment's cell dir reclaims when
+    // EVERY kept manifest referencing the segment skips that cell
+    val keptEntries = kept.toSeq.flatMap(v => manifests(v).entries)
+    val erasedCells: Map[String, Set[Long]] = keptEntries.groupBy(_.name)
+      .map { case (n, es) => n -> es.map(_.skip.toSet).reduce(_ intersect _) }
+    erasedCells.foreach { case (seg, cells) =>
+      cells.foreach { c =>
+        val dir = new Path(root, s"$seg/cell=$c")
+        if (f.exists(dir)) { f.delete(dir, true); removed += 1 }
+      }
+    }
     removed
   }
 
@@ -498,33 +809,49 @@ object IvfIndex {
     * than cast after partition inference (which would default it to
     * int) — a cast on the partition column wraps the attribute and
     * BLOCKS partition pruning, turning every probe into a full scan
-    * (spec-pinned via inputFiles). */
-  private def indexSchema(hasPq: Boolean, hasSq8: Boolean) = {
+    * (spec-pinned via inputFiles). Attribute columns sit between the
+    * codes and the partition column. */
+  private def indexSchema(m: IndexManifest): StructType = {
     import org.apache.spark.sql.types._
     val base = Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)))
-    val pq = if (hasPq) Seq(StructField("codes", BinaryType)) else Nil
-    val sq8 = if (hasSq8) Seq(StructField("codes8", BinaryType)) else Nil
-    StructType(base ++ pq ++ sq8 :+ StructField("cell", LongType))
+    val pq = if (m.pqFile.isDefined) Seq(StructField("codes", BinaryType)) else Nil
+    val sq8 = if (m.sq8) Seq(StructField("codes8", BinaryType)) else Nil
+    StructType(base ++ pq ++ sq8 ++ m.attrs.fields :+
+      StructField("cell", LongType))
   }
 
   /** Every indexed vector with its STORED cell: `(vec_id, embedding[,
-    * codes], cell)` across the newest manifest's segments (`codes` iff
-    * the index carries a PQ layer). Each segment is its own
-    * partitioned-table root (multi-root partition discovery rejects
-    * sibling roots), so segments read independently and union — the
-    * probe filter prunes partitions inside every branch, and a
-    * projection prunes columns inside every branch (an ADC probe never
-    * reads the float vectors). */
+    * codes][, codes8][, attrs…], cell)` across the newest manifest's
+    * segments. Each segment is its own partitioned-table root
+    * (multi-root partition discovery rejects sibling roots), so
+    * segments read independently and union — the probe filter prunes
+    * partitions inside every branch, and a projection prunes columns
+    * inside every branch (an ADC probe never reads the float vectors).
+    * Erase-skipped cells are pruned at listing inside each branch. */
   def read(spark: SparkSession, path: String): DataFrame =
     readSegments(spark, new Path(path), readManifestFull(spark, path))
 
+  /** [[read]] against an already-resolved manifest — the spoken-probe
+    * route reads the manifest ONCE and shares it between the
+    * query-vector lookup and the probe. */
+  private[graft] def readWith(spark: SparkSession, path: String,
+                              m: IndexManifest): DataFrame =
+    readSegments(spark, new Path(path), m)
+
+  private def segFrame(spark: SparkSession, root: Path, e: SegEntry,
+                       schema: StructType): DataFrame = {
+    val df = spark.read.schema(schema)
+      .parquet(new Path(root, e.name).toString)
+    // a skip is a partition predicate: excluded cells prune at listing
+    if (e.skip.isEmpty) df else df.filter(!col("cell").isin(e.skip: _*))
+  }
+
   private def readSegments(spark: SparkSession, root: Path,
                            m: IndexManifest): DataFrame = {
-    val schema = indexSchema(m.pqFile.isDefined, m.sq8)
-    m.segments.map(s => spark.read.schema(schema)
-        .parquet(new Path(root, s).toString))
+    val schema = indexSchema(m)
+    m.entries.map(segFrame(spark, root, _, schema))
       .reduce(_.unionByName(_))
   }
 
@@ -535,7 +862,11 @@ object IvfIndex {
     * per-cell `vec_id` sort gives row-group min/max skipping. */
   private[graft] def lookupFrame(spark: SparkSession, path: String,
                                  id: Long): DataFrame =
-    read(spark, path)
+    lookupFrameWith(spark, path, readManifestFull(spark, path), id)
+
+  private def lookupFrameWith(spark: SparkSession, path: String,
+                              m: IndexManifest, id: Long): DataFrame =
+    readWith(spark, path, m)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") === id)
 
@@ -544,11 +875,27 @@ object IvfIndex {
     * class as the centroid fetch; never feed [[read]] itself into a
     * probe's query side (it would broadcast a full index scan — at
     * scale, a full-table read per spoken probe). */
-  def lookupVector(spark: SparkSession, path: String, id: Long): Array[Float] = {
-    val rows = lookupFrame(spark, path, id).limit(1).collect()
+  def lookupVector(spark: SparkSession, path: String, id: Long): Array[Float] =
+    lookupVectorWith(spark, path, readManifestFull(spark, path), id)
+
+  private[graft] def lookupVectorWith(spark: SparkSession, path: String,
+                                      m: IndexManifest, id: Long): Array[Float] = {
+    val rows = lookupFrameWith(spark, path, m, id).limit(1).collect()
     require(rows.nonEmpty, s"vec_id $id is not stored in the index at $path")
     rows(0).getSeq[Float](1).toArray
   }
+
+  // ------------------------------------------------------------- search
+
+  /** The probed-cell partition filter: a literal `IN` up to
+    * [[MaxProbedCellLiterals]], dropped above it (see the constant's
+    * note — the equi-join on the stored cell keeps the result
+    * identical; the full scan is then the honest cost of so wide a
+    * probe). */
+  private def pruneCells(corpus: DataFrame, probed: Array[Long]): DataFrame =
+    if (probed.length <= MaxProbedCellLiterals)
+      corpus.filter(col("cell").isin(probed: _*))
+    else corpus
 
   /** ANN search over the index: each query probes its `nprobe` nearest
     * cells (the frozen quantizer, driver-side — centroids are KiBs),
@@ -560,15 +907,29 @@ object IvfIndex {
     * spec-pinned — with the per-query build replaced by the stored
     * layout. When the probed set covers most cells (a huge query
     * batch), the filter degenerates to a full scan, which is then the
-    * honest cost. */
+    * honest cost.
+    *
+    * `pred` filters CANDIDATES inside the pruned scan (requires the
+    * index to store the referenced attribute columns — [[build]]'s
+    * `attrs`): the predicate pushes into the parquet scan beside the
+    * partition filter, and the top-k ranks over matching candidates
+    * only — exactly k matching results, never the under-returning
+    * post-filter. */
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
              nprobe: Int, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             pred: Option[Column] = None): DataFrame =
+    searchWith(spark, path, readManifestFull(spark, path), queries, k,
+               nprobe, idCol, vecCol, pred)
+
+  private[graft] def searchWith(spark: SparkSession, path: String,
+                                m: IndexManifest, queries: DataFrame, k: Int,
+                                nprobe: Int, idCol: String, vecCol: String,
+                                pred: Option[Column]): DataFrame = {
     import graft.functions.SketchFunctions.nearestCentroids
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
-    // ONE manifest read resolves quantizer + segments together — a
-    // rebuild landing mid-probe cannot mix new centroids with old cells
-    val m = readManifestFull(spark, path)
+    // ONE manifest resolves quantizer + segments together — a rebuild
+    // landing mid-probe cannot mix new centroids with old cells
     val root = new Path(path)
     val cents = readCentroidsFile(spark, root, m.centroidsFile)
     val qb = queries
@@ -576,7 +937,8 @@ object IvfIndex {
       .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, nprobe)))
     // bounded driver collect: |queries| × nprobe cell ids
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
-    val corpus = readSegments(spark, root, m).filter(col("cell").isin(probed: _*))
+    val corpus0 = pruneCells(readSegments(spark, root, m), probed)
+    val corpus = pred.fold(corpus0)(corpus0.filter)
     val scored = corpus.join(broadcast(qb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -587,18 +949,26 @@ object IvfIndex {
 
   /** IVF-PQ (IVFADC) search: cell pruning as [[search]], but candidates
     * score through the PQ layer — the probe projects `(vec_id, codes,
-    * cell)` ONLY, so the pruned scan reads `m` bytes per candidate
-    * instead of the float vectors (spec-pinned on the executed scan's
-    * read schema). Scores are [[Pq.adcTopK]]'s quantized inner product;
-    * requires the index to have been built with `pq = Some(...)`. */
+    * cell)` ONLY (plus the attribute columns when `pred` filters), so
+    * the pruned scan reads `m` bytes per candidate instead of the float
+    * vectors (spec-pinned on the executed scan's read schema). Scores
+    * are [[Pq.adcTopK]]'s quantized inner product; requires the index
+    * to have been built with `pq = Some(...)`. */
   def searchAdc(spark: SparkSession, path: String, queries: DataFrame,
                 k: Int, nprobe: Int, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                pred: Option[Column] = None): DataFrame =
+    searchAdcWith(spark, path, readManifestFull(spark, path), queries, k,
+                  nprobe, idCol, vecCol, pred)
+
+  private[graft] def searchAdcWith(spark: SparkSession, path: String,
+                                   m: IndexManifest, queries: DataFrame,
+                                   k: Int, nprobe: Int, idCol: String,
+                                   vecCol: String,
+                                   pred: Option[Column]): DataFrame = {
     import graft.functions.PqFunctions.{pqAdc, pqLut}
     import graft.functions.SketchFunctions.nearestCentroids
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
-    // same single-manifest-read consistency as [[search]]
-    val m = readManifestFull(spark, path)
     val root = new Path(path)
     val cents = readCentroidsFile(spark, root, m.centroidsFile)
     val cb = m.pqFile.map(readPqFile(spark, root, _)).getOrElse(sys.error(
@@ -609,9 +979,11 @@ object IvfIndex {
               explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cell"))
     // bounded driver collect: |queries| × nprobe cell ids
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
-    val corpus = readSegments(spark, root, m)
-      .select(col("vec_id"), col("codes"), col("cell"))
-      .filter(col("cell").isin(probed: _*))
+    val projCols = Seq("vec_id", "codes", "cell") ++
+      (if (pred.isDefined) m.attrs.fieldNames.toSeq else Nil)
+    val corpus0 = pruneCells(
+      readSegments(spark, root, m).select(projCols.map(col): _*), probed)
+    val corpus = pred.fold(corpus0)(corpus0.filter)
     val scored = corpus.join(broadcast(qb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -621,22 +993,29 @@ object IvfIndex {
 
   /** IVF-SQ8 search: cell pruning as [[search]], but candidates score
     * through the per-vector int8 code words — the probe projects
-    * `(vec_id, codes8, cell)` ONLY, so the pruned scan reads 1 byte
-    * per dimension instead of the float vectors (4x fewer candidate
-    * bytes; spec-pinned on the executed scan's read schema). Scores
-    * are the quantized cosine ([[graft.functions.Sq8Cosine]]) —
-    * scales cancel, integer sums exact, so the replay needs no
-    * association pinning. SQ8 needs no trained quantizer: queries
-    * encode on the fly, appends encode against nothing — the layer
-    * survives any rebuild untouched. Requires
-    * `build(..., sq8 = true)`. */
+    * `(vec_id, codes8, cell)` ONLY (plus the attribute columns when
+    * `pred` filters), so the pruned scan reads 1 byte per dimension
+    * instead of the float vectors (4x fewer candidate bytes;
+    * spec-pinned on the executed scan's read schema). Scores are the
+    * quantized cosine ([[graft.functions.Sq8Cosine]]) — scales cancel,
+    * integer sums exact, so the replay needs no association pinning.
+    * SQ8 needs no trained quantizer: queries encode on the fly,
+    * appends encode against nothing — the layer survives any rebuild
+    * untouched. Requires `build(..., sq8 = true)`. */
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
                 k: Int, nprobe: Int, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                pred: Option[Column] = None): DataFrame =
+    searchSq8With(spark, path, readManifestFull(spark, path), queries, k,
+                  nprobe, idCol, vecCol, pred)
+
+  private[graft] def searchSq8With(spark: SparkSession, path: String,
+                                   m: IndexManifest, queries: DataFrame,
+                                   k: Int, nprobe: Int, idCol: String,
+                                   vecCol: String,
+                                   pred: Option[Column]): DataFrame = {
     import graft.functions.SketchFunctions.{nearestCentroids, sq8Cos, sq8EncodeBytes}
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
-    // same single-manifest-read consistency as [[search]]
-    val m = readManifestFull(spark, path)
     if (!m.sq8) sys.error(
       s"$path has no SQ8 layer — build(..., sq8 = true)")
     val root = new Path(path)
@@ -647,9 +1026,11 @@ object IvfIndex {
               explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cell"))
     // bounded driver collect: |queries| × nprobe cell ids
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
-    val corpus = readSegments(spark, root, m)
-      .select(col("vec_id"), col("codes8"), col("cell"))
-      .filter(col("cell").isin(probed: _*))
+    val projCols = Seq("vec_id", "codes8", "cell") ++
+      (if (pred.isDefined) m.attrs.fieldNames.toSeq else Nil)
+    val corpus0 = pruneCells(
+      readSegments(spark, root, m).select(projCols.map(col): _*), probed)
+    val corpus = pred.fold(corpus0)(corpus0.filter)
     val scored = corpus.join(broadcast(qb), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

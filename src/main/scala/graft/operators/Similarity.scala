@@ -54,14 +54,21 @@ object Similarity {
     *
     * @param queries  small frame `(idCol, vecCol)` — broadcast
     * @param corpus   large frame `(idCol, vecCol)` — scanned once, map-side
+    * @param pred     optional candidate predicate (metadata filter, e.g.
+    *                 `lang = 'en'`) applied INSIDE the corpus scan —
+    *                 pre-filtering, so the result is exactly k MATCHING
+    *                 neighbors per query (post-filtering a top-k
+    *                 under-returns k, the classic wrong answer)
     * @return (query_id, neighbor_id, rank, score) with rank 1..k by
     *         (score desc, neighbor_id asc)
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true,
+                     pred: Option[Column] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = pred.fold(corpus)(corpus.filter)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val pairs0 = c.crossJoin(broadcast(q))
     val pairs = if (excludeSelf) pairs0.filter(col("neighbor_id") =!= col("query_id")) else pairs0
     val scored = pairs.select(
@@ -193,32 +200,71 @@ object Similarity {
     exactRerank(queries, corpus, cand, k, idCol, vecCol)
   }
 
+  /** Candidate-pair count past which [[exactRerank]] stops collecting
+    * the pairs to the driver: below it the literal-IN plan wins (reads
+    * only may-match row groups); above it a 10⁴-query serving batch
+    * would put ~500k pairs on the driver and a ~500k-element In in the
+    * plan — pathological for filter eval and for the plan itself — so
+    * the candidates stay DISTRIBUTED instead (see [[exactRerank]]). */
+  private[operators] val MaxCollectCandidates = 100000
+
   /** Shared exact-rescore tail of the compressed-candidates paths
-    * (JL projection, SQ8, PQ re-rank): the candidate pairs materialize
-    * on the DRIVER — bounded by |queries|·rerank, the probed-cells
-    * collect class — so the rescore scan carries `id IN (…)` as a
-    * PUSHED literal predicate: at rest the exact pass reads only the
-    * may-match row groups of the corpus instead of re-scanning it
-    * (the second-full-scan shape a pure broadcast-join rescore pays,
-    * since runtime filters don't reach an unpartitioned parquet scan
-    * through a broadcast join). Exact cosine over the pairs, then the
-    * same partial top-k aggregator ranks. */
+    * (JL projection, SQ8, PQ re-rank), with TWO regimes producing the
+    * identical result (spec-pinned):
+    *
+    *  - SPOKEN/DRIVER batches (pairs ≤ `maxCollect`): the candidate
+    *    pairs materialize on the driver — bounded by |queries|·rerank,
+    *    the probed-cells collect class — so the rescore scan carries
+    *    `id IN (…)` as a PUSHED literal predicate: at rest the exact
+    *    pass reads only the may-match row groups of the corpus instead
+    *    of re-scanning it (the second-full-scan shape a pure
+    *    broadcast-join rescore pays, since runtime filters don't reach
+    *    an unpartitioned parquet scan through a broadcast join).
+    *  - SERVING batches (pairs > `maxCollect`): candidates stay
+    *    distributed (one localCheckpoint — the candidate stage computes
+    *    once, not once for the size probe and again for the rescore); a
+    *    Bloom filter of the candidate ids prunes the corpus scan before
+    *    its exchange ([[BloomJoin]]'s explicit runtime filter — false
+    *    positives die in the exact join, false negatives can't occur),
+    *    and the pairs shuffle-join the surviving vectors. No driver
+    *    materialization, no literal list — the plan a 10⁴-query batch
+    *    needs.
+    *
+    * The size probe is `limit(maxCollect + 1)` over the checkpointed
+    * pairs: when it returns ≤ maxCollect rows those ARE all the pairs
+    * (no second job), and one extra row proves the big regime without
+    * ever collecting the rest. Exact cosine over the pairs either way,
+    * then the same partial top-k aggregator ranks. */
   private[operators] def exactRerank(queries: DataFrame, corpus: DataFrame,
                                      cand: DataFrame, k: Int,
-                                     idCol: String, vecCol: String): DataFrame = {
+                                     idCol: String, vecCol: String,
+                                     maxCollect: Int = MaxCollectCandidates): DataFrame = {
     val spark = corpus.sparkSession
-    val pairs = cand.select(col("query_id"), col("neighbor_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val candLit = spark.createDataFrame(pairs).toDF("query_id", "neighbor_id")
-    val ids = pairs.map(_._2).distinct.sorted
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = corpus
-      .filter(col(idCol).isin(ids: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(candLit), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("q_vec"), col("c_vec")).as("score"))
+    val mat = cand.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val probe = mat.limit(maxCollect + 1).collect()
+    val scored =
+      if (probe.length <= maxCollect) {
+        val pairs = probe.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val candLit = spark.createDataFrame(pairs).toDF("query_id", "neighbor_id")
+        val ids = pairs.map(_._2).distinct.sorted
+        corpus
+          .filter(col(idCol).isin(ids: _*))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+          .join(broadcast(candLit), Seq("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosineSim(col("q_vec"), col("c_vec")).as("score"))
+      } else {
+        val bloomed = corpus
+          .filter(graft.functions.BloomFunctions.bloomMightContain(
+            col(idCol), BloomJoin.buildBloom(mat, "neighbor_id"), 7))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        mat.join(bloomed, Seq("neighbor_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosineSim(col("q_vec"), col("c_vec")).as("score"))
+      }
     topKPerQuery(scored, k)
   }
 

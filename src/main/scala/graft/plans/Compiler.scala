@@ -83,20 +83,30 @@ object Compiler {
       case Op.DeleteByKey(kc, keys) =>
         ManifestedLog.deleteByKey(spark, path, kc, keys)
         ManifestedLog.load(spark, path)
-      case Op.IndexSearch(qid, k, nprobe, adc, sq8) =>
+      case Op.IndexSearch(qid, k, nprobe, adc, sq8, where) =>
         import graft.operators.IvfIndex
-        // The spoken id's STORED vector probes the index. Fetch it via
+        // The spoken id's STORED vector probes the index. ONE manifest
+        // read resolves (quantizer, segments) for BOTH the query-vector
+        // fetch and the probe — internally consistent under concurrent
+        // rebuild, and one round-trip instead of three. The fetch is
         // the projected, predicate-pushed single-row read (bounded
-        // driver collect — same class as the centroid fetch) and probe
-        // with a one-row literal frame: the probe's broadcast query
-        // side must never carry an index scan, which at scale is a
-        // full-table read per spoken probe.
-        val vec = IvfIndex.lookupVector(spark, path, qid)
-        indexProbe(spark, path, qid, vec, k, nprobe, adc, sq8)
-      case Op.IndexSearchVec(vec, k, nprobe, adc, sq8) =>
+        // driver collect — same class as the centroid fetch); the probe
+        // takes a one-row literal frame, because the probe's broadcast
+        // query side must never carry an index scan (at scale, a
+        // full-table read per spoken probe).
+        val m = IvfIndex.readManifestFull(spark, path)
+        val vec = IvfIndex.lookupVectorWith(spark, path, m, qid)
+        indexProbe(spark, path, m, qid, vec, k, nprobe, adc, sq8,
+                   where.map(predicate(df, _)))
+      case Op.IndexSearchVec(vec, k, nprobe, adc, sq8, where) =>
         // an UNSEEN literal query vector — nothing to fetch; the id -1
         // is outside the stored id space, so no candidate is excluded
-        indexProbe(spark, path, -1L, vec.toArray, k, nprobe, adc, sq8)
+        val m = graft.operators.IvfIndex.readManifestFull(spark, path)
+        indexProbe(spark, path, m, -1L, vec.toArray, k, nprobe, adc, sq8,
+                   where.map(predicate(df, _)))
+      case Op.IndexErase(keys) =>
+        graft.operators.IvfIndex.deleteByKey(spark, path, keys)
+        graft.operators.IvfIndex.read(spark, path)
       case Op.IndexCompact =>
         graft.operators.IvfIndex.compact(spark, path)
         graft.operators.IvfIndex.read(spark, path)
@@ -115,16 +125,22 @@ object Compiler {
     * bytes the probe touches flow through the partition-pruned
     * candidate side. */
   private def indexProbe(spark: org.apache.spark.sql.SparkSession,
-                         path: String, qid: Long, vec: Array[Float],
+                         path: String,
+                         m: graft.operators.IvfIndex.IndexManifest,
+                         qid: Long, vec: Array[Float],
                          k: Int, nprobe: Int, adc: Boolean,
-                         sq8: Boolean = false): DataFrame = {
+                         sq8: Boolean = false,
+                         pred: Option[Column] = None): DataFrame = {
     import graft.operators.IvfIndex
     import spark.implicits._
     val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
     val res =
-      if (sq8) IvfIndex.searchSq8(spark, path, queries, k, nprobe)
-      else if (adc) IvfIndex.searchAdc(spark, path, queries, k, nprobe)
-      else IvfIndex.search(spark, path, queries, k, nprobe)
+      if (sq8) IvfIndex.searchSq8With(spark, path, m, queries, k, nprobe,
+                                      "vec_id", "embedding", pred)
+      else if (adc) IvfIndex.searchAdcWith(spark, path, m, queries, k, nprobe,
+                                           "vec_id", "embedding", pred)
+      else IvfIndex.searchWith(spark, path, m, queries, k, nprobe,
+                               "vec_id", "embedding", pred)
     res.withColumn("score", round(col("score"), 6))
   }
 
@@ -462,8 +478,7 @@ object Compiler {
     case Op.GopherRules => TextAnalysis.gopherRules(df)
     case Op.QuantizeEmbeddings => Similarity.quantizeInt8(df)
     case Op.ProjectEmbeddings(outDim) =>
-      val dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
-        .head.getInt(0)
+      val dim = embeddingDim(df)
       Similarity.randomProject(df, dim, outDim)
         .select(col("vec_id"),
           posexplode(col("projected")).as(Seq("pos", "val")))
@@ -515,8 +530,7 @@ object Compiler {
                            proj: Boolean, sq8: Boolean = false): DataFrame = {
     val result =
       if (proj) {
-        val dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
-          .head.getInt(0)
+        val dim = embeddingDim(df)
         Similarity.projectedTopK(queries, df, k,
           rerank.getOrElse(math.max(50, k)), dim, math.max(1, dim / 4))
       } else if (sq8) {
@@ -530,6 +544,17 @@ object Compiler {
       } else Similarity.bruteForceTopK(queries, df, k)
     result.withColumn("score", round(col("score"), 6))
   }
+
+  /** The corpus's embedding width — a bounded one-row lookup (same
+    * class as the centroid fetch; the JL plane matrix must materialize
+    * on the driver either way). An EMPTY corpus fails with the typed
+    * plan error, not a bare NoSuchElementException from `head`. */
+  private def embeddingDim(df: DataFrame): Int =
+    df.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(
+        throw InvalidPlanException(
+          "cannot project embeddings of an EMPTY corpus — the projection " +
+            "width is derived from the stored vectors"))
 
   /** Compile a scalar aggregate-argument expression; integral constants
     * stay integers (the same `Lit.Num.asAny` rule predicates use), so

@@ -1592,28 +1592,57 @@ object NLParser {
         if (k <= 0) throw ParseException(s"top-k must be positive: $k")
         p.dropWords("most", "nearest", "similar", "neighbors", "vectors")
         p.expectWord("to")
-        def nprobeTail(): Int = {
+        def nprobeTail(): (Int, Option[Pred]) = {
           p.expectWord("probing")
           val nprobe = p.expectNum().toInt
           if (nprobe <= 0) throw ParseException(
             s"probed cell count must be positive: $nprobe")
           p.dropWords("cells", "cell")
+          // "… where label == 3" — a candidate metadata filter over the
+          // index's stored attribute columns, pushed INTO the pruned
+          // scan (pre-filter: exactly k MATCHING neighbors return)
+          val where = p.peekWordLower match {
+            case Some("where") => p.next(); Some(parsePred(p))
+            case _             => None
+          }
           requireDone(p)
-          nprobe
+          (nprobe, where)
         }
         if (p.peekWordLower.contains("vector")) {
           p.next()
           val vec = vectorLiteral(p)
-          Right(List(Op.IndexSearchVec(vec, k, nprobeTail(), adc, sq8)))
+          val (np, w) = nprobeTail()
+          Right(List(Op.IndexSearchVec(vec, k, np, adc, sq8, w)))
         } else {
           val qid = p.expectNum().toLong
-          Right(List(Op.IndexSearch(qid, k, nprobeTail(), adc, sq8)))
+          val (np, w) = nprobeTail()
+          Right(List(Op.IndexSearch(qid, k, np, adc, sq8, w)))
         }
       case Some("delete") | Some("forget") | Some("erase") =>
         // "Delete user_id 42 from the table." — PHYSICAL compliance
         // erasure (sidecar-Bloom-pruned copy-on-write rewrite); the
-        // post-delete table content reads back for the oracle
+        // post-delete table content reads back for the oracle.
+        // "Erase vectors 3, 7 from the index." routes to the VECTOR
+        // INDEX's erasure (cell-bounded copy-on-write) — "vector" is
+        // the discriminator, as in the search routes.
         p.next(); p.dropWords("the")
+        p.peekWordLower match {
+          case Some("vector") | Some("vectors") =>
+            p.next()
+            val ks = Seq.newBuilder[Long]
+            def oneVec(): Unit = {
+              val v = p.expectNum()
+              if (v != v.toLong) throw ParseException(
+                s"erase keys are integers, got $v")
+              ks += v.toLong
+            }
+            oneVec()
+            while (p.peek.contains(Sym(","))) { p.next(); oneVec() }
+            p.dropWords("from", "the", "index")
+            requireDone(p)
+            return Right(List(Op.IndexErase(ks.result())))
+          case _ => ()
+        }
         val kc = p.expectWordRaw()
         val ks = Seq.newBuilder[Long]
         def oneDel(): Unit = {

@@ -507,17 +507,28 @@ object Op {
     * candidate, never the floats) instead of the exact cosine;
     * `sq8 = true` scores through the index's per-vector int8 code
     * words ([[graft.operators.IvfIndex.searchSq8]] — 1 byte/dim,
-    * integer-exact quantized cosine). */
+    * integer-exact quantized cosine). `where` filters CANDIDATES by
+    * stored attribute columns INSIDE the pruned scan (pre-filtering —
+    * the result is exactly k MATCHING neighbors; post-filtering a
+    * top-k under-returns k, the classic wrong answer). */
   final case class IndexSearch(queryId: Long, k: Int, nprobe: Int,
                                adc: Boolean = false,
-                               sq8: Boolean = false)               extends TableOp
+                               sq8: Boolean = false,
+                               where: Option[Pred] = None)         extends TableOp
   /** ANN probe with an UNSEEN literal query vector — the actual serving
     * shape (a fresh embedding probes the index; the stored-id form is a
     * benchmark convenience). The literal becomes a one-row broadcast
     * frame with query_id -1; same probe kernels as [[IndexSearch]]. */
   final case class IndexSearchVec(vec: Seq[Float], k: Int, nprobe: Int,
                                   adc: Boolean = false,
-                                  sq8: Boolean = false)            extends TableOp
+                                  sq8: Boolean = false,
+                                  where: Option[Pred] = None)      extends TableOp
+  /** Physical compliance erasure of vector ids from the bound index
+    * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
+    * to the cells containing the ids, one atomic flip; vacuum/compact
+    * complete the physical reclaim), then read the post-erase index
+    * content back. The index twin of [[DeleteByKey]]. */
+  final case class IndexErase(keys: Seq[Long])                     extends TableOp
   /** Fold the bound index's segments into one, re-tiling hot cells
     * into bounded files ([[graft.operators.IvfIndex.compact]]), then
     * read the index content back — content must be invariant. */

@@ -489,6 +489,30 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Attribute-filtered probe, spoken — the filtered-serving shape
+    // ("… where label == 3"): the predicate over the index's STORED
+    // attribute column filters candidates inside the pruned scan,
+    // narrowed to the one spoken query id; x91's oracle with the
+    // single-query predicate.
+    "nl120_index_search_filtered" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfAttrIndexTable(s, d)
+      Engine.run("Search the index for top 5 similar to 3 probing 4 " +
+                 s"cells where label == ${VectorQueries.FilterLabel}.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    // Index compliance erasure, spoken — nl101's GDPR verb on the
+    // vector index: shares x92's dedicated index and keys, so the
+    // spoken erase is either the rewrite or its idempotent no-op (both
+    // read back the identical post-erase content).
+    "nl121_index_erase" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfEraseIndexTable(s, d)
+      Engine.run("Erase vectors " +
+                 s"${VectorQueries.EraseKeys.mkString(", ")} from the " +
+                 "index and select columns vec_id and cell.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // Literal-vector probes — the ACTUAL serving shape: a fresh
     // (unindexed) embedding spoken as a bracketed float list probes
     // the index; the oracle replays the probe with the same literal's
@@ -923,6 +947,11 @@ object NLQueries extends QueryPack {
     "nl100_key_range_lookup" -> EventQueries.oracleSql("x79_manifest_key_range"),
     "nl101_delete_by_key" -> EventQueries.oracleSql("x81_delete_by_key"),
     "nl104_index_search" -> VectorQueries.ivfReplaySqlFor("vec_id = 3", 4),
+    "nl120_index_search_filtered" ->
+      VectorQueries.ivfReplaySqlFor("vec_id = 3", 4, 5,
+        Some(VectorQueries.labelCandFilter(VectorQueries.FilterLabel))),
+    "nl121_index_erase" ->
+      VectorQueries.indexContentReplayExceptSql(VectorQueries.EraseKeys),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),

@@ -96,6 +96,44 @@ object VectorQueries extends QueryPack {
     path
   }
 
+  /** x91's index: same coarse quantizer plus the `label` ATTRIBUTE
+    * column stored beside the vectors — the filtered-serving shape
+    * ("top-k where label = …"), where the metadata predicate pushes
+    * into the pruned candidate scan. */
+  private[queries] def ivfAttrIndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivfattr_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids, attrs = Seq("label"))
+      builtIndexes += path
+    }
+    path
+  }
+
+  /** x92/nl121's DEDICATED index (erasure mutates it, so it never
+    * shares with the probe queries' indexes): built fresh per JVM, then
+    * [[EraseKeys]] are erased — by whichever of the x/nl twins runs
+    * first; the other's erase is the idempotent no-op, so both read
+    * back the identical post-erase content in any order. */
+  private[queries] val EraseKeys = Seq(3L, 7L)
+  private[queries] def ivfEraseIndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivferase_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids)
+      builtIndexes += path
+    }
+    path
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_ann_bruteforce" -> ((s: SparkSession, d: String) => {
       val emb = table(s, d, "embeddings")
@@ -180,6 +218,67 @@ object VectorQueries extends QueryPack {
       graft.operators.IvfIndex.searchSq8(s, ivfSq8IndexTable(s, d),
           emb.filter(col("vec_id") < NQueries), K, IvfNProbe)
         .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Attribute-filtered ANN serving — the most common real serving
+    // shape (every RAG/curation pipeline filters by metadata/split):
+    // the `label = 3` predicate filters CANDIDATES inside the
+    // partition-pruned scan (pre-filter, so exactly the top-k MATCHING
+    // neighbors return — post-filtering a top-k under-returns k), and
+    // the oracle replays the same candidate restriction.
+    "x91_ivf_index_search_filtered" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfIndex.search(s, ivfAttrIndexTable(s, d),
+          emb.filter(col("vec_id") < NQueries), K, IvfNProbe,
+          pred = Some(col("label") === FilterLabel))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Index compliance erasure (the GDPR sweep, x81's verb for the
+    // vector index): copy-on-write bounded to the cells containing the
+    // ids, one atomic manifest flip, idempotent once erased. The
+    // oracle is the replayed Lloyd assignment MINUS the erased ids —
+    // survivors keep their stored cells bit-for-bit.
+    "x92_index_erase" -> ((s: SparkSession, d: String) => {
+      val p = ivfEraseIndexTable(s, d)
+      graft.operators.IvfIndex.deleteByKey(s, p, EraseKeys)
+      graft.operators.IvfIndex.read(s, p).select(col("vec_id"), col("cell"))
+    }),
+
+    // Change-feed-driven index maintenance, self-certified (the x60
+    // TRUE-oracle pattern — the equivalence is between two Spark-side
+    // constructions, not SQL-expressible): a manifested embeddings log
+    // advances, syncFromLog ingests exactly the delta (cursor = the
+    // sync tag in the live manifest, so append + cursor advance share
+    // ONE atomic rename), and the synced index probes identically to
+    // one maintained by direct appends of the same batches; a re-sync
+    // against the unchanged log is a pure no-op.
+    "x93_index_sync" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.{IvfIndex, ManifestedLog}
+      val emb = table(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString
+      val (logPath, idxPath, twinPath) = (s"$dir/log", s"$dir/index", s"$dir/twin")
+      def withTs(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("ts", col("vec_id").cast("timestamp"))
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      val rest = emb.filter(col("vec_id") % 2 === 1)
+      ManifestedLog.append(withTs(half), logPath, dedupKey = Some("vec_id"))
+      IvfIndex.buildFromLog(s, logPath, idxPath, cells = IvfCentroids)
+      ManifestedLog.append(withTs(rest), logPath, dedupKey = Some("vec_id"))
+      val (to1, v1) = IvfIndex.syncFromLog(s, logPath, idxPath)
+      // twin: the same state reached by direct appends
+      IvfIndex.build(half, twinPath, cells = IvfCentroids)
+      IvfIndex.append(rest, twinPath)
+      val queries = emb.filter(col("vec_id") < NQueries)
+      def ranked(p: String) = IvfIndex.search(s, p, queries, K, IvfNProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+      val probeEqual = ranked(idxPath) == ranked(twinPath) &&
+        ranked(idxPath).nonEmpty
+      val (to2, v2) = IvfIndex.syncFromLog(s, logPath, idxPath)
+      val resyncNoop = to2 == to1 && v2 == v1
+      Seq((probeEqual, resyncNoop)).toDF("synced_probe_equal", "resync_noop")
     }),
 
     // Per-cell index stats from parquet footers ONLY (no data scan) —
@@ -273,6 +372,10 @@ object VectorQueries extends QueryPack {
     }))
 
   private val CalibrationTarget = 0.7
+
+  /** The spoken/driver filtered-probe label (embeddings carry labels
+    * 0-9, ~10% of the corpus each — a selective-but-nonempty slice). */
+  private[queries] val FilterLabel = 3
 
   private val PairThreshold = 0.45 // same threshold as x7's all-pairs twin
 
@@ -386,15 +489,18 @@ object VectorQueries extends QueryPack {
   /** The x20 Lloyd-replay candidate chain: [[ivfCorpusCte]] plus the
     * probed-cell `cand(query_id, neighbor_id)` pairs for queries drawn
     * from the embeddings table. Shared by the IVF oracles (exact
-    * rescore) and the IVF-PQ oracle (ADC rescore). */
-  private def ivfCandidatesCte(queryPred: String, nprobe: Int): String =
+    * rescore) and the IVF-PQ oracle (ADC rescore). `candFilter`
+    * restricts CANDIDATES (the replay of an attribute-filtered probe's
+    * pushed predicate — pre-filter, applied before the top-k ranks). */
+  private def ivfCandidatesCte(queryPred: String, nprobe: Int,
+                               candFilter: Option[String] = None): String =
     s"""$ivfCorpusCte,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM (SELECT vec_id, cell FROM ranked
        |        WHERE rn <= $nprobe AND $queryPred) q
        |  JOIN cellof c ON q.cell = c.cell
-       |  WHERE c.vec_id <> q.vec_id)""".stripMargin
+       |  WHERE c.vec_id <> q.vec_id${candFilter.map(f => s" AND $f").getOrElse("")})""".stripMargin
 
   /** The literal probe vector of the NL index-search-by-vector routes:
     * a deterministic 64-dim vector NOT in the corpus — the serving
@@ -668,11 +774,27 @@ object VectorQueries extends QueryPack {
 
   /** IVF replay (probed-cell candidates + exact rescore) for an
     * arbitrary query predicate and probe width — shared with the NL
-    * index-search twins. */
+    * index-search twins. `candFilter` replays an attribute-filtered
+    * probe (candidates restricted BEFORE the rank). */
   private[queries] def ivfReplaySqlFor(queryPred: String, nprobe: Int,
-                                       k: Int = K): String =
-    s"""WITH ${ivfCandidatesCte(queryPred, nprobe)}
+                                       k: Int = K,
+                                       candFilter: Option[String] = None): String =
+    s"""WITH ${ivfCandidatesCte(queryPred, nprobe, candFilter)}
        |${rescoreTopK(k)}""".stripMargin
+
+  /** The filtered-probe candidate restriction: indexed attribute
+    * `label = v`, replayed as a semi-join against the embeddings table
+    * (the index stored the attribute verbatim from it). */
+  private[queries] def labelCandFilter(v: Int): String =
+    s"c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $v)"
+
+  /** Index content MINUS erased ids — the erasure oracle: survivors
+    * keep their replayed Lloyd cells bit-for-bit (erase is copy-on-
+    * write over stored assignments, never a recompute). */
+  private[queries] def indexContentReplayExceptSql(keys: Seq[Long]): String =
+    s"""WITH $ivfCorpusCte
+       |SELECT vec_id, cell FROM cellof
+       |WHERE vec_id NOT IN (${keys.mkString(", ")})""".stripMargin
 
   /** IVF-PQ replay (probed-cell candidates + ADC rescore). `candPred`
     * filters bare `vec_id`; `lutPred` filters the aliased `q.vec_id`
@@ -849,6 +971,22 @@ object VectorQueries extends QueryPack {
     "x20_ann_ivf" -> ivfReplaySql,
 
     "x82_ivf_index_search" -> ivfReplaySql,
+
+    // Filtered probe: the same Lloyd replay with candidates restricted
+    // to the label slice BEFORE the rank — exactly what the pushed
+    // predicate does inside the pruned scan.
+    "x91_ivf_index_search_filtered" ->
+      ivfReplaySqlFor(ivfDefaultQueryPred, IvfNProbe, K,
+                      Some(labelCandFilter(FilterLabel))),
+
+    // Post-erase content: the replayed assignment minus the erased ids.
+    "x92_index_erase" -> indexContentReplayExceptSql(EraseKeys),
+
+    // Sync equivalence + no-op are Spark-side constructions (two index
+    // builds compared) — the x60 TRUE-literal pattern makes the hash
+    // gate prove both booleans.
+    "x93_index_sync" ->
+      "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop",
 
     // The stored cells are the replayed Lloyd assignment; footer counts
     // are exact, so the metadata-only stats hash-match this full

@@ -52,11 +52,26 @@ object VectorStreams {
       }
       .start()
 
-  /** Everything the stream has served so far, across batches. */
+  /** Everything the stream has served so far, across batches. A stream
+    * that has not yet written a batch (or an `outPath` not created yet)
+    * reads as an EMPTY result with the serving schema — "nothing served
+    * yet" is a normal state for a monitor polling a fresh stream, not
+    * an AnalysisException. */
   def served(spark: org.apache.spark.sql.SparkSession,
-             outPath: String): DataFrame =
-    spark.read
-      .option("basePath", outPath)
-      .parquet(outPath)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+             outPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatch)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, neighbor_id BIGINT, rank BIGINT, score DOUBLE"))
+    else
+      spark.read
+        .option("basePath", outPath)
+        .parquet(outPath)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
 }

@@ -239,6 +239,172 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("attribute-filtered search: predicate pushed INTO the pruned scan, " +
+       "exactly k matching neighbors, equal to the pre-filtered formulation") {
+    import graft.SparkSpec.executedFileScans
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells, attrs = Seq("label"))
+    val queries = embs.filter(col("vec_id") < 8)
+    val pred = col("label") === 3
+    val res = IvfIndex.search(spark, p, queries, K, NProbe, pred = Some(pred))
+    val got = ranked(res)
+    // ground truth: the same probe over a corpus PRE-filtered to the
+    // label slice — pre-filtering is the semantics (post-filtering the
+    // unfiltered top-k under-returns k, the classic wrong answer)
+    import graft.functions.SketchFunctions.nearestCentroids
+    val cents = IvfIndex.readCentroids(spark, p)
+    val cb = embs.filter(pred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .withColumn("cell", nearestCentroids(col("c_vec"), cents, 1)(0))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .withColumn("cell", explode(nearestCentroids(col("q_vec"), cents, NProbe)))
+    val want = ranked(Similarity.topKPerQuery(
+      cb.join(broadcast(qb), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorFunctions.cosineSim(col("q_vec"), col("c_vec")).as("score")),
+      K))
+    assert(got == want && got.nonEmpty)
+    // every returned neighbor MATCHES the predicate
+    val matching = embs.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, n, _, _) => matching.contains(n) })
+    // the predicate reached the executed index scan's data filters
+    // (pushed beside the partition filter, not applied post-scan), and
+    // partition pruning still holds
+    val oneQ = IvfIndex.search(spark, p, embs.filter(col("vec_id") === 3),
+      K, NProbe, pred = Some(pred))
+    oneQ.collect()
+    val indexScans = executedFileScans(oneQ)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(indexScans.nonEmpty)
+    indexScans.foreach { s =>
+      assert(s.dataFilters.exists(_.references.exists(_.name == "label")),
+        s"label predicate did not reach the scan: ${s.dataFilters}")
+    }
+    val partitionsRead = indexScans.map(s =>
+      s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    assert(partitionsRead <= NProbe)
+    // the ADC and SQ8 layers accept the same predicate
+    val pPq = freshPath()
+    IvfIndex.build(embs, pPq, Cells, pq = Some(Pq.PqParams(8, 64)),
+      sq8 = true, attrs = Seq("label"))
+    for (probe <- Seq(
+           IvfIndex.searchAdc(spark, pPq, queries, K, NProbe, pred = Some(pred)),
+           IvfIndex.searchSq8(spark, pPq, queries, K, NProbe, pred = Some(pred)))) {
+      val rs = probe.collect()
+      assert(rs.nonEmpty &&
+        rs.forall(r => matching.contains(r.getLong(1))))
+    }
+    // a predicate over a column the index does not store fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      IvfIndex.search(spark, p, queries, K, NProbe,
+        pred = Some(col("lang") === "en")).collect()
+    }
+  }
+
+  test("deleteByKey: copy-on-write bounded to containing cells, probes " +
+       "never return erased ids, idempotent, vacuum completes physically") {
+    val p = freshPath()
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, Cells)
+    IvfIndex.append(embs.filter(col("vec_id") % 2 === 1), p)
+    val keys = Seq(3L, 7L, 250L)
+    val beforeContent = IvfIndex.read(spark, p)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val affectedCells = keys.map(beforeContent).toSet
+    // snapshot every data file (name → mtime) before the erase
+    def dataFiles(): Map[String, Long] = {
+      val m = IvfIndex.readManifestFull(spark, p)
+      (for {
+        seg <- m.segments
+        cellDir <- f.listStatus(new Path(p, seg)).toSeq
+        if cellDir.getPath.getName.startsWith("cell=")
+        st <- f.listStatus(cellDir.getPath).toSeq
+        if st.getPath.getName.endsWith(".parquet")
+      } yield st.getPath.toString -> st.getModificationTime).toMap
+    }
+    val before = dataFiles()
+    val v = IvfIndex.deleteByKey(spark, p, keys)
+    assert(v == 3L)
+    // 1) content = survivors with their STORED cells, bit-for-bit
+    val after = IvfIndex.read(spark, p).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == beforeContent -- keys)
+    // 2) the rewrite touched ONLY containing cells: every pre-existing
+    // file is untouched (same mtime), and the new erase segments hold
+    // nothing but the affected cells
+    val m = IvfIndex.readManifestFull(spark, p)
+    val eraseSegs = m.entries.filter(_.name.endsWith("-e"))
+    assert(eraseSegs.nonEmpty)
+    before.foreach { case (path, mtime) =>
+      assert(f.getFileStatus(new Path(path)).getModificationTime == mtime,
+        s"pre-existing file rewritten by erase: $path")
+    }
+    eraseSegs.foreach { e =>
+      val cells = f.listStatus(new Path(p, e.name))
+        .map(_.getPath.getName).filter(_.startsWith("cell="))
+        .map(_.stripPrefix("cell=").toLong).toSet
+      assert(cells.subsetOf(affectedCells),
+        s"erase segment ${e.name} rewrote non-containing cells: $cells")
+    }
+    // 3) old entries skip exactly the affected cells
+    val skips = m.entries.filterNot(_.name.endsWith("-e"))
+      .flatMap(_.skip).toSet
+    assert(skips == affectedCells)
+    // 4) no probe or lookup returns an erased id
+    val queries = embs.filter(col("vec_id") < 8)
+    val served = IvfIndex.search(spark, p, queries, K, nprobe = Cells)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(keys.forall(!served.contains(_)))
+    intercept[IllegalArgumentException] {
+      IvfIndex.lookupVector(spark, p, 3L)
+    }
+    // 5) idempotent: erasing again publishes nothing
+    assert(IvfIndex.deleteByKey(spark, p, keys) == v)
+    assert(IvfIndex.readManifestFull(spark, p).version == v)
+    // 6) vacuum completes the PHYSICAL erase: the skipped cell dirs of
+    // retained segments are reclaimed (old manifests gone with them)
+    IvfIndex.vacuum(spark, p)
+    val mm = IvfIndex.readManifestFull(spark, p)
+    mm.entries.filter(_.skip.nonEmpty).foreach { e =>
+      e.skip.foreach { c =>
+        assert(!f.exists(new Path(p, s"${e.name}/cell=$c")),
+          s"erased bytes survive vacuum: ${e.name}/cell=$c")
+      }
+    }
+    // content and serving unchanged by the reclaim
+    assert(IvfIndex.read(spark, p).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == after)
+    // 7) compact folds to a skip-free physical layout, same content
+    IvfIndex.compact(spark, p)
+    val mc = IvfIndex.readManifestFull(spark, p)
+    assert(mc.entries.size == 1 && mc.entries.head.skip.isEmpty)
+    assert(IvfIndex.read(spark, p).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == after)
+  }
+
+  test("deleteByKey preserves the PQ and SQ8 layers and stored attributes") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells, pq = Some(Pq.PqParams(8, 64)),
+      sq8 = true, attrs = Seq("label"))
+    val queries = embs.filter(col("vec_id") < 4)
+    val keys = Seq(3L, 9L)
+    IvfIndex.deleteByKey(spark, p, keys)
+    // both compressed probes still serve, never returning erased ids
+    for (probe <- Seq(
+           IvfIndex.searchAdc(spark, p, queries, K, Cells),
+           IvfIndex.searchSq8(spark, p, queries, K, Cells))) {
+      val ids = probe.select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty && keys.forall(!ids.contains(_)))
+    }
+    // attributes survive the rewrite: filtered search still works
+    val got = IvfIndex.search(spark, p, queries, K, Cells,
+      pred = Some(col("label") === 3)).collect()
+    assert(got.nonEmpty)
+  }
+
   test("a rebuild flips (quantizer, segments) atomically; a crashed " +
        "rebuild leaves the old index serving") {
     val p = freshPath()

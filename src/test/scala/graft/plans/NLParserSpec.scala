@@ -188,6 +188,35 @@ class NLParserSpec extends AnyFunSuite {
       "Search the index for top 5 similar to 3 probing 0 cells."))
   }
 
+  test("attribute-filtered index search and index erasure") {
+    assert(NLParser.parse(
+      "Search the index for top 5 similar to 3 probing 4 cells " +
+      "where label == 3.").ops ==
+      List(O.IndexSearch(3L, 5, 4,
+        where = Some(Pred.Cmp(Pred.Eq, "label", Lit.Num(3.0))))))
+    assert(NLParser.parse(
+      "Search the index with int8 codes for top 5 similar to vector " +
+      "[1, 0, -1] probing 2 cells where lang == \"en\".").ops ==
+      List(O.IndexSearchVec(Seq(1f, 0f, -1f), 5, 2, sq8 = true,
+        where = Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    // compound predicates ride the same grammar as filters
+    assert(NLParser.parse(
+      "Search the index for top 5 similar to 3 probing 4 cells " +
+      "where label > 2 and label < 6.").ops ==
+      List(O.IndexSearch(3L, 5, 4, where = Some(Pred.And(
+        Pred.Cmp(Pred.Gt, "label", Lit.Num(2.0)),
+        Pred.Cmp(Pred.Lt, "label", Lit.Num(6.0)))))))
+    // erasure: "vector(s)" is the discriminator vs the log's DeleteByKey
+    assert(NLParser.parse("Erase vectors 3, 7 from the index.").ops ==
+      List(O.IndexErase(Seq(3L, 7L))))
+    assert(NLParser.parse("Delete vector 42 from the index.").ops ==
+      List(O.IndexErase(Seq(42L))))
+    assert(NLParser.parse("Delete user_id 42 from the table.").ops ==
+      List(O.DeleteByKey("user_id", Seq(42L))))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Erase vectors 3.5 from the index."))
+  }
+
   test("search the index with a literal query vector") {
     assert(NLParser.parse(
       "Search the index for top 5 similar to vector [0.1, -0.2, 0.25] " +

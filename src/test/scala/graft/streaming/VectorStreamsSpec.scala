@@ -166,4 +166,16 @@ class VectorStreamsSpec extends SparkSpec {
       embs.filter(col("vec_id") === queryRows(1)._1), K, NProbe))
     assert(streamed == (b0 ++ b1).sorted)
   }
+  test("served() of a stream that has not yet written a batch is an " +
+       "empty frame with the serving schema, not an AnalysisException") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsempty").toString
+    // outPath not created at all
+    val none = VectorStreams.served(spark, s"$dir/out")
+    assert(none.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rank", "score"))
+    assert(none.count() == 0L)
+    // outPath exists but holds no batch= dir yet (checkpoint staging)
+    new java.io.File(s"$dir/out2").mkdirs()
+    assert(VectorStreams.served(spark, s"$dir/out2").count() == 0L)
+  }
 }
