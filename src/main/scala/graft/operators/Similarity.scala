@@ -242,7 +242,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val mat = cand.select(col("query_id"), col("neighbor_id")).localCheckpoint()
-    val probe = mat.limit(maxCollect + 1).collect()
+    // saturating +1: a caller pinning maxCollect = Int.MaxValue must not
+    // overflow the limit into a negative (rejected) expression
+    val probeN = if (maxCollect >= Int.MaxValue - 1) Int.MaxValue else maxCollect + 1
+    val probe = mat.limit(probeN).collect()
     val scored =
       if (probe.length <= maxCollect) {
         val pairs = probe.map(r => (r.getLong(0), r.getLong(1))).toSeq
