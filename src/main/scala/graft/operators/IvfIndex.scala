@@ -67,6 +67,19 @@ object IvfIndex {
     * collide with them. */
   private val ReservedCols = Set("vec_id", "embedding", "codes", "codes8", "cell")
 
+  /** Sentinel for [[build]]'s `cells`: size the quantizer from the
+    * corpus as [[autoCells]] — the scale-correct default when the
+    * caller has no measured operating point (a [[Similarity.calibrateIvf]]
+    * pick, when affordable, beats both). */
+  val AutoCells: Int = -1
+
+  /** max(16, ⌊√n⌋) — the standard IVF sizing: √n cells bound both the
+    * per-probe candidate mass (~nprobe·√n) and the driver-side centroid
+    * table (√n·dim floats — ~4 MB at a billion 64-dim vectors), the
+    * same Σ|cell|² argument SemDeDup's auto cell count uses. */
+  def autoCells(n: Long): Int =
+    math.max(16, math.sqrt(math.max(0L, n).toDouble).toInt)
+
   /** Past this many probed cells the `cell IN (…)` partition filter is
     * dropped: a thousands-literal In is pathological for partition
     * listing (|cells| × |probed| comparisons at planning) while pruning
@@ -343,12 +356,15 @@ object IvfIndex {
             pq: Option[Pq.PqParams] = None,
             sq8: Boolean = false,
             attrs: Seq[String] = Nil): Long = {
-    require(cells > 0, s"cells must be positive, got $cells")
+    require(cells > 0 || cells == AutoCells,
+      s"cells must be positive (or IvfIndex.AutoCells), got $cells")
     val spark = vectors.sparkSession
     val root = new Path(path)
     val attrsDdl = attrsDdlOf(vectors, attrs)
+    val nCells =
+      if (cells == AutoCells) autoCells(vectors.count()) else cells
     val cents = Similarity.refineCentroids(
-      vectors, Similarity.sampleCentroids(vectors, cells, idCol, vecCol),
+      vectors, Similarity.sampleCentroids(vectors, nCells, idCol, vecCol),
       refineIters, vecCol)
     // the PQ codebooks freeze at build exactly like the coarse quantizer
     val pqCb = pq.map(p =>

@@ -331,16 +331,19 @@ object Compiler {
         col("doc_id"),
         TextAnalysis.scrubPii(col("text")).as("scrubbed"),
         (TextAnalysis.scrubPii(col("text")) =!= col("text")).as("was_scrubbed"))
-    case Op.SimilarTopK(qid, k, pq, rerank, proj, sq8) =>
+    case Op.SimilarTopK(qid, k, pq, rerank, proj, sq8, where) =>
+      // the query row is fetched from the UNFILTERED corpus — the
+      // neighbor filter must not make the spoken query id unfindable
       similarServe(df, df.filter(col("vec_id") === qid), k, pq, rerank,
-                   proj, sq8)
-    case Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8) =>
+                   proj, sq8, where.map(predicate(df, _)))
+    case Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8, where) =>
       // the literal becomes a one-row broadcast frame (query_id -1, so
       // no candidate is self-excluded) — same kernels as SimilarTopK
       val session = df.sparkSession
       import session.implicits._
       val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
-      similarServe(df, queries, k, pq, rerank, proj, sq8)
+      similarServe(df, queries, k, pq, rerank, proj, sq8,
+                   where.map(predicate(df, _)))
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>
@@ -524,10 +527,15 @@ object Compiler {
     * (outDim = dim/4) and exact-rescores the top-rerank — the dim fetch
     * is a bounded one-row lookup (same class as the centroid fetch),
     * since the plane matrix must materialize on the driver either way;
-    * `sq8` ranks by the integer-exact int8-quantized cosine. */
+    * `sq8` ranks by the integer-exact int8-quantized cosine. `pred`
+    * (exact path only — the parser enforces the exclusivity) filters
+    * NEIGHBORS inside the corpus scan, pre-filter semantics. */
   private def similarServe(df: DataFrame, queries: DataFrame, k: Int,
                            pq: Boolean, rerank: Option[Int],
-                           proj: Boolean, sq8: Boolean = false): DataFrame = {
+                           proj: Boolean, sq8: Boolean = false,
+                           pred: Option[Column] = None): DataFrame = {
+    require(pred.isEmpty || !(pq || proj || sq8),
+      "a neighbor filter on flat similarity is exact-only")
     val result =
       if (proj) {
         val dim = embeddingDim(df)
@@ -541,7 +549,7 @@ object Compiler {
           case Some(r) => graft.operators.Pq.adcTopKRefined(queries, df, cb, k, r)
           case None    => graft.operators.Pq.adcTopK(queries, df, cb, k)
         }
-      } else Similarity.bruteForceTopK(queries, df, k)
+      } else Similarity.bruteForceTopK(queries, df, k, pred = pred)
     result.withColumn("score", round(col("score"), 6))
   }
 

@@ -1086,10 +1086,24 @@ object NLParser {
                   } else None
                 (!isProj && !isSq8, isProj, isSq8, rerank)
               } else (false, false, false, None)
+            // "… where label == 3" — a neighbor metadata pre-filter,
+            // exact path only: the flat compressed paths train/rank
+            // per query, so a filtered corpus would change the
+            // quantizer itself; filtered compressed serving is the
+            // persisted index's job ("Search the index … where …")
+            val where = p.peekWordLower match {
+              case Some("where") =>
+                if (pq || proj || sq8) throw ParseException(
+                  "a 'where' filter on flat similarity is exact-only — " +
+                    "for filtered compressed serving, search a persisted " +
+                    "index built with attribute columns")
+                p.next(); Some(parsePred(p))
+              case _ => None
+            }
             requireDone(p)
             Right(List(query match {
-              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank, proj, sq8)
-              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8)
+              case Left(qid)  => Op.SimilarTopK(qid, k, pq, rerank, proj, sq8, where)
+              case Right(vec) => Op.SimilarTopKVec(vec, k, pq, rerank, proj, sq8, where)
             }))
           }
         }

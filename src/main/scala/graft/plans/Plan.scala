@@ -163,12 +163,20 @@ object Op {
     * ([[graft.operators.Similarity.projectedTopK]]); `sq8 = true`
     * ranks by the integer-exact int8-quantized cosine and
     * exact-rescores ([[graft.operators.Similarity.sq8TopK]]). `pq`,
-    * `proj` and `sq8` are mutually exclusive (the parser speaks one). */
+    * `proj` and `sq8` are mutually exclusive (the parser speaks one).
+    * `where` restricts NEIGHBORS by a metadata predicate (pre-filter:
+    * exactly k matching neighbors; the query row itself is fetched
+    * from the UNFILTERED corpus) — exact path only: filtered
+    * compressed serving is the persisted index's job
+    * ([[IndexSearch]]'s `where`), since the flat compressed paths
+    * train/rank per query and a filtered training corpus would change
+    * the quantizer itself. */
   final case class SimilarTopK(queryId: Long, k: Int,
                                pq: Boolean = false,
                                rerank: Option[Int] = None,
                                proj: Boolean = false,
-                               sq8: Boolean = false)               extends CorpusOp
+                               sq8: Boolean = false,
+                               where: Option[Pred] = None)         extends CorpusOp
   /** [[SimilarTopK]] with an UNSEEN literal query vector (spoken as a
     * bracketed float list) instead of a stored id — the serving shape
     * where a fresh embedding ranks against the corpus; query_id -1 is
@@ -177,7 +185,8 @@ object Op {
                                   pq: Boolean = false,
                                   rerank: Option[Int] = None,
                                   proj: Boolean = false,
-                                  sq8: Boolean = false)            extends CorpusOp
+                                  sq8: Boolean = false,
+                                  where: Option[Pred] = None)      extends CorpusOp
 
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults

@@ -501,6 +501,14 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Filtered flat similarity, spoken — the neighbor metadata
+    // pre-filter on the index-free exact scan (x96's shape narrowed to
+    // the one spoken query id; the query row itself is fetched from
+    // the unfiltered corpus).
+    "nl122_similar_filtered" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 most similar vectors to 3 where label == " +
+                 s"${VectorQueries.FilterLabel}.", embs(s, d))),
+
     // Index compliance erasure, spoken — nl101's GDPR verb on the
     // vector index: shares x92's dedicated index and keys, so the
     // spoken erase is either the rewrite or its idempotent no-op (both
@@ -950,6 +958,9 @@ object NLQueries extends QueryPack {
     "nl120_index_search_filtered" ->
       VectorQueries.ivfReplaySqlFor("vec_id = 3", 4, 5,
         Some(VectorQueries.labelCandFilter(VectorQueries.FilterLabel))),
+    "nl122_similar_filtered" ->
+      VectorQueries.bruteFilteredReplaySql("q.vec_id = 3", 5,
+        VectorQueries.FilterLabel),
     "nl121_index_erase" ->
       VectorQueries.indexContentReplayExceptSql(VectorQueries.EraseKeys),
     "nl105_index_search_pq" ->

@@ -114,6 +114,25 @@ object VectorQueries extends QueryPack {
     path
   }
 
+  /** x94/x95's index: PQ layer + SQ8 layer + the `label` attribute
+    * together — filtered serving through BOTH compressed at-rest
+    * layers from one build. */
+  private[queries] def ivfLayeredIndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivflayered_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids,
+        pq = Some(graft.operators.Pq.PqParams(PqM, PqKsub)),
+        sq8 = true, attrs = Seq("label"))
+      builtIndexes += path
+    }
+    path
+  }
+
   /** x92/nl121's DEDICATED index (erasure mutates it, so it never
     * shares with the probe queries' indexes): built fresh per JVM, then
     * [[EraseKeys]] are erased — by whichever of the x/nl twins runs
@@ -231,6 +250,36 @@ object VectorQueries extends QueryPack {
       graft.operators.IvfIndex.search(s, ivfAttrIndexTable(s, d),
           emb.filter(col("vec_id") < NQueries), K, IvfNProbe,
           pred = Some(col("label") === FilterLabel))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Filtered serving through the COMPRESSED at-rest layers: the same
+    // pushed candidate predicate riding the ADC (m-byte code words)
+    // and SQ8 (1 byte/dim) probes — the scan projects codes + the
+    // attribute, still never the float vectors.
+    "x94_ivfpq_search_filtered" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfIndex.searchAdc(s, ivfLayeredIndexTable(s, d),
+          emb.filter(col("vec_id") < NQueries), K, IvfNProbe,
+          pred = Some(col("label") === FilterLabel))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    "x95_ivfsq8_search_filtered" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      graft.operators.IvfIndex.searchSq8(s, ivfLayeredIndexTable(s, d),
+          emb.filter(col("vec_id") < NQueries), K, IvfNProbe,
+          pred = Some(col("label") === FilterLabel))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // Filtered flat (index-free) exact serving — x1's scan with the
+    // neighbor predicate pushed into the corpus side; pre-filter, so
+    // exactly k matching neighbors return.
+    "x96_ann_filtered" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < NQueries), emb,
+          K, pred = Some(col("label") === FilterLabel))
         .withColumn("score", round(col("score"), 6))
     }),
 
@@ -686,10 +735,12 @@ object VectorQueries extends QueryPack {
 
   /** IVF-SQ8 replay: x20's probed-cell candidate chain scored by x89's
     * quantized cosine — the two replays compose, reusing [[pqRankTail]]
-    * via the shared `pscored` CTE name. */
+    * via the shared `pscored` CTE name. `candFilter` replays an
+    * attribute-filtered probe's candidate restriction. */
   private[queries] def sq8IvfReplaySqlFor(queryPred: String, k: Int,
-                                          nprobe: Int): String =
-    s"""WITH ${ivfCandidatesCte(queryPred, nprobe)},
+                                          nprobe: Int,
+                                          candFilter: Option[String] = None): String =
+    s"""WITH ${ivfCandidatesCte(queryPred, nprobe, candFilter)},
        |$sq8Cte,
        |pscored AS (
        |  SELECT cd.query_id, cd.neighbor_id,
@@ -788,6 +839,23 @@ object VectorQueries extends QueryPack {
   private[queries] def labelCandFilter(v: Int): String =
     s"c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = $v)"
 
+  /** Filtered flat exact replay (x96's shape) for an arbitrary query
+    * predicate over the aliased `q.vec_id` — shared with the NL twin. */
+  private[queries] def bruteFilteredReplaySql(queryPred: String, k: Int,
+                                              labelVal: Int): String =
+    s"""SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                      c.embedding::DOUBLE[]) DESC,
+       |               c.vec_id ASC) AS rank,
+       |    list_cosine_similarity(q.embedding::DOUBLE[],
+       |                           c.embedding::DOUBLE[]) AS score
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE $queryPred AND c.vec_id <> q.vec_id
+       |    AND c.label = $labelVal)
+       |WHERE rank <= $k""".stripMargin
+
   /** Index content MINUS erased ids — the erasure oracle: survivors
     * keep their replayed Lloyd cells bit-for-bit (erase is copy-on-
     * write over stored assignments, never a recompute). */
@@ -798,10 +866,12 @@ object VectorQueries extends QueryPack {
 
   /** IVF-PQ replay (probed-cell candidates + ADC rescore). `candPred`
     * filters bare `vec_id`; `lutPred` filters the aliased `q.vec_id`
-    * inside the PQ lookup-table CTE. */
+    * inside the PQ lookup-table CTE; `candFilter` replays an
+    * attribute-filtered probe's candidate restriction. */
   private[queries] def ivfPqReplaySqlFor(candPred: String, lutPred: String,
-                                         k: Int, nprobe: Int): String =
-    s"""WITH ${ivfCandidatesCte(candPred, nprobe)},
+                                         k: Int, nprobe: Int,
+                                         candFilter: Option[String] = None): String =
+    s"""WITH ${ivfCandidatesCte(candPred, nprobe, candFilter)},
        |${pqChainCte(lutPred)},
        |pscored AS (
        |  SELECT cd.query_id, cd.neighbor_id,
@@ -978,6 +1048,20 @@ object VectorQueries extends QueryPack {
     "x91_ivf_index_search_filtered" ->
       ivfReplaySqlFor(ivfDefaultQueryPred, IvfNProbe, K,
                       Some(labelCandFilter(FilterLabel))),
+
+    // Filtered compressed probes: the same candidate restriction
+    // composed into the ADC and SQ8-IVF replays.
+    "x94_ivfpq_search_filtered" ->
+      ivfPqReplaySqlFor(ivfDefaultQueryPred, pqDefaultQueryPred,
+                        K, IvfNProbe, Some(labelCandFilter(FilterLabel))),
+
+    "x95_ivfsq8_search_filtered" ->
+      sq8IvfReplaySqlFor(ivfDefaultQueryPred, K, IvfNProbe,
+                         Some(labelCandFilter(FilterLabel))),
+
+    // Filtered flat exact: x1's cross scan with the neighbor slice.
+    "x96_ann_filtered" ->
+      bruteFilteredReplaySql(s"q.vec_id < $NQueries", K, FilterLabel),
 
     // Post-erase content: the replayed assignment minus the erased ids.
     "x92_index_erase" -> indexContentReplayExceptSql(EraseKeys),

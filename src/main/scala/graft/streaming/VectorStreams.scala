@@ -32,20 +32,26 @@ object VectorStreams {
     * the index at `path`: exact rescore probes ([[IvfIndex.search]]),
     * the PQ/ADC layer ([[IvfIndex.searchAdc]]) when `pq = true`, or
     * the per-vector int8 layer ([[IvfIndex.searchSq8]]) when
-    * `sq8 = true`. Results land under `outPath/batch=<id>/` as parquet
+    * `sq8 = true`; `pred` applies a candidate metadata filter inside
+    * every batch's pruned scan (the index must store the attribute —
+    * [[IvfIndex.build]]'s `attrs`). Results land under
+    * `outPath/batch=<id>/` as parquet
     * `(query_id, neighbor_id, rank, score)`. */
   def serve(queries: DataFrame, path: String, outPath: String,
             checkpoint: String, k: Int, nprobe: Int,
-            pq: Boolean = false, sq8: Boolean = false): StreamingQuery =
+            pq: Boolean = false, sq8: Boolean = false,
+            pred: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val res =
-            if (sq8) IvfIndex.searchSq8(spark, path, batch, k, nprobe)
-            else if (pq) IvfIndex.searchAdc(spark, path, batch, k, nprobe)
-            else IvfIndex.search(spark, path, batch, k, nprobe)
+            if (sq8) IvfIndex.searchSq8(spark, path, batch, k, nprobe,
+                                        pred = pred)
+            else if (pq) IvfIndex.searchAdc(spark, path, batch, k, nprobe,
+                                            pred = pred)
+            else IvfIndex.search(spark, path, batch, k, nprobe, pred = pred)
           res.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         }
         ()

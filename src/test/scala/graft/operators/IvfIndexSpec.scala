@@ -239,6 +239,19 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("AutoCells sizes the quantizer at max(16, floor(sqrt(n)))") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, IvfIndex.AutoCells) // 500 rows -> 22 cells
+    val nc = IvfIndex.readCentroids(spark, p).length
+    assert(nc == IvfIndex.autoCells(embs.count()) && nc == 22)
+    val queries = embs.filter(col("vec_id") < 4)
+    // the auto-sized index still serves the ivfTopK contract exactly
+    assert(ranked(IvfIndex.search(spark, p, queries, K, NProbe)) ==
+      ranked(Similarity.ivfTopK(queries, embs, K, nc, NProbe)))
+    // tiny corpus floors at 16 (sampleCentroids caps at n rows anyway)
+    assert(IvfIndex.autoCells(9L) == 16 && IvfIndex.autoCells(0L) == 16)
+  }
+
   test("attribute-filtered search: predicate pushed INTO the pruned scan, " +
        "exactly k matching neighbors, equal to the pre-filtered formulation") {
     import graft.SparkSpec.executedFileScans

@@ -206,6 +206,15 @@ class NLParserSpec extends AnyFunSuite {
       List(O.IndexSearch(3L, 5, 4, where = Some(Pred.And(
         Pred.Cmp(Pred.Gt, "label", Lit.Num(2.0)),
         Pred.Cmp(Pred.Lt, "label", Lit.Num(6.0)))))))
+    // the flat similar route takes the same neighbor filter — exact
+    // path only (filtered compressed serving is the index's job)
+    assert(NLParser.parse(
+      "Find top 5 most similar vectors to 3 where label == 3.").ops ==
+      List(O.SimilarTopK(3L, 5,
+        where = Some(Pred.Cmp(Pred.Eq, "label", Lit.Num(3.0))))))
+    assertThrows[NLParser.ParseException](NLParser.parse(
+      "Find top 5 most similar vectors to 3 using int8 codes " +
+      "with rerank 50 where label == 3."))
     // erasure: "vector(s)" is the discriminator vs the log's DeleteByKey
     assert(NLParser.parse("Erase vectors 3, 7 from the index.").ops ==
       List(O.IndexErase(Seq(3L, 7L))))

@@ -178,4 +178,33 @@ class VectorStreamsSpec extends SparkSpec {
     new java.io.File(s"$dir/out2").mkdirs()
     assert(VectorStreams.served(spark, s"$dir/out2").count() == 0L)
   }
+  test("a filtered serve pushes the predicate into every batch's probe; " +
+       "stream equals the filtered batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsfilt").toString
+    val index = s"$dir/index"
+    IvfIndex.build(embs, index, cells = Cells, attrs = Seq("label"))
+    val queryRows = embs.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toSeq.sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val pred = Some(col("label") === 3)
+    val q = VectorStreams.serve(
+      stream.toDF().toDF("vec_id", "embedding"),
+      index, s"$dir/out", s"$dir/ckpt", K, NProbe, pred = pred)
+    try {
+      stream.addData(queryRows)
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(VectorStreams.served(spark, s"$dir/out"))
+    val batch = ranked(IvfIndex.search(spark, index,
+      embs.filter(col("vec_id") < 2), K, NProbe, pred = pred))
+    assert(streamed == batch && streamed.nonEmpty)
+    // every served neighbor matches the predicate
+    val matching = embs.filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.forall { case (_, n, _, _) => matching.contains(n) })
+  }
 }
