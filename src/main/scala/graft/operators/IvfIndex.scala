@@ -702,14 +702,27 @@ object IvfIndex {
   def deleteByKey(spark: SparkSession, path: String, keys: Seq[Long],
                   maxRetries: Int = 5): Long = {
     require(keys.nonEmpty, "deleteByKey needs at least one id")
+    deleteWhere(spark, path, col("vec_id").isin(keys: _*), maxRetries)
+  }
+
+  /** [[deleteByKey]] generalized to an arbitrary predicate over the
+    * index columns — the attribute-sweep compliance shape ("erase
+    * every vector where licence = 'revoked'"), fully distributed (no
+    * id list ever materializes anywhere). Rows where the predicate is
+    * TRUE are erased; NULL is not-erased (a row whose attribute is
+    * missing must not silently vanish under an attribute sweep).
+    * Same copy-on-write bounds, atomicity, idempotence, and physical-
+    * completion story as [[deleteByKey]]. */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+                  maxRetries: Int = 5): Long = {
     val root = new Path(path)
     val m = readManifestFull(spark, path)
     val schema = indexSchema(m)
     // ONE job: per-segment branches union under a segment-name literal,
-    // each branch's id predicate pushed into its pruned scan
+    // each branch's predicate pushed into its pruned scan
     val hits = m.entries.map { e =>
       segFrame(spark, root, e, schema)
-        .filter(col("vec_id").isin(keys: _*))
+        .filter(pred)
         .select(lit(e.name).as("seg"), col("cell"))
     }.reduce(_.unionByName(_)).distinct().collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -722,10 +735,11 @@ object IvfIndex {
       val token = java.util.UUID.randomUUID().toString.take(8)
       val newSeg = s"seg-$token-e"
       // partition filter first: the rewrite READS only the containing
-      // cells' files (pruned at listing), then drops the erased rows
+      // cells' files (pruned at listing), then drops the erased rows —
+      // NULL-predicate rows survive (coalesce, not bare negation)
       val survivors = segFrame(spark, root, e, schema)
         .filter(col("cell").isin(cells: _*))
-        .filter(!col("vec_id").isin(keys: _*))
+        .filter(!coalesce(pred, lit(false)))
       writeRawSegment(spark, root, newSeg, survivors)
       SegEntry(newSeg)
     }
@@ -747,7 +761,7 @@ object IvfIndex {
         val f = fs(spark, root)
         eraseEntries.foreach(es => f.delete(new Path(root, es.name), true))
         if (maxRetries <= 0) throw e
-        deleteByKey(spark, path, keys, maxRetries - 1)
+        deleteWhere(spark, path, pred, maxRetries - 1)
     }
   }
 

@@ -107,6 +107,9 @@ object Compiler {
       case Op.IndexErase(keys) =>
         graft.operators.IvfIndex.deleteByKey(spark, path, keys)
         graft.operators.IvfIndex.read(spark, path)
+      case Op.IndexEraseWhere(w) =>
+        graft.operators.IvfIndex.deleteWhere(spark, path, predicate(df, w))
+        graft.operators.IvfIndex.read(spark, path)
       case Op.IndexCompact =>
         graft.operators.IvfIndex.compact(spark, path)
         graft.operators.IvfIndex.read(spark, path)

@@ -1643,6 +1643,15 @@ object NLParser {
         p.peekWordLower match {
           case Some("vector") | Some("vectors") =>
             p.next()
+            // "Erase vectors where label == 9 from the index." — the
+            // attribute-sweep erase (fully distributed, no id list)
+            if (p.peekWordLower.contains("where")) {
+              p.next()
+              val w = parsePred(p)
+              p.dropWords("from", "the", "index")
+              requireDone(p)
+              return Right(List(Op.IndexEraseWhere(w)))
+            }
             val ks = Seq.newBuilder[Long]
             def oneVec(): Unit = {
               val v = p.expectNum()

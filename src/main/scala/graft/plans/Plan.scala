@@ -538,6 +538,12 @@ object Op {
     * complete the physical reclaim), then read the post-erase index
     * content back. The index twin of [[DeleteByKey]]. */
   final case class IndexErase(keys: Seq[Long])                     extends TableOp
+  /** [[IndexErase]] generalized to a predicate over the index's stored
+    * columns — the attribute-sweep compliance shape ("erase every
+    * vector where licence = 'revoked'";
+    * [[graft.operators.IvfIndex.deleteWhere]] — fully distributed, no
+    * id list materializes; NULL-predicate rows survive). */
+  final case class IndexEraseWhere(where: Pred)                    extends TableOp
   /** Fold the bound index's segments into one, re-tiling hot cells
     * into bounded files ([[graft.operators.IvfIndex.compact]]), then
     * read the index content back — content must be invariant. */

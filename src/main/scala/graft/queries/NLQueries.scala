@@ -521,6 +521,17 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Attribute-sweep erasure, spoken — "erase every vector of a
+    // revoked slice": shares x97's dedicated index and label, so the
+    // spoken sweep is either the rewrite or its idempotent no-op.
+    "nl123_index_erase_where" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfEraseWhereIndexTable(s, d)
+      Engine.run("Erase vectors where label == " +
+                 s"${VectorQueries.EraseLabel} from the index and " +
+                 "select columns vec_id and cell.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // Literal-vector probes — the ACTUAL serving shape: a fresh
     // (unindexed) embedding spoken as a bracketed float list probes
     // the index; the oracle replays the probe with the same literal's
@@ -963,6 +974,8 @@ object NLQueries extends QueryPack {
         VectorQueries.FilterLabel),
     "nl121_index_erase" ->
       VectorQueries.indexContentReplayExceptSql(VectorQueries.EraseKeys),
+    "nl123_index_erase_where" ->
+      VectorQueries.indexContentReplayExceptLabelSql(VectorQueries.EraseLabel),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),

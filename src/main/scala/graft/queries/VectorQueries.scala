@@ -133,6 +133,24 @@ object VectorQueries extends QueryPack {
     path
   }
 
+  /** x97/nl123's DEDICATED index for the attribute-sweep erase: stores
+    * the label attribute, and the [[EraseLabel]] slice is erased by
+    * whichever twin runs first (idempotent thereafter). */
+  private[queries] val EraseLabel = 9
+  private[queries] def ivfEraseWhereIndexTable(s: SparkSession, d: String): String = synchronized {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      "graft_ivferasew_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!builtIndexes.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.operators.IvfIndex.build(table(s, d, "embeddings"), path,
+        cells = IvfCentroids, attrs = Seq("label"))
+      builtIndexes += path
+    }
+    path
+  }
+
   /** x92/nl121's DEDICATED index (erasure mutates it, so it never
     * shares with the probe queries' indexes): built fresh per JVM, then
     * [[EraseKeys]] are erased — by whichever of the x/nl twins runs
@@ -291,6 +309,17 @@ object VectorQueries extends QueryPack {
     "x92_index_erase" -> ((s: SparkSession, d: String) => {
       val p = ivfEraseIndexTable(s, d)
       graft.operators.IvfIndex.deleteByKey(s, p, EraseKeys)
+      graft.operators.IvfIndex.read(s, p).select(col("vec_id"), col("cell"))
+    }),
+
+    // Attribute-sweep erasure: every vector of a label slice erased by
+    // predicate — fully distributed (no id list materializes), the
+    // licence-revocation compliance shape. Oracle: the replayed
+    // assignment minus the slice.
+    "x97_index_erase_where" -> ((s: SparkSession, d: String) => {
+      val p = ivfEraseWhereIndexTable(s, d)
+      graft.operators.IvfIndex.deleteWhere(s, p,
+        col("label") === EraseLabel)
       graft.operators.IvfIndex.read(s, p).select(col("vec_id"), col("cell"))
     }),
 
@@ -864,6 +893,14 @@ object VectorQueries extends QueryPack {
        |SELECT vec_id, cell FROM cellof
        |WHERE vec_id NOT IN (${keys.mkString(", ")})""".stripMargin
 
+  /** Post-attribute-sweep content: the replayed assignment minus the
+    * label slice (the erase-where oracle). */
+  private[queries] def indexContentReplayExceptLabelSql(labelVal: Int): String =
+    s"""WITH $ivfCorpusCte
+       |SELECT vec_id, cell FROM cellof
+       |WHERE vec_id NOT IN (
+       |  SELECT vec_id FROM embeddings WHERE label = $labelVal)""".stripMargin
+
   /** IVF-PQ replay (probed-cell candidates + ADC rescore). `candPred`
     * filters bare `vec_id`; `lutPred` filters the aliased `q.vec_id`
     * inside the PQ lookup-table CTE; `candFilter` replays an
@@ -1065,6 +1102,9 @@ object VectorQueries extends QueryPack {
 
     // Post-erase content: the replayed assignment minus the erased ids.
     "x92_index_erase" -> indexContentReplayExceptSql(EraseKeys),
+
+    // Post-attribute-sweep content: the assignment minus the slice.
+    "x97_index_erase_where" -> indexContentReplayExceptLabelSql(EraseLabel),
 
     // Sync equivalence + no-op are Spark-side constructions (two index
     // builds compared) — the x60 TRUE-literal pattern makes the hash

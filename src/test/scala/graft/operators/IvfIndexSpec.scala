@@ -398,6 +398,37 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == after)
   }
 
+  test("deleteWhere: attribute-sweep erasure is distributed, exact, and " +
+       "null-predicate rows survive") {
+    import spark.implicits._
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells, attrs = Seq("label"))
+    val slice = embs.filter(col("label") === 9).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(slice.nonEmpty)
+    IvfIndex.deleteWhere(spark, p, col("label") === 9)
+    val after = IvfIndex.read(spark, p).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((after intersect slice).isEmpty)
+    assert(after.size + slice.size == embs.count())
+    // idempotent
+    val v = IvfIndex.readManifestFull(spark, p).version
+    assert(IvfIndex.deleteWhere(spark, p, col("label") === 9) == v)
+    // NULL predicate rows are NOT erased: an index whose attr is null
+    // for some rows must not silently drop them under a sweep
+    val p2 = freshPath()
+    val mixed = embs.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") % 2 === 0, col("label")).as("label"))
+    IvfIndex.build(mixed, p2, Cells, attrs = Seq("label"))
+    IvfIndex.deleteWhere(spark, p2, col("label") === 9)
+    val kept = IvfIndex.read(spark, p2)
+    // every odd vec_id (null label) survives
+    assert(kept.filter(col("vec_id") % 2 === 1).count() ==
+      embs.filter(col("vec_id") % 2 === 1).count())
+    // every even label-9 row is gone
+    assert(kept.filter(col("label") === 9).count() == 0)
+  }
+
   test("deleteByKey preserves the PQ and SQ8 layers and stored attributes") {
     val p = freshPath()
     IvfIndex.build(embs, p, Cells, pq = Some(Pq.PqParams(8, 64)),

@@ -224,6 +224,10 @@ class NLParserSpec extends AnyFunSuite {
       List(O.DeleteByKey("user_id", Seq(42L))))
     assertThrows[NLParser.ParseException](NLParser.parse(
       "Erase vectors 3.5 from the index."))
+    // the attribute-sweep form: erase by predicate, not id list
+    assert(NLParser.parse(
+      "Erase vectors where label == 9 from the index.").ops ==
+      List(O.IndexEraseWhere(Pred.Cmp(Pred.Eq, "label", Lit.Num(9.0)))))
   }
 
   test("search the index with a literal query vector") {
