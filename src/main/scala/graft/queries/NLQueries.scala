@@ -509,6 +509,17 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 5 most similar vectors to 3 where label == " +
                  s"${VectorQueries.FilterLabel}.", embs(s, d))),
 
+    // Filtered probe with an UNSEEN literal query vector — the full
+    // real serving shape in one spoken sentence: fresh embedding,
+    // metadata filter, partition-pruned probe.
+    "nl124_index_search_vec_filtered" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfAttrIndexTable(s, d)
+      Engine.run("Search the index for top 5 similar to vector " +
+                 s"${VectorQueries.litVecSpoken} probing 4 cells where " +
+                 s"label == ${VectorQueries.FilterLabel}.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // Index compliance erasure, spoken — nl101's GDPR verb on the
     // vector index: shares x92's dedicated index and keys, so the
     // spoken erase is either the rewrite or its idempotent no-op (both
@@ -976,6 +987,9 @@ object NLQueries extends QueryPack {
       VectorQueries.indexContentReplayExceptSql(VectorQueries.EraseKeys),
     "nl123_index_erase_where" ->
       VectorQueries.indexContentReplayExceptLabelSql(VectorQueries.EraseLabel),
+    "nl124_index_search_vec_filtered" ->
+      VectorQueries.ivfLiteralReplaySql(5, 4,
+        Some(VectorQueries.labelCandFilter(VectorQueries.FilterLabel))),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),

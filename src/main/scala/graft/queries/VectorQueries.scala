@@ -608,7 +608,8 @@ object VectorQueries extends QueryPack {
     s"qv(query_id, emb) AS (VALUES (-1::BIGINT, $lits::DOUBLE[]))"
   }
 
-  private def litCandCte(nprobe: Int): String = {
+  private def litCandCte(nprobe: Int,
+                         candFilter: Option[String] = None): String = {
     s"""$litQvCte,
        |qcs AS (
        |  SELECT q.query_id, c.cell,
@@ -620,7 +621,7 @@ object VectorQueries extends QueryPack {
        |cand AS (
        |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
        |  FROM (SELECT query_id, cell FROM qranked WHERE rn <= $nprobe) q
-       |  JOIN cellof c ON q.cell = c.cell)""".stripMargin
+       |  JOIN cellof c ON q.cell = c.cell${candFilter.map(f => s"\n  WHERE $f").getOrElse("")})""".stripMargin
   }
 
   /** Index CONTENT as (vec_id, cell) — the replayed Lloyd assignment of
@@ -647,10 +648,12 @@ object VectorQueries extends QueryPack {
        |WHERE rank <= $k""".stripMargin
 
   /** Literal-vector IVF probe replay (exact rescore): the query side of
-    * the rescore joins `qv`, not the embeddings table. */
-  private[queries] def ivfLiteralReplaySql(k: Int, nprobe: Int): String =
+    * the rescore joins `qv`, not the embeddings table. `candFilter`
+    * replays an attribute-filtered probe's candidate restriction. */
+  private[queries] def ivfLiteralReplaySql(k: Int, nprobe: Int,
+                                           candFilter: Option[String] = None): String =
     s"""WITH $ivfCorpusCte,
-       |${litCandCte(nprobe)}
+       |${litCandCte(nprobe, candFilter)}
        |${litRescoreTail(k)}""".stripMargin
 
   /** The literal query's per-subspace slices and ADC lookup tables —

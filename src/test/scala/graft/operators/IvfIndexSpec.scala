@@ -298,16 +298,28 @@ class IvfIndexSpec extends SparkSpec {
     val partitionsRead = indexScans.map(s =>
       s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
     assert(partitionsRead <= NProbe)
-    // the ADC and SQ8 layers accept the same predicate
+    // the ADC and SQ8 layers accept the same predicate, and their
+    // filtered probes STILL never read the float vectors: the scan
+    // projects codes + the filter attribute only
     val pPq = freshPath()
     IvfIndex.build(embs, pPq, Cells, pq = Some(Pq.PqParams(8, 64)),
       sq8 = true, attrs = Seq("label"))
-    for (probe <- Seq(
-           IvfIndex.searchAdc(spark, pPq, queries, K, NProbe, pred = Some(pred)),
-           IvfIndex.searchSq8(spark, pPq, queries, K, NProbe, pred = Some(pred)))) {
+    for ((probe, codeCol) <- Seq(
+           (IvfIndex.searchAdc(spark, pPq, queries, K, NProbe, pred = Some(pred)),
+            "codes"),
+           (IvfIndex.searchSq8(spark, pPq, queries, K, NProbe, pred = Some(pred)),
+            "codes8"))) {
       val rs = probe.collect()
       assert(rs.nonEmpty &&
         rs.forall(r => matching.contains(r.getLong(1))))
+      val scans = executedFileScans(probe)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        assert(s.requiredSchema.fieldNames.toSet == Set("vec_id", codeCol, "label"),
+          s"filtered $codeCol probe read more than codes + filter attr: " +
+            s"${s.requiredSchema}")
+      }
     }
     // a predicate over a column the index does not store fails loudly
     intercept[org.apache.spark.sql.AnalysisException] {
