@@ -221,31 +221,35 @@ object Similarity {
     *    broadcast-join rescore pays, since runtime filters don't reach
     *    an unpartitioned parquet scan through a broadcast join).
     *  - SERVING batches (pairs > `maxCollect`): candidates stay
-    *    distributed (one localCheckpoint — the candidate stage computes
-    *    once, not once for the size probe and again for the rescore); a
-    *    Bloom filter of the candidate ids prunes the corpus scan before
-    *    its exchange ([[BloomJoin]]'s explicit runtime filter — false
-    *    positives die in the exact join, false negatives can't occur),
-    *    and the pairs shuffle-join the surviving vectors. No driver
-    *    materialization, no literal list — the plan a 10⁴-query batch
-    *    needs.
+    *    distributed; a Bloom filter of the candidate ids prunes the
+    *    corpus scan before its exchange ([[BloomJoin]]'s explicit
+    *    runtime filter — false positives die in the exact join, false
+    *    negatives can't occur), and the pairs shuffle-join the
+    *    surviving vectors (one localCheckpoint so the size probe, the
+    *    bloom build, and the join share ONE candidate-stage
+    *    computation). No driver materialization, no literal list — the
+    *    plan a 10⁴-query batch needs.
     *
-    * The size probe is `limit(maxCollect + 1)` over the checkpointed
-    * pairs: when it returns ≤ maxCollect rows those ARE all the pairs
-    * (no second job), and one extra row proves the big regime without
-    * ever collecting the rest. Exact cosine over the pairs either way,
-    * then the same partial top-k aggregator ranks. */
+    * The size probe is a plain `limit(maxCollect + 1)` collect: when it
+    * returns ≤ maxCollect rows those ARE all the pairs — the SMALL
+    * regime pays exactly one candidate-stage job, the same cost as the
+    * collect it replaces (an earlier draft checkpointed before probing,
+    * which taxed every spoken probe with the materialization — measured
+    * +0.9s on x88 at sf1). One extra row proves the big regime, whose
+    * checkpoint then re-runs the candidate stage once — amortized
+    * against the batch that regime exists for. Exact cosine over the
+    * pairs either way, then the same partial top-k aggregator ranks. */
   private[operators] def exactRerank(queries: DataFrame, corpus: DataFrame,
                                      cand: DataFrame, k: Int,
                                      idCol: String, vecCol: String,
                                      maxCollect: Int = MaxCollectCandidates): DataFrame = {
     val spark = corpus.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val mat = cand.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val pairsDf = cand.select(col("query_id"), col("neighbor_id"))
     // saturating +1: a caller pinning maxCollect = Int.MaxValue must not
     // overflow the limit into a negative (rejected) expression
     val probeN = if (maxCollect >= Int.MaxValue - 1) Int.MaxValue else maxCollect + 1
-    val probe = mat.limit(probeN).collect()
+    val probe = pairsDf.limit(probeN).collect()
     val scored =
       if (probe.length <= maxCollect) {
         val pairs = probe.map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -259,6 +263,7 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"),
             cosineSim(col("q_vec"), col("c_vec")).as("score"))
       } else {
+        val mat = pairsDf.localCheckpoint()
         val bloomed = corpus
           .filter(graft.functions.BloomFunctions.bloomMightContain(
             col(idCol), BloomJoin.buildBloom(mat, "neighbor_id"), 7))
