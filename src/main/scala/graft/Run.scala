@@ -46,6 +46,10 @@ object Run {
       // the path and probe it in place
       case p if graft.operators.IvfIndex.versions(spark, p).nonEmpty =>
         graft.operators.IvfIndex.read(spark, p)
+      // a persisted inverted index (directory with lex-manifest-*.txt):
+      // reads as its postings; "Search the lexical index …" probes it
+      case p if graft.operators.LexIndex.versions(spark, p).nonEmpty =>
+        graft.operators.LexIndex.readPostings(spark, p)
       case p if p.endsWith(".parquet") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df = Sources.parquet(spark, p)
@@ -68,7 +72,8 @@ object Run {
     // days …", "Vacuum …") can act on the table itself
     val tablePath = inputCsv.filter(p =>
       graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined ||
-      graft.operators.IvfIndex.versions(spark, p).nonEmpty)
+      graft.operators.IvfIndex.versions(spark, p).nonEmpty ||
+      graft.operators.LexIndex.versions(spark, p).nonEmpty)
     val catalog = args.drop(3).map { binding =>
       binding.split("=", 2) match {
         case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> load(path)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, NLQueries, PackingQueries, QueryPack, RelationalQueries, SamplingQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, EvalQueries, EventQueries, MultimodalQueries, NLQueries, PackingQueries, QueryPack, RelationalQueries, RetrievalQueries, SamplingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
     MultimodalQueries,
     SamplingQueries,
     PackingQueries,
+    RetrievalQueries,
     NLQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

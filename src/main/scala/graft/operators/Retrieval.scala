@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the `documents` corpus — the
+  * serving surface that pairs with the vector stack: BM25 keyword
+  * scoring with a partial top-k, and reciprocal-rank fusion of a
+  * lexical and a vector ranking (the standard RAG "hybrid search"
+  * shape: neither signal alone ranks well; rank-space fusion needs no
+  * score calibration between them).
+  *
+  * Determinism contract (what makes BM25 oracle-replayable in DuckDB):
+  * every BM25 input is an exact integer in double precision — tf, dl,
+  * df, N are counts, and avgdl = Σdl/N is one correctly-rounded IEEE
+  * division of two exact integers — so both engines start from
+  * bit-identical operands. The only library call is `ln` (up to 1 ulp
+  * apart across engines), absorbed by rounding scores to 1e-6 before
+  * ranking (x39's rounding-before-rank technique). The per-document
+  * score folds term contributions LEFT-ASSOCIATIVELY IN TERM ORDER
+  * (`aggregate(array_sort(...))` here ≡ `list_reduce(list(... ORDER BY
+  * term))` in the oracle), so double addition order — the one thing a
+  * distributed aggregation would not pin — is fixed on both sides.
+  * RRF needs none of this: 1/(c+rank) on integer ranks is a single
+  * correctly-rounded division and one exact-operand addition.
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * Scale shape — the only FULL-corpus work is two map-side passes
+    * over the scan, and the whole query is ONE Spark action:
+    *  - the broadcast query-term list prunes exploded tokens BEFORE the
+    *    (doc, term) tf aggregation, so the first shuffle carries only
+    *    matching tokens — never the corpus token stream, never the
+    *    vocabulary (the TF-IDF x39 lesson inverted: at serving time the
+    *    query terms are the broadcast);
+    *  - doc length rides the explode as a per-row column (`size` of the
+    *    same token array), aggregated with the tf — no doc-keyed length
+    *    join, no second aggregation branch;
+    *  - corpus stats (N, Σdl — exact integers) reduce map-side to a
+    *    1-row frame that broadcast-cross-joins into the score
+    *    expression: no driver action, no literal baking, and avgdl is
+    *    the same one IEEE division either way;
+    *  - ranking is the shared partial top-k aggregator — map-side
+    *    partials keep q×k×partitions rows on the wire, never the
+    *    scored set.
+    *
+    * @param docs    corpus `(idCol, textCol, …)`
+    * @param queries small frame `(queryIdCol, termsCol: array<string>)`
+    *                — broadcast; terms are matched lowercased
+    * @return (query_id, doc_id, rank, score) with rank 1..k by
+    *         (score desc, doc_id asc), scores rounded to 1e-6 before
+    *         ranking; documents sharing no term with a query score no
+    *         row (classic BM25 — a no-overlap document is not a
+    *         result), and an empty corpus returns an empty result
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               termsCol: String = "terms"): DataFrame = {
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("toks"))
+    // doc length rides every exploded token row — exact per-group, so
+    // the tf aggregation carries it without a doc-keyed join
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(col(termsCol)).as("term"))
+      .select(col("query_id"), lower(col("term")).as("term"))
+    // prune to query terms BEFORE aggregating: the first shuffle carries
+    // only matching tokens, never the corpus token stream
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"))
+    // corpus stats: exact integers, map-side reduce to one broadcast row
+    val stats = toksAll.agg(count("*").as("n_docs"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
+    * persisted inverted index ([[LexIndex.search]]) meet here, which is
+    * what makes the index probe score-identical to the full scan.
+    *
+    * @param tfQ    matching postings `(doc_id, term, tf, dl)` — tf and
+    *               dl EXACT integers; only rows whose term some query
+    *               speaks (extra terms would still score correctly but
+    *               waste the window)
+    * @param qTerms `(query_id, term)`, terms lowercased
+    * @param stats  ONE row `(n_docs, sum_dl)` — exact integer corpus
+    *               totals (broadcast-cross-joined into the score
+    *               expression, so avgdl is one IEEE division on every
+    *               row, bit-equal to a driver-side division)
+    */
+  private[operators] def scoreAndRank(tfQ: DataFrame, qTerms: DataFrame,
+                                      stats: DataFrame, k: Int,
+                                      k1: Double, b: Double): DataFrame = {
+    // document frequency as a window count over the aggregated matching
+    // set — NOT a second aggregation branch off tfQ, which would
+    // recompute the whole scan→explode→join→agg subtree (the exchanges
+    // differ, so ReuseExchange can't dedup them); the window's exchange
+    // carries only matching (doc, term) rows
+    val withDf = tfQ.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val contrib = withDf
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+             (col("df") + lit(0.5)) + lit(1.0)) *
+         (col("tf") * lit(k1 + 1.0)) /
+         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+          .as("contrib"))
+    // left-assoc fold in term order: the one double sum whose order a
+    // distributed agg would not pin — fixed here and in the oracle alike
+    val scored = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (lexical ∪ vector, or any
+    * two `(query_id, id, rank)` frames): fused score
+    * Σ 1/(c + rank), a list absent from one ranking contributing
+    * nothing. Rank-space fusion is the point — BM25 scores and cosine
+    * scores are not calibrated against each other, their RANKS are.
+    * One outer join on (query_id, id) + the partial top-k; both sides
+    * arrive already k-bounded (q×k rows), so fusion cost is
+    * query-batch-sized regardless of corpus size.
+    *
+    * @return (query_id, doc_id, rank, score) with rank 1..k by
+    *         (fused score desc, doc_id asc); fused scores are
+    *         bit-deterministic (integer-rank divisions + one exact
+    *         addition), no rounding needed
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col("query_id"), col(idCol).as("id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank"))).as(s"rrf_$tag"))
+    val fused = side(a, "a")
+      .join(side(b, "b"), Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (coalesce(col("rrf_a"), lit(0.0)) +
+         coalesce(col("rrf_b"), lit(0.0))).as("score"))
+    Similarity.topKPerQuery(fused, k)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("rank"), col("score"))
+  }
+
+  /** Hybrid search: BM25 over the document texts fused with exact
+    * cosine over the aligned embeddings (doc_id ≡ vec_id), RRF-combined
+    * to the final top-k. Queries carry BOTH modalities — a term list
+    * and a query vector id resolved against the embedding corpus —
+    * which is the real serving sentence ("docs about X, near this
+    * embedding"). Both arms retrieve `depth` candidates (rank-space
+    * fusion needs rankings deeper than k to fuse meaningfully: an arm's
+    * k+1-th hit can enter the fused top-k).
+    *
+    * @param queries `(query_id, terms: array<string>)`; the query
+    *                vector for each query_id is looked up in
+    *                `embeddings` by `vecIdCol` ≡ query_id
+    */
+  /** The fully AT-REST hybrid probe: lexical arm from the persisted
+    * inverted index ([[LexIndex.search]] — query-term bucket pruning),
+    * vector arm from the persisted IVF index ([[IvfIndex.search]] —
+    * cell partition pruning), RRF-fused. The RAG serving probe with
+    * ZERO corpus scans: every byte read is posting lists of the spoken
+    * terms or vectors of the probed cells.
+    *
+    * Query vectors are fetched from the index BY THE QUERY ID
+    * (projected, predicate-pushed one-row reads — the bounded
+    * spoken-probe class), so unlike the flat [[hybridTopK]] the vector
+    * arm self-EXCLUDES the query's own document: fetched-by-id serving
+    * means "more like stored doc q", where q itself is not news. The
+    * flat form's literal external vectors have nothing to exclude —
+    * both semantics are deliberate.
+    *
+    * @param queries `(query_id, terms)`; query_id is also the vec_id
+    *                whose stored vector drives the vector arm
+    */
+  def hybridServe(spark: org.apache.spark.sql.SparkSession,
+                  lexPath: String, ivfPath: String, queries: DataFrame,
+                  k: Int, depth: Int, nprobe: Int, c: Int = 60): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val lex = LexIndex.search(spark, lexPath, queries, depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // ONE manifest read shared by every per-id vector fetch and the
+    // probe — internally consistent under concurrent rebuild
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val ids = queries.select("query_id").collect().map(_.getLong(0))
+    val qVecs = spark.createDataFrame(
+        ids.toSeq.map(id => (id, IvfIndex.lookupVectorWith(spark, ivfPath, m, id))))
+      .toDF("vec_id", "embedding")
+    val vec = IvfIndex.searchWith(spark, ivfPath, m, qVecs, depth, nprobe,
+        "vec_id", "embedding", None)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, vec, k, c)
+  }
+
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                 k: Int, depth: Int, c: Int = 60,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 vecIdCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val lex = bm25TopK(docs, queries, depth, idCol = idCol, textCol = textCol)
+    val qVecs = embeddings.join(
+      broadcast(queries.select(col("query_id").as(vecIdCol))), Seq(vecIdCol))
+    // the query is EXTERNAL (a term list + an embedding), not a corpus
+    // member being deduplicated — nothing to self-exclude: the doc whose
+    // stored vector IS the query vector is a legitimate (best) hit
+    val vec = Similarity.bruteForceTopK(qVecs, embeddings, depth,
+        idCol = vecIdCol, vecCol = vecCol, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as(idCol), col("rank"))
+    rrfFuse(lex.select("query_id", idCol, "rank"), vec, k, c, idCol)
+  }
+}

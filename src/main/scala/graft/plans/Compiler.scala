@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Plan IR → DataFrame program.
   *
@@ -58,9 +58,9 @@ object Compiler {
     import graft.operators.ManifestedLog
     val spark = df.sparkSession
     val path = tablePath.getOrElse(throw InvalidPlanException(
-      s"$op needs a manifested table or vector index input (a directory " +
-        "with manifest-*.txt / index-manifest-*.txt) — plain frames " +
-        "have no versions to act on"))
+      s"$op needs a manifested table or persisted index input (a " +
+        "directory with manifest-*.txt / index-manifest-*.txt / " +
+        "lex-manifest-*.txt) — plain frames have no versions to act on"))
     op match {
       case Op.LoadAtVersion(v) => ManifestedLog.loadAt(spark, path, v)
       case Op.CompactClosedDays(wmUs) =>
@@ -119,6 +119,12 @@ object Compiler {
       case Op.IndexCellProfile =>
         graft.operators.IvfIndex.cellStats(spark, path)
           .select(col("cell"), col("n_rows"))
+      case Op.LexSearch(terms, k) =>
+        // the spoken term list is the query (query_id -1, as Bm25TopK);
+        // the probe reads only those terms' bucket partitions
+        val queries = spark.createDataFrame(Seq((-1L, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.LexIndex.search(spark, path, queries, k)
     }
   }
 
@@ -347,6 +353,22 @@ object Compiler {
       val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
       similarServe(df, queries, k, pq, rerank, proj, sq8,
                    where.map(predicate(df, _)))
+    case Op.Bm25TopK(terms, k) =>
+      // the spoken term list IS the query — one-row broadcast frame,
+      // query_id -1 (outside the stored doc id space)
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((-1L, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.bm25TopK(df, queries, k)
+    case Op.HybridTopK(terms, k, vecId, depth) =>
+      // lexical arm over the input documents; vector arm over the
+      // catalog-bound embeddings table, query vector = the spoken id's
+      // stored embedding (doc_id ≡ vec_id alignment)
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((vecId, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.hybridTopK(df, resolveTable("embeddings", catalog),
+                           queries, k, depth)
     case Op.SampleHash(f, seed, idCol) =>
       Sampling.hashSample(df, f, seed, idCol.getOrElse("doc_id"))
     case Op.SampleStratified(c, fracs, seed) =>

@@ -1044,6 +1044,35 @@ object NLParser {
               requireDone(p)
               Right(List(Op.TopTokens(k, gc)))
             }
+          } else if (p.peekWordLower.exists(w => w == "documents" || w == "docs") &&
+                     p.peekAt(1).collect { case w: Word => w.lower }
+                       .contains("matching")) {
+            // "Find top 5 documents matching spark, join, fast [fused
+            // with vector 0 [at depth 20]]." — BM25 lexical retrieval,
+            // optionally RRF-fused with the stored-embedding vector arm
+            // (hybrid search). Terms separate by commas and/or "and";
+            // the phrasing "most similar documents to …" stays the
+            // vector route (it starts with "most"/"similar", not
+            // "documents matching").
+            p.next(); p.expectWord("matching")
+            val terms = termList(p)
+            if (p.peekWordLower.contains("fused")) {
+              p.next(); p.expectWord("with"); p.dropWords("the")
+              p.expectWord("vector")
+              val vid = p.expectNum().toLong
+              val depth = p.peekWordLower match {
+                case Some("at") =>
+                  p.next(); p.expectWord("depth"); p.expectNum().toInt
+                case _ => 20
+              }
+              if (depth < k) throw ParseException(
+                s"fusion depth $depth must be at least k=$k")
+              requireDone(p)
+              Right(List(Op.HybridTopK(terms, k, vid, depth)))
+            } else {
+              requireDone(p)
+              Right(List(Op.Bm25TopK(terms, k)))
+            }
           } else {
             p.dropWords("most"); p.expectWord("similar")
             p.dropWords("vectors", "neighbors", "documents", "items")
@@ -1584,6 +1613,19 @@ object NLParser {
         // vector [0.1, -0.2, …] probing …" probes with an UNSEEN
         // literal query vector — the actual serving shape.
         p.next(); p.dropWords("the")
+        if (p.peekWordLower.contains("lexical")) {
+          // "Search the lexical index for top 5 matching spark, join,
+          // fast." — BM25 probe of the bound persisted inverted index
+          p.next(); p.expectWord("index")
+          p.expectWord("for"); p.dropWords("top", "the")
+          val k = p.expectNum().toInt
+          if (k <= 0) throw ParseException(s"top-k must be positive: $k")
+          p.dropWords("documents", "docs")
+          p.expectWord("matching")
+          val terms = termList(p)
+          requireDone(p)
+          return Right(List(Op.LexSearch(terms, k)))
+        }
         p.expectWord("index")
         // "with quantized codes" = the PQ/ADC layer; "with int8 codes"
         // = the per-vector SQ8 layer
@@ -1860,6 +1902,24 @@ object NLParser {
     * query vector ("vector [0.1, -0.2, …]"); the caller has already
     * consumed the word "vector". `Float.toString`/`toFloat` round-trip,
     * so spoken floats parse bit-identical to the vector they print. */
+  /** A spoken term list — words separated by commas and/or "and",
+    * stopping at the first token that is neither ("fused …", end of
+    * input). Shared by the BM25/hybrid routes and the lexical-index
+    * probe. */
+  private def termList(p: TokCursor): Seq[String] = {
+    val terms = Seq.newBuilder[String]
+    terms += p.expectWordRaw()
+    var more = true
+    while (more) p.peek match {
+      case Some(Sym(",")) =>
+        p.next(); p.dropWords("and"); terms += p.expectWordRaw()
+      case Some(w: Word) if w.lower == "and" =>
+        p.next(); terms += p.expectWordRaw()
+      case _ => more = false
+    }
+    terms.result()
+  }
+
   private def vectorLiteral(p: TokCursor): Seq[Float] = {
     p.expectSym("[")
     val vec = Seq.newBuilder[Float]

@@ -188,6 +188,18 @@ object Op {
                                   sq8: Boolean = false,
                                   where: Option[Pred] = None)      extends CorpusOp
 
+  /** BM25 lexical top-k over the documents corpus for a literal spoken
+    * term list ([[graft.operators.Retrieval.bm25TopK]]); query_id -1 —
+    * the terms are the query, outside the stored id space. */
+  final case class Bm25TopK(terms: Seq[String], k: Int)            extends CorpusOp
+  /** Hybrid retrieval: the BM25 arm over the input documents RRF-fused
+    * with exact cosine over the catalog-bound `embeddings` table, the
+    * spoken vector id naming the query embedding (doc_id ≡ vec_id
+    * alignment); both arms retrieve `depth` before fusing
+    * ([[graft.operators.Retrieval.hybridTopK]]). */
+  final case class HybridTopK(terms: Seq[String], k: Int,
+                              vecId: Long, depth: Int)             extends CorpusOp
+
   /** Deterministic hash sample: keep `fraction` of rows keyed on the id
     * column ([[graft.operators.Sampling.hashSample]]); `idCol` defaults
     * to the documents schema's `doc_id` when not spoken. */
@@ -532,6 +544,11 @@ object Op {
                                   adc: Boolean = false,
                                   sq8: Boolean = false,
                                   where: Option[Pred] = None)      extends TableOp
+  /** BM25 probe of the bound persisted INVERTED index
+    * ([[graft.operators.LexIndex.search]] — reads only the query
+    * terms' bucket partitions; score-identical to the flat
+    * [[Bm25TopK]] scan over the indexed corpus). */
+  final case class LexSearch(terms: Seq[String], k: Int)           extends TableOp
   /** Physical compliance erasure of vector ids from the bound index
     * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
     * to the cells containing the ids, one atomic flip; vacuum/compact

@@ -509,6 +509,31 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 5 most similar vectors to 3 where label == " +
                  s"${VectorQueries.FilterLabel}.", embs(s, d))),
 
+    // Lexical retrieval, spoken: BM25 over the document texts for a
+    // literal term list (query_id -1 — the terms ARE the query).
+    "nl125_bm25_docs" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast.",
+        docs(s, d))),
+
+    // Hybrid search, spoken: the BM25 arm fused with the stored
+    // embedding of the spoken vector id by reciprocal-rank fusion —
+    // the RAG serving sentence ("docs about X, near this embedding").
+    "nl126_hybrid_docs" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast " +
+                 "fused with vector 0.",
+        docs(s, d), Map("embeddings" -> embs(s, d)))),
+
+    // The at-rest lexical probe, spoken: same sentence terms as nl125,
+    // served from the persisted inverted index — bucket-partition
+    // pruning instead of a corpus scan, hash-identical result (the
+    // shared oracle string makes the pair interleaved bench twins).
+    "nl127_lex_index_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // Filtered probe with an UNSEEN literal query vector — the full
     // real serving shape in one spoken sentence: fresh embedding,
     // metadata filter, partition-pruned probe.
@@ -990,6 +1015,17 @@ object NLQueries extends QueryPack {
     "nl124_index_search_vec_filtered" ->
       VectorQueries.ivfLiteralReplaySql(5, 4,
         Some(VectorQueries.labelCandFilter(VectorQueries.FilterLabel))),
+    "nl125_bm25_docs" ->
+      RetrievalQueries.bm25ReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5),
+    // identical string to nl125's — the index probe must hash-match the
+    // flat spoken scan (and the shared oracle interleaves the twins)
+    "nl127_lex_index_search" ->
+      RetrievalQueries.bm25ReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5),
+    "nl126_hybrid_docs" ->
+      RetrievalQueries.hybridReplaySql(
+        Seq(0L -> Seq("spark", "join", "fast")), 5, 20),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),

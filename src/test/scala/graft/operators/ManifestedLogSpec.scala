@@ -407,17 +407,18 @@ class ManifestedLogSpec extends SparkSpec {
     * in a linear version chain. */
   private def raceAppenders(a: org.apache.spark.sql.DataFrame,
                             b: org.apache.spark.sql.DataFrame,
-                            p: String): Unit = {
+                            p: String): Seq[Long] = {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(2)
     val start = new CountDownLatch(1)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[Long]
     try {
       Seq(a, b).foreach { batch =>
         pool.submit(new Runnable {
           def run(): Unit = {
             start.await()
-            try ManifestedLog.append(batch, p)
+            try published.add(ManifestedLog.append(batch, p))
             catch { case t: Throwable => failures.add(t) }
           }
         })
@@ -428,6 +429,8 @@ class ManifestedLogSpec extends SparkSpec {
     } finally pool.shutdownNow()
     assert(failures.isEmpty,
       s"racing append failed: ${Option(failures.peek()).map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    published.asScala.toSeq.sorted
   }
 
   test("two racing appenders converge to the union (per-day regime)") {
@@ -514,8 +517,11 @@ class ManifestedLogSpec extends SparkSpec {
       .toString + "/events_log"
     val a = ev.filter(col("event_id") % 2 === 0)
     val b = ev.filter(col("event_id") % 2 === 1)
-    raceAppenders(a, b, p) // includes a racing BOOTSTRAP (version 0 base)
-    assert(ManifestedLog.readManifest(spark, p)._1 == 2L)
+    val published = raceAppenders(a, b, p) // includes a racing BOOTSTRAP
+    val (finalV, _) = ManifestedLog.readManifest(spark, p)
+    assert(finalV == 2L,
+      s"final=$finalV versions=${ManifestedLog.versions(spark, p)} " +
+        s"published=$published")
     assert(ids(ManifestedLog.load(spark, p)) == ids(ev))
   }
 }

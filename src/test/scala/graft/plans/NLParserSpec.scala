@@ -975,4 +975,43 @@ class NLParserSpec extends AnyFunSuite {
            O.Limit(10),
            O.Select(Seq("o_orderkey", "o_custkey", "o_totalprice"))))
   }
+
+  test("bm25 retrieval: comma and 'and' term separators") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join and fast.").ops ==
+      List(O.Bm25TopK(Seq("spark", "join", "fast"), 5)))
+    assert(NLParser.parse("Find top 3 docs matching table.").ops ==
+      List(O.Bm25TopK(Seq("table"), 3)))
+  }
+
+  test("hybrid retrieval: fused with vector, optional depth") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join fused with vector 2.").ops ==
+      List(O.HybridTopK(Seq("spark", "join"), 5, 2L, 20)))
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark fused with vector 0 at depth 7.").ops ==
+      List(O.HybridTopK(Seq("spark"), 5, 0L, 7)))
+  }
+
+  test("hybrid retrieval rejects depth below k") {
+    val e = intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching spark fused with vector 0 at depth 3.")
+    }
+    assert(e.msg.contains("depth"))
+  }
+
+  test("'most similar documents to' stays the vector route") {
+    assert(NLParser.parse("Find top 5 most similar documents to 3.").ops ==
+      List(O.SimilarTopK(3L, 5)))
+  }
+
+  test("lexical index probe; plain index search unaffected") {
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark, join, fast.").ops ==
+      List(O.LexSearch(Seq("spark", "join", "fast"), 5)))
+    assert(NLParser.parse(
+      "Search the index for top 5 similar to 3 probing 4 cells.").ops ==
+      List(O.IndexSearch(3L, 5, 4)))
+  }
 }
