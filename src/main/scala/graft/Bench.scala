@@ -101,7 +101,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // File first (immune to stdout truncation), then the single stdout line.
-    try Files.write(Paths.get("/root/repo/BENCH.json"),
+    // SPARK_GRAFT_BENCH_OUT redirects the file for LOCAL non-sf0.1 runs —
+    // the driver's run owns BENCH.json, and a local sf1 probe writing the
+    // default path silently clobbered it twice before this knob existed.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+                                    "/root/repo/BENCH.json")
+    try Files.write(Paths.get(outFile),
                     (json + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     println(json)
