@@ -465,20 +465,7 @@ object IvfIndex {
 
   // ------------------------------------------------- change-feed sync
 
-  /** Stable short id for a source log path — rides in sync batch tags
-    * (`log<h>-<from>-<to>`) and the sync-base filename, so one index
-    * can track several logs without the cursors colliding. */
-  private def logTag(logPath: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(new Path(logPath).toUri.getPath.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
-    s"log$h"
-  }
-
-  /** `_sync/` is a sidecar namespace (underscore-prefixed, like the
-    * log's `_pins/`): never part of the manifest/segment sweep. */
-  private def baseFilePath(root: Path, tag: String): Path =
-    new Path(root, s"_sync/base-$tag.txt")
+  private def logTag(logPath: String): String = SyncCursors.logTag(logPath)
 
   /** Record that the index content reflects the log AS OF `version` —
     * written by [[buildFromLog]], or by a caller that materialized the
@@ -486,18 +473,7 @@ object IvfIndex {
   def markSynced(spark: SparkSession, indexPath: String, logPath: String,
                  version: Long): Unit = {
     val root = new Path(indexPath)
-    val f = fs(spark, root)
-    val target = baseFilePath(root, logTag(logPath))
-    f.mkdirs(target.getParent)
-    val tmp = new Path(target.getParent,
-      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
-    f.delete(target, false)
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      sys.error(s"publishing sync base $target lost a race")
-    }
+    SyncCursors.writeBase(fs(spark, root), root, logTag(logPath), version)
   }
 
   /** The log version this index's content reflects: the max of the
@@ -505,23 +481,15 @@ object IvfIndex {
     * MANIFEST — the cursor is derived from the same atomic rename that
     * published the synced segment, so "segment landed" and "cursor
     * advanced" cannot diverge (the failure a cursor-in-a-separate-file
-    * protocol has between its write and the append). */
+    * protocol has between its write and the append). Maintenance verbs
+    * that fold tagged segments away ([[compact]]) first persist every
+    * tag's bound into the base file ([[SyncCursors.persistCursors]]),
+    * so the max never regresses across the fold. */
   def syncedVersion(spark: SparkSession, indexPath: String,
                     logPath: String): Option[Long] = {
-    val tag = logTag(logPath)
     val root = new Path(indexPath)
-    val f = fs(spark, root)
-    val bf = baseFilePath(root, tag)
-    val base: Option[Long] = if (!f.exists(bf)) None else {
-      val in = f.open(bf)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      Some(text.trim.toLong)
-    }
-    val TagRe = ("-b" + tag + "-(\\d+)-(\\d+)$").r
-    val tagTos = readManifestFull(spark, indexPath).segments
-      .flatMap(n => TagRe.findFirstMatchIn(n).map(_.group(2).toLong))
-    (base.toSeq ++ tagTos).maxOption
+    SyncCursors.syncedVersion(fs(spark, root), root, logTag(logPath),
+      readManifestFull(spark, indexPath).segments)
   }
 
   /** Build the index from a manifested log's CURRENT content and record
@@ -675,6 +643,11 @@ object IvfIndex {
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
+    // the sync cursors live in the tagged segment NAMES the fold is
+    // about to discard — persist them to the base files first, or the
+    // next syncFromLog would re-ingest (and duplicate) every delta
+    // since the build base
+    SyncCursors.persistCursors(f, root, m.segments)
     publish(spark, root, m.version + 1, Seq(SegEntry(seg)), m.centroidsFile,
             m.pqFile, m.sq8, m.attrsDdl)
     m.version + 1
@@ -913,6 +886,36 @@ object IvfIndex {
     val rows = lookupFrameWith(spark, path, m, id).limit(1).collect()
     require(rows.nonEmpty, s"vec_id $id is not stored in the index at $path")
     rows(0).getSeq[Float](1).toArray
+  }
+
+  /** The stored embeddings of a BATCH of ids in ONE pruned read — the
+    * serving-batch form of [[lookupVector]]: the id set pushes into
+    * every segment's parquet scan as a literal `IN` (row-group min/max
+    * skipping on the per-cell vec_id sort), degrading to an equi-join
+    * past [[MaxProbedCellLiterals]] ids. One Spark job regardless of
+    * batch size — a per-id loop would be |batch| serial jobs, the
+    * driver-side serving ceiling this replaces. The driver collect is
+    * bounded by the serving batch (|ids| × dim floats — the same rows a
+    * per-id loop would have collected one at a time). Missing ids fail
+    * loudly, as the single lookup does. */
+  private[graft] def lookupVectorsWith(spark: SparkSession, path: String,
+                                       m: IndexManifest,
+                                       ids: Array[Long]): Map[Long, Array[Float]] = {
+    if (ids.isEmpty) return Map.empty
+    val base = readWith(spark, path, m).select(col("vec_id"), col("embedding"))
+    val fetched =
+      if (ids.length <= MaxProbedCellLiterals)
+        base.filter(col("vec_id").isin(ids: _*))
+      else {
+        import spark.implicits._
+        base.join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"))
+      }
+    val got = fetched.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val missing = ids.filterNot(got.contains)
+    require(missing.isEmpty,
+      s"vec_ids ${missing.mkString(", ")} are not stored in the index at $path")
+    got
   }
 
   // ------------------------------------------------------------- search

@@ -1,30 +1,54 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.operators.IvfIndex.SegEntry
 
 /** Persisted inverted index — the at-rest serving form of BM25
   * ([[Retrieval.bm25TopK]] is the per-query scan form), shaped by the
   * same at-rest discipline as the vector index ([[IvfIndex]]):
   *
-  *  - postings `(term, doc_id, tf, dl)` live in TERM-BUCKET-partitioned
-  *    parquet segments (`tb = murmur3(term) mod buckets`), files sorted
-  *    by term so a probed bucket row-group-skips to its terms;
+  *  - postings `(term, doc_id, tf, dl[, attrs…])` live in
+  *    TERM-BUCKET-partitioned parquet segments
+  *    (`tb = splitmix64(term) mod buckets`), files sorted by term so a
+  *    probed bucket row-group-skips to its terms;
   *  - a probe reads ONLY the query terms' buckets — the lexical
   *    analogue of the IVF cell pruning: cost is bounded by the probed
   *    terms' posting bytes, never the corpus (at 100 TB a dozen query
   *    terms touch a dozen of the ~thousands of bucket partitions);
   *  - corpus totals (N docs, Σ doc length — the BM25 stats) are EXACT
   *    INTEGERS in the manifest (`stats=` line), so a probe reconstructs
-  *    the bit-identical avgdl division without touching the corpus;
+  *    the bit-identical avgdl division without touching the corpus.
+  *    N counts documents with ≥1 token — the convention the oracle's
+  *    doc-length CTE implies, and the only one an erase can keep
+  *    consistent (a zero-token document has no postings to erase);
+  *  - ATTRIBUTE columns ride beside the postings (`attrs` at [[build]],
+  *    denormalized per posting row — a document's attributes are
+  *    constant across its postings): a filtered probe ("docs matching
+  *    spark where lang = 'en'") pushes its predicate INTO the pruned
+  *    bucket scan and ranks ONLY matching documents — exactly k
+  *    matching results, never the under-returning post-filter — while
+  *    document frequency and corpus stats stay full-corpus (the
+  *    scoring function is unchanged; the candidate set is filtered,
+  *    exactly [[IvfIndex.search]]'s `pred` contract);
   *  - segments land behind an atomic versioned manifest rename
   *    (`lex-manifest-<v>.txt`, newest wins): append publishes one new
   *    segment + summed stats, a crash anywhere leaves the old index
   *    serving, and a racing appender loses the rename loudly
   *    ([[ManifestedLog.ConcurrentWriteException]]) and retries against
-  *    the winner.
+  *    the winner;
+  *  - the full maintenance lifecycle of the vector index: [[compact]]
+  *    folds append segments into one (content-invariant, sync cursors
+  *    carried forward), [[vacuum]] reclaims superseded bytes,
+  *    [[deleteByKey]]/[[deleteWhere]] are compliance erasure
+  *    (copy-on-write bounded to the buckets containing the documents'
+  *    terms, stats adjusted exactly, one atomic flip), and
+  *    [[ingest]]/[[buildFromLog]]/[[syncFromLog]] track a growing
+  *    manifested corpus exactly-once (cursor = the sync tag in the
+  *    live manifest — [[SyncCursors]]).
   *
   * Because tf/dl/N/Σdl are stored exactly and scoring runs through
   * [[Retrieval.scoreAndRank]] — the SAME tail as the flat scan — an
@@ -37,10 +61,21 @@ object LexIndex {
   private val ManifestRe = "lex-manifest-(\\d{9})\\.txt".r
   private val Header = "graft-lex-index-manifest-v1"
 
-  /** Default term-bucket count: enough spread that a probe's bucket
-    * subset is selective, few enough that small corpora don't shatter
-    * into empty files. A production build sizes this ~√|vocabulary|. */
-  val DefaultBuckets = 64
+  /** Column names the postings layout owns; attribute columns may not
+    * collide with them. */
+  private val ReservedCols = Set("term", "doc_id", "tf", "dl", "tb")
+
+  /** Sentinel for [[build]]'s `buckets`: size the bucket count from the
+    * batch's distinct-term count as [[autoBuckets]] — the scale-correct
+    * default (the [[IvfIndex.AutoCells]] argument, term-side). */
+  val AutoBuckets: Int = -1
+
+  /** max(16, ⌊√v⌋) for a v-term vocabulary: √v buckets bound both the
+    * probe's per-term bucket fraction (a probed bucket holds ~√v of the
+    * vocabulary) and the file count small corpora shatter into — the
+    * same sizing argument as [[IvfIndex.autoCells]]. */
+  def autoBuckets(vocabulary: Long): Int =
+    math.max(16, math.sqrt(math.max(0L, vocabulary).toDouble).toInt)
 
   /** Past this many probed terms the `tb IN (…)`/`term IN (…)` literal
     * filters are dropped (the [[IvfIndex.MaxProbedCellLiterals]]
@@ -48,8 +83,17 @@ object LexIndex {
     * identical — the literals are a plan-only pruning optimization. */
   private[operators] val MaxProbedTermLiterals = 2048
 
-  final case class LexManifest(version: Long, segments: Seq[String],
-                               buckets: Int, nDocs: Long, sumDl: Long)
+  /** One published index state: segment entries (with erase `skip=`
+    * bucket sets), the term-bucket count postings were hashed under,
+    * the exact corpus totals, and the DDL of any stored attribute
+    * columns — all resolved from one manifest read. */
+  final case class LexManifest(version: Long, entries: Seq[SegEntry],
+                               buckets: Int, nDocs: Long, sumDl: Long,
+                               attrsDdl: Option[String] = None) {
+    def segments: Seq[String] = entries.map(_.name)
+    def attrs: StructType =
+      attrsDdl.map(StructType.fromDDL).getOrElse(new StructType())
+  }
 
   /** Term → bucket: a pure Scala splitmix64 char fold, used through a
     * UDF at BUILD time (one-time indexing cost — the hot probe path
@@ -70,8 +114,18 @@ object LexIndex {
   private def fs(spark: SparkSession, root: Path): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val postingsSchema = StructType.fromDDL(
-    "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, tb INT")
+  /** Authoritative read schema: attribute columns sit between the
+    * counts and the partition column; `tb` is declared INT here so the
+    * partition column never wraps in a cast (which would block
+    * partition pruning — the [[IvfIndex]] lesson, spec-pinned). */
+  private def postingsSchema(m: LexManifest): StructType =
+    StructType(Seq(
+      StructField("term", org.apache.spark.sql.types.StringType),
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("tf", org.apache.spark.sql.types.LongType),
+      StructField("dl", org.apache.spark.sql.types.LongType)) ++
+      m.attrs.fields :+
+      StructField("tb", org.apache.spark.sql.types.IntegerType))
 
   // ----------------------------------------------------------- manifest
 
@@ -87,6 +141,11 @@ object LexIndex {
   def readManifest(spark: SparkSession, path: String): LexManifest = {
     val v = versions(spark, path).lastOption.getOrElse(
       sys.error(s"no lex manifest under $path — not a lexical index"))
+    readManifestAt(spark, path, v)
+  }
+
+  private def readManifestAt(spark: SparkSession, path: String,
+                             v: Long): LexManifest = {
     val root = new Path(path)
     val f = fs(spark, root)
     val in = f.open(new Path(root, f"lex-manifest-$v%09d.txt"))
@@ -104,9 +163,13 @@ object LexIndex {
     val buckets = entries.collectFirst { case s if s.startsWith("buckets=") =>
       s.stripPrefix("buckets=").toInt
     }.getOrElse(sys.error(s"lex manifest $v under $path has no buckets line"))
+    val attrs = entries.collectFirst { case s if s.startsWith("attrs=") =>
+      s.stripPrefix("attrs=") }
     val segs = entries.filterNot(s =>
-      s.startsWith("stats=") || s.startsWith("buckets="))
-    LexManifest(v, segs, buckets, stats._1, stats._2)
+      s.startsWith("stats=") || s.startsWith("buckets=") ||
+        s.startsWith("attrs="))
+    LexManifest(v, segs.map(SegEntry.parse), buckets, stats._1, stats._2,
+                attrs)
   }
 
   private def publish(spark: SparkSession, root: Path, m: LexManifest): Unit = {
@@ -119,7 +182,8 @@ object LexIndex {
     val out = f.create(tmp, true)
     try out.write(
       (Seq(Header, s"stats=${m.nDocs},${m.sumDl}", s"buckets=${m.buckets}") ++
-        m.segments).mkString("", "\n", "\n").getBytes("UTF-8"))
+        m.attrsDdl.map(d => s"attrs=$d").toSeq ++
+        m.entries.map(_.render)).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -129,88 +193,478 @@ object LexIndex {
 
   // ------------------------------------------------------------- build
 
-  /** Postings + exact stats of one document batch. The postings
-    * aggregation is the indexing cost — ONE corpus tokenize +
-    * (doc, term) shuffle, paid at build so probes never pay it. */
-  private def postingsOf(docs: DataFrame, buckets: Int,
-                         idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      Dedup.tokens(col(textCol)).as("toks"))
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy("doc_id", "term")
+  /** The attribute DDL drawn from the input frame's schema (name, type,
+    * nullability verbatim), after the reserved-name guard. */
+  private def attrsDdlOf(docs: DataFrame, attrs: Seq[String]): Option[String] = {
+    attrs.foreach { a =>
+      require(!ReservedCols.contains(a),
+        s"attribute column '$a' collides with a postings layout column " +
+          s"(${ReservedCols.toSeq.sorted.mkString(", ")})")
+    }
+    if (attrs.isEmpty) None
+    else Some(StructType(attrs.map(a => docs.schema(a))).toDDL)
+  }
+
+  /** Postings of one document batch, WITHOUT the bucket column — ONE
+    * corpus tokenize + (doc, term) shuffle, paid at build so probes
+    * never pay it. Attribute columns group through the aggregation
+    * (constant per document, so the groups are unchanged). */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+                         attrs: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
+      Dedup.tokens(col(textCol)).as("toks") +: attrs.map(col): _*)
+    toks.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        explode(col("toks")).as("term") +: attrs.map(col): _*)
+      .groupBy("doc_id", "term" +: attrs: _*)
       .agg(count("*").as("tf"), max("dl").as("dl"))
-      .withColumn("tb",
-        udf((t: String) => termBucket(t, buckets)).apply(col("term")))
-      .select("term", "doc_id", "tf", "dl", "tb")
+      .select("term", "doc_id" +: "tf" +: "dl" +: attrs: _*)
+  }
+
+  /** Exact batch stats `(docs with ≥1 token, Σ doc length)` — integer
+    * addition, order-free. The ≥1-token convention keeps N consistent
+    * with the postings (an erase can only subtract documents that HAVE
+    * postings) and with the oracle's doc-length CTE. */
+  private def statsOf(docs: DataFrame, idCol: String,
+                      textCol: String): (Long, Long) = {
+    val st = docs.select(col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count("*"), coalesce(sum("dl"), lit(0L))).head()
+    (st.getLong(0), st.getLong(1))
   }
 
   private def writeSegment(spark: SparkSession, root: Path, name: String,
-                           postings: DataFrame): Unit =
+                           postings: DataFrame, buckets: Int): Unit = {
+    val f = fs(spark, root)
+    val target = new Path(root, name)
+    if (f.exists(target)) f.delete(target, true) // unreferenced leftover
     postings
+      .withColumn("tb",
+        udf((t: String) => termBucket(t, buckets)).apply(col("term")))
       // term-sorted files inside each bucket partition: a probed bucket
       // row-group-skips straight to its terms via the pushed term filter
       .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(new Path(root, name).toString)
+      .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+  }
+
+  /** A segment of rows ALREADY carrying the postings schema (stored tb
+    * included) — the erase path's writer: bucket assignments are
+    * preserved, never recomputed. */
+  private def writeRawSegment(spark: SparkSession, root: Path, name: String,
+                              rows: DataFrame): Unit = {
+    val f = fs(spark, root)
+    val target = new Path(root, name)
+    if (f.exists(target)) f.delete(target, true)
+    rows
+      .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+  }
 
   /** Build (or rebuild) the index: one postings segment, stats from the
-    * same batch, one atomic manifest flip. Returns the version. */
+    * same batch, one atomic manifest flip. `buckets = AutoBuckets`
+    * (the default) derives the bucket count from the batch's distinct
+    * vocabulary — one extra aggregate at build time, recorded in the
+    * manifest's `buckets=` line so probes and appends hash under the
+    * same spread forever. `attrs` names document metadata columns
+    * stored beside every posting for filtered serving. Building over
+    * an existing index replaces it logically in the ONE manifest
+    * rename; superseded segments reclaim via [[vacuum]]. */
   def build(docs: DataFrame, path: String,
-            buckets: Int = DefaultBuckets,
-            idCol: String = "doc_id", textCol: String = "text"): Long = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
+            buckets: Int = AutoBuckets,
+            idCol: String = "doc_id", textCol: String = "text",
+            attrs: Seq[String] = Nil): Long = {
+    require(buckets > 0 || buckets == AutoBuckets,
+      s"buckets must be positive (or LexIndex.AutoBuckets), got $buckets")
     val spark = docs.sparkSession
     val root = new Path(path)
+    val attrsDdl = attrsDdlOf(docs, attrs)
+    val postings = postingsOf(docs, idCol, textCol, attrs)
+    val nBuckets =
+      if (buckets == AutoBuckets) {
+        // one bounded aggregate over the batch's postings; persist so
+        // the vocabulary count and the segment write share the
+        // tokenize+aggregate work instead of running it twice
+        postings.persist()
+        autoBuckets(postings.select("term").distinct().count())
+      } else buckets
     val version = versions(spark, path).lastOption.getOrElse(0L) + 1
     val seg = f"seg-$version%09d"
-    writeSegment(spark, root, seg,
-      postingsOf(docs, buckets, idCol, textCol))
-    val st = docs.select(col(idCol),
-        size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
-      .agg(count("*"), coalesce(sum("dl"), lit(0L))).head()
+    try writeSegment(spark, root, seg, postings, nBuckets)
+    finally if (buckets == AutoBuckets) postings.unpersist()
+    val (n, sd) = statsOf(docs, idCol, textCol)
     publish(spark, root,
-      LexManifest(version, Seq(seg), buckets, st.getLong(0), st.getLong(1)))
+      LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, sd, attrsDdl))
     version
   }
 
-  /** Append a document batch: one new segment of the batch's postings,
-    * stats summed (exact integer addition — order-free), one atomic
-    * flip — cost ∝ batch, the ingest-screen shape. Batch doc ids must
-    * be new (same contract as [[IvfIndex.append]]). Retries once
-    * against a racing appender's published manifest. */
+  /** Append a document batch: one new segment of the batch's postings
+    * (hashed under the manifest's frozen bucket count), stats summed
+    * (exact integer addition — order-free), one atomic flip — cost ∝
+    * batch, the ingest-screen shape. Batch doc ids must be new (same
+    * contract as [[IvfIndex.append]]); attribute columns recorded at
+    * build are carried from the batch (a missing one fails loudly at
+    * analysis).
+    *
+    * `batchTag` makes the append IDEMPOTENT per tag (the
+    * [[IvfIndex.append]] contract): the tag rides in the segment name,
+    * and a manifest already listing it returns the current version
+    * without writing — at-least-once delivery upgrades to exactly-once
+    * index content.
+    *
+    * RACING appenders converge exactly-once: segment names carry a
+    * random token so two racers never write the same directory, and
+    * the loser of the manifest rename re-reads the winner and
+    * re-publishes on top — valid because appends never change the
+    * bucket count. A REBUILD winning the race does change it (and may
+    * change the attribute set), so the retry deletes its orphaned
+    * segment and fails loudly instead of publishing postings hashed
+    * under a replaced spread. */
   def append(docs: DataFrame, path: String,
-             idCol: String = "doc_id", textCol: String = "text"): Long = {
+             idCol: String = "doc_id", textCol: String = "text",
+             batchTag: Option[String] = None): Long = {
+    batchTag.foreach(t => require(t.nonEmpty && t.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batch tags are [A-Za-z0-9_-]+, got '$t'"))
     val spark = docs.sparkSession
     val root = new Path(path)
-    def attempt(): Long = {
-      val m = readManifest(spark, path)
-      val version = m.version + 1
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val seg = f"seg-$version%09d-$token"
-      writeSegment(spark, root, seg,
-        postingsOf(docs, m.buckets, idCol, textCol))
-      val st = docs.select(col(idCol),
-          size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
-        .agg(count("*"), coalesce(sum("dl"), lit(0L))).head()
-      publish(spark, root, LexManifest(version, m.segments :+ seg,
-        m.buckets, m.nDocs + st.getLong(0), m.sumDl + st.getLong(1)))
-      version
+    val m0 = readManifest(spark, path)
+    batchTag.foreach { t =>
+      if (m0.segments.exists(_.endsWith(s"-b$t"))) return m0.version
     }
-    try attempt() catch { case _: ConcurrentWriteException => attempt() }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val suffix = batchTag.map(t => s"-b$t").getOrElse("")
+    val seg = s"seg-$token$suffix"
+    writeSegment(spark, root, seg,
+      postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq),
+      m0.buckets)
+    val (n, sd) = statsOf(docs, idCol, textCol)
+    var m = m0
+    while (true) {
+      try {
+        publish(spark, root, LexManifest(m.version + 1,
+          m.entries :+ SegEntry(seg), m.buckets,
+          m.nDocs + n, m.sumDl + sd, m.attrsDdl))
+        return m.version + 1
+      } catch {
+        case _: ConcurrentWriteException =>
+          m = readManifest(spark, path)
+          if (m.buckets != m0.buckets || m.attrsDdl != m0.attrsDdl) {
+            // a REBUILD won the race: our segment is hashed under the
+            // old spread/attrs — never publish it (orphan reclaimed now)
+            fs(spark, root).delete(new Path(root, seg), true)
+            sys.error(s"append to $path lost a race to a REBUILD — the " +
+              "segment was bucketed under a replaced layout; re-append " +
+              "against the new index")
+          }
+          batchTag.foreach { t =>
+            if (m.segments.exists(_.endsWith(s"-b$t"))) {
+              // the racer delivered this very batch (a retried tagged
+              // append) — drop our duplicate segment and converge
+              fs(spark, root).delete(new Path(root, seg), true)
+              return m.version
+            }
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Streaming ingest twin: each micro-batch appends one batch-tagged
+    * segment — re-delivered batches no-op on the tag, so restarts
+    * upgrade to exactly-once index content; every batch is one atomic
+    * manifest flip, so a concurrent [[search]] sees whole batches or
+    * nothing. */
+  def ingest(docs: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, path, batchTag = Some(batchId.toString)); ()
+      }
+      .start()
+
+  // ------------------------------------------------- change-feed sync
+
+  /** Record that the index content reflects the log AS OF `version` —
+    * the [[IvfIndex.markSynced]] twin (shared [[SyncCursors]]). */
+  def markSynced(spark: SparkSession, indexPath: String, logPath: String,
+                 version: Long): Unit = {
+    val root = new Path(indexPath)
+    SyncCursors.writeBase(fs(spark, root), root,
+      SyncCursors.logTag(logPath), version)
+  }
+
+  /** The log version this index's content reflects — max of the build
+    * base and every sync tag in the live manifest (one atomic rename
+    * carries segment AND cursor; [[compact]] persists tags into the
+    * base file before folding them away). */
+  def syncedVersion(spark: SparkSession, indexPath: String,
+                    logPath: String): Option[Long] = {
+    val root = new Path(indexPath)
+    SyncCursors.syncedVersion(fs(spark, root), root,
+      SyncCursors.logTag(logPath), readManifest(spark, indexPath).segments)
+  }
+
+  /** Build the index from a manifested documents log's CURRENT content
+    * and record the log version it reflects — the starting point of
+    * the change-feed loop ([[syncFromLog]] then tracks the log forward
+    * without rebuilds). `key` must be unique in the log. */
+  def buildFromLog(spark: SparkSession, logPath: String, indexPath: String,
+                   buckets: Int = AutoBuckets,
+                   key: String = "doc_id", textCol: String = "text",
+                   attrs: Seq[String] = Nil): Long = {
+    val (logV, _) = ManifestedLog.readManifest(spark, logPath)
+    val docs = ManifestedLog.load(spark, logPath)
+      .select(col(key) +: col(textCol) +: attrs.map(col): _*)
+    val v = build(docs, indexPath, buckets, key, textCol, attrs)
+    markSynced(spark, indexPath, logPath, logV)
+    v
+  }
+
+  /** Advance the index to the log's newest version: compute the delta
+    * with the log's own change feed ([[ManifestedLog.changesBetween]] —
+    * cost ∝ touched days, never the log) and [[append]] it under the
+    * sync batch tag. Returns (log version synced to, index manifest
+    * version). EXACTLY-ONCE by construction — the cursor is the sync
+    * tag in the live manifest, landed by the same atomic rename as the
+    * segment; a re-run against an unchanged log is a pure no-op
+    * (the [[IvfIndex.syncFromLog]] contract, postings-side). */
+  def syncFromLog(spark: SparkSession, logPath: String, indexPath: String,
+                  key: String = "doc_id",
+                  textCol: String = "text"): (Long, Long) = {
+    val from = syncedVersion(spark, indexPath, logPath).getOrElse(sys.error(
+      s"$indexPath has no sync cursor for log $logPath — build it with " +
+        "buildFromLog (or markSynced the version its content reflects)"))
+    val (to, _) = ManifestedLog.readManifest(spark, logPath)
+    val m = readManifest(spark, indexPath)
+    if (to == from) return (from, m.version)
+    val delta0 =
+      if (from == 0L) ManifestedLog.load(spark, logPath)
+      else ManifestedLog.changesBetween(spark, logPath, from, to, key)
+    val delta = delta0
+      .select(col(key) +: col(textCol) +: m.attrs.fieldNames.toSeq.map(col): _*)
+    val v = append(delta, indexPath, idCol = key, textCol = textCol,
+      batchTag = Some(s"${SyncCursors.logTag(logPath)}-$from-$to"))
+    (to, v)
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** Fold every segment into one (content-identical, fewer files);
+    * readers flip atomically with the manifest, the bucket count and
+    * stats carry forward unchanged (compaction moves bytes, never the
+    * layout), and sync cursors persist into their base files before
+    * the tagged segment names fold away ([[SyncCursors.persistCursors]]
+    * — without it the next [[syncFromLog]] would replay, and
+    * duplicate, every already-ingested delta). Erase skips fold away
+    * too: the merged read excludes skipped buckets, so compaction
+    * doubles as the PHYSICAL completion of a prior [[deleteByKey]].
+    *
+    * Hot buckets (a stop-word-like term's posting list) RE-TILE
+    * instead of re-concentrating: per-bucket posting counts size a
+    * tile count (⌈rows/maxRowsPerFile⌉), a broadcast join tags each
+    * row's tile, and the shuffle spreads a hot bucket over that many
+    * write tasks — compaction cost tracks the skewed bucket's size
+    * with parallelism, not one straggler task. The per-bucket count
+    * aggregate reads the postings the fold is reading anyway. */
+  def compact(spark: SparkSession, path: String,
+              maxRowsPerFile: Long = 1L << 20): Long = {
+    require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive")
+    val root = new Path(path)
+    val m = readManifest(spark, path)
+    val merged = readPostingsWith(spark, path, m)
+    val tiles = merged.groupBy("tb")
+      .agg(ceil(count(lit(1)).cast("double") / maxRowsPerFile)
+        .cast("long").as("tiles"))
+    val seg = f"seg-${m.version + 1}%09d"
+    val f = fs(spark, root)
+    val target = new Path(root, seg)
+    if (f.exists(target)) f.delete(target, true)
+    merged
+      .join(broadcast(tiles), Seq("tb"))
+      .withColumn("tile", pmod(col("doc_id"), greatest(col("tiles"), lit(1L))))
+      .repartition(col("tb"), col("tile"))
+      .drop("tile", "tiles")
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy("tb").parquet(target.toString)
+    f.delete(new Path(target, "_SUCCESS"), false)
+    SyncCursors.persistCursors(f, root, m.segments)
+    publish(spark, root, LexManifest(m.version + 1, Seq(SegEntry(seg)),
+      m.buckets, m.nDocs, m.sumDl, m.attrsDdl))
+    m.version + 1
+  }
+
+  /** Compliance erasure — "forget document X" for the one store that
+    * would otherwise keep serving its content by keyword after the log
+    * ([[ManifestedLog.deleteByKey]]) and the vector index
+    * ([[IvfIndex.deleteByKey]]) have both forgotten it. */
+  def deleteByKey(spark: SparkSession, path: String, keys: Seq[Long],
+                  maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "deleteByKey needs at least one doc id")
+    deleteWhere(spark, path, col("doc_id").isin(keys: _*), maxRetries)
+  }
+
+  /** [[deleteByKey]] generalized to a DOCUMENT-level predicate over the
+    * postings columns (doc_id and the stored attribute columns — a
+    * document's attributes are constant across its postings; a
+    * term-level predicate would leave partial documents whose manifest
+    * stats no longer reconcile, so don't). Fully distributed — no id
+    * list materializes. Rows where the predicate is TRUE are erased;
+    * NULL is not-erased.
+    *
+    * COPY-ON-WRITE BOUNDED TO CONTAINING BUCKETS: one pushed-predicate
+    * scan locates the (segment, bucket) pairs holding the documents'
+    * postings; each affected segment contributes one ERASE segment
+    * holding only those buckets' SURVIVING rows (stored bucket
+    * assignments preserved), and the old entry gains a `skip=` set for
+    * them — untouched buckets and segments are not read, not
+    * rewritten, not even listed. The manifest stats subtract the
+    * erased documents' exact (count, Σdl) in the SAME atomic flip, so
+    * every post-erase probe scores over the corpus-minus-erased —
+    * score-identical to a flat scan of the surviving documents.
+    * Physical completion via [[vacuum]] or [[compact]]. Idempotent:
+    * erasing already-absent documents publishes nothing. */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+                  maxRetries: Int = 5): Long = {
+    val root = new Path(path)
+    val m = readManifest(spark, path)
+    val schema = postingsSchema(m)
+    // ONE job: per-segment branches union under a segment-name literal,
+    // each branch's predicate pushed into its scan
+    val hits = m.entries.map { e =>
+      segFrame(spark, root, e, schema)
+        .filter(pred)
+        .select(lit(e.name).as("seg"), col("tb"))
+    }.reduce(_.unionByName(_)).distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    if (hits.isEmpty) return m.version
+    // the erased documents' exact stats delta: distinct (doc_id, dl) of
+    // matched postings — dl is constant per document, and the append
+    // contract (new ids per batch) keeps a document in one segment
+    val gone = m.entries.map { e =>
+      segFrame(spark, root, e, schema).filter(pred).select("doc_id", "dl")
+    }.reduce(_.unionByName(_)).distinct()
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val (goneDocs, goneDl) = (gone.getLong(0), gone.getLong(1))
+    val affected: Map[String, Seq[Long]] =
+      hits.groupBy(_._1).map { case (s, bs) =>
+        s -> bs.map(_._2.toLong).toSeq.sorted }
+    val eraseEntries = affected.toSeq.sortBy(_._1).map { case (segName, bks) =>
+      val e = m.entries.find(_.name == segName).getOrElse(
+        sys.error(s"located segment $segName vanished from the manifest"))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val newSeg = s"seg-$token-e"
+      // partition filter first: the rewrite READS only the containing
+      // buckets' files (pruned at listing), then drops the erased rows —
+      // NULL-predicate rows survive (coalesce, not bare negation)
+      val survivors = segFrame(spark, root, e, schema)
+        .filter(col("tb").isin(bks.map(b => Integer.valueOf(b.toInt)): _*))
+        .filter(!coalesce(pred, lit(false)))
+      writeRawSegment(spark, root, newSeg, survivors)
+      SegEntry(newSeg)
+    }
+    val newEntries = m.entries.map { e =>
+      affected.get(e.name) match {
+        case Some(bks) => e.copy(skip = (e.skip ++ bks).distinct.sorted)
+        case None => e
+      }
+    } ++ eraseEntries
+    try {
+      publish(spark, root, LexManifest(m.version + 1, newEntries, m.buckets,
+        m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl))
+      m.version + 1
+    } catch {
+      case e: ConcurrentWriteException =>
+        // a racer published (append/compact/rebuild) — our located
+        // buckets and stats may be stale; drop the staged erase
+        // segments and redo against the new state
+        val f = fs(spark, root)
+        eraseEntries.foreach(es => f.delete(new Path(root, es.name), true))
+        if (maxRetries <= 0) throw e
+        deleteWhere(spark, path, pred, maxRetries - 1)
+    }
+  }
+
+  /** Drop superseded manifests, the segments no retained manifest
+    * references, and — completing [[deleteByKey]]'s physical erasure —
+    * every bucket directory ALL retaining manifests skip. The
+    * `orphanMinAgeMs` guard protects never-referenced entries an
+    * in-flight [[append]]/[[ingest]] is still staging (the
+    * [[IvfIndex.vacuum]] contract): sweeps beside live ingest should
+    * set it above the longest append; the 0 default keeps eager
+    * cleanup for single-writer use. Also reclaims the orphaned segment
+    * a crashed appender left behind (written, never published). */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             orphanMinAgeMs: Long = 0L): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(orphanMinAgeMs >= 0L, s"orphanMinAgeMs must be >= 0, got $orphanMinAgeMs")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no lex manifest under $path")
+    val kept = vs.takeRight(keepVersions).toSet
+    val manifests = vs.map(v => v -> readManifestAt(spark, path, v)).toMap
+    val live = kept.flatMap(v => manifests(v).segments)
+    val referencedEver = vs.flatMap(v => manifests(v).segments).toSet
+    val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
+    def orphanOldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanMinAgeMs == 0L || st.getModificationTime < orphanCutoffMs
+    def sweepable(name: String, st: org.apache.hadoop.fs.FileStatus): Boolean =
+      !live.contains(name) &&
+        (referencedEver.contains(name) || orphanOldEnough(st))
+    var removed = 0L
+    f.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case ManifestRe(v) if !kept.contains(v.toLong) =>
+          f.delete(st.getPath, false); removed += 1
+        case _ if name.startsWith("seg-") && sweepable(name, st) =>
+          f.delete(st.getPath, true); removed += 1
+        case _ if name.startsWith(".") && orphanOldEnough(st) =>
+          f.delete(st.getPath, true); removed += 1
+        case _ => ()
+      }
+    }
+    // physical erase completion: a live segment's bucket dir reclaims
+    // when EVERY kept manifest referencing the segment skips it
+    val keptEntries = kept.toSeq.flatMap(v => manifests(v).entries)
+    val erasedBuckets: Map[String, Set[Long]] = keptEntries.groupBy(_.name)
+      .map { case (n, es) => n -> es.map(_.skip.toSet).reduce(_ intersect _) }
+    erasedBuckets.foreach { case (seg, bks) =>
+      bks.foreach { b =>
+        val dir = new Path(root, s"$seg/tb=$b")
+        if (f.exists(dir)) { f.delete(dir, true); removed += 1 }
+      }
+    }
+    removed
   }
 
   // -------------------------------------------------------------- read
 
-  /** Every posting of the newest manifest (diagnostics / CLI display). */
+  /** Every posting of the newest manifest (diagnostics / CLI display /
+    * the NL maintenance verbs' content read-back). Erase-skipped
+    * buckets are pruned at listing inside each segment branch. */
   def readPostings(spark: SparkSession, path: String): DataFrame =
     readPostingsWith(spark, path, readManifest(spark, path))
+
+  private def segFrame(spark: SparkSession, root: Path, e: SegEntry,
+                       schema: StructType): DataFrame = {
+    val df = spark.read.schema(schema)
+      .parquet(new Path(root, e.name).toString)
+    // a skip is a partition predicate: excluded buckets prune at listing
+    if (e.skip.isEmpty) df
+    else df.filter(!col("tb").isin(e.skip.map(b => Integer.valueOf(b.toInt)): _*))
+  }
 
   private def readPostingsWith(spark: SparkSession, path: String,
                                m: LexManifest): DataFrame = {
     val root = new Path(path)
-    m.segments.map(s => spark.read.schema(postingsSchema)
-        .parquet(new Path(root, s).toString))
+    val schema = postingsSchema(m)
+    m.entries.map(segFrame(spark, root, _, schema))
       .reduce(_.unionByName(_))
   }
 
@@ -219,14 +673,24 @@ object LexIndex {
   /** BM25 top-k from the index: reads ONLY the query terms' bucket
     * partitions (plus the pushed `term IN (…)` row-group filter), then
     * the shared scoring tail. df per term counts over the pruned
-    * postings — every posting of a probed term survives pruning, so the
-    * count equals the full-corpus document frequency exactly.
+    * postings BEFORE any attribute filter — every posting of a probed
+    * term survives pruning, so the count equals the full-corpus
+    * document frequency exactly, filtered or not.
+    *
+    * `pred` filters CANDIDATE DOCUMENTS inside the pruned scan
+    * (requires the index to store the referenced attribute columns —
+    * [[build]]'s `attrs`): the predicate pushes into the parquet scan
+    * beside the bucket/term filters, and the top-k ranks over matching
+    * documents only — exactly k matching results, never the
+    * under-returning post-filter ([[IvfIndex.search]]'s contract,
+    * lexical side).
     *
     * @param queries `(query_id, terms: array<string>)`, as
     *                [[Retrieval.bm25TopK]]
     */
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75,
+             pred: Option[Column] = None): DataFrame = {
     val m = readManifest(spark, path)
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
@@ -246,8 +710,14 @@ object LexIndex {
     val tfQ = pruned
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .select("doc_id", "term", "tf", "dl")
+    // the eligible-document set comes from the SAME pruned scan (the
+    // predicate pushes beside the bucket/term filters) — a document
+    // matching no query term can't rank anyway, so restricting the
+    // eligibility probe to the pruned postings loses nothing
+    val eligible = pred.map(p => pruned.filter(p)
+      .select("doc_id").distinct())
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligible)
   }
 }

@@ -49,6 +49,13 @@ object Retrieval {
     * @param docs    corpus `(idCol, textCol, …)`
     * @param queries small frame `(queryIdCol, termsCol: array<string>)`
     *                — broadcast; terms are matched lowercased
+    * @param pred    optional DOCUMENT filter over `docs`' columns
+    *                ("matching spark where lang = 'en'"): only matching
+    *                documents rank — exactly k matching results, never
+    *                the under-returning post-filter — while document
+    *                frequency and corpus stats stay FULL-corpus (the
+    *                scoring function is unchanged; the candidate set is
+    *                filtered — [[IvfIndex.search]]'s `pred` contract)
     * @return (query_id, doc_id, rank, score) with rank 1..k by
     *         (score desc, doc_id asc), scores rounded to 1e-6 before
     *         ranking; documents sharing no term with a query score no
@@ -59,7 +66,8 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id",
-               termsCol: String = "terms"): DataFrame = {
+               termsCol: String = "terms",
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"))
     // doc length rides every exploded token row — exact per-group, so
@@ -75,10 +83,18 @@ object Retrieval {
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term")
       .agg(count("*").as("tf"), max("dl").as("dl"))
-    // corpus stats: exact integers, map-side reduce to one broadcast row
-    val stats = toksAll.agg(count("*").as("n_docs"),
-      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    // corpus stats: exact integers, map-side reduce to one broadcast
+    // row. N counts documents with ≥1 token — the convention the
+    // oracle's doc-length CTE implies and the one a persisted index's
+    // erase can keep consistent (LexIndex stores the same N)
+    val stats = toksAll.filter(size(col("toks")) > 0)
+      .agg(count("*").as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    // the eligible-document semi-join applies AFTER the df window (df
+    // stays full-corpus); matching docs only reach the ranking
+    val eligible = pred.map(p =>
+      docs.filter(p).select(col(idCol).as("doc_id")))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligible)
   }
 
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
@@ -94,17 +110,25 @@ object Retrieval {
     *               totals (broadcast-cross-joined into the score
     *               expression, so avgdl is one IEEE division on every
     *               row, bit-equal to a driver-side division)
+    * @param eligible optional `(doc_id)` frame of the documents allowed
+    *               to rank (the attribute-filtered serving shape) —
+    *               semi-joined AFTER the df window, so document
+    *               frequency stays full-corpus while only matching
+    *               documents reach the scoring fold
     */
   private[operators] def scoreAndRank(tfQ: DataFrame, qTerms: DataFrame,
                                       stats: DataFrame, k: Int,
-                                      k1: Double, b: Double): DataFrame = {
+                                      k1: Double, b: Double,
+                                      eligible: Option[DataFrame] = None): DataFrame = {
     // document frequency as a window count over the aggregated matching
     // set — NOT a second aggregation branch off tfQ, which would
     // recompute the whole scan→explode→join→agg subtree (the exchanges
     // differ, so ReuseExchange can't dedup them); the window's exchange
     // carries only matching (doc, term) rows
-    val withDf = tfQ.withColumn("df",
+    val withDfAll = tfQ.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val withDf = eligible.fold(withDfAll)(e =>
+      withDfAll.join(e, Seq("doc_id"), "left_semi"))
     val contrib = withDf
       .join(broadcast(qTerms), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -189,22 +213,35 @@ object Retrieval {
     *
     * @param queries `(query_id, terms)`; query_id is also the vec_id
     *                whose stored vector drives the vector arm
+    * @param pred    optional document filter over attribute columns
+    *                BOTH indexes store under the same names (doc_id ≡
+    *                vec_id, so the metadata is one attribute set viewed
+    *                from two layouts): each arm pre-filters its
+    *                candidates inside its pruned scan, so the fused
+    *                top-k ranks only matching documents
     */
   def hybridServe(spark: org.apache.spark.sql.SparkSession,
                   lexPath: String, ivfPath: String, queries: DataFrame,
-                  k: Int, depth: Int, nprobe: Int, c: Int = 60): DataFrame = {
+                  k: Int, depth: Int, nprobe: Int, c: Int = 60,
+                  pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
-    val lex = LexIndex.search(spark, lexPath, queries, depth)
+    val lex = LexIndex.search(spark, lexPath, queries, depth, pred = pred)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    // ONE manifest read shared by every per-id vector fetch and the
+    // ONE manifest read shared by the batched vector fetch and the
     // probe — internally consistent under concurrent rebuild
     val m = IvfIndex.readManifestFull(spark, ivfPath)
+    // bounded driver collect: the serving batch's query ids; the vector
+    // fetch is then ONE id-pushed pruned read — job count constant in
+    // |queries| (spec-pinned), never a per-id driver loop
     val ids = queries.select("query_id").collect().map(_.getLong(0))
-    val qVecs = spark.createDataFrame(
-        ids.toSeq.map(id => (id, IvfIndex.lookupVectorWith(spark, ivfPath, m, id))))
+    val vecs = IvfIndex.lookupVectorsWith(spark, ivfPath, m, ids)
+    val qVecs = spark.createDataFrame(ids.toSeq.map(id => (id, vecs(id))))
       .toDF("vec_id", "embedding")
+    // the query vectors are FETCHED from the index unfiltered (the
+    // query document itself may not match the predicate — it is the
+    // probe, not a candidate); the predicate filters candidates only
     val vec = IvfIndex.searchWith(spark, ivfPath, m, qVecs, depth, nprobe,
-        "vec_id", "embedding", None)
+        "vec_id", "embedding", pred)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(lex, vec, k, c)
   }

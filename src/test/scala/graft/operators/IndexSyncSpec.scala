@@ -85,6 +85,38 @@ class IndexSyncSpec extends SparkSpec {
     assert(IvfIndex.read(spark, idxPath).count() == n)
   }
 
+  test("sync → compact → sync is a no-op: compact persists the cursor " +
+       "before folding the tagged segments away") {
+    val dir = freshDir()
+    val (logPath, idxPath) = (s"$dir/log", s"$dir/index")
+    val b1 = embs.filter(col("vec_id") % 2 === 0)
+    val b2 = embs.filter(col("vec_id") % 2 === 1)
+    ManifestedLog.append(withTs(b1), logPath, dedupKey = Some("vec_id"))
+    IvfIndex.buildFromLog(spark, logPath, idxPath, Cells)
+    ManifestedLog.append(withTs(b2), logPath, dedupKey = Some("vec_id"))
+    IvfIndex.syncFromLog(spark, logPath, idxPath)
+    assert(IvfIndex.syncedVersion(spark, idxPath, logPath).contains(2L))
+    val n = IvfIndex.read(spark, idxPath).count()
+    // compact folds the sync-tagged segment name out of the manifest —
+    // the cursor must survive in the base file, or the next sync
+    // replays the v1→v2 delta and every probe double-counts those ids
+    IvfIndex.compact(spark, idxPath)
+    assert(IvfIndex.syncedVersion(spark, idxPath, logPath).contains(2L))
+    val vAfterCompact = IvfIndex.readManifestFull(spark, idxPath).version
+    val (to, v) = IvfIndex.syncFromLog(spark, logPath, idxPath)
+    assert(to == 2L && v == vAfterCompact)
+    assert(IvfIndex.read(spark, idxPath).count() == n)
+    assert(IvfIndex.read(spark, idxPath).select("vec_id").distinct().count() == n)
+    // and the loop keeps working across the fold: a THIRD log batch
+    // syncs exactly-once on top of the compacted index
+    val b3 = embs.filter(col("vec_id") % 2 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    ManifestedLog.append(withTs(b3), logPath, dedupKey = Some("vec_id"))
+    val (to3, _) = IvfIndex.syncFromLog(spark, logPath, idxPath)
+    assert(to3 == 3L)
+    assert(IvfIndex.read(spark, idxPath).count() == n + b3.count())
+  }
+
   test("syncing an index with no cursor for the log fails loudly; " +
        "markSynced bootstraps an externally-built index") {
     val dir = freshDir()

@@ -119,6 +119,236 @@ class LexIndexSpec extends SparkSpec {
     assert(!vec.collect().map(_.getLong(1)).contains(0L))
   }
 
+  test("compact folds appends into one segment, content-invariant; " +
+       "the probe then reads ≤ probed buckets from the folded segment only") {
+    val p = freshPath()
+    val thirds = docsFx.grouped(3).toSeq
+    LexIndex.build(thirds.head.toDF("doc_id", "text"), p, buckets = 16)
+    thirds.tail.foreach(b => LexIndex.append(b.toDF("doc_id", "text"), p))
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("scan"))
+    val before = rows(LexIndex.search(spark, p, qs, 5))
+    val mBefore = LexIndex.readManifest(spark, p)
+    assert(mBefore.segments.size == 3)
+    LexIndex.compact(spark, p)
+    val m = LexIndex.readManifest(spark, p)
+    assert(m.segments.size == 1)
+    assert((m.nDocs, m.sumDl, m.buckets) ==
+      (mBefore.nDocs, mBefore.sumDl, mBefore.buckets))
+    val res = LexIndex.search(spark, p, qs, 5)
+    assert(rows(res) == before)
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.nonEmpty)
+    // every index scan is rooted in the ONE folded segment
+    assert(scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains(f"seg-${m.version}%09d"))),
+      "post-compact probe read a superseded segment")
+    val partitionsRead = scans.map(s =>
+      s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    val probedBuckets = Seq("spark", "join", "scan")
+      .map(LexIndex.termBucket(_, 16)).distinct.size
+    assert(partitionsRead <= probedBuckets,
+      s"post-compact probe read $partitionsRead partitions for $probedBuckets buckets")
+  }
+
+  test("vacuum reclaims superseded segments and crashed-appender orphans; " +
+       "the probe survives") {
+    val p = freshPath()
+    val (half, rest) = docsFx.partition(_._1 % 2 == 0)
+    LexIndex.build(half.toDF("doc_id", "text"), p, buckets = 16)
+    LexIndex.append(rest.toDF("doc_id", "text"), p)
+    // a crashed appender's orphan: written, never published
+    val root = new org.apache.hadoop.fs.Path(p)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root, "seg-deadbeef/tb=0"))
+    val qs = queriesDf(1L -> Seq("spark", "window"))
+    val before = rows(LexIndex.search(spark, p, qs, 5))
+    LexIndex.compact(spark, p)
+    val removed = LexIndex.vacuum(spark, p, keepVersions = 1)
+    assert(removed >= 3, s"expected ≥3 reclaimed entries, got $removed")
+    val left = f.listStatus(root).map(_.getPath.getName).toSet
+    val m = LexIndex.readManifest(spark, p)
+    assert(!left.contains("seg-deadbeef"))
+    assert(left.filter(_.startsWith("seg-")) == m.segments.toSet)
+    assert(left.count(_.startsWith("lex-manifest-")) == 1)
+    assert(rows(LexIndex.search(spark, p, qs, 5)) == before)
+  }
+
+  test("deleteByKey erases documents from the postings: probes never " +
+       "return them, stats adjust exactly, scores equal a flat scan of " +
+       "the survivors; idempotent") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, buckets = 16)
+    val v = LexIndex.deleteByKey(spark, p, Seq(0L, 4L))
+    assert(v == 2L)
+    val m = LexIndex.readManifest(spark, p)
+    // erase = skip entries on the old segment + an erase segment
+    assert(m.entries.exists(_.skip.nonEmpty))
+    val survivors = docsFx.filterNot(d => d._1 == 0L || d._1 == 4L)
+    val survDf = survivors.toDF("doc_id", "text")
+    assert(m.nDocs == survivors.size.toLong)
+    assert(m.sumDl == survivors.map(_._2.split("\\s+").length.toLong).sum)
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("fast", "table"))
+    val got = rows(LexIndex.search(spark, p, qs, 5))
+    assert(got == rows(Retrieval.bm25TopK(survDf, qs, 5)))
+    assert(!got.exists(r => r._2 == 0L || r._2 == 4L))
+    assert(LexIndex.readPostings(spark, p)
+      .filter(col("doc_id").isin(0L, 4L)).count() == 0)
+    // erasing already-absent docs publishes nothing
+    assert(LexIndex.deleteByKey(spark, p, Seq(0L)) == v)
+    // physical completion: vacuum reclaims the skipped bucket dirs
+    LexIndex.vacuum(spark, p, keepVersions = 1)
+    assert(rows(LexIndex.search(spark, p, qs, 5)) == got)
+  }
+
+  private val docsAttrFx = docsFx.map { case (id, t) =>
+    (id, t, if (id % 2 == 0) "en" else "fr") }
+  private def docsAttrDf = docsAttrFx.toDF("doc_id", "text", "lang")
+
+  test("deleteWhere sweeps an attribute slice; NULL-attribute rows survive") {
+    val p = freshPath()
+    val withNull = docsAttrDf.withColumn("lang",
+      when(col("doc_id") === 5L, lit(null)).otherwise(col("lang")))
+    LexIndex.build(withNull, p, buckets = 16, attrs = Seq("lang"))
+    LexIndex.deleteWhere(spark, p, col("lang") === "fr")
+    val leftIds = LexIndex.readPostings(spark, p)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // fr docs (1, 3) erased; doc 5's NULL lang must NOT be swept
+    assert(leftIds == Set(0L, 2L, 4L, 5L, 6L))
+    val m = LexIndex.readManifest(spark, p)
+    assert(m.nDocs == 5L)
+  }
+
+  test("attribute-filtered probe: pred pushes into the pruned scan, " +
+       "exactly k matching docs, score-identical to the filtered flat scan") {
+    val p = freshPath()
+    LexIndex.build(docsAttrDf, p, buckets = 16, attrs = Seq("lang"))
+    val qs = queriesDf(1L -> Seq("spark", "join", "table"))
+    val res = LexIndex.search(spark, p, qs, 3, pred = Some(col("lang") === "en"))
+    val got = rows(res)
+    assert(got == rows(Retrieval.bm25TopK(docsAttrDf, qs, 3,
+      pred = Some(col("lang") === "en"))))
+    assert(got.nonEmpty && got.forall(r => r._2 % 2 == 0), s"non-en doc ranked: $got")
+    // scores must be the UNFILTERED corpus scoring function (full df/N):
+    // every returned (doc, score) appears in the unfiltered ranking too
+    val unfiltered = rows(LexIndex.search(spark, p, qs, 7))
+    assert(got.forall(r => unfiltered.exists(u => u._2 == r._2 && u._4 == r._4)))
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("lang"))),
+      "attribute predicate not pushed into the postings scan")
+  }
+
+  test("buildFromLog + syncFromLog tracks a manifested corpus; synced ≡ " +
+       "direct appends; re-sync and sync-after-compact are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexsync").toString
+    val (logPath, idxPath, twinPath) = (s"$dir/log", s"$dir/idx", s"$dir/twin")
+    def withTs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("ts", col("doc_id").cast("timestamp"))
+    val (b1, b2) = docsFx.partition(_._1 < 4)
+    ManifestedLog.append(withTs(b1), logPath, dedupKey = Some("doc_id"))
+    LexIndex.buildFromLog(spark, logPath, idxPath, buckets = 16)
+    assert(LexIndex.syncedVersion(spark, idxPath, logPath).contains(1L))
+    ManifestedLog.append(withTs(b2), logPath, dedupKey = Some("doc_id"))
+    val (to, _) = LexIndex.syncFromLog(spark, logPath, idxPath)
+    assert(to == 2L)
+    LexIndex.build(b1.toDF("doc_id", "text"), twinPath, buckets = 16)
+    LexIndex.append(b2.toDF("doc_id", "text"), twinPath)
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("scan", "batch"))
+    assert(rows(LexIndex.search(spark, idxPath, qs, 5)) ==
+      rows(LexIndex.search(spark, twinPath, qs, 5)))
+    val m1 = LexIndex.readManifest(spark, idxPath)
+    // re-delivered sync: pure no-op
+    val (to2, v2) = LexIndex.syncFromLog(spark, logPath, idxPath)
+    assert(to2 == 2L && v2 == m1.version)
+    assert(LexIndex.readManifest(spark, idxPath).segments == m1.segments)
+    // compact folds the sync-tagged segment away — the cursor must
+    // survive in the base file or the next sync duplicates the delta
+    LexIndex.compact(spark, idxPath)
+    assert(LexIndex.syncedVersion(spark, idxPath, logPath).contains(2L))
+    val (to3, v3) = LexIndex.syncFromLog(spark, logPath, idxPath)
+    assert(to3 == 2L && v3 == m1.version + 1)
+    assert(LexIndex.readManifest(spark, idxPath).nDocs == docsFx.size.toLong)
+  }
+
+  test("tagged appends are idempotent (exactly-once ingest content)") {
+    val p = freshPath()
+    val (half, rest) = docsFx.partition(_._1 % 2 == 0)
+    LexIndex.build(half.toDF("doc_id", "text"), p, buckets = 16)
+    val v1 = LexIndex.append(rest.toDF("doc_id", "text"), p, batchTag = Some("7"))
+    // re-delivery of the same batch tag: no new version, no new segment
+    val v2 = LexIndex.append(rest.toDF("doc_id", "text"), p, batchTag = Some("7"))
+    assert(v1 == v2)
+    val m = LexIndex.readManifest(spark, p)
+    assert(m.segments.size == 2 && m.nDocs == docsFx.size.toLong)
+  }
+
+  test("auto-bucket sizing: the bucket count tracks √vocabulary and is " +
+       "recorded in the manifest") {
+    val small = freshPath()
+    LexIndex.build(docsDf, small) // ~12 distinct terms → the 16 floor
+    assert(LexIndex.readManifest(spark, small).buckets == 16)
+    val big = freshPath()
+    // ~100× the vocabulary: 1600 distinct synthetic terms
+    val wide = (0 until 400).map(i =>
+      (i.toLong, (0 until 4).map(j => s"term${(i * 4 + j) % 1600}").mkString(" ")))
+      .toDF("doc_id", "text")
+    LexIndex.build(wide, big)
+    val m = LexIndex.readManifest(spark, big)
+    assert(m.buckets == LexIndex.autoBuckets(1600) && m.buckets >= 40,
+      s"expected √1600-grade spread, got ${m.buckets}")
+  }
+
+  test("zero-token documents: N excludes them on both the flat scan and " +
+       "the index, keeping scores engine-identical") {
+    val p = freshPath()
+    val withEmpty = (docsFx :+ (99L, "   ")).toDF("doc_id", "text")
+    LexIndex.build(withEmpty, p, buckets = 16)
+    val m = LexIndex.readManifest(spark, p)
+    assert(m.nDocs == docsFx.size.toLong) // the whitespace-only doc is not counted
+    val qs = queriesDf(1L -> Seq("spark", "join"))
+    assert(rows(LexIndex.search(spark, p, qs, 5)) ==
+      rows(Retrieval.bm25TopK(withEmpty, qs, 5)))
+  }
+
+  test("hybridServe's vector fetch is batched: Spark job count is " +
+       "constant in the query-batch size") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    val lexP = freshPath()
+    LexIndex.build(docsDf, lexP, buckets = 16)
+    val ivfP = freshPath()
+    val embs = docsFx.map { case (id, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    val terms = Seq(Seq("spark", "join"), Seq("table", "scan"),
+      Seq("hash", "merge"), Seq("window", "slow"), Seq("fast", "batch"),
+      Seq("spark", "table"))
+    def serve(n: Int) = countJobs {
+      Retrieval.hybridServe(spark, lexP, ivfP,
+        queriesDf((0 until n).map(i => i.toLong -> terms(i)): _*),
+        3, depth = 5, nprobe = 1).collect()
+    }
+    val j1 = serve(1)
+    val j6 = serve(6)
+    assert(j6 <= j1 + 1,
+      s"hybridServe jobs grew with the batch: $j1 jobs at 1 query, $j6 at 6")
+  }
+
   test("a racing manifest version fails loudly (atomic publish)") {
     val p = freshPath()
     LexIndex.build(docsDf, p)
