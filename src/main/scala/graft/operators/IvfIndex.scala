@@ -199,7 +199,9 @@ object IvfIndex {
     try out.write((Header +: (quant ++ entries.map(_.render)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
+    // no-replace by construction (FsAtomic) — the exists() pre-check
+    // alone is a racy fast-path, not the guarantee
+    if (!FsAtomic.renameNoReplace(f, tmp, target)) {
       f.delete(tmp, false)
       throw ConcurrentWriteException(s"publishing $target lost a race")
     }

@@ -28,12 +28,13 @@ import graft.operators.IvfIndex.SegEntry
   *  - ATTRIBUTE columns ride beside the postings (`attrs` at [[build]],
   *    denormalized per posting row — a document's attributes are
   *    constant across its postings): a filtered probe ("docs matching
-  *    spark where lang = 'en'") pushes its predicate INTO the pruned
-  *    bucket scan and ranks ONLY matching documents — exactly k
+  *    spark where lang = 'en'") evaluates its predicate ON the pruned
+  *    candidate rows and ranks ONLY matching documents — exactly k
   *    matching results, never the under-returning post-filter — while
   *    document frequency and corpus stats stay full-corpus (the
   *    scoring function is unchanged; the candidate set is filtered,
-  *    exactly [[IvfIndex.search]]'s `pred` contract);
+  *    exactly [[IvfIndex.search]]'s `pred` contract — see [[search]]
+  *    for why the filter must NOT push below the df window);
   *  - segments land behind an atomic versioned manifest rename
   *    (`lex-manifest-<v>.txt`, newest wins): append publishes one new
   *    segment + summed stats, a crash anywhere leaves the old index
@@ -185,7 +186,9 @@ object LexIndex {
         m.attrsDdl.map(d => s"attrs=$d").toSeq ++
         m.entries.map(_.render)).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
+    // no-replace by construction (FsAtomic) — the exists() pre-check
+    // alone is a racy fast-path, not the guarantee
+    if (!FsAtomic.renameNoReplace(f, tmp, target)) {
       f.delete(tmp, false)
       throw ConcurrentWriteException(s"publishing $target lost a race")
     }
@@ -677,13 +680,19 @@ object LexIndex {
     * term survives pruning, so the count equals the full-corpus
     * document frequency exactly, filtered or not.
     *
-    * `pred` filters CANDIDATE DOCUMENTS inside the pruned scan
-    * (requires the index to store the referenced attribute columns —
-    * [[build]]'s `attrs`): the predicate pushes into the parquet scan
-    * beside the bucket/term filters, and the top-k ranks over matching
-    * documents only — exactly k matching results, never the
-    * under-returning post-filter ([[IvfIndex.search]]'s contract,
-    * lexical side).
+    * `pred` filters CANDIDATE DOCUMENTS (requires the index to store
+    * the referenced attribute columns — [[build]]'s `attrs`): the
+    * top-k ranks over matching documents only — exactly k matching
+    * results, never the under-returning post-filter
+    * ([[IvfIndex.search]]'s contract, lexical side). The eligibility
+    * bit is EVALUATED ON THE PRUNED CANDIDATE ROWS themselves (the
+    * attributes ride the postings) and applied after the df window —
+    * zero extra scans or exchanges versus the unfiltered probe. It
+    * deliberately does NOT push as a scan filter: dropping
+    * non-matching postings before the window would shrink df to the
+    * slice and silently change every score; the probed terms' postings
+    * are already term- and bucket-pruned, so evaluating the predicate
+    * on them costs one projected attribute column.
     *
     * @param queries `(query_id, terms: array<string>)`, as
     *                [[Retrieval.bm25TopK]]
@@ -709,15 +718,10 @@ object LexIndex {
       } else postings
     val tfQ = pruned
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .select("doc_id", "term", "tf", "dl")
-    // the eligible-document set comes from the SAME pruned scan (the
-    // predicate pushes beside the bucket/term filters) — a document
-    // matching no query term can't rank anyway, so restricting the
-    // eligibility probe to the pruned postings loses nothing
-    val eligible = pred.map(p => pruned.filter(p)
-      .select("doc_id").distinct())
+      .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligible)
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 }

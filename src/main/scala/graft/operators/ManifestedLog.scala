@@ -210,11 +210,12 @@ object ManifestedLog {
       case (d, dir) => s"$d\t$dir"
     })).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
+    // no-replace by construction (FsAtomic), not by the exists()
+    // pre-check: two racers passing the check together must still
+    // produce exactly one winner, or an append is silently lost
+    if (!FsAtomic.renameNoReplace(f, tmp, target)) {
       f.delete(tmp, false)
-      if (f.exists(target)) lost()
-      sys.error(s"publishing $target failed and the target is absent — " +
-        "filesystem refused the rename")
+      lost()
     }
   }
 

@@ -68,12 +68,22 @@ object Retrieval {
                queryIdCol: String = "query_id",
                termsCol: String = "terms",
                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // the eligibility bit RIDES the document rows from the first select
+    // (evaluated beside the tokenize — attributes and text live on the
+    // same row), aggregates with the tf (constant per document), and
+    // filters AFTER the df window in the shared tail. Zero extra scans,
+    // joins, or exchanges versus the unfiltered query — and pushing the
+    // predicate into the scan instead would be WRONG, not just slower:
+    // dropping non-matching documents before the window would shrink
+    // df/N to the slice, silently changing every score
     val toksAll = docs.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("toks"))
+      Dedup.tokens(col(textCol)).as("toks"),
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
     // doc length rides every exploded token row — exact per-group, so
     // the tf aggregation carries it without a doc-keyed join
     val exploded = toksAll.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
@@ -82,19 +92,16 @@ object Retrieval {
     val tfQ = exploded
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term")
-      .agg(count("*").as("tf"), max("dl").as("dl"))
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
     // corpus stats: exact integers, map-side reduce to one broadcast
-    // row. N counts documents with ≥1 token — the convention the
-    // oracle's doc-length CTE implies and the one a persisted index's
-    // erase can keep consistent (LexIndex stores the same N)
+    // row — over the FULL corpus regardless of the filter. N counts
+    // documents with ≥1 token — the convention the oracle's doc-length
+    // CTE implies and the one a persisted index's erase can keep
+    // consistent (LexIndex stores the same N)
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    // the eligible-document semi-join applies AFTER the df window (df
-    // stays full-corpus); matching docs only reach the ranking
-    val eligible = pred.map(p =>
-      docs.filter(p).select(col(idCol).as("doc_id")))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligible)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
@@ -110,16 +117,17 @@ object Retrieval {
     *               totals (broadcast-cross-joined into the score
     *               expression, so avgdl is one IEEE division on every
     *               row, bit-equal to a driver-side division)
-    * @param eligible optional `(doc_id)` frame of the documents allowed
-    *               to rank (the attribute-filtered serving shape) —
-    *               semi-joined AFTER the df window, so document
-    *               frequency stays full-corpus while only matching
-    *               documents reach the scoring fold
+    *               An optional BOOLEAN `elig` column on tfQ is the
+    *               attribute-filtered serving hook: evaluated upstream
+    *               on the candidate rows themselves (the predicate
+    *               rides the rows — no second scan, no join), it
+    *               filters AFTER the df window so document frequency
+    *               stays full-corpus while only matching documents
+    *               reach the scoring fold.
     */
   private[operators] def scoreAndRank(tfQ: DataFrame, qTerms: DataFrame,
                                       stats: DataFrame, k: Int,
-                                      k1: Double, b: Double,
-                                      eligible: Option[DataFrame] = None): DataFrame = {
+                                      k1: Double, b: Double): DataFrame = {
     // document frequency as a window count over the aggregated matching
     // set — NOT a second aggregation branch off tfQ, which would
     // recompute the whole scan→explode→join→agg subtree (the exchanges
@@ -127,8 +135,9 @@ object Retrieval {
     // carries only matching (doc, term) rows
     val withDfAll = tfQ.withColumn("df",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
-    val withDf = eligible.fold(withDfAll)(e =>
-      withDfAll.join(e, Seq("doc_id"), "left_semi"))
+    val withDf =
+      if (tfQ.columns.contains("elig")) withDfAll.filter(col("elig"))
+      else withDfAll
     val contrib = withDf
       .join(broadcast(qTerms), Seq("term"))
       .crossJoin(broadcast(stats))

@@ -191,7 +191,7 @@ object SnapshotTable {
     val tmp = new Path(root, s".commit-$target-$token.tmp")
     val out = f.create(tmp, true)
     try out.write(s"v$target\n".getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, marker)) {
+    if (!FsAtomic.renameNoReplace(f, tmp, marker)) {
       f.delete(tmp, false)
       if (racerWon()) return target // identical content already published
       sys.error(s"publishing $marker failed")

@@ -119,14 +119,37 @@ object Compiler {
       case Op.IndexCellProfile =>
         graft.operators.IvfIndex.cellStats(spark, path)
           .select(col("cell"), col("n_rows"))
-      case Op.LexSearch(terms, k) =>
+      case Op.LexSearch(terms, k, where) =>
         // the spoken term list is the query (query_id -1, as Bm25TopK);
-        // the probe reads only those terms' bucket partitions
+        // the probe reads only those terms' bucket partitions, and a
+        // spoken attribute filter pushes into that pruned scan
         val queries = spark.createDataFrame(Seq((-1L, terms)))
           .toDF("query_id", "terms")
-        graft.operators.LexIndex.search(spark, path, queries, k)
+        graft.operators.LexIndex.search(spark, path, queries, k,
+          pred = where.map(predicate(df, _)))
+      case Op.LexErase(keys) =>
+        graft.operators.LexIndex.deleteByKey(spark, path, keys)
+        lexContent(spark, path)
+      case Op.LexEraseWhere(w) =>
+        graft.operators.LexIndex.deleteWhere(spark, path, predicate(df, w))
+        lexContent(spark, path)
+      case Op.LexCompact =>
+        graft.operators.LexIndex.compact(spark, path)
+        lexContent(spark, path)
+      case Op.LexVacuumKeep(k) =>
+        graft.operators.LexIndex.vacuum(spark, path, keepVersions = k)
+        lexContent(spark, path)
     }
   }
+
+  /** The inverted index's logical content — what the lexical
+    * maintenance verbs read back for their content-invariance oracles:
+    * the postings sans layout columns (tb is a physical placement;
+    * attributes replicate the documents table). */
+  private def lexContent(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    graft.operators.LexIndex.readPostings(spark, path)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
 
   /** One query vector, as a LITERAL one-row frame, against the bound
     * index — shared by the stored-id and literal-vector probe routes.
@@ -353,13 +376,14 @@ object Compiler {
       val queries = Seq((-1L, vec.toArray)).toDF("vec_id", "embedding")
       similarServe(df, queries, k, pq, rerank, proj, sq8,
                    where.map(predicate(df, _)))
-    case Op.Bm25TopK(terms, k) =>
+    case Op.Bm25TopK(terms, k, where) =>
       // the spoken term list IS the query — one-row broadcast frame,
-      // query_id -1 (outside the stored doc id space)
+      // query_id -1 (outside the stored doc id space); a spoken
+      // attribute filter pre-filters candidates (full-corpus stats)
       val session = df.sparkSession
       val queries = session.createDataFrame(Seq((-1L, terms)))
         .toDF("query_id", "terms")
-      Retrieval.bm25TopK(df, queries, k)
+      Retrieval.bm25TopK(df, queries, k, pred = where.map(predicate(df, _)))
     case Op.HybridTopK(terms, k, vecId, depth) =>
       // lexical arm over the input documents; vector arm over the
       // catalog-bound embeddings table, query vector = the spoken id's

@@ -1070,8 +1070,15 @@ object NLParser {
               requireDone(p)
               Right(List(Op.HybridTopK(terms, k, vid, depth)))
             } else {
+              // "… matching spark, join where lang == 'en'" — the
+              // candidate pre-filter: only matching documents rank,
+              // scoring stats stay full-corpus
+              val where = p.peekWordLower match {
+                case Some("where") => p.next(); Some(parsePred(p))
+                case _             => None
+              }
               requireDone(p)
-              Right(List(Op.Bm25TopK(terms, k)))
+              Right(List(Op.Bm25TopK(terms, k, where)))
             }
           } else {
             p.dropWords("most"); p.expectWord("similar")
@@ -1527,8 +1534,14 @@ object NLParser {
         // watermark, one atomic manifest flip, table content invariant.
         // "Compact the index." folds the bound VECTOR INDEX's segments
         // (hot cells re-tile into bounded files) — content invariant.
+        // "Compact the lexical index." is the INVERTED-index twin
+        // (hot buckets re-tile; sync cursors persist across the fold).
         p.next(); p.dropWords("the")
-        if (p.peekWordLower.contains("index")) {
+        if (p.peekWordLower.contains("lexical")) {
+          p.next(); p.expectWord("index")
+          requireDone(p)
+          Right(List(Op.LexCompact))
+        } else if (p.peekWordLower.contains("index")) {
           p.next(); requireDone(p)
           Right(List(Op.IndexCompact))
         } else {
@@ -1547,9 +1560,14 @@ object NLParser {
         // "Vacuum the table keeping 3 versions." — trim retained
         // history (reader pins are honored); content invariant.
         // "Vacuum the index keeping 1 versions." is the VECTOR INDEX
-        // twin (unreferenced segments + quantizer files reclaimed).
+        // twin (unreferenced segments + quantizer files reclaimed);
+        // "Vacuum the lexical index keeping 1 versions." the
+        // INVERTED-index one (+ erase-skipped bucket dirs).
         p.next(); p.dropWords("the")
+        val onLex = p.peekWordLower.contains("lexical") && { p.next(); true }
         val onIndex = p.peekWordLower.contains("index") && { p.next(); true }
+        if (onLex && !onIndex) throw ParseException(
+          "'vacuum the lexical' needs 'index' after it")
         p.dropWords("table", "log", "events")
         p.dropWords("keeping", "keep")
         val k = p.expectNum()
@@ -1558,7 +1576,9 @@ object NLParser {
         p.dropWords("versions", "version")
         requireDone(p)
         Right(List(
-          if (onIndex) Op.IndexVacuumKeep(k.toInt) else Op.VacuumKeep(k.toInt)))
+          if (onLex) Op.LexVacuumKeep(k.toInt)
+          else if (onIndex) Op.IndexVacuumKeep(k.toInt)
+          else Op.VacuumKeep(k.toInt)))
       case Some("maintain") =>
         // "Maintain the snapshot of the table." — advance the colocated
         // CDC snapshot through the change feed (cost ∝ delta, no-op
@@ -1615,7 +1635,9 @@ object NLParser {
         p.next(); p.dropWords("the")
         if (p.peekWordLower.contains("lexical")) {
           // "Search the lexical index for top 5 matching spark, join,
-          // fast." — BM25 probe of the bound persisted inverted index
+          // fast [where lang == 'en']." — BM25 probe of the bound
+          // persisted inverted index; the optional attribute filter
+          // pushes into the pruned bucket scan (pre-filter)
           p.next(); p.expectWord("index")
           p.expectWord("for"); p.dropWords("top", "the")
           val k = p.expectNum().toInt
@@ -1623,8 +1645,12 @@ object NLParser {
           p.dropWords("documents", "docs")
           p.expectWord("matching")
           val terms = termList(p)
+          val where = p.peekWordLower match {
+            case Some("where") => p.next(); Some(parsePred(p))
+            case _             => None
+          }
           requireDone(p)
-          return Right(List(Op.LexSearch(terms, k)))
+          return Right(List(Op.LexSearch(terms, k, where)))
         }
         p.expectWord("index")
         // "with quantized codes" = the PQ/ADC layer; "with int8 codes"
@@ -1680,8 +1706,38 @@ object NLParser {
         // post-delete table content reads back for the oracle.
         // "Erase vectors 3, 7 from the index." routes to the VECTOR
         // INDEX's erasure (cell-bounded copy-on-write) — "vector" is
-        // the discriminator, as in the search routes.
+        // the discriminator, as in the search routes. "Delete docs 3,
+        // 7 from the lexical index." (or "… documents where lang ==
+        // 'en' …") is the INVERTED-index erasure — "forget doc X" must
+        // reach the postings, or an erased document stays retrievable
+        // by keyword after the log and the vector index forgot it.
         p.next(); p.dropWords("the")
+        p.peekWordLower match {
+          case Some("doc") | Some("docs") |
+               Some("document") | Some("documents") =>
+            p.next()
+            if (p.peekWordLower.contains("where")) {
+              p.next()
+              val w = parsePred(p)
+              p.dropWords("from", "the", "lexical", "index")
+              requireDone(p)
+              return Right(List(Op.LexEraseWhere(w)))
+            }
+            val ks = Seq.newBuilder[Long]
+            def oneDoc(): Unit = {
+              val v = p.expectNum()
+              if (v != v.toLong) throw ParseException(
+                s"erase keys are integers, got $v")
+              ks += v.toLong
+            }
+            oneDoc()
+            while (p.peek.contains(Sym(","))) { p.next(); oneDoc() }
+            p.dropWords("from", "the")
+            p.expectWord("lexical"); p.expectWord("index")
+            requireDone(p)
+            return Right(List(Op.LexErase(ks.result())))
+          case _ => ()
+        }
         p.peekWordLower match {
           case Some("vector") | Some("vectors") =>
             p.next()

@@ -190,8 +190,12 @@ object Op {
 
   /** BM25 lexical top-k over the documents corpus for a literal spoken
     * term list ([[graft.operators.Retrieval.bm25TopK]]); query_id -1 —
-    * the terms are the query, outside the stored id space. */
-  final case class Bm25TopK(terms: Seq[String], k: Int)            extends CorpusOp
+    * the terms are the query, outside the stored id space. `where` is
+    * the candidate pre-filter ("… where lang == 'en'"): only matching
+    * documents rank (exactly k matching results) while document
+    * frequency and corpus stats stay full-corpus. */
+  final case class Bm25TopK(terms: Seq[String], k: Int,
+                            where: Option[Pred] = None)            extends CorpusOp
   /** Hybrid retrieval: the BM25 arm over the input documents RRF-fused
     * with exact cosine over the catalog-bound `embeddings` table, the
     * spoken vector id naming the query embedding (doc_id ≡ vec_id
@@ -547,8 +551,12 @@ object Op {
   /** BM25 probe of the bound persisted INVERTED index
     * ([[graft.operators.LexIndex.search]] — reads only the query
     * terms' bucket partitions; score-identical to the flat
-    * [[Bm25TopK]] scan over the indexed corpus). */
-  final case class LexSearch(terms: Seq[String], k: Int)           extends TableOp
+    * [[Bm25TopK]] scan over the indexed corpus). `where` filters
+    * candidate documents over the index's stored attribute columns,
+    * pushed INTO the pruned bucket scan (pre-filter — exactly k
+    * matching documents). */
+  final case class LexSearch(terms: Seq[String], k: Int,
+                             where: Option[Pred] = None)           extends TableOp
   /** Physical compliance erasure of vector ids from the bound index
     * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
     * to the cells containing the ids, one atomic flip; vacuum/compact
@@ -574,6 +582,27 @@ object Op {
     * metadata cost; the spoken twin of [[DayProfile]] for the IVF
     * layout. Exact totals, so the full-scan group-by is its oracle. */
   case object IndexCellProfile                                     extends TableOp
+  /** Compliance erasure of document ids from the bound INVERTED index
+    * ([[graft.operators.LexIndex.deleteByKey]] — copy-on-write bounded
+    * to the buckets holding the documents' postings, stats adjusted in
+    * the same atomic flip), then the post-erase postings content
+    * `(term, doc_id, tf, dl)` read back. The lexical twin of
+    * [[IndexErase]]. */
+  final case class LexErase(keys: Seq[Long])                       extends TableOp
+  /** [[LexErase]] generalized to a document-level predicate over the
+    * postings' stored columns
+    * ([[graft.operators.LexIndex.deleteWhere]] — fully distributed;
+    * NULL-predicate rows survive). */
+  final case class LexEraseWhere(where: Pred)                      extends TableOp
+  /** Fold the bound inverted index's segments into one
+    * ([[graft.operators.LexIndex.compact]] — hot buckets re-tile, sync
+    * cursors persist), then read the postings content back — content
+    * must be invariant. */
+  case object LexCompact                                           extends TableOp
+  /** Trim the bound inverted index's retained history to the newest
+    * `keep` manifests ([[graft.operators.LexIndex.vacuum]]), then read
+    * the postings content back — content invariant. */
+  final case class LexVacuumKeep(keep: Int)                        extends TableOp
 }
 
 final case class Plan(ops: List[Op]) {

@@ -534,6 +534,58 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // Attribute-filtered lexical retrieval, spoken — flat scan and
+    // at-rest probe of the same sentence: only documents of the slice
+    // rank (pre-filter), scoring stats full-corpus. nl129 shares
+    // nl128's oracle string (probe ≡ scan, interleaved twins).
+    "nl128_bm25_filtered" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast " +
+                 s"where lang == '${RetrievalQueries.FilterLang}'.",
+        docs(s, d))),
+
+    "nl129_lex_search_filtered" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexAttrIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast where lang == " +
+                 s"'${RetrievalQueries.FilterLang}'.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
+    // Inverted-index maintenance, spoken (nl108/109's protocol, lexical
+    // side): the verbs are content-invariant, certified by reading the
+    // postings back against the corpus replay — in any twin order.
+    "nl130_lex_compact" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexMaintIndexTable(s, d)
+      Engine.run("Compact the lexical index.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
+    "nl131_lex_vacuum" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexMaintIndexTable(s, d)
+      Engine.run("Vacuum the lexical index keeping 1 versions.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
+    // Postings compliance erasure, spoken — "forget doc X" reaching the
+    // one store that still serves its content by keyword; shares x107's
+    // dedicated index and keys, so the spoken erase is either the
+    // rewrite or its idempotent no-op.
+    "nl132_lex_erase" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexEraseIndexTable(s, d)
+      Engine.run("Delete docs " +
+                 s"${RetrievalQueries.LexEraseKeys.mkString(", ")} " +
+                 "from the lexical index.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
+    // Attribute-sweep postings erasure, spoken (x109's twin).
+    "nl133_lex_erase_where" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexEraseWhereIndexTable(s, d)
+      Engine.run("Erase documents where lang == " +
+                 s"'${RetrievalQueries.LexEraseLang}' from the lexical index.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // Filtered probe with an UNSEEN literal query vector — the full
     // real serving shape in one spoken sentence: fresh embedding,
     // metadata filter, partition-pruned probe.
@@ -1026,6 +1078,26 @@ object NLQueries extends QueryPack {
     "nl126_hybrid_docs" ->
       RetrievalQueries.hybridReplaySql(
         Seq(0L -> Seq("spark", "join", "fast")), 5, 20),
+    // filtered pair: nl129 shares nl128's string (probe ≡ scan)
+    "nl128_bm25_filtered" ->
+      RetrievalQueries.bm25ReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5,
+        eligibleSql = Some(RetrievalQueries.langEligibleSql(
+          RetrievalQueries.FilterLang))),
+    "nl129_lex_search_filtered" ->
+      RetrievalQueries.bm25ReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5,
+        eligibleSql = Some(RetrievalQueries.langEligibleSql(
+          RetrievalQueries.FilterLang))),
+    // maintenance verbs read the postings content back — invariant
+    // under compact/vacuum (shared string → interleaved twins), minus
+    // exactly the forgotten documents under the erases
+    "nl130_lex_compact" -> RetrievalQueries.postingsReplaySql(),
+    "nl131_lex_vacuum" -> RetrievalQueries.postingsReplaySql(),
+    "nl132_lex_erase" -> RetrievalQueries.postingsReplaySql(
+      RetrievalQueries.docsExceptSql(RetrievalQueries.LexEraseKeys)),
+    "nl133_lex_erase_where" -> RetrievalQueries.postingsReplaySql(
+      RetrievalQueries.docsExceptLangSql(RetrievalQueries.LexEraseLang)),
     "nl105_index_search_pq" ->
       VectorQueries.ivfPqReplaySqlFor("vec_id = 3", "q.vec_id = 3", 5, 4),
     "nl106_index_search_vec" -> VectorQueries.ivfLiteralReplaySql(5, 4),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Retrieval
 import graft.sources.Sources.table
@@ -39,21 +40,111 @@ object RetrievalQueries extends QueryPack {
   private def queriesDf(s: SparkSession): DataFrame =
     s.createDataFrame(BmQueries).toDF("query_id", "terms")
 
+  /** The filtered-serving slice: the documents table's own `lang`
+    * attribute (x102/x103/nl128/nl129), and the embeddings' `label`
+    * viewed through doc_id ≡ vec_id for the hybrid arm (x104). */
+  private[queries] val FilterLang = "en"
+  private[queries] val LexEraseKeys = Seq(3L, 7L)
+  private[queries] val LexEraseLang = "de"
+
   /** Persisted inverted index, materialized once per JVM per fixture
     * (the index-builder convention — stale on-disk state from an
     * earlier round is deleted first). */
   private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
-  private[queries] def lexIndexTable(s: SparkSession, d: String): String = synchronized {
+  private def lexIndexAt(s: SparkSession, d: String, name: String)
+                        (build: String => Unit): String = synchronized {
     val path = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
-      "graft_lex_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      name + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
     if (!builtIndexes.contains(path)) {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      graft.operators.LexIndex.build(table(s, d, "documents"), path)
+      build(path)
       builtIndexes += path
     }
     path
+  }
+
+  private[queries] def lexIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lex_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _))
+
+  /** x103/nl129's index: the `lang` ATTRIBUTE stored beside every
+    * posting — the filtered lexical serving shape ("matching spark
+    * where lang = 'en'"), predicate pushed into the pruned bucket
+    * scan. */
+  private[queries] def lexAttrIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexattr_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _,
+        attrs = Seq("lang")))
+
+  /** x104's index: the embeddings' `label` joined onto the documents
+    * through doc_id ≡ vec_id and stored beside the postings — so the
+    * hybrid probe filters BOTH arms on the same attribute name (the
+    * vector arm reads it from x91's attribute index). At serving time
+    * the metadata must live where each arm's candidates live. */
+  private[queries] def lexLabelIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexlabel_index_") { path =>
+      val docs = table(s, d, "documents").join(
+        table(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      graft.operators.LexIndex.build(docs, path, attrs = Seq("label"))
+    }
+
+  /** x105/x106/nl130/nl131's DEDICATED maintenance index: built in
+    * three appended batches so compact has real folding to do; every
+    * verb on it is content-invariant, so the x/nl twins compose in any
+    * order (the nl108/109 protocol, lexical side). */
+  private[queries] def lexMaintIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexmaint_index_") { path =>
+      val docs = table(s, d, "documents")
+      graft.operators.LexIndex.build(docs.filter(col("doc_id") % 3 === 0), path)
+      graft.operators.LexIndex.append(docs.filter(col("doc_id") % 3 === 1), path)
+      graft.operators.LexIndex.append(docs.filter(col("doc_id") % 3 === 2), path)
+    }
+
+  /** x107/nl132's DEDICATED erase index: [[LexEraseKeys]] are erased by
+    * whichever of the twins runs first; the other's erase is the
+    * idempotent no-op — both read the identical post-erase state. */
+  private[queries] def lexEraseIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexerase_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _))
+
+  /** x109/nl133's DEDICATED attribute-sweep erase index (stores `lang`;
+    * the [[LexEraseLang]] slice is swept by whichever twin runs first). */
+  private[queries] def lexEraseWhereIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexerasew_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _,
+        attrs = Seq("lang")))
+
+  /** x108's change-feed scenario (x93's protocol, lexical side):
+    * a manifested documents log at v2, an index built from v1 with the
+    * v1→v2 delta left PENDING for the query's first syncFromLog, and a
+    * twin maintained by direct appends. */
+  private val lexSyncScenarios =
+    scala.collection.mutable.HashMap.empty[String, (String, String, String)]
+  private[queries] def lexSyncScenario(s: SparkSession,
+                                       d: String): (String, String, String) = synchronized {
+    lexSyncScenarios.getOrElseUpdate(d, {
+      import graft.operators.{LexIndex, ManifestedLog}
+      val docs = table(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-lexsync").toString
+      val (logPath, idxPath, twinPath) = (s"$dir/log", s"$dir/index", s"$dir/twin")
+      def withTs(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "text")
+          .withColumn("ts", col("doc_id").cast("timestamp"))
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val rest = docs.filter(col("doc_id") % 2 === 1)
+      ManifestedLog.append(withTs(half), logPath, dedupKey = Some("doc_id"))
+      LexIndex.buildFromLog(s, logPath, idxPath)
+      ManifestedLog.append(withTs(rest), logPath, dedupKey = Some("doc_id"))
+      // twin: the same final state reached by direct appends, under the
+      // same bucket spread (the built index's manifest records it)
+      val buckets = LexIndex.readManifest(s, idxPath).buckets
+      LexIndex.build(half.select("doc_id", "text"), twinPath, buckets = buckets)
+      LexIndex.append(rest.select("doc_id", "text"), twinPath)
+      (logPath, idxPath, twinPath)
+    })
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,7 +170,91 @@ object RetrievalQueries extends QueryPack {
     "x101_hybrid_serve" -> ((s: SparkSession, d: String) =>
       graft.operators.Retrieval.hybridServe(s, lexIndexTable(s, d),
         VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, Depth,
-        IvfNProbe, RrfC)))
+        IvfNProbe, RrfC)),
+
+    // Attribute-filtered lexical serving, flat form: only documents of
+    // the slice rank (exactly k matching — a pre-filter, never the
+    // under-returning post-filter), while df and corpus stats stay
+    // full-corpus (the scoring function is unchanged; the candidate
+    // set is filtered — x91's contract, lexical side).
+    "x102_bm25_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25TopK(table(s, d, "documents"), queriesDf(s), K,
+        k1 = K1, b = B, pred = Some(col("lang") === FilterLang))),
+
+    // The same filter served AT REST: the predicate over the index's
+    // stored `lang` attribute pushes into the pruned bucket scan.
+    // Same oracle STRING as x102 — interleaved bench twins.
+    "x103_lex_search_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.search(s, lexAttrIndexTable(s, d),
+        queriesDf(s), K, k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
+    // Attribute-filtered HYBRID serving: both at-rest arms pre-filter
+    // their candidates on the same stored attribute (label, through
+    // doc_id ≡ vec_id), then RRF-fuse — "docs about X, near this
+    // embedding, where label = 3", the full RAG serving sentence.
+    "x104_hybrid_serve_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.Retrieval.hybridServe(s, lexLabelIndexTable(s, d),
+        VectorQueries.ivfAttrIndexTable(s, d), queriesDf(s), K, Depth,
+        IvfNProbe, RrfC,
+        pred = Some(col("label") === VectorQueries.FilterLabel))),
+
+    // Lifecycle verbs on the dedicated maintenance index — every one
+    // content-invariant, certified by the SAME replay as the flat scan
+    // (x98's oracle string: probe ≡ scan, before and after the verb).
+    "x105_lex_compact" -> ((s: SparkSession, d: String) => {
+      val p = lexMaintIndexTable(s, d)
+      graft.operators.LexIndex.compact(s, p)
+      graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
+    }),
+
+    "x106_lex_vacuum" -> ((s: SparkSession, d: String) => {
+      val p = lexMaintIndexTable(s, d)
+      graft.operators.LexIndex.vacuum(s, p, keepVersions = 1)
+      graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
+    }),
+
+    // Postings compliance erasure: "forget doc X" reaches the inverted
+    // index — after the log (x81) and the vector index (x92) have
+    // forgotten a document, this was the one store left serving its
+    // content by keyword. Stats adjust in the same atomic flip, so the
+    // post-erase probe is score-identical to a flat scan of the
+    // survivors (the oracle replays exactly that).
+    "x107_lex_erase" -> ((s: SparkSession, d: String) => {
+      val p = lexEraseIndexTable(s, d)
+      graft.operators.LexIndex.deleteByKey(s, p, LexEraseKeys)
+      graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
+    }),
+
+    // Change-feed-driven index maintenance, self-certified (x93's
+    // protocol, lexical side): a manifested documents log advances,
+    // syncFromLog ingests exactly the delta (cursor = the sync tag in
+    // the live manifest), and the synced index probes identically to
+    // one maintained by direct appends; a re-sync is a pure no-op.
+    "x108_lex_sync" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.LexIndex
+      val (logPath, idxPath, twinPath) = lexSyncScenario(s, d)
+      val (to1, v1) = LexIndex.syncFromLog(s, logPath, idxPath)
+      def ranked(p: String) = LexIndex.search(s, p, queriesDf(s), K,
+          k1 = K1, b = B)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val probeEqual = ranked(idxPath) == ranked(twinPath) &&
+        ranked(idxPath).nonEmpty
+      val (to2, v2) = LexIndex.syncFromLog(s, logPath, idxPath)
+      val resyncNoop = to2 == to1 && v2 == v1
+      Seq((probeEqual, resyncNoop)).toDF("synced_probe_equal", "resync_noop")
+    }),
+
+    // Attribute-sweep postings erasure: every document of a lang slice
+    // forgotten by predicate — fully distributed, no id list.
+    "x109_lex_erase_where" -> ((s: SparkSession, d: String) => {
+      val p = lexEraseWhereIndexTable(s, d)
+      graft.operators.LexIndex.deleteWhere(s, p,
+        col("lang") === LexEraseLang)
+      graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
+    }))
 
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -92,11 +267,20 @@ object RetrievalQueries extends QueryPack {
     * and the NL twins' single-query variants): ranks documents by the
     * rounded score. Constants interpolate from the SAME Scala doubles
     * the operator uses (`Double.toString` round-trips, so DuckDB
-    * parses the bit-identical value). */
-  private def bm25Ctes(qs: Seq[(Long, Seq[String])]): String =
+    * parses the bit-identical value).
+    *
+    * `docsSrc` replaces the corpus for the erase replays (documents
+    * minus the forgotten ids/slice — stats, df, everything recomputes
+    * over the survivors, exactly what the erase's atomic stats
+    * adjustment promises). `eligibleSql` replays a filtered probe:
+    * only matching documents reach the ranking, while stats and df
+    * stay full-corpus (pre-filtered candidates, unchanged scoring). */
+  private def bm25Ctes(qs: Seq[(Long, Seq[String])],
+                       docsSrc: String = "documents",
+                       eligibleSql: Option[String] = None): String =
     s"""qt(query_id, term) AS (VALUES
        |  ${qtValues(qs)}),
-       |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM $docsSrc),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
        |       FROM toks GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
@@ -118,7 +302,8 @@ object RetrievalQueries extends QueryPack {
        |  SELECT query_id, doc_id,
        |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x),
        |          6) AS score
-       |  FROM contrib GROUP BY query_id, doc_id),
+       |  FROM contrib${eligibleSql.fold("")(e => s" WHERE $e")}
+       |  GROUP BY query_id, doc_id),
        |lex AS (
        |  SELECT query_id, doc_id, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
@@ -126,10 +311,40 @@ object RetrievalQueries extends QueryPack {
 
   /** Full BM25 replay for any query set — shared with the NL twins. */
   private[queries] def bm25ReplaySql(qs: Seq[(Long, Seq[String])],
-                                     k: Int): String =
-    s"""WITH ${bm25Ctes(qs)}
+                                     k: Int,
+                                     docsSrc: String = "documents",
+                                     eligibleSql: Option[String] = None): String =
+    s"""WITH ${bm25Ctes(qs, docsSrc, eligibleSql)}
        |SELECT query_id, doc_id, rank, score FROM lex
        |WHERE rank <= $k""".stripMargin
+
+  /** The filtered probes' eligible-document restriction: documents of
+    * a `lang` slice (the attribute the lexical indexes store). */
+  private[queries] def langEligibleSql(lang: String): String =
+    s"doc_id IN (SELECT doc_id FROM documents WHERE lang = '$lang')"
+
+  /** The hybrid filtered probe's restriction: the embeddings' `label`
+    * viewed through doc_id ≡ vec_id (what x104's lexical index stores). */
+  private def labelEligibleSql(v: Int): String =
+    s"doc_id IN (SELECT vec_id FROM embeddings WHERE label = $v)"
+
+  /** The erase replays' surviving corpus. */
+  private[queries] def docsExceptSql(keys: Seq[Long]): String =
+    s"(SELECT * FROM documents WHERE doc_id NOT IN (${keys.mkString(", ")}))"
+  private[queries] def docsExceptLangSql(lang: String): String =
+    s"(SELECT * FROM documents WHERE lang <> '$lang')"
+
+  /** The inverted index's logical content `(term, doc_id, tf, dl)`
+    * replayed from the corpus — the lexical maintenance verbs'
+    * content-invariance oracle (compact/vacuum leave it untouched;
+    * erase removes exactly the forgotten documents' rows). */
+  private[queries] def postingsReplaySql(docsSrc: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM $docsSrc),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |       FROM toks GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id)
+       |SELECT t.term, t.doc_id, t.tf, d.dl
+       |FROM tf t JOIN dl d USING (doc_id)""".stripMargin
 
   /** Full hybrid (BM25 ∪ cosine, RRF) replay for any query set. */
   private[queries] def hybridReplaySql(qs: Seq[(Long, Seq[String])],
@@ -166,13 +381,16 @@ object RetrievalQueries extends QueryPack {
     * oracle-proven separately. The vector arm self-excludes (the
     * fetched-by-id serving semantics; the candidate CTE already does). */
   private def hybridServeReplaySql(qs: Seq[(Long, Seq[String])],
-                                   k: Int, depth: Int, nprobe: Int): String = {
+                                   k: Int, depth: Int, nprobe: Int,
+                                   filterLabel: Option[Int] = None): String = {
     val idPred = s"vec_id IN (${qs.map(_._1).mkString(", ")})"
     s"""WITH lexr AS (
-       |${bm25ReplaySql(qs, depth)}
+       |${bm25ReplaySql(qs, depth,
+          eligibleSql = filterLabel.map(labelEligibleSql))}
        |),
        |vecr AS (
-       |${VectorQueries.ivfReplaySqlFor(idPred, nprobe, depth)}
+       |${VectorQueries.ivfReplaySqlFor(idPred, nprobe, depth,
+          filterLabel.map(VectorQueries.labelCandFilter))}
        |),
        |hfused AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
@@ -200,5 +418,39 @@ object RetrievalQueries extends QueryPack {
     // same SQL (and the driver's twin grouping interleaves the pair)
     "x100_lex_index_search" -> bm25ReplaySql(BmQueries, K),
     "x101_hybrid_serve" ->
-      hybridServeReplaySql(BmQueries, K, Depth, IvfNProbe))
+      hybridServeReplaySql(BmQueries, K, Depth, IvfNProbe),
+
+    // Filtered serving: candidates restricted to the slice BEFORE the
+    // rank (exactly what the pushed predicate / eligible semi-join
+    // does), stats and df full-corpus. x103 shares x102's string —
+    // the at-rest probe must hash-match the filtered flat scan.
+    "x102_bm25_filtered" ->
+      bm25ReplaySql(BmQueries, K, eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x103_lex_search_filtered" ->
+      bm25ReplaySql(BmQueries, K, eligibleSql = Some(langEligibleSql(FilterLang))),
+
+    // Both hybrid arms filtered on the stored label slice, then fused.
+    "x104_hybrid_serve_filtered" ->
+      hybridServeReplaySql(BmQueries, K, Depth, IvfNProbe,
+        filterLabel = Some(VectorQueries.FilterLabel)),
+
+    // Content invariance: the maintenance verbs leave the probe
+    // hash-identical to the flat replay — x98's exact string, so the
+    // driver interleaves all of them as bench twins.
+    "x105_lex_compact" -> bm25ReplaySql(BmQueries, K),
+    "x106_lex_vacuum" -> bm25ReplaySql(BmQueries, K),
+
+    // Post-erase probes replay over the SURVIVING corpus — stats, df,
+    // avgdl all recompute from the survivors, which is exactly the
+    // atomic stats adjustment the erase published.
+    "x107_lex_erase" ->
+      bm25ReplaySql(BmQueries, K, docsSrc = docsExceptSql(LexEraseKeys)),
+    "x109_lex_erase_where" ->
+      bm25ReplaySql(BmQueries, K, docsSrc = docsExceptLangSql(LexEraseLang)),
+
+    // Sync equivalence + no-op are Spark-side constructions (two index
+    // builds compared) — the x60 TRUE-literal pattern makes the hash
+    // gate prove both booleans.
+    "x108_lex_sync" ->
+      "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop")
 }

@@ -220,8 +220,9 @@ class LexIndexSpec extends SparkSpec {
     assert(m.nDocs == 5L)
   }
 
-  test("attribute-filtered probe: pred pushes into the pruned scan, " +
-       "exactly k matching docs, score-identical to the filtered flat scan") {
+  test("attribute-filtered probe: eligibility rides the pruned candidate " +
+       "rows (no extra scan or exchange), exactly k matching docs, " +
+       "score-identical to the filtered flat scan") {
     val p = freshPath()
     LexIndex.build(docsAttrDf, p, buckets = 16, attrs = Seq("lang"))
     val qs = queriesDf(1L -> Seq("spark", "join", "table"))
@@ -234,12 +235,20 @@ class LexIndexSpec extends SparkSpec {
     // every returned (doc, score) appears in the unfiltered ranking too
     val unfiltered = rows(LexIndex.search(spark, p, qs, 7))
     assert(got.forall(r => unfiltered.exists(u => u._2 == r._2 && u._4 == r._4)))
-    res.collect()
-    val scans = graft.SparkSpec.executedFileScans(res)
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
-    assert(scans.exists(_.metadata.get("PushedFilters")
-      .exists(f => f.contains("lang"))),
-      "attribute predicate not pushed into the postings scan")
+    // the filter adds NOTHING to the plan's weight: same scan count and
+    // same exchange count as the unfiltered probe (the predicate is a
+    // projected column on rows the probe reads anyway — a pushed scan
+    // filter would be WRONG here, shrinking df to the slice)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      (graft.SparkSpec.executedFileScans(df).size,
+       "(?<!Broadcast)Exchange[^\\n]*".r.findAllIn(plan)
+         .map(_.replaceAll("#\\d+", "#?")).toSet.size)
+    }
+    val unf = LexIndex.search(spark, p, qs, 3)
+    unf.collect(); res.collect()
+    assert(shape(res) == shape(unf),
+      s"filtered probe plan grew: ${shape(res)} vs unfiltered ${shape(unf)}")
   }
 
   test("buildFromLog + syncFromLog tracks a manifested corpus; synced ≡ " +

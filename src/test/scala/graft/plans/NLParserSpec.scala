@@ -1014,4 +1014,40 @@ class NLParserSpec extends AnyFunSuite {
       "Search the index for top 5 similar to 3 probing 4 cells.").ops ==
       List(O.IndexSearch(3L, 5, 4)))
   }
+
+  test("filtered lexical retrieval: 'where' tails on the flat scan and " +
+       "the index probe") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join where lang == 'en'.").ops ==
+      List(O.Bm25TopK(Seq("spark", "join"), 5,
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark, join, fast " +
+      "where lang == 'en'.").ops ==
+      List(O.LexSearch(Seq("spark", "join", "fast"), 5,
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+  }
+
+  test("lexical index maintenance verbs; vector-index verbs unaffected") {
+    assert(NLParser.parse("Compact the lexical index.").ops ==
+      List(O.LexCompact))
+    assert(NLParser.parse("Compact the index.").ops == List(O.IndexCompact))
+    assert(NLParser.parse("Vacuum the lexical index keeping 2 versions.").ops ==
+      List(O.LexVacuumKeep(2)))
+    assert(NLParser.parse("Vacuum the index keeping 1 versions.").ops ==
+      List(O.IndexVacuumKeep(1)))
+  }
+
+  test("lexical index erasure: by doc ids and by attribute sweep; the " +
+       "vector and log erases keep their routes") {
+    assert(NLParser.parse("Delete docs 3, 7 from the lexical index.").ops ==
+      List(O.LexErase(Seq(3L, 7L))))
+    assert(NLParser.parse(
+      "Erase documents where lang == 'de' from the lexical index.").ops ==
+      List(O.LexEraseWhere(Pred.Cmp(Pred.Eq, "lang", Lit.Str("de")))))
+    assert(NLParser.parse("Erase vectors 3, 7 from the index.").ops ==
+      List(O.IndexErase(Seq(3L, 7L))))
+    assert(NLParser.parse("Delete user_id 42 from the table.").ops ==
+      List(O.DeleteByKey("user_id", Seq(42L))))
+  }
 }

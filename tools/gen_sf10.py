@@ -70,3 +70,18 @@ for r in range(REPS):
     w.write_table(t)
 w.close()
 print("events", REPS * ev.num_rows)
+
+# ---------------------------------------------------------- documents
+# 100 replicas of sf0.1's 5k docs (500k total) for the lexical-index
+# probe-vs-flat scale point: replication preserves the term and
+# doc-length distributions (df scales by the replica count), which is
+# what the BM25 cost model depends on; doc ids offset per replica.
+DREPS = 100
+docs = pq.read_table(f"{SRC}/documents.parquet")
+dw = pq.ParquetWriter(f"{OUT}/documents.parquet", docs.schema)
+for r in range(DREPS):
+    t = docs.set_column(docs.schema.get_field_index("doc_id"), "doc_id",
+                        pc.add(docs.column("doc_id"), r * 5000))
+    dw.write_table(t)
+dw.close()
+print("documents", DREPS * docs.num_rows)
