@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{LexIndex, Retrieval}
+
+/** Streaming twins of the LEXICAL and HYBRID serving surface — the
+  * [[VectorStreams]] recipe applied to the inverted index: a
+  * continuous stream of `(query_id, terms)` keyword queries probes the
+  * persisted [[LexIndex]] (or the composed lexical+vector pair) as it
+  * arrives, while [[LexIndex.ingest]] is the write half.
+  *
+  * Same shape and guarantees as the vector twin: `foreachBatch`
+  * because a probe's bounded driver work (manifest read, probed-term
+  * collect) happens per micro-batch by design — each batch probes the
+  * index AS OF that moment (atomic manifest flip; a mid-stream
+  * append/compact/rebuild is picked up whole at the next boundary),
+  * and each batch overwrites its own `batch=<id>` directory, so
+  * restart replay is idempotent without a dedup pass. */
+object LexStreams {
+
+  /** Serve a streaming frame of `(query_id, terms: array<string>)`
+    * queries against the inverted index at `path`
+    * ([[LexIndex.search]]); `pred` applies the candidate metadata
+    * filter inside every batch's probe (the index must store the
+    * attribute — [[LexIndex.build]]'s `attrs`). Results land under
+    * `outPath/batch=<id>/` as parquet
+    * `(query_id, doc_id, rank, score)`. */
+  def serve(queries: DataFrame, path: String, outPath: String,
+            checkpoint: String, k: Int,
+            k1: Double = 1.2, b: Double = 0.75,
+            pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          LexIndex.search(spark, path, batch, k, k1, b, pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** The fully at-rest HYBRID probe, streaming: each batch's
+    * `(query_id, terms)` queries run [[Retrieval.hybridServe]] —
+    * lexical arm from the inverted index, vector arm from the
+    * persisted IVF index by the query id's stored embedding,
+    * RRF-fused — against both indexes as of the batch's manifests. */
+  def serveHybrid(queries: DataFrame, lexPath: String, ivfPath: String,
+                  outPath: String, checkpoint: String, k: Int, depth: Int,
+                  nprobe: Int, c: Int = 60,
+                  pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          Retrieval.hybridServe(spark, lexPath, ivfPath, batch, k, depth,
+              nprobe, c, pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Everything the stream has served so far, across batches — empty
+    * with the serving schema when no batch has landed yet (a normal
+    * state for a monitor polling a fresh stream). */
+  def served(spark: org.apache.spark.sql.SparkSession,
+             outPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatch)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, doc_id BIGINT, rank BIGINT, score DOUBLE"))
+    else
+      spark.read
+        .option("basePath", outPath)
+        .parquet(outPath)
+        .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+}

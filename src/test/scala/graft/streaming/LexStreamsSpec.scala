@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.operators.{IvfIndex, LexIndex, Retrieval}
+
+/** Streaming keyword/hybrid serving ≡ batch probes — the
+  * [[VectorStreamsSpec]] contract for the lexical arm: batching
+  * boundaries must not show (per-query results are independent), a
+  * mid-stream index append is picked up whole at the next boundary,
+  * restart replay is idempotent, and the filtered serve matches the
+  * filtered batch probe. */
+class LexStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val K = 3
+
+  private val docsFx = Seq(
+    (0L, "spark join fast spark", "en"),
+    (1L, "join slow table join join", "fr"),
+    (2L, "spark spark spark", "en"),
+    (3L, "hash merge batch", "fr"),
+    (4L, "fast fast join spark table", "en"),
+    (5L, "merge table scan window", "fr"),
+    (6L, "window scan scan batch slow", "en"))
+  private def docsDf = docsFx.toDF("doc_id", "text", "lang")
+
+  private val queryFx: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"), 1L -> Seq("table", "scan"),
+    2L -> Seq("fast", "batch"), 3L -> Seq("window", "slow"))
+
+  private def queriesDf(qs: Seq[(Long, Seq[String])]) =
+    spark.createDataFrame(qs).toDF("query_id", "terms")
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-lstream").toString
+
+  private def stopQuietly(q: StreamingQuery): Unit =
+    try q.stop() catch { case _: Exception => () }
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "doc_id", "rank", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+
+  test("streamed keyword probes equal one batch search over the union; " +
+       "a mid-stream append is picked up at the next batch boundary") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    val (half, rest) = docsFx.partition(_._1 < 4)
+    LexIndex.build(half.toDF("doc_id", "text", "lang"), index, buckets = 16)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serve(
+      stream.toDF().toDF("query_id", "terms"),
+      index, s"$dir/out", s"$dir/ckpt", K)
+    try {
+      stream.addData(queryFx.take(2))
+      q.processAllAvailable()
+      LexIndex.append(rest.toDF("doc_id", "text", "lang"), index)
+      stream.addData(queryFx.drop(2))
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    // batch 0 probed the half index, batch 1 the appended one
+    val halfTwin = s"$dir/half"
+    LexIndex.build(half.toDF("doc_id", "text", "lang"), halfTwin, buckets = 16)
+    val b0 = ranked(LexIndex.search(spark, halfTwin,
+      queriesDf(queryFx.take(2)), K))
+    val b1 = ranked(LexIndex.search(spark, index,
+      queriesDf(queryFx.drop(2)), K))
+    assert(streamed == (b0 ++ b1).sorted && streamed.nonEmpty)
+  }
+
+  test("restart replay is idempotent; filtered serve equals the filtered " +
+       "batch probe") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    LexIndex.build(docsDf, index, buckets = 16, attrs = Seq("lang"))
+    implicit val sqlCtx = spark.sqlContext
+    val pred = Some(col("lang") === "en")
+    def runOnce(ckpt: String): Seq[(Long, Long, Long, Double)] = {
+      val stream = MemoryStream[(Long, Seq[String])]
+      val q = LexStreams.serve(
+        stream.toDF().toDF("query_id", "terms"),
+        index, s"$dir/out", ckpt, K, pred = pred)
+      try {
+        stream.addData(queryFx.take(2))
+        q.processAllAvailable()
+        stream.addData(queryFx.drop(2))
+        q.processAllAvailable()
+      } finally stopQuietly(q)
+      ranked(LexStreams.served(spark, s"$dir/out"))
+    }
+    val once = runOnce(s"$dir/ckpt")
+    val batch = ranked(LexIndex.search(spark, index, queriesDf(queryFx), K,
+      pred = pred))
+    assert(once == batch && once.nonEmpty)
+    // only en documents (even ids) serve
+    assert(once.forall { case (_, d, _, _) => d % 2 == 0 })
+    // a fresh stream re-delivering the same batches onto the same output
+    // leaves content unchanged (per-batch-directory overwrite)
+    assert(runOnce(s"$dir/ckpt2") == once)
+  }
+
+  test("streamed hybrid probes equal the batch hybridServe; empty served() " +
+       "has the serving schema") {
+    val dir = freshDir()
+    val (lexP, ivfP) = (s"$dir/lex", s"$dir/ivf")
+    LexIndex.build(docsDf, lexP, buckets = 16)
+    val embs = docsFx.map { case (id, _, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serveHybrid(
+      stream.toDF().toDF("query_id", "terms"),
+      lexP, ivfP, s"$dir/out", s"$dir/ckpt", K, depth = 5, nprobe = 1)
+    try {
+      stream.addData(queryFx.take(1))
+      q.processAllAvailable()
+      stream.addData(queryFx.slice(1, 2))
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    val batch = ranked(Retrieval.hybridServe(spark, lexP, ivfP,
+      queriesDf(queryFx.take(2)), K, depth = 5, nprobe = 1))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(LexStreams.served(spark, s"$dir/none").columns.toSeq ==
+      Seq("query_id", "doc_id", "rank", "score"))
+    assert(LexStreams.served(spark, s"$dir/none").count() == 0L)
+  }
+}
