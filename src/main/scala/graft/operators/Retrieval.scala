@@ -255,6 +255,162 @@ object Retrieval {
     rrfFuse(lex, vec, k, c)
   }
 
+  /** Offline retrieval evaluation — per-query recall@k of a candidate
+    * ranking against a reference ranking (typically: an index probe
+    * against the exact brute-force top-k). Both inputs are
+    * `(query_id, idCol, rank, …)` frames; only rank ≤ k rows count on
+    * either side. Recall is EXACT (two integer counts and one IEEE
+    * division), so the result hashes without rounding.
+    *
+    * Scale shape: both sides arrive k-bounded per query (q×k rows), so
+    * the whole evaluation is query-batch-sized regardless of corpus
+    * size — the heavy work is producing the rankings, which is the
+    * job under evaluation, not the evaluator. A query with NO
+    * reference rows is dropped (recall against an empty truth is
+    * undefined, not 1.0). */
+  def recallAtK(result: DataFrame, truth: DataFrame, k: Int,
+                idCol: String = "neighbor_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val r = result.filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("id"))
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("id"))
+    val denom = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val hits = t.join(r, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    denom.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
+  }
+
+  /** Per-query nDCG@k with BINARY relevance against the reference
+    * top-k (the labeled-judgment-free form: an item is relevant iff
+    * the reference ranks it in ITS top-k — the standard way to score
+    * an ANN index against exact search). DCG sums 1/log2(rank+1) over
+    * the relevant result rows IN RANK ORDER (the fold order is pinned
+    * by `aggregate ∘ array_sort`, the BM25 technique — a distributed
+    * sum would not pin double addition order); IDCG is the same sum
+    * over ranks 1..|truth| (ascending `sequence` fold — also pinned).
+    * Scores round to 1e-6 before publishing, absorbing the engines'
+    * ±1 ulp on log2. Query-batch-sized, like [[recallAtK]]. */
+  def ndcgAtK(result: DataFrame, truth: DataFrame, k: Int,
+              idCol: String = "neighbor_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val r = result.filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("id"), col("rank"))
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("id"))
+    val dcg = r.join(t, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id")
+      .agg(aggregate(array_sort(collect_list(col("rank"))), lit(0.0),
+        (acc, rk) => acc + lit(1.0) / log2(rk.cast("double") + lit(1.0)))
+        .as("dcg"))
+    val idcg = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .select(col("query_id"),
+        aggregate(sequence(lit(1L), col("n_truth")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+          .as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k — the standard RAG
+    * result-diversification pass: from a per-query candidate ranking
+    * (relevance-scored; BM25, cosine, or fused), greedily select k
+    * documents maximizing `λ·rel(c) − (1−λ)·max_{s∈selected}
+    * cos(c, s)` — relevance traded against redundancy with what's
+    * already picked (λ=1 degenerates to the input ranking). First pick
+    * maximizes λ·rel (the empty-set redundancy term is 0); ties break
+    * on id ascending at every step.
+    *
+    * Scale shape: candidates arrive k-bounded per query (the depth of
+    * the upstream ranking — tens), so after one join to fetch the
+    * candidate embeddings the greedy runs per query over a collected
+    * bounded array inside a UDF — at most depth² cosine kernels per
+    * query, never corpus work. The greedy is inherently sequential
+    * (each pick changes the next objective), so a per-query bounded
+    * fold is the honest distributed form: queries parallelize,
+    * the ≤depth selection steps do not.
+    *
+    * Determinism: `rel` should arrive rounded (the upstream rankings
+    * round to 1e-6); similarities run the SAME double accumulation as
+    * the codegen'd cosine kernel (the calibrators' driver mirror), so
+    * every objective is bit-identical to the oracle's unrolled-greedy
+    * replay; the published mmr score rounds to 1e-6.
+    *
+    * @param candidates `(query_id, idCol, relCol, …)` — one row per
+    *                   candidate (ranks/extra columns ignored)
+    * @param embeddings `(vecIdCol, vecCol)` with idCol ≡ vecIdCol
+    * @return (query_id, idCol, rank, mmr) with rank 1..min(k, |cand|)
+    *         in selection order
+    */
+  def mmrTopK(candidates: DataFrame, embeddings: DataFrame, k: Int,
+              lambda: Double, idCol: String = "doc_id",
+              vecIdCol: String = "vec_id", vecCol: String = "embedding",
+              relCol: String = "score"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val cand = candidates
+      .select(col("query_id"), col(idCol).as("id"), col(relCol).as("rel"))
+      .join(embeddings.select(col(vecIdCol).as("id"), col(vecCol).as("vec")),
+        Seq("id"))
+    val greedy = udf((items: Seq[org.apache.spark.sql.Row]) =>
+      mmrGreedy(items.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).toArray)), k, lambda))
+    cand.groupBy("query_id")
+      .agg(greedy(collect_list(struct(col("id"), col("rel"), col("vec"))))
+        .as("picked"))
+      .select(col("query_id"), posexplode(col("picked")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s._1").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("s._2"), 6).as("mmr"))
+  }
+
+  /** The bounded per-query greedy: candidates iterate in ascending-id
+    * order with strict improvement, so argmax ties land on the
+    * smallest id — the same tie the oracle's `ORDER BY obj DESC, id
+    * ASC` picks. The redundancy term is the TRUE max similarity to the
+    * selected set — which can be NEGATIVE (anti-correlated embeddings
+    * make a candidate's objective exceed λ·rel; flooring at 0 would
+    * silently under-diversify) — and 0 only for the empty first-pick
+    * set. Each pick folds its similarities in with exact `max`. */
+  private def mmrGreedy(items: Seq[(Long, Double, Array[Float])], k: Int,
+                        lambda: Double): Seq[(Long, Double)] = {
+    val arr = items.sortBy(_._1).toArray
+    val n = arr.length
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity) // "none yet"
+    val out = Seq.newBuilder[(Long, Double)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1
+      var bestObj = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val redundancy = if (step == 0) 0.0 else maxSim(i)
+          val obj = lambda * arr(i)._2 - (1.0 - lambda) * redundancy
+          if (obj > bestObj) { best = i; bestObj = obj }
+        }
+        i += 1
+      }
+      picked(best) = true
+      out += ((arr(best)._1, bestObj))
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val s = Similarity.InProcess.cosine(arr(j)._3, arr(best)._3)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    out.result()
+  }
+
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
                  k: Int, depth: Int, c: Int = 60,
                  idCol: String = "doc_id", textCol: String = "text",

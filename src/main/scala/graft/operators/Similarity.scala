@@ -509,7 +509,7 @@ object Similarity {
     * distributed kernels, so a measured recall/cost IS what the
     * corpus-scale operator does at that operating point (asserted against
     * Spark-measured quantities in CalibrationSpec). */
-  private object InProcess {
+  private[operators] object InProcess {
     /** [[graft.functions.CosineSimilarity]]'s interpreted/codegen loop. */
     def cosine(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -119,6 +119,22 @@ object Compiler {
       case Op.IndexCellProfile =>
         graft.operators.IvfIndex.cellStats(spark, path)
           .select(col("cell"), col("n_rows"))
+      case Op.IndexEval(ndcg, k, qMax, nprobe) =>
+        import graft.operators.{IvfIndex, Retrieval, Similarity}
+        // offline-eval job: ONE manifest read serves the query fetch,
+        // the probe, and the exact arm's corpus; the query side is the
+        // pruned (vec_id < qMax pushes to the scan) bounded slice —
+        // eval-sized by construction, and the exact arm scans the
+        // corpus anyway (that is what's being compared against)
+        val m = IvfIndex.readManifestFull(spark, path)
+        val corpus = IvfIndex.readWith(spark, path, m)
+          .select(col("vec_id"), col("embedding"))
+        val queries = corpus.filter(col("vec_id") < qMax)
+        val probe = IvfIndex.searchWith(spark, path, m, queries, k, nprobe,
+          "vec_id", "embedding", None)
+        val exact = Similarity.bruteForceTopK(queries, corpus, k)
+        if (ndcg) Retrieval.ndcgAtK(probe, exact, k)
+        else Retrieval.recallAtK(probe, exact, k)
       case Op.LexSearch(terms, k, where) =>
         // the spoken term list is the query (query_id -1, as Bm25TopK);
         // the probe reads only those terms' bucket partitions, and a
@@ -384,6 +400,14 @@ object Compiler {
       val queries = session.createDataFrame(Seq((-1L, terms)))
         .toDF("query_id", "terms")
       Retrieval.bm25TopK(df, queries, k, pred = where.map(predicate(df, _)))
+    case Op.MmrTopK(terms, k, lambda, depth) =>
+      // BM25 candidates over the input documents; diversification
+      // vectors from the catalog-bound embeddings (doc_id ≡ vec_id)
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((-1L, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.mmrTopK(Retrieval.bm25TopK(df, queries, depth),
+        resolveTable("embeddings", catalog), k, lambda)
     case Op.HybridTopK(terms, k, vecId, depth) =>
       // lexical arm over the input documents; vector arm over the
       // catalog-bound embeddings table, query vector = the spoken id's

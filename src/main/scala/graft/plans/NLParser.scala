@@ -1069,6 +1069,24 @@ object NLParser {
                 s"fusion depth $depth must be at least k=$k")
               requireDone(p)
               Right(List(Op.HybridTopK(terms, k, vid, depth)))
+            } else if (p.peekWordLower.contains("with")) {
+              // "… matching spark, join, fast with lambda 0.7 [at
+              // depth 10]." — MMR diversification of the BM25
+              // candidates (embedding redundancy from the catalog-bound
+              // embeddings table)
+              p.next(); p.expectWord("lambda")
+              val lam = p.expectNum()
+              if (lam < 0.0 || lam > 1.0) throw ParseException(
+                s"mmr lambda must be in [0,1]: $lam")
+              val depth = p.peekWordLower match {
+                case Some("at") =>
+                  p.next(); p.expectWord("depth"); p.expectNum().toInt
+                case _ => 10
+              }
+              if (depth < k) throw ParseException(
+                s"mmr depth $depth must be at least k=$k")
+              requireDone(p)
+              Right(List(Op.MmrTopK(terms, k, lam, depth)))
             } else {
               // "… matching spark, join where lang == 'en'" — the
               // candidate pre-filter: only matching documents rank,
@@ -1625,6 +1643,30 @@ object NLParser {
           requireDone(p)
           Right(List(Op.KeyLookup(word, keys.result(), from, to)))
         }
+      case Some("evaluate") =>
+        // "Evaluate recall at 5 for queries below 8 probing 4 cells."
+        // (or "… ndcg at 5 …") — offline evaluation of the bound
+        // vector index: probe vs exact brute force, scored per query.
+        p.next(); p.dropWords("the", "index")
+        val metric = p.expectWordRaw().toLowerCase match {
+          case "recall" => false
+          case "ndcg"   => true
+          case w => throw ParseException(
+            s"evaluable metrics are recall and ndcg, got '$w'")
+        }
+        p.dropWords("at")
+        val k = p.expectNum().toInt
+        if (k <= 0) throw ParseException(s"eval k must be positive: $k")
+        p.expectWord("for"); p.dropWords("queries", "query")
+        p.expectWord("below")
+        val qMax = p.expectNum().toLong
+        p.expectWord("probing")
+        val np = p.expectNum().toInt
+        if (np <= 0) throw ParseException(
+          s"probed cell count must be positive: $np")
+        p.dropWords("cells", "cell")
+        requireDone(p)
+        Right(List(Op.IndexEval(metric, k, qMax, np)))
       case Some("search") =>
         // "Search the index for top 5 similar to 3 probing 4 cells." —
         // ANN probe against the bound persisted vector index; "Search

@@ -196,6 +196,13 @@ object Op {
     * frequency and corpus stats stay full-corpus. */
   final case class Bm25TopK(terms: Seq[String], k: Int,
                             where: Option[Pred] = None)            extends CorpusOp
+  /** MMR-diversified retrieval: BM25 depth-candidates over the input
+    * documents, greedily re-selected for λ·relevance −
+    * (1−λ)·redundancy (embedding cosine to the already-picked set,
+    * vectors from the catalog-bound `embeddings` table, doc_id ≡
+    * vec_id) — [[graft.operators.Retrieval.mmrTopK]]. */
+  final case class MmrTopK(terms: Seq[String], k: Int, lambda: Double,
+                           depth: Int)                             extends CorpusOp
   /** Hybrid retrieval: the BM25 arm over the input documents RRF-fused
     * with exact cosine over the catalog-bound `embeddings` table, the
     * spoken vector id naming the query embedding (doc_id ≡ vec_id
@@ -582,6 +589,15 @@ object Op {
     * metadata cost; the spoken twin of [[DayProfile]] for the IVF
     * layout. Exact totals, so the full-scan group-by is its oracle. */
   case object IndexCellProfile                                     extends TableOp
+  /** Offline retrieval evaluation of the bound vector index: probe the
+    * index for the queries `vec_id < qMax` (their stored embeddings)
+    * and score the ranking per query against the exact brute-force
+    * top-k over the indexed corpus —
+    * [[graft.operators.Retrieval.recallAtK]] (`ndcg = false`) or
+    * binary [[graft.operators.Retrieval.ndcgAtK]] (`ndcg = true`).
+    * The "is the index good enough" job, spoken. */
+  final case class IndexEval(ndcg: Boolean, k: Int, qMax: Long,
+                             nprobe: Int)                          extends TableOp
   /** Compliance erasure of document ids from the bound INVERTED index
     * ([[graft.operators.LexIndex.deleteByKey]] — copy-on-write bounded
     * to the buckets holding the documents' postings, stats adjusted in

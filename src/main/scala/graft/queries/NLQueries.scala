@@ -578,6 +578,30 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // MMR diversification, spoken — x112's greedy at the same operating
+    // point, single spoken query (the embeddings table binds through
+    // the catalog, as the hybrid route's vector arm does).
+    "nl136_mmr_docs" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast " +
+                 "with lambda 0.7 at depth 10.",
+        docs(s, d), Map("embeddings" -> embs(s, d)))),
+
+    // Offline index evaluation, spoken — x110/x111's sentences (same
+    // constants, so the oracles are the same strings → interleaved
+    // twins): probe the bound index for the stored queries and score
+    // each against exact search.
+    "nl134_index_recall" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Evaluate recall at 5 for queries below 8 probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
+    "nl135_index_ndcg" -> ((s: SparkSession, d: String) => {
+      val p = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Evaluate ndcg at 5 for queries below 8 probing 4 cells.",
+        graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
+    }),
+
     // Attribute-sweep postings erasure, spoken (x109's twin).
     "nl133_lex_erase_where" -> ((s: SparkSession, d: String) => {
       val p = RetrievalQueries.lexEraseWhereIndexTable(s, d)
@@ -1092,6 +1116,15 @@ object NLQueries extends QueryPack {
     // maintenance verbs read the postings content back — invariant
     // under compact/vacuum (shared string → interleaved twins), minus
     // exactly the forgotten documents under the erases
+    "nl136_mmr_docs" ->
+      RetrievalQueries.mmrReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5, 10, 0.7),
+    // offline index eval, spoken at x110/x111's exact constants —
+    // identical oracle strings, interleaved twins
+    "nl134_index_recall" ->
+      VectorQueries.recallReplaySql("vec_id < 8", "q.vec_id < 8", 5, 4),
+    "nl135_index_ndcg" ->
+      VectorQueries.ndcgReplaySql("vec_id < 8", "q.vec_id < 8", 5, 4),
     "nl130_lex_compact" -> RetrievalQueries.postingsReplaySql(),
     "nl131_lex_vacuum" -> RetrievalQueries.postingsReplaySql(),
     "nl132_lex_erase" -> RetrievalQueries.postingsReplaySql(

@@ -27,6 +27,9 @@ object RetrievalQueries extends QueryPack {
   // the persisted IVF index's operating point (VectorQueries builds it
   // with 16 cells; its replay CTE bakes the same) — probe width here
   private val IvfNProbe = 4
+  // MMR diversification point: relevance weight and candidate depth
+  private[queries] val MmrLambda = 0.7
+  private[queries] val MmrDepth = 10
 
   /** Fixed serving queries: term lists over the corpus vocabulary; for
     * the hybrid shape, query_id doubles as the vec_id whose stored
@@ -254,7 +257,19 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.deleteWhere(s, p,
         col("lang") === LexEraseLang)
       graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
-    }))
+    }),
+
+    // MMR-diversified retrieval: BM25 depth-10 candidates re-selected
+    // greedily for relevance minus redundancy (embedding cosine to the
+    // already-picked set) — the standard RAG diversification pass.
+    // Query-batch-sized: the greedy folds over ≤depth collected
+    // candidates per query; the oracle unrolls the same greedy as k
+    // chained argmax CTEs.
+    "x112_mmr_docs" -> ((s: SparkSession, d: String) =>
+      Retrieval.mmrTopK(
+        Retrieval.bm25TopK(table(s, d, "documents"), queriesDf(s), MmrDepth,
+          k1 = K1, b = B),
+        table(s, d, "embeddings"), K, MmrLambda)))
 
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -333,6 +348,57 @@ object RetrievalQueries extends QueryPack {
     s"(SELECT * FROM documents WHERE doc_id NOT IN (${keys.mkString(", ")}))"
   private[queries] def docsExceptLangSql(lang: String): String =
     s"(SELECT * FROM documents WHERE lang <> '$lang')"
+
+  /** The MMR replay: the SAME greedy the operator folds, unrolled as k
+    * chained argmax CTEs (k is small by definition — a recursive CTE
+    * would add nothing but fragility). Step 1 maximizes λ·rel (empty
+    * selection → zero redundancy); step i anti-joins the selected set,
+    * subtracts (1−λ)·max cosine to it, and picks the per-query argmax
+    * with ties on doc_id. λ and (1−λ) interpolate from the SAME Scala
+    * doubles the operator computes with (`Double.toString`
+    * round-trips), relevance is the rounded BM25 score on both sides,
+    * and `list_cosine_similarity` over widened floats is bit-equal to
+    * the cosine kernel — so every objective compares identically. */
+  private[queries] def mmrReplaySql(qs: Seq[(Long, Seq[String])], k: Int,
+                                    depth: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    $lam::DOUBLE * c.rel - $oneMinus::DOUBLE *
+         |      max(list_cosine_similarity(c.embedding::DOUBLE[],
+         |                                 s.embedding::DOUBLE[])) AS obj
+         |  FROM cand c
+         |  JOIN sel${i - 1} t ON t.query_id = c.query_id
+         |  JOIN cand s ON s.query_id = t.query_id AND s.doc_id = t.doc_id
+         |  LEFT JOIN sel${i - 1} x
+         |    ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+         |  WHERE x.doc_id IS NULL
+         |  GROUP BY c.query_id, c.doc_id, c.rel),
+         |pick$i AS (
+         |  SELECT query_id, doc_id, $i::BIGINT AS rank, obj FROM p$i
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY obj DESC, doc_id ASC) = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bm25Ctes(qs)},
+       |cand AS (
+       |  SELECT l.query_id, l.doc_id, l.score AS rel, e.embedding
+       |  FROM (SELECT * FROM lex WHERE rank <= $depth) l
+       |  JOIN embeddings e ON e.vec_id = l.doc_id),
+       |pick1 AS (
+       |  SELECT query_id, doc_id, 1::BIGINT AS rank,
+       |         $lam::DOUBLE * rel AS obj
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY $lam::DOUBLE * rel DESC, doc_id ASC) = 1),
+       |sel1 AS (SELECT * FROM pick1),
+       |$steps
+       |SELECT query_id, doc_id, rank, round(obj, 6) AS mmr
+       |FROM sel$k""".stripMargin
+  }
 
   /** The inverted index's logical content `(term, doc_id, tf, dl)`
     * replayed from the corpus — the lexical maintenance verbs'
@@ -452,5 +518,9 @@ object RetrievalQueries extends QueryPack {
     // builds compared) — the x60 TRUE-literal pattern makes the hash
     // gate prove both booleans.
     "x108_lex_sync" ->
-      "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop")
+      "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop",
+
+    // The unrolled greedy — every objective bit-identical to the
+    // operator's per-query fold.
+    "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda))
 }

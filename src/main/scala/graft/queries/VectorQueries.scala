@@ -380,6 +380,31 @@ object VectorQueries extends QueryPack {
       Seq((probeEqual, resyncNoop)).toDF("synced_probe_equal", "resync_noop")
     }),
 
+    // Offline retrieval evaluation — the "is the index good enough"
+    // job every serving pipeline runs before flipping traffic: the IVF
+    // probe scored per query against the exact ranking. recall@k is
+    // two exact integer counts and one division; nDCG@k folds binary
+    // 1/log2(rank+1) gains in pinned rank order. Both evaluations are
+    // query-batch-sized (two k-bounded frames joined) — the heavy work
+    // is the rankings themselves, which is what's being judged.
+    "x110_index_recall" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < NQueries)
+      graft.operators.Retrieval.recallAtK(
+        graft.operators.IvfIndex.search(s, ivfIndexTable(s, d), queries,
+          K, IvfNProbe),
+        Similarity.bruteForceTopK(queries, emb, K), K)
+    }),
+
+    "x111_index_ndcg" -> ((s: SparkSession, d: String) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < NQueries)
+      graft.operators.Retrieval.ndcgAtK(
+        graft.operators.IvfIndex.search(s, ivfIndexTable(s, d), queries,
+          K, IvfNProbe),
+        Similarity.bruteForceTopK(queries, emb, K), K)
+    }),
+
     // Per-cell index stats from parquet footers ONLY (no data scan) —
     // hot-cell visibility for the IVF layout, the dayStats recipe
     // applied to seg-*/cell=*. Row totals are exact, so the full-scan
@@ -909,6 +934,68 @@ object VectorQueries extends QueryPack {
        |    AND c.label = $labelVal)
        |WHERE rank <= $k""".stripMargin
 
+  /** The exact-ranking truth CTE shared by the offline-eval replays:
+    * brute cosine top-k for the q-qualified query predicate. */
+  private def truthCte(qPred: String, k: Int): String =
+    s"""truthr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                        c.embedding::DOUBLE[]) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE $qPred AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** recall@k of the IVF probe against exact search: two exact integer
+    * counts and one IEEE division — no rounding needed. */
+  private[queries] def recallReplaySql(candPred: String, qPred: String,
+                                       k: Int, nprobe: Int): String =
+    s"""WITH vecr AS (
+       |${ivfReplaySqlFor(candPred, nprobe, k)}
+       |),
+       |${truthCte(qPred, k)},
+       |hits AS (
+       |  SELECT t.query_id, count(*)::BIGINT AS n_hit
+       |  FROM truthr t JOIN vecr r
+       |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id),
+       |denom AS (SELECT query_id, count(*)::BIGINT AS n_truth
+       |          FROM truthr GROUP BY query_id)
+       |SELECT d.query_id,
+       |  coalesce(h.n_hit, 0)::DOUBLE / d.n_truth::DOUBLE AS recall
+       |FROM denom d LEFT JOIN hits h USING (query_id)""".stripMargin
+
+  /** Binary nDCG@k: 1/log2(rank+1) gains folded IN RANK ORDER on both
+    * engines (`list_reduce ∘ list(… ORDER BY rank)` ≡ Spark's
+    * `aggregate ∘ array_sort` — the BM25 order-pinning technique), the
+    * ideal sum folded over an ascending series, rounded to 1e-6. */
+  private[queries] def ndcgReplaySql(candPred: String, qPred: String,
+                                     k: Int, nprobe: Int): String =
+    s"""WITH vecr AS (
+       |${ivfReplaySqlFor(candPred, nprobe, k)}
+       |),
+       |${truthCte(qPred, k)},
+       |rel AS (
+       |  SELECT r.query_id, r.rank
+       |  FROM vecr r JOIN truthr t
+       |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id),
+       |dcg AS (
+       |  SELECT query_id,
+       |    list_reduce(list(1.0::DOUBLE / log2(rank::DOUBLE + 1.0::DOUBLE)
+       |                     ORDER BY rank), (a, x) -> a + x) AS dcg
+       |  FROM rel GROUP BY query_id),
+       |idcg AS (
+       |  SELECT query_id,
+       |    list_reduce(list_transform(generate_series(1, count(*)),
+       |        i -> 1.0::DOUBLE / log2(i::DOUBLE + 1.0::DOUBLE)),
+       |      (a, x) -> a + x) AS idcg
+       |  FROM truthr GROUP BY query_id)
+       |SELECT i.query_id,
+       |  round(coalesce(d.dcg, 0.0::DOUBLE) / i.idcg, 6) AS ndcg
+       |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin
+
   /** Index content MINUS erased ids — the erasure oracle: survivors
     * keep their replayed Lloyd cells bit-for-bit (erase is copy-on-
     * write over stored assignments, never a recompute). */
@@ -1135,6 +1222,15 @@ object VectorQueries extends QueryPack {
     // gate prove both booleans.
     "x93_index_sync" ->
       "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop",
+
+    // Offline eval: both arms' replays composed — the probe's Lloyd
+    // replay against the exact cross ranking.
+    "x110_index_recall" ->
+      recallReplaySql(ivfDefaultQueryPred, s"q.vec_id < $NQueries",
+        K, IvfNProbe),
+    "x111_index_ndcg" ->
+      ndcgReplaySql(ivfDefaultQueryPred, s"q.vec_id < $NQueries",
+        K, IvfNProbe),
 
     // The stored cells are the replayed Lloyd assignment; footer counts
     // are exact, so the metadata-only stats hash-match this full

@@ -130,4 +130,76 @@ class RetrievalSpec extends SparkSpec {
     // not an eager driver collect at construction time
     assert(after == before)
   }
+
+  private def ranking(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("recallAtK: hand-checked overlap; empty-truth queries are dropped; " +
+       "a query absent from the result scores 0") {
+    // truth: q0 -> {10, 11, 12}; q1 -> {20, 21}; q2 -> {30}
+    val truth = ranking((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L), (2L, 30L, 1L))
+    // result: q0 hits 2 of 3; q1 hits 0 of 2 (and one hit OUTSIDE k
+    // that must not count); q2 missing entirely
+    val result = ranking((0L, 10L, 1L), (0L, 99L, 2L), (0L, 12L, 3L),
+      (1L, 98L, 1L), (1L, 97L, 2L), (1L, 20L, 4L))
+    val got = Retrieval.recallAtK(result, truth, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 2.0 / 3.0, 1L -> 0.0, 2L -> 0.0))
+    // k restricts BOTH sides: at k=1 only rank-1 rows count
+    val at1 = Retrieval.recallAtK(result, truth, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(at1 == Map(0L -> 1.0, 1L -> 0.0, 2L -> 0.0))
+  }
+
+  test("mmrTopK: λ=1 degenerates to the input ranking; λ<1 demotes a " +
+       "redundant runner-up; NEGATIVE max-similarity raises an objective " +
+       "above λ·rel (no zero floor)") {
+    // candidates for one query: 0 and 1 nearly identical vectors, 2
+    // anti-correlated with both
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cand = Seq((9L, 0L, 1L, 1.0), (9L, 1L, 2L, 0.9), (9L, 2L, 3L, 0.5))
+      .toDF("query_id", "doc_id", "rank", "score")
+    def picks(lambda: Double) =
+      Retrieval.mmrTopK(cand, vecs, 3, lambda)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    // λ=1: redundancy ignored → input relevance order
+    assert(picks(1.0).map(_._1) == Seq(0L, 1L, 2L))
+    // λ=0.5: doc 1 is ~identical to the picked doc 0, so the
+    // anti-correlated doc 2 jumps ahead — and its objective
+    // 0.5·0.5 − 0.5·(−1.0) = 0.75 EXCEEDS its λ·rel (0.25): the
+    // negative max-similarity must not floor at zero
+    val p = picks(0.5)
+    assert(p.map(_._1) == Seq(0L, 2L, 1L))
+    assert(math.abs(p(1)._2 - 0.75) < 1e-6, s"negative redundancy floored: $p")
+    // fewer candidates than k: min(k, |cand|) rows, selection order
+    assert(Retrieval.mmrTopK(cand.filter(col("doc_id") < 1L), vecs, 3, 0.5)
+      .count() == 1L)
+  }
+
+  test("ndcgAtK: hand-checked gains in rank order; perfect ranking " +
+       "scores 1; misses score 0") {
+    val truth = ranking((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+    // q0: relevant at result ranks 1 and 3 → dcg = 1/log2(2) + 1/log2(4),
+    // idcg = 1/log2(2) + 1/log2(3); q1: perfect
+    val result = ranking((0L, 10L, 1L), (0L, 99L, 2L), (0L, 11L, 3L),
+      (1L, 20L, 1L))
+    val got = Retrieval.ndcgAtK(result, truth, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect0 = (1.0 / (math.log(2.0) / math.log(2.0)) +
+                   1.0 / (math.log(4.0) / math.log(2.0))) /
+                  (1.0 / (math.log(2.0) / math.log(2.0)) +
+                   1.0 / (math.log(3.0) / math.log(2.0)))
+    assert(math.abs(got(0L) - expect0) < 1e-6)
+    assert(got(1L) == 1.0)
+    // a query with zero relevant results scores exactly 0
+    val none = ranking((0L, 99L, 1L))
+    val z = Retrieval.ndcgAtK(none, truth, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(z(0L) == 0.0 && z(1L) == 0.0)
+  }
 }

@@ -1038,6 +1038,35 @@ class NLParserSpec extends AnyFunSuite {
       List(O.IndexVacuumKeep(1)))
   }
 
+  test("mmr diversification route: lambda bounds, default depth, depth >= k") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join, fast with lambda 0.7 " +
+      "at depth 10.").ops ==
+      List(O.MmrTopK(Seq("spark", "join", "fast"), 5, 0.7, 10)))
+    assert(NLParser.parse(
+      "Find top 3 documents matching spark with lambda 1.").ops ==
+      List(O.MmrTopK(Seq("spark"), 3, 1.0, 10)))
+    assert(intercept[NLParser.ParseException](NLParser.parse(
+      "Find top 5 documents matching spark with lambda 1.5."))
+      .msg.contains("lambda"))
+    assert(intercept[NLParser.ParseException](NLParser.parse(
+      "Find top 5 documents matching spark with lambda 0.7 at depth 3."))
+      .msg.contains("depth"))
+  }
+
+  test("offline index evaluation route: recall and ndcg, positive bounds") {
+    assert(NLParser.parse(
+      "Evaluate recall at 5 for queries below 8 probing 4 cells.").ops ==
+      List(O.IndexEval(ndcg = false, 5, 8L, 4)))
+    assert(NLParser.parse(
+      "Evaluate ndcg at 3 for queries below 16 probing 2 cells.").ops ==
+      List(O.IndexEval(ndcg = true, 3, 16L, 2)))
+    val e = intercept[NLParser.ParseException] {
+      NLParser.parse("Evaluate precision at 5 for queries below 8 probing 4 cells.")
+    }
+    assert(e.msg.contains("recall and ndcg"))
+  }
+
   test("lexical index erasure: by doc ids and by attribute sweep; the " +
        "vector and log erases keep their routes") {
     assert(NLParser.parse("Delete docs 3, 7 from the lexical index.").ops ==
