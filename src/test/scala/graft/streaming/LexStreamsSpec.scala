@@ -135,4 +135,36 @@ class LexStreamsSpec extends SparkSpec {
       Seq("query_id", "doc_id", "rank", "score"))
     assert(LexStreams.served(spark, s"$dir/none").count() == 0L)
   }
+
+  test("filtered streaming hybrid: both arms pre-filter on the shared " +
+       "stored attribute; stream equals the filtered batch serve") {
+    val dir = freshDir()
+    val (lexP, ivfP) = (s"$dir/lex", s"$dir/ivf")
+    // both indexes store the SAME attribute under the same name
+    // (doc_id ≡ vec_id) — the serving metadata lives where each arm's
+    // candidates live
+    LexIndex.build(docsDf, lexP, buckets = 16, attrs = Seq("lang"))
+    val embs = docsFx.map { case (id, _, lang) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f),
+        lang) }
+      .toDF("vec_id", "embedding", "lang")
+    IvfIndex.build(embs, ivfP, cells = 2, attrs = Seq("lang"))
+    implicit val sqlCtx = spark.sqlContext
+    val pred = Some(col("lang") === "en")
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serveHybrid(
+      stream.toDF().toDF("query_id", "terms"),
+      lexP, ivfP, s"$dir/out", s"$dir/ckpt", K, depth = 5, nprobe = 1,
+      pred = pred)
+    try {
+      stream.addData(queryFx.take(2))
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    val batch = ranked(Retrieval.hybridServe(spark, lexP, ivfP,
+      queriesDf(queryFx.take(2)), K, depth = 5, nprobe = 1, pred = pred))
+    assert(streamed == batch && streamed.nonEmpty)
+    // only en documents (even ids) ever serve
+    assert(streamed.forall { case (_, d, _, _) => d % 2 == 0 })
+  }
 }
