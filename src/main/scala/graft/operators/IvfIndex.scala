@@ -590,7 +590,7 @@ object IvfIndex {
            count(lit(1)).as("files"))
   }
 
-  private object FooterRead extends Serializable {
+  private[operators] object FooterRead extends Serializable {
     def rowCount(conf: org.apache.hadoop.conf.Configuration,
                  file: String): Long = {
       import scala.jdk.CollectionConverters._

@@ -646,6 +646,43 @@ object LexIndex {
     removed
   }
 
+  /** Per-bucket posting/byte/file counts from parquet FOOTERS only —
+    * the lexical twin of [[IvfIndex.cellStats]]: hot-BUCKET skew (a
+    * stop-word-like term's posting list — the inverted index's classic
+    * failure mode, which [[compact]]'s re-tiling addresses) visible at
+    * metadata cost, never a data scan. The file listing is driver-side
+    * planner work bounded by the manifest's file count; the footer
+    * reads distribute. Row totals are exact, so a full-scan group-by
+    * is the equality certificate (x113). Erase-skipped buckets are
+    * excluded, as every reader excludes them. */
+  def bucketStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val m = readManifest(spark, path)
+    val f = fs(spark, root)
+    val TbRe = "tb=(\\d+)".r
+    val files: Seq[(Int, String, Long)] = for {
+      e <- m.entries
+      tbDir <- f.listStatus(new Path(root, e.name)).toSeq
+      tm <- TbRe.findFirstMatchIn(tbDir.getPath.getName).toSeq
+      if !e.skip.contains(tm.group(1).toLong)
+      st <- f.listStatus(tbDir.getPath).toSeq
+      if st.getPath.getName.endsWith(".parquet")
+    } yield (tm.group(1).toInt, st.getPath.toString, st.getLen)
+    val bc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .map { case (tb, file, bytes) =>
+        (tb, IvfIndex.FooterRead.rowCount(bc.value.value, file), bytes)
+      }
+      .toDF("tb", "n_rows", "bytes")
+      .groupBy("tb")
+      .agg(sum("n_rows").as("n_rows"), sum("bytes").as("bytes"),
+           count(lit(1)).as("files"))
+  }
+
   // -------------------------------------------------------------- read
 
   /** Every posting of the newest manifest (diagnostics / CLI display /

@@ -143,6 +143,15 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.search(spark, path, queries, k,
           pred = where.map(predicate(df, _)))
+      case Op.LexBucketProfile =>
+        // metadata-only: manifest constants + footer row totals (the
+        // per-BUCKET breakdown is operator-level diagnostics — bucket
+        // ids are a hash, not SQL-replayable; the spoken summary is)
+        val m = graft.operators.LexIndex.readManifest(spark, path)
+        graft.operators.LexIndex.bucketStats(spark, path)
+          .agg(coalesce(sum("n_rows"), lit(0L)).as("n_postings"))
+          .select(lit(m.buckets).cast("long").as("buckets"),
+            col("n_postings"), lit(m.nDocs).as("n_docs"))
       case Op.LexErase(keys) =>
         graft.operators.LexIndex.deleteByKey(spark, path, keys)
         lexContent(spark, path)

@@ -1523,17 +1523,25 @@ object NLParser {
         // "Profile the index by cell." — the IVF twin: per-cell counts
         // from parquet footers only (hot-cell skew visibility).
         p.next(); p.dropWords("the")
+        val onLex = p.peekWordLower.contains("lexical") && { p.next(); true }
         val onIndex = p.peekWordLower.contains("index") && { p.next(); true }
+        if (onLex && !onIndex) throw ParseException(
+          "'profile the lexical' needs 'index' after it")
         p.dropWords("events", "event", "log", "table")
         p.expectWord("by")
         p.peekWordLower match {
           case Some("day") | Some("date") if !onIndex => p.next()
-          case Some("cell") if onIndex => p.next()
+          case Some("cell") if onIndex && !onLex => p.next()
+          case Some("bucket") | Some("buckets") if onLex => p.next()
           case other => throw ParseException(
-            s"expected '${if (onIndex) "cell" else "day"}' after profile ... by, got $other")
+            s"expected '${if (onLex) "bucket" else if (onIndex) "cell" else "day"}' " +
+              s"after profile ... by, got $other")
         }
         requireDone(p)
-        Right(List(if (onIndex) Op.IndexCellProfile else Op.DayProfile))
+        Right(List(
+          if (onLex) Op.LexBucketProfile
+          else if (onIndex) Op.IndexCellProfile
+          else Op.DayProfile))
       case Some("read") | Some("load") =>
         // "Read the table at version 12." — time travel against the
         // bound manifested table; downstream clauses compose over the

@@ -610,6 +610,12 @@ object Op {
     * ([[graft.operators.LexIndex.deleteWhere]] — fully distributed;
     * NULL-predicate rows survive). */
   final case class LexEraseWhere(where: Pred)                      extends TableOp
+  /** Summary profile of the bound inverted index from its manifest and
+    * parquet FOOTERS only ([[graft.operators.LexIndex.bucketStats]] —
+    * no data scan): `(buckets, n_postings, n_docs)`. Footer row totals
+    * are exact, so the corpus postings replay is its oracle (the
+    * auto-derived bucket count replays as max(16, ⌊√vocabulary⌋)). */
+  case object LexBucketProfile                                     extends TableOp
   /** Fold the bound inverted index's segments into one
     * ([[graft.operators.LexIndex.compact]] — hot buckets re-tile, sync
     * cursors persist), then read the postings content back — content

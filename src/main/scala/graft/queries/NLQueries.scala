@@ -578,6 +578,16 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // Lexical index observability, spoken (nl110's shape, bucket side):
+    // manifest constants + footer totals, no data scan — the summary is
+    // corpus-replayable (the per-bucket breakdown is x113's
+    // self-certified diagnostics).
+    "nl137_lex_bucket_profile" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexIndexTable(s, d)
+      Engine.run("Profile the lexical index by bucket.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // MMR diversification, spoken — x112's greedy at the same operating
     // point, single spoken query (the embeddings table binds through
     // the catalog, as the hybrid route's vector arm does).
@@ -1119,6 +1129,7 @@ object NLQueries extends QueryPack {
     "nl136_mmr_docs" ->
       RetrievalQueries.mmrReplaySql(
         Seq(-1L -> Seq("spark", "join", "fast")), 5, 10, 0.7),
+    "nl137_lex_bucket_profile" -> RetrievalQueries.lexProfileReplaySql(),
     // offline index eval, spoken at x110/x111's exact constants —
     // identical oracle strings, interleaved twins
     "nl134_index_recall" ->

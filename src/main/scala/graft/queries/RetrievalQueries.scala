@@ -259,6 +259,24 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.search(s, p, queriesDf(s), K, k1 = K1, b = B)
     }),
 
+    // Per-bucket index observability from parquet footers only (the
+    // x86 recipe, lexical side — hot stop-word buckets are the
+    // inverted index's skew failure mode): bucket ids are a hash (not
+    // SQL-replayable), so the certificate is the x60 TRUE-literal
+    // pattern — footer totals must equal a full postings scan's
+    // group-by, bucket for bucket.
+    "x113_lex_bucket_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val p = lexIndexTable(s, d)
+      val footer = graft.operators.LexIndex.bucketStats(s, p)
+        .select("tb", "n_rows")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val scanned = graft.operators.LexIndex.readPostings(s, p)
+        .groupBy("tb").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Seq(footer == scanned && footer.nonEmpty).toDF("footer_equals_scan")
+    }),
+
     // MMR-diversified retrieval: BM25 depth-10 candidates re-selected
     // greedily for relevance minus redundancy (embedding cosine to the
     // already-picked set) — the standard RAG diversification pass.
@@ -522,5 +540,25 @@ object RetrievalQueries extends QueryPack {
 
     // The unrolled greedy — every objective bit-identical to the
     // operator's per-query fold.
-    "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda))
+    "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
+
+    // Footer-vs-scan equality is a Spark-side construction (bucket ids
+    // are a hash) — the TRUE-literal certificate.
+    "x113_lex_bucket_stats" -> "SELECT TRUE AS footer_equals_scan")
+
+  /** The spoken lexical-profile summary replay: the auto-derived bucket
+    * count is max(16, ⌊√vocabulary⌋) — IEEE sqrt is correctly rounded
+    * in both engines, so the floor agrees — and postings/doc totals
+    * recompute from the corpus. Valid for auto-built indexes (the
+    * fixture is). */
+  private[queries] def lexProfileReplaySql(docsSrc: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM $docsSrc),
+       |tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+       |v AS (SELECT count(DISTINCT term)::BIGINT AS nterms,
+       |             count(*)::BIGINT AS n_postings FROM tf),
+       |d AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf)
+       |SELECT GREATEST(16, CAST(FLOOR(SQRT(nterms::DOUBLE)) AS BIGINT))
+       |         AS buckets,
+       |       n_postings, n_docs
+       |FROM v, d""".stripMargin
 }

@@ -358,6 +358,23 @@ class LexIndexSpec extends SparkSpec {
       s"hybridServe jobs grew with the batch: $j1 jobs at 1 query, $j6 at 6")
   }
 
+  test("bucketStats: footer totals equal a full-scan group-by; " +
+       "erase-skipped buckets are excluded like every reader excludes them") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, buckets = 16)
+    LexIndex.append(Seq((100L, "spark zebra umbrella")).toDF("doc_id", "text"), p)
+    def footer() = LexIndex.bucketStats(spark, p).select("tb", "n_rows")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def scanned() = LexIndex.readPostings(spark, p).groupBy("tb").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(footer() == scanned() && footer().nonEmpty)
+    // after an erase, the skipped buckets' superseded bytes must not
+    // count — stats still equal what a reader sees
+    LexIndex.deleteByKey(spark, p, Seq(0L, 100L))
+    assert(footer() == scanned())
+    assert(footer().values.sum == LexIndex.readPostings(spark, p).count())
+  }
+
   test("a racing manifest version fails loudly (atomic publish)") {
     val p = freshPath()
     LexIndex.build(docsDf, p)

@@ -1029,6 +1029,11 @@ class NLParserSpec extends AnyFunSuite {
   }
 
   test("lexical index maintenance verbs; vector-index verbs unaffected") {
+    assert(NLParser.parse("Profile the lexical index by bucket.").ops ==
+      List(O.LexBucketProfile))
+    assert(NLParser.parse("Profile the index by cell.").ops ==
+      List(O.IndexCellProfile))
+    assert(NLParser.parse("Profile events by day.").ops == List(O.DayProfile))
     assert(NLParser.parse("Compact the lexical index.").ops ==
       List(O.LexCompact))
     assert(NLParser.parse("Compact the index.").ops == List(O.IndexCompact))
