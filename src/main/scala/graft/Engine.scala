@@ -23,8 +23,10 @@ object Engine {
     * catalog is the capability step beyond its `exec()` surface. */
   def run(description: String, input: DataFrame,
           catalog: Map[String, DataFrame] = Map.empty,
-          tablePath: Option[String] = None): DataFrame =
-    Compiler.compile(plan(description), input, catalog, tablePath)
+          tablePath: Option[String] = None,
+          vectorIndexPath: Option[String] = None): DataFrame =
+    Compiler.compile(plan(description), input, catalog, tablePath,
+                     vectorIndexPath)
 
   /** Full lifecycle on a [[TransformState]] — the deterministic
     * `app.invoke(state)` (agentic_workflow_transformation.py:259-267):
@@ -33,9 +35,11 @@ object Engine {
     * (maintenance / time-travel verbs act on it). */
   def invoke(state: TransformState, outDir: Option[String] = None,
              catalog: Map[String, DataFrame] = Map.empty,
-             tablePath: Option[String] = None): TransformState = {
+             tablePath: Option[String] = None,
+             vectorIndexPath: Option[String] = None): TransformState = {
     val p = plan(state.description)
-    val result = Compiler.compile(p, state.input, catalog, tablePath)
+    val result = Compiler.compile(p, state.input, catalog, tablePath,
+                                  vectorIndexPath)
     val path = outDir.map { dir =>
       graft.sources.Sinks.csvSingleFile(
         result, dir, graft.sources.Sinks.timestampedName(state.description)).toString

@@ -74,15 +74,24 @@ object Run {
       graft.operators.ManifestedLog.readManifestOpt(spark, p).isDefined ||
       graft.operators.IvfIndex.versions(spark, p).nonEmpty ||
       graft.operators.LexIndex.versions(spark, p).nonEmpty)
-    val catalog = args.drop(3).map { binding =>
+    // the reserved binding `vectorindex=<ivf-index-dir>` attaches a
+    // SECOND persisted index for the two-store serving sentences
+    // ("Search the lexical index … fused with vector […] …") — the
+    // lexical index is the input, the vector index binds here
+    val bindings = args.drop(3).map { binding =>
       binding.split("=", 2) match {
-        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> load(path)
+        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> path
         case _ => sys.error(s"expected name=path table binding, got '$binding'")
       }
-    }.toMap
+    }
+    val vectorIndexPath = bindings.collectFirst {
+      case ("vectorindex", p) => p }
+    val catalog = bindings.filterNot(_._1 == "vectorindex")
+      .map { case (name, path) => name -> load(path) }.toMap
     val finalState = Engine.invoke(
       TransformState(description, input), outDir = Some(outDir),
-      catalog = catalog, tablePath = tablePath)
+      catalog = catalog, tablePath = tablePath,
+      vectorIndexPath = vectorIndexPath)
     println(s"description : $description")
     println(s"plan        : ${finalState.plan.get.ops.mkString(" -> ")}")
     println(s"output      : ${finalState.outputPath.get}")

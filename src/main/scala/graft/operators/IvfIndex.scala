@@ -920,6 +920,26 @@ object IvfIndex {
     got
   }
 
+  /** [[lookupVectorsWith]]'s FRAME form — the same id-pushed pruned
+    * read returned as a DataFrame, so the fetched vectors flow straight
+    * into a downstream join/probe WITHOUT ever materializing on the
+    * driver (the serving path past the bounded-batch class: only the id
+    * literals and, downstream, the probed cell ids touch the driver).
+    * Missing ids surface when the caller validates (see
+    * [[Retrieval.hybridServe]]'s bounded anti-join check) — a frame
+    * can't fail at construction, it is lazy. */
+  private[graft] def lookupVectorsFrame(spark: SparkSession, path: String,
+                                        m: IndexManifest,
+                                        ids: Array[Long]): DataFrame = {
+    val base = readWith(spark, path, m).select(col("vec_id"), col("embedding"))
+    if (ids.length <= MaxProbedCellLiterals)
+      base.filter(col("vec_id").isin(ids: _*))
+    else {
+      import spark.implicits._
+      base.join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"))
+    }
+  }
+
   // ------------------------------------------------------------- search
 
   /** The probed-cell partition filter: a literal `IN` up to
@@ -960,7 +980,8 @@ object IvfIndex {
   private[graft] def searchWith(spark: SparkSession, path: String,
                                 m: IndexManifest, queries: DataFrame, k: Int,
                                 nprobe: Int, idCol: String, vecCol: String,
-                                pred: Option[Column]): DataFrame = {
+                                pred: Option[Column],
+                                excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.SketchFunctions.nearestCentroids
     require(k > 0 && nprobe > 0, s"k and nprobe must be positive")
     // ONE manifest resolves quantizer + segments together — a rebuild
@@ -974,8 +995,13 @@ object IvfIndex {
     val probed = qb.select("cell").distinct().collect().map(_.getLong(0))
     val corpus0 = pruneCells(readSegments(spark, root, m), probed)
     val corpus = pred.fold(corpus0)(corpus0.filter)
-    val scored = corpus.join(broadcast(qb), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    // excludeSelf = false is the LITERAL-query regime: the query is an
+    // external embedding, not a stored row, so nothing is "self" — a
+    // stored doc sharing the caller's query_id is a legitimate hit
+    val joined0 = corpus.join(broadcast(qb), Seq("cell"))
+    val joined = if (excludeSelf)
+      joined0.filter(col("vec_id") =!= col("query_id")) else joined0
+    val scored = joined
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               graft.functions.VectorFunctions.cosineSim(
                 col("q_vec"), col("embedding")).as("score"))

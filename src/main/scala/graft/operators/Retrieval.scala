@@ -234,23 +234,73 @@ object Retrieval {
                   k: Int, depth: Int, nprobe: Int, c: Int = 60,
                   pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
-    val lex = LexIndex.search(spark, lexPath, queries, depth, pred = pred)
-      .select(col("query_id"), col("doc_id"), col("rank"))
     // ONE manifest read shared by the batched vector fetch and the
     // probe — internally consistent under concurrent rebuild
     val m = IvfIndex.readManifestFull(spark, ivfPath)
-    // bounded driver collect: the serving batch's query ids; the vector
-    // fetch is then ONE id-pushed pruned read — job count constant in
-    // |queries| (spec-pinned), never a per-id driver loop
+    // bounded driver collect: the serving batch's query IDS (8 bytes
+    // each — never the vectors); the fetch is then ONE id-pushed pruned
+    // read kept AS A FRAME flowing straight into the probe, so the
+    // query embeddings themselves never materialize on the driver at
+    // any batch size. Job count stays constant in |queries|
+    // (spec-pinned): the id collect, the missing-id check, the probe.
     val ids = queries.select("query_id").collect().map(_.getLong(0))
-    val vecs = IvfIndex.lookupVectorsWith(spark, ivfPath, m, ids)
-    val qVecs = spark.createDataFrame(ids.toSeq.map(id => (id, vecs(id))))
-      .toDF("vec_id", "embedding")
+    val qVecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+      .select(col("vec_id"), col("embedding"))
+    // fail-loud contract of the by-id fetch, distributed: a bounded
+    // anti-join sample (≤ 8 rows collect) instead of a full
+    // driver-side map — an unserved query must never just vanish
+    // from the fused ranking
+    import spark.implicits._
+    val missing = ids.toSeq.toDF("vec_id")
+      .join(qVecs, Seq("vec_id"), "left_anti").limit(8)
+      .collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"vec_ids ${missing.mkString(", ")} are not stored in the index " +
+        s"at $ivfPath")
     // the query vectors are FETCHED from the index unfiltered (the
     // query document itself may not match the predicate — it is the
     // probe, not a candidate); the predicate filters candidates only
+    serveArms(spark, lexPath, ivfPath, m, queries, qVecs,
+      excludeSelf = true, k, depth, nprobe, c, pred)
+  }
+
+  /** [[hybridServe]] for LITERAL query vectors — the production hybrid
+    * sentence: a FRESH embedding plus keywords, neither stored anywhere
+    * ("docs about spark join, near this just-computed embedding").
+    * Queries carry all three columns `(query_id, terms, embedding)`;
+    * nothing is fetched by id, and the vector arm does NOT self-exclude
+    * (the [[hybridTopK]] semantics: an external query has no "self" —
+    * the stored doc nearest the literal is the best hit, even if its id
+    * happens to equal the caller's query_id). Zero corpus scans, as
+    * [[hybridServe]]: the lexical arm reads the spoken terms' bucket
+    * partitions, the vector arm the probed cells' partitions. */
+  def hybridServeLiteral(spark: org.apache.spark.sql.SparkSession,
+                         lexPath: String, ivfPath: String, queries: DataFrame,
+                         k: Int, depth: Int, nprobe: Int, c: Int = 60,
+                         pred: Option[org.apache.spark.sql.Column] = None,
+                         vecCol: String = "embedding"): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val qVecs = queries.select(col("query_id").as("vec_id"), col(vecCol))
+    serveArms(spark, lexPath, ivfPath, m, queries.select("query_id", "terms"),
+      qVecs, excludeSelf = false, k, depth, nprobe, c, pred)
+  }
+
+  /** The shared at-rest fusion tail: lexical probe + vector probe over
+    * an already-resolved manifest, RRF-fused. `qVecs` is `(vec_id,
+    * embedding)` — fetched from the index ([[hybridServe]]) or carried
+    * literally by the queries ([[hybridServeLiteral]]). */
+  private def serveArms(spark: org.apache.spark.sql.SparkSession,
+                        lexPath: String, ivfPath: String,
+                        m: IvfIndex.IndexManifest,
+                        queries: DataFrame, qVecs: DataFrame,
+                        excludeSelf: Boolean, k: Int, depth: Int,
+                        nprobe: Int, c: Int,
+                        pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val lex = LexIndex.search(spark, lexPath, queries, depth, pred = pred)
+      .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = IvfIndex.searchWith(spark, ivfPath, m, qVecs, depth, nprobe,
-        "vec_id", "embedding", pred)
+        "vec_id", "embedding", pred, excludeSelf)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(lex, vec, k, c)
   }

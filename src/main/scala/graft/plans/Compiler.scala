@@ -37,14 +37,23 @@ object Compiler {
     * read. */
   def compile(plan: Plan, input: DataFrame,
               catalog: Map[String, DataFrame],
-              tablePath: Option[String]): DataFrame = {
+              tablePath: Option[String]): DataFrame =
+    compile(plan, input, catalog, tablePath, None)
+
+  /** As above, additionally binding a PERSISTED VECTOR INDEX path for
+    * the two-store serving verbs ([[Op.LexHybridServe]] — the lexical
+    * index binds as the table path, the IVF index here). */
+  def compile(plan: Plan, input: DataFrame,
+              catalog: Map[String, DataFrame],
+              tablePath: Option[String],
+              vectorIndexPath: Option[String]): DataFrame = {
     plan.ops.zipWithIndex.drop(1).foreach {
       case (t: Op.TableOp, i) => throw InvalidPlanException(
         s"table op $t must lead the plan, found at position ${i + 1}")
       case _ => ()
     }
     plan.ops.foldLeft(input) {
-      case (df, t: Op.TableOp) => applyTableOp(df, t, tablePath)
+      case (df, t: Op.TableOp) => applyTableOp(df, t, tablePath, vectorIndexPath)
       case (df, op)            => applyOp(df, op, catalog)
     }
   }
@@ -54,7 +63,8 @@ object Compiler {
     * read), so downstream clauses compose and a content oracle certifies
     * the op changed layout/history, never data. */
   private def applyTableOp(df: DataFrame, op: Op.TableOp,
-                           tablePath: Option[String]): DataFrame = {
+                           tablePath: Option[String],
+                           vectorIndexPath: Option[String] = None): DataFrame = {
     import graft.operators.ManifestedLog
     val spark = df.sparkSession
     val path = tablePath.getOrElse(throw InvalidPlanException(
@@ -143,6 +153,18 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.search(spark, path, queries, k,
           pred = where.map(predicate(df, _)))
+      case Op.LexHybridServe(terms, vec, k, depth, nprobe) =>
+        // the literal query carries BOTH modalities inline (query_id
+        // -1, outside the stored id space); the lexical index is the
+        // bound table, the vector index binds separately — one spoken
+        // sentence, two pruned index probes, zero corpus scans
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the hybrid serves from both stores"))
+        val queries = spark.createDataFrame(Seq((-1L, terms, vec)))
+          .toDF("query_id", "terms", "embedding")
+        graft.operators.Retrieval.hybridServeLiteral(spark, path, ivfPath,
+          queries, k, depth, nprobe)
       case Op.LexBucketProfile =>
         // metadata-only: manifest constants + footer row totals (the
         // per-BUCKET breakdown is operator-level diagnostics — bucket

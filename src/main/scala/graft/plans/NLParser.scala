@@ -1695,6 +1695,29 @@ object NLParser {
           p.dropWords("documents", "docs")
           p.expectWord("matching")
           val terms = termList(p)
+          if (p.peekWordLower.contains("fused")) {
+            // "… matching spark, join fused with vector [0.1, …] at
+            // depth 20 probing 4 cells." — the LITERAL-query hybrid:
+            // a fresh embedding + keywords served from BOTH bound
+            // indexes (lexical buckets + IVF cells), RRF-fused
+            p.next(); p.expectWord("with"); p.dropWords("the")
+            p.expectWord("vector")
+            val vec = vectorLiteral(p)
+            val depth = p.peekWordLower match {
+              case Some("at") =>
+                p.next(); p.expectWord("depth"); p.expectNum().toInt
+              case _ => 20
+            }
+            if (depth < k) throw ParseException(
+              s"fusion depth $depth must be at least k=$k")
+            p.expectWord("probing")
+            val np = p.expectNum().toInt
+            if (np <= 0) throw ParseException(
+              s"probed cell count must be positive: $np")
+            p.dropWords("cells", "cell")
+            requireDone(p)
+            return Right(List(Op.LexHybridServe(terms, vec, k, depth, np)))
+          }
           val where = p.peekWordLower match {
             case Some("where") => p.next(); Some(parsePred(p))
             case _             => None

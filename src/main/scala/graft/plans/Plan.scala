@@ -564,6 +564,18 @@ object Op {
     * matching documents). */
   final case class LexSearch(terms: Seq[String], k: Int,
                              where: Option[Pred] = None)           extends TableOp
+  /** LITERAL-query hybrid serving over TWO bound indexes — the
+    * production RAG sentence: a FRESH embedding plus keywords, lexical
+    * arm from the bound inverted index (bucket-pruned), vector arm from
+    * the bound IVF index (cell-pruned, NOT self-excluded — an external
+    * query has no "self"), RRF-fused to the top-k
+    * ([[graft.operators.Retrieval.hybridServeLiteral]]). The vector
+    * index binds through the compile-time `vectorIndexPath`, the
+    * lexical one through the table path, so one spoken sentence probes
+    * both stores with zero corpus scans. */
+  final case class LexHybridServe(terms: Seq[String], vec: Seq[Float],
+                                  k: Int, depth: Int,
+                                  nprobe: Int)                     extends TableOp
   /** Physical compliance erasure of vector ids from the bound index
     * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
     * to the cells containing the ids, one atomic flip; vacuum/compact

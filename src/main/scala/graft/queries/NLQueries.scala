@@ -588,6 +588,21 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // The LITERAL-query hybrid, spoken — the production serving
+    // sentence the by-id form can't speak: a fresh embedding plus
+    // keywords, served from BOTH bound indexes (the lexical index binds
+    // as the table, the IVF index through vectorIndexPath), RRF-fused,
+    // zero corpus scans. x114's twin (shared oracle string).
+    "nl138_hybrid_serve_literal" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast fused with vector " +
+                 s"${VectorQueries.litVecSpoken} at depth 20 probing 4 cells.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // MMR diversification, spoken — x112's greedy at the same operating
     // point, single spoken query (the embeddings table binds through
     // the catalog, as the hybrid route's vector arm does).
@@ -1112,6 +1127,9 @@ object NLQueries extends QueryPack {
     "nl126_hybrid_docs" ->
       RetrievalQueries.hybridReplaySql(
         Seq(0L -> Seq("spark", "join", "fast")), 5, 20),
+    // the literal-query hybrid shares x114's exact string (same
+    // constants: terms, k=5, depth 20, nprobe 4) → interleaved twins
+    "nl138_hybrid_serve_literal" -> RetrievalQueries.litHybridReplaySql,
     // filtered pair: nl129 shares nl128's string (probe ≡ scan)
     "nl128_bm25_filtered" ->
       RetrievalQueries.bm25ReplaySql(

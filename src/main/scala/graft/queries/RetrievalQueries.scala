@@ -43,6 +43,15 @@ object RetrievalQueries extends QueryPack {
   private def queriesDf(s: SparkSession): DataFrame =
     s.createDataFrame(BmQueries).toDF("query_id", "terms")
 
+  /** The literal-hybrid fixture: ONE query carrying BOTH modalities
+    * inline — nl125's terms and the deterministic out-of-corpus literal
+    * vector ([[VectorQueries.LitVec]]), query_id -1 (outside the stored
+    * id space, matching the oracle's `qv` VALUES row). */
+  private[queries] val LitHybridTerms: Seq[String] = Seq("spark", "join", "fast")
+  private[queries] def litHybridQueriesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq((-1L, LitHybridTerms, VectorQueries.LitVec.toSeq)))
+      .toDF("query_id", "terms", "embedding")
+
   /** The filtered-serving slice: the documents table's own `lang`
     * attribute (x102/x103/nl128/nl129), and the embeddings' `label`
     * viewed through doc_id ≡ vec_id for the hybrid arm (x104). */
@@ -277,6 +286,17 @@ object RetrievalQueries extends QueryPack {
       Seq(footer == scanned && footer.nonEmpty).toDF("footer_equals_scan")
     }),
 
+    // The LITERAL-query hybrid probe — the production serving sentence
+    // the by-id form can't speak: a FRESH embedding (never stored) plus
+    // keywords. Lexical arm from the inverted index, vector arm from
+    // the IVF index probed by the literal vector (query_id -1, nothing
+    // self-excluded — external queries have no "self"), RRF-fused;
+    // still zero corpus scans.
+    "x114_hybrid_serve_literal" -> ((s: SparkSession, d: String) =>
+      graft.operators.Retrieval.hybridServeLiteral(s, lexIndexTable(s, d),
+        VectorQueries.ivfIndexTable(s, d), litHybridQueriesDf(s), K, Depth,
+        IvfNProbe, RrfC)),
+
     // MMR-diversified retrieval: BM25 depth-10 candidates re-selected
     // greedily for relevance minus redundancy (embedding cosine to the
     // already-picked set) — the standard RAG diversification pass.
@@ -476,7 +496,14 @@ object RetrievalQueries extends QueryPack {
        |${VectorQueries.ivfReplaySqlFor(idPred, nprobe, depth,
           filterLabel.map(VectorQueries.labelCandFilter))}
        |),
-       |hfused AS (
+       |${fuseTailSql(k)}""".stripMargin
+  }
+
+  /** The fused tail shared by every at-rest hybrid replay: RRF over a
+    * `lexr(query_id, doc_id, rank)` and a `vecr(query_id, neighbor_id,
+    * rank)` CTE pair, final rank ≤ k. */
+  private def fuseTailSql(k: Int): String =
+    s"""hfused AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
        |    coalesce(1.0::DOUBLE / (${RrfC.toDouble}::DOUBLE + l.rank::DOUBLE),
@@ -492,7 +519,26 @@ object RetrievalQueries extends QueryPack {
        |    ORDER BY score DESC, doc_id ASC) AS rank
        |  FROM hfused)
        |WHERE rank <= $k""".stripMargin
-  }
+
+  /** The literal-query hybrid replay: the lexical arm is the plain BM25
+    * replay for the spoken terms under query_id -1; the vector arm is
+    * the LITERAL-vector IVF probe replay (same -1, candidates NOT
+    * self-excluded — [[VectorQueries.ivfLiteralReplaySql]] already
+    * carries both properties); RRF-fused by the shared tail. */
+  /** Shared verbatim by x114 and its NL twin (same constants, so the
+    * driver interleaves the pair as bench twins). */
+  private[queries] lazy val litHybridReplaySql: String =
+    hybridServeLiteralReplaySql(LitHybridTerms, K, Depth, IvfNProbe)
+
+  private def hybridServeLiteralReplaySql(terms: Seq[String], k: Int,
+                                          depth: Int, nprobe: Int): String =
+    s"""WITH lexr AS (
+       |${bm25ReplaySql(Seq(-1L -> terms), depth)}
+       |),
+       |vecr AS (
+       |${VectorQueries.ivfLiteralReplaySql(depth, nprobe)}
+       |),
+       |${fuseTailSql(k)}""".stripMargin
 
   override val oracleSql: Map[String, String] = Map(
     "x98_bm25_topk"  -> bm25ReplaySql(BmQueries, K),
@@ -537,6 +583,10 @@ object RetrievalQueries extends QueryPack {
     // gate prove both booleans.
     "x108_lex_sync" ->
       "SELECT TRUE AS synced_probe_equal, TRUE AS resync_noop",
+
+    // Literal-query hybrid: fresh embedding + keywords, both arms'
+    // replays already proven separately, fused by the shared tail.
+    "x114_hybrid_serve_literal" -> litHybridReplaySql,
 
     // The unrolled greedy — every objective bit-identical to the
     // operator's per-query fold.

@@ -119,6 +119,77 @@ class LexIndexSpec extends SparkSpec {
     assert(!vec.collect().map(_.getLong(1)).contains(0L))
   }
 
+  test("hybridServeLiteral: a fresh embedding + keywords serve with NO " +
+       "self-exclusion and zero corpus scans; equals the composed arms") {
+    val lexP = freshPath()
+    LexIndex.build(docsDf, lexP)
+    val ivfP = freshPath()
+    val embs = docsFx.map { case (id, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    // the query_id COLLIDES with stored doc 0 on purpose, and the
+    // literal embedding IS doc 0's stored vector: the literal regime
+    // must still rank doc 0 (an external query has no "self")
+    val vec0 = Array.tabulate(4)(j => ((0 * 7 + j * 3) % 10 / 10.0f) - 0.4f)
+    val qs = spark.createDataFrame(
+        Seq((0L, Seq("spark", "join"), vec0.toSeq)))
+      .toDF("query_id", "terms", "embedding")
+    val out = Retrieval.hybridServeLiteral(spark, lexP, ivfP, qs, 3,
+      depth = 5, nprobe = 2)
+    out.collect()
+    val scans = graft.SparkSpec.executedFileScans(out)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("/seg-"))),
+      "hybridServeLiteral read a non-index file")
+    // equals the hand-composed arms — the vector arm probed by the
+    // literal with excludeSelf = false, so doc 0 is its (cosine 1) top hit
+    val m = IvfIndex.readManifestFull(spark, ivfP)
+    val vec = IvfIndex.searchWith(spark, ivfP, m,
+        qs.select(col("query_id").as("vec_id"), col("embedding")), 5, 2,
+        "vec_id", "embedding", None, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    assert(vec.collect().map(_.getLong(1)).contains(0L),
+      "the literal arm self-excluded a legitimate hit")
+    val lex = LexIndex.search(spark, lexP, qs.select("query_id", "terms"), 5)
+      .select("query_id", "doc_id", "rank")
+    assert(rows(out) == rows(Retrieval.rrfFuse(lex, vec, 3)))
+  }
+
+  test("hybridServe's query vectors flow as a FRAME (the fetch scan sits " +
+       "in the probe's own plan) and a missing id still fails loudly") {
+    val lexP = freshPath()
+    LexIndex.build(docsDf, lexP)
+    val ivfP = freshPath()
+    val embs = docsFx.map { case (id, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    val qs = queriesDf(0L -> Seq("spark", "join"))
+    val out = Retrieval.hybridServe(spark, lexP, ivfP, qs, 3,
+      depth = 5, nprobe = 1)
+    out.collect()
+    // TWO scans of the vector index in ONE executed plan — the id-pushed
+    // query-vector fetch and the cell-pruned candidate probe. The old
+    // driver-side path collected the vectors into a LocalRelation, which
+    // left exactly one. The fetch scan carries the pushed vec_id filter.
+    val ivfScans = graft.SparkSpec.executedFileScans(out).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(ivfP)))
+    assert(ivfScans.size >= 2,
+      s"expected fetch + probe scans of the vector index, got ${ivfScans.size}")
+    // one id folds isin → EqualTo; either form must reach the scan
+    assert(ivfScans.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("vec_id") &&
+        (f.contains("In(") || f.contains("EqualTo")))),
+      "query-vector fetch lost the pushed vec_id filter")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridServe(spark, lexP, ivfP,
+        queriesDf(99L -> Seq("spark")), 3, depth = 5, nprobe = 1).collect()
+    }
+    assert(e.getMessage.contains("not stored"))
+  }
+
   test("compact folds appends into one segment, content-invariant; " +
        "the probe then reads ≤ probed buckets from the folded segment only") {
     val p = freshPath()
