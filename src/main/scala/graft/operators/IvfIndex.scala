@@ -740,11 +740,43 @@ object IvfIndex {
     }
   }
 
+  private def manifestFile(v: Long): String = f"index-manifest-$v%09d.txt"
+
+  /** Reader pins — the shared [[Pins]] protocol ([[ManifestedLog.pin]]'s
+    * contract, index side): a long-running reader (an offline
+    * evaluation replaying one index version, a serving fleet draining
+    * on a pinned snapshot) pins its version BEFORE the long read, and
+    * [[vacuum]] keeps every pinned manifest (and the segments,
+    * centroids, and PQ codebooks it references) until unpinned. The
+    * pin-vs-vacuum race resolves by the symmetric handshake in
+    * Pins.scala — a pin either protects its version or fails loudly at
+    * pin time, never silently protects nothing. */
+  def pin(spark: SparkSession, path: String, name: String, version: Long): Long = {
+    val root = new Path(path)
+    Pins.pin(fs(spark, root), root, name, version, versions(spark, path),
+      manifestFile)
+  }
+
+  /** Drop the named pin; true if it existed. */
+  def unpin(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new Path(path)
+    Pins.unpin(fs(spark, root), root, name)
+  }
+
+  /** All registered pins, name → version. */
+  def pins(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new Path(path)
+    Pins.pins(fs(spark, root), root)
+  }
+
   /** Drop superseded manifests, the segments and quantizer files no
     * retained manifest references, and — completing [[deleteByKey]]'s
     * physical erasure — every cell directory ALL retaining manifests
     * skip (a skipped cell is unreferenced by definition: readers prune
     * it at listing).
+    *
+    * Retention is keepVersions ∪ [[pin]]s: every pinned manifest
+    * survives (with everything it references) until unpinned.
     *
     * `orphanMinAgeMs` guards entries NO manifest has EVER referenced —
     * exactly what an in-flight [[append]]'s token-named segment, a
@@ -766,8 +798,22 @@ object IvfIndex {
     require(vs.nonEmpty, s"no index manifest under $path")
     def refsOf(m: IndexManifest): Set[String] =
       m.segments.toSet + m.centroidsFile ++ m.pqFile
-    val kept = vs.takeRight(keepVersions).toSet
+    // retention = newest K ∪ pinned (a long-running reader's pinned
+    // probe version survives maintenance — the [[ManifestedLog]]
+    // contract, index side); pins on already-gone versions protect
+    // nothing (pin() fails loudly at creation, where the reader can
+    // still react)
+    val pinnedKept = Pins.pins(f, root).values.filter(vs.contains).toSet
+    val kept0 = vs.takeRight(keepVersions).toSet ++ pinnedKept
+    // prefetch every manifest's refs BEFORE any delete, so live can be
+    // recomputed from whichever manifests actually survive the sweep
     val manifests = vs.map(v => v -> readManifestAt(spark, path, v)).toMap
+    // manifest sweep with the pin handshake (trash-rename, re-read
+    // pins, restore or drop — no interleaving leaves a pin useless)
+    val (alsoKept, removedManifests) = Pins.sweepManifests(f, root,
+      vs.filterNot(kept0.contains), manifestFile)
+    val kept = kept0 ++ alsoKept
+    var removed = removedManifests
     val live = kept.flatMap(v => refsOf(manifests(v)))
     // the complement of ever-referenced is where an in-flight writer
     // may still be staging — that's what the age guard protects
@@ -778,12 +824,10 @@ object IvfIndex {
     def sweepable(name: String, st: org.apache.hadoop.fs.FileStatus): Boolean =
       !live.contains(name) &&
         (referencedEver.contains(name) || orphanOldEnough(st))
-    var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
-        case ManifestRe(v) if !kept.contains(v.toLong) =>
-          f.delete(st.getPath, false); removed += 1
+        case ManifestRe(_) => () // handled by the pin-aware sweep above
         case _ if name.startsWith("seg-") && sweepable(name, st) =>
           f.delete(st.getPath, true); removed += 1
         case _ if (name.startsWith("centroids-") || name.startsWith("pq-")) &&

@@ -592,15 +592,44 @@ object LexIndex {
     }
   }
 
+  private def manifestFile(v: Long): String = f"lex-manifest-$v%09d.txt"
+
+  /** Reader pins — the shared [[Pins]] protocol ([[ManifestedLog.pin]]'s
+    * contract, postings side): a long-running reader (a retrieval
+    * evaluation replaying one index version) pins BEFORE the long read,
+    * and [[vacuum]] keeps every pinned manifest with its segments until
+    * unpinned. The pin-vs-vacuum race resolves by the symmetric
+    * handshake in Pins.scala — a pin either protects its version or
+    * fails loudly at pin time. */
+  def pin(spark: SparkSession, path: String, name: String, version: Long): Long = {
+    val root = new Path(path)
+    Pins.pin(fs(spark, root), root, name, version, versions(spark, path),
+      manifestFile)
+  }
+
+  /** Drop the named pin; true if it existed. */
+  def unpin(spark: SparkSession, path: String, name: String): Boolean = {
+    val root = new Path(path)
+    Pins.unpin(fs(spark, root), root, name)
+  }
+
+  /** All registered pins, name → version. */
+  def pins(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new Path(path)
+    Pins.pins(fs(spark, root), root)
+  }
+
   /** Drop superseded manifests, the segments no retained manifest
     * references, and — completing [[deleteByKey]]'s physical erasure —
-    * every bucket directory ALL retaining manifests skip. The
-    * `orphanMinAgeMs` guard protects never-referenced entries an
-    * in-flight [[append]]/[[ingest]] is still staging (the
-    * [[IvfIndex.vacuum]] contract): sweeps beside live ingest should
-    * set it above the longest append; the 0 default keeps eager
-    * cleanup for single-writer use. Also reclaims the orphaned segment
-    * a crashed appender left behind (written, never published). */
+    * every bucket directory ALL retaining manifests skip. Retention is
+    * keepVersions ∪ [[pin]]s: every pinned manifest survives with its
+    * segments until unpinned. The `orphanMinAgeMs` guard protects
+    * never-referenced entries an in-flight [[append]]/[[ingest]] is
+    * still staging (the [[IvfIndex.vacuum]] contract): sweeps beside
+    * live ingest should set it above the longest append; the 0 default
+    * keeps eager cleanup for single-writer use. Also reclaims the
+    * orphaned segment a crashed appender left behind (written, never
+    * published). */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
              orphanMinAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -609,8 +638,15 @@ object LexIndex {
     val f = fs(spark, root)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no lex manifest under $path")
-    val kept = vs.takeRight(keepVersions).toSet
+    val pinnedKept = Pins.pins(f, root).values.filter(vs.contains).toSet
+    val kept0 = vs.takeRight(keepVersions).toSet ++ pinnedKept
+    // prefetch refs BEFORE any delete, so live recomputes from the
+    // manifests that actually survive the pin-aware sweep
     val manifests = vs.map(v => v -> readManifestAt(spark, path, v)).toMap
+    val (alsoKept, removedManifests) = Pins.sweepManifests(f, root,
+      vs.filterNot(kept0.contains), manifestFile)
+    val kept = kept0 ++ alsoKept
+    var removed = removedManifests
     val live = kept.flatMap(v => manifests(v).segments)
     val referencedEver = vs.flatMap(v => manifests(v).segments).toSet
     val orphanCutoffMs = System.currentTimeMillis() - orphanMinAgeMs
@@ -619,12 +655,10 @@ object LexIndex {
     def sweepable(name: String, st: org.apache.hadoop.fs.FileStatus): Boolean =
       !live.contains(name) &&
         (referencedEver.contains(name) || orphanOldEnough(st))
-    var removed = 0L
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       name match {
-        case ManifestRe(v) if !kept.contains(v.toLong) =>
-          f.delete(st.getPath, false); removed += 1
+        case ManifestRe(_) => () // handled by the pin-aware sweep above
         case _ if name.startsWith("seg-") && sweepable(name, st) =>
           f.delete(st.getPath, true); removed += 1
         case _ if name.startsWith(".") && orphanOldEnough(st) =>

@@ -980,77 +980,29 @@ object ManifestedLog {
   // manifests themselves.
   // ------------------------------------------------------------------
 
-  private val PinRe = "pin-(.+)\\.txt".r
-  private def pinsDir(root: Path) = new Path(root, "_pins")
+  private def manifestFile(v: Long): String = f"manifest-$v%09d.txt"
 
-  /** Register (or move) the named pin onto a RETAINED version. Returns
-    * the pinned version. Pin BEFORE starting the long read: a pin
-    * created after a racing vacuum already deleted the version fails
-    * here, loudly, instead of silently protecting nothing. Re-pinning
-    * an existing name replaces it (delete + rename — the crash window
-    * between the two leaves the name unpinned; a restarting reader
-    * re-pins as its first step, which is also what makes the window
-    * harmless). */
+  /** Register (or move) the named pin onto a RETAINED version — the
+    * shared [[Pins]] protocol (publish-then-verify half of the
+    * pin-vs-vacuum handshake; see Pins.scala for the full argument).
+    * Returns the pinned version; fails LOUDLY if a racing sweep already
+    * reclaimed it. */
   def pin(spark: SparkSession, path: String, name: String, version: Long): Long = {
-    require(name.nonEmpty && name.forall(c =>
-      c.isLetterOrDigit || c == '-' || c == '_'),
-      s"pin names are [A-Za-z0-9_-]+, got '$name'")
     val root = new Path(path)
-    val f = fs(spark, root)
-    if (!versions(spark, path).contains(version)) sys.error(
-      s"cannot pin version $version of $path: not retained " +
-        s"(have: ${versions(spark, path).mkString(", ")})")
-    val dir = pinsDir(root)
-    if (!f.exists(dir)) f.mkdirs(dir)
-    val target = new Path(dir, s"pin-$name.txt")
-    val tmp = new Path(dir, s".pin-$name.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      sys.error(s"publishing pin $target failed; tmp content is in $tmp")
-    // Re-verify AFTER publishing — one half of the pin-vs-vacuum
-    // handshake (vacuum's is trash-rename-then-re-read-pins): each side
-    // writes its claim, then checks the other's. If the manifest still
-    // exists here, any sweep that would reclaim it must trash-rename it
-    // FIRST and then re-read _pins/ — where this pin now sits — so it
-    // restores the manifest instead. If the manifest is gone (a sweep's
-    // rename won), the pin protected nothing: remove it and fail loudly
-    // (the contract is fail-at-pin-time, where the reader can still
-    // react, never a silently useless pin).
-    if (!f.exists(new Path(root, f"manifest-$version%09d.txt"))) {
-      f.delete(target, false)
-      sys.error(
-        s"version $version of $path was vacuumed while pin '$name' was " +
-          "being created — the pin would protect nothing; re-resolve the " +
-          "newest version and pin again")
-    }
-    version
+    Pins.pin(fs(spark, root), root, name, version, versions(spark, path),
+      manifestFile)
   }
 
   /** Drop the named pin; true if it existed. */
   def unpin(spark: SparkSession, path: String, name: String): Boolean = {
     val root = new Path(path)
-    val f = fs(spark, root)
-    f.delete(new Path(pinsDir(root), s"pin-$name.txt"), false)
+    Pins.unpin(fs(spark, root), root, name)
   }
 
   /** All registered pins, name → version. */
   def pins(spark: SparkSession, path: String): Map[String, Long] = {
     val root = new Path(path)
-    val f = fs(spark, root)
-    val dir = pinsDir(root)
-    if (!f.exists(dir)) return Map.empty
-    f.listStatus(dir).flatMap { st =>
-      st.getPath.getName match {
-        case PinRe(name) =>
-          val in = f.open(st.getPath)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                     finally in.close()
-          Some(name -> text.trim.toLong)
-        case _ => None
-      }
-    }.toMap
+    Pins.pins(fs(spark, root), root)
   }
 
   /** Delete data directories no RETAINED manifest references, manifests
@@ -1116,30 +1068,14 @@ object ManifestedLog {
     val orphanCutoffMs = nowMs - orphanMinAgeMs
     def orphanOldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
       orphanMinAgeMs == 0L || st.getModificationTime < orphanCutoffMs
-    var removed = 0L
     // Phase 1 — manifests, with the pin handshake that closes the
-    // pin-vs-vacuum race: TRASH-RENAME the manifest aside (atomic),
-    // THEN re-read _pins/ (tiny), then restore or drop. Symmetric to
-    // pin()'s publish-then-verify, so every interleaving resolves
-    // consistently: a pin that lands before our re-read restores the
-    // manifest (and its dirs — live is computed AFTER this phase); a
-    // pin that lands after our rename finds the manifest missing in
-    // its own verify step and fails loudly there. No ordering leaves a
-    // pin silently protecting nothing.
-    val alsoKept = scala.collection.mutable.Set.empty[Long]
-    vs.filterNot(kept.contains).foreach { v =>
-      val mf = new Path(root, f"manifest-$v%09d.txt")
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val trash = new Path(root, s".vacuum-trash-$v-$token")
-      if (f.rename(mf, trash)) {
-        if (pins(spark, path).values.exists(_ == v)) {
-          if (!f.rename(trash, mf)) sys.error(
-            s"restoring pinned manifest $mf from $trash failed — " +
-              "restore it manually before the next sweep")
-          alsoKept += v
-        } else { f.delete(trash, false); removed += 1 }
-      }
-    }
+    // pin-vs-vacuum race (the shared [[Pins.sweepManifests]]:
+    // trash-rename aside, re-read _pins/, restore or drop — symmetric
+    // to pin()'s publish-then-verify, so no interleaving leaves a pin
+    // silently protecting nothing; live is computed AFTER this phase).
+    val (alsoKept, removedManifests) = Pins.sweepManifests(f, root,
+      vs.filterNot(kept.contains), manifestFile)
+    var removed = removedManifests
     // Phase 2 — data dirs + staging, live recomputed from survivors
     val live = (kept ++ alsoKept).flatMap(refsByVersion).toSet
     // every dir ANY still-present manifest references — the complement

@@ -625,6 +625,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(!f.exists(new Path(p, ".index-manifest-2-abc.tmp")))
   }
 
+  test("a pinned index version survives vacuum (manifest + segments); " +
+       "unpinning releases it; a late pin fails loudly") {
+    val p = freshPath()
+    IvfIndex.build(embs, p, Cells)                  // v1
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1's segment dirs — referenced by v1 only once compact publishes
+    // a folded v2
+    val v1Segs = f.listStatus(new Path(p)).map(_.getPath.getName)
+      .filter(_.startsWith("seg-")).toSeq
+    IvfIndex.compact(spark, p)                      // v2 (fresh segment)
+    assert(IvfIndex.pin(spark, p, "evaluator", 1L) == 1L)
+    assert(IvfIndex.pins(spark, p) == Map("evaluator" -> 1L))
+    IvfIndex.vacuum(spark, p, keepVersions = 1)
+    // the pinned manifest AND the segments it references survived
+    assert(IvfIndex.versions(spark, p) == Seq(1L, 2L))
+    assert(v1Segs.forall(s => f.exists(new Path(p, s))),
+      "vacuum reclaimed a pinned version's segments")
+    // the live probe is unaffected throughout
+    val queries = embs.filter(col("vec_id") < 2)
+    assert(IvfIndex.search(spark, p, queries, K, NProbe).count() > 0)
+    // released pin → next vacuum reclaims; late re-pin fails loudly
+    assert(IvfIndex.unpin(spark, p, "evaluator"))
+    IvfIndex.vacuum(spark, p, keepVersions = 1)
+    assert(IvfIndex.versions(spark, p) == Seq(2L))
+    assert(v1Segs.forall(s => !f.exists(new Path(p, s))),
+      "released version's segments were not reclaimed")
+    val e = intercept[RuntimeException](IvfIndex.pin(spark, p, "late", 1L))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("compact folds segments; vacuum reclaims; crash leaves the index intact") {
     val p = freshPath()
     IvfIndex.build(embs.filter(col("vec_id") % 2 === 0), p, Cells)

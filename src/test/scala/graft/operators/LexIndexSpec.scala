@@ -119,6 +119,34 @@ class LexIndexSpec extends SparkSpec {
     assert(!vec.collect().map(_.getLong(1)).contains(0L))
   }
 
+  test("a pinned lexical index version survives vacuum (manifest + " +
+       "segments); unpinning releases it; a late pin fails loudly") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p)                       // v1
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Segs = f.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).toSeq
+    LexIndex.compact(spark, p)                      // v2 (fresh segment)
+    assert(LexIndex.pin(spark, p, "evaluator", 1L) == 1L)
+    assert(LexIndex.pins(spark, p) == Map("evaluator" -> 1L))
+    LexIndex.vacuum(spark, p, keepVersions = 1)
+    assert(LexIndex.versions(spark, p) == Seq(1L, 2L))
+    assert(v1Segs.forall(s => f.exists(new org.apache.hadoop.fs.Path(p, s))),
+      "vacuum reclaimed a pinned version's segments")
+    // the live probe is unaffected throughout
+    val qs = queriesDf(1L -> Seq("spark", "join"))
+    assert(rows(LexIndex.search(spark, p, qs, 3)) ==
+      rows(Retrieval.bm25TopK(docsDf, qs, 3)))
+    assert(LexIndex.unpin(spark, p, "evaluator"))
+    LexIndex.vacuum(spark, p, keepVersions = 1)
+    assert(LexIndex.versions(spark, p) == Seq(2L))
+    assert(v1Segs.forall(s => !f.exists(new org.apache.hadoop.fs.Path(p, s))),
+      "released version's segments were not reclaimed")
+    val e = intercept[RuntimeException](LexIndex.pin(spark, p, "late", 1L))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("hybridServeLiteral: a fresh embedding + keywords serve with NO " +
        "self-exclusion and zero corpus scans; equals the composed arms") {
     val lexP = freshPath()
