@@ -64,7 +64,7 @@ object LexIndex {
 
   /** Column names the postings layout owns; attribute columns may not
     * collide with them. */
-  private val ReservedCols = Set("term", "doc_id", "tf", "dl", "tb")
+  private val ReservedCols = Set("term", "doc_id", "tf", "dl", "tb", "positions")
 
   /** Sentinel for [[build]]'s `buckets`: size the bucket count from the
     * batch's distinct-term count as [[autoBuckets]] — the scale-correct
@@ -90,7 +90,8 @@ object LexIndex {
     * columns — all resolved from one manifest read. */
   final case class LexManifest(version: Long, entries: Seq[SegEntry],
                                buckets: Int, nDocs: Long, sumDl: Long,
-                               attrsDdl: Option[String] = None) {
+                               attrsDdl: Option[String] = None,
+                               positional: Boolean = false) {
     def segments: Seq[String] = entries.map(_.name)
     def attrs: StructType =
       attrsDdl.map(StructType.fromDDL).getOrElse(new StructType())
@@ -125,6 +126,10 @@ object LexIndex {
       StructField("doc_id", org.apache.spark.sql.types.LongType),
       StructField("tf", org.apache.spark.sql.types.LongType),
       StructField("dl", org.apache.spark.sql.types.LongType)) ++
+      (if (m.positional) Seq(StructField("positions",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)))
+       else Nil) ++
       m.attrs.fields :+
       StructField("tb", org.apache.spark.sql.types.IntegerType))
 
@@ -166,11 +171,12 @@ object LexIndex {
     }.getOrElse(sys.error(s"lex manifest $v under $path has no buckets line"))
     val attrs = entries.collectFirst { case s if s.startsWith("attrs=") =>
       s.stripPrefix("attrs=") }
+    val positional = entries.exists(_ == "positions=1")
     val segs = entries.filterNot(s =>
       s.startsWith("stats=") || s.startsWith("buckets=") ||
-        s.startsWith("attrs="))
+        s.startsWith("attrs=") || s.startsWith("positions="))
     LexManifest(v, segs.map(SegEntry.parse), buckets, stats._1, stats._2,
-                attrs)
+                attrs, positional)
   }
 
   private def publish(spark: SparkSession, root: Path, m: LexManifest): Unit = {
@@ -184,6 +190,7 @@ object LexIndex {
     try out.write(
       (Seq(Header, s"stats=${m.nDocs},${m.sumDl}", s"buckets=${m.buckets}") ++
         m.attrsDdl.map(d => s"attrs=$d").toSeq ++
+        (if (m.positional) Seq("positions=1") else Nil) ++
         m.entries.map(_.render)).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // no-replace by construction (FsAtomic) — the exists() pre-check
@@ -211,16 +218,34 @@ object LexIndex {
   /** Postings of one document batch, WITHOUT the bucket column — ONE
     * corpus tokenize + (doc, term) shuffle, paid at build so probes
     * never pay it. Attribute columns group through the aggregation
-    * (constant per document, so the groups are unchanged). */
+    * (constant per document, so the groups are unchanged).
+    *
+    * With `positional = true` each posting also carries the term's
+    * 0-based token POSITIONS (ascending `array<int>`) — the phrase /
+    * proximity serving layer ([[searchPhrase]]): `posexplode` replaces
+    * `explode` at the same shuffle width (one extra int per token on
+    * the wire), and the sorted position list aggregates in the same
+    * group. Non-phrase probes never read the column (columnar store —
+    * pruned at the scan, spec-pinned), so positions cost bytes at
+    * rest, not probe time. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
-                         attrs: Seq[String]): DataFrame = {
+                         attrs: Seq[String],
+                         positional: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
       Dedup.tokens(col(textCol)).as("toks") +: attrs.map(col): _*)
-    toks.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-        explode(col("toks")).as("term") +: attrs.map(col): _*)
-      .groupBy("doc_id", "term" +: attrs: _*)
-      .agg(count("*").as("tf"), max("dl").as("dl"))
-      .select("term", "doc_id" +: "tf" +: "dl" +: attrs: _*)
+    if (!positional)
+      toks.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          explode(col("toks")).as("term") +: attrs.map(col): _*)
+        .groupBy("doc_id", "term" +: attrs: _*)
+        .agg(count("*").as("tf"), max("dl").as("dl"))
+        .select("term", "doc_id" +: "tf" +: "dl" +: attrs: _*)
+    else
+      toks.select((Seq(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          posexplode(col("toks")).as(Seq("pos", "term"))) ++ attrs.map(col)): _*)
+        .groupBy("doc_id", "term" +: attrs: _*)
+        .agg(count("*").as("tf"), max("dl").as("dl"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .select("term", "doc_id" +: "tf" +: "dl" +: "positions" +: attrs: _*)
   }
 
   /** Exact batch stats `(docs with ≥1 token, Σ doc length)` — integer
@@ -277,13 +302,14 @@ object LexIndex {
   def build(docs: DataFrame, path: String,
             buckets: Int = AutoBuckets,
             idCol: String = "doc_id", textCol: String = "text",
-            attrs: Seq[String] = Nil): Long = {
+            attrs: Seq[String] = Nil,
+            positions: Boolean = false): Long = {
     require(buckets > 0 || buckets == AutoBuckets,
       s"buckets must be positive (or LexIndex.AutoBuckets), got $buckets")
     val spark = docs.sparkSession
     val root = new Path(path)
     val attrsDdl = attrsDdlOf(docs, attrs)
-    val postings = postingsOf(docs, idCol, textCol, attrs)
+    val postings = postingsOf(docs, idCol, textCol, attrs, positions)
     val nBuckets =
       if (buckets == AutoBuckets) {
         // one bounded aggregate over the batch's postings; persist so
@@ -298,7 +324,8 @@ object LexIndex {
     finally if (buckets == AutoBuckets) postings.unpersist()
     val (n, sd) = statsOf(docs, idCol, textCol)
     publish(spark, root,
-      LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, sd, attrsDdl))
+      LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, sd, attrsDdl,
+        positions))
     version
   }
 
@@ -340,7 +367,8 @@ object LexIndex {
     val suffix = batchTag.map(t => s"-b$t").getOrElse("")
     val seg = s"seg-$token$suffix"
     writeSegment(spark, root, seg,
-      postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq),
+      postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq,
+        m0.positional),
       m0.buckets)
     val (n, sd) = statsOf(docs, idCol, textCol)
     var m = m0
@@ -348,12 +376,13 @@ object LexIndex {
       try {
         publish(spark, root, LexManifest(m.version + 1,
           m.entries :+ SegEntry(seg), m.buckets,
-          m.nDocs + n, m.sumDl + sd, m.attrsDdl))
+          m.nDocs + n, m.sumDl + sd, m.attrsDdl, m.positional))
         return m.version + 1
       } catch {
         case _: ConcurrentWriteException =>
           m = readManifest(spark, path)
-          if (m.buckets != m0.buckets || m.attrsDdl != m0.attrsDdl) {
+          if (m.buckets != m0.buckets || m.attrsDdl != m0.attrsDdl ||
+              m.positional != m0.positional) {
             // a REBUILD won the race: our segment is hashed under the
             // old spread/attrs — never publish it (orphan reclaimed now)
             fs(spark, root).delete(new Path(root, seg), true)
@@ -417,11 +446,12 @@ object LexIndex {
   def buildFromLog(spark: SparkSession, logPath: String, indexPath: String,
                    buckets: Int = AutoBuckets,
                    key: String = "doc_id", textCol: String = "text",
-                   attrs: Seq[String] = Nil): Long = {
+                   attrs: Seq[String] = Nil,
+                   positions: Boolean = false): Long = {
     val (logV, _) = ManifestedLog.readManifest(spark, logPath)
     val docs = ManifestedLog.load(spark, logPath)
       .select(col(key) +: col(textCol) +: attrs.map(col): _*)
-    val v = build(docs, indexPath, buckets, key, textCol, attrs)
+    val v = build(docs, indexPath, buckets, key, textCol, attrs, positions)
     markSynced(spark, indexPath, logPath, logV)
     v
   }
@@ -497,7 +527,7 @@ object LexIndex {
     f.delete(new Path(target, "_SUCCESS"), false)
     SyncCursors.persistCursors(f, root, m.segments)
     publish(spark, root, LexManifest(m.version + 1, Seq(SegEntry(seg)),
-      m.buckets, m.nDocs, m.sumDl, m.attrsDdl))
+      m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional))
     m.version + 1
   }
 
@@ -578,7 +608,7 @@ object LexIndex {
     } ++ eraseEntries
     try {
       publish(spark, root, LexManifest(m.version + 1, newEntries, m.buckets,
-        m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl))
+        m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl, m.positional))
       m.version + 1
     } catch {
       case e: ConcurrentWriteException =>
@@ -775,18 +805,7 @@ object LexIndex {
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("term"))
-    // bounded driver collect: the distinct query terms — the probed-cells
-    // class; past the cap the literals drop and the equi-join prunes alone
-    val terms = qTerms.select("term").distinct()
-      .limit(MaxProbedTermLiterals + 1).collect().map(_.getString(0))
-    val postings = readPostingsWith(spark, path, m)
-    val pruned =
-      if (terms.length <= MaxProbedTermLiterals) {
-        val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
-        postings
-          .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
-          .filter(col("term").isin(terms.toSeq: _*))
-      } else postings
+    val pruned = prunedPostings(spark, path, m, qTerms)
     val tfQ = pruned
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
@@ -794,5 +813,85 @@ object LexIndex {
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+  }
+
+  /** The probe's pruned candidate read, shared by [[search]] and
+    * [[searchPhrase]]: the distinct query terms turn into `tb IN (…)`
+    * partition literals + a pushed `term IN (…)` row-group filter
+    * (driver collect bounded by [[MaxProbedTermLiterals]]; past the
+    * cap the literals drop and the equi-join downstream prunes rows
+    * alone). */
+  private def prunedPostings(spark: SparkSession, path: String,
+                             m: LexManifest, qTerms: DataFrame): DataFrame = {
+    val terms = qTerms.select("term").distinct()
+      .limit(MaxProbedTermLiterals + 1).collect().map(_.getString(0))
+    val postings = readPostingsWith(spark, path, m)
+    if (terms.length <= MaxProbedTermLiterals) {
+      val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
+      postings
+        .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+        .filter(col("term").isin(terms.toSeq: _*))
+    } else postings
+  }
+
+  /** Quoted-PHRASE probe — [[Retrieval.bm25PhraseTopK]]'s at-rest twin:
+    * only documents containing the phrase as a CONTIGUOUS token run
+    * rank, scored by BM25 over the phrase's distinct terms with the
+    * manifest's full-corpus stats. Requires a POSITIONAL index
+    * ([[build]] with `positions = true`).
+    *
+    * Adjacency is an intersection over the stored position lists of the
+    * PRUNED candidate rows — zero corpus scans, the phrase's terms'
+    * bucket partitions only: a document matches iff it holds all n
+    * phrase slots (`count(j) = n` after the per-slot term join — a
+    * duplicated phrase term fills each of its slots from the same
+    * posting row) and some start position p in slot 0's list has p+j in
+    * slot j's list for every j (codegen'd `exists`/`forall` over the
+    * collected per-slot arrays). The adjacency branch reads ONLY
+    * (term, doc_id, positions) and the scoring branch ONLY
+    * (term, doc_id, tf, dl) — two column-pruned probes of the same
+    * buckets, each bounded by the spoken terms' posting bytes.
+    *
+    * @param phrases `(query_id, phrase: array<string>)`, tokens matched
+    *                lowercased, adjacency in array order
+    * @param pred    optional attribute pre-filter, as [[search]]
+    */
+  def searchPhrase(spark: SparkSession, path: String, phrases: DataFrame,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   pred: Option[Column] = None): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.positional, s"$path stores no positional postings — " +
+      "build the index with positions = true to serve phrase queries")
+    val ph = phrases.select(col("query_id"),
+      transform(col("phrase"), t => lower(t)).as("phrase"))
+    val phIdx = ph.select(col("query_id"), size(col("phrase")).as("n"),
+      posexplode(col("phrase")).as(Seq("j", "term")))
+    val qTerms = phIdx.select("query_id", "term").distinct()
+    val pruned = prunedPostings(spark, path, m, qTerms)
+    // one row per (query, doc, phrase slot): slot j matches a document
+    // iff the document holds slot j's term — at most one posting row
+    // per (doc, term), so count(j) = n certifies every slot filled
+    val withJ = pruned.select("term", "doc_id", "positions")
+      .join(broadcast(phIdx), Seq("term"))
+    val slots = withJ.groupBy("query_id", "doc_id")
+      .agg(max("n").as("n"), count(lit(1)).as("nj"),
+        map_from_entries(collect_list(struct(col("j"), col("positions"))))
+          .as("slot_pos"))
+      .filter(col("nj") === col("n"))
+    // n = 1 short-circuits BEFORE the sequence (sequence(1, 0) would
+    // silently run DESCENDING — the bm25PhraseTopK guard, index side)
+    val eligPairs = slots.filter(
+      when(col("n") === 1, lit(true)).otherwise(
+        exists(element_at(col("slot_pos"), lit(0)), p =>
+          forall(sequence(lit(1), col("n") - lit(1)), j =>
+            array_contains(element_at(col("slot_pos"), j), p + j)))))
+      .select("query_id", "doc_id")
+    val tfQ = pruned
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
+    val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
+      .toDF("n_docs", "sum_dl")
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs))
   }
 }

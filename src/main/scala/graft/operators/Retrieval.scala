@@ -104,6 +104,67 @@ object Retrieval {
     scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
+  /** Quoted-PHRASE BM25 top-k, flat-scan form: only documents
+    * containing the phrase as a CONTIGUOUS token run rank ("documents
+    * matching \"spark join\"" — adjacency, not bag-of-words), scored by
+    * BM25 over the phrase's distinct terms with FULL-corpus df/stats
+    * (the phrase restricts the candidate set, never the scoring
+    * function — [[bm25TopK]]'s `pred` contract, per-query form).
+    *
+    * Scale shape — identical to [[bm25TopK]] plus one broadcast: the
+    * phrase batch (tiny) broadcast-joins the already-tokenized corpus
+    * rows, and containment evaluates as a codegen'd slice-equality scan
+    * over each document's token array (O(dl·n) per (doc, phrase) — the
+    * classic naive-substring bound, fine because n is words-in-a-quote
+    * small). The resulting (query, doc) pairs semi-join the scoring
+    * tail after the df window. The persisted-index twin
+    * ([[LexIndex.searchPhrase]]) answers the same question from
+    * positional postings without any corpus scan.
+    *
+    * @param phrases `(query_id, phrase: array<string>)` — tokens
+    *                matched lowercased, adjacency in array order
+    * @param pred    optional additional DOCUMENT filter, as [[bm25TopK]]
+    * @return (query_id, doc_id, rank, score), as [[bm25TopK]]; a
+    *         document containing every phrase term but never adjacently
+    *         is NOT a result
+    */
+  def bm25PhraseTopK(docs: DataFrame, phrases: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     queryIdCol: String = "query_id",
+                     phraseCol: String = "phrase",
+                     pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val ph = phrases.select(col(queryIdCol).as("query_id"),
+      transform(col(phraseCol), t => lower(t)).as("phrase"))
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("toks"),
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    // contiguous containment: ∃ i ≤ dl−n+1 with toks[i..i+n) = phrase —
+    // array slice equality inside codegen, guarded so the `sequence`
+    // never runs descending (sequence(1, 0) would, silently)
+    val n = size(col("phrase"))
+    val contains = when(size(col("toks")) >= n,
+        exists(sequence(lit(1), size(col("toks")) - n + lit(1)),
+          i => slice(col("toks"), i, n) === col("phrase")))
+      .otherwise(lit(false))
+    val eligPairs = toksAll.crossJoin(broadcast(ph))
+      .filter(contains)
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
+    val qTerms = ph.select(col("query_id"),
+      explode(col("phrase")).as("term")).distinct()
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val stats = toksAll.filter(size(col("toks")) > 0)
+      .agg(count("*").as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+  }
+
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
     * persisted inverted index ([[LexIndex.search]]) meet here, which is
     * what makes the index probe score-identical to the full scan.
@@ -124,10 +185,18 @@ object Retrieval {
     *               filters AFTER the df window so document frequency
     *               stays full-corpus while only matching documents
     *               reach the scoring fold.
+    * @param eligPairs optional PER-QUERY candidate restriction
+    *               `(query_id, doc_id)` — the phrase-query hook: only
+    *               listed pairs rank (left-semi after the per-document
+    *               stages), while df and corpus stats stay full-corpus.
+    *               Unlike the `elig` column (one bit per document),
+    *               eligibility here differs per query — "docs containing
+    *               THIS query's phrase". Both hooks compose.
     */
   private[operators] def scoreAndRank(tfQ: DataFrame, qTerms: DataFrame,
                                       stats: DataFrame, k: Int,
-                                      k1: Double, b: Double): DataFrame = {
+                                      k1: Double, b: Double,
+                                      eligPairs: Option[DataFrame] = None): DataFrame = {
     // document frequency as a window count over the aggregated matching
     // set — NOT a second aggregation branch off tfQ, which would
     // recompute the whole scan→explode→join→agg subtree (the exchanges
@@ -138,8 +207,15 @@ object Retrieval {
     val withDf =
       if (tfQ.columns.contains("elig")) withDfAll.filter(col("elig"))
       else withDfAll
-    val contrib = withDf
-      .join(broadcast(qTerms), Seq("term"))
+    val perQuery = withDf.join(broadcast(qTerms), Seq("term"))
+    // the phrase restriction lands AFTER the df window (document
+    // frequency stays full-corpus) and after the query join (it is a
+    // per-(query, doc) bit); both sides are candidate-row-bounded —
+    // postings of the spoken terms — never corpus-sized
+    val restricted = eligPairs.fold(perQuery)(p =>
+      perQuery.join(p.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_semi"))
+    val contrib = restricted
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),
         (log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
@@ -459,6 +535,34 @@ object Retrieval {
       step += 1
     }
     out.result()
+  }
+
+  /** [[mmrTopK]] served fully AT REST — "diversify the lexical top-k"
+    * with zero corpus scans: candidates from the persisted inverted
+    * index ([[LexIndex.search]] — the query terms' bucket partitions
+    * only, score-identical to the flat BM25 scan), their embeddings
+    * fetched from the persisted IVF index BY ID
+    * ([[IvfIndex.lookupVectorsFrame]] — an id-pushed pruned read, never
+    * the vector corpus), then the same bounded per-query greedy. The
+    * result is hash-identical to the flat
+    * `mmrTopK(bm25TopK(docs, …), embeddings, …)` over the indexed
+    * corpus (both inputs are score-identical and the greedy is shared),
+    * which is what lets the at-rest form reuse the flat oracle.
+    *
+    * The candidate-id collect is bounded by q×depth (tens per query —
+    * the spoken-probe class, [[hybridServe]]'s documented bound); a
+    * candidate with no stored vector drops from the diversification
+    * exactly as the flat form's inner embedding join drops it. */
+  def mmrServe(spark: org.apache.spark.sql.SparkSession,
+               lexPath: String, ivfPath: String, queries: DataFrame,
+               k: Int, lambda: Double, depth: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val cand = LexIndex.search(spark, lexPath, queries, depth, k1, b)
+    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+    mmrTopK(cand, vecs, k, lambda)
   }
 
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,

@@ -153,6 +153,14 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.search(spark, path, queries, k,
           pred = where.map(predicate(df, _)))
+      case Op.LexPhraseSearch(phrase, k, where) =>
+        // the quoted phrase is the query (query_id -1): adjacency from
+        // the positional index's stored position lists, candidates
+        // pruned to the phrase terms' buckets — zero corpus scans
+        val phrases = spark.createDataFrame(Seq((-1L, phrase)))
+          .toDF("query_id", "phrase")
+        graft.operators.LexIndex.searchPhrase(spark, path, phrases, k,
+          pred = where.map(predicate(df, _)))
       case Op.LexHybridServe(terms, vec, k, depth, nprobe) =>
         // the literal query carries BOTH modalities inline (query_id
         // -1, outside the stored id space); the lexical index is the
@@ -165,6 +173,17 @@ object Compiler {
           .toDF("query_id", "terms", "embedding")
         graft.operators.Retrieval.hybridServeLiteral(spark, path, ivfPath,
           queries, k, depth, nprobe)
+      case Op.LexMmrServe(terms, k, lambda, depth) =>
+        // fully at-rest MMR: candidates from this (lexical) index,
+        // their embeddings fetched by id from the bound vector index —
+        // zero corpus scans, hash-identical to the flat MmrTopK
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the embeddings fetch by id from it"))
+        val queries = spark.createDataFrame(Seq((-1L, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.Retrieval.mmrServe(spark, path, ivfPath,
+          queries, k, lambda, depth)
       case Op.LexBucketProfile =>
         // metadata-only: manifest constants + footer row totals (the
         // per-BUCKET breakdown is operator-level diagnostics — bucket
@@ -431,6 +450,14 @@ object Compiler {
       val queries = session.createDataFrame(Seq((-1L, terms)))
         .toDF("query_id", "terms")
       Retrieval.bm25TopK(df, queries, k, pred = where.map(predicate(df, _)))
+    case Op.Bm25Phrase(phrase, k, where) =>
+      // the quoted phrase IS the query (query_id -1): only documents
+      // containing the contiguous run rank, stats full-corpus
+      val session = df.sparkSession
+      val phrases = session.createDataFrame(Seq((-1L, phrase)))
+        .toDF("query_id", "phrase")
+      Retrieval.bm25PhraseTopK(df, phrases, k,
+        pred = where.map(predicate(df, _)))
     case Op.MmrTopK(terms, k, lambda, depth) =>
       // BM25 candidates over the input documents; diversification
       // vectors from the catalog-bound embeddings (doc_id ≡ vec_id)

@@ -1053,8 +1053,25 @@ object NLParser {
             // (hybrid search). Terms separate by commas and/or "and";
             // the phrasing "most similar documents to …" stays the
             // vector route (it starts with "most"/"similar", not
-            // "documents matching").
+            // "documents matching"). A QUOTED operand — "… matching
+            // \"spark join\"" — is a PHRASE: only documents containing
+            // the contiguous token run rank (adjacency, not
+            // bag-of-words).
             p.next(); p.expectWord("matching")
+            p.peek match {
+              case Some(Quoted(s)) =>
+                p.next()
+                val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+                if (phrase.isEmpty) throw ParseException(
+                  "a quoted phrase needs at least one token")
+                val where = p.peekWordLower match {
+                  case Some("where") => p.next(); Some(parsePred(p))
+                  case _             => None
+                }
+                requireDone(p)
+                return Right(List(Op.Bm25Phrase(phrase, k, where)))
+              case _ => ()
+            }
             val terms = termList(p)
             if (p.peekWordLower.contains("fused")) {
               p.next(); p.expectWord("with"); p.dropWords("the")
@@ -1687,13 +1704,29 @@ object NLParser {
           // "Search the lexical index for top 5 matching spark, join,
           // fast [where lang == 'en']." — BM25 probe of the bound
           // persisted inverted index; the optional attribute filter
-          // pushes into the pruned bucket scan (pre-filter)
+          // pushes into the pruned bucket scan (pre-filter). A QUOTED
+          // operand — "… matching \"spark join\"" — probes the
+          // POSITIONAL layer: adjacency from the stored position lists
           p.next(); p.expectWord("index")
           p.expectWord("for"); p.dropWords("top", "the")
           val k = p.expectNum().toInt
           if (k <= 0) throw ParseException(s"top-k must be positive: $k")
           p.dropWords("documents", "docs")
           p.expectWord("matching")
+          p.peek match {
+            case Some(Quoted(s)) =>
+              p.next()
+              val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+              if (phrase.isEmpty) throw ParseException(
+                "a quoted phrase needs at least one token")
+              val where = p.peekWordLower match {
+                case Some("where") => p.next(); Some(parsePred(p))
+                case _             => None
+              }
+              requireDone(p)
+              return Right(List(Op.LexPhraseSearch(phrase, k, where)))
+            case _ => ()
+          }
           val terms = termList(p)
           if (p.peekWordLower.contains("fused")) {
             // "… matching spark, join fused with vector [0.1, …] at
@@ -1717,6 +1750,26 @@ object NLParser {
             p.dropWords("cells", "cell")
             requireDone(p)
             return Right(List(Op.LexHybridServe(terms, vec, k, depth, np)))
+          }
+          if (p.peekWordLower.contains("with")) {
+            // "… matching spark, join, fast with lambda 0.7 [at depth
+            // 10]." — MMR diversification served fully AT REST: BM25
+            // candidates from this index, embeddings fetched by id from
+            // the bound vector index (nl136's flat sentence, two-store
+            // form)
+            p.next(); p.expectWord("lambda")
+            val lam = p.expectNum()
+            if (lam < 0.0 || lam > 1.0) throw ParseException(
+              s"mmr lambda must be in [0,1]: $lam")
+            val depth = p.peekWordLower match {
+              case Some("at") =>
+                p.next(); p.expectWord("depth"); p.expectNum().toInt
+              case _ => 10
+            }
+            if (depth < k) throw ParseException(
+              s"mmr depth $depth must be at least k=$k")
+            requireDone(p)
+            return Right(List(Op.LexMmrServe(terms, k, lam, depth)))
           }
           val where = p.peekWordLower match {
             case Some("where") => p.next(); Some(parsePred(p))

@@ -196,6 +196,13 @@ object Op {
     * frequency and corpus stats stay full-corpus. */
   final case class Bm25TopK(terms: Seq[String], k: Int,
                             where: Option[Pred] = None)            extends CorpusOp
+  /** Quoted-PHRASE BM25 top-k over the documents corpus ("documents
+    * matching \"spark join\"") — only documents containing the phrase
+    * as a CONTIGUOUS token run rank, scored by BM25 over the phrase's
+    * distinct terms with full-corpus stats
+    * ([[graft.operators.Retrieval.bm25PhraseTopK]]); query_id -1. */
+  final case class Bm25Phrase(phrase: Seq[String], k: Int,
+                              where: Option[Pred] = None)          extends CorpusOp
   /** MMR-diversified retrieval: BM25 depth-candidates over the input
     * documents, greedily re-selected for λ·relevance −
     * (1−λ)·redundancy (embedding cosine to the already-picked set,
@@ -564,6 +571,13 @@ object Op {
     * matching documents). */
   final case class LexSearch(terms: Seq[String], k: Int,
                              where: Option[Pred] = None)           extends TableOp
+  /** Quoted-PHRASE probe of the bound POSITIONAL inverted index
+    * ([[graft.operators.LexIndex.searchPhrase]] — adjacency from the
+    * stored position lists on the pruned candidate rows; zero corpus
+    * scans; score-identical to the flat [[Bm25Phrase]] scan over the
+    * indexed corpus). */
+  final case class LexPhraseSearch(phrase: Seq[String], k: Int,
+                                   where: Option[Pred] = None)     extends TableOp
   /** LITERAL-query hybrid serving over TWO bound indexes — the
     * production RAG sentence: a FRESH embedding plus keywords, lexical
     * arm from the bound inverted index (bucket-pruned), vector arm from
@@ -576,6 +590,14 @@ object Op {
   final case class LexHybridServe(terms: Seq[String], vec: Seq[Float],
                                   k: Int, depth: Int,
                                   nprobe: Int)                     extends TableOp
+  /** MMR diversification served fully AT REST over TWO bound indexes
+    * ([[graft.operators.Retrieval.mmrServe]]): BM25 depth-candidates
+    * from the bound inverted index, their embeddings fetched BY ID from
+    * the bound IVF index (`vectorIndexPath`), the shared bounded
+    * greedy — zero corpus scans; hash-identical to the flat
+    * [[MmrTopK]] over the indexed corpus. */
+  final case class LexMmrServe(terms: Seq[String], k: Int,
+                               lambda: Double, depth: Int)         extends TableOp
   /** Physical compliance erasure of vector ids from the bound index
     * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
     * to the cells containing the ids, one atomic flip; vacuum/compact

@@ -603,6 +603,24 @@ object NLQueries extends QueryPack {
         tablePath = Some(lp), vectorIndexPath = Some(vp))
     }),
 
+    // Quoted-phrase retrieval, spoken — the flat scan: only documents
+    // containing the contiguous run "spark join" rank (adjacency, not
+    // bag-of-words), BM25-scored with full-corpus stats.
+    "nl139_bm25_phrase" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching \"spark join\".",
+        docs(s, d))),
+
+    // The same phrase served AT REST from the positional inverted
+    // index — adjacency from stored position lists on the pruned
+    // candidate rows, zero corpus scans. nl139's twin (shared oracle
+    // string), and x115/x116's single-query spoken form.
+    "nl140_lex_phrase_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexPosIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "\"spark join\".",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // MMR diversification, spoken — x112's greedy at the same operating
     // point, single spoken query (the embeddings table binds through
     // the catalog, as the hybrid route's vector arm does).
@@ -610,6 +628,19 @@ object NLQueries extends QueryPack {
       Engine.run("Find top 5 documents matching spark, join, fast " +
                  "with lambda 0.7 at depth 10.",
         docs(s, d), Map("embeddings" -> embs(s, d)))),
+
+    // The same diversification served fully AT REST, spoken: BM25
+    // candidates from the bound lexical index, embeddings fetched by
+    // id from the bound IVF index — zero corpus scans. nl136's twin
+    // (shared oracle string), x117's single-query spoken form.
+    "nl141_mmr_serve" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast with lambda 0.7 at depth 10.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
 
     // Offline index evaluation, spoken — x110/x111's sentences (same
     // constants, so the oracles are the same strings → interleaved
@@ -1130,6 +1161,12 @@ object NLQueries extends QueryPack {
     // the literal-query hybrid shares x114's exact string (same
     // constants: terms, k=5, depth 20, nprobe 4) → interleaved twins
     "nl138_hybrid_serve_literal" -> RetrievalQueries.litHybridReplaySql,
+    // quoted-phrase pair: nl140 shares nl139's string (positional
+    // probe ≡ flat phrase scan — interleaved twins)
+    "nl139_bm25_phrase" ->
+      RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    "nl140_lex_phrase_search" ->
+      RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     // filtered pair: nl129 shares nl128's string (probe ≡ scan)
     "nl128_bm25_filtered" ->
       RetrievalQueries.bm25ReplaySql(
@@ -1145,6 +1182,11 @@ object NLQueries extends QueryPack {
     // under compact/vacuum (shared string → interleaved twins), minus
     // exactly the forgotten documents under the erases
     "nl136_mmr_docs" ->
+      RetrievalQueries.mmrReplaySql(
+        Seq(-1L -> Seq("spark", "join", "fast")), 5, 10, 0.7),
+    // nl141 shares nl136's string: at-rest candidates and fetched
+    // embeddings are identical inputs to the same greedy
+    "nl141_mmr_serve" ->
       RetrievalQueries.mmrReplaySql(
         Seq(-1L -> Seq("spark", "join", "fast")), 5, 10, 0.7),
     "nl137_lex_bucket_profile" -> RetrievalQueries.lexProfileReplaySql(),

@@ -52,6 +52,16 @@ object RetrievalQueries extends QueryPack {
     s.createDataFrame(Seq((-1L, LitHybridTerms, VectorQueries.LitVec.toSeq)))
       .toDF("query_id", "terms", "embedding")
 
+  /** The phrase fixture: a plain 2-gram ("spark join") and a
+    * DUPLICATE-TERM 2-gram ("batch batch" — both slots fill from one
+    * posting row, the adjacency edge case); both phrases occur in both
+    * test corpora. */
+  private[queries] val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("batch", "batch"))
+  private def phrasesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(PhraseQueries).toDF("query_id", "phrase")
+
   /** The filtered-serving slice: the documents table's own `lang`
     * attribute (x102/x103/nl128/nl129), and the embeddings' `label`
     * viewed through doc_id ≡ vec_id for the hybrid arm (x104). */
@@ -80,6 +90,14 @@ object RetrievalQueries extends QueryPack {
   private[queries] def lexIndexTable(s: SparkSession, d: String): String =
     lexIndexAt(s, d, "graft_lex_index_")(
       graft.operators.LexIndex.build(table(s, d, "documents"), _))
+
+  /** x116/nl140's POSITIONAL index: token positions stored beside the
+    * postings (`positions=1` in the manifest) — the phrase-serving
+    * layout; non-phrase probes never read the column. */
+  private[queries] def lexPosIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexpos_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _,
+        positions = true))
 
   /** x103/nl129's index: the `lang` ATTRIBUTE stored beside every
     * posting — the filtered lexical serving shape ("matching spark
@@ -297,6 +315,22 @@ object RetrievalQueries extends QueryPack {
         VectorQueries.ivfIndexTable(s, d), litHybridQueriesDf(s), K, Depth,
         IvfNProbe, RrfC)),
 
+    // Quoted-phrase retrieval, flat form: only documents containing
+    // the CONTIGUOUS token run rank (adjacency, not bag-of-words),
+    // scored by BM25 over the phrase's distinct terms with full-corpus
+    // stats. The fixture includes a duplicate-term phrase.
+    "x115_bm25_phrase" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25PhraseTopK(table(s, d, "documents"), phrasesDf(s), K,
+        k1 = K1, b = B)),
+
+    // The same phrases served AT REST from the positional index:
+    // adjacency from stored position lists on the pruned candidate
+    // rows — zero corpus scans. Same oracle STRING as x115 (the
+    // interleaved-bench-twin convention).
+    "x116_lex_phrase_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhrase(s, lexPosIndexTable(s, d),
+        phrasesDf(s), K, k1 = K1, b = B)),
+
     // MMR-diversified retrieval: BM25 depth-10 candidates re-selected
     // greedily for relevance minus redundancy (embedding cosine to the
     // already-picked set) — the standard RAG diversification pass.
@@ -307,7 +341,17 @@ object RetrievalQueries extends QueryPack {
       Retrieval.mmrTopK(
         Retrieval.bm25TopK(table(s, d, "documents"), queriesDf(s), MmrDepth,
           k1 = K1, b = B),
-        table(s, d, "embeddings"), K, MmrLambda)))
+        table(s, d, "embeddings"), K, MmrLambda)),
+
+    // The same diversification served fully AT REST: candidates from
+    // the inverted index, embeddings fetched by id from the IVF index
+    // — zero corpus scans. Same oracle STRING as x112 (interleaved
+    // bench twins: both inputs are score-identical and the greedy is
+    // shared).
+    "x117_mmr_serve" -> ((s: SparkSession, d: String) =>
+      Retrieval.mmrServe(s, lexIndexTable(s, d),
+        VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, MmrLambda,
+        MmrDepth, k1 = K1, b = B)))
 
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -361,6 +405,32 @@ object RetrievalQueries extends QueryPack {
        |  SELECT query_id, doc_id, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
        |  FROM sc)""".stripMargin
+
+  /** The phrase replay: tokens space-joined and padded (tokens hold no
+    * whitespace by construction — `string_split_regex` on `\s+` — so a
+    * literal `strpos` on the padded join is EXACT contiguous-run
+    * containment, no wildcard hazards), restricting the BM25 ranking
+    * per (query, doc) while df and corpus stats stay full-corpus.
+    * Scoring terms are the phrase's DISTINCT tokens, matching the
+    * operator. Shared verbatim by the flat scan (x115), the positional
+    * index probe (x116), and the NL twins. */
+  private[queries] def phraseReplaySql(phrases: Seq[(Long, Seq[String])],
+                                       k: Int): String = {
+    val qs = phrases.map { case (qid, p) => qid -> p.map(_.toLowerCase).distinct }
+    val phValues = phrases.map { case (qid, p) =>
+      s"(${qid}::BIGINT, ' ${p.map(_.toLowerCase).mkString(" ")} ')" }
+      .mkString(",\n  ")
+    val elig = "EXISTS (SELECT 1 FROM ph WHERE ph.query_id = " +
+      "contrib.query_id AND ph.doc_id = contrib.doc_id)"
+    s"""WITH phq(query_id, pat) AS (VALUES
+       |  $phValues),
+       |ph AS (
+       |  SELECT q.query_id, d.doc_id FROM phq q JOIN documents d
+       |    ON strpos(' ' || array_to_string($toksSql, ' ') || ' ', q.pat) > 0),
+       |${bm25Ctes(qs, eligibleSql = Some(elig))}
+       |SELECT query_id, doc_id, rank, score FROM lex
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** Full BM25 replay for any query set — shared with the NL twins. */
   private[queries] def bm25ReplaySql(qs: Seq[(Long, Seq[String])],
@@ -588,9 +658,17 @@ object RetrievalQueries extends QueryPack {
     // replays already proven separately, fused by the shared tail.
     "x114_hybrid_serve_literal" -> litHybridReplaySql,
 
+    // Phrase retrieval: flat scan and positional-index probe share the
+    // replay string (contiguous-run containment restricting the BM25
+    // ranking) — interleaved bench twins.
+    "x115_bm25_phrase" -> phraseReplaySql(PhraseQueries, K),
+    "x116_lex_phrase_search" -> phraseReplaySql(PhraseQueries, K),
+
     // The unrolled greedy — every objective bit-identical to the
-    // operator's per-query fold.
+    // operator's per-query fold. x117 shares the string: the at-rest
+    // candidates and fetched embeddings are identical inputs.
     "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
+    "x117_mmr_serve" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
 
     // Footer-vs-scan equality is a Spark-side construction (bucket ids
     // are a hash) — the TRUE-literal certificate.

@@ -119,6 +119,38 @@ class LexIndexSpec extends SparkSpec {
     assert(!vec.collect().map(_.getLong(1)).contains(0L))
   }
 
+  test("mmrServe diversifies fully at rest: only index files are read, " +
+       "result ≡ the flat mmrTopK over the indexed corpus") {
+    val lexP = freshPath()
+    LexIndex.build(docsDf, lexP)
+    val ivfP = freshPath()
+    val embs = docsFx.map { case (id, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    val qs = queriesDf(0L -> Seq("spark", "join"), 1L -> Seq("table"))
+    val out = Retrieval.mmrServe(spark, lexP, ivfP, qs, 3,
+      lambda = 0.7, depth = 5)
+    out.collect()
+    // zero corpus scans: every executed file scan is an index segment
+    val scans = graft.SparkSpec.executedFileScans(out)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("/seg-"))),
+      "mmrServe read a non-index file")
+    // the embeddings fetch is id-pushed (vec_id filter in the scan)
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("vec_id") && f.contains("In"))),
+      "the vector fetch should push vec_id IN (…) into the index scan")
+    // hash-identity with the flat form over the same corpus
+    val flat = Retrieval.mmrTopK(
+      Retrieval.bm25TopK(docsDf, qs, 5), embs, 3, 0.7)
+    def mrows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(mrows(out) == mrows(flat))
+  }
+
   test("a pinned lexical index version survives vacuum (manifest + " +
        "segments); unpinning releases it; a late pin fails loudly") {
     val p = freshPath()
@@ -472,6 +504,122 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.deleteByKey(spark, p, Seq(0L, 100L))
     assert(footer() == scanned())
     assert(footer().values.sum == LexIndex.readPostings(spark, p).count())
+  }
+
+  // ------------------------------------------------- positional / phrase
+
+  private def phrasesDf(qs: (Long, Seq[String])*) =
+    spark.createDataFrame(qs).toDF("query_id", "phrase")
+
+  test("phrase probe ≡ flat phrase scan, including duplicate-term and " +
+       "single-term phrases") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, positions = true)
+    val ph = phrasesDf(
+      1L -> Seq("spark", "join"),      // doc 0 only (adjacent run)
+      2L -> Seq("spark", "spark"),     // duplicate term: doc 2 only
+      3L -> Seq("join"),               // single-term: presence
+      4L -> Seq("window", "scan", "scan")) // 3-gram, doc 6
+    assert(rows(LexIndex.searchPhrase(spark, p, ph, 5)) ==
+      rows(Retrieval.bm25PhraseTopK(docsDf, ph, 5)))
+    assert(LexIndex.searchPhrase(spark, p, ph, 5).count() > 0)
+  }
+
+  test("phrase adjacency: all terms present but never adjacent is NOT " +
+       "a result") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, positions = true)
+    // doc 4 "fast fast join spark table" holds join AND fast but never
+    // the run "join fast"; doc 0 "spark join fast spark" holds it
+    val ph = phrasesDf(1L -> Seq("join", "fast"))
+    val hits = LexIndex.searchPhrase(spark, p, ph, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(0L) && !hits.contains(4L))
+    val flat = Retrieval.bm25PhraseTopK(docsDf, ph, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat == hits)
+  }
+
+  test("phrase probe stays bucket-pruned with the term filter pushed, " +
+       "and appends carry positions") {
+    val p = freshPath()
+    val (half, rest) = docsFx.partition(_._1 % 2 == 0)
+    LexIndex.build(half.toDF("doc_id", "text"), p, buckets = 16,
+      positions = true)
+    LexIndex.append(rest.toDF("doc_id", "text"), p)
+    val ph = phrasesDf(1L -> Seq("spark", "join"))
+    val res = LexIndex.searchPhrase(spark, p, ph, 5)
+    res.collect()
+    assert(rows(res) == rows(Retrieval.bm25PhraseTopK(docsDf, ph, 5)))
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.nonEmpty, "no index scan in the executed plan")
+    val probedBuckets = Seq("spark", "join")
+      .map(LexIndex.termBucket(_, 16)).distinct.size
+    scans.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))
+      // per-scan: each branch reads at most the probed buckets of its
+      // segment (two segments → two branches per arm)
+      assert(parts <= probedBuckets,
+        s"phrase probe read $parts bucket partitions for $probedBuckets")
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+      .exists(f => f.contains("term") && f.contains("In"))),
+      "term IN (…) not pushed into the phrase probe's postings scan")
+  }
+
+  test("positions cost nothing on non-phrase probes (column-pruned), " +
+       "and only the adjacency branch reads them on phrase probes") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, positions = true)
+    val qs = queriesDf(1L -> Seq("spark", "join"))
+    val res = LexIndex.search(spark, p, qs, 3)
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("positions")),
+      "a non-phrase probe read the positions column")
+    // the positional probe still scores identically to the flat scan
+    assert(rows(res) == rows(Retrieval.bm25TopK(docsDf, qs, 3)))
+    // phrase probe: scoring branch column-pruned too — positions only
+    // in the adjacency branch
+    val phr = LexIndex.searchPhrase(spark, p,
+      phrasesDf(1L -> Seq("spark", "join")), 3)
+    phr.collect()
+    val phrScans = graft.SparkSpec.executedFileScans(phr)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(phrScans.exists(_.requiredSchema.fieldNames.contains("positions")))
+    assert(phrScans.exists(s =>
+      !s.requiredSchema.fieldNames.contains("positions") &&
+        s.requiredSchema.fieldNames.contains("tf")),
+      "the scoring branch should not read positions")
+  }
+
+  test("phrase probe on a non-positional index fails loudly; " +
+       "maintenance preserves the positional layout") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.searchPhrase(spark, p, phrasesDf(1L -> Seq("spark")), 3)
+    }
+    assert(e.getMessage.contains("positional"))
+    // compact + erase on a positional index keep the layout and the
+    // phrase results
+    val p2 = freshPath()
+    LexIndex.build(docsDf, p2, positions = true)
+    val ph = phrasesDf(1L -> Seq("spark", "join"))
+    val before = rows(LexIndex.searchPhrase(spark, p2, ph, 5))
+    LexIndex.compact(spark, p2)
+    assert(LexIndex.readManifest(spark, p2).positional)
+    assert(rows(LexIndex.searchPhrase(spark, p2, ph, 5)) == before)
+    // erasure adjusts the manifest stats, so scores recompute over the
+    // survivors — the pin is probe ≡ flat scan of the surviving corpus
+    LexIndex.deleteByKey(spark, p2, Seq(1L))
+    assert(rows(LexIndex.searchPhrase(spark, p2, ph, 5)) ==
+      rows(Retrieval.bm25PhraseTopK(
+        docsFx.filter(_._1 != 1L).toDF("doc_id", "text"), ph, 5)))
   }
 
   test("a racing manifest version fails loudly (atomic publish)") {
