@@ -78,10 +78,15 @@ object LexIndex {
   def autoBuckets(vocabulary: Long): Int =
     math.max(16, math.sqrt(math.max(0L, vocabulary).toDouble).toInt)
 
-  /** Past this many probed terms the `tb IN (…)`/`term IN (…)` literal
-    * filters are dropped (the [[IvfIndex.MaxProbedCellLiterals]]
-    * treatment): the equi-join with the query terms keeps the RESULT
-    * identical — the literals are a plan-only pruning optimization. */
+  /** Past this many probed terms the pushed `term IN (…)` row-group
+    * literal filter is dropped (the [[IvfIndex.MaxProbedCellLiterals]]
+    * argument: a multi-thousand-literal parquet filter costs more than
+    * it saves, and the equi-join with the query terms keeps the RESULT
+    * identical) — but the BUCKET partition filter is NOT: a wide probe
+    * computes its distinct `tb` set distributedly (bounded by the
+    * index's bucket count, never the term count) and keeps partition
+    * pruning, so even a 10⁴-term query reads only partitions holding
+    * some query term's postings. */
   private[operators] val MaxProbedTermLiterals = 2048
 
   /** One published index state: segment entries (with erase `skip=`
@@ -812,15 +817,22 @@ object LexIndex {
         pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    // mergeable df: re-reading the bucket-pruned postings is bounded
+    // parallel I/O, while a stop-word term's window partition would
+    // sort df_hot rows in one task (Retrieval.scoreAndRank's regimes)
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
+      mergeableDf = true)
   }
 
   /** The probe's pruned candidate read, shared by [[search]] and
     * [[searchPhrase]]: the distinct query terms turn into `tb IN (…)`
     * partition literals + a pushed `term IN (…)` row-group filter
-    * (driver collect bounded by [[MaxProbedTermLiterals]]; past the
-    * cap the literals drop and the equi-join downstream prunes rows
-    * alone). */
+    * (driver collect bounded by [[MaxProbedTermLiterals]]). Past the
+    * cap the TERM literals drop (the downstream equi-join prunes rows
+    * identically) but partition pruning stays: the probed bucket set
+    * computes distributedly through the same [[termBucket]] fold and
+    * collects bounded by the index's BUCKET count — a wide query's
+    * I/O is still only the partitions holding some query term. */
   private def prunedPostings(spark: SparkSession, path: String,
                              m: LexManifest, qTerms: DataFrame): DataFrame = {
     val terms = qTerms.select("term").distinct()
@@ -831,7 +843,14 @@ object LexIndex {
       postings
         .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
         .filter(col("term").isin(terms.toSeq: _*))
-    } else postings
+    } else {
+      val nb = m.buckets
+      val bucketOf = udf((t: String) => termBucket(t, nb))
+      // bounded by the index's bucket count, never the term count
+      val buckets = qTerms.select(bucketOf(col("term")).as("tb"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      postings.filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+    }
   }
 
   /** Quoted-PHRASE probe — [[Retrieval.bm25PhraseTopK]]'s at-rest twin:
@@ -892,6 +911,7 @@ object LexIndex {
         pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs))
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
+      mergeableDf = true)
   }
 }

@@ -196,14 +196,35 @@ object Retrieval {
   private[operators] def scoreAndRank(tfQ: DataFrame, qTerms: DataFrame,
                                       stats: DataFrame, k: Int,
                                       k1: Double, b: Double,
-                                      eligPairs: Option[DataFrame] = None): DataFrame = {
-    // document frequency as a window count over the aggregated matching
-    // set — NOT a second aggregation branch off tfQ, which would
-    // recompute the whole scan→explode→join→agg subtree (the exchanges
-    // differ, so ReuseExchange can't dedup them); the window's exchange
-    // carries only matching (doc, term) rows
-    val withDfAll = tfQ.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+                                      eligPairs: Option[DataFrame] = None,
+                                      mergeableDf: Boolean = false): DataFrame = {
+    // document frequency, two regimes (measured head-to-head on a
+    // stop-word skew fixture — DfSkewProbe, numbers in SCALE_NOTES):
+    //  - FLAT scans (mergeableDf = false): a window count over the
+    //    aggregated matching set. A separate groupBy(term) branch
+    //    would RE-RUN the whole scan→tokenize→explode→shuffle subtree
+    //    (column pruning gives the df branch a narrower exchange, so
+    //    ReuseExchange cannot dedup it — verified in the executed
+    //    plan), and doubling the dominant corpus stage costs more
+    //    than the hot term's single-partition sort at any scale where
+    //    a flat scan is the right tool at all (8M docs: 4.5s window
+    //    vs 9.9s recompute).
+    //  - INDEX probes (mergeableDf = true): groupBy(term).count + a
+    //    broadcast join back. Here tfQ is a bucket-pruned posting
+    //    read — re-reading it is bounded parallel I/O — while a
+    //    stop-word term's window partition at corpus scale is ~df_hot
+    //    rows sorting in ONE task (the straggler cliff). Map-side
+    //    partials keep the df shuffle at one row per term per
+    //    partition; the df frame is query-term-bounded, always
+    //    broadcastable.
+    // Either way df counts BEFORE any eligibility filter —
+    // full-corpus document frequency, filtered or not.
+    val withDfAll =
+      if (mergeableDf)
+        tfQ.join(broadcast(tfQ.groupBy("term").agg(count(lit(1)).as("df"))),
+          Seq("term"))
+      else tfQ.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val withDf =
       if (tfQ.columns.contains("elig")) withDfAll.filter(col("elig"))
       else withDfAll

@@ -184,6 +184,30 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.Retrieval.mmrServe(spark, path, ivfPath,
           queries, k, lambda, depth)
+      case Op.HybridEval(ndcg, k, qid, terms, depth, nprobe) =>
+        // the fused at-rest probe vs the exact-hybrid reference: the
+        // lexical arm is shared (the index probe IS score-identical to
+        // the flat scan), the reference's vector arm is exact cosine
+        // over the IVF index's stored vectors with the same
+        // self-exclusion — the metric isolates the IVF approximation
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the hybrid evaluates both stores"))
+        val queries = spark.createDataFrame(Seq((qid, terms)))
+          .toDF("query_id", "terms")
+        val probe = Retrieval.hybridServe(spark, path, ivfPath, queries,
+          k, depth, nprobe)
+        val lex = graft.operators.LexIndex.search(spark, path, queries, depth)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val corpus = graft.operators.IvfIndex.read(spark, ivfPath)
+          .select(col("vec_id"), col("embedding"))
+        val vec = Similarity.bruteForceTopK(
+            corpus.filter(col("vec_id") === qid), corpus, depth)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        val truth = Retrieval.rrfFuse(lex, vec, k)
+        if (ndcg) Retrieval.ndcgAtK(probe, truth, k, idCol = "doc_id")
+        else Retrieval.recallAtK(probe, truth, k, idCol = "doc_id")
       case Op.LexBucketProfile =>
         // metadata-only: manifest constants + footer row totals (the
         // per-BUCKET breakdown is operator-level diagnostics — bucket

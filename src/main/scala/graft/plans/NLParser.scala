@@ -1672,7 +1672,40 @@ object NLParser {
         // "Evaluate recall at 5 for queries below 8 probing 4 cells."
         // (or "… ndcg at 5 …") — offline evaluation of the bound
         // vector index: probe vs exact brute force, scored per query.
+        // "Evaluate hybrid recall at 5 for query 0 matching spark,
+        // join at depth 20 probing 1 cells." evaluates the FUSED
+        // two-index ranking against the exact-hybrid reference.
         p.next(); p.dropWords("the", "index")
+        if (p.peekWordLower.contains("hybrid")) {
+          p.next()
+          val ndcg = p.expectWordRaw().toLowerCase match {
+            case "recall" => false
+            case "ndcg"   => true
+            case w => throw ParseException(
+              s"evaluable metrics are recall and ndcg, got '$w'")
+          }
+          p.dropWords("at")
+          val k = p.expectNum().toInt
+          if (k <= 0) throw ParseException(s"eval k must be positive: $k")
+          p.expectWord("for"); p.dropWords("query", "queries")
+          val qid = p.expectNum().toLong
+          p.expectWord("matching")
+          val terms = termList(p)
+          val depth = p.peekWordLower match {
+            case Some("at") =>
+              p.next(); p.expectWord("depth"); p.expectNum().toInt
+            case _ => 20
+          }
+          if (depth < k) throw ParseException(
+            s"fusion depth $depth must be at least k=$k")
+          p.expectWord("probing")
+          val np = p.expectNum().toInt
+          if (np <= 0) throw ParseException(
+            s"probed cell count must be positive: $np")
+          p.dropWords("cells", "cell")
+          requireDone(p)
+          return Right(List(Op.HybridEval(ndcg, k, qid, terms, depth, np)))
+        }
         val metric = p.expectWordRaw().toLowerCase match {
           case "recall" => false
           case "ndcg"   => true

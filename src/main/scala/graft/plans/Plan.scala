@@ -598,6 +598,16 @@ object Op {
     * [[MmrTopK]] over the indexed corpus. */
   final case class LexMmrServe(terms: Seq[String], k: Int,
                                lambda: Double, depth: Int)         extends TableOp
+  /** Offline evaluation of the FUSED two-index ranking: the at-rest
+    * hybrid probe (this bound lexical index + the bound IVF index)
+    * scored against the exact-hybrid reference — same lexical arm,
+    * vector arm exact self-excluding cosine over the IVF index's
+    * stored vectors ([[graft.operators.Retrieval.recallAtK]] /
+    * [[graft.operators.Retrieval.ndcgAtK]] over doc_id). The metric
+    * isolates the IVF approximation inside the fusion. */
+  final case class HybridEval(ndcg: Boolean, k: Int, qid: Long,
+                              terms: Seq[String], depth: Int,
+                              nprobe: Int)                         extends TableOp
   /** Physical compliance erasure of vector ids from the bound index
     * ([[graft.operators.IvfIndex.deleteByKey]] — copy-on-write bounded
     * to the cells containing the ids, one atomic flip; vacuum/compact

@@ -658,6 +658,27 @@ object NLQueries extends QueryPack {
         graft.operators.IvfIndex.read(s, p), tablePath = Some(p))
     }),
 
+    // Offline eval of the FUSED ranking, spoken (x118/x119's shape,
+    // single query): the two-index hybrid probe at a deliberately
+    // tight nprobe scored against the exact-hybrid reference.
+    "nl142_hybrid_recall" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Evaluate hybrid recall at 5 for query 0 matching " +
+                 "spark, join, fast at depth 20 probing 1 cells.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
+    "nl143_hybrid_ndcg" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Evaluate hybrid ndcg at 5 for query 0 matching " +
+                 "spark, join, fast at depth 20 probing 1 cells.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // Attribute-sweep postings erasure, spoken (x109's twin).
     "nl133_lex_erase_where" -> ((s: SparkSession, d: String) => {
       val p = RetrievalQueries.lexEraseWhereIndexTable(s, d)
@@ -1189,6 +1210,13 @@ object NLQueries extends QueryPack {
     "nl141_mmr_serve" ->
       RetrievalQueries.mmrReplaySql(
         Seq(-1L -> Seq("spark", "join", "fast")), 5, 10, 0.7),
+    // fused-ranking eval, single spoken query at x118/x119's shape
+    "nl142_hybrid_recall" ->
+      RetrievalQueries.hybridEvalReplaySql(
+        Seq(0L -> Seq("spark", "join", "fast")), 5, 20, 1, ndcg = false),
+    "nl143_hybrid_ndcg" ->
+      RetrievalQueries.hybridEvalReplaySql(
+        Seq(0L -> Seq("spark", "join", "fast")), 5, 20, 1, ndcg = true),
     "nl137_lex_bucket_profile" -> RetrievalQueries.lexProfileReplaySql(),
     // offline index eval, spoken at x110/x111's exact constants —
     // identical oracle strings, interleaved twins

@@ -30,6 +30,11 @@ object RetrievalQueries extends QueryPack {
   // MMR diversification point: relevance weight and candidate depth
   private[queries] val MmrLambda = 0.7
   private[queries] val MmrDepth = 10
+  // the hybrid-eval operating point: a deliberately TIGHT probe (one
+  // cell of 16) so the metric has approximation to measure — at the
+  // serving nprobe the fused top-k recovers the exact reference and
+  // recall/nDCG saturate at 1.0
+  private[queries] val HybridEvalNProbe = 1
 
   /** Fixed serving queries: term lists over the corpus vocabulary; for
     * the hybrid shape, query_id doubles as the vec_id whose stored
@@ -351,7 +356,45 @@ object RetrievalQueries extends QueryPack {
     "x117_mmr_serve" -> ((s: SparkSession, d: String) =>
       Retrieval.mmrServe(s, lexIndexTable(s, d),
         VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, MmrLambda,
-        MmrDepth, k1 = K1, b = B)))
+        MmrDepth, k1 = K1, b = B)),
+
+    // Offline evaluation of the FUSED at-rest ranking (x110/x111's
+    // protocol, hybrid side): the two-index hybrid probe scored against
+    // the exact-hybrid reference — same lexical arm (the index probe is
+    // score-identical to the flat scan), vector arm exact brute-force
+    // cosine with the same self-exclusion — so the metric isolates
+    // exactly the IVF approximation inside the fusion.
+    "x118_hybrid_recall" -> ((s: SparkSession, d: String) =>
+      Retrieval.recallAtK(hybridProbe(s, d), hybridTruth(s, d), K,
+        idCol = "doc_id")),
+
+    "x119_hybrid_ndcg" -> ((s: SparkSession, d: String) =>
+      Retrieval.ndcgAtK(hybridProbe(s, d), hybridTruth(s, d), K,
+        idCol = "doc_id")))
+
+  /** x118/x119's candidate: the fully at-rest hybrid probe (x101's
+    * exact shape and constants). */
+  private def hybridProbe(s: SparkSession, d: String): DataFrame =
+    Retrieval.hybridServe(s, lexIndexTable(s, d),
+      VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, Depth,
+      HybridEvalNProbe, RrfC)
+
+  /** x118/x119's reference: the exact hybrid at the same operating
+    * point — flat BM25 (score-identical to the index arm) RRF-fused
+    * with EXACT cosine over the aligned embeddings, self-excluded like
+    * the by-id serving's vector arm. */
+  private def hybridTruth(s: SparkSession, d: String): DataFrame = {
+    val embs = table(s, d, "embeddings")
+    val lex = Retrieval.bm25TopK(table(s, d, "documents"), queriesDf(s),
+        Depth, k1 = K1, b = B)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qVecs = embs.join(
+      broadcast(queriesDf(s).select(col("query_id").as("vec_id"))),
+      Seq("vec_id"))
+    val vec = graft.operators.Similarity.bruteForceTopK(qVecs, embs, Depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(lex, vec, K, RrfC)
+  }
 
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
@@ -590,6 +633,78 @@ object RetrievalQueries extends QueryPack {
        |  FROM hfused)
        |WHERE rank <= $k""".stripMargin
 
+  /** The exact-hybrid reference replay (x118/x119's truth): flat BM25
+    * at `depth` RRF-fused with exact self-excluding cosine at `depth`
+    * — the same fusion with the approximate vector arm replaced by the
+    * exact one. */
+  private def hybridExactReplaySql(qs: Seq[(Long, Seq[String])],
+                                   k: Int, depth: Int): String = {
+    val ids = qs.map(_._1).mkString(", ")
+    s"""WITH lexr AS (
+       |${bm25ReplaySql(qs, depth)}
+       |),
+       |vecr AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                        c.embedding::DOUBLE[]) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE q.vec_id IN ($ids) AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $depth
+       |),
+       |${fuseTailSql(k)}""".stripMargin
+  }
+
+  /** recall@k / nDCG@k of the at-rest hybrid probe against the
+    * exact-hybrid reference — both rankings' replays nested as CTEs
+    * (each already oracle-proven standalone), metric tail as
+    * [[VectorQueries.recallReplaySql]]/`ndcgReplaySql` over doc_id. */
+  private[queries] def hybridEvalReplaySql(qs: Seq[(Long, Seq[String])],
+                                           k: Int, depth: Int, nprobe: Int,
+                                           ndcg: Boolean): String = {
+    val head =
+      s"""WITH prober AS (
+         |${hybridServeReplaySql(qs, k, depth, nprobe)}
+         |),
+         |truthr AS (
+         |${hybridExactReplaySql(qs, k, depth)}
+         |)""".stripMargin
+    if (!ndcg)
+      s"""$head,
+         |hits AS (
+         |  SELECT t.query_id, count(*)::BIGINT AS n_hit
+         |  FROM truthr t JOIN prober r
+         |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+         |  GROUP BY t.query_id),
+         |denom AS (SELECT query_id, count(*)::BIGINT AS n_truth
+         |          FROM truthr GROUP BY query_id)
+         |SELECT d.query_id,
+         |  coalesce(h.n_hit, 0)::DOUBLE / d.n_truth::DOUBLE AS recall
+         |FROM denom d LEFT JOIN hits h USING (query_id)""".stripMargin
+    else
+      s"""$head,
+         |rel AS (
+         |  SELECT r.query_id, r.rank
+         |  FROM prober r JOIN truthr t
+         |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+         |dcg AS (
+         |  SELECT query_id,
+         |    list_reduce(list(1.0::DOUBLE / log2(rank::DOUBLE + 1.0::DOUBLE)
+         |                     ORDER BY rank), (a, x) -> a + x) AS dcg
+         |  FROM rel GROUP BY query_id),
+         |idcg AS (
+         |  SELECT query_id,
+         |    list_reduce(list_transform(generate_series(1, count(*)),
+         |        i -> 1.0::DOUBLE / log2(i::DOUBLE + 1.0::DOUBLE)),
+         |      (a, x) -> a + x) AS idcg
+         |  FROM truthr GROUP BY query_id)
+         |SELECT i.query_id,
+         |  round(coalesce(d.dcg, 0.0::DOUBLE) / i.idcg, 6) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d USING (query_id)""".stripMargin
+  }
+
   /** The literal-query hybrid replay: the lexical arm is the plain BM25
     * replay for the spoken terms under query_id -1; the vector arm is
     * the LITERAL-vector IVF probe replay (same -1, candidates NOT
@@ -669,6 +784,13 @@ object RetrievalQueries extends QueryPack {
     // candidates and fetched embeddings are identical inputs.
     "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
     "x117_mmr_serve" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
+
+    // Offline eval of the fused at-rest ranking vs the exact-hybrid
+    // reference (both rankings' replays nested as proven CTEs).
+    "x118_hybrid_recall" ->
+      hybridEvalReplaySql(BmQueries, K, Depth, HybridEvalNProbe, ndcg = false),
+    "x119_hybrid_ndcg" ->
+      hybridEvalReplaySql(BmQueries, K, Depth, HybridEvalNProbe, ndcg = true),
 
     // Footer-vs-scan equality is a Spark-side construction (bucket ids
     // are a hash) — the TRUE-literal certificate.

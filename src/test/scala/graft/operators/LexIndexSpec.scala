@@ -66,17 +66,70 @@ class LexIndexSpec extends SparkSpec {
     val scans = graft.SparkSpec.executedFileScans(res)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
     assert(scans.nonEmpty, "no index scan in the executed plan")
-    val partitionsRead = scans.map(s =>
-      s.metrics.get("numPartitions").map(_.value).getOrElse(
-        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))).sum
     val probedBuckets = Seq("spark", "join")
       .map(LexIndex.termBucket(_, 16)).distinct.size
-    assert(partitionsRead <= probedBuckets,
-      s"probe read $partitionsRead bucket partitions for $probedBuckets buckets")
+    // per scan: the probe's candidate read AND the df branch's re-read
+    // are each bucket-pruned (the mergeable-df regime reads the pruned
+    // postings twice, never a partition outside the probed buckets)
+    scans.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))
+      assert(parts <= probedBuckets,
+        s"a probe scan read $parts bucket partitions for $probedBuckets buckets")
+    }
     // the term restriction reaches the parquet scan as a pushed filter
     assert(scans.exists(_.metadata.get("PushedFilters")
       .exists(f => f.contains("term") && f.contains("In"))),
       "term IN (…) not pushed into the postings scan")
+    // the index probe's df is the MERGEABLE aggregate, not a per-term
+    // window — no Window node anywhere in the executed plan (a
+    // stop-word term would otherwise sort its whole posting list in
+    // one task at corpus scale)
+    def hasWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec] ||
+        p.children.exists(hasWindow) || (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasWindow(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasWindow(q.plan)
+          case _ => false
+        })
+    assert(!hasWindow(res.queryExecution.executedPlan),
+      "index probe scored df through a window")
+  }
+
+  test("wide probes past the term-literal cap stay bucket-pruned: " +
+       "3000+ terms read only partitions holding some query term") {
+    val p = freshPath()
+    val nBuckets = 8192 // spread ≫ probed terms, the at-scale regime
+    LexIndex.build(docsDf, p, buckets = nBuckets)
+    val wide = (0 until 3000).map(i => s"w$i") ++ Seq("spark", "join")
+    assert(wide.size > 2048)
+    val qs = queriesDf(1L -> wide)
+    val res = LexIndex.search(spark, p, qs, 3)
+    res.collect()
+    // the corpus partitions a wide probe may legitimately touch: its
+    // bucket dirs whose bucket some query term hashes to
+    val corpusTerms = docsFx.flatMap(_._2.split("\\s+")).distinct
+    val probed = wide.map(LexIndex.termBucket(_, nBuckets)).toSet
+    val touchable = corpusTerms.map(LexIndex.termBucket(_, nBuckets))
+      .distinct.count(probed.contains)
+    val corpusBuckets = corpusTerms.map(LexIndex.termBucket(_, nBuckets))
+      .distinct.size
+    assert(touchable < corpusBuckets,
+      "fixture degenerate: every corpus bucket probed — widen the spread")
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))
+      assert(parts <= touchable,
+        s"a wide-probe scan read $parts partitions; only $touchable " +
+          s"of $corpusBuckets corpus buckets are probed")
+    }
+    // and the result is still the flat scan's, term literals or not
+    assert(rows(res) == rows(Retrieval.bm25TopK(docsDf, qs, 3)))
   }
 
   test("terms absent from the corpus score nothing; unknown index fails loudly") {
@@ -275,12 +328,15 @@ class LexIndexSpec extends SparkSpec {
     assert(scans.forall(_.relation.location.rootPaths
       .forall(_.toString.contains(f"seg-${m.version}%09d"))),
       "post-compact probe read a superseded segment")
-    val partitionsRead = scans.map(s =>
-      s.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    // per scan (the mergeable-df regime re-reads the pruned postings):
+    // each is bounded by the probed buckets
     val probedBuckets = Seq("spark", "join", "scan")
       .map(LexIndex.termBucket(_, 16)).distinct.size
-    assert(partitionsRead <= probedBuckets,
-      s"post-compact probe read $partitionsRead partitions for $probedBuckets buckets")
+    scans.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value).getOrElse(0L)
+      assert(parts <= probedBuckets,
+        s"a post-compact scan read $parts partitions for $probedBuckets buckets")
+    }
   }
 
   test("vacuum reclaims superseded segments and crashed-appender orphans; " +
