@@ -109,6 +109,17 @@ object Bench {
     try Files.write(Paths.get(outFile),
                     (json + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // Every run ALSO appends to an immutable history (one self-contained
+    // line per run, UTC-stamped): BENCH.json is overwritten per run and
+    // a tail-truncated stdout capture can lose the line entirely, so the
+    // history is the durable parsed record any round can be read from.
+    val stamped = json.patch(1,
+      s""""ts_utc":"${java.time.Instant.now()}",""", 0)
+    try Files.write(Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
+                    (stamped + "\n").getBytes(StandardCharsets.UTF_8),
+                    java.nio.file.StandardOpenOption.CREATE,
+                    java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     println(json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -621,6 +621,22 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // Filtered phrase retrieval, spoken — the adjacency restriction
+    // AND the attribute pre-filter in one sentence; nl145 serves the
+    // same from the positional+attribute index (shared oracle string).
+    "nl144_bm25_phrase_filtered" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching \"spark join\" where " +
+                 s"lang == '${RetrievalQueries.FilterLang}'.",
+        docs(s, d))),
+
+    "nl145_lex_phrase_filtered" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexPosAttrIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "\"spark join\" where lang == " +
+                 s"'${RetrievalQueries.FilterLang}'.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // MMR diversification, spoken — x112's greedy at the same operating
     // point, single spoken query (the embeddings table binds through
     // the catalog, as the hybrid route's vector arm does).
@@ -1188,6 +1204,15 @@ object NLQueries extends QueryPack {
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     "nl140_lex_phrase_search" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    // filtered phrase pair: nl145 shares nl144's string
+    "nl144_bm25_phrase_filtered" ->
+      RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5,
+        eligibleSql = Some(RetrievalQueries.langEligibleSql(
+          RetrievalQueries.FilterLang))),
+    "nl145_lex_phrase_filtered" ->
+      RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5,
+        eligibleSql = Some(RetrievalQueries.langEligibleSql(
+          RetrievalQueries.FilterLang))),
     // filtered pair: nl129 shares nl128's string (probe ≡ scan)
     "nl128_bm25_filtered" ->
       RetrievalQueries.bm25ReplaySql(

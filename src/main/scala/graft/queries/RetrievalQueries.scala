@@ -104,6 +104,14 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.build(table(s, d, "documents"), _,
         positions = true))
 
+  /** x121/nl145's index: positions AND the `lang` attribute together —
+    * the filtered phrase serving shape ("matching \"spark join\" where
+    * lang == 'en'"). */
+  private[queries] def lexPosAttrIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexposattr_index_")(
+      graft.operators.LexIndex.build(table(s, d, "documents"), _,
+        positions = true, attrs = Seq("lang")))
+
   /** x103/nl129's index: the `lang` ATTRIBUTE stored beside every
     * posting — the filtered lexical serving shape ("matching spark
     * where lang = 'en'"), predicate pushed into the pruned bucket
@@ -336,6 +344,21 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchPhrase(s, lexPosIndexTable(s, d),
         phrasesDf(s), K, k1 = K1, b = B)),
 
+    // Filtered phrase retrieval: the phrase adjacency restriction AND
+    // an attribute pre-filter compose — exactly k matching documents
+    // containing the contiguous run, stats and df full-corpus.
+    "x120_bm25_phrase_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25PhraseTopK(table(s, d, "documents"), phrasesDf(s), K,
+        k1 = K1, b = B, pred = Some(col("lang") === FilterLang))),
+
+    // Served at rest from the positional+attribute index: adjacency
+    // from stored positions, eligibility from the stored `lang` riding
+    // the pruned candidate rows. Same oracle STRING as x120.
+    "x121_lex_phrase_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhrase(s, lexPosAttrIndexTable(s, d),
+        phrasesDf(s), K, k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
     // MMR-diversified retrieval: BM25 depth-10 candidates re-selected
     // greedily for relevance minus redundancy (embedding cosine to the
     // already-picked set) — the standard RAG diversification pass.
@@ -458,13 +481,15 @@ object RetrievalQueries extends QueryPack {
     * operator. Shared verbatim by the flat scan (x115), the positional
     * index probe (x116), and the NL twins. */
   private[queries] def phraseReplaySql(phrases: Seq[(Long, Seq[String])],
-                                       k: Int): String = {
+                                       k: Int,
+                                       eligibleSql: Option[String] = None): String = {
     val qs = phrases.map { case (qid, p) => qid -> p.map(_.toLowerCase).distinct }
     val phValues = phrases.map { case (qid, p) =>
       s"(${qid}::BIGINT, ' ${p.map(_.toLowerCase).mkString(" ")} ')" }
       .mkString(",\n  ")
     val elig = "EXISTS (SELECT 1 FROM ph WHERE ph.query_id = " +
-      "contrib.query_id AND ph.doc_id = contrib.doc_id)"
+      "contrib.query_id AND ph.doc_id = contrib.doc_id)" +
+      eligibleSql.fold("")(e => s" AND $e")
     s"""WITH phq(query_id, pat) AS (VALUES
        |  $phValues),
        |ph AS (
@@ -778,6 +803,15 @@ object RetrievalQueries extends QueryPack {
     // ranking) — interleaved bench twins.
     "x115_bm25_phrase" -> phraseReplaySql(PhraseQueries, K),
     "x116_lex_phrase_search" -> phraseReplaySql(PhraseQueries, K),
+
+    // Filtered phrase pair: the phrase containment AND the lang slice
+    // compose in the eligibility; x121 shares x120's string.
+    "x120_bm25_phrase_filtered" ->
+      phraseReplaySql(PhraseQueries, K,
+        eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x121_lex_phrase_filtered" ->
+      phraseReplaySql(PhraseQueries, K,
+        eligibleSql = Some(langEligibleSql(FilterLang))),
 
     // The unrolled greedy — every objective bit-identical to the
     // operator's per-query fold. x117 shares the string: the at-rest

@@ -23,12 +23,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  /** No per-query exceptions: under the canonical (ReusedExchange-aware)
-    * count every declared query plans ≤ 6 distinct shuffles. A query
-    * that needs an entry here again should justify each extra exchange
-    * the way the old minhash exception did (candidate-sized, never
-    * corpus-sized). */
-  private val shuffleBoundExceptions: Map[String, Int] = Map.empty
+  /** Under the canonical (ReusedExchange-aware) count every declared
+    * query plans ≤ 6 distinct shuffles. Exceptions must justify each
+    * extra exchange the way the old minhash exception did
+    * (candidate-sized, never corpus-sized):
+    *  - x118/x119 evaluate ONE ranking against ANOTHER — two complete
+    *    retrieval pipelines (the at-rest hybrid probe and the exact
+    *    hybrid reference, each a lexical arm + a vector arm + the RRF
+    *    fuse) plus the metric tail. The exchanges past the single-query
+    *    bound are the evaluator's own: per-query hit/denominator
+    *    aggregations and the final join, all over k-bounded frames
+    *    (q×k rows) — candidate-sized by construction, never corpus. */
+  private val shuffleBoundExceptions: Map[String, Int] = Map(
+    "x118_hybrid_recall" -> 8,
+    "x119_hybrid_ndcg" -> 8)
 
   test("every query's shuffle count stays bounded") {
     val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
