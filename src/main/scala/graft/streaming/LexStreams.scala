@@ -44,6 +44,27 @@ object LexStreams {
       }
       .start()
 
+  /** Quoted-PHRASE serving, streaming: each batch's `(query_id,
+    * phrase: array<string>)` queries run [[LexIndex.searchPhrase]]
+    * against the POSITIONAL index as of the batch's manifest —
+    * adjacency from stored position lists on the pruned candidate
+    * rows, the batch twin's exact semantics per micro-batch. */
+  def servePhrase(phrases: DataFrame, path: String, outPath: String,
+                  checkpoint: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  pred: Option[Column] = None): StreamingQuery =
+    phrases.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          LexIndex.searchPhrase(spark, path, batch, k, k1, b, pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** The fully at-rest HYBRID probe, streaming: each batch's
     * `(query_id, terms)` queries run [[Retrieval.hybridServe]] —
     * lexical arm from the inverted index, vector arm from the

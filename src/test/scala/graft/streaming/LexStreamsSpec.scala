@@ -76,6 +76,34 @@ class LexStreamsSpec extends SparkSpec {
     assert(streamed == (b0 ++ b1).sorted && streamed.nonEmpty)
   }
 
+  test("streamed phrase probes equal the batch searchPhrase over the " +
+       "positional index, across batch boundaries") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    LexIndex.build(docsDf, index, buckets = 16, positions = true)
+    implicit val sqlCtx = spark.sqlContext
+    val phraseFx: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("spark", "join"), 1L -> Seq("join", "fast"),
+      2L -> Seq("spark", "spark"), 3L -> Seq("window", "scan", "scan"))
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.servePhrase(
+      stream.toDF().toDF("query_id", "phrase"),
+      index, s"$dir/out", s"$dir/ckpt", K)
+    try {
+      stream.addData(phraseFx.take(2))
+      q.processAllAvailable()
+      stream.addData(phraseFx.drop(2))
+      q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    val batch = ranked(LexIndex.searchPhrase(spark, index,
+      spark.createDataFrame(phraseFx).toDF("query_id", "phrase"), K))
+    assert(streamed == batch && streamed.nonEmpty)
+    // and the batch twin equals the flat phrase scan (the full chain)
+    assert(batch == ranked(Retrieval.bm25PhraseTopK(docsDf,
+      spark.createDataFrame(phraseFx).toDF("query_id", "phrase"), K)))
+  }
+
   test("restart replay is idempotent; filtered serve equals the filtered " +
        "batch probe") {
     val dir = freshDir()
