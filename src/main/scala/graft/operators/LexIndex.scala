@@ -914,4 +914,60 @@ object LexIndex {
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
       mergeableDf = true)
   }
+
+  /** PROXIMITY probe — [[Retrieval.bm25ProximityTopK]]'s at-rest twin:
+    * only documents with ALL query terms inside some `window`-token
+    * run rank, answered from the stored position lists of the PRUNED
+    * candidate rows (zero corpus scans). A satisfying window can
+    * always be anchored at a term occurrence (take the earliest term
+    * position inside any satisfying window — every term then sits in
+    * `[s, s+window)`), so candidate starts are the union of the terms'
+    * positions: a document matches iff ∃ s ∈ ⋃positions with every
+    * term holding a position in `[s, s+window)` — codegen'd
+    * `exists`/`forall` over the collected per-term arrays, cost
+    * bounded by the spoken terms' posting bytes.
+    *
+    * @param queries `(query_id, terms: array<string>)`, as [[search]]
+    * @param window  run length in tokens, ≥ 1
+    */
+  def searchProximity(spark: SparkSession, path: String, queries: DataFrame,
+                      k: Int, window: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      pred: Option[Column] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1 token, got $window")
+    val m = readManifest(spark, path)
+    require(m.positional, s"$path stores no positional postings — " +
+      "build the index with positions = true to serve proximity queries")
+    val qs = queries.select(col("query_id"),
+      array_distinct(transform(col("terms"), t => lower(t))).as("qterms"))
+    val qIdx = qs.select(col("query_id"), size(col("qterms")).as("n"),
+      posexplode(col("qterms")).as(Seq("j", "term")))
+    val qTerms = qIdx.select("query_id", "term").distinct()
+    val pruned = prunedPostings(spark, path, m, qTerms)
+    val withJ = pruned.select("term", "doc_id", "positions")
+      .join(broadcast(qIdx), Seq("term"))
+    // distinct terms ⇒ one posting row per (query, doc, slot):
+    // count(j) = n certifies every term present
+    val slots = withJ.groupBy("query_id", "doc_id")
+      .agg(max("n").as("n"), count(lit(1)).as("nj"),
+        map_from_entries(collect_list(struct(col("j"), col("positions"))))
+          .as("slot_pos"))
+      .filter(col("nj") === col("n"))
+    val starts = flatten(transform(sequence(lit(0), col("n") - lit(1)),
+      j => element_at(col("slot_pos"), j)))
+    val eligPairs = slots.filter(
+      exists(starts, s =>
+        forall(sequence(lit(0), col("n") - lit(1)), j =>
+          exists(element_at(col("slot_pos"), j),
+            p => p >= s && p < s + lit(window)))))
+      .select("query_id", "doc_id")
+    val tfQ = pruned
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
+    val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
+      .toDF("n_docs", "sum_dl")
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
+      mergeableDf = true)
+  }
 }

@@ -165,6 +165,65 @@ object Retrieval {
     scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
 
+  /** PROXIMITY BM25 top-k, flat-scan form — the middle ground between
+    * bag-of-words ([[bm25TopK]]: terms anywhere) and the exact phrase
+    * ([[bm25PhraseTopK]]: terms adjacent in order): only documents with
+    * ALL query terms inside SOME `window`-token run rank, in any order
+    * ("spark and join within 5 tokens"), BM25-scored over the distinct
+    * terms with full-corpus stats (the proximity restricts candidates,
+    * never the scoring — the phrase contract, sloppy form).
+    *
+    * Containment is a codegen'd sliding-window check over the token
+    * array (`exists` start × `forall` term × `array_contains` slice —
+    * O(dl·window·terms) per (doc, query), words-in-a-sentence small);
+    * a document shorter than the window is checked whole. The at-rest
+    * twin ([[LexIndex.searchProximity]]) answers from stored positions
+    * without any corpus scan.
+    *
+    * @param queries `(query_id, terms: array<string>)`, matched
+    *                lowercased
+    * @param window  run length in tokens; must be ≥ 1 (a window
+    *                smaller than the distinct-term count can never
+    *                match — allowed, returns empty)
+    */
+  def bm25ProximityTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                        window: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        queryIdCol: String = "query_id",
+                        termsCol: String = "terms",
+                        pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1 token, got $window")
+    val qs = queries.select(col(queryIdCol).as("query_id"),
+      array_distinct(transform(col(termsCol), t => lower(t))).as("qterms"))
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("toks"),
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    // a window never exceeds the document; sequence stays ascending
+    val n = least(lit(window), size(col("toks")))
+    val inWindow = when(size(col("toks")) > 0,
+        exists(sequence(lit(1), size(col("toks")) - n + lit(1)),
+          i => forall(col("qterms"),
+            t => array_contains(slice(col("toks"), i, n), t))))
+      .otherwise(lit(false))
+    val eligPairs = toksAll.crossJoin(broadcast(qs))
+      .filter(inWindow)
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
+    val qTerms = qs.select(col("query_id"),
+      explode(col("qterms")).as("term")).distinct()
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val stats = toksAll.filter(size(col("toks")) > 0)
+      .agg(count("*").as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+  }
+
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
     * persisted inverted index ([[LexIndex.search]]) meet here, which is
     * what makes the index probe score-identical to the full scan.

@@ -161,6 +161,13 @@ object Compiler {
           .toDF("query_id", "phrase")
         graft.operators.LexIndex.searchPhrase(spark, path, phrases, k,
           pred = where.map(predicate(df, _)))
+      case Op.LexProximitySearch(terms, k, w, where) =>
+        // window containment from the positional index's stored
+        // position lists — zero corpus scans
+        val queries = spark.createDataFrame(Seq((-1L, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.LexIndex.searchProximity(spark, path, queries, k,
+          w, pred = where.map(predicate(df, _)))
       case Op.LexHybridServe(terms, vec, k, depth, nprobe) =>
         // the literal query carries BOTH modalities inline (query_id
         // -1, outside the stored id space); the lexical index is the
@@ -481,6 +488,13 @@ object Compiler {
       val phrases = session.createDataFrame(Seq((-1L, phrase)))
         .toDF("query_id", "phrase")
       Retrieval.bm25PhraseTopK(df, phrases, k,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25Proximity(terms, k, w, where) =>
+      // all terms inside some w-token run, any order (query_id -1)
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((-1L, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.bm25ProximityTopK(df, queries, k, w,
         pred = where.map(predicate(df, _)))
     case Op.MmrTopK(terms, k, lambda, depth) =>
       // BM25 candidates over the input documents; diversification

@@ -1104,6 +1104,20 @@ object NLParser {
                 s"mmr depth $depth must be at least k=$k")
               requireDone(p)
               Right(List(Op.MmrTopK(terms, k, lam, depth)))
+            } else if (p.peekWordLower.contains("within")) {
+              // "… matching spark, join within 5 tokens" — proximity:
+              // all terms inside some window-token run, any order
+              p.next()
+              val w = p.expectNum().toInt
+              if (w < 1) throw ParseException(
+                s"proximity window must be >= 1 token: $w")
+              p.dropWords("tokens", "token")
+              val where = p.peekWordLower match {
+                case Some("where") => p.next(); Some(parsePred(p))
+                case _             => None
+              }
+              requireDone(p)
+              Right(List(Op.Bm25Proximity(terms, k, w, where)))
             } else {
               // "… matching spark, join where lang == 'en'" — the
               // candidate pre-filter: only matching documents rank,
@@ -1803,6 +1817,21 @@ object NLParser {
               s"mmr depth $depth must be at least k=$k")
             requireDone(p)
             return Right(List(Op.LexMmrServe(terms, k, lam, depth)))
+          }
+          if (p.peekWordLower.contains("within")) {
+            // "… matching spark, join within 5 tokens." — proximity
+            // from the positional index's stored position lists
+            p.next()
+            val w = p.expectNum().toInt
+            if (w < 1) throw ParseException(
+              s"proximity window must be >= 1 token: $w")
+            p.dropWords("tokens", "token")
+            val where = p.peekWordLower match {
+              case Some("where") => p.next(); Some(parsePred(p))
+              case _             => None
+            }
+            requireDone(p)
+            return Right(List(Op.LexProximitySearch(terms, k, w, where)))
           }
           val where = p.peekWordLower match {
             case Some("where") => p.next(); Some(parsePred(p))

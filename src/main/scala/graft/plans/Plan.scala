@@ -203,6 +203,11 @@ object Op {
     * ([[graft.operators.Retrieval.bm25PhraseTopK]]); query_id -1. */
   final case class Bm25Phrase(phrase: Seq[String], k: Int,
                               where: Option[Pred] = None)          extends CorpusOp
+  /** PROXIMITY BM25 top-k ("documents matching spark, join within 5
+    * tokens") — only documents with all terms inside some window-token
+    * run rank ([[graft.operators.Retrieval.bm25ProximityTopK]]). */
+  final case class Bm25Proximity(terms: Seq[String], k: Int, window: Int,
+                                 where: Option[Pred] = None)       extends CorpusOp
   /** MMR-diversified retrieval: BM25 depth-candidates over the input
     * documents, greedily re-selected for λ·relevance −
     * (1−λ)·redundancy (embedding cosine to the already-picked set,
@@ -578,6 +583,13 @@ object Op {
     * indexed corpus). */
   final case class LexPhraseSearch(phrase: Seq[String], k: Int,
                                    where: Option[Pred] = None)     extends TableOp
+  /** PROXIMITY probe of the bound POSITIONAL inverted index
+    * ([[graft.operators.LexIndex.searchProximity]] — window
+    * containment from stored position lists on the pruned candidate
+    * rows; zero corpus scans). */
+  final case class LexProximitySearch(terms: Seq[String], k: Int,
+                                      window: Int,
+                                      where: Option[Pred] = None)  extends TableOp
   /** LITERAL-query hybrid serving over TWO bound indexes — the
     * production RAG sentence: a FRESH embedding plus keywords, lexical
     * arm from the bound inverted index (bucket-pruned), vector arm from

@@ -621,6 +621,20 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // Proximity retrieval, spoken — flat scan and positional-index
+    // probe of the same sentence (shared oracle string).
+    "nl146_bm25_proximity" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join within " +
+                 "5 tokens.",
+        docs(s, d))),
+
+    "nl147_lex_proximity_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexPosIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join within 5 tokens.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // Filtered phrase retrieval, spoken — the adjacency restriction
     // AND the attribute pre-filter in one sentence; nl145 serves the
     // same from the positional+attribute index (shared oracle string).
@@ -1204,6 +1218,13 @@ object NLQueries extends QueryPack {
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     "nl140_lex_phrase_search" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    // proximity pair: nl147 shares nl146's string
+    "nl146_bm25_proximity" ->
+      RetrievalQueries.proximityReplaySql(
+        Seq(-1L -> Seq("spark", "join")), 5, 5),
+    "nl147_lex_proximity_search" ->
+      RetrievalQueries.proximityReplaySql(
+        Seq(-1L -> Seq("spark", "join")), 5, 5),
     // filtered phrase pair: nl145 shares nl144's string
     "nl144_bm25_phrase_filtered" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5,

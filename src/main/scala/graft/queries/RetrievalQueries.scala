@@ -67,6 +67,17 @@ object RetrievalQueries extends QueryPack {
   private def phrasesDf(s: SparkSession): DataFrame =
     s.createDataFrame(PhraseQueries).toDF("query_id", "phrase")
 
+  /** The proximity fixture: a 2-term and a 3-term window query at one
+    * window width — both discriminate sharply from bag-of-words in
+    * both test corpora (e.g. 46 vs 268 matching docs at sf0.01 for the
+    * 3-term set). */
+  private[queries] val ProxQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("hash", "merge", "batch"))
+  private[queries] val ProxWindow = 6
+  private def proxQueriesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(ProxQueries).toDF("query_id", "terms")
+
   /** The filtered-serving slice: the documents table's own `lang`
     * attribute (x102/x103/nl128/nl129), and the embeddings' `label`
     * viewed through doc_id ≡ vec_id for the hybrid arm (x104). */
@@ -344,6 +355,19 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchPhrase(s, lexPosIndexTable(s, d),
         phrasesDf(s), K, k1 = K1, b = B)),
 
+    // Proximity retrieval — the middle ground between bag-of-words and
+    // the exact phrase: all terms inside some 6-token run, any order.
+    "x122_bm25_proximity" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25ProximityTopK(table(s, d, "documents"),
+        proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B)),
+
+    // Served at rest from the positional index: window containment
+    // from stored position lists on the pruned candidate rows — zero
+    // corpus scans. Same oracle STRING as x122.
+    "x123_lex_proximity_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchProximity(s, lexPosIndexTable(s, d),
+        proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B)),
+
     // Filtered phrase retrieval: the phrase adjacency restriction AND
     // an attribute pre-filter compose — exactly k matching documents
     // containing the contiguous run, stats and df full-corpus.
@@ -496,6 +520,35 @@ object RetrievalQueries extends QueryPack {
        |  SELECT q.query_id, d.doc_id FROM phq q JOIN documents d
        |    ON strpos(' ' || array_to_string($toksSql, ' ') || ' ', q.pat) > 0),
        |${bm25Ctes(qs, eligibleSql = Some(elig))}
+       |SELECT query_id, doc_id, rank, score FROM lex
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The proximity replay: a sliding-window containment over the token
+    * list (`list_has_all` on each `window`-length slice; a document
+    * shorter than the window is checked whole — `least` keeps the
+    * range ascending), restricting the BM25 ranking per (query, doc).
+    * Shared verbatim by the flat scan, the positional index probe, and
+    * the NL twins. */
+  private[queries] def proximityReplaySql(qs: Seq[(Long, Seq[String])],
+                                          k: Int, w: Int): String = {
+    val qsd = qs.map { case (qid, t) => qid -> t.map(_.toLowerCase).distinct }
+    val qwValues = qsd.map { case (qid, t) =>
+      s"(${qid}::BIGINT, [${t.map(x => s"'$x'").mkString(", ")}])" }
+      .mkString(",\n  ")
+    val elig = "EXISTS (SELECT 1 FROM px WHERE px.query_id = " +
+      "contrib.query_id AND px.doc_id = contrib.doc_id)"
+    s"""WITH qw(query_id, qterms) AS (VALUES
+       |  $qwValues),
+       |tx AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |px AS (
+       |  SELECT q.query_id, t.doc_id FROM qw q JOIN tx t
+       |    ON len(t.toks) > 0 AND len(list_filter(
+       |         range(1, len(t.toks) - least($w, len(t.toks)) + 2),
+       |         i -> list_has_all(
+       |                list_slice(t.toks, i, i + least($w, len(t.toks)) - 1),
+       |                q.qterms))) > 0),
+       |${bm25Ctes(qsd, eligibleSql = Some(elig))}
        |SELECT query_id, doc_id, rank, score FROM lex
        |WHERE rank <= $k""".stripMargin
   }
@@ -803,6 +856,13 @@ object RetrievalQueries extends QueryPack {
     // ranking) — interleaved bench twins.
     "x115_bm25_phrase" -> phraseReplaySql(PhraseQueries, K),
     "x116_lex_phrase_search" -> phraseReplaySql(PhraseQueries, K),
+
+    // Proximity pair: window containment restricting the BM25 ranking;
+    // x123 shares x122's string.
+    "x122_bm25_proximity" ->
+      proximityReplaySql(ProxQueries, K, ProxWindow),
+    "x123_lex_proximity_search" ->
+      proximityReplaySql(ProxQueries, K, ProxWindow),
 
     // Filtered phrase pair: the phrase containment AND the lang slice
     // compose in the eligibility; x121 shares x120's string.

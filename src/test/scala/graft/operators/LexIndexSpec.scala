@@ -653,6 +653,41 @@ class LexIndexSpec extends SparkSpec {
       "the scoring branch should not read positions")
   }
 
+  test("proximity probe ≡ flat proximity scan; sits strictly between " +
+       "phrase and bag-of-words") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, positions = true)
+    // doc 0 "spark join fast spark": spark+fast within 3 (0,2) though
+    // never adjacent; doc 4 "fast fast join spark table": within 3 too
+    // (fast@1, spark@3); doc 1 has neither term pair
+    val qs = spark.createDataFrame(Seq(
+        1L -> Seq("spark", "fast"),
+        2L -> Seq("join", "table", "slow")))
+      .toDF("query_id", "terms")
+    val idx = LexIndex.searchProximity(spark, p, qs, 5, window = 3)
+    val flat = Retrieval.bm25ProximityTopK(docsDf, qs, 5, window = 3)
+    assert(rows(idx) == rows(flat) && idx.count() > 0)
+    // q2 "join table slow" within 3: doc 1 "join slow table join join"
+    // holds all three in (slow@1? no: join@0 slow@1 table@2) — window 3
+    val q2hits = idx.filter(col("query_id") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q2hits == Set(1L))
+    // proximity(window = dl_max) degenerates to bag-of-words presence;
+    // window = 2 on an adjacent pair behaves like the unordered phrase
+    val wide = LexIndex.searchProximity(spark, p,
+      spark.createDataFrame(Seq(1L -> Seq("spark", "fast")))
+        .toDF("query_id", "terms"), 7, window = 100)
+    val bagDocs = docsFx.filter { case (_, t) =>
+      val toks = t.split(" ").toSet; toks("spark") && toks("fast") }
+      .map(_._1).toSet
+    assert(wide.select("doc_id").collect().map(_.getLong(0)).toSet == bagDocs)
+    // zero corpus scans, as every index probe
+    idx.collect()
+    val scans = graft.SparkSpec.executedFileScans(idx)
+    assert(scans.nonEmpty && scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("/seg-"))))
+  }
+
   test("phrase probe on a non-positional index fails loudly; " +
        "maintenance preserves the positional layout") {
     val p = freshPath()
