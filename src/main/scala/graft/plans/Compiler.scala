@@ -168,18 +168,20 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.searchProximity(spark, path, queries, k,
           w, pred = where.map(predicate(df, _)))
-      case Op.LexHybridServe(terms, vec, k, depth, nprobe) =>
+      case Op.LexHybridServe(terms, vec, k, depth, nprobe, where) =>
         // the literal query carries BOTH modalities inline (query_id
         // -1, outside the stored id space); the lexical index is the
         // bound table, the vector index binds separately — one spoken
-        // sentence, two pruned index probes, zero corpus scans
+        // sentence, two pruned index probes, zero corpus scans; a
+        // spoken filter pre-filters BOTH arms on the shared attribute
         val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
           s"$op needs a bound vector index (vectorIndexPath) beside the " +
             "lexical one — the hybrid serves from both stores"))
         val queries = spark.createDataFrame(Seq((-1L, terms, vec)))
           .toDF("query_id", "terms", "embedding")
         graft.operators.Retrieval.hybridServeLiteral(spark, path, ivfPath,
-          queries, k, depth, nprobe)
+          queries, k, depth, nprobe,
+          pred = where.map(predicate(df, _)))
       case Op.LexMmrServe(terms, k, lambda, depth) =>
         // fully at-rest MMR: candidates from this (lexical) index,
         // their embeddings fetched by id from the bound vector index —

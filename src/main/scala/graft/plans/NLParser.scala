@@ -1795,8 +1795,16 @@ object NLParser {
             if (np <= 0) throw ParseException(
               s"probed cell count must be positive: $np")
             p.dropWords("cells", "cell")
+            // "… where label == 3" — both arms pre-filter on the
+            // attribute BOTH indexes store (the x104 contract, spoken
+            // on the literal-query form)
+            val where = p.peekWordLower match {
+              case Some("where") => p.next(); Some(parsePred(p))
+              case _             => None
+            }
             requireDone(p)
-            return Right(List(Op.LexHybridServe(terms, vec, k, depth, np)))
+            return Right(List(Op.LexHybridServe(terms, vec, k, depth, np,
+              where)))
           }
           if (p.peekWordLower.contains("with")) {
             // "… matching spark, join, fast with lambda 0.7 [at depth

@@ -600,8 +600,8 @@ object Op {
     * lexical one through the table path, so one spoken sentence probes
     * both stores with zero corpus scans. */
   final case class LexHybridServe(terms: Seq[String], vec: Seq[Float],
-                                  k: Int, depth: Int,
-                                  nprobe: Int)                     extends TableOp
+                                  k: Int, depth: Int, nprobe: Int,
+                                  where: Option[Pred] = None)      extends TableOp
   /** MMR diversification served fully AT REST over TWO bound indexes
     * ([[graft.operators.Retrieval.mmrServe]]): BM25 depth-candidates
     * from the bound inverted index, their embeddings fetched BY ID from

@@ -621,6 +621,20 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // The FILTERED literal-query hybrid, spoken — the full production
+    // serving sentence in one line: fresh embedding, keywords, metadata
+    // filter, two pruned index probes. x124's twin (shared oracle).
+    "nl148_hybrid_serve_lit_filtered" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexLabelIndexTable(s, d)
+      val vp = VectorQueries.ivfAttrIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast fused with vector " +
+                 s"${VectorQueries.litVecSpoken} at depth 20 probing " +
+                 s"4 cells where label == ${VectorQueries.FilterLabel}.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // Proximity retrieval, spoken — flat scan and positional-index
     // probe of the same sentence (shared oracle string).
     "nl146_bm25_proximity" -> ((s: SparkSession, d: String) =>
@@ -1212,6 +1226,8 @@ object NLQueries extends QueryPack {
     // the literal-query hybrid shares x114's exact string (same
     // constants: terms, k=5, depth 20, nprobe 4) → interleaved twins
     "nl138_hybrid_serve_literal" -> RetrievalQueries.litHybridReplaySql,
+    "nl148_hybrid_serve_lit_filtered" ->
+      RetrievalQueries.litHybridFilteredReplaySql,
     // quoted-phrase pair: nl140 shares nl139's string (positional
     // probe ≡ flat phrase scan — interleaved twins)
     "nl139_bm25_phrase" ->

@@ -355,6 +355,16 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchPhrase(s, lexPosIndexTable(s, d),
         phrasesDf(s), K, k1 = K1, b = B)),
 
+    // The FILTERED literal-query hybrid — the full production serving
+    // sentence: fresh embedding + keywords + a metadata filter, both
+    // arms pre-filtering on the attribute both indexes store (x104's
+    // contract on x114's literal-query form).
+    "x124_hybrid_serve_lit_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.Retrieval.hybridServeLiteral(s,
+        lexLabelIndexTable(s, d), VectorQueries.ivfAttrIndexTable(s, d),
+        litHybridQueriesDf(s), K, Depth, IvfNProbe, RrfC,
+        pred = Some(col("label") === VectorQueries.FilterLabel))),
+
     // Proximity retrieval — the middle ground between bag-of-words and
     // the exact phrase: all terms inside some 6-token run, any order.
     "x122_bm25_proximity" -> ((s: SparkSession, d: String) =>
@@ -803,6 +813,21 @@ object RetrievalQueries extends QueryPack {
        |),
        |${fuseTailSql(k)}""".stripMargin
 
+  /** The FILTERED literal-hybrid replay: both arms' proven filtered
+    * replays (the label-restricted BM25 candidates and the
+    * label-restricted literal-vector IVF probe), RRF-fused. Shared by
+    * x124 and its NL twin. */
+  private[queries] lazy val litHybridFilteredReplaySql: String =
+    s"""WITH lexr AS (
+       |${bm25ReplaySql(Seq(-1L -> LitHybridTerms), Depth,
+          eligibleSql = Some(labelEligibleSql(VectorQueries.FilterLabel)))}
+       |),
+       |vecr AS (
+       |${VectorQueries.ivfLiteralReplaySql(Depth, IvfNProbe,
+          Some(VectorQueries.labelCandFilter(VectorQueries.FilterLabel)))}
+       |),
+       |${fuseTailSql(K)}""".stripMargin
+
   override val oracleSql: Map[String, String] = Map(
     "x98_bm25_topk"  -> bm25ReplaySql(BmQueries, K),
     "x99_hybrid_rrf" -> hybridReplaySql(BmQueries, K, Depth),
@@ -850,6 +875,7 @@ object RetrievalQueries extends QueryPack {
     // Literal-query hybrid: fresh embedding + keywords, both arms'
     // replays already proven separately, fused by the shared tail.
     "x114_hybrid_serve_literal" -> litHybridReplaySql,
+    "x124_hybrid_serve_lit_filtered" -> litHybridFilteredReplaySql,
 
     // Phrase retrieval: flat scan and positional-index probe share the
     // replay string (contiguous-run containment restricting the BM25
