@@ -266,19 +266,48 @@ object LexIndex {
     (st.getLong(0), st.getLong(1))
   }
 
+  /** Per-segment DOCUMENT-FREQUENCY SIDECAR, stored INSIDE the segment
+    * at `<seg>/_df/tb=<b>` — the underscore prefix makes it invisible
+    * to every postings read (Spark's hidden-path filter), and living
+    * inside the segment directory means vacuum/erase reclaim it with
+    * its segment for free. One `(term, df)` row per (bucket, term):
+    * (doc, term) is unique within a segment and doc ids are unique
+    * across segments (the append contract), so corpus df(term) is the
+    * exact integer SUM of sidecar rows across live segments minus
+    * erase-skipped buckets — probes read index STATISTICS instead of
+    * re-scanning the pruned posting bytes for the df count (the
+    * Lucene-style at-rest statistics; for a stop-word term that second
+    * scan is the probe's whole posting list again). The
+    * hidden-dir-inside-the-table pattern is Delta Lake's `_delta_log`
+    * move; Spark logs a benign "All paths were ignored" WARN while
+    * resolving the explicitly-given hidden path, but the scan executes
+    * and returns the rows — spec-pinned (the executed plan carries the
+    * `_df` FileSourceScan and probes hash-match the flat scan). */
+  private[operators] val DfSidecarDir = "_df"
+
+  private def writeDfSidecar(target: Path, withTb: DataFrame): Unit =
+    withTb.groupBy("tb", "term")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .repartition(col("tb")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(new Path(target, DfSidecarDir).toString)
+
   private def writeSegment(spark: SparkSession, root: Path, name: String,
                            postings: DataFrame, buckets: Int): Unit = {
     val f = fs(spark, root)
     val target = new Path(root, name)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
-    postings
+    val withTb = postings
       .withColumn("tb",
         udf((t: String) => termBucket(t, buckets)).apply(col("term")))
+    withTb
       // term-sorted files inside each bucket partition: a probed bucket
       // row-group-skips straight to its terms via the pushed term filter
       .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
+    writeDfSidecar(target, withTb)
     f.delete(new Path(target, "_SUCCESS"), false)
+    f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
   }
 
   /** A segment of rows ALREADY carrying the postings schema (stored tb
@@ -292,7 +321,9 @@ object LexIndex {
     rows
       .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
+    writeDfSidecar(target, rows)
     f.delete(new Path(target, "_SUCCESS"), false)
+    f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
   }
 
   /** Build (or rebuild) the index: one postings segment, stats from the
@@ -529,7 +560,9 @@ object LexIndex {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("tb").parquet(target.toString)
+    writeDfSidecar(target, merged)
     f.delete(new Path(target, "_SUCCESS"), false)
+    f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
     SyncCursors.persistCursors(f, root, m.segments)
     publish(spark, root, LexManifest(m.version + 1, Seq(SegEntry(seg)),
       m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional))
@@ -710,6 +743,10 @@ object LexIndex {
       bks.foreach { b =>
         val dir = new Path(root, s"$seg/tb=$b")
         if (f.exists(dir)) { f.delete(dir, true); removed += 1 }
+        // the bucket's df-sidecar statistics go with it (readers already
+        // exclude skipped buckets, so this is hygiene, not correctness)
+        val dfDir = new Path(root, s"$seg/$DfSidecarDir/tb=$b")
+        if (f.exists(dfDir)) { f.delete(dfDir, true); removed += 1 }
       }
     }
     removed
@@ -807,21 +844,23 @@ object LexIndex {
              k1: Double = 1.2, b: Double = 0.75,
              pred: Option[Column] = None): DataFrame = {
     val m = readManifest(spark, path)
+    val root = new Path(path)
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("term"))
-    val pruned = prunedPostings(spark, path, m, qTerms)
+    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
     val tfQ = pruned
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
         pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    // mergeable df: re-reading the bucket-pruned postings is bounded
-    // parallel I/O, while a stop-word term's window partition would
-    // sort df_hot rows in one task (Retrieval.scoreAndRank's regimes)
+    // df preference order: the sidecar STATISTICS (posting bytes read
+    // once), else the mergeable recompute (bounded pruned re-read —
+    // never a stop-word window sorting df_hot rows in one task)
+    val dft = litTerms.flatMap(sidecarDf(spark, root, m, _))
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
-      mergeableDf = true)
+      mergeableDf = true, dft = dft)
   }
 
   /** The probe's pruned candidate read, shared by [[search]] and
@@ -834,23 +873,66 @@ object LexIndex {
     * collects bounded by the index's BUCKET count — a wide query's
     * I/O is still only the partitions holding some query term. */
   private def prunedPostings(spark: SparkSession, path: String,
-                             m: LexManifest, qTerms: DataFrame): DataFrame = {
+                             m: LexManifest, qTerms: DataFrame): DataFrame =
+    prunedPostingsWithTerms(spark, path, m, qTerms)._1
+
+  /** As [[prunedPostings]], also exposing the collected distinct query
+    * terms when the probe is in the literal regime (None past the cap —
+    * the terms were never fully collected). */
+  private def prunedPostingsWithTerms(spark: SparkSession, path: String,
+                                      m: LexManifest, qTerms: DataFrame)
+      : (DataFrame, Option[Array[String]]) = {
     val terms = qTerms.select("term").distinct()
       .limit(MaxProbedTermLiterals + 1).collect().map(_.getString(0))
     val postings = readPostingsWith(spark, path, m)
     if (terms.length <= MaxProbedTermLiterals) {
       val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
-      postings
+      (postings
         .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
-        .filter(col("term").isin(terms.toSeq: _*))
+        .filter(col("term").isin(terms.toSeq: _*)), Some(terms))
     } else {
       val nb = m.buckets
       val bucketOf = udf((t: String) => termBucket(t, nb))
       // bounded by the index's bucket count, never the term count
       val buckets = qTerms.select(bucketOf(col("term")).as("tb"))
         .distinct().collect().map(_.getInt(0)).sorted
-      postings.filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+      (postings.filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*)),
+        None)
     }
+  }
+
+  /** The probed terms' exact document frequencies from the per-segment
+    * [[DfSidecarDir]] statistics, when EVERY live segment carries one
+    * (an index written before sidecars existed falls back to the
+    * mergeable recompute over the pruned postings): bucket-partition-
+    * pruned, term-pushed reads of `(term, df)` rows summed across live
+    * segments minus erase-skipped buckets — by the append contract
+    * (unique doc ids across segments) the sum IS the corpus df, so a
+    * probe's scoring reads the posting bytes ONCE plus KiBs of
+    * statistics. Literal regime only: the frame is query-term-bounded,
+    * always broadcastable. */
+  private def sidecarDf(spark: SparkSession, root: Path, m: LexManifest,
+                        terms: Array[String]): Option[DataFrame] = {
+    val f = fs(spark, root)
+    if (!m.entries.forall(e =>
+        f.exists(new Path(root, s"${e.name}/$DfSidecarDir")))) return None
+    val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
+    val schema = StructType(Seq(
+      StructField("term", org.apache.spark.sql.types.StringType),
+      StructField("df", org.apache.spark.sql.types.LongType),
+      StructField("tb", org.apache.spark.sql.types.IntegerType)))
+    val per = m.entries.map { e =>
+      val base = spark.read.schema(schema)
+        .parquet(new Path(root, s"${e.name}/$DfSidecarDir").toString)
+      val unskipped =
+        if (e.skip.isEmpty) base
+        else base.filter(!col("tb").isin(
+          e.skip.map(b => Integer.valueOf(b.toInt)): _*))
+      unskipped
+        .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
+        .filter(col("term").isin(terms.toSeq: _*))
+    }.reduce(_.unionByName(_))
+    Some(per.groupBy("term").agg(sum("df").as("df")))
   }
 
   /** Quoted-PHRASE probe — [[Retrieval.bm25PhraseTopK]]'s at-rest twin:
@@ -881,12 +963,13 @@ object LexIndex {
     val m = readManifest(spark, path)
     require(m.positional, s"$path stores no positional postings — " +
       "build the index with positions = true to serve phrase queries")
+    val root = new Path(path)
     val ph = phrases.select(col("query_id"),
       transform(col("phrase"), t => lower(t)).as("phrase"))
     val phIdx = ph.select(col("query_id"), size(col("phrase")).as("n"),
       posexplode(col("phrase")).as(Seq("j", "term")))
     val qTerms = phIdx.select("query_id", "term").distinct()
-    val pruned = prunedPostings(spark, path, m, qTerms)
+    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
     // one row per (query, doc, phrase slot): slot j matches a document
     // iff the document holds slot j's term — at most one posting row
     // per (doc, term), so count(j) = n certifies every slot filled
@@ -912,7 +995,8 @@ object LexIndex {
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
-      mergeableDf = true)
+      mergeableDf = true,
+      dft = litTerms.flatMap(sidecarDf(spark, root, m, _)))
   }
 
   /** PROXIMITY probe — [[Retrieval.bm25ProximityTopK]]'s at-rest twin:
@@ -938,12 +1022,13 @@ object LexIndex {
     val m = readManifest(spark, path)
     require(m.positional, s"$path stores no positional postings — " +
       "build the index with positions = true to serve proximity queries")
+    val root = new Path(path)
     val qs = queries.select(col("query_id"),
       array_distinct(transform(col("terms"), t => lower(t))).as("qterms"))
     val qIdx = qs.select(col("query_id"), size(col("qterms")).as("n"),
       posexplode(col("qterms")).as(Seq("j", "term")))
     val qTerms = qIdx.select("query_id", "term").distinct()
-    val pruned = prunedPostings(spark, path, m, qTerms)
+    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
     val withJ = pruned.select("term", "doc_id", "positions")
       .join(broadcast(qIdx), Seq("term"))
     // distinct terms ⇒ one posting row per (query, doc, slot):
@@ -968,6 +1053,7 @@ object LexIndex {
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
-      mergeableDf = true)
+      mergeableDf = true,
+      dft = litTerms.flatMap(sidecarDf(spark, root, m, _)))
   }
 }

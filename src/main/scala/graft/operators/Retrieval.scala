@@ -256,7 +256,8 @@ object Retrieval {
                                       stats: DataFrame, k: Int,
                                       k1: Double, b: Double,
                                       eligPairs: Option[DataFrame] = None,
-                                      mergeableDf: Boolean = false): DataFrame = {
+                                      mergeableDf: Boolean = false,
+                                      dft: Option[DataFrame] = None): DataFrame = {
     // document frequency, two regimes (measured head-to-head on a
     // stop-word skew fixture — DfSkewProbe, numbers in SCALE_NOTES):
     //  - FLAT scans (mergeableDf = false): a window count over the
@@ -277,13 +278,20 @@ object Retrieval {
     //    partition; the df frame is query-term-bounded, always
     //    broadcastable.
     // Either way df counts BEFORE any eligibility filter —
-    // full-corpus document frequency, filtered or not.
-    val withDfAll =
-      if (mergeableDf)
+    // full-corpus document frequency, filtered or not. A caller with
+    // AT-REST statistics (`dft` — the index's df sidecars, the same
+    // exact integers) skips computing df entirely: the posting bytes
+    // are read once, period.
+    val withDfAll = dft match {
+      case Some(d) =>
+        tfQ.join(broadcast(d.select(col("term"), col("df"))), Seq("term"))
+      case None if mergeableDf =>
         tfQ.join(broadcast(tfQ.groupBy("term").agg(count(lit(1)).as("df"))),
           Seq("term"))
-      else tfQ.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      case None =>
+        tfQ.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    }
     val withDf =
       if (tfQ.columns.contains("elig")) withDfAll.filter(col("elig"))
       else withDfAll

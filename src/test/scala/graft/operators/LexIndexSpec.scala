@@ -98,6 +98,50 @@ class LexIndexSpec extends SparkSpec {
       "index probe scored df through a window")
   }
 
+  test("probe df comes from the sidecar statistics (a _df scan, no " +
+       "postings re-read); missing sidecars fall back identically") {
+    val p = freshPath()
+    val (half, rest) = docsFx.partition(_._1 % 2 == 0)
+    LexIndex.build(half.toDF("doc_id", "text"), p)
+    LexIndex.append(rest.toDF("doc_id", "text"), p)
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("table"))
+    val res = LexIndex.search(spark, p, qs, 3)
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    def isDfScan(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.rootPaths.exists(_.toString.contains("/_df"))
+    assert(scans.exists(isDfScan), "no df-sidecar scan in the probe plan")
+    // every OTHER index scan is the scoring read (projects tf) — a
+    // term-only projection would be the df recompute re-reading postings
+    val nonDf = scans.filterNot(isDfScan)
+    assert(nonDf.nonEmpty &&
+      nonDf.forall(_.requiredSchema.fieldNames.contains("tf")),
+      "the probe re-read the postings for df despite sidecars")
+    val expected = rows(Retrieval.bm25TopK(docsDf, qs, 3))
+    assert(rows(res) == expected)
+    // an index written before sidecars existed (simulated by deleting
+    // them) serves identically through the mergeable recompute
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LexIndex.readManifest(spark, p).segments.foreach { s =>
+      f.delete(new org.apache.hadoop.fs.Path(p, s"$s/_df"), true)
+    }
+    val res2 = LexIndex.search(spark, p, qs, 3)
+    assert(rows(res2) == expected)
+    res2.collect()
+    assert(!graft.SparkSpec.executedFileScans(res2).exists(isDfScan))
+    // erase keeps the statistics exact: the erase segment brings its own
+    // sidecar, skipped buckets stop counting (probe ≡ surviving flat)
+    val p2 = freshPath()
+    LexIndex.build(docsDf, p2)
+    LexIndex.deleteByKey(spark, p2, Seq(0L, 3L))
+    assert(rows(LexIndex.search(spark, p2, qs, 3)) ==
+      rows(Retrieval.bm25TopK(
+        docsFx.filter(d => d._1 != 0L && d._1 != 3L).toDF("doc_id", "text"),
+        qs, 3)))
+  }
+
   test("wide probes past the term-literal cap stay bucket-pruned: " +
        "3000+ terms read only partitions holding some query term") {
     val p = freshPath()
