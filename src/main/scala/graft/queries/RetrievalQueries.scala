@@ -378,6 +378,18 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchProximity(s, lexPosIndexTable(s, d),
         proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B)),
 
+    // Filtered proximity: window containment AND the lang slice.
+    "x125_bm25_proximity_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25ProximityTopK(table(s, d, "documents"),
+        proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
+    // At rest from the positions+attrs index; shares x125's string.
+    "x126_lex_proximity_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchProximity(s, lexPosAttrIndexTable(s, d),
+        proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
     // Filtered phrase retrieval: the phrase adjacency restriction AND
     // an attribute pre-filter compose — exactly k matching documents
     // containing the contiguous run, stats and df full-corpus.
@@ -541,13 +553,15 @@ object RetrievalQueries extends QueryPack {
     * Shared verbatim by the flat scan, the positional index probe, and
     * the NL twins. */
   private[queries] def proximityReplaySql(qs: Seq[(Long, Seq[String])],
-                                          k: Int, w: Int): String = {
+                                          k: Int, w: Int,
+                                          eligibleSql: Option[String] = None): String = {
     val qsd = qs.map { case (qid, t) => qid -> t.map(_.toLowerCase).distinct }
     val qwValues = qsd.map { case (qid, t) =>
       s"(${qid}::BIGINT, [${t.map(x => s"'$x'").mkString(", ")}])" }
       .mkString(",\n  ")
     val elig = "EXISTS (SELECT 1 FROM px WHERE px.query_id = " +
-      "contrib.query_id AND px.doc_id = contrib.doc_id)"
+      "contrib.query_id AND px.doc_id = contrib.doc_id)" +
+      eligibleSql.fold("")(e => s" AND $e")
     s"""WITH qw(query_id, qterms) AS (VALUES
        |  $qwValues),
        |tx AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -889,6 +903,12 @@ object RetrievalQueries extends QueryPack {
       proximityReplaySql(ProxQueries, K, ProxWindow),
     "x123_lex_proximity_search" ->
       proximityReplaySql(ProxQueries, K, ProxWindow),
+    "x125_bm25_proximity_filtered" ->
+      proximityReplaySql(ProxQueries, K, ProxWindow,
+        eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x126_lex_proximity_filtered" ->
+      proximityReplaySql(ProxQueries, K, ProxWindow,
+        eligibleSql = Some(langEligibleSql(FilterLang))),
 
     // Filtered phrase pair: the phrase containment AND the lang slice
     // compose in the eligibility; x121 shares x120's string.
