@@ -98,28 +98,39 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.filterNot(_._4).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // One field list serialized once; the run record and the stamped
+    // history line are both assembled from it (no string-splicing into
+    // an already-serialized JSON line).
+    val fields =
+      s""""metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir""""
+    val json = s"{$fields}"
     // File first (immune to stdout truncation), then the single stdout line.
     // SPARK_GRAFT_BENCH_OUT redirects the file for LOCAL non-sf0.1 runs —
     // the driver's run owns BENCH.json, and a local sf1 probe writing the
     // default path silently clobbered it twice before this knob existed.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-                                    "/root/repo/BENCH.json")
-    try Files.write(Paths.get(outFile),
-                    (json + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // Both records resolve relative to the working directory (a run from
+    // another checkout records beside itself, not into a hardcoded repo),
+    // and a failed write WARNS instead of silently dropping the record.
+    def writeLoud(path: String, bytes: Array[Byte],
+                  opts: java.nio.file.OpenOption*): Unit =
+      try { Files.write(Paths.get(path), bytes, opts: _*); () }
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"BENCH WARNING: could not write $path: ${e.getMessage}")
+      }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    writeLoud(outFile, (json + "\n").getBytes(StandardCharsets.UTF_8))
     // Every run ALSO appends to an immutable history (one self-contained
     // line per run, UTC-stamped): BENCH.json is overwritten per run and
     // a tail-truncated stdout capture can lose the line entirely, so the
     // history is the durable parsed record any round can be read from.
-    val stamped = json.patch(1,
-      s""""ts_utc":"${java.time.Instant.now()}",""", 0)
-    try Files.write(Paths.get("/root/repo/BENCH_HISTORY.jsonl"),
-                    (stamped + "\n").getBytes(StandardCharsets.UTF_8),
-                    java.nio.file.StandardOpenOption.CREATE,
-                    java.nio.file.StandardOpenOption.APPEND)
-    catch { case _: Throwable => () }
+    val stamped = s"""{"ts_utc":"${java.time.Instant.now()}",$fields}"""
+    writeLoud(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+                                "BENCH_HISTORY.jsonl"),
+              (stamped + "\n").getBytes(StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
     println(json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
