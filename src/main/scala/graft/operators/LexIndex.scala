@@ -96,7 +96,8 @@ object LexIndex {
   final case class LexManifest(version: Long, entries: Seq[SegEntry],
                                buckets: Int, nDocs: Long, sumDl: Long,
                                attrsDdl: Option[String] = None,
-                               positional: Boolean = false) {
+                               positional: Boolean = false,
+                               dfSegs: Set[String] = Set.empty) {
     def segments: Seq[String] = entries.map(_.name)
     def attrs: StructType =
       attrsDdl.map(StructType.fromDDL).getOrElse(new StructType())
@@ -177,11 +178,18 @@ object LexIndex {
     val attrs = entries.collectFirst { case s if s.startsWith("attrs=") =>
       s.stripPrefix("attrs=") }
     val positional = entries.exists(_ == "positions=1")
+    // which segments carry a _df statistics sidecar — recorded at
+    // publish time so probes decide from the already-read manifest
+    // instead of per-segment filesystem round-trips
+    val dfSegs = entries.collectFirst { case s if s.startsWith("df=") =>
+      s.stripPrefix("df=").split(',').filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty[String])
     val segs = entries.filterNot(s =>
       s.startsWith("stats=") || s.startsWith("buckets=") ||
-        s.startsWith("attrs=") || s.startsWith("positions="))
+        s.startsWith("attrs=") || s.startsWith("positions=") ||
+        s.startsWith("df="))
     LexManifest(v, segs.map(SegEntry.parse), buckets, stats._1, stats._2,
-                attrs, positional)
+                attrs, positional, dfSegs)
   }
 
   private def publish(spark: SparkSession, root: Path, m: LexManifest): Unit = {
@@ -196,6 +204,8 @@ object LexIndex {
       (Seq(Header, s"stats=${m.nDocs},${m.sumDl}", s"buckets=${m.buckets}") ++
         m.attrsDdl.map(d => s"attrs=$d").toSeq ++
         (if (m.positional) Seq("positions=1") else Nil) ++
+        (if (m.dfSegs.nonEmpty)
+           Seq(s"df=${m.dfSegs.toSeq.sorted.mkString(",")}") else Nil) ++
         m.entries.map(_.render)).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // no-replace by construction (FsAtomic) — the exists() pre-check
@@ -285,8 +295,21 @@ object LexIndex {
     * `_df` FileSourceScan and probes hash-match the flat scan). */
   private[operators] val DfSidecarDir = "_df"
 
-  private def writeDfSidecar(target: Path, withTb: DataFrame): Unit =
-    withTb.groupBy("tb", "term")
+  /** Computed from the JUST-WRITTEN segment parquet — a bounded
+    * columnar re-read of (term, tb) only — so the segment's full input
+    * lineage (tokenize + posexplode + shuffle + aggregate, the dominant
+    * build stage) runs exactly ONCE per segment; the sidecar pays two
+    * narrow columns of already-columnar local bytes, not a second
+    * corpus pass. */
+  private def writeDfSidecar(spark: SparkSession, target: Path): Unit =
+    // explicit two-column schema: only the columns the statistics need
+    // are read, and an all-rows-erased segment (no files) still writes
+    // an empty sidecar instead of failing schema inference
+    spark.read.schema(StructType(Seq(
+        StructField("term", org.apache.spark.sql.types.StringType),
+        StructField("tb", org.apache.spark.sql.types.IntegerType))))
+      .parquet(target.toString)
+      .groupBy("tb", "term")
       .agg(count(lit(1)).cast("long").as("df"))
       .repartition(col("tb")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("tb")
@@ -305,7 +328,7 @@ object LexIndex {
       // row-group-skips straight to its terms via the pushed term filter
       .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
-    writeDfSidecar(target, withTb)
+    writeDfSidecar(spark, target)
     f.delete(new Path(target, "_SUCCESS"), false)
     f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
   }
@@ -321,7 +344,7 @@ object LexIndex {
     rows
       .repartition(col("tb")).sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").partitionBy("tb").parquet(target.toString)
-    writeDfSidecar(target, rows)
+    writeDfSidecar(spark, target)
     f.delete(new Path(target, "_SUCCESS"), false)
     f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
   }
@@ -361,7 +384,7 @@ object LexIndex {
     val (n, sd) = statsOf(docs, idCol, textCol)
     publish(spark, root,
       LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, sd, attrsDdl,
-        positions))
+        positions, Set(seg)))
     version
   }
 
@@ -412,7 +435,8 @@ object LexIndex {
       try {
         publish(spark, root, LexManifest(m.version + 1,
           m.entries :+ SegEntry(seg), m.buckets,
-          m.nDocs + n, m.sumDl + sd, m.attrsDdl, m.positional))
+          m.nDocs + n, m.sumDl + sd, m.attrsDdl, m.positional,
+          m.dfSegs + seg))
         return m.version + 1
       } catch {
         case _: ConcurrentWriteException =>
@@ -560,12 +584,12 @@ object LexIndex {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("tb").parquet(target.toString)
-    writeDfSidecar(target, merged)
+    writeDfSidecar(spark, target)
     f.delete(new Path(target, "_SUCCESS"), false)
     f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
     SyncCursors.persistCursors(f, root, m.segments)
     publish(spark, root, LexManifest(m.version + 1, Seq(SegEntry(seg)),
-      m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional))
+      m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional, Set(seg)))
     m.version + 1
   }
 
@@ -646,7 +670,8 @@ object LexIndex {
     } ++ eraseEntries
     try {
       publish(spark, root, LexManifest(m.version + 1, newEntries, m.buckets,
-        m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl, m.positional))
+        m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl, m.positional,
+        m.dfSegs ++ eraseEntries.map(_.name)))
       m.version + 1
     } catch {
       case e: ConcurrentWriteException =>
@@ -744,9 +769,12 @@ object LexIndex {
         val dir = new Path(root, s"$seg/tb=$b")
         if (f.exists(dir)) { f.delete(dir, true); removed += 1 }
         // the bucket's df-sidecar statistics go with it (readers already
-        // exclude skipped buckets, so this is hygiene, not correctness)
+        // exclude skipped buckets, so this is hygiene, not correctness).
+        // Sidecar deletions do NOT increment the returned count — it
+        // means "reclaimed manifests + segments + data bucket dirs", the
+        // meaning callers have always read it as.
         val dfDir = new Path(root, s"$seg/$DfSidecarDir/tb=$b")
-        if (f.exists(dfDir)) { f.delete(dfDir, true); removed += 1 }
+        if (f.exists(dfDir)) f.delete(dfDir, true)
       }
     }
     removed
@@ -848,91 +876,103 @@ object LexIndex {
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("term"))
-    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
     val tfQ = pruned
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
         pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
     val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
       .toDF("n_docs", "sum_dl")
-    // df preference order: the sidecar STATISTICS (posting bytes read
-    // once), else the mergeable recompute (bounded pruned re-read —
-    // never a stop-word window sorting df_hot rows in one task)
-    val dft = litTerms.flatMap(sidecarDf(spark, root, m, _))
+    // df from index statistics (sidecars where present, a bounded
+    // per-legacy-segment recompute otherwise) — the posting bytes are
+    // read once for scoring, period, at any query width
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
-      mergeableDf = true, dft = dft)
+      mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
   }
 
-  /** The probe's pruned candidate read, shared by [[search]] and
-    * [[searchPhrase]]: the distinct query terms turn into `tb IN (…)`
-    * partition literals + a pushed `term IN (…)` row-group filter
-    * (driver collect bounded by [[MaxProbedTermLiterals]]). Past the
-    * cap the TERM literals drop (the downstream equi-join prunes rows
-    * identically) but partition pruning stays: the probed bucket set
-    * computes distributedly through the same [[termBucket]] fold and
-    * collects bounded by the index's BUCKET count — a wide query's
-    * I/O is still only the partitions holding some query term. */
-  private def prunedPostings(spark: SparkSession, path: String,
-                             m: LexManifest, qTerms: DataFrame): DataFrame =
-    prunedPostingsWithTerms(spark, path, m, qTerms)._1
+  /** A probe's pruned read plan, resolved once and shared by the
+    * candidate read and the df statistics: the probed bucket set, and
+    * the collected distinct query terms when the probe is in the
+    * literal regime (None past [[MaxProbedTermLiterals]] — the terms
+    * were never fully collected). */
+  private final case class ProbePruning(buckets: Array[Int],
+                                        litTerms: Option[Array[String]])
 
-  /** As [[prunedPostings]], also exposing the collected distinct query
-    * terms when the probe is in the literal regime (None past the cap —
-    * the terms were never fully collected). */
-  private def prunedPostingsWithTerms(spark: SparkSession, path: String,
-                                      m: LexManifest, qTerms: DataFrame)
-      : (DataFrame, Option[Array[String]]) = {
+  private def probePruning(spark: SparkSession, m: LexManifest,
+                           qTerms: DataFrame): ProbePruning = {
     val terms = qTerms.select("term").distinct()
       .limit(MaxProbedTermLiterals + 1).collect().map(_.getString(0))
-    val postings = readPostingsWith(spark, path, m)
-    if (terms.length <= MaxProbedTermLiterals) {
-      val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
-      (postings
-        .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
-        .filter(col("term").isin(terms.toSeq: _*)), Some(terms))
-    } else {
+    if (terms.length <= MaxProbedTermLiterals)
+      ProbePruning(terms.map(termBucket(_, m.buckets)).distinct.sorted,
+        Some(terms))
+    else {
       val nb = m.buckets
       val bucketOf = udf((t: String) => termBucket(t, nb))
       // bounded by the index's bucket count, never the term count
-      val buckets = qTerms.select(bucketOf(col("term")).as("tb"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      (postings.filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*)),
-        None)
+      ProbePruning(qTerms.select(bucketOf(col("term")).as("tb"))
+        .distinct().collect().map(_.getInt(0)).sorted, None)
     }
   }
 
-  /** The probed terms' exact document frequencies from the per-segment
-    * [[DfSidecarDir]] statistics, when EVERY live segment carries one
-    * (an index written before sidecars existed falls back to the
-    * mergeable recompute over the pruned postings): bucket-partition-
-    * pruned, term-pushed reads of `(term, df)` rows summed across live
-    * segments minus erase-skipped buckets — by the append contract
-    * (unique doc ids across segments) the sum IS the corpus df, so a
-    * probe's scoring reads the posting bytes ONCE plus KiBs of
-    * statistics. Literal regime only: the frame is query-term-bounded,
-    * always broadcastable. */
-  private def sidecarDf(spark: SparkSession, root: Path, m: LexManifest,
-                        terms: Array[String]): Option[DataFrame] = {
-    val f = fs(spark, root)
-    if (!m.entries.forall(e =>
-        f.exists(new Path(root, s"${e.name}/$DfSidecarDir")))) return None
-    val buckets = terms.map(termBucket(_, m.buckets)).distinct.sorted
+  /** The probe's pruned candidate read, shared by [[search]],
+    * [[searchPhrase]] and [[searchProximity]]: the probed buckets turn
+    * into `tb IN (…)` partition literals, plus a pushed `term IN (…)`
+    * row-group filter in the literal regime. Past the cap the TERM
+    * literals drop (the downstream equi-join prunes rows identically)
+    * but partition pruning stays — a wide query's I/O is still only
+    * the partitions holding some query term. */
+  private def prunedPostings(spark: SparkSession, path: String,
+                             m: LexManifest, pp: ProbePruning): DataFrame = {
+    val postings = readPostingsWith(spark, path, m)
+      .filter(col("tb").isin(pp.buckets.map(Integer.valueOf).toSeq: _*))
+    pp.litTerms.fold(postings)(ts =>
+      postings.filter(col("term").isin(ts.toSeq: _*)))
+  }
+
+  /** The probed terms' exact document frequencies — index STATISTICS,
+    * never a second scoring-width read: per live segment, either its
+    * [[DfSidecarDir]] sidecar's `(term, df)` rows (bucket-partition-
+    * pruned, term-pushed — KiBs) or, for a segment written before
+    * sidecars existed (absent from the manifest's `df=` set), a
+    * bounded recompute over that segment's bucket-pruned postings.
+    * Partials sum across segments minus erase-skipped buckets; by the
+    * append contract (unique doc ids across segments) the sum IS the
+    * corpus df. Serves BOTH regimes: literal probes push `term IN (…)`
+    * into the sidecar read, wide probes equi-join the query-term frame
+    * instead — the one-postings-read property holds at any query
+    * width. The result is query-term-bounded, always broadcastable. */
+  private def dfStats(spark: SparkSession, root: Path, m: LexManifest,
+                      qTerms: DataFrame, pp: ProbePruning): DataFrame = {
     val schema = StructType(Seq(
       StructField("term", org.apache.spark.sql.types.StringType),
       StructField("df", org.apache.spark.sql.types.LongType),
       StructField("tb", org.apache.spark.sql.types.IntegerType)))
+    val qT = qTerms.select("term").distinct()
+    def restrict(df: DataFrame): DataFrame = {
+      val b = df.filter(col("tb").isin(pp.buckets.map(Integer.valueOf).toSeq: _*))
+      pp.litTerms match {
+        case Some(ts) => b.filter(col("term").isin(ts.toSeq: _*))
+        case None     => b.join(broadcast(qT), Seq("term"))
+      }
+    }
     val per = m.entries.map { e =>
-      val base = spark.read.schema(schema)
-        .parquet(new Path(root, s"${e.name}/$DfSidecarDir").toString)
-      val unskipped =
-        if (e.skip.isEmpty) base
-        else base.filter(!col("tb").isin(
-          e.skip.map(b => Integer.valueOf(b.toInt)): _*))
-      unskipped
-        .filter(col("tb").isin(buckets.map(Integer.valueOf).toSeq: _*))
-        .filter(col("term").isin(terms.toSeq: _*))
+      if (m.dfSegs.contains(e.name)) {
+        val base = spark.read.schema(schema)
+          .parquet(new Path(root, s"${e.name}/$DfSidecarDir").toString)
+        val unskipped =
+          if (e.skip.isEmpty) base
+          else base.filter(!col("tb").isin(
+            e.skip.map(b => Integer.valueOf(b.toInt)): _*))
+        restrict(unskipped).select("term", "df")
+      } else
+        // legacy pre-sidecar segment: its partial recomputes from its
+        // own bucket-pruned postings (bounded — this one segment only)
+        restrict(segFrame(spark, root, e, postingsSchema(m)))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .select("term", "df")
     }.reduce(_.unionByName(_))
-    Some(per.groupBy("term").agg(sum("df").as("df")))
+    per.groupBy("term").agg(sum("df").as("df"))
   }
 
   /** Quoted-PHRASE probe — [[Retrieval.bm25PhraseTopK]]'s at-rest twin:
@@ -969,7 +1009,8 @@ object LexIndex {
     val phIdx = ph.select(col("query_id"), size(col("phrase")).as("n"),
       posexplode(col("phrase")).as(Seq("j", "term")))
     val qTerms = phIdx.select("query_id", "term").distinct()
-    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
     // one row per (query, doc, phrase slot): slot j matches a document
     // iff the document holds slot j's term — at most one posting row
     // per (doc, term), so count(j) = n certifies every slot filled
@@ -996,7 +1037,70 @@ object LexIndex {
       .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
       mergeableDf = true,
-      dft = litTerms.flatMap(sidecarDf(spark, root, m, _)))
+      dft = Some(dfStats(spark, root, m, qTerms, pp)))
+  }
+
+  /** SLOPPY-phrase probe — [[Retrieval.bm25SloppyPhraseTopK]]'s at-rest
+    * twin: only documents containing the phrase's tokens IN ORDER
+    * within `slop` extra positions rank (∃ p₀ < … < pₙ₋₁ matching the
+    * slots with pₙ₋₁ − p₀ ≤ (n−1) + slop; slop = 0 is the exact
+    * phrase), answered from the stored position lists of the PRUNED
+    * candidate rows — zero corpus scans, the spoken terms' bucket
+    * partitions only. Per anchor in slot 0's list, a codegen'd GREEDY
+    * chain takes each later slot's smallest position > the previous
+    * inside the anchor's slop window (greedy minimizes the chain end,
+    * so an anchor admits a valid chain iff its greedy chain fits).
+    * Requires a POSITIONAL index ([[build]] with `positions = true`).
+    *
+    * @param phrases `(query_id, phrase: array<string>)`, tokens matched
+    *                lowercased, slot order = array order
+    * @param slop    extra positions allowed beyond adjacency, ≥ 0
+    * @param pred    optional attribute pre-filter, as [[search]]
+    */
+  def searchPhraseSloppy(spark: SparkSession, path: String, phrases: DataFrame,
+                         k: Int, slop: Int,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         pred: Option[Column] = None): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val m = readManifest(spark, path)
+    require(m.positional, s"$path stores no positional postings — " +
+      "build the index with positions = true to serve sloppy-phrase queries")
+    val root = new Path(path)
+    val ph = phrases.select(col("query_id"),
+      transform(col("phrase"), t => lower(t)).as("phrase"))
+    val phIdx = ph.select(col("query_id"), size(col("phrase")).as("n"),
+      posexplode(col("phrase")).as(Seq("j", "term")))
+    val qTerms = phIdx.select("query_id", "term").distinct()
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
+    val withJ = pruned.select("term", "doc_id", "positions")
+      .join(broadcast(phIdx), Seq("term"))
+    val slots = withJ.groupBy("query_id", "doc_id")
+      .agg(max("n").as("n"), count(lit(1)).as("nj"),
+        map_from_entries(collect_list(struct(col("j"), col("positions"))))
+          .as("slot_pos"))
+      .filter(col("nj") === col("n"))
+    // greedy chain from each anchor in slot 0's positions; the n = 1
+    // short-circuit keeps sequence(1, n−1) ascending (CaseWhen branches
+    // evaluate lazily — the searchPhrase guard, sloppy form)
+    val chainOk = exists(element_at(col("slot_pos"), lit(0)), p0 =>
+      aggregate(sequence(lit(1), col("n") - lit(1)), p0, (acc, j) =>
+        when(acc.isNull, acc).otherwise(
+          array_min(filter(element_at(col("slot_pos"), j),
+            x => x > acc && x <= p0 + col("n") - lit(1) + lit(slop)))))
+        .isNotNull)
+    val eligPairs = slots.filter(
+      when(col("n") === 1, lit(true)).otherwise(chainOk))
+      .select("query_id", "doc_id")
+    val tfQ = pruned
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select(col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
+    val stats = spark.createDataFrame(Seq((m.nDocs, m.sumDl)))
+      .toDF("n_docs", "sum_dl")
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
+      mergeableDf = true,
+      dft = Some(dfStats(spark, root, m, qTerms, pp)))
   }
 
   /** PROXIMITY probe — [[Retrieval.bm25ProximityTopK]]'s at-rest twin:
@@ -1028,7 +1132,8 @@ object LexIndex {
     val qIdx = qs.select(col("query_id"), size(col("qterms")).as("n"),
       posexplode(col("qterms")).as(Seq("j", "term")))
     val qTerms = qIdx.select("query_id", "term").distinct()
-    val (pruned, litTerms) = prunedPostingsWithTerms(spark, path, m, qTerms)
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
     val withJ = pruned.select("term", "doc_id", "positions")
       .join(broadcast(qIdx), Seq("term"))
     // distinct terms ⇒ one posting row per (query, doc, slot):
@@ -1054,6 +1159,6 @@ object LexIndex {
       .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, Some(eligPairs),
       mergeableDf = true,
-      dft = litTerms.flatMap(sidecarDf(spark, root, m, _)))
+      dft = Some(dfStats(spark, root, m, qTerms, pp)))
   }
 }

@@ -165,6 +165,84 @@ object Retrieval {
     scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
 
+  /** SLOPPY-phrase BM25 top-k, flat-scan form — the ordered middle
+    * ground between the exact phrase ([[bm25PhraseTopK]]: adjacent) and
+    * the unordered window ([[bm25ProximityTopK]]: any order): only
+    * documents containing the phrase's tokens IN ORDER within `slop`
+    * extra positions rank — ∃ positions p₀ < p₁ < … < pₙ₋₁ with
+    * toks[pⱼ] = phrase[j] and pₙ₋₁ − p₀ ≤ (n−1) + slop (the standard
+    * ordered-slop semantics, Lucene `PhraseQuery(slop)`'s common case;
+    * slop = 0 degenerates to the exact phrase). BM25-scored over the
+    * phrase's distinct terms with FULL-corpus df/stats — the phrase
+    * contract, sloppy-ordered form.
+    *
+    * Containment is a codegen'd GREEDY chain per anchor: anchors are
+    * the tokens equal to phrase[0]; from each, every later slot takes
+    * the SMALLEST in-order match inside the anchor's slop window
+    * (greedy minimizes the chain end, so an anchor admits a valid
+    * chain iff its greedy chain fits — the exchange argument). Cost
+    * O(dl · n · (n + slop)) per (doc, phrase): the window bound keeps
+    * the inner scan slop-sized, never document-sized. The at-rest twin
+    * ([[LexIndex.searchPhraseSloppy]]) answers from stored positions
+    * without any corpus scan.
+    *
+    * @param phrases `(query_id, phrase: array<string>)`, matched
+    *                lowercased, slot order = array order
+    * @param slop    extra positions allowed beyond adjacency, ≥ 0
+    * @param pred    optional additional DOCUMENT filter, as [[bm25TopK]]
+    */
+  def bm25SloppyPhraseTopK(docs: DataFrame, phrases: DataFrame, k: Int,
+                           slop: Int,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           queryIdCol: String = "query_id",
+                           phraseCol: String = "phrase",
+                           pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val ph = phrases.select(col(queryIdCol).as("query_id"),
+      transform(col(phraseCol), t => lower(t)).as("phrase"))
+    val toksAll = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("toks"),
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    val n = size(col("phrase"))
+    // greedy chain from anchor p0 (1-based): slots 2..n each take the
+    // smallest position > acc inside [p0, p0+n-1+slop]; null = broken.
+    // CaseWhen branches evaluate lazily, so the n = 1 short-circuit
+    // keeps sequence(2, n) ascending (sequence(2, 1) would silently
+    // run DESCENDING — the bm25PhraseTopK guard, slot form)
+    def chainEnd(p0: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(2), n), p0.cast("int"), (acc, j) =>
+        when(acc.isNull, acc).otherwise {
+          val hi = least(p0 + n - lit(1) + lit(slop), size(col("toks")))
+          when(acc + lit(1) > hi, lit(null).cast("int")).otherwise(
+            array_min(filter(sequence(acc + lit(1), hi),
+              p => element_at(col("toks"), p) === element_at(col("phrase"), j))))
+        })
+    val anchors = filter(sequence(lit(1), size(col("toks"))),
+      i => element_at(col("toks"), i) === element_at(col("phrase"), lit(1)))
+    val contains =
+      when(n === 1, array_contains(col("toks"), element_at(col("phrase"), lit(1))))
+        .otherwise(when(size(col("toks")) >= n,
+          exists(anchors, p0 => chainEnd(p0).isNotNull))
+          .otherwise(lit(false)))
+    val eligPairs = toksAll.crossJoin(broadcast(ph))
+      .filter(contains)
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
+    val qTerms = ph.select(col("query_id"),
+      explode(col("phrase")).as("term")).distinct()
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val stats = toksAll.filter(size(col("toks")) > 0)
+      .agg(count("*").as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+  }
+
   /** PROXIMITY BM25 top-k, flat-scan form — the middle ground between
     * bag-of-words ([[bm25TopK]]: terms anywhere) and the exact phrase
     * ([[bm25PhraseTopK]]: terms adjacent in order): only documents with

@@ -161,6 +161,13 @@ object Compiler {
           .toDF("query_id", "phrase")
         graft.operators.LexIndex.searchPhrase(spark, path, phrases, k,
           pred = where.map(predicate(df, _)))
+      case Op.LexSloppySearch(phrase, k, slop, where) =>
+        // ordered-within-slop chains from the positional index's
+        // stored position lists — zero corpus scans
+        val phrases = spark.createDataFrame(Seq((-1L, phrase)))
+          .toDF("query_id", "phrase")
+        graft.operators.LexIndex.searchPhraseSloppy(spark, path, phrases,
+          k, slop, pred = where.map(predicate(df, _)))
       case Op.LexProximitySearch(terms, k, w, where) =>
         // window containment from the positional index's stored
         // position lists — zero corpus scans
@@ -490,6 +497,13 @@ object Compiler {
       val phrases = session.createDataFrame(Seq((-1L, phrase)))
         .toDF("query_id", "phrase")
       Retrieval.bm25PhraseTopK(df, phrases, k,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25Sloppy(phrase, k, slop, where) =>
+      // phrase tokens in order within slop extra positions (query_id -1)
+      val session = df.sparkSession
+      val phrases = session.createDataFrame(Seq((-1L, phrase)))
+        .toDF("query_id", "phrase")
+      Retrieval.bm25SloppyPhraseTopK(df, phrases, k, slop,
         pred = where.map(predicate(df, _)))
     case Op.Bm25Proximity(terms, k, w, where) =>
       // all terms inside some w-token run, any order (query_id -1)

@@ -1064,12 +1064,26 @@ object NLParser {
                 val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
                 if (phrase.isEmpty) throw ParseException(
                   "a quoted phrase needs at least one token")
+                // "… matching \"spark fast\" with slop 3" — SLOPPY:
+                // phrase tokens in order within slop extra positions
+                val slop = p.peekWordLower match {
+                  case Some("with") =>
+                    p.next(); p.expectWord("slop")
+                    val sl = p.expectNum().toInt
+                    if (sl < 0) throw ParseException(
+                      s"slop must be >= 0: $sl")
+                    Some(sl)
+                  case _ => None
+                }
                 val where = p.peekWordLower match {
                   case Some("where") => p.next(); Some(parsePred(p))
                   case _             => None
                 }
                 requireDone(p)
-                return Right(List(Op.Bm25Phrase(phrase, k, where)))
+                return Right(List(slop match {
+                  case Some(sl) => Op.Bm25Sloppy(phrase, k, sl, where)
+                  case None     => Op.Bm25Phrase(phrase, k, where)
+                }))
               case _ => ()
             }
             val terms = termList(p)
@@ -1766,12 +1780,27 @@ object NLParser {
               val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
               if (phrase.isEmpty) throw ParseException(
                 "a quoted phrase needs at least one token")
+              // "… matching \"spark fast\" with slop 3" — the SLOPPY
+              // probe: ordered chains within the slop window from the
+              // positional index's stored position lists
+              val slop = p.peekWordLower match {
+                case Some("with") =>
+                  p.next(); p.expectWord("slop")
+                  val sl = p.expectNum().toInt
+                  if (sl < 0) throw ParseException(
+                    s"slop must be >= 0: $sl")
+                  Some(sl)
+                case _ => None
+              }
               val where = p.peekWordLower match {
                 case Some("where") => p.next(); Some(parsePred(p))
                 case _             => None
               }
               requireDone(p)
-              return Right(List(Op.LexPhraseSearch(phrase, k, where)))
+              return Right(List(slop match {
+                case Some(sl) => Op.LexSloppySearch(phrase, k, sl, where)
+                case None     => Op.LexPhraseSearch(phrase, k, where)
+              }))
             case _ => ()
           }
           val terms = termList(p)

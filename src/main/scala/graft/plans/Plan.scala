@@ -203,6 +203,13 @@ object Op {
     * ([[graft.operators.Retrieval.bm25PhraseTopK]]); query_id -1. */
   final case class Bm25Phrase(phrase: Seq[String], k: Int,
                               where: Option[Pred] = None)          extends CorpusOp
+  /** SLOPPY-phrase BM25 top-k ("documents matching \"spark fast\" with
+    * slop 3") — phrase tokens IN ORDER within `slop` extra positions
+    * (∃ p₀ < … < pₙ₋₁ matching the slots, pₙ₋₁ − p₀ ≤ (n−1)+slop;
+    * slop 0 = the exact phrase)
+    * ([[graft.operators.Retrieval.bm25SloppyPhraseTopK]]). */
+  final case class Bm25Sloppy(phrase: Seq[String], k: Int, slop: Int,
+                              where: Option[Pred] = None)          extends CorpusOp
   /** PROXIMITY BM25 top-k ("documents matching spark, join within 5
     * tokens") — only documents with all terms inside some window-token
     * run rank ([[graft.operators.Retrieval.bm25ProximityTopK]]). */
@@ -582,6 +589,13 @@ object Op {
     * scans; score-identical to the flat [[Bm25Phrase]] scan over the
     * indexed corpus). */
   final case class LexPhraseSearch(phrase: Seq[String], k: Int,
+                                   where: Option[Pred] = None)     extends TableOp
+  /** SLOPPY-phrase probe of the bound POSITIONAL inverted index
+    * ([[graft.operators.LexIndex.searchPhraseSloppy]] — ordered chains
+    * within the slop window from stored position lists on the pruned
+    * candidate rows; zero corpus scans; score-identical to the flat
+    * [[Bm25Sloppy]] scan over the indexed corpus). */
+  final case class LexSloppySearch(phrase: Seq[String], k: Int, slop: Int,
                                    where: Option[Pred] = None)     extends TableOp
   /** PROXIMITY probe of the bound POSITIONAL inverted index
     * ([[graft.operators.LexIndex.searchProximity]] — window

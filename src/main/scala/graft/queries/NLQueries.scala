@@ -621,6 +621,22 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // Ordered sloppy-phrase retrieval, spoken — the standard slop
+    // semantics ("spark fast", in order, within 3 extra positions):
+    // flat scan and positional-index probe of the same sentence
+    // (shared oracle string, interleaved twins).
+    "nl149_bm25_sloppy" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching \"spark fast\" with " +
+                 "slop 3.",
+        docs(s, d))),
+
+    "nl150_lex_sloppy_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexPosIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "\"spark fast\" with slop 3.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // The FILTERED literal-query hybrid, spoken — the full production
     // serving sentence in one line: fresh embedding, keywords, metadata
     // filter, two pruned index probes. x124's twin (shared oracle).
@@ -1234,6 +1250,12 @@ object NLQueries extends QueryPack {
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     "nl140_lex_phrase_search" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    // sloppy pair: nl150 shares nl149's string (positional probe ≡
+    // flat ordered-chain scan — interleaved twins)
+    "nl149_bm25_sloppy" ->
+      RetrievalQueries.sloppyReplaySql(Seq(-1L -> Seq("spark", "fast")), 5, 3),
+    "nl150_lex_sloppy_search" ->
+      RetrievalQueries.sloppyReplaySql(Seq(-1L -> Seq("spark", "fast")), 5, 3),
     // proximity pair: nl147 shares nl146's string
     "nl146_bm25_proximity" ->
       RetrievalQueries.proximityReplaySql(

@@ -67,6 +67,17 @@ object RetrievalQueries extends QueryPack {
   private def phrasesDf(s: SparkSession): DataFrame =
     s.createDataFrame(PhraseQueries).toDF("query_id", "phrase")
 
+  /** The sloppy-phrase fixture: a 2-gram and a 3-gram, ordered within
+    * [[Slop]] extra positions — both discriminate sharply from the
+    * exact phrase AND from bag-of-words in both test corpora (sf0.01:
+    * "spark fast" matches 62 docs sloppy vs 28 exact vs 304 bag). */
+  private[queries] val SloppyQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "fast"),
+    1L -> Seq("spark", "join", "fast"))
+  private[queries] val Slop = 3
+  private def sloppyDf(s: SparkSession): DataFrame =
+    s.createDataFrame(SloppyQueries).toDF("query_id", "phrase")
+
   /** The proximity fixture: a 2-term and a 3-term window query at one
     * window width — both discriminate sharply from bag-of-words in
     * both test corpora (e.g. 46 vs 268 matching docs at sf0.01 for the
@@ -390,6 +401,22 @@ object RetrievalQueries extends QueryPack {
         proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B,
         pred = Some(col("lang") === FilterLang))),
 
+    // Ordered SLOPPY-phrase retrieval — the standard slop semantics
+    // every production search engine defaults to (Lucene PhraseQuery):
+    // phrase tokens in order within `Slop` extra positions, the middle
+    // ground between exact adjacency (x115) and the unordered window
+    // (x122). Greedy-chain containment restricts the BM25 ranking.
+    "x127_bm25_sloppy" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25SloppyPhraseTopK(table(s, d, "documents"), sloppyDf(s),
+        K, Slop, k1 = K1, b = B)),
+
+    // Served at rest from the positional index: ordered chains from
+    // stored position lists on the pruned candidate rows — zero corpus
+    // scans. Same oracle STRING as x127 (interleaved bench twins).
+    "x128_lex_sloppy_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhraseSloppy(s, lexPosIndexTable(s, d),
+        sloppyDf(s), K, Slop, k1 = K1, b = B)),
+
     // Filtered phrase retrieval: the phrase adjacency restriction AND
     // an attribute pre-filter compose — exactly k matching documents
     // containing the contiguous run, stats and df full-corpus.
@@ -541,6 +568,50 @@ object RetrievalQueries extends QueryPack {
        |ph AS (
        |  SELECT q.query_id, d.doc_id FROM phq q JOIN documents d
        |    ON strpos(' ' || array_to_string($toksSql, ' ') || ' ', q.pat) > 0),
+       |${bm25Ctes(qs, eligibleSql = Some(elig))}
+       |SELECT query_id, doc_id, rank, score FROM lex
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The SLOPPY-phrase replay: an increasing position chain per slot,
+    * unrolled as one self-join per phrase slot over a `(doc_id, term,
+    * pos)` CTE (parallel unnests zip in DuckDB) — ∃ p₁ < … < pₙ with
+    * pⱼ matching slot j and pₙ − p₁ ≤ (n−1) + slop. ∃-any-chain here ≡
+    * the operator's greedy-chain-per-anchor (greedy minimizes the
+    * chain end, so an anchor admits a chain iff its greedy one fits).
+    * Scoring terms are the phrase's DISTINCT tokens, stats full-corpus
+    * — the phrase contract. Shared verbatim by the flat scan and the
+    * positional index probe. */
+  private[queries] def sloppyReplaySql(phrases: Seq[(Long, Seq[String])],
+                                       k: Int, slop: Int,
+                                       eligibleSql: Option[String] = None): String = {
+    val qs = phrases.map { case (qid, p) => qid -> p.map(_.toLowerCase).distinct }
+    val perQuery = phrases.map { case (qid, p0) =>
+      val p = p0.map(_.toLowerCase)
+      val n = p.size
+      if (n == 1)
+        s"""  SELECT DISTINCT ${qid}::BIGINT AS query_id, p1.doc_id
+           |  FROM ps p1 WHERE p1.term = '${p.head}'""".stripMargin
+      else {
+        val joins = (2 to n).map { j =>
+          s"  JOIN ps p$j ON p$j.doc_id = p1.doc_id AND p$j.term = " +
+            s"'${p(j - 1)}' AND p$j.pos > p${j - 1}.pos"
+        }.mkString("\n")
+        s"""  SELECT DISTINCT ${qid}::BIGINT AS query_id, p1.doc_id
+           |  FROM ps p1
+           |$joins
+           |  WHERE p1.term = '${p.head}'
+           |    AND p$n.pos - p1.pos <= ${n - 1 + slop}""".stripMargin
+      }
+    }.mkString("\n  UNION ALL\n")
+    val elig = "EXISTS (SELECT 1 FROM sp WHERE sp.query_id = " +
+      "contrib.query_id AND sp.doc_id = contrib.doc_id)" +
+      eligibleSql.fold("")(e => s" AND $e")
+    s"""WITH tx AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |ps AS (SELECT doc_id, unnest(toks) AS term,
+       |       unnest(range(1, len(toks) + 1)) AS pos FROM tx),
+       |sp AS (
+       |$perQuery),
        |${bm25Ctes(qs, eligibleSql = Some(elig))}
        |SELECT query_id, doc_id, rank, score FROM lex
        |WHERE rank <= $k""".stripMargin
@@ -896,6 +967,12 @@ object RetrievalQueries extends QueryPack {
     // ranking) — interleaved bench twins.
     "x115_bm25_phrase" -> phraseReplaySql(PhraseQueries, K),
     "x116_lex_phrase_search" -> phraseReplaySql(PhraseQueries, K),
+
+    // Sloppy pair: ordered-chain containment restricting the BM25
+    // ranking; x128 shares x127's string (positional probe ≡ flat
+    // scan — interleaved twins).
+    "x127_bm25_sloppy" -> sloppyReplaySql(SloppyQueries, K, Slop),
+    "x128_lex_sloppy_search" -> sloppyReplaySql(SloppyQueries, K, Slop),
 
     // Proximity pair: window containment restricting the BM25 ranking;
     // x123 shares x122's string.

@@ -121,12 +121,25 @@ class LexIndexSpec extends SparkSpec {
     val expected = rows(Retrieval.bm25TopK(docsDf, qs, 3))
     assert(rows(res) == expected)
     // an index written before sidecars existed (simulated by deleting
-    // them) serves identically through the mergeable recompute
+    // them AND stripping the manifest's df= line — the manifest is the
+    // authority probes decide from, no per-segment FS round-trips)
+    // serves identically through the bounded per-segment recompute
     val f = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     LexIndex.readManifest(spark, p).segments.foreach { s =>
       f.delete(new org.apache.hadoop.fs.Path(p, s"$s/_df"), true)
     }
+    val mv = LexIndex.versions(spark, p).last
+    val mf = new org.apache.hadoop.fs.Path(p, f"lex-manifest-$mv%09d.txt")
+    val mTxt = {
+      val in = f.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = f.create(mf, true)
+    try out.write(mTxt.linesIterator.filterNot(_.startsWith("df="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     val res2 = LexIndex.search(spark, p, qs, 3)
     assert(rows(res2) == expected)
     res2.collect()
@@ -174,6 +187,18 @@ class LexIndexSpec extends SparkSpec {
     }
     // and the result is still the flat scan's, term literals or not
     assert(rows(res) == rows(Retrieval.bm25TopK(docsDf, qs, 3)))
+    // wide probes keep the one-postings-read property: df comes from
+    // the _df sidecar statistics (joined with the query-term frame
+    // past the literal cap), never a term-projected postings re-read
+    val allScans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    def isDfScan(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.rootPaths.exists(_.toString.contains("/_df"))
+    assert(allScans.exists(isDfScan),
+      "wide probe computed df without the sidecar statistics")
+    assert(allScans.filterNot(isDfScan)
+        .forall(_.requiredSchema.fieldNames.contains("tf")),
+      "wide probe re-read the postings (term-only projection) for df")
   }
 
   test("terms absent from the corpus score nothing; unknown index fails loudly") {
@@ -695,6 +720,45 @@ class LexIndexSpec extends SparkSpec {
       !s.requiredSchema.fieldNames.contains("positions") &&
         s.requiredSchema.fieldNames.contains("tf")),
       "the scoring branch should not read positions")
+  }
+
+  test("sloppy probe ≡ flat sloppy scan; ordered (unlike proximity), " +
+       "slop 0 ≡ the exact phrase probe; zero corpus scans") {
+    val p = freshPath()
+    LexIndex.build(docsDf, p, positions = true)
+    val ph = phrasesDf(
+      1L -> Seq("spark", "fast"),         // doc 0 in order; doc 4 only reversed
+      2L -> Seq("join", "spark", "table"), // doc 4 adjacent 3-gram
+      3L -> Seq("join", "join"),          // duplicate: strict chain
+      4L -> Seq("window", "batch"))       // doc 6 window@1 … batch@4
+    val idx = LexIndex.searchPhraseSloppy(spark, p, ph, 5, slop = 2)
+    val flat = Retrieval.bm25SloppyPhraseTopK(docsDf, ph, 5, slop = 2)
+    assert(rows(idx) == rows(flat) && idx.count() > 0)
+    // ordered: "spark fast" at slop 2 admits doc 0 (spark@1 → fast@3),
+    // not doc 4 (fast only BEFORE spark) — proximity window 3 admits both
+    val q1 = idx.filter(col("query_id") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q1 == Set(0L))
+    val prox = LexIndex.searchProximity(spark, p,
+        queriesDf(1L -> Seq("spark", "fast")), 5, window = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prox == Set(0L, 4L))
+    // slop 0 is the exact phrase probe, row for row
+    val ph0 = phrasesDf(1L -> Seq("spark", "join"), 2L -> Seq("scan", "scan"))
+    assert(rows(LexIndex.searchPhraseSloppy(spark, p, ph0, 5, slop = 0)) ==
+      rows(LexIndex.searchPhrase(spark, p, ph0, 5)))
+    // zero corpus scans, as every index probe
+    idx.collect()
+    val scans = graft.SparkSpec.executedFileScans(idx)
+    assert(scans.nonEmpty && scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("/seg-"))))
+    // a non-positional index fails loudly
+    val p2 = freshPath()
+    LexIndex.build(docsDf, p2)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.searchPhraseSloppy(spark, p2, ph, 5, slop = 1)
+    }
+    assert(e.getMessage.contains("positions"))
   }
 
   test("proximity probe ≡ flat proximity scan; sits strictly between " +

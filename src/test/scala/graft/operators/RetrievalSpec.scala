@@ -134,6 +134,40 @@ class RetrievalSpec extends SparkSpec {
   private def ranking(rows: (Long, Long, Long)*) =
     rows.toDF("query_id", "neighbor_id", "rank")
 
+  test("bm25SloppyPhraseTopK: in-order within slop — order matters, " +
+       "slop 0 is the exact phrase, duplicate terms chain strictly") {
+    def phrasesDf(qs: (Long, Seq[String])*) =
+      spark.createDataFrame(qs).toDF("query_id", "phrase")
+    def hits(ph: Seq[String], slop: Int) =
+      Retrieval.bm25SloppyPhraseTopK(docsDf, phrasesDf(1L -> ph), 5, slop)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 0 "spark join fast spark": spark@1 → fast@3 (span 2 ≤ 1+1);
+    // doc 4 "fast fast join spark table" has no fast AFTER spark —
+    // the unordered window would admit it, ordered slop must not
+    assert(hits(Seq("spark", "fast"), 1) == Set(0L))
+    // reversed order: doc 0 fast@3 → spark@4, doc 4 fast@2 → spark@4
+    assert(hits(Seq("fast", "spark"), 1) == Set(0L, 4L))
+    // slop 0 ≡ the exact phrase, full-row hash equality
+    val ph0 = phrasesDf(1L -> Seq("spark", "join"), 2L -> Seq("join", "join"))
+    val sloppy0 = Retrieval.bm25SloppyPhraseTopK(docsDf, ph0, 5, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = Retrieval.bm25PhraseTopK(docsDf, ph0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sloppy0 == exact && sloppy0.nonEmpty)
+    // duplicate-term phrase: chains need STRICTLY increasing positions.
+    // doc 1 "join slow table join join": join@4 → join@5 fits slop 1;
+    // join@1 → join@4 (span 3) does not
+    assert(hits(Seq("join", "join"), 1) == Set(1L))
+    // a single-term "phrase" is presence, slop irrelevant
+    assert(hits(Seq("table"), 2) ==
+      docsFx.filter(_._2.split(" ").contains("table")).map(_._1).toSet)
+    // wide slop admits any in-order pair: doc 4 fast@1 → table@5
+    assert(hits(Seq("fast", "table"), 3).contains(4L))
+    assert(hits(Seq("fast", "table"), 0) == Set.empty)
+  }
+
   test("recallAtK: hand-checked overlap; empty-truth queries are dropped; " +
        "a query absent from the result scores 0") {
     // truth: q0 -> {10, 11, 12}; q1 -> {20, 21}; q2 -> {30}

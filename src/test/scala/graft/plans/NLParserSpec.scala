@@ -1015,6 +1015,25 @@ class NLParserSpec extends AnyFunSuite {
       List(O.IndexSearch(3L, 5, 4)))
   }
 
+  test("sloppy-phrase routes: quoted phrase + 'with slop N' on the flat " +
+       "scan and the index probe; bare quoted phrase stays exact") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching \"spark fast\" with slop 3.").ops ==
+      List(O.Bm25Sloppy(Seq("spark", "fast"), 5, 3)))
+    assert(NLParser.parse(
+      "Find top 5 documents matching \"spark join\".").ops ==
+      List(O.Bm25Phrase(Seq("spark", "join"), 5)))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching \"spark fast\" " +
+      "with slop 2 where lang == 'en'.").ops ==
+      List(O.LexSloppySearch(Seq("spark", "fast"), 5, 2,
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching \"spark fast\" with slop -1.")
+    }.msg.nonEmpty)
+  }
+
   test("filtered lexical retrieval: 'where' tails on the flat scan and " +
        "the index probe") {
     assert(NLParser.parse(
