@@ -64,7 +64,8 @@ object LexIndex {
 
   /** Column names the postings layout owns; attribute columns may not
     * collide with them. */
-  private val ReservedCols = Set("term", "doc_id", "tf", "dl", "tb", "positions")
+  private val ReservedCols =
+    Set("term", "doc_id", "tf", "dl", "tb", "positions", "fi", "dls")
 
   /** Sentinel for [[build]]'s `buckets`: size the bucket count from the
     * batch's distinct-term count as [[autoBuckets]] — the scale-correct
@@ -93,14 +94,22 @@ object LexIndex {
     * bucket sets), the term-bucket count postings were hashed under,
     * the exact corpus totals, and the DDL of any stored attribute
     * columns — all resolved from one manifest read. */
+  /** @param fields    FIELDED layout: the indexed field names in fold
+    *                   order (BM25F — postings carry a field ordinal and
+    *                   per-doc per-field lengths; weights are probe-time)
+    * @param fieldSums  per-field exact Σ doc length, aligned with
+    *                   `fields` (the raw integers a probe weights) */
   final case class LexManifest(version: Long, entries: Seq[SegEntry],
                                buckets: Int, nDocs: Long, sumDl: Long,
                                attrsDdl: Option[String] = None,
                                positional: Boolean = false,
-                               dfSegs: Set[String] = Set.empty) {
+                               dfSegs: Set[String] = Set.empty,
+                               fields: Option[Seq[String]] = None,
+                               fieldSums: Seq[Long] = Nil) {
     def segments: Seq[String] = entries.map(_.name)
     def attrs: StructType =
       attrsDdl.map(StructType.fromDDL).getOrElse(new StructType())
+    def fielded: Boolean = fields.nonEmpty
   }
 
   /** Term → bucket: a pure Scala splitmix64 char fold, used through a
@@ -127,7 +136,20 @@ object LexIndex {
     * partition column never wraps in a cast (which would block
     * partition pruning — the [[IvfIndex]] lesson, spec-pinned). */
   private def postingsSchema(m: LexManifest): StructType =
-    StructType(Seq(
+    if (m.fielded)
+      // fielded layout: one posting per (term, doc, FIELD) with the
+      // field ordinal and the doc's per-field lengths (constant per
+      // doc — the probe's weighted dl folds over them)
+      StructType(Seq(
+        StructField("term", org.apache.spark.sql.types.StringType),
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("fi", org.apache.spark.sql.types.IntegerType),
+        StructField("tf", org.apache.spark.sql.types.LongType),
+        StructField("dls", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))) ++
+        m.attrs.fields :+
+        StructField("tb", org.apache.spark.sql.types.IntegerType))
+    else StructType(Seq(
       StructField("term", org.apache.spark.sql.types.StringType),
       StructField("doc_id", org.apache.spark.sql.types.LongType),
       StructField("tf", org.apache.spark.sql.types.LongType),
@@ -184,12 +206,20 @@ object LexIndex {
     val dfSegs = entries.collectFirst { case s if s.startsWith("df=") =>
       s.stripPrefix("df=").split(',').filter(_.nonEmpty).toSet
     }.getOrElse(Set.empty[String])
+    val fields = entries.collectFirst { case s if s.startsWith("fields=") =>
+      s.stripPrefix("fields=").split(',').filter(_.nonEmpty).toSeq }
+    val fieldSums = entries.collectFirst { case s if s.startsWith("fstats=") =>
+      s.stripPrefix("fstats=").split(',').filter(_.nonEmpty)
+        .map(_.toLong).toSeq }.getOrElse(Nil)
+    require(fields.forall(_.size == fieldSums.size),
+      s"lex manifest $v under $path: fields/fstats arity mismatch")
     val segs = entries.filterNot(s =>
       s.startsWith("stats=") || s.startsWith("buckets=") ||
         s.startsWith("attrs=") || s.startsWith("positions=") ||
-        s.startsWith("df="))
+        s.startsWith("df=") || s.startsWith("fields=") ||
+        s.startsWith("fstats="))
     LexManifest(v, segs.map(SegEntry.parse), buckets, stats._1, stats._2,
-                attrs, positional, dfSegs)
+                attrs, positional, dfSegs, fields, fieldSums)
   }
 
   private def publish(spark: SparkSession, root: Path, m: LexManifest): Unit = {
@@ -206,6 +236,8 @@ object LexIndex {
         (if (m.positional) Seq("positions=1") else Nil) ++
         (if (m.dfSegs.nonEmpty)
            Seq(s"df=${m.dfSegs.toSeq.sorted.mkString(",")}") else Nil) ++
+        m.fields.map(fs => s"fields=${fs.mkString(",")}").toSeq ++
+        (if (m.fielded) Seq(s"fstats=${m.fieldSums.mkString(",")}") else Nil) ++
         m.entries.map(_.render)).mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // no-replace by construction (FsAtomic) — the exists() pre-check
@@ -263,6 +295,43 @@ object LexIndex {
         .select("term", "doc_id" +: "tf" +: "dl" +: "positions" +: attrs: _*)
   }
 
+  /** Fielded postings of one document batch — one row per (term, doc,
+    * FIELD): each field tokenizes and explodes once (the same map-side
+    * pass, one union wider), aggregates under its ordinal, and the
+    * doc's per-field length vector rides every row (constant per doc,
+    * so grouping by it never splits a group). */
+  private def postingsOfFielded(docs: DataFrame, idCol: String,
+                                fields: Seq[String],
+                                attrs: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
+      fields.zipWithIndex.map { case (f, i) =>
+        Dedup.tokens(col(f)).as(s"toks_$i") } ++: attrs.map(col): _*)
+    val dls = array(fields.indices.map(i =>
+      size(col(s"toks_$i")).cast("long")): _*)
+    fields.indices.map { i =>
+      toks.select(col("doc_id") +: lit(i).as("fi") +: dls.as("dls") +:
+          explode(col(s"toks_$i")).as("term") +: attrs.map(col): _*)
+        .groupBy("doc_id", "term" +: "fi" +: "dls" +: attrs: _*)
+        .agg(count("*").as("tf"))
+        .select("term", "doc_id" +: "fi" +: "tf" +: "dls" +: attrs: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Exact fielded batch stats: docs with ≥1 token in ANY field, the
+    * raw (unweighted) total for the `stats=` line, and per-field exact
+    * Σ doc length — the integers a probe weights at query time. */
+  private def statsOfFielded(docs: DataFrame, idCol: String,
+                             fields: Seq[String]): (Long, Long, Seq[Long]) = {
+    val sized = docs.select(col(idCol) +: fields.zipWithIndex.map {
+      case (f, i) => size(Dedup.tokens(col(f))).cast("long").as(s"dl_$i") }: _*)
+      .filter(fields.indices.map(i => col(s"dl_$i")).reduce(_ + _) > 0)
+    val aggCols = count("*").as("n") +: fields.indices.map(i =>
+      coalesce(sum(col(s"dl_$i")), lit(0L)).as(s"s_$i"))
+    val st = sized.agg(aggCols.head, aggCols.tail: _*).head()
+    val sums = fields.indices.map(i => st.getLong(i + 1))
+    (st.getLong(0), sums.sum, sums)
+  }
+
   /** Exact batch stats `(docs with ≥1 token, Σ doc length)` — integer
     * addition, order-free. The ≥1-token convention keeps N consistent
     * with the postings (an erase can only subtract documents that HAVE
@@ -302,15 +371,20 @@ object LexIndex {
     * narrow columns of already-columnar local bytes, not a second
     * corpus pass. */
   private def writeDfSidecar(spark: SparkSession, target: Path): Unit =
-    // explicit two-column schema: only the columns the statistics need
-    // are read, and an all-rows-erased segment (no files) still writes
-    // an empty sidecar instead of failing schema inference
+    // explicit three-column schema: only the columns the statistics
+    // need are read, and an all-rows-erased segment (no files) still
+    // writes an empty sidecar instead of failing schema inference.
+    // df counts DISTINCT documents per (bucket, term) — identical to
+    // the row count on a plain segment ((doc, term) unique there) and
+    // the any-field document frequency on a FIELDED one (a doc holding
+    // the term in two fields has two posting rows but counts once)
     spark.read.schema(StructType(Seq(
         StructField("term", org.apache.spark.sql.types.StringType),
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
         StructField("tb", org.apache.spark.sql.types.IntegerType))))
       .parquet(target.toString)
       .groupBy("tb", "term")
-      .agg(count(lit(1)).cast("long").as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .repartition(col("tb")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("tb")
       .parquet(new Path(target, DfSidecarDir).toString)
@@ -388,6 +462,44 @@ object LexIndex {
     version
   }
 
+  /** Build a FIELDED (BM25F) index: postings carry a field ordinal per
+    * (term, doc, field) and the doc's per-field length vector; the
+    * manifest records the field names (fold order) and per-field exact
+    * Σ doc lengths. Field WEIGHTS are not stored — they are probe-time
+    * arguments ([[searchFielded]], the Lucene convention), so one index
+    * serves every weighting. N counts docs with ≥1 token in ANY field.
+    * The lifecycle verbs (append/compact/vacuum/erase/sync) all apply;
+    * positional/phrase layers deliberately do not combine with fields
+    * (a quoted phrase is a single-field question). */
+  def buildFielded(docs: DataFrame, path: String, fields: Seq[String],
+                   buckets: Int = AutoBuckets,
+                   idCol: String = "doc_id",
+                   attrs: Seq[String] = Nil): Long = {
+    require(fields.nonEmpty, "buildFielded needs at least one field")
+    require(buckets > 0 || buckets == AutoBuckets,
+      s"buckets must be positive (or LexIndex.AutoBuckets), got $buckets")
+    fields.foreach { f => require(!ReservedCols.contains(f),
+      s"field column '$f' collides with a postings layout column") }
+    val spark = docs.sparkSession
+    val root = new Path(path)
+    val attrsDdl = attrsDdlOf(docs, attrs)
+    val postings = postingsOfFielded(docs, idCol, fields, attrs)
+    val nBuckets =
+      if (buckets == AutoBuckets) {
+        postings.persist()
+        autoBuckets(postings.select("term").distinct().count())
+      } else buckets
+    val version = versions(spark, path).lastOption.getOrElse(0L) + 1
+    val seg = f"seg-$version%09d"
+    try writeSegment(spark, root, seg, postings, nBuckets)
+    finally if (buckets == AutoBuckets) postings.unpersist()
+    val (n, raw, sums) = statsOfFielded(docs, idCol, fields)
+    publish(spark, root,
+      LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, raw, attrsDdl,
+        positional = false, Set(seg), Some(fields), sums))
+    version
+  }
+
   /** Append a document batch: one new segment of the batch's postings
     * (hashed under the manifest's frozen bucket count), stats summed
     * (exact integer addition — order-free), one atomic flip — cost ∝
@@ -426,23 +538,33 @@ object LexIndex {
     val suffix = batchTag.map(t => s"-b$t").getOrElse("")
     val seg = s"seg-$token$suffix"
     writeSegment(spark, root, seg,
-      postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq,
-        m0.positional),
+      m0.fields match {
+        case Some(fs) =>
+          postingsOfFielded(docs, idCol, fs, m0.attrs.fieldNames.toSeq)
+        case None =>
+          postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq,
+            m0.positional)
+      },
       m0.buckets)
-    val (n, sd) = statsOf(docs, idCol, textCol)
+    val (n, sd, sums) = m0.fields match {
+      case Some(fs) => statsOfFielded(docs, idCol, fs)
+      case None =>
+        val (a, b) = statsOf(docs, idCol, textCol); (a, b, Nil)
+    }
     var m = m0
     while (true) {
       try {
         publish(spark, root, LexManifest(m.version + 1,
           m.entries :+ SegEntry(seg), m.buckets,
           m.nDocs + n, m.sumDl + sd, m.attrsDdl, m.positional,
-          m.dfSegs + seg))
+          m.dfSegs + seg, m.fields,
+          m.fieldSums.zipAll(sums, 0L, 0L).map { case (a, b) => a + b }))
         return m.version + 1
       } catch {
         case _: ConcurrentWriteException =>
           m = readManifest(spark, path)
           if (m.buckets != m0.buckets || m.attrsDdl != m0.attrsDdl ||
-              m.positional != m0.positional) {
+              m.positional != m0.positional || m.fields != m0.fields) {
             // a REBUILD won the race: our segment is hashed under the
             // old spread/attrs — never publish it (orphan reclaimed now)
             fs(spark, root).delete(new Path(root, seg), true)
@@ -536,8 +658,11 @@ object LexIndex {
     val delta0 =
       if (from == 0L) ManifestedLog.load(spark, logPath)
       else ManifestedLog.changesBetween(spark, logPath, from, to, key)
+    // a fielded index ingests its manifest's field columns; a plain one
+    // the text column — either way the attrs ride
     val delta = delta0
-      .select(col(key) +: col(textCol) +: m.attrs.fieldNames.toSeq.map(col): _*)
+      .select(col(key) +: (m.fields.getOrElse(Seq(textCol)) ++
+        m.attrs.fieldNames.toSeq).map(col): _*)
     val v = append(delta, indexPath, idCol = key, textCol = textCol,
       batchTag = Some(s"${SyncCursors.logTag(logPath)}-$from-$to"))
     (to, v)
@@ -589,7 +714,8 @@ object LexIndex {
     f.delete(new Path(target, s"$DfSidecarDir/_SUCCESS"), false)
     SyncCursors.persistCursors(f, root, m.segments)
     publish(spark, root, LexManifest(m.version + 1, Seq(SegEntry(seg)),
-      m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional, Set(seg)))
+      m.buckets, m.nDocs, m.sumDl, m.attrsDdl, m.positional, Set(seg),
+      m.fields, m.fieldSums))
     m.version + 1
   }
 
@@ -637,14 +763,27 @@ object LexIndex {
     }.reduce(_.unionByName(_)).distinct().collect()
       .map(r => (r.getString(0), r.getInt(1)))
     if (hits.isEmpty) return m.version
-    // the erased documents' exact stats delta: distinct (doc_id, dl) of
-    // matched postings — dl is constant per document, and the append
-    // contract (new ids per batch) keeps a document in one segment
-    val gone = m.entries.map { e =>
-      segFrame(spark, root, e, schema).filter(pred).select("doc_id", "dl")
+    // the erased documents' exact stats delta: distinct (doc_id, dl[s])
+    // of matched postings — lengths are constant per document, and the
+    // append contract (new ids per batch) keeps a document in one
+    // segment. Fielded indexes also subtract per-field exact sums.
+    val goneDocsDf = m.entries.map { e =>
+      segFrame(spark, root, e, schema).filter(pred)
+        .select("doc_id", if (m.fielded) "dls" else "dl")
     }.reduce(_.unionByName(_)).distinct()
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val (goneDocs, goneDl) = (gone.getLong(0), gone.getLong(1))
+    val (goneDocs, goneDl, goneSums) =
+      if (!m.fielded) {
+        val g = goneDocsDf
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        (g.getLong(0), g.getLong(1), Seq.empty[Long])
+      } else {
+        val nf = m.fieldSums.size
+        val aggs = count(lit(1)).as("n") +: (0 until nf).map(i =>
+          coalesce(sum(element_at(col("dls"), i + 1)), lit(0L)).as(s"s_$i"))
+        val g = goneDocsDf.agg(aggs.head, aggs.tail: _*).head()
+        val sums = (0 until nf).map(i => g.getLong(i + 1))
+        (g.getLong(0), sums.sum, sums)
+      }
     val affected: Map[String, Seq[Long]] =
       hits.groupBy(_._1).map { case (s, bs) =>
         s -> bs.map(_._2.toLong).toSeq.sorted }
@@ -671,7 +810,8 @@ object LexIndex {
     try {
       publish(spark, root, LexManifest(m.version + 1, newEntries, m.buckets,
         m.nDocs - goneDocs, m.sumDl - goneDl, m.attrsDdl, m.positional,
-        m.dfSegs ++ eraseEntries.map(_.name)))
+        m.dfSegs ++ eraseEntries.map(_.name), m.fields,
+        m.fieldSums.zip(goneSums).map { case (a, b) => a - b }))
       m.version + 1
     } catch {
       case e: ConcurrentWriteException =>
@@ -872,6 +1012,8 @@ object LexIndex {
              k1: Double = 1.2, b: Double = 0.75,
              pred: Option[Column] = None): DataFrame = {
     val m = readManifest(spark, path)
+    require(!m.fielded,
+      s"$path is a FIELDED index — probe it with searchFielded")
     val root = new Path(path)
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
@@ -887,6 +1029,66 @@ object LexIndex {
     // df from index statistics (sidecars where present, a bounded
     // per-legacy-segment recompute otherwise) — the posting bytes are
     // read once for scoring, period, at any query width
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
+      mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
+  }
+
+  /** BM25F probe of a FIELDED index ([[buildFielded]]) —
+    * [[Retrieval.bm25fTopK]]'s at-rest twin, score-identical over the
+    * indexed corpus: weighted tf′ folds the pruned (field, tf) rows in
+    * field order, weighted dl′ folds the stored per-field length
+    * vector, corpus stats weight the manifest's exact per-field sums
+    * (same IEEE fold on both sides), and df comes from the sidecar
+    * statistics (distinct docs per term — any-field containment). The
+    * probe reads only the query terms' bucket partitions; WEIGHTS are
+    * probe-time arguments, so one index serves every weighting.
+    *
+    * @param weights `(field, weight)` naming the manifest's fields in
+    *                order — the fold order is the index's, the values
+    *                are the caller's
+    */
+  def searchFielded(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int, weights: Seq[(String, Double)],
+                    k1: Double = 1.2, b: Double = 0.75,
+                    pred: Option[Column] = None): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.fielded, s"$path stores no fielded postings — build the " +
+      "index with buildFielded to serve BM25F queries")
+    val fs = m.fields.get
+    require(weights.map(_._1) == fs,
+      s"probe weights must name the index's fields in order " +
+        s"(${fs.mkString(", ")}), got ${weights.map(_._1).mkString(", ")}")
+    require(weights.forall(_._2 > 0.0),
+      s"field weights must be > 0, got ${weights.map(_._2).mkString(", ")}")
+    val w = weights.map(_._2)
+    val root = new Path(path)
+    val qTerms = queries.select(col("query_id"),
+      explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(col("t")).as("term"))
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
+    val weightArr = array(w.map(lit): _*)
+    val dlw = fs.indices.foldLeft(lit(0.0))((acc, i) =>
+      acc + lit(w(i)) * element_at(col("dls"), i + 1).cast("double"))
+    val base = pruned
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select(col("doc_id") +: col("term") +: col("fi") +: col("tf") +:
+        dlw.as("dlw") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
+    val aggs = aggregate(
+        array_sort(collect_list(struct(col("fi"), col("tf")))),
+        lit(0.0),
+        (acc, x) => acc + element_at(weightArr, x.getField("fi") + 1) *
+          x.getField("tf").cast("double")).as("tf") +:
+      max("dlw").as("dl") +:
+      (if (pred.isDefined) Seq(max("elig").as("elig")) else Nil)
+    val tfQ = base.groupBy("doc_id", "term").agg(aggs.head, aggs.tail: _*)
+    // the manifest's exact per-field integer sums, weighted by the SAME
+    // left-associative field-order fold the flat scan computes
+    val sumDlW = fs.indices.foldLeft(0.0)((acc, i) =>
+      acc + w(i) * m.fieldSums(i).toDouble)
+    val stats = spark.createDataFrame(Seq((m.nDocs, sumDlW)))
+      .toDF("n_docs", "sum_dl")
     Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
       mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
   }
@@ -967,9 +1169,11 @@ object LexIndex {
         restrict(unskipped).select("term", "df")
       } else
         // legacy pre-sidecar segment: its partial recomputes from its
-        // own bucket-pruned postings (bounded — this one segment only)
+        // own bucket-pruned postings (bounded — this one segment only;
+        // distinct docs ≡ rows on a plain segment, and the any-field
+        // count on a fielded one)
         restrict(segFrame(spark, root, e, postingsSchema(m)))
-          .groupBy("term").agg(count(lit(1)).as("df"))
+          .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
           .select("term", "df")
     }.reduce(_.unionByName(_))
     per.groupBy("term").agg(sum("df").as("df"))

@@ -302,6 +302,103 @@ object Retrieval {
     scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
 
+  /** BM25F multi-FIELD top-k, flat-scan form — the title/body shape a
+    * web-crawl corpus serves ("spark in the title counts double"):
+    * each document is a set of weighted text fields, and the classic
+    * simplified BM25F (Robertson/Zaragoza) scores the WEIGHTED
+    * aggregates instead of per-field scores:
+    *
+    *   tf′(d,t) = Σ_f w_f · tf_f(d,t)      (weighted term frequency)
+    *   dl′(d)   = Σ_f w_f · dl_f(d)        (weighted doc length)
+    *   avgdl′   = (Σ_f w_f · Σ_d dl_f) / N
+    *   score    = Σ_t idf(t) · tf′(k1+1) / (tf′ + k1(1−b+b·dl′/avgdl′))
+    *
+    * with df(t) = documents containing t in ANY field and N = documents
+    * with ≥1 token in any field. Weighting aggregates (not scores)
+    * keeps the saturation shared across fields — a term spamming one
+    * field can't restart the tf curve per field, the reason BM25F
+    * exists.
+    *
+    * Determinism: per-field tf/dl/Σdl are exact integers; every
+    * weighted sum folds LEFT-ASSOCIATIVELY IN FIELD ORDER over w_f ×
+    * integer products (per (doc, term) via `aggregate ∘ array_sort`
+    * on the collected (field, tf) pairs; per document and corpus as a
+    * literal field-order expression), so both engines accumulate the
+    * identical doubles; the only library call stays `ln`, absorbed by
+    * the 1e-6 rounding-before-rank.
+    *
+    * Scale shape — [[bm25TopK]]'s, one union wider: each field explodes
+    * once (same map-side pass over the scan), the broadcast query-term
+    * list prunes BEFORE the (doc, term, field) aggregation, and the
+    * per-field corpus sums reduce map-side to one broadcast row. The
+    * shuffled volume is the matching tokens of all fields — for a
+    * title+body corpus, ~the body alone.
+    *
+    * @param fields `(column, weight)` in significance order — the fold
+    *               order of every weighted sum; weights must be > 0
+    * @param pred   optional DOCUMENT filter, as [[bm25TopK]]
+    */
+  def bm25fTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                fields: Seq[(String, Double)],
+                k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id",
+                queryIdCol: String = "query_id",
+                termsCol: String = "terms",
+                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopK needs at least one field")
+    require(fields.forall(_._2 > 0.0),
+      s"field weights must be > 0, got ${fields.map(_._2).mkString(", ")}")
+    val toksAll = docs.select(col(idCol).as("doc_id") +:
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig") +:
+      fields.zipWithIndex.map { case ((c, _), i) =>
+        Dedup.tokens(col(c)).as(s"toks_$i") }: _*)
+    // weighted doc length: a literal field-order fold — exact integer
+    // operands, one rounding per field term, identical in the oracle
+    val dlw = fields.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, ((_, w), i)) =>
+        acc + lit(w) * size(col(s"toks_$i")).cast("double") }
+    val anyTok = fields.indices
+      .map(i => size(col(s"toks_$i"))).reduce(_ + _) > 0
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(col(termsCol)).as("term"))
+      .select(col("query_id"), lower(col("term")).as("term"))
+    val qDistinct = qTerms.select("term").distinct()
+    // one exploded pass per field, pruned to query terms BEFORE the
+    // (doc, term, field) aggregation — the bm25TopK discipline per arm
+    val perField = fields.zipWithIndex.map { case ((_, _), i) =>
+      toksAll.select(col("doc_id"), lit(i).as("fi"),
+          col("elig"), dlw.as("dlw"),
+          explode(col(s"toks_$i")).as("term"))
+        .join(broadcast(qDistinct), Seq("term"))
+        .groupBy("doc_id", "term", "fi")
+        .agg(count("*").as("tf"), max("dlw").as("dlw"),
+          max("elig").as("elig"))
+    }.reduce(_.unionByName(_))
+    // weighted tf: fold the present (field, tf) pairs in field order —
+    // absent fields contribute exactly nothing (0 + x = x in IEEE for
+    // the positive products here, so the oracle's coalesce-style
+    // two-term sum is bit-identical)
+    val weightArr = array(fields.map(f => lit(f._2)): _*)
+    val tfQ = perField.groupBy("doc_id", "term")
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("fi"), col("tf")))),
+          lit(0.0),
+          (acc, x) => acc + element_at(weightArr, x.getField("fi") + 1) *
+            x.getField("tf").cast("double")).as("tf"),
+        max("dlw").as("dl"), max("elig").as("elig"))
+    // corpus stats: exact per-field integer sums reduce map-side to one
+    // row; the weighted total folds in field order on that single row
+    val statCols = count("*").as("n_docs") +:
+      fields.indices.map(i =>
+        coalesce(sum(size(col(s"toks_$i")).cast("long")), lit(0L))
+          .as(s"s_$i"))
+    val rawStats = toksAll.filter(anyTok).agg(statCols.head, statCols.tail: _*)
+    val sumDlW = fields.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, ((_, w), i)) => acc + lit(w) * col(s"s_$i").cast("double") }
+    val stats = rawStats.select(col("n_docs"), sumDlW.as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+  }
+
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
     * persisted inverted index ([[LexIndex.search]]) meet here, which is
     * what makes the index probe score-identical to the full scan.

@@ -168,6 +168,13 @@ object Compiler {
           .toDF("query_id", "phrase")
         graft.operators.LexIndex.searchPhraseSloppy(spark, path, phrases,
           k, slop, pred = where.map(predicate(df, _)))
+      case Op.LexFieldedSearch(terms, k, ws, where) =>
+        // BM25F from the fielded index's per-field postings; the
+        // spoken weights apply at probe time (one index, any weighting)
+        val queries = spark.createDataFrame(Seq((-1L, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.LexIndex.searchFielded(spark, path, queries, k,
+          ws, pred = where.map(predicate(df, _)))
       case Op.LexProximitySearch(terms, k, w, where) =>
         // window containment from the positional index's stored
         // position lists — zero corpus scans
@@ -504,6 +511,13 @@ object Compiler {
       val phrases = session.createDataFrame(Seq((-1L, phrase)))
         .toDF("query_id", "phrase")
       Retrieval.bm25SloppyPhraseTopK(df, phrases, k, slop,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25F(terms, k, ws, where) =>
+      // weighted-aggregate BM25F over the input frame's named fields
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((-1L, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.bm25fTopK(df, queries, k, ws,
         pred = where.map(predicate(df, _)))
     case Op.Bm25Proximity(terms, k, w, where) =>
       // all terms inside some w-token run, any order (query_id -1)

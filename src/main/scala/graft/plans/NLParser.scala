@@ -1132,6 +1132,17 @@ object NLParser {
               }
               requireDone(p)
               Right(List(Op.Bm25Proximity(terms, k, w, where)))
+            } else if (p.peekWordLower.contains("weighting")) {
+              // "… matching spark, join weighting title 2, text 1" —
+              // BM25F: weighted-aggregate scoring over named fields
+              p.next()
+              val ws = weightList(p)
+              val where = p.peekWordLower match {
+                case Some("where") => p.next(); Some(parsePred(p))
+                case _             => None
+              }
+              requireDone(p)
+              Right(List(Op.Bm25F(terms, k, ws, where)))
             } else {
               // "… matching spark, join where lang == 'en'" — the
               // candidate pre-filter: only matching documents rank,
@@ -1870,6 +1881,18 @@ object NLParser {
             requireDone(p)
             return Right(List(Op.LexProximitySearch(terms, k, w, where)))
           }
+          if (p.peekWordLower.contains("weighting")) {
+            // "… matching spark, join weighting title 2, text 1." —
+            // the BM25F probe of a FIELDED index (weights probe-time)
+            p.next()
+            val ws = weightList(p)
+            val where = p.peekWordLower match {
+              case Some("where") => p.next(); Some(parsePred(p))
+              case _             => None
+            }
+            requireDone(p)
+            return Right(List(Op.LexFieldedSearch(terms, k, ws, where)))
+          }
           val where = p.peekWordLower match {
             case Some("where") => p.next(); Some(parsePred(p))
             case _             => None
@@ -2199,6 +2222,26 @@ object NLParser {
       case _ => more = false
     }
     terms.result()
+  }
+
+  /** "(field num)(, (and )field num)*" — the BM25F weighting list:
+    * "weighting title 2, text 1". */
+  private def weightList(p: TokCursor): Seq[(String, Double)] = {
+    val ws = Seq.newBuilder[(String, Double)]
+    def one(): Unit = {
+      val f = p.expectWordRaw()
+      val w = p.expectNum()
+      if (w <= 0.0) throw ParseException(s"field weights must be > 0: $w")
+      ws += (f -> w)
+    }
+    one()
+    var more = true
+    while (more) p.peek match {
+      case Some(Sym(",")) => p.next(); p.dropWords("and"); one()
+      case Some(w: Word) if w.lower == "and" => p.next(); one()
+      case _ => more = false
+    }
+    ws.result()
   }
 
   private def vectorLiteral(p: TokCursor): Seq[Float] = {

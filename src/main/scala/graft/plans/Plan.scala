@@ -210,6 +210,12 @@ object Op {
     * ([[graft.operators.Retrieval.bm25SloppyPhraseTopK]]). */
   final case class Bm25Sloppy(phrase: Seq[String], k: Int, slop: Int,
                               where: Option[Pred] = None)          extends CorpusOp
+  /** BM25F multi-field top-k ("documents matching spark, join
+    * weighting title 2, text 1") — weighted-aggregate scoring over
+    * named fields ([[graft.operators.Retrieval.bm25fTopK]]). */
+  final case class Bm25F(terms: Seq[String], k: Int,
+                         weights: Seq[(String, Double)],
+                         where: Option[Pred] = None)               extends CorpusOp
   /** PROXIMITY BM25 top-k ("documents matching spark, join within 5
     * tokens") — only documents with all terms inside some window-token
     * run rank ([[graft.operators.Retrieval.bm25ProximityTopK]]). */
@@ -597,6 +603,13 @@ object Op {
     * [[Bm25Sloppy]] scan over the indexed corpus). */
   final case class LexSloppySearch(phrase: Seq[String], k: Int, slop: Int,
                                    where: Option[Pred] = None)     extends TableOp
+  /** BM25F probe of the bound FIELDED inverted index
+    * ([[graft.operators.LexIndex.searchFielded]] — weighted-aggregate
+    * scoring from per-field postings and the manifest's exact
+    * per-field sums; weights are probe-time). */
+  final case class LexFieldedSearch(terms: Seq[String], k: Int,
+                                    weights: Seq[(String, Double)],
+                                    where: Option[Pred] = None)    extends TableOp
   /** PROXIMITY probe of the bound POSITIONAL inverted index
     * ([[graft.operators.LexIndex.searchProximity]] — window
     * containment from stored position lists on the pruned candidate

@@ -637,6 +637,21 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // BM25F, spoken — the title/body weighting in one sentence: flat
+    // scan over the derived-title frame and the fielded-index probe of
+    // the same weighting (shared oracle string, interleaved twins).
+    "nl151_bm25f" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast " +
+                 "weighting title 2, text 1.",
+        RetrievalQueries.titledDocs(s, d))),
+
+    "nl152_lexf_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexFieldedIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast weighting title 2, text 1.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // The FILTERED literal-query hybrid, spoken — the full production
     // serving sentence in one line: fresh embedding, keywords, metadata
     // filter, two pruned index probes. x124's twin (shared oracle).
@@ -1250,6 +1265,12 @@ object NLQueries extends QueryPack {
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     "nl140_lex_phrase_search" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    // BM25F pair: nl152 shares nl151's string (fielded probe ≡ flat
+    // weighted-aggregate scan — interleaved twins)
+    "nl151_bm25f" -> RetrievalQueries.bm25fReplaySql(
+      Seq(-1L -> Seq("spark", "join", "fast")), 5, Seq(2.0, 1.0)),
+    "nl152_lexf_search" -> RetrievalQueries.bm25fReplaySql(
+      Seq(-1L -> Seq("spark", "join", "fast")), 5, Seq(2.0, 1.0)),
     // sloppy pair: nl150 shares nl149's string (positional probe ≡
     // flat ordered-chain scan — interleaved twins)
     "nl149_bm25_sloppy" ->

@@ -78,6 +78,18 @@ object RetrievalQueries extends QueryPack {
   private def sloppyDf(s: SparkSession): DataFrame =
     s.createDataFrame(SloppyQueries).toDF("query_id", "phrase")
 
+  /** The BM25F fixture: the title/body web-crawl shape derived
+    * deterministically from the corpus — `title` is the document's
+    * first three tokens (a real short field whose terms overlap the
+    * queries), weighted 2× against the full text. Weights are
+    * QUERY-time knobs (the Lucene convention — the index stores raw
+    * per-field integers). */
+  private[queries] val FieldWeights: Seq[(String, Double)] =
+    Seq("title" -> 2.0, "text" -> 1.0)
+  private[queries] def titledDocs(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").withColumn("title",
+      array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 3), " "))
+
   /** The proximity fixture: a 2-term and a 3-term window query at one
     * window width — both discriminate sharply from bag-of-words in
     * both test corpora (e.g. 46 vs 268 matching docs at sf0.01 for the
@@ -133,6 +145,14 @@ object RetrievalQueries extends QueryPack {
     lexIndexAt(s, d, "graft_lexposattr_index_")(
       graft.operators.LexIndex.build(table(s, d, "documents"), _,
         positions = true, attrs = Seq("lang")))
+
+  /** x130/nl152's FIELDED index: per-field postings over the derived
+    * title/body split — weights stay probe-time, so this one index
+    * serves every weighting. */
+  private[queries] def lexFieldedIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexf_index_")(
+      graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
+        fields = Seq("title", "text")))
 
   /** x103/nl129's index: the `lang` ATTRIBUTE stored beside every
     * posting — the filtered lexical serving shape ("matching spark
@@ -401,6 +421,22 @@ object RetrievalQueries extends QueryPack {
         proxQueriesDf(s), K, ProxWindow, k1 = K1, b = B,
         pred = Some(col("lang") === FilterLang))),
 
+    // BM25F multi-field retrieval — the title/body shape: weighted
+    // aggregates (tf' = Σ w_f·tf_f, dl' = Σ w_f·dl_f) under the shared
+    // saturation curve, df over any-field containment. The title field
+    // weighs 2× so a title hit genuinely reranks against body spam.
+    "x129_bm25f" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fTopK(titledDocs(s, d), queriesDf(s), K, FieldWeights,
+        k1 = K1, b = B)),
+
+    // The same BM25F served AT REST from the FIELDED index: weighted
+    // tf'/dl' fold per-field postings and the stored length vectors,
+    // corpus stats weight the manifest's exact per-field sums, df from
+    // the distinct-doc sidecars. Same oracle STRING as x129.
+    "x130_lexf_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchFielded(s, lexFieldedIndexTable(s, d),
+        queriesDf(s), K, FieldWeights, k1 = K1, b = B)),
+
     // Ordered SLOPPY-phrase retrieval — the standard slop semantics
     // every production search engine defaults to (Lucene PhraseQuery):
     // phrase tokens in order within `Slop` extra positions, the middle
@@ -569,6 +605,77 @@ object RetrievalQueries extends QueryPack {
        |  SELECT q.query_id, d.doc_id FROM phq q JOIN documents d
        |    ON strpos(' ' || array_to_string($toksSql, ' ') || ' ', q.pat) > 0),
        |${bm25Ctes(qs, eligibleSql = Some(elig))}
+       |SELECT query_id, doc_id, rank, score FROM lex
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The BM25F replay: per-field token lists (`title` = the first
+    * three tokens — the same derivation the fixture computes), exact
+    * per-field integer tf/dl, and every weighted sum written as the
+    * SAME left-associative field-order fold the operator computes —
+    * tf′ via `list_reduce(list(w·tf ORDER BY fi))` (equal to the
+    * operator's 0.0-seeded fold bit-for-bit: 0 + x = x for the
+    * positive products), dl′/Σdl′ as explicit `0.0 + w₀·a + w₁·b`
+    * expressions. df counts any-field containment; the scoring tail is
+    * the shared rounded-fold ranking. */
+  private[queries] def bm25fReplaySql(qs: Seq[(Long, Seq[String])], k: Int,
+                                      weights: Seq[Double]): String = {
+    val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
+    require(weights.size == fieldToks.size)
+    val w = weights.map(_.toString)
+    val fcols = fieldToks.indices
+    val ftoksCols = fieldToks.zipWithIndex
+      .map { case (e, i) => s"$e AS toks_$i" }.mkString(",\n       ")
+    val unions = fcols.map(i =>
+      s"  SELECT doc_id, $i AS fi, unnest(toks_$i) AS term FROM ftoks")
+      .mkString("\n  UNION ALL\n")
+    val wCase = fcols.map(i =>
+      s"WHEN $i THEN ${w(i)}::DOUBLE * tf::DOUBLE").mkString(" ")
+    val dlCols = fcols.map(i => s"len(toks_$i)::BIGINT AS dl_$i")
+      .mkString(", ")
+    val dlwExpr = fcols.map(i => s"${w(i)}::DOUBLE * dl_$i::DOUBLE")
+      .mkString("0.0::DOUBLE + ", " + ", "")
+    val sumExpr = fcols.map(i => s"${w(i)}::DOUBLE * sum(dl_$i)::DOUBLE")
+      .mkString("0.0::DOUBLE + ", " + ", "")
+    val anyTok = fcols.map(i => s"dl_$i").mkString(" + ") + " > 0"
+    s"""WITH qt(query_id, term) AS (VALUES
+       |  ${qtValues(qs)}),
+       |ftoks AS (SELECT doc_id, $ftoksCols FROM documents),
+       |tff AS (
+       |  SELECT u.doc_id, u.term, u.fi, count(*)::BIGINT AS tf FROM (
+       |$unions) u
+       |  JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+       |  GROUP BY u.doc_id, u.term, u.fi),
+       |tfw AS (
+       |  SELECT doc_id, term,
+       |    list_reduce(list(CASE fi $wCase END ORDER BY fi),
+       |                (a, x) -> a + x) AS tfw
+       |  FROM tff GROUP BY doc_id, term),
+       |dlf AS (SELECT doc_id, $dlCols FROM ftoks),
+       |dlw AS (SELECT doc_id, $dlwExpr AS dlw FROM dlf),
+       |stats AS (SELECT count(*)::BIGINT AS n, $sumExpr AS sum_dlw
+       |          FROM dlf WHERE $anyTok),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tfw GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.query_id, t.doc_id, t.term,
+       |    ln((s.n::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+       |         / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |      * (t.tfw * ${K1 + 1.0}::DOUBLE)
+       |      / (t.tfw + ${K1}::DOUBLE
+       |           * (${1.0 - B}::DOUBLE + ${B}::DOUBLE * l.dlw
+       |                / (s.sum_dlw / s.n::DOUBLE))) AS contrib
+       |  FROM tfw t JOIN dft d USING (term) JOIN dlw l USING (doc_id)
+       |       JOIN qt ON qt.term = t.term CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x),
+       |          6) AS score
+       |  FROM contrib
+       |  GROUP BY query_id, doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc)
        |SELECT query_id, doc_id, rank, score FROM lex
        |WHERE rank <= $k""".stripMargin
   }
@@ -967,6 +1074,11 @@ object RetrievalQueries extends QueryPack {
     // ranking) — interleaved bench twins.
     "x115_bm25_phrase" -> phraseReplaySql(PhraseQueries, K),
     "x116_lex_phrase_search" -> phraseReplaySql(PhraseQueries, K),
+
+    // BM25F: weighted-aggregate scoring over the derived title/body
+    // fields, every weighted sum a pinned field-order fold.
+    "x129_bm25f" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
+    "x130_lexf_search" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
 
     // Sloppy pair: ordered-chain containment restricting the BM25
     // ranking; x128 shares x127's string (positional probe ≡ flat

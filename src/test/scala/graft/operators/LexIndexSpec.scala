@@ -722,6 +722,80 @@ class LexIndexSpec extends SparkSpec {
       "the scoring branch should not read positions")
   }
 
+  private val fieldedFx = Seq(
+    (0L, "spark", "join table join join"),
+    (1L, "merge", "spark spark spark join"),
+    (2L, "spark fast", "spark join fast"),
+    (3L, "table", "slow scan window"),
+    (4L, "", "fast fast join"))
+  private def fieldedDf = fieldedFx.toDF("doc_id", "title", "text")
+  private val FW = Seq("title" -> 2.0, "text" -> 1.0)
+
+  test("fielded probe ≡ flat BM25F scan at any probe-time weighting; " +
+       "append ≡ rebuild; plain probes on a fielded index fail loudly") {
+    val p = freshPath()
+    LexIndex.buildFielded(fieldedDf, p, fields = Seq("title", "text"))
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("table"))
+    for (ws <- Seq(FW, Seq("title" -> 1.0, "text" -> 1.0),
+                   Seq("title" -> 5.0, "text" -> 0.5))) {
+      assert(rows(LexIndex.searchFielded(spark, p, qs, 5, ws)) ==
+        rows(Retrieval.bm25fTopK(fieldedDf, qs, 5, ws)),
+        s"weighting $ws")
+    }
+    // manifest: per-field exact sums, N counts any-field docs
+    val m = LexIndex.readManifest(spark, p)
+    assert(m.fields.contains(Seq("title", "text")))
+    assert(m.fieldSums == Seq(
+      fieldedFx.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
+      fieldedFx.map(_._3.split("\\s+").count(_.nonEmpty).toLong).sum))
+    assert(m.nDocs == 5L)
+    // append ≡ rebuild (stats summed per field, content identical)
+    val (p1, p2) = (freshPath(), freshPath())
+    val (half, rest) = fieldedFx.partition(_._1 % 2 == 0)
+    LexIndex.buildFielded(half.toDF("doc_id", "title", "text"), p1,
+      fields = Seq("title", "text"), buckets = 16)
+    LexIndex.append(rest.toDF("doc_id", "title", "text"), p1)
+    LexIndex.buildFielded(fieldedDf, p2, fields = Seq("title", "text"),
+      buckets = 16)
+    val (m1, m2) = (LexIndex.readManifest(spark, p1),
+      LexIndex.readManifest(spark, p2))
+    assert(m1.fieldSums == m2.fieldSums && m1.nDocs == m2.nDocs)
+    assert(rows(LexIndex.searchFielded(spark, p1, qs, 5, FW)) ==
+      rows(LexIndex.searchFielded(spark, p2, qs, 5, FW)))
+    // guards: plain probe on fielded, fielded probe on plain, bad names
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.search(spark, p, qs, 5)
+    }.getMessage.contains("FIELDED"))
+    val plain = freshPath()
+    LexIndex.build(docsDf, plain)
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchFielded(spark, plain, qs, 5, FW)
+    }.getMessage.contains("fielded"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchFielded(spark, p, qs, 5, Seq("text" -> 1.0))
+    }.getMessage.contains("fields in order"))
+  }
+
+  test("fielded erase subtracts per-field stats exactly; compact is " +
+       "content-invariant; post-erase probe ≡ flat scan of survivors") {
+    val p = freshPath()
+    LexIndex.buildFielded(fieldedDf, p, fields = Seq("title", "text"),
+      buckets = 16)
+    LexIndex.deleteByKey(spark, p, Seq(1L, 4L))
+    val m = LexIndex.readManifest(spark, p)
+    val surv = fieldedFx.filterNot(d => d._1 == 1L || d._1 == 4L)
+    assert(m.nDocs == surv.size.toLong)
+    assert(m.fieldSums == Seq(
+      surv.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
+      surv.map(_._3.split("\\s+").count(_.nonEmpty).toLong).sum))
+    val qs = queriesDf(1L -> Seq("spark", "join"))
+    val expected = rows(Retrieval.bm25fTopK(
+      surv.toDF("doc_id", "title", "text"), qs, 5, FW))
+    assert(rows(LexIndex.searchFielded(spark, p, qs, 5, FW)) == expected)
+    LexIndex.compact(spark, p)
+    assert(rows(LexIndex.searchFielded(spark, p, qs, 5, FW)) == expected)
+  }
+
   test("sloppy probe ≡ flat sloppy scan; ordered (unlike proximity), " +
        "slop 0 ≡ the exact phrase probe; zero corpus scans") {
     val p = freshPath()

@@ -134,6 +134,68 @@ class RetrievalSpec extends SparkSpec {
   private def ranking(rows: (Long, Long, Long)*) =
     rows.toDF("query_id", "neighbor_id", "rank")
 
+  test("bm25fTopK matches a driver-side BM25F reference; single field " +
+       "at weight 1 degenerates to bm25TopK; title weight reranks") {
+    val fx = Seq(
+      (10L, "spark", "a b c d e f g h"), // title hit, long body
+      (11L, "x", "spark a b c"),         // body-only hit, short body
+      (12L, "spark fast", "spark join fast a"),
+      (13L, "y", "b c d"))
+    val df = fx.toDF("doc_id", "title", "text")
+    def refBm25f(terms: Seq[String], wT: Double, wB: Double,
+                 k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+      def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val fs = fx.map { case (id, t, bd) => id -> Seq(toks(t), toks(bd)) }
+      val live = fs.filter(_._2.map(_.size).sum > 0)
+      val n = live.size.toDouble
+      val sumDlw = 0.0 + wT * live.map(_._2(0).size.toLong).sum.toDouble +
+        wB * live.map(_._2(1).size.toLong).sum.toDouble
+      val avg = sumDlw / n
+      val dlw = fs.map { case (id, f) =>
+        id -> (0.0 + wT * f(0).size + wB * f(1).size) }.toMap
+      val df_ = terms.map(t =>
+        t -> fs.count(_._2.exists(_.contains(t))).toDouble).toMap
+      fs.flatMap { case (id, f) =>
+        val score = terms.sorted.map { t =>
+          var tfw = 0.0
+          if (f(0).count(_ == t) > 0) tfw += wT * f(0).count(_ == t)
+          if (f(1).count(_ == t) > 0) tfw += wB * f(1).count(_ == t)
+          if (tfw == 0.0 || df_(t) == 0) 0.0
+          else math.log((n - df_(t) + 0.5) / (df_(t) + 0.5) + 1.0) *
+            (tfw * (k1 + 1.0)) / (tfw + k1 * ((1.0 - b) + b * dlw(id) / avg))
+        }.sum
+        if (score > 0) Some(id -> math.rint(score * 1e6) / 1e6) else None
+      }.toMap
+    }
+    val q = queriesDf(1L -> Seq("spark", "join"))
+    for ((wT, wB) <- Seq((4.0, 1.0), (1.0, 1.0), (2.0, 0.5))) {
+      val out = Retrieval.bm25fTopK(df, q, 5,
+          Seq("title" -> wT, "text" -> wB))
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+      val ref = refBm25f(Seq("spark", "join"), wT, wB)
+      assert(out.keySet == ref.keySet, s"weights ($wT, $wB)")
+      out.foreach { case (id, s) =>
+        assert(math.abs(s - ref(id)) < 1e-9, s"doc $id weights ($wT, $wB)") }
+    }
+    // single field at weight 1 ≡ plain BM25 over that field, row for row
+    val one = Retrieval.bm25fTopK(df, q, 5, Seq("text" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val plain = Retrieval.bm25TopK(df, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(one == plain && one.nonEmpty)
+    // the weighting genuinely reranks: title-heavy puts the title-hit
+    // doc 10 above the body-hit doc 11, flat weights favor 11 (equal
+    // tf, shorter weighted length)
+    def rankOf(wT: Double, wB: Double, id: Long) =
+      Retrieval.bm25fTopK(df, queriesDf(1L -> Seq("spark")), 5,
+          Seq("title" -> wT, "text" -> wB))
+        .filter(col("doc_id") === id).collect().head.getLong(2)
+    assert(rankOf(4.0, 1.0, 10L) < rankOf(4.0, 1.0, 11L))
+    assert(rankOf(1.0, 1.0, 10L) > rankOf(1.0, 1.0, 11L))
+  }
+
   test("bm25SloppyPhraseTopK: in-order within slop — order matters, " +
        "slop 0 is the exact phrase, duplicate terms chain strictly") {
     def phrasesDf(qs: (Long, Seq[String])*) =

@@ -1034,6 +1034,25 @@ class NLParserSpec extends AnyFunSuite {
     }.msg.nonEmpty)
   }
 
+  test("bm25f weighting routes: field/weight list on the flat scan and " +
+       "the fielded-index probe") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join weighting title 2, " +
+      "text 1.").ops ==
+      List(O.Bm25F(Seq("spark", "join"), 5,
+        Seq("title" -> 2.0, "text" -> 1.0))))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark weighting " +
+      "title 2.5 and text 0.5 where lang == 'en'.").ops ==
+      List(O.LexFieldedSearch(Seq("spark"), 5,
+        Seq("title" -> 2.5, "text" -> 0.5),
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching spark weighting title 0.")
+    }.msg.contains("weights"))
+  }
+
   test("filtered lexical retrieval: 'where' tails on the flat scan and " +
        "the index probe") {
     assert(NLParser.parse(
