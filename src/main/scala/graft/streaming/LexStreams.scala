@@ -65,6 +65,93 @@ object LexStreams {
       }
       .start()
 
+  /** SLOPPY-phrase serving, streaming: each batch's `(query_id,
+    * phrase: array<string>)` queries run [[LexIndex.searchPhraseSloppy]]
+    * — ordered chains within `slop` extra positions from the
+    * positional index's stored position lists, per micro-batch. */
+  def serveSloppy(phrases: DataFrame, path: String, outPath: String,
+                  checkpoint: String, k: Int, slop: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  pred: Option[Column] = None): StreamingQuery =
+    phrases.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          LexIndex.searchPhraseSloppy(spark, path, batch, k, slop, k1, b,
+              pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** PROXIMITY serving, streaming: each batch's `(query_id, terms)`
+    * queries run [[LexIndex.searchProximity]] — all terms inside some
+    * `window`-token run, answered from stored positions per
+    * micro-batch. */
+  def serveProximity(queries: DataFrame, path: String, outPath: String,
+                     checkpoint: String, k: Int, window: Int,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          LexIndex.searchProximity(spark, path, batch, k, window, k1, b,
+              pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** BM25F serving, streaming: each batch's `(query_id, terms)`
+    * queries run [[LexIndex.searchFielded]] against the FIELDED index
+    * with the given probe-time weights, per micro-batch. */
+  def serveFielded(queries: DataFrame, path: String, outPath: String,
+                   checkpoint: String, k: Int,
+                   weights: Seq[(String, Double)],
+                   k1: Double = 1.2, b: Double = 0.75,
+                   pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          LexIndex.searchFielded(spark, path, batch, k, weights, k1, b,
+              pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** The LITERAL-query hybrid, streaming — the production serving
+    * sentence continuously: each batch's `(query_id, terms, embedding)`
+    * queries (a FRESH embedding plus keywords, nothing stored) run
+    * [[Retrieval.hybridServeLiteral]] against both indexes as of the
+    * batch's manifests — zero corpus scans per batch, no
+    * self-exclusion (external queries have no "self"). */
+  def serveHybridLiteral(queries: DataFrame, lexPath: String,
+                         ivfPath: String, outPath: String,
+                         checkpoint: String, k: Int, depth: Int,
+                         nprobe: Int, c: Int = 60,
+                         pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          Retrieval.hybridServeLiteral(spark, lexPath, ivfPath, batch, k,
+              depth, nprobe, c, pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** The fully at-rest HYBRID probe, streaming: each batch's
     * `(query_id, terms)` queries run [[Retrieval.hybridServe]] —
     * lexical arm from the inverted index, vector arm from the

@@ -164,6 +164,98 @@ class LexStreamsSpec extends SparkSpec {
     assert(LexStreams.served(spark, s"$dir/none").count() == 0L)
   }
 
+  test("streamed proximity and sloppy probes equal their batch twins " +
+       "across batch boundaries") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    LexIndex.build(docsDf, index, buckets = 16, positions = true)
+    implicit val sqlCtx = spark.sqlContext
+    // proximity: all terms inside a 3-token run, any order
+    val proxFx: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("spark", "fast"), 1L -> Seq("join", "table", "slow"))
+    val ps = MemoryStream[(Long, Seq[String])]
+    val pq = LexStreams.serveProximity(
+      ps.toDF().toDF("query_id", "terms"),
+      index, s"$dir/prox", s"$dir/pckpt", K, window = 3)
+    try {
+      ps.addData(proxFx.take(1)); pq.processAllAvailable()
+      ps.addData(proxFx.drop(1)); pq.processAllAvailable()
+    } finally stopQuietly(pq)
+    assert(ranked(LexStreams.served(spark, s"$dir/prox")) ==
+      ranked(LexIndex.searchProximity(spark, index,
+        spark.createDataFrame(proxFx).toDF("query_id", "terms"), K,
+        window = 3)))
+    assert(LexStreams.served(spark, s"$dir/prox").count() > 0)
+    // sloppy: ordered within 2 extra positions
+    val slopFx: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("spark", "fast"), 1L -> Seq("window", "batch"))
+    val ss = MemoryStream[(Long, Seq[String])]
+    val sq = LexStreams.serveSloppy(
+      ss.toDF().toDF("query_id", "phrase"),
+      index, s"$dir/slop", s"$dir/sckpt", K, slop = 2)
+    try {
+      ss.addData(slopFx.take(1)); sq.processAllAvailable()
+      ss.addData(slopFx.drop(1)); sq.processAllAvailable()
+    } finally stopQuietly(sq)
+    assert(ranked(LexStreams.served(spark, s"$dir/slop")) ==
+      ranked(LexIndex.searchPhraseSloppy(spark, index,
+        spark.createDataFrame(slopFx).toDF("query_id", "phrase"), K,
+        slop = 2)))
+    assert(LexStreams.served(spark, s"$dir/slop").count() > 0)
+  }
+
+  test("streamed fielded (BM25F) probes equal the batch searchFielded") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    val fielded = docsFx.map { case (id, text, _) =>
+      (id, text.split(" ").take(2).mkString(" "), text) }
+      .toDF("doc_id", "title", "text")
+    LexIndex.buildFielded(fielded, index, fields = Seq("title", "text"),
+      buckets = 16)
+    val fw = Seq("title" -> 2.0, "text" -> 1.0)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serveFielded(
+      stream.toDF().toDF("query_id", "terms"),
+      index, s"$dir/out", s"$dir/ckpt", K, fw)
+    try {
+      stream.addData(queryFx.take(2)); q.processAllAvailable()
+      stream.addData(queryFx.drop(2)); q.processAllAvailable()
+    } finally stopQuietly(q)
+    assert(ranked(LexStreams.served(spark, s"$dir/out")) ==
+      ranked(LexIndex.searchFielded(spark, index, queriesDf(queryFx), K, fw)))
+    assert(LexStreams.served(spark, s"$dir/out").count() > 0)
+  }
+
+  test("streamed literal-query hybrid equals the batch " +
+       "hybridServeLiteral — fresh embeddings, no self-exclusion") {
+    val dir = freshDir()
+    val (lexP, ivfP) = (s"$dir/lex", s"$dir/ivf")
+    LexIndex.build(docsDf, lexP, buckets = 16)
+    val embs = docsFx.map { case (id, _, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    // literal queries: out-of-corpus ids, fresh vectors
+    val litFx: Seq[(Long, Seq[String], Seq[Float])] = Seq(
+      (-1L, Seq("spark", "join"), Seq(0.1f, -0.2f, 0.3f, 0.0f)),
+      (-2L, Seq("table", "scan"), Seq(-0.3f, 0.2f, 0.1f, 0.4f)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[String], Seq[Float])]
+    val q = LexStreams.serveHybridLiteral(
+      stream.toDF().toDF("query_id", "terms", "embedding"),
+      lexP, ivfP, s"$dir/out", s"$dir/ckpt", K, depth = 5, nprobe = 1)
+    try {
+      stream.addData(litFx.take(1)); q.processAllAvailable()
+      stream.addData(litFx.drop(1)); q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    val batch = ranked(Retrieval.hybridServeLiteral(spark, lexP, ivfP,
+      spark.createDataFrame(litFx).toDF("query_id", "terms", "embedding"),
+      K, depth = 5, nprobe = 1))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("filtered streaming hybrid: both arms pre-filter on the shared " +
        "stored attribute; stream equals the filtered batch serve") {
     val dir = freshDir()
