@@ -828,6 +828,29 @@ object Retrieval {
     mmrTopK(cand, vecs, k, lambda)
   }
 
+  /** [[mmrServe]] over the FUSED ranking — diversify what a RAG
+    * pipeline actually serves: candidates are the at-rest HYBRID
+    * top-`depth` ([[hybridServe]] — lexical buckets + IVF cells,
+    * RRF-fused, zero corpus scans), relevance is the fused RRF score
+    * (bit-deterministic — integer-rank divisions, no rounding needed),
+    * and the bounded per-query greedy re-selects k for relevance minus
+    * embedding redundancy. Candidate vectors fetch by id from the IVF
+    * index, so the whole pass stays in the spoken-probe cost class:
+    * every byte read is posting lists, probed cells, or id-pushed
+    * vector rows. */
+  def mmrServeHybrid(spark: org.apache.spark.sql.SparkSession,
+                     lexPath: String, ivfPath: String, queries: DataFrame,
+                     k: Int, lambda: Double, depth: Int, nprobe: Int,
+                     c: Int = 60): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val cand = hybridServe(spark, lexPath, ivfPath, queries, depth, depth,
+      nprobe, c)
+    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+    mmrTopK(cand, vecs, k, lambda)
+  }
+
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
                  k: Int, depth: Int, c: Int = 60,
                  idCol: String = "doc_id", textCol: String = "text",

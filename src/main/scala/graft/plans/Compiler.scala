@@ -207,6 +207,18 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.Retrieval.mmrServe(spark, path, ivfPath,
           queries, k, lambda, depth)
+      case Op.LexMmrHybridServe(terms, k, lambda, depth, nprobe, qid) =>
+        // MMR over the fused two-index ranking: hybrid top-depth
+        // candidates, RRF relevance, id-fetched embeddings. The spoken
+        // query id names the STORED embedding driving the vector arm
+        // (the by-id hybrid serving semantics)
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the vector arm and embeddings serve from it"))
+        val queries = spark.createDataFrame(Seq((qid, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.Retrieval.mmrServeHybrid(spark, path, ivfPath,
+          queries, k, lambda, depth, nprobe)
       case Op.HybridEval(ndcg, k, qid, terms, depth, nprobe) =>
         // the fused at-rest probe vs the exact-hybrid reference: the
         // lexical arm is shared (the index probe IS score-identical to

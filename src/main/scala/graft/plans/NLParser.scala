@@ -1851,7 +1851,10 @@ object NLParser {
             // 10]." — MMR diversification served fully AT REST: BM25
             // candidates from this index, embeddings fetched by id from
             // the bound vector index (nl136's flat sentence, two-store
-            // form)
+            // form). With a trailing "probing 4 cells for query 0" the
+            // CANDIDATES are the fused HYBRID top-depth instead (the
+            // spoken id names the stored embedding driving the vector
+            // arm) — MMR over what a RAG pipeline actually serves.
             p.next(); p.expectWord("lambda")
             val lam = p.expectNum()
             if (lam < 0.0 || lam > 1.0) throw ParseException(
@@ -1863,6 +1866,18 @@ object NLParser {
             }
             if (depth < k) throw ParseException(
               s"mmr depth $depth must be at least k=$k")
+            if (p.peekWordLower.contains("probing")) {
+              p.next()
+              val np = p.expectNum().toInt
+              if (np <= 0) throw ParseException(
+                s"probed cell count must be positive: $np")
+              p.dropWords("cells", "cell")
+              p.expectWord("for"); p.expectWord("query")
+              val qid = p.expectNum().toLong
+              requireDone(p)
+              return Right(List(
+                Op.LexMmrHybridServe(terms, k, lam, depth, np, qid)))
+            }
             requireDone(p)
             return Right(List(Op.LexMmrServe(terms, k, lam, depth)))
           }

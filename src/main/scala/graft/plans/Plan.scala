@@ -637,6 +637,15 @@ object Op {
     * [[MmrTopK]] over the indexed corpus. */
   final case class LexMmrServe(terms: Seq[String], k: Int,
                                lambda: Double, depth: Int)         extends TableOp
+  /** MMR over the FUSED ranking, served at rest
+    * ([[graft.operators.Retrieval.mmrServeHybrid]]): candidates are
+    * the two-index hybrid probe's RRF top-`depth` (this bound lexical
+    * index + the bound IVF index at `nprobe`), relevance the fused
+    * score, embeddings fetched by id — the diversified form of what a
+    * RAG pipeline actually serves. */
+  final case class LexMmrHybridServe(terms: Seq[String], k: Int,
+                                     lambda: Double, depth: Int,
+                                     nprobe: Int, qid: Long)       extends TableOp
   /** Offline evaluation of the FUSED two-index ranking: the at-rest
     * hybrid probe (this bound lexical index + the bound IVF index)
     * scored against the exact-hybrid reference — same lexical arm,

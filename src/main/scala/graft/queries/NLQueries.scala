@@ -637,6 +637,19 @@ object NLQueries extends QueryPack {
         graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
     }),
 
+    // MMR over the FUSED ranking, spoken — one sentence diversifies
+    // the two-index hybrid top-depth (x131's operating point, single
+    // query): "with lambda … probing … for query 0".
+    "nl153_mmr_hybrid_serve" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast with lambda 0.7 at depth 10 " +
+                 "probing 4 cells for query 0.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // BM25F, spoken — the title/body weighting in one sentence: flat
     // scan over the derived-title frame and the fielded-index probe of
     // the same weighting (shared oracle string, interleaved twins).
@@ -1265,6 +1278,10 @@ object NLQueries extends QueryPack {
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
     "nl140_lex_phrase_search" ->
       RetrievalQueries.phraseReplaySql(Seq(-1L -> Seq("spark", "join")), 5),
+    // hybrid-MMR: the fused ranking's replay as the candidate set,
+    // the unrolled greedy on the RRF scores (x131's single-query form)
+    "nl153_mmr_hybrid_serve" -> RetrievalQueries.mmrHybridReplaySql(
+      Seq(0L -> Seq("spark", "join", "fast")), 5, 10, 4, 0.7),
     // BM25F pair: nl152 shares nl151's string (fielded probe ≡ flat
     // weighted-aggregate scan — interleaved twins)
     "nl151_bm25f" -> RetrievalQueries.bm25fReplaySql(

@@ -490,6 +490,15 @@ object RetrievalQueries extends QueryPack {
         VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, MmrLambda,
         MmrDepth, k1 = K1, b = B)),
 
+    // MMR over the FUSED ranking — diversify what a RAG pipeline
+    // actually serves: hybrid top-depth candidates (two pruned index
+    // probes, RRF-fused), relevance = the fused score, embeddings
+    // fetched by id — the whole pass in the spoken-probe cost class.
+    "x131_mmr_hybrid_serve" -> ((s: SparkSession, d: String) =>
+      Retrieval.mmrServeHybrid(s, lexIndexTable(s, d),
+        VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, MmrLambda,
+        MmrDepth, IvfNProbe, RrfC)),
+
     // Offline evaluation of the FUSED at-rest ranking (x110/x111's
     // protocol, hybrid side): the two-index hybrid probe scored against
     // the exact-hybrid reference — same lexical arm (the index probe is
@@ -791,7 +800,18 @@ object RetrievalQueries extends QueryPack {
     * and `list_cosine_similarity` over widened floats is bit-equal to
     * the cosine kernel — so every objective compares identically. */
   private[queries] def mmrReplaySql(qs: Seq[(Long, Seq[String])], k: Int,
-                                    depth: Int, lambda: Double): String = {
+                                    depth: Int, lambda: Double): String =
+    s"""WITH ${bm25Ctes(qs)},
+       |cand AS (
+       |  SELECT l.query_id, l.doc_id, l.score AS rel, e.embedding
+       |  FROM (SELECT * FROM lex WHERE rank <= $depth) l
+       |  JOIN embeddings e ON e.vec_id = l.doc_id),
+       |${mmrGreedyTailSql(k, lambda)}""".stripMargin
+
+  /** The unrolled greedy's pick/sel chain + final SELECT, shared by
+    * every MMR replay — requires a `cand(query_id, doc_id, rel,
+    * embedding)` CTE in scope. */
+  private def mmrGreedyTailSql(k: Int, lambda: Double): String = {
     val lam = lambda.toString
     val oneMinus = (1.0 - lambda).toString
     val steps = (2 to k).map { i =>
@@ -814,12 +834,7 @@ object RetrievalQueries extends QueryPack {
          |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ${bm25Ctes(qs)},
-       |cand AS (
-       |  SELECT l.query_id, l.doc_id, l.score AS rel, e.embedding
-       |  FROM (SELECT * FROM lex WHERE rank <= $depth) l
-       |  JOIN embeddings e ON e.vec_id = l.doc_id),
-       |pick1 AS (
+    s"""pick1 AS (
        |  SELECT query_id, doc_id, 1::BIGINT AS rank,
        |         $lam::DOUBLE * rel AS obj
        |  FROM cand
@@ -830,6 +845,22 @@ object RetrievalQueries extends QueryPack {
        |SELECT query_id, doc_id, rank, round(obj, 6) AS mmr
        |FROM sel$k""".stripMargin
   }
+
+  /** The hybrid-MMR replay: candidates are the at-rest hybrid probe's
+    * fused top-`depth` (both arms' proven replays, RRF score as the
+    * relevance — bit-deterministic, no rounding), diversified by the
+    * same unrolled greedy. */
+  private[queries] def mmrHybridReplaySql(qs: Seq[(Long, Seq[String])],
+                                          k: Int, depth: Int,
+                                          nprobe: Int,
+                                          lambda: Double): String =
+    s"""WITH hsr AS (
+       |${hybridServeReplaySql(qs, depth, depth, nprobe)}
+       |),
+       |cand AS (
+       |  SELECT h.query_id, h.doc_id, h.score AS rel, e.embedding
+       |  FROM hsr h JOIN embeddings e ON e.vec_id = h.doc_id),
+       |${mmrGreedyTailSql(k, lambda)}""".stripMargin
 
   /** The inverted index's logical content `(term, doc_id, tf, dl)`
     * replayed from the corpus — the lexical maintenance verbs'
@@ -1113,6 +1144,11 @@ object RetrievalQueries extends QueryPack {
     // candidates and fetched embeddings are identical inputs.
     "x112_mmr_docs" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
     "x117_mmr_serve" -> mmrReplaySql(BmQueries, K, MmrDepth, MmrLambda),
+
+    // The hybrid-MMR: the fused ranking's replay as the candidate set,
+    // the same unrolled greedy on the RRF scores.
+    "x131_mmr_hybrid_serve" ->
+      mmrHybridReplaySql(BmQueries, K, MmrDepth, IvfNProbe, MmrLambda),
 
     // Offline eval of the fused at-rest ranking vs the exact-hybrid
     // reference (both rankings' replays nested as proven CTEs).

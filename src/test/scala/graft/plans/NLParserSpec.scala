@@ -1034,6 +1034,19 @@ class NLParserSpec extends AnyFunSuite {
     }.msg.nonEmpty)
   }
 
+  test("hybrid-MMR route: lambda + depth + probing + spoken query id") {
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark, join, fast " +
+      "with lambda 0.7 at depth 10 probing 4 cells for query 0.").ops ==
+      List(O.LexMmrHybridServe(Seq("spark", "join", "fast"), 5, 0.7, 10,
+        4, 0L)))
+    // without the probing tail the plain at-rest MMR route is untouched
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark with lambda " +
+      "0.7 at depth 10.").ops ==
+      List(O.LexMmrServe(Seq("spark"), 5, 0.7, 10)))
+  }
+
   test("bm25f weighting routes: field/weight list on the flat scan and " +
        "the fielded-index probe") {
     assert(NLParser.parse(
