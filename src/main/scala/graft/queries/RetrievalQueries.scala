@@ -154,6 +154,13 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
         fields = Seq("title", "text")))
 
+  /** x135's index: fields AND the `lang` attribute — the filtered
+    * BM25F serving shape. */
+  private[queries] def lexFieldedAttrIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexfattr_index_")(
+      graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
+        fields = Seq("title", "text"), attrs = Seq("lang")))
+
   /** x103/nl129's index: the `lang` ATTRIBUTE stored beside every
     * posting — the filtered lexical serving shape ("matching spark
     * where lang = 'en'"), predicate pushed into the pruned bucket
@@ -453,6 +460,29 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchPhraseSloppy(s, lexPosIndexTable(s, d),
         sloppyDf(s), K, Slop, k1 = K1, b = B)),
 
+    // Filtered sloppy pair: the ordered-chain restriction AND the lang
+    // slice compose (stats and df full-corpus). x133 shares x132's
+    // string, served from the positions+attrs index.
+    "x132_bm25_sloppy_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25SloppyPhraseTopK(table(s, d, "documents"), sloppyDf(s),
+        K, Slop, k1 = K1, b = B, pred = Some(col("lang") === FilterLang))),
+
+    "x133_lex_sloppy_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhraseSloppy(s,
+        lexPosAttrIndexTable(s, d), sloppyDf(s), K, Slop, k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
+    // Filtered BM25F pair: the weighted-aggregate scoring AND the lang
+    // slice; x135 serves from a fields+attrs index (x134's string).
+    "x134_bm25f_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fTopK(titledDocs(s, d), queriesDf(s), K, FieldWeights,
+        k1 = K1, b = B, pred = Some(col("lang") === FilterLang))),
+
+    "x135_lexf_search_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchFielded(s,
+        lexFieldedAttrIndexTable(s, d), queriesDf(s), K, FieldWeights,
+        k1 = K1, b = B, pred = Some(col("lang") === FilterLang))),
+
     // Filtered phrase retrieval: the phrase adjacency restriction AND
     // an attribute pre-filter compose — exactly k matching documents
     // containing the contiguous run, stats and df full-corpus.
@@ -628,7 +658,8 @@ object RetrievalQueries extends QueryPack {
     * expressions. df counts any-field containment; the scoring tail is
     * the shared rounded-fold ranking. */
   private[queries] def bm25fReplaySql(qs: Seq[(Long, Seq[String])], k: Int,
-                                      weights: Seq[Double]): String = {
+                                      weights: Seq[Double],
+                                      eligibleSql: Option[String] = None): String = {
     val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
     require(weights.size == fieldToks.size)
     val w = weights.map(_.toString)
@@ -679,7 +710,7 @@ object RetrievalQueries extends QueryPack {
        |  SELECT query_id, doc_id,
        |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x),
        |          6) AS score
-       |  FROM contrib
+       |  FROM contrib${eligibleSql.fold("")(e => s" WHERE $e")}
        |  GROUP BY query_id, doc_id),
        |lex AS (
        |  SELECT query_id, doc_id, score, row_number() OVER (
@@ -1116,6 +1147,14 @@ object RetrievalQueries extends QueryPack {
     // scan — interleaved twins).
     "x127_bm25_sloppy" -> sloppyReplaySql(SloppyQueries, K, Slop),
     "x128_lex_sloppy_search" -> sloppyReplaySql(SloppyQueries, K, Slop),
+    "x132_bm25_sloppy_filtered" -> sloppyReplaySql(SloppyQueries, K, Slop,
+      eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x133_lex_sloppy_filtered" -> sloppyReplaySql(SloppyQueries, K, Slop,
+      eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x134_bm25f_filtered" -> bm25fReplaySql(BmQueries, K,
+      FieldWeights.map(_._2), eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x135_lexf_search_filtered" -> bm25fReplaySql(BmQueries, K,
+      FieldWeights.map(_._2), eligibleSql = Some(langEligibleSql(FilterLang))),
 
     // Proximity pair: window containment restricting the BM25 ranking;
     // x123 shares x122's string.
