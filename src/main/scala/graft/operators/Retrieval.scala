@@ -851,6 +851,28 @@ object Retrieval {
     mmrTopK(cand, vecs, k, lambda)
   }
 
+  /** [[mmrServeHybrid]] for LITERAL query vectors — diversify the
+    * production hybrid sentence: a FRESH embedding plus keywords
+    * ([[hybridServeLiteral]] — no self-exclusion, zero corpus scans)
+    * retrieves the fused top-`depth`, and the bounded greedy re-selects
+    * k against embedding redundancy (candidate vectors fetched by id
+    * from the IVF index). `queries` carries all three columns
+    * `(query_id, terms, embedding)`; `pred` pre-filters both arms'
+    * candidates on a stored attribute. */
+  def mmrServeHybridLiteral(spark: org.apache.spark.sql.SparkSession,
+                            lexPath: String, ivfPath: String,
+                            queries: DataFrame, k: Int, lambda: Double,
+                            depth: Int, nprobe: Int, c: Int = 60,
+                            pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val cand = hybridServeLiteral(spark, lexPath, ivfPath, queries, depth,
+      depth, nprobe, c, pred)
+    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+    mmrTopK(cand, vecs, k, lambda)
+  }
+
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
                  k: Int, depth: Int, c: Int = 60,
                  idCol: String = "doc_id", textCol: String = "text",

@@ -196,6 +196,17 @@ object Compiler {
         graft.operators.Retrieval.hybridServeLiteral(spark, path, ivfPath,
           queries, k, depth, nprobe,
           pred = where.map(predicate(df, _)))
+      case Op.LexHybridMmrLit(terms, vec, k, lambda, depth, nprobe, where) =>
+        // the diversified literal hybrid: fused top-depth candidates,
+        // RRF relevance, id-fetched embeddings, bounded greedy
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the hybrid serves from both stores"))
+        val queries = spark.createDataFrame(Seq((-1L, terms, vec)))
+          .toDF("query_id", "terms", "embedding")
+        graft.operators.Retrieval.mmrServeHybridLiteral(spark, path,
+          ivfPath, queries, k, lambda, depth, nprobe,
+          pred = where.map(predicate(df, _)))
       case Op.LexMmrServe(terms, k, lambda, depth) =>
         // fully at-rest MMR: candidates from this (lexical) index,
         // their embeddings fetched by id from the bound vector index —

@@ -1835,6 +1835,17 @@ object NLParser {
             if (np <= 0) throw ParseException(
               s"probed cell count must be positive: $np")
             p.dropWords("cells", "cell")
+            // "… with lambda 0.7" — MMR-diversify the fused literal
+            // ranking (the production hybrid sentence, diversified)
+            val lam = p.peekWordLower match {
+              case Some("with") =>
+                p.next(); p.expectWord("lambda")
+                val l = p.expectNum()
+                if (l < 0.0 || l > 1.0) throw ParseException(
+                  s"mmr lambda must be in [0,1]: $l")
+                Some(l)
+              case _ => None
+            }
             // "… where label == 3" — both arms pre-filter on the
             // attribute BOTH indexes store (the x104 contract, spoken
             // on the literal-query form)
@@ -1843,8 +1854,11 @@ object NLParser {
               case _             => None
             }
             requireDone(p)
-            return Right(List(Op.LexHybridServe(terms, vec, k, depth, np,
-              where)))
+            return Right(List(lam match {
+              case Some(l) =>
+                Op.LexHybridMmrLit(terms, vec, k, l, depth, np, where)
+              case None => Op.LexHybridServe(terms, vec, k, depth, np, where)
+            }))
           }
           if (p.peekWordLower.contains("with")) {
             // "… matching spark, join, fast with lambda 0.7 [at depth

@@ -646,6 +646,15 @@ object Op {
   final case class LexMmrHybridServe(terms: Seq[String], k: Int,
                                      lambda: Double, depth: Int,
                                      nprobe: Int, qid: Long)       extends TableOp
+  /** MMR over the LITERAL-query fused ranking
+    * ([[graft.operators.Retrieval.mmrServeHybridLiteral]]): the
+    * production hybrid sentence (fresh embedding + keywords, no
+    * self-exclusion), diversified — "… fused with vector […] at depth
+    * 10 probing 4 cells with lambda 0.7 [where …]". */
+  final case class LexHybridMmrLit(terms: Seq[String], vec: Seq[Float],
+                                   k: Int, lambda: Double, depth: Int,
+                                   nprobe: Int,
+                                   where: Option[Pred] = None)     extends TableOp
   /** Offline evaluation of the FUSED two-index ranking: the at-rest
     * hybrid probe (this bound lexical index + the bound IVF index)
     * scored against the exact-hybrid reference — same lexical arm,

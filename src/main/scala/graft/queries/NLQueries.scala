@@ -650,6 +650,20 @@ object NLQueries extends QueryPack {
         tablePath = Some(lp), vectorIndexPath = Some(vp))
     }),
 
+    // MMR over the LITERAL hybrid, spoken — the production sentence
+    // diversified: fresh embedding + keywords + lambda in one line.
+    // x136's twin (shared oracle string).
+    "nl154_mmr_hybrid_lit" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast fused with vector " +
+                 s"${VectorQueries.litVecSpoken} at depth 10 probing " +
+                 "4 cells with lambda 0.7.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // BM25F, spoken — the title/body weighting in one sentence: flat
     // scan over the derived-title frame and the fielded-index probe of
     // the same weighting (shared oracle string, interleaved twins).
@@ -1282,6 +1296,10 @@ object NLQueries extends QueryPack {
     // the unrolled greedy on the RRF scores (x131's single-query form)
     "nl153_mmr_hybrid_serve" -> RetrievalQueries.mmrHybridReplaySql(
       Seq(0L -> Seq("spark", "join", "fast")), 5, 10, 4, 0.7),
+    // literal hybrid-MMR: shares x136's string (same single query -1,
+    // same constants — interleaved twins)
+    "nl154_mmr_hybrid_lit" ->
+      RetrievalQueries.mmrHybridLitReplaySql(5, 10, 4, 0.7),
     // BM25F pair: nl152 shares nl151's string (fielded probe ≡ flat
     // weighted-aggregate scan — interleaved twins)
     "nl151_bm25f" -> RetrievalQueries.bm25fReplaySql(

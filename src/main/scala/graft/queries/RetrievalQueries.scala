@@ -529,6 +529,14 @@ object RetrievalQueries extends QueryPack {
         VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, MmrLambda,
         MmrDepth, IvfNProbe, RrfC)),
 
+    // The literal-query form: diversify the production hybrid sentence
+    // (fresh embedding + keywords, x114's probe at depth) — shares
+    // nl154's oracle string (single query -1, same constants).
+    "x136_mmr_hybrid_lit" -> ((s: SparkSession, d: String) =>
+      Retrieval.mmrServeHybridLiteral(s, lexIndexTable(s, d),
+        VectorQueries.ivfIndexTable(s, d), litHybridQueriesDf(s), K,
+        MmrLambda, MmrDepth, IvfNProbe, RrfC)),
+
     // Offline evaluation of the FUSED at-rest ranking (x110/x111's
     // protocol, hybrid side): the two-index hybrid probe scored against
     // the exact-hybrid reference — same lexical arm (the index probe is
@@ -893,6 +901,19 @@ object RetrievalQueries extends QueryPack {
        |  FROM hsr h JOIN embeddings e ON e.vec_id = h.doc_id),
        |${mmrGreedyTailSql(k, lambda)}""".stripMargin
 
+  /** The literal-query hybrid-MMR replay: x114's literal probe replay
+    * at `depth` as the candidate CTE, same unrolled greedy. */
+  private[queries] def mmrHybridLitReplaySql(k: Int, depth: Int,
+                                             nprobe: Int,
+                                             lambda: Double): String =
+    s"""WITH hsr AS (
+       |${hybridServeLiteralReplaySql(LitHybridTerms, depth, depth, nprobe)}
+       |),
+       |cand AS (
+       |  SELECT h.query_id, h.doc_id, h.score AS rel, e.embedding
+       |  FROM hsr h JOIN embeddings e ON e.vec_id = h.doc_id),
+       |${mmrGreedyTailSql(k, lambda)}""".stripMargin
+
   /** The inverted index's logical content `(term, doc_id, tf, dl)`
     * replayed from the corpus — the lexical maintenance verbs'
     * content-invariance oracle (compact/vacuum leave it untouched;
@@ -1188,6 +1209,8 @@ object RetrievalQueries extends QueryPack {
     // the same unrolled greedy on the RRF scores.
     "x131_mmr_hybrid_serve" ->
       mmrHybridReplaySql(BmQueries, K, MmrDepth, IvfNProbe, MmrLambda),
+    "x136_mmr_hybrid_lit" ->
+      mmrHybridLitReplaySql(K, MmrDepth, IvfNProbe, MmrLambda),
 
     // Offline eval of the fused at-rest ranking vs the exact-hybrid
     // reference (both rankings' replays nested as proven CTEs).

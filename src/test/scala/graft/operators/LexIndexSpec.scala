@@ -776,6 +776,35 @@ class LexIndexSpec extends SparkSpec {
     }.getMessage.contains("fields in order"))
   }
 
+  test("fielded probe stays bucket-pruned with df from the sidecar " +
+       "statistics — one postings read, no corpus scan") {
+    val p = freshPath()
+    LexIndex.buildFielded(fieldedDf, p, fields = Seq("title", "text"),
+      buckets = 16)
+    val qs = queriesDf(1L -> Seq("spark", "join"))
+    val res = LexIndex.searchFielded(spark, p, qs, 3, FW)
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+    assert(scans.nonEmpty && scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("/seg-"))), "fielded probe read non-index files")
+    def isDfScan(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.rootPaths.exists(_.toString.contains("/_df"))
+    assert(scans.exists(isDfScan),
+      "fielded probe computed df without the sidecar statistics")
+    val postings = scans.filterNot(isDfScan)
+    assert(postings.nonEmpty &&
+      postings.forall(_.requiredSchema.fieldNames.contains("tf")),
+      "fielded probe re-read the postings (term-only projection) for df")
+    val probedBuckets = Seq("spark", "join")
+      .map(LexIndex.termBucket(_, 16)).distinct.size
+    postings.foreach { s =>
+      val parts = s.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${s.metrics.keys}"))
+      assert(parts <= probedBuckets,
+        s"fielded probe read $parts bucket partitions for $probedBuckets")
+    }
+  }
+
   test("fielded erase subtracts per-field stats exactly; compact is " +
        "content-invariant; post-erase probe ≡ flat scan of survivors") {
     val p = freshPath()

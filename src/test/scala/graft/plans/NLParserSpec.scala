@@ -1045,6 +1045,18 @@ class NLParserSpec extends AnyFunSuite {
       "Search the lexical index for top 5 matching spark with lambda " +
       "0.7 at depth 10.").ops ==
       List(O.LexMmrServe(Seq("spark"), 5, 0.7, 10)))
+    // the literal-hybrid form takes a trailing lambda (diversified
+    // production sentence); without it the plain literal hybrid holds
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark, join fused " +
+      "with vector [0.1, -0.2] at depth 10 probing 4 cells with " +
+      "lambda 0.7.").ops ==
+      List(O.LexHybridMmrLit(Seq("spark", "join"), Seq(0.1f, -0.2f), 5,
+        0.7, 10, 4)))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark fused with " +
+      "vector [0.1, -0.2] at depth 10 probing 4 cells.").ops ==
+      List(O.LexHybridServe(Seq("spark"), Seq(0.1f, -0.2f), 5, 10, 4)))
   }
 
   test("bm25f weighting routes: field/weight list on the flat scan and " +
