@@ -599,8 +599,39 @@ object Retrieval {
     // the query vectors are FETCHED from the index unfiltered (the
     // query document itself may not match the predicate — it is the
     // probe, not a candidate); the predicate filters candidates only
-    serveArms(spark, lexPath, ivfPath, m, queries, qVecs,
-      excludeSelf = true, k, depth, nprobe, c, pred)
+    serveArms(spark,
+      LexIndex.search(spark, lexPath, queries, depth, pred = pred),
+      ivfPath, m, qVecs, excludeSelf = true, k, depth, nprobe, c, pred)
+  }
+
+  /** [[hybridServe]] with a FIELDED (BM25F) lexical arm — the
+    * title/body hybrid: the lexical candidates come from
+    * [[LexIndex.searchFielded]] at the given probe-time field weights,
+    * the vector arm from the IVF index by the query id's stored
+    * embedding (self-excluding, the by-id semantics), RRF-fused. Zero
+    * corpus scans, as every at-rest hybrid. */
+  def hybridServeFielded(spark: org.apache.spark.sql.SparkSession,
+                         lexPath: String, ivfPath: String,
+                         queries: DataFrame, k: Int, depth: Int,
+                         nprobe: Int, weights: Seq[(String, Double)],
+                         c: Int = 60,
+                         pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    val m = IvfIndex.readManifestFull(spark, ivfPath)
+    val ids = queries.select("query_id").collect().map(_.getLong(0))
+    val qVecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+      .select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val missing = ids.toSeq.toDF("vec_id")
+      .join(qVecs, Seq("vec_id"), "left_anti").limit(8)
+      .collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"vec_ids ${missing.mkString(", ")} are not stored in the index " +
+        s"at $ivfPath")
+    serveArms(spark,
+      LexIndex.searchFielded(spark, lexPath, queries, depth, weights,
+        pred = pred),
+      ivfPath, m, qVecs, excludeSelf = true, k, depth, nprobe, c, pred)
   }
 
   /** [[hybridServe]] for LITERAL query vectors — the production hybrid
@@ -621,23 +652,26 @@ object Retrieval {
     require(depth >= k, s"depth=$depth must be >= k=$k")
     val m = IvfIndex.readManifestFull(spark, ivfPath)
     val qVecs = queries.select(col("query_id").as("vec_id"), col(vecCol))
-    serveArms(spark, lexPath, ivfPath, m, queries.select("query_id", "terms"),
-      qVecs, excludeSelf = false, k, depth, nprobe, c, pred)
+    serveArms(spark,
+      LexIndex.search(spark, lexPath, queries.select("query_id", "terms"),
+        depth, pred = pred),
+      ivfPath, m, qVecs, excludeSelf = false, k, depth, nprobe, c, pred)
   }
 
-  /** The shared at-rest fusion tail: lexical probe + vector probe over
-    * an already-resolved manifest, RRF-fused. `qVecs` is `(vec_id,
-    * embedding)` — fetched from the index ([[hybridServe]]) or carried
-    * literally by the queries ([[hybridServeLiteral]]). */
+  /** The shared at-rest fusion tail: an already-built LEXICAL arm
+    * (plain [[LexIndex.search]] or the fielded [[LexIndex.searchFielded]])
+    * + the vector probe over an already-resolved manifest, RRF-fused.
+    * `qVecs` is `(vec_id, embedding)` — fetched from the index
+    * ([[hybridServe]]) or carried literally by the queries
+    * ([[hybridServeLiteral]]). */
   private def serveArms(spark: org.apache.spark.sql.SparkSession,
-                        lexPath: String, ivfPath: String,
+                        lexArm: DataFrame, ivfPath: String,
                         m: IvfIndex.IndexManifest,
-                        queries: DataFrame, qVecs: DataFrame,
+                        qVecs: DataFrame,
                         excludeSelf: Boolean, k: Int, depth: Int,
                         nprobe: Int, c: Int,
                         pred: Option[org.apache.spark.sql.Column]): DataFrame = {
-    val lex = LexIndex.search(spark, lexPath, queries, depth, pred = pred)
-      .select(col("query_id"), col("doc_id"), col("rank"))
+    val lex = lexArm.select(col("query_id"), col("doc_id"), col("rank"))
     val vec = IvfIndex.searchWith(spark, ivfPath, m, qVecs, depth, nprobe,
         "vec_id", "embedding", pred, excludeSelf)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))

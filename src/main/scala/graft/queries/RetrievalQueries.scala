@@ -444,6 +444,14 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.searchFielded(s, lexFieldedIndexTable(s, d),
         queriesDf(s), K, FieldWeights, k1 = K1, b = B)),
 
+    // The FIELDED hybrid — the title/body RAG probe: BM25F lexical arm
+    // from the fielded index (probe-time weights), by-id vector arm
+    // from the IVF index, RRF-fused; zero corpus scans.
+    "x137_hybrid_serve_fielded" -> ((s: SparkSession, d: String) =>
+      Retrieval.hybridServeFielded(s, lexFieldedIndexTable(s, d),
+        VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, Depth,
+        IvfNProbe, FieldWeights, RrfC)),
+
     // Ordered SLOPPY-phrase retrieval — the standard slop semantics
     // every production search engine defaults to (Lucene PhraseQuery):
     // phrase tokens in order within `Slop` extra positions, the middle
@@ -901,6 +909,23 @@ object RetrievalQueries extends QueryPack {
        |  FROM hsr h JOIN embeddings e ON e.vec_id = h.doc_id),
        |${mmrGreedyTailSql(k, lambda)}""".stripMargin
 
+  /** The FIELDED hybrid replay: the BM25F replay (rank ≤ depth) as the
+    * lexical arm, the by-id IVF probe replay as the vector arm, the
+    * shared RRF tail. */
+  private[queries] def hybridServeFieldedReplaySql(qs: Seq[(Long, Seq[String])],
+                                                   k: Int, depth: Int,
+                                                   nprobe: Int,
+                                                   weights: Seq[Double]): String = {
+    val idPred = s"vec_id IN (${qs.map(_._1).mkString(", ")})"
+    s"""WITH lexr AS (
+       |${bm25fReplaySql(qs, depth, weights)}
+       |),
+       |vecr AS (
+       |${VectorQueries.ivfReplaySqlFor(idPred, nprobe, depth, None)}
+       |),
+       |${fuseTailSql(k)}""".stripMargin
+  }
+
   /** The literal-query hybrid-MMR replay: x114's literal probe replay
     * at `depth` as the candidate CTE, same unrolled greedy. */
   private[queries] def mmrHybridLitReplaySql(k: Int, depth: Int,
@@ -1211,6 +1236,11 @@ object RetrievalQueries extends QueryPack {
       mmrHybridReplaySql(BmQueries, K, MmrDepth, IvfNProbe, MmrLambda),
     "x136_mmr_hybrid_lit" ->
       mmrHybridLitReplaySql(K, MmrDepth, IvfNProbe, MmrLambda),
+
+    // The fielded hybrid: BM25F arm + by-id vector arm, fused.
+    "x137_hybrid_serve_fielded" ->
+      hybridServeFieldedReplaySql(BmQueries, K, Depth, IvfNProbe,
+        FieldWeights.map(_._2)),
 
     // Offline eval of the fused at-rest ranking vs the exact-hybrid
     // reference (both rankings' replays nested as proven CTEs).

@@ -152,6 +152,29 @@ object LexStreams {
       }
       .start()
 
+  /** The FIELDED hybrid, streaming: each batch's `(query_id, terms)`
+    * queries run [[Retrieval.hybridServeFielded]] — BM25F lexical arm
+    * at the given probe-time weights + the by-id vector arm,
+    * RRF-fused against both indexes as of the batch's manifests. */
+  def serveHybridFielded(queries: DataFrame, lexPath: String,
+                         ivfPath: String, outPath: String,
+                         checkpoint: String, k: Int, depth: Int,
+                         nprobe: Int, weights: Seq[(String, Double)],
+                         c: Int = 60,
+                         pred: Option[Column] = None): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          Retrieval.hybridServeFielded(spark, lexPath, ivfPath, batch, k,
+              depth, nprobe, weights, c, pred)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** The fully at-rest HYBRID probe, streaming: each batch's
     * `(query_id, terms)` queries run [[Retrieval.hybridServe]] —
     * lexical arm from the inverted index, vector arm from the

@@ -227,6 +227,35 @@ class LexStreamsSpec extends SparkSpec {
     assert(LexStreams.served(spark, s"$dir/out").count() > 0)
   }
 
+  test("streamed fielded hybrid equals the batch hybridServeFielded") {
+    val dir = freshDir()
+    val (lexP, ivfP) = (s"$dir/lex", s"$dir/ivf")
+    val fielded = docsFx.map { case (id, text, _) =>
+      (id, text.split(" ").take(2).mkString(" "), text) }
+      .toDF("doc_id", "title", "text")
+    LexIndex.buildFielded(fielded, lexP, fields = Seq("title", "text"),
+      buckets = 16)
+    val embs = docsFx.map { case (id, _, _) =>
+      (id, Array.tabulate(4)(j => ((id * 7 + j * 3) % 10 / 10.0f) - 0.4f)) }
+      .toDF("vec_id", "embedding")
+    IvfIndex.build(embs, ivfP, cells = 2)
+    val fw = Seq("title" -> 2.0, "text" -> 1.0)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serveHybridFielded(
+      stream.toDF().toDF("query_id", "terms"),
+      lexP, ivfP, s"$dir/out", s"$dir/ckpt", K, depth = 5, nprobe = 1,
+      weights = fw)
+    try {
+      stream.addData(queryFx.take(1)); q.processAllAvailable()
+      stream.addData(queryFx.slice(1, 2)); q.processAllAvailable()
+    } finally stopQuietly(q)
+    val streamed = ranked(LexStreams.served(spark, s"$dir/out"))
+    val batch = ranked(Retrieval.hybridServeFielded(spark, lexP, ivfP,
+      queriesDf(queryFx.take(2)), K, depth = 5, nprobe = 1, weights = fw))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streamed literal-query hybrid equals the batch " +
        "hybridServeLiteral — fresh embeddings, no self-exclusion") {
     val dir = freshDir()
