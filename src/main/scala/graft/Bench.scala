@@ -111,10 +111,17 @@ object Bench {
     // Both records resolve relative to the working directory (a run from
     // another checkout records beside itself, not into a hardcoded repo),
     // and a failed write WARNS instead of silently dropping the record.
+    // The relative default means a run from another working directory
+    // records beside itself while a repo-root BENCH.json goes stale —
+    // so every write logs its ABSOLUTE path (stderr, off the parsed
+    // stdout line) to make any stale-record confusion diagnosable.
     def writeLoud(path: String, bytes: Array[Byte],
                   opts: java.nio.file.OpenOption*): Unit =
-      try { Files.write(Paths.get(path), bytes, opts: _*); () }
-      catch {
+      try {
+        Files.write(Paths.get(path), bytes, opts: _*)
+        System.err.println(
+          s"BENCH: wrote ${Paths.get(path).toAbsolutePath.normalize}")
+      } catch {
         case e: Throwable =>
           System.err.println(
             s"BENCH WARNING: could not write $path: ${e.getMessage}")

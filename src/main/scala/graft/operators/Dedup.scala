@@ -30,6 +30,17 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** [[tokens]], null-safe: a NULL field tokenizes to the EMPTY array
+    * (doc length 0, no postings) instead of null — whose `size` is -1
+    * under Spark's default legacy sizeOfNull, which would contribute
+    * -1 to every weighted length sum. Single-field paths were immune
+    * (null text yields no posting rows and the dl>0 stats filter drops
+    * it); MULTI-field scoring makes a null field a realistic input (a
+    * document with a body but no title), so every fielded path
+    * tokenizes through this. */
+  def tokensNs(text: Column): Column =
+    coalesce(tokens(text), array().cast("array<string>"))
+
   /** Distinct word n-gram shingles (space-joined); empty array when the
     * document has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {

@@ -305,7 +305,7 @@ object LexIndex {
                                 attrs: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
       fields.zipWithIndex.map { case (f, i) =>
-        Dedup.tokens(col(f)).as(s"toks_$i") } ++: attrs.map(col): _*)
+        Dedup.tokensNs(col(f)).as(s"toks_$i") } ++: attrs.map(col): _*)
     val dls = array(fields.indices.map(i =>
       size(col(s"toks_$i")).cast("long")): _*)
     fields.indices.map { i =>
@@ -323,7 +323,7 @@ object LexIndex {
   private def statsOfFielded(docs: DataFrame, idCol: String,
                              fields: Seq[String]): (Long, Long, Seq[Long]) = {
     val sized = docs.select(col(idCol) +: fields.zipWithIndex.map {
-      case (f, i) => size(Dedup.tokens(col(f))).cast("long").as(s"dl_$i") }: _*)
+      case (f, i) => size(Dedup.tokensNs(col(f))).cast("long").as(s"dl_$i") }: _*)
       .filter(fields.indices.map(i => col(s"dl_$i")).reduce(_ + _) > 0)
     val aggCols = count("*").as("n") +: fields.indices.map(i =>
       coalesce(sum(col(s"dl_$i")), lit(0L)).as(s"s_$i"))
@@ -929,6 +929,48 @@ object LexIndex {
     * reads distribute. Row totals are exact, so a full-scan group-by
     * is the equality certificate (x113). Erase-skipped buckets are
     * excluded, as every reader excludes them. */
+  /** The df-sidecar set a probe will actually USE: the manifest's `df=`
+    * registration — or, for a LEGACY manifest (an empty set alongside
+    * live segments, impossible from current build/append/compact, which
+    * always register their sidecar), the pre-`df=`-line behavior: a
+    * per-segment filesystem existence probe (driver-side, one metadata
+    * call per segment). Without the fallback every index built before
+    * the manifest carried `df=` would silently recompute df from its
+    * postings on EVERY probe despite having sidecars on disk. */
+  private def effectiveDfSegs(spark: SparkSession, root: Path,
+                              m: LexManifest): Set[String] =
+    if (m.dfSegs.nonEmpty || m.entries.isEmpty) m.dfSegs
+    else {
+      val f = fs(spark, root)
+      m.entries.filter(e =>
+        f.exists(new Path(root, s"${e.name}/$DfSidecarDir")))
+        .map(_.name).toSet
+    }
+
+  /** Per-segment df-REGIME health — the observability [[bucketStats]]
+    * can't give (buckets are the data axis; the sidecar decision is per
+    * SEGMENT): a probe serves document frequency from a segment's `_df`
+    * sidecar when available and silently falls back to a bounded
+    * per-probe recompute over that segment's bucket-pruned postings when
+    * not, so an operator needs to SEE which segment changes the plan.
+    * One row per live segment: `df_sidecar` is exactly [[dfStats]]'s
+    * decision (manifest registration OR the legacy existence fallback),
+    * `registered` distinguishes a legacy manifest serving sidecars via
+    * the fallback from a current one, `buckets_skipped` counts its
+    * erase-skipped buckets. Manifest + driver-side metadata only (one
+    * existence call per segment on legacy manifests); no data read. */
+  def dfSidecarHealth(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val m = readManifest(spark, path)
+    val eff = effectiveDfSegs(spark, root, m)
+    m.entries.map(e =>
+        (e.name, eff.contains(e.name), m.dfSegs.contains(e.name),
+          e.skip.size.toLong))
+      .toDF("segment", "df_sidecar", "registered", "buckets_skipped")
+      .orderBy("segment")
+  }
+
   def bucketStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val root = new Path(path)
@@ -1093,6 +1135,75 @@ object LexIndex {
       mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
   }
 
+  /** FULL Robertson–Zaragoza BM25F probe of a FIELDED index —
+    * [[Retrieval.bm25fFullTopK]]'s at-rest twin, score-identical over
+    * the indexed corpus: per-field length normalization
+    * tf̃_f = tf_f / (1 − b_f + b_f·dl_f/avgdl_f) runs on the pruned
+    * posting rows (dl_f from the stored length vector, avgdl_f =
+    * Σdl_f / N from the manifest's exact integers — the same IEEE
+    * divisions the flat scan computes inside its plan), tf̄ folds in
+    * field order, and the b = 0 scoring tail saturates tf̄ against k1
+    * alone. Like [[searchFielded]], EVERY parameter (w_f, b_f, k1) is
+    * probe-time — the index stores raw per-field integers, so one
+    * 100 TB index serves any tuning without a rebuild. df from the
+    * sidecar statistics; only the query terms' bucket partitions read.
+    *
+    * @param params `(field, weight, b_f)` naming the manifest's fields
+    *               in order; weights > 0, b_f in [0, 1]
+    */
+  def searchFieldedFull(spark: SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        params: Seq[(String, Double, Double)],
+                        k1: Double = 1.2,
+                        pred: Option[Column] = None): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.fielded, s"$path stores no fielded postings — build the " +
+      "index with buildFielded to serve BM25F queries")
+    val fs = m.fields.get
+    require(params.map(_._1) == fs,
+      s"probe params must name the index's fields in order " +
+        s"(${fs.mkString(", ")}), got ${params.map(_._1).mkString(", ")}")
+    require(params.forall(_._2 > 0.0),
+      s"field weights must be > 0, got ${params.map(_._2).mkString(", ")}")
+    require(params.forall(p => p._3 >= 0.0 && p._3 <= 1.0),
+      s"per-field b must be in [0,1], got ${params.map(_._3).mkString(", ")}")
+    require(m.nDocs > 0, s"$path indexes no documents")
+    val root = new Path(path)
+    val qTerms = queries.select(col("query_id"),
+      explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(col("t")).as("term"))
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
+    val wArr = array(params.map(p => lit(p._2)): _*)
+    val bArr = array(params.map(p => lit(p._3)): _*)
+    // avgdl_f: the manifest's exact Σdl_f over exact N — the identical
+    // IEEE division the flat scan's broadcast-stats row divides
+    val avgArr = array(fs.indices.map(i =>
+      lit(m.fieldSums(i).toDouble / m.nDocs.toDouble)): _*)
+    val bF = element_at(bArr, col("fi") + 1)
+    val tfn = col("tf").cast("double") /
+      (lit(1.0) - bF + bF *
+        element_at(col("dls"), col("fi") + 1).cast("double") /
+        element_at(avgArr, col("fi") + 1))
+    val base = pruned
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .select(col("doc_id") +: col("term") +: col("fi") +:
+        tfn.as("tfn") +:
+        pred.map(p => coalesce(p, lit(false)).as("elig")).toSeq: _*)
+    val aggs = aggregate(
+        array_sort(collect_list(struct(col("fi"), col("tfn")))),
+        lit(0.0),
+        (acc, x) => acc + element_at(wArr, x.getField("fi") + 1) *
+          x.getField("tfn")).as("tf") +:
+      (if (pred.isDefined) Seq(max("elig").as("elig")) else Nil)
+    val tfQ = base.groupBy("doc_id", "term").agg(aggs.head, aggs.tail: _*)
+      .withColumn("dl", lit(0.0))
+    val stats = spark.createDataFrame(Seq((m.nDocs, m.nDocs)))
+      .toDF("n_docs", "sum_dl")
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b = 0.0,
+      mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
+  }
+
   /** A probe's pruned read plan, resolved once and shared by the
     * candidate read and the df statistics: the probed bucket set, and
     * the collected distinct query terms when the probe is in the
@@ -1158,8 +1269,9 @@ object LexIndex {
         case None     => b.join(broadcast(qT), Seq("term"))
       }
     }
+    val dfSegsEff = effectiveDfSegs(spark, root, m)
     val per = m.entries.map { e =>
-      if (m.dfSegs.contains(e.name)) {
+      if (dfSegsEff.contains(e.name)) {
         val base = spark.read.schema(schema)
           .parquet(new Path(root, s"${e.name}/$DfSidecarDir").toString)
         val unskipped =

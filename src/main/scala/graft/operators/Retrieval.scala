@@ -351,7 +351,7 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id") +:
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig") +:
       fields.zipWithIndex.map { case ((c, _), i) =>
-        Dedup.tokens(col(c)).as(s"toks_$i") }: _*)
+        Dedup.tokensNs(col(c)).as(s"toks_$i") }: _*)
     // weighted doc length: a literal field-order fold — exact integer
     // operands, one rounding per field term, identical in the oracle
     val dlw = fields.zipWithIndex.foldLeft(lit(0.0)) {
@@ -397,6 +397,99 @@ object Retrieval {
       case (acc, ((_, w), i)) => acc + lit(w) * col(s"s_$i").cast("double") }
     val stats = rawStats.select(col("n_docs"), sumDlW.as("sum_dl"))
     scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+  }
+
+  /** FULL Robertson–Zaragoza BM25F, flat-scan form — the per-field
+    * length-normalization [[bm25fTopK]]'s simplified shape can't
+    * express (the common tuning: titles want b≈0.3, bodies keep
+    * b≈0.75):
+    *
+    *   tf̃_f(d,t) = tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   tf̄(d,t)  = Σ_f w_f · tf̃_f                (field-order fold)
+    *   score     = Σ_t idf(t) · tf̄(k1+1) / (tf̄ + k1)
+    *
+    * Length normalization moves INSIDE each field (its own b_f against
+    * its own exact avgdl_f), so the outer saturation sees a
+    * length-adjusted pseudo-frequency and carries no b of its own —
+    * the Zaragoza et al. 2004 formulation. df and N stay any-field,
+    * as [[bm25fTopK]].
+    *
+    * Determinism: per-field tf/dl/Σdl are exact integers; avgdl_f is
+    * ONE IEEE division (Σdl_f / N) and tf̃_f one more, both replicated
+    * textually in the oracle; tf̄ folds left-associatively in field
+    * order; the scoring tail is [[scoreAndRank]] at b = 0 (the
+    * normalization already happened per field), whose dl term is
+    * exactly 0. Scale shape identical to [[bm25fTopK]] — one extra
+    * broadcast of the same 1-row stats frame into the per-field rows.
+    *
+    * @param fields `(column, weight, b_f)` in significance order;
+    *               weights > 0, b_f in [0, 1]
+    */
+  def bm25fFullTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                    fields: Seq[(String, Double, Double)],
+                    k1: Double = 1.2,
+                    idCol: String = "doc_id",
+                    queryIdCol: String = "query_id",
+                    termsCol: String = "terms",
+                    pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(fields.nonEmpty, "bm25fFullTopK needs at least one field")
+    require(fields.forall(_._2 > 0.0),
+      s"field weights must be > 0, got ${fields.map(_._2).mkString(", ")}")
+    require(fields.forall(f => f._3 >= 0.0 && f._3 <= 1.0),
+      s"per-field b must be in [0,1], got ${fields.map(_._3).mkString(", ")}")
+    val toksAll = docs.select(col(idCol).as("doc_id") +:
+      coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig") +:
+      fields.zipWithIndex.map { case ((c, _, _), i) =>
+        Dedup.tokensNs(col(c)).as(s"toks_$i") }: _*)
+    val anyTok = fields.indices
+      .map(i => size(col(s"toks_$i"))).reduce(_ + _) > 0
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(col(termsCol)).as("term"))
+      .select(col("query_id"), lower(col("term")).as("term"))
+    val qDistinct = qTerms.select("term").distinct()
+    // exact corpus statistics: N (any-field docs) + per-field Σdl, one
+    // broadcast row — avgdl_f divides INSIDE the plan, executor-side,
+    // the same IEEE division the oracle writes
+    val statCols = count("*").as("n_docs") +:
+      fields.indices.map(i =>
+        coalesce(sum(size(col(s"toks_$i")).cast("long")), lit(0L))
+          .as(s"s_$i"))
+    val rawStats = toksAll.filter(anyTok).agg(statCols.head, statCols.tail: _*)
+    val perField = fields.zipWithIndex.map { case (_, i) =>
+      toksAll.select(col("doc_id"), lit(i).as("fi"),
+          col("elig"), size(col(s"toks_$i")).cast("long").as("dlf"),
+          explode(col(s"toks_$i")).as("term"))
+        .join(broadcast(qDistinct), Seq("term"))
+        .groupBy("doc_id", "term", "fi")
+        .agg(count("*").as("tf"), max("dlf").as("dlf"),
+          max("elig").as("elig"))
+    }.reduce(_.unionByName(_))
+    val wArr = array(fields.map(f => lit(f._2)): _*)
+    val bArr = array(fields.map(f => lit(f._3)): _*)
+    val sArr = array(fields.indices.map(i => col(s"s_$i")): _*)
+    // tf̃ per (doc, term, field) row: each operand order mirrors the
+    // oracle text — (1 − b_f) + (b_f·dl_f) / (Σdl_f / N)
+    val bF = element_at(bArr, col("fi") + 1)
+    val tfn = col("tf").cast("double") /
+      (lit(1.0) - bF + bF * col("dlf").cast("double") /
+        (element_at(sArr, col("fi") + 1).cast("double") /
+          col("n_docs").cast("double")))
+    val tfQ = perField.crossJoin(broadcast(rawStats))
+      .select(col("doc_id"), col("term"), col("fi"), col("elig"),
+        tfn.as("tfn"))
+      .groupBy("doc_id", "term")
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("fi"), col("tfn")))),
+          lit(0.0),
+          (acc, x) => acc + element_at(wArr, x.getField("fi") + 1) *
+            x.getField("tfn")).as("tf"),
+        max("elig").as("elig"))
+      .withColumn("dl", lit(0.0))
+    // b = 0 tail: dl/avgdl contributes exactly 0 (sum_dl = N keeps the
+    // avgdl division finite); the saturation denominator is tf̄ + k1
+    val stats = rawStats.select(col("n_docs"),
+      col("n_docs").cast("long").as("sum_dl"))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b = 0.0)
   }
 
   /** Shared BM25 scoring tail — the flat scan ([[bm25TopK]]) and the
@@ -849,17 +942,43 @@ object Retrieval {
     * The candidate-id collect is bounded by q×depth (tens per query —
     * the spoken-probe class, [[hybridServe]]'s documented bound); a
     * candidate with no stored vector drops from the diversification
-    * exactly as the flat form's inner embedding join drops it. */
+    * exactly as the flat form's inner embedding join drops it — and the
+    * drop is surfaced, not silent ([[candidateVecsLoud]]). */
   def mmrServe(spark: org.apache.spark.sql.SparkSession,
                lexPath: String, ivfPath: String, queries: DataFrame,
                k: Int, lambda: Double, depth: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
     val cand = LexIndex.search(spark, lexPath, queries, depth, k1, b)
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
+  }
+
+  /** Candidate vectors for an at-rest MMR pass, fetched BY ID from the
+    * IVF index — with the missing-vector drop SURFACED: a candidate id
+    * (typically from the lexical arm of a fused ranking, whose corpus
+    * need not be id-aligned with the vector index) that has no stored
+    * vector cannot be diversified against and drops from [[mmrTopK]]'s
+    * inner embedding join, so the output can shrink below k. That drop
+    * is the documented contract, but it must never be silent: the count
+    * and a bounded id sample warn to stderr. Both reads are id-pushed
+    * (never the vector corpus) and the presence check reads only the
+    * pruned files' `vec_id` column; the candidate-id collect is bounded
+    * by q×depth — the spoken-probe class. */
+  private def candidateVecsLoud(spark: org.apache.spark.sql.SparkSession,
+                                ivfPath: String, cand: DataFrame): DataFrame = {
     val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
     val m = IvfIndex.readManifestFull(spark, ivfPath)
     val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
-    mmrTopK(cand, vecs, k, lambda)
+    val present = vecs.select("vec_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val missing = ids.filterNot(present)
+    if (missing.nonEmpty)
+      System.err.println(
+        s"MMR WARNING: ${missing.length} of ${ids.length} candidates have " +
+        s"no stored vector in $ivfPath and drop from the diversification " +
+        s"(ids: ${missing.take(8).mkString(", ")}${
+          if (missing.length > 8) ", …" else ""})")
+    vecs
   }
 
   /** [[mmrServe]] over the FUSED ranking — diversify what a RAG
@@ -879,10 +998,7 @@ object Retrieval {
     require(depth >= k, s"depth=$depth must be >= k=$k")
     val cand = hybridServe(spark, lexPath, ivfPath, queries, depth, depth,
       nprobe, c)
-    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
-    val m = IvfIndex.readManifestFull(spark, ivfPath)
-    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
-    mmrTopK(cand, vecs, k, lambda)
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
   }
 
   /** [[mmrServeHybrid]] for LITERAL query vectors — diversify the
@@ -901,10 +1017,7 @@ object Retrieval {
     require(depth >= k, s"depth=$depth must be >= k=$k")
     val cand = hybridServeLiteral(spark, lexPath, ivfPath, queries, depth,
       depth, nprobe, c, pred)
-    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
-    val m = IvfIndex.readManifestFull(spark, ivfPath)
-    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
-    mmrTopK(cand, vecs, k, lambda)
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
   }
 
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,

@@ -86,6 +86,12 @@ object RetrievalQueries extends QueryPack {
     * per-field integers). */
   private[queries] val FieldWeights: Seq[(String, Double)] =
     Seq("title" -> 2.0, "text" -> 1.0)
+
+  /** The FULL-BM25F fixture params `(field, weight, b_f)`: short
+    * titles want weak length normalization (b 0.3), bodies keep the
+    * BM25 default (0.75) — the classic Robertson–Zaragoza tuning. */
+  private[queries] val FieldParamsFull: Seq[(String, Double, Double)] =
+    Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75))
   private[queries] def titledDocs(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").withColumn("title",
       array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 3), " "))
@@ -366,6 +372,56 @@ object RetrievalQueries extends QueryPack {
       Seq(footer == scanned && footer.nonEmpty).toDF("footer_equals_scan")
     }),
 
+    // df-REGIME observability, certified end-to-end (the x60/x113
+    // TRUE-literal pattern): a probe serves df from each segment's
+    // sidecar when available and silently falls back to a bounded
+    // per-segment recompute when not — dfSidecarHealth is the operator's
+    // view of that decision. The certificate walks all three regimes on
+    // a dedicated two-segment index: fresh (every segment sidecar-served
+    // AND manifest-registered), legacy (df= line stripped — the
+    // existence fallback keeps serving the on-disk sidecars, `registered`
+    // flips), and mixed (one sidecar deleted — health flags exactly that
+    // segment) — with the probe's results identical across all three.
+    "x138_lex_df_health" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-dfh")
+        .toString + "/idx"
+      val docs = table(s, d, "documents").filter(col("doc_id") < 200)
+      graft.operators.LexIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+      graft.operators.LexIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
+      val qs = queriesDf(s)
+      def res = graft.operators.LexIndex.search(s, dir, qs, K, k1 = K1, b = B)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      def health = graft.operators.LexIndex.dfSidecarHealth(s, dir).collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+      val expected = res
+      val h1 = health
+      val ok1 = h1.size == 2 && h1.forall(h => h._2 && h._3)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mv = graft.operators.LexIndex.versions(s, dir).last
+      val mf = new org.apache.hadoop.fs.Path(dir, f"lex-manifest-$mv%09d.txt")
+      val mTxt = {
+        val in = f.open(mf)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val out = f.create(mf, true)
+      try out.write(mTxt.linesIterator.filterNot(_.startsWith("df="))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      val h2 = health
+      val ok2 = h2.forall(h => h._2 && !h._3) && res == expected
+      val gone = h2.head._1
+      f.delete(new org.apache.hadoop.fs.Path(dir, s"$gone/_df"), true)
+      val h3 = health
+      val ok3 = h3.collect { case (sg, false, _) => sg } == Seq(gone) &&
+        res == expected
+      f.delete(root.getParent, true)
+      Seq(ok1 && ok2 && ok3).toDF("df_health_certified")
+    }),
+
     // The LITERAL-query hybrid probe — the production serving sentence
     // the by-id form can't speak: a FRESH embedding (never stored) plus
     // keywords. Lexical arm from the inverted index, vector arm from
@@ -443,6 +499,24 @@ object RetrievalQueries extends QueryPack {
     "x130_lexf_search" -> ((s: SparkSession, d: String) =>
       graft.operators.LexIndex.searchFielded(s, lexFieldedIndexTable(s, d),
         queriesDf(s), K, FieldWeights, k1 = K1, b = B)),
+
+    // FULL Robertson–Zaragoza BM25F — per-field length normalization
+    // (title b 0.3, body b 0.75: the classic tuning the simplified
+    // shared-saturation form can't express), then the field-order
+    // weighted fold saturating against k1 alone.
+    "x139_bm25f_full" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fFullTopK(titledDocs(s, d), queriesDf(s), K,
+        FieldParamsFull, k1 = K1)),
+
+    // The same full form served AT REST from the SAME fielded index
+    // x130 probes — w_f, b_f AND k1 are all probe-time arguments over
+    // the stored raw per-field integers, so one index serves both the
+    // simplified and the full scoring without a rebuild. Same oracle
+    // STRING as x139 (interleaved bench twins).
+    "x140_lexf_search_full" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchFieldedFull(s,
+        lexFieldedIndexTable(s, d), queriesDf(s), K, FieldParamsFull,
+        k1 = K1)),
 
     // The FIELDED hybrid — the title/body RAG probe: BM25F lexical arm
     // from the fielded index (probe-time weights), by-id vector arm
@@ -722,6 +796,80 @@ object RetrievalQueries extends QueryPack {
        |                / (s.sum_dlw / s.n::DOUBLE))) AS contrib
        |  FROM tfw t JOIN dft d USING (term) JOIN dlw l USING (doc_id)
        |       JOIN qt ON qt.term = t.term CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x),
+       |          6) AS score
+       |  FROM contrib${eligibleSql.fold("")(e => s" WHERE $e")}
+       |  GROUP BY query_id, doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc)
+       |SELECT query_id, doc_id, rank, score FROM lex
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The FULL Robertson–Zaragoza BM25F replay: per-field soft length
+    * normalization tf̃_f = tf_f / (1 − b_f + b_f·dl_f/(Σdl_f/N)) —
+    * every operand order written as the operator computes it — then
+    * the field-order weighted fold and the b = 0 scoring tail
+    * (saturation against k1 alone; the length adjustment already
+    * happened inside each field). Shared verbatim by the flat scan
+    * and the fielded-index probe. */
+  private[queries] def bm25fFullReplaySql(qs: Seq[(Long, Seq[String])],
+                                          k: Int, weights: Seq[Double],
+                                          bs: Seq[Double],
+                                          eligibleSql: Option[String] = None): String = {
+    val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
+    require(weights.size == fieldToks.size && bs.size == fieldToks.size)
+    val w = weights.map(_.toString)
+    val bf = bs.map(_.toString)
+    val fcols = fieldToks.indices
+    val ftoksCols = fieldToks.zipWithIndex
+      .map { case (e, i) => s"$e AS toks_$i" }.mkString(",\n       ")
+    val unions = fcols.map(i =>
+      s"  SELECT doc_id, $i AS fi, unnest(toks_$i) AS term FROM ftoks")
+      .mkString("\n  UNION ALL\n")
+    val dlCols = fcols.map(i => s"len(toks_$i)::BIGINT AS dl_$i")
+      .mkString(", ")
+    val sumCols = fcols.map(i => s"sum(dl_$i)::BIGINT AS s_$i")
+      .mkString(", ")
+    val anyTok = fcols.map(i => s"dl_$i").mkString(" + ") + " > 0"
+    val tfnCase = fcols.map(i =>
+      s"WHEN $i THEN t.tf::DOUBLE / (1.0::DOUBLE - ${bf(i)}::DOUBLE " +
+        s"+ ${bf(i)}::DOUBLE * l.dl_$i::DOUBLE " +
+        s"/ (s.s_$i::DOUBLE / s.n::DOUBLE))").mkString(" ")
+    val wCase = fcols.map(i =>
+      s"WHEN $i THEN ${w(i)}::DOUBLE * tfn").mkString(" ")
+    s"""WITH qt(query_id, term) AS (VALUES
+       |  ${qtValues(qs)}),
+       |ftoks AS (SELECT doc_id, $ftoksCols FROM documents),
+       |dlf AS (SELECT doc_id, $dlCols FROM ftoks),
+       |fstats AS (SELECT count(*)::BIGINT AS n, $sumCols
+       |           FROM dlf WHERE $anyTok),
+       |tff AS (
+       |  SELECT u.doc_id, u.term, u.fi, count(*)::BIGINT AS tf FROM (
+       |$unions) u
+       |  JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+       |  GROUP BY u.doc_id, u.term, u.fi),
+       |tfnt AS (
+       |  SELECT t.doc_id, t.term, t.fi, CASE t.fi $tfnCase END AS tfn
+       |  FROM tff t JOIN dlf l USING (doc_id) CROSS JOIN fstats s),
+       |tfw AS (
+       |  SELECT doc_id, term,
+       |    list_reduce(list(CASE fi $wCase END ORDER BY fi),
+       |                (a, x) -> a + x) AS tfw
+       |  FROM tfnt GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tfw GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.query_id, t.doc_id, t.term,
+       |    ln((s.n::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+       |         / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |      * (t.tfw * ${K1 + 1.0}::DOUBLE)
+       |      / (t.tfw + ${K1}::DOUBLE) AS contrib
+       |  FROM tfw t JOIN dft d USING (term)
+       |       JOIN qt ON qt.term = t.term CROSS JOIN fstats s),
        |sc AS (
        |  SELECT query_id, doc_id,
        |    round(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x),
@@ -1188,6 +1336,14 @@ object RetrievalQueries extends QueryPack {
     "x129_bm25f" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
     "x130_lexf_search" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
 
+    // FULL Robertson–Zaragoza BM25F: per-field length normalization,
+    // then the b = 0 saturation tail; x140 shares x139's string (the
+    // fielded probe is score-identical to the flat scan).
+    "x139_bm25f_full" -> bm25fFullReplaySql(BmQueries, K,
+      FieldParamsFull.map(_._2), FieldParamsFull.map(_._3)),
+    "x140_lexf_search_full" -> bm25fFullReplaySql(BmQueries, K,
+      FieldParamsFull.map(_._2), FieldParamsFull.map(_._3)),
+
     // Sloppy pair: ordered-chain containment restricting the BM25
     // ranking; x128 shares x127's string (positional probe ≡ flat
     // scan — interleaved twins).
@@ -1251,7 +1407,11 @@ object RetrievalQueries extends QueryPack {
 
     // Footer-vs-scan equality is a Spark-side construction (bucket ids
     // are a hash) — the TRUE-literal certificate.
-    "x113_lex_bucket_stats" -> "SELECT TRUE AS footer_equals_scan")
+    "x113_lex_bucket_stats" -> "SELECT TRUE AS footer_equals_scan",
+
+    // The df-regime walk (fresh/legacy/mixed manifests) is a Spark-side
+    // construction over index files — the TRUE-literal certificate.
+    "x138_lex_df_health" -> "SELECT TRUE AS df_health_certified")
 
   /** The spoken lexical-profile summary replay: the auto-derived bucket
     * count is max(16, ⌊√vocabulary⌋) — IEEE sqrt is correctly rounded

@@ -155,6 +155,55 @@ class LexIndexSpec extends SparkSpec {
         qs, 3)))
   }
 
+  test("a LEGACY manifest (no df= line) with sidecars ON DISK serves df " +
+       "from them via the existence fallback; dfSidecarHealth reports " +
+       "the probe's actual regime per segment") {
+    val p = freshPath()
+    val (half, rest) = docsFx.partition(_._1 % 2 == 0)
+    LexIndex.build(half.toDF("doc_id", "text"), p)
+    LexIndex.append(rest.toDF("doc_id", "text"), p)
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("table"))
+    val expected = rows(Retrieval.bm25TopK(docsDf, qs, 3))
+    def health = LexIndex.dfSidecarHealth(spark, p).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    val h1 = health
+    assert(h1.size == 2 && h1.forall(h => h._2 && h._3),
+      s"fresh index should be sidecar-served and registered: $h1")
+    // strip ONLY the manifest's df= line (sidecars stay on disk) — the
+    // pre-df=-line world, where presence WAS the filesystem probe
+    val f = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mv = LexIndex.versions(spark, p).last
+    val mf = new org.apache.hadoop.fs.Path(p, f"lex-manifest-$mv%09d.txt")
+    val mTxt = {
+      val in = f.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = f.create(mf, true)
+    try out.write(mTxt.linesIterator.filterNot(_.startsWith("df="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val h2 = health
+    assert(h2.forall(h => h._2 && !h._3),
+      s"legacy manifest with on-disk sidecars should serve via fallback: $h2")
+    val res = LexIndex.search(spark, p, qs, 3)
+    res.collect()
+    def isDfScan(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.rootPaths.exists(_.toString.contains("/_df"))
+    assert(graft.SparkSpec.executedFileScans(res).exists(isDfScan),
+      "legacy manifest recomputed df despite sidecars on disk")
+    assert(rows(res) == expected)
+    // delete ONE segment's sidecar: health flags exactly that segment,
+    // the probe mixes regimes, results stay identical
+    val gone = h2.head._1
+    f.delete(new org.apache.hadoop.fs.Path(p, s"$gone/_df"), true)
+    val h3 = health
+    assert(h3.collect { case (s, false, _) => s } == Seq(gone),
+      s"health should flag exactly the sidecar-less segment: $h3")
+    assert(rows(LexIndex.search(spark, p, qs, 3)) == expected)
+  }
+
   test("wide probes past the term-literal cap stay bucket-pruned: " +
        "3000+ terms read only partitions holding some query term") {
     val p = freshPath()
@@ -727,7 +776,10 @@ class LexIndexSpec extends SparkSpec {
     (1L, "merge", "spark spark spark join"),
     (2L, "spark fast", "spark join fast"),
     (3L, "table", "slow scan window"),
-    (4L, "", "fast fast join"))
+    (4L, "", "fast fast join"),
+    // null title, real body — must index as dl 0 / no title postings,
+    // not corrupt the per-field sums with size(null) = -1
+    (5L, null.asInstanceOf[String], "spark scan join"))
   private def fieldedDf = fieldedFx.toDF("doc_id", "title", "text")
   private val FW = Seq("title" -> 2.0, "text" -> 1.0)
 
@@ -745,10 +797,12 @@ class LexIndexSpec extends SparkSpec {
     // manifest: per-field exact sums, N counts any-field docs
     val m = LexIndex.readManifest(spark, p)
     assert(m.fields.contains(Seq("title", "text")))
+    def dlOf(s: String) =
+      if (s == null) 0L else s.split("\\s+").count(_.nonEmpty).toLong
     assert(m.fieldSums == Seq(
-      fieldedFx.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
-      fieldedFx.map(_._3.split("\\s+").count(_.nonEmpty).toLong).sum))
-    assert(m.nDocs == 5L)
+      fieldedFx.map(t => dlOf(t._2)).sum,
+      fieldedFx.map(t => dlOf(t._3)).sum))
+    assert(m.nDocs == 6L)
     // append ≡ rebuild (stats summed per field, content identical)
     val (p1, p2) = (freshPath(), freshPath())
     val (half, rest) = fieldedFx.partition(_._1 % 2 == 0)
@@ -805,6 +859,44 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchFieldedFull (Robertson–Zaragoza) ≡ flat full scan at any " +
+       "probe-time (w, b, k1) tuning over the SAME index searchFielded " +
+       "probes; guards fail loudly") {
+    val p = freshPath()
+    LexIndex.buildFielded(fieldedDf, p, fields = Seq("title", "text"))
+    val qs = queriesDf(1L -> Seq("spark", "join"), 2L -> Seq("table"))
+    for (ps <- Seq(
+        Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75)),
+        Seq(("title", 1.0, 0.0), ("text", 1.0, 1.0)),
+        Seq(("title", 5.0, 0.75), ("text", 0.5, 0.3)))) {
+      assert(rows(LexIndex.searchFieldedFull(spark, p, qs, 5, ps)) ==
+        rows(Retrieval.bm25fFullTopK(fieldedDf, qs, 5, ps)),
+        s"params $ps")
+    }
+    // k1 is probe-time too
+    assert(rows(LexIndex.searchFieldedFull(spark, p, qs, 5,
+        Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75)), k1 = 0.4)) ==
+      rows(Retrieval.bm25fFullTopK(fieldedDf, qs, 5,
+        Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75)), k1 = 0.4)))
+    // and the SAME index still serves the simplified form (x130's probe)
+    assert(rows(LexIndex.searchFielded(spark, p, qs, 5, FW)) ==
+      rows(Retrieval.bm25fTopK(fieldedDf, qs, 5, FW)))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchFieldedFull(spark, p, qs, 5,
+        Seq(("text", 1.0, 0.75), ("title", 2.0, 0.3)))
+    }.getMessage.contains("fields in order"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchFieldedFull(spark, p, qs, 5,
+        Seq(("title", 2.0, 1.5), ("text", 1.0, 0.75)))
+    }.getMessage.contains("b must be in [0,1]"))
+    val plain = freshPath()
+    LexIndex.build(docsDf, plain)
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchFieldedFull(spark, plain, qs, 5,
+        Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75)))
+    }.getMessage.contains("fielded"))
+  }
+
   test("fielded erase subtracts per-field stats exactly; compact is " +
        "content-invariant; post-erase probe ≡ flat scan of survivors") {
     val p = freshPath()
@@ -814,9 +906,11 @@ class LexIndexSpec extends SparkSpec {
     val m = LexIndex.readManifest(spark, p)
     val surv = fieldedFx.filterNot(d => d._1 == 1L || d._1 == 4L)
     assert(m.nDocs == surv.size.toLong)
+    def dlOf(s: String) =
+      if (s == null) 0L else s.split("\\s+").count(_.nonEmpty).toLong
     assert(m.fieldSums == Seq(
-      surv.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
-      surv.map(_._3.split("\\s+").count(_.nonEmpty).toLong).sum))
+      surv.map(t => dlOf(t._2)).sum,
+      surv.map(t => dlOf(t._3)).sum))
     val qs = queriesDf(1L -> Seq("spark", "join"))
     val expected = rows(Retrieval.bm25fTopK(
       surv.toDF("doc_id", "title", "text"), qs, 5, FW))

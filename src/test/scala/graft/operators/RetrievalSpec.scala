@@ -140,11 +140,16 @@ class RetrievalSpec extends SparkSpec {
       (10L, "spark", "a b c d e f g h"), // title hit, long body
       (11L, "x", "spark a b c"),         // body-only hit, short body
       (12L, "spark fast", "spark join fast a"),
-      (13L, "y", "b c d"))
+      (13L, "y", "b c d"),
+      // null title, real body: must contribute dl 0 (NOT size(null) = -1)
+      // to the weighted lengths and corpus sums, and no title postings
+      (14L, null.asInstanceOf[String], "spark d e"))
     val df = fx.toDF("doc_id", "title", "text")
     def refBm25f(terms: Seq[String], wT: Double, wB: Double,
                  k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
-      def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      def toks(s: String) =
+        if (s == null) Seq.empty[String]
+        else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
       val fs = fx.map { case (id, t, bd) => id -> Seq(toks(t), toks(bd)) }
       val live = fs.filter(_._2.map(_.size).sum > 0)
       val n = live.size.toDouble
@@ -194,6 +199,73 @@ class RetrievalSpec extends SparkSpec {
         .filter(col("doc_id") === id).collect().head.getLong(2)
     assert(rankOf(4.0, 1.0, 10L) < rankOf(4.0, 1.0, 11L))
     assert(rankOf(1.0, 1.0, 10L) > rankOf(1.0, 1.0, 11L))
+  }
+
+  test("bm25fFullTopK (Robertson–Zaragoza): per-field length " +
+       "normalization matches a driver reference at every tuning; " +
+       "per-field b genuinely reranks against the simplified form") {
+    val fx = Seq(
+      (10L, "spark", "a b c d e f g h"),
+      (11L, "x", "spark a b c"),
+      (12L, "spark fast join", "spark join fast a"),
+      (13L, "y", "b c d"),
+      (14L, null.asInstanceOf[String], "spark d e"))
+    val df = fx.toDF("doc_id", "title", "text")
+    def refFull(terms: Seq[String], params: Seq[(Double, Double)],
+                k1: Double = 1.2): Map[Long, Double] = {
+      def toks(s: String) =
+        if (s == null) Seq.empty[String]
+        else s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val fs = fx.map { case (id, t, bd) => id -> Seq(toks(t), toks(bd)) }
+      val live = fs.filter(_._2.map(_.size).sum > 0)
+      val n = live.size
+      val avgF = params.indices.map(i =>
+        live.map(_._2(i).size.toLong).sum.toDouble / n.toDouble)
+      val df_ = terms.map(t =>
+        t -> fs.count(_._2.exists(_.contains(t))).toDouble).toMap
+      fs.flatMap { case (id, f) =>
+        val score = terms.sorted.foldLeft(0.0) { (acc, t) =>
+          val tfw = params.indices.foldLeft(0.0) { (a, i) =>
+            val tf = f(i).count(_ == t)
+            if (tf == 0) a
+            else {
+              val (_, b) = params(i)
+              a + params(i)._1 * (tf.toDouble /
+                (1.0 - b + b * f(i).size.toDouble / avgF(i)))
+            }
+          }
+          if (tfw == 0.0) acc
+          else acc + math.log((n - df_(t) + 0.5) / (df_(t) + 0.5) + 1.0) *
+            (tfw * (k1 + 1.0)) / (tfw + k1)
+        }
+        if (score > 0) Some(id -> math.rint(score * 1e6) / 1e6) else None
+      }.toMap
+    }
+    val q = queriesDf(1L -> Seq("spark", "join"))
+    for (ps <- Seq(Seq(2.0 -> 0.3, 1.0 -> 0.75),
+                   Seq(1.0 -> 0.0, 1.0 -> 1.0),
+                   Seq(4.0 -> 0.75, 0.5 -> 0.3))) {
+      val fields = Seq(("title", ps(0)._1, ps(0)._2),
+        ("text", ps(1)._1, ps(1)._2))
+      val out = Retrieval.bm25fFullTopK(df, q, 5, fields)
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+      val ref = refFull(Seq("spark", "join"), ps)
+      assert(out.keySet == ref.keySet, s"params $ps")
+      out.foreach { case (id, s) =>
+        assert(math.abs(s - ref(id)) < 1e-9, s"doc $id params $ps") }
+    }
+    // per-field b is the point: with title b = 0 (no length penalty in
+    // the title) the LONG-titled doc 12 closes on the short-titled doc
+    // 10 relative to title b = 1 — their score GAP must shrink, which
+    // the simplified single-b form cannot express per field
+    def scoreOf(ps: Seq[(String, Double, Double)], id: Long) =
+      Retrieval.bm25fFullTopK(df, queriesDf(1L -> Seq("spark")), 5, ps)
+        .filter(col("doc_id") === id).collect().head.getDouble(3)
+    val gapB1 = scoreOf(Seq(("title", 2.0, 1.0), ("text", 1.0, 0.75)), 10L) -
+      scoreOf(Seq(("title", 2.0, 1.0), ("text", 1.0, 0.75)), 12L)
+    val gapB0 = scoreOf(Seq(("title", 2.0, 0.0), ("text", 1.0, 0.75)), 10L) -
+      scoreOf(Seq(("title", 2.0, 0.0), ("text", 1.0, 0.75)), 12L)
+    assert(gapB0 < gapB1)
   }
 
   test("bm25SloppyPhraseTopK: in-order within slop — order matters, " +

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "x119_hybrid_ndcg" -> 8,
     "x129_bm25f" -> 7,
     "x134_bm25f_filtered" -> 7,
+    "x139_bm25f_full" -> 7,
     "nl151_bm25f" -> 7)
 
   test("every query's shuffle count stays bounded") {
