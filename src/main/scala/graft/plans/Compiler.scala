@@ -230,6 +230,18 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.Retrieval.mmrServeHybrid(spark, path, ivfPath,
           queries, k, lambda, depth, nprobe)
+      case Op.LexHybridFielded(terms, k, ws, depth, nprobe, qid, where) =>
+        // the fielded hybrid: BM25F arm from this (fielded) index at
+        // the spoken probe-time weights, vector arm by the spoken id's
+        // stored embedding — two pruned probes, zero corpus scans
+        val ivfPath = vectorIndexPath.getOrElse(throw InvalidPlanException(
+          s"$op needs a bound vector index (vectorIndexPath) beside the " +
+            "lexical one — the hybrid serves from both stores"))
+        val queries = spark.createDataFrame(Seq((qid, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.Retrieval.hybridServeFielded(spark, path, ivfPath,
+          queries, k, depth, nprobe, ws,
+          pred = where.map(predicate(df, _)))
       case Op.HybridEval(ndcg, k, qid, terms, depth, nprobe) =>
         // the fused at-rest probe vs the exact-hybrid reference: the
         // lexical arm is shared (the index probe IS score-identical to

@@ -1915,6 +1915,35 @@ object NLParser {
             // the BM25F probe of a FIELDED index (weights probe-time)
             p.next()
             val ws = weightList(p)
+            if (p.peekWordLower.contains("fused")) {
+              // "… weighting title 2, text 1 fused at depth 20 probing
+              // 4 cells for query 0 [where …]." — the FIELDED hybrid:
+              // this index's BM25F arm at the spoken weights, the
+              // bound vector index's arm by the spoken query id's
+              // STORED embedding, RRF-fused (the title/body RAG probe)
+              p.next()
+              val depth = p.peekWordLower match {
+                case Some("at") =>
+                  p.next(); p.expectWord("depth"); p.expectNum().toInt
+                case _ => 20
+              }
+              if (depth < k) throw ParseException(
+                s"fusion depth $depth must be at least k=$k")
+              p.expectWord("probing")
+              val np = p.expectNum().toInt
+              if (np <= 0) throw ParseException(
+                s"probed cell count must be positive: $np")
+              p.dropWords("cells", "cell")
+              p.expectWord("for"); p.expectWord("query")
+              val qid = p.expectNum().toLong
+              val where = p.peekWordLower match {
+                case Some("where") => p.next(); Some(parsePred(p))
+                case _             => None
+              }
+              requireDone(p)
+              return Right(List(
+                Op.LexHybridFielded(terms, k, ws, depth, np, qid, where)))
+            }
             val where = p.peekWordLower match {
               case Some("where") => p.next(); Some(parsePred(p))
               case _             => None

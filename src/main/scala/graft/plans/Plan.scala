@@ -646,6 +646,18 @@ object Op {
   final case class LexMmrHybridServe(terms: Seq[String], k: Int,
                                      lambda: Double, depth: Int,
                                      nprobe: Int, qid: Long)       extends TableOp
+  /** The FIELDED hybrid served at rest over TWO bound indexes
+    * ([[graft.operators.Retrieval.hybridServeFielded]]): BM25F lexical
+    * arm from this bound FIELDED index at the spoken probe-time
+    * weights, vector arm from the bound IVF index by the spoken query
+    * id's STORED embedding (self-excluding, the by-id semantics),
+    * RRF-fused — the title/body RAG probe, spoken: "… matching spark,
+    * join weighting title 2, text 1 fused at depth 20 probing 4 cells
+    * for query 0 [where …]". */
+  final case class LexHybridFielded(terms: Seq[String], k: Int,
+                                    weights: Seq[(String, Double)],
+                                    depth: Int, nprobe: Int, qid: Long,
+                                    where: Option[Pred] = None)    extends TableOp
   /** MMR over the LITERAL-query fused ranking
     * ([[graft.operators.Retrieval.mmrServeHybridLiteral]]): the
     * production hybrid sentence (fresh embedding + keywords, no

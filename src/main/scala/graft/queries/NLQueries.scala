@@ -664,6 +664,20 @@ object NLQueries extends QueryPack {
         tablePath = Some(lp), vectorIndexPath = Some(vp))
     }),
 
+    // The FIELDED hybrid, spoken — the title/body RAG probe in one
+    // sentence: this fielded index's BM25F arm at the spoken weights,
+    // the bound vector index's arm by the spoken query id's stored
+    // embedding, RRF-fused (x137's single-query spoken form).
+    "nl155_hybrid_serve_fielded" -> ((s: SparkSession, d: String) => {
+      val lp = RetrievalQueries.lexFieldedIndexTable(s, d)
+      val vp = VectorQueries.ivfIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast weighting title 2, text 1 fused " +
+                 "at depth 20 probing 4 cells for query 0.",
+        graft.operators.LexIndex.readPostings(s, lp),
+        tablePath = Some(lp), vectorIndexPath = Some(vp))
+    }),
+
     // BM25F, spoken — the title/body weighting in one sentence: flat
     // scan over the derived-title frame and the fielded-index probe of
     // the same weighting (shared oracle string, interleaved twins).
@@ -1300,6 +1314,11 @@ object NLQueries extends QueryPack {
     // same constants — interleaved twins)
     "nl154_mmr_hybrid_lit" ->
       RetrievalQueries.mmrHybridLitReplaySql(5, 10, 4, 0.7),
+    // fielded hybrid: x137's replay at the spoken single query (the
+    // BM25F arm's replay + the by-id IVF arm's replay, fused)
+    "nl155_hybrid_serve_fielded" ->
+      RetrievalQueries.hybridServeFieldedReplaySql(
+        Seq(0L -> Seq("spark", "join", "fast")), 5, 20, 4, Seq(2.0, 1.0)),
     // BM25F pair: nl152 shares nl151's string (fielded probe ≡ flat
     // weighted-aggregate scan — interleaved twins)
     "nl151_bm25f" -> RetrievalQueries.bm25fReplaySql(

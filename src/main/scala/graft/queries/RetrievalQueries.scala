@@ -631,7 +631,22 @@ object RetrievalQueries extends QueryPack {
 
     "x119_hybrid_ndcg" -> ((s: SparkSession, d: String) =>
       Retrieval.ndcgAtK(hybridProbe(s, d), hybridTruth(s, d), K,
-        idCol = "doc_id")))
+        idCol = "doc_id")),
+
+    // Offline evaluation of the FIELDED hybrid (x118/x119's protocol
+    // on x137's ranking): adopting the fielded hybrid for serving
+    // means flipping traffic to a ranking these two certify — the
+    // at-rest BM25F+vector fusion scored against the exact fielded
+    // hybrid (flat BM25F, score-identical to the fielded probe, fused
+    // with exact self-excluding cosine), isolating exactly the IVF
+    // approximation inside the fielded fusion.
+    "x141_hybrid_recall_fielded" -> ((s: SparkSession, d: String) =>
+      Retrieval.recallAtK(hybridProbeFielded(s, d),
+        hybridTruthFielded(s, d), K, idCol = "doc_id")),
+
+    "x142_hybrid_ndcg_fielded" -> ((s: SparkSession, d: String) =>
+      Retrieval.ndcgAtK(hybridProbeFielded(s, d),
+        hybridTruthFielded(s, d), K, idCol = "doc_id")))
 
   /** x118/x119's candidate: the fully at-rest hybrid probe (x101's
     * exact shape and constants). */
@@ -648,6 +663,29 @@ object RetrievalQueries extends QueryPack {
     val embs = table(s, d, "embeddings")
     val lex = Retrieval.bm25TopK(table(s, d, "documents"), queriesDf(s),
         Depth, k1 = K1, b = B)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qVecs = embs.join(
+      broadcast(queriesDf(s).select(col("query_id").as("vec_id"))),
+      Seq("vec_id"))
+    val vec = graft.operators.Similarity.bruteForceTopK(qVecs, embs, Depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(lex, vec, K, RrfC)
+  }
+
+  /** x141/x142's probe: the at-rest FIELDED hybrid at the eval
+    * operating point (x137's serving shape under x118's nprobe). */
+  private def hybridProbeFielded(s: SparkSession, d: String): DataFrame =
+    Retrieval.hybridServeFielded(s, lexFieldedIndexTable(s, d),
+      VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, Depth,
+      HybridEvalNProbe, FieldWeights, RrfC)
+
+  /** The exact FIELDED-hybrid reference: flat BM25F (score-identical
+    * to the fielded probe) RRF-fused with EXACT self-excluding cosine
+    * over the aligned embeddings — x118's reference, fielded arm. */
+  private def hybridTruthFielded(s: SparkSession, d: String): DataFrame = {
+    val embs = table(s, d, "embeddings")
+    val lex = Retrieval.bm25fTopK(titledDocs(s, d), queriesDf(s), Depth,
+        FieldWeights, k1 = K1, b = B)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val qVecs = embs.join(
       broadcast(queriesDf(s).select(col("query_id").as("vec_id"))),
@@ -1199,13 +1237,48 @@ object RetrievalQueries extends QueryPack {
     * [[VectorQueries.recallReplaySql]]/`ndcgReplaySql` over doc_id. */
   private[queries] def hybridEvalReplaySql(qs: Seq[(Long, Seq[String])],
                                            k: Int, depth: Int, nprobe: Int,
-                                           ndcg: Boolean): String = {
+                                           ndcg: Boolean): String =
+    evalMetricSql(hybridServeReplaySql(qs, k, depth, nprobe),
+      hybridExactReplaySql(qs, k, depth), ndcg)
+
+  /** x141/x142's oracle: the FIELDED hybrid probe's replay scored
+    * against the exact FIELDED-hybrid reference (BM25F arm replay +
+    * exact self-excluding cosine), same metric tail. */
+  private[queries] def hybridEvalFieldedReplaySql(qs: Seq[(Long, Seq[String])],
+                                                  k: Int, depth: Int,
+                                                  nprobe: Int,
+                                                  weights: Seq[Double],
+                                                  ndcg: Boolean): String = {
+    val ids = qs.map(_._1).mkString(", ")
+    val truth =
+      s"""WITH lexr AS (
+         |${bm25fReplaySql(qs, depth, weights)}
+         |),
+         |vecr AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+         |                                        c.embedding::DOUBLE[]) DESC,
+         |                 c.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings c
+         |    WHERE q.vec_id IN ($ids) AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= $depth
+         |),
+         |${fuseTailSql(k)}""".stripMargin
+    evalMetricSql(
+      hybridServeFieldedReplaySql(qs, k, depth, nprobe, weights), truth,
+      ndcg)
+  }
+
+  private def evalMetricSql(proberSql: String, truthSql: String,
+                            ndcg: Boolean): String = {
     val head =
       s"""WITH prober AS (
-         |${hybridServeReplaySql(qs, k, depth, nprobe)}
+         |$proberSql
          |),
          |truthr AS (
-         |${hybridExactReplaySql(qs, k, depth)}
+         |$truthSql
          |)""".stripMargin
     if (!ndcg)
       s"""$head,
@@ -1404,6 +1477,15 @@ object RetrievalQueries extends QueryPack {
       hybridEvalReplaySql(BmQueries, K, Depth, HybridEvalNProbe, ndcg = false),
     "x119_hybrid_ndcg" ->
       hybridEvalReplaySql(BmQueries, K, Depth, HybridEvalNProbe, ndcg = true),
+
+    // Offline eval of the FIELDED hybrid vs its exact reference (the
+    // BM25F replay fused with exact cosine, both already proven).
+    "x141_hybrid_recall_fielded" ->
+      hybridEvalFieldedReplaySql(BmQueries, K, Depth, HybridEvalNProbe,
+        FieldWeights.map(_._2), ndcg = false),
+    "x142_hybrid_ndcg_fielded" ->
+      hybridEvalFieldedReplaySql(BmQueries, K, Depth, HybridEvalNProbe,
+        FieldWeights.map(_._2), ndcg = true),
 
     // Footer-vs-scan equality is a Spark-side construction (bucket ids
     // are a hash) — the TRUE-literal certificate.

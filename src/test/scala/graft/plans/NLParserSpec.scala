@@ -1078,6 +1078,29 @@ class NLParserSpec extends AnyFunSuite {
     }.msg.contains("weights"))
   }
 
+  test("fielded-hybrid route: weighting list + fused + probing + spoken " +
+       "query id; depth defaults; the plain fielded probe is untouched") {
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark, join " +
+      "weighting title 2, text 1 fused at depth 20 probing 4 cells " +
+      "for query 0.").ops ==
+      List(O.LexHybridFielded(Seq("spark", "join"), 5,
+        Seq("title" -> 2.0, "text" -> 1.0), 20, 4, 0L)))
+    // depth defaults to 20; a where tail pre-filters both arms
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark weighting " +
+      "title 2, text 1 fused probing 4 cells for query 3 where " +
+      "lang == 'en'.").ops ==
+      List(O.LexHybridFielded(Seq("spark"), 5,
+        Seq("title" -> 2.0, "text" -> 1.0), 20, 4, 3L,
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Search the lexical index for top 5 matching spark weighting " +
+        "title 2, text 1 fused at depth 2 probing 4 cells for query 0.")
+    }.msg.contains("depth"))
+  }
+
   test("filtered lexical retrieval: 'where' tails on the flat scan and " +
        "the index probe") {
     assert(NLParser.parse(

@@ -44,9 +44,16 @@ class PlanAuditSpec extends SparkSpec {
     *    (x130/x135/nl152) needs no such exception — the fielded index
     *    stores the per-(doc, term, field) rows, so the probe starts at
     *    the second level. */
+  /**  - x141/x142 are x118/x119 on the FIELDED hybrid: the same two
+    *    complete pipelines + evaluator tail, where the exact-reference
+    *    lexical arm is the flat BM25F scan — which carries its own
+    *    documented extra (doc, term, field) aggregation level (the
+    *    x129 exception). 8 + 1, every extra exchange candidate-sized. */
   private val shuffleBoundExceptions: Map[String, Int] = Map(
     "x118_hybrid_recall" -> 8,
     "x119_hybrid_ndcg" -> 8,
+    "x141_hybrid_recall_fielded" -> 9,
+    "x142_hybrid_ndcg_fielded" -> 9,
     "x129_bm25f" -> 7,
     "x134_bm25f_filtered" -> 7,
     "x139_bm25f_full" -> 7,
