@@ -139,7 +139,8 @@ object LexIndex {
     if (m.fielded)
       // fielded layout: one posting per (term, doc, FIELD) with the
       // field ordinal and the doc's per-field lengths (constant per
-      // doc — the probe's weighted dl folds over them)
+      // doc — the probe's weighted dl folds over them); positional
+      // fielded indexes add the within-FIELD position list
       StructType(Seq(
         StructField("term", org.apache.spark.sql.types.StringType),
         StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -147,6 +148,10 @@ object LexIndex {
         StructField("tf", org.apache.spark.sql.types.LongType),
         StructField("dls", org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, containsNull = false))) ++
+        (if (m.positional) Seq(StructField("positions",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false)))
+         else Nil) ++
         m.attrs.fields :+
         StructField("tb", org.apache.spark.sql.types.IntegerType))
     else StructType(Seq(
@@ -299,21 +304,40 @@ object LexIndex {
     * FIELD): each field tokenizes and explodes once (the same map-side
     * pass, one union wider), aggregates under its ordinal, and the
     * doc's per-field length vector rides every row (constant per doc,
-    * so grouping by it never splits a group). */
+    * so grouping by it never splits a group).
+    *
+    * With `positional = true` each row also carries the term's 0-based
+    * token positions WITHIN ITS FIELD's token stream (ascending
+    * `array<int>`) — the fielded phrase/sloppy serving layer
+    * ([[searchPhraseFielded]]): a phrase is a single-stream question,
+    * so per-field streams are exactly the right granularity. Same
+    * shuffle width as the plain positional layout (one extra int per
+    * token on the wire); non-phrase probes never read the column. */
   private def postingsOfFielded(docs: DataFrame, idCol: String,
                                 fields: Seq[String],
-                                attrs: Seq[String]): DataFrame = {
+                                attrs: Seq[String],
+                                positional: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id") +:
       fields.zipWithIndex.map { case (f, i) =>
         Dedup.tokensNs(col(f)).as(s"toks_$i") } ++: attrs.map(col): _*)
     val dls = array(fields.indices.map(i =>
       size(col(s"toks_$i")).cast("long")): _*)
     fields.indices.map { i =>
-      toks.select(col("doc_id") +: lit(i).as("fi") +: dls.as("dls") +:
-          explode(col(s"toks_$i")).as("term") +: attrs.map(col): _*)
-        .groupBy("doc_id", "term" +: "fi" +: "dls" +: attrs: _*)
-        .agg(count("*").as("tf"))
-        .select("term", "doc_id" +: "fi" +: "tf" +: "dls" +: attrs: _*)
+      if (!positional)
+        toks.select(col("doc_id") +: lit(i).as("fi") +: dls.as("dls") +:
+            explode(col(s"toks_$i")).as("term") +: attrs.map(col): _*)
+          .groupBy("doc_id", "term" +: "fi" +: "dls" +: attrs: _*)
+          .agg(count("*").as("tf"))
+          .select("term", "doc_id" +: "fi" +: "tf" +: "dls" +: attrs: _*)
+      else
+        toks.select((Seq(col("doc_id"), lit(i).as("fi"), dls.as("dls"),
+            posexplode(col(s"toks_$i")).as(Seq("pos", "term"))) ++
+            attrs.map(col)): _*)
+          .groupBy("doc_id", "term" +: "fi" +: "dls" +: attrs: _*)
+          .agg(count("*").as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+          .select("term",
+            "doc_id" +: "fi" +: "tf" +: "dls" +: "positions" +: attrs: _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -468,13 +492,17 @@ object LexIndex {
     * Σ doc lengths. Field WEIGHTS are not stored — they are probe-time
     * arguments ([[searchFielded]], the Lucene convention), so one index
     * serves every weighting. N counts docs with ≥1 token in ANY field.
-    * The lifecycle verbs (append/compact/vacuum/erase/sync) all apply;
-    * positional/phrase layers deliberately do not combine with fields
-    * (a quoted phrase is a single-field question). */
+    * The lifecycle verbs (append/compact/vacuum/erase/sync) all apply.
+    * With `positions = true` each (term, doc, field) row also stores
+    * the within-FIELD position list — the fielded phrase/sloppy layer
+    * ([[searchPhraseFielded]]/[[searchPhraseSloppyFielded]]: "the
+    * phrase in the TITLE"); a quoted phrase is a single-STREAM
+    * question, and per-field streams are that granularity. */
   def buildFielded(docs: DataFrame, path: String, fields: Seq[String],
                    buckets: Int = AutoBuckets,
                    idCol: String = "doc_id",
-                   attrs: Seq[String] = Nil): Long = {
+                   attrs: Seq[String] = Nil,
+                   positions: Boolean = false): Long = {
     require(fields.nonEmpty, "buildFielded needs at least one field")
     require(buckets > 0 || buckets == AutoBuckets,
       s"buckets must be positive (or LexIndex.AutoBuckets), got $buckets")
@@ -483,7 +511,7 @@ object LexIndex {
     val spark = docs.sparkSession
     val root = new Path(path)
     val attrsDdl = attrsDdlOf(docs, attrs)
-    val postings = postingsOfFielded(docs, idCol, fields, attrs)
+    val postings = postingsOfFielded(docs, idCol, fields, attrs, positions)
     val nBuckets =
       if (buckets == AutoBuckets) {
         postings.persist()
@@ -496,7 +524,7 @@ object LexIndex {
     val (n, raw, sums) = statsOfFielded(docs, idCol, fields)
     publish(spark, root,
       LexManifest(version, Seq(SegEntry(seg)), nBuckets, n, raw, attrsDdl,
-        positional = false, Set(seg), Some(fields), sums))
+        positions, Set(seg), Some(fields), sums))
     version
   }
 
@@ -540,7 +568,8 @@ object LexIndex {
     writeSegment(spark, root, seg,
       m0.fields match {
         case Some(fs) =>
-          postingsOfFielded(docs, idCol, fs, m0.attrs.fieldNames.toSeq)
+          postingsOfFielded(docs, idCol, fs, m0.attrs.fieldNames.toSeq,
+            m0.positional)
         case None =>
           postingsOf(docs, idCol, textCol, m0.attrs.fieldNames.toSeq,
             m0.positional)
@@ -1102,13 +1131,31 @@ object LexIndex {
         s"(${fs.mkString(", ")}), got ${weights.map(_._1).mkString(", ")}")
     require(weights.forall(_._2 > 0.0),
       s"field weights must be > 0, got ${weights.map(_._2).mkString(", ")}")
-    val w = weights.map(_._2)
     val root = new Path(path)
     val qTerms = queries.select(col("query_id"),
       explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("term"))
     val pp = probePruning(spark, m, qTerms)
     val pruned = prunedPostings(spark, path, m, pp)
+    fieldedBm25Tail(spark, root, m, pruned, qTerms, pp,
+      weights.map(_._2), k, k1, b, pred, eligPairs = None)
+  }
+
+  /** The fielded probes' shared simplified-BM25F scoring tail
+    * ([[searchFielded]] and the fielded phrase/sloppy probes meet
+    * here): weighted tf′ folds the pruned (field, tf) rows in field
+    * order, weighted dl′ folds the stored per-field length vector,
+    * corpus stats weight the manifest's exact per-field sums (the SAME
+    * left-associative field-order fold the flat scan computes), df
+    * from the sidecar statistics. */
+  private def fieldedBm25Tail(spark: SparkSession, root: Path,
+                              m: LexManifest, pruned: DataFrame,
+                              qTerms: DataFrame, pp: ProbePruning,
+                              w: Seq[Double], k: Int,
+                              k1: Double, b: Double,
+                              pred: Option[Column],
+                              eligPairs: Option[DataFrame]): DataFrame = {
+    val fs = m.fields.get
     val weightArr = array(w.map(lit): _*)
     val dlw = fs.indices.foldLeft(lit(0.0))((acc, i) =>
       acc + lit(w(i)) * element_at(col("dls"), i + 1).cast("double"))
@@ -1125,14 +1172,114 @@ object LexIndex {
       max("dlw").as("dl") +:
       (if (pred.isDefined) Seq(max("elig").as("elig")) else Nil)
     val tfQ = base.groupBy("doc_id", "term").agg(aggs.head, aggs.tail: _*)
-    // the manifest's exact per-field integer sums, weighted by the SAME
-    // left-associative field-order fold the flat scan computes
     val sumDlW = fs.indices.foldLeft(0.0)((acc, i) =>
       acc + w(i) * m.fieldSums(i).toDouble)
     val stats = spark.createDataFrame(Seq((m.nDocs, sumDlW)))
       .toDF("n_docs", "sum_dl")
-    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b,
+    Retrieval.scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs,
       mergeableDf = true, dft = Some(dfStats(spark, root, m, qTerms, pp)))
+  }
+
+  /** Quoted-PHRASE probe of a FIELDED positional index —
+    * [[Retrieval.bm25fPhraseTopK]]'s at-rest twin ("the phrase in the
+    * TITLE", served): only documents whose `phraseField` holds the
+    * phrase as a contiguous run in ITS OWN token stream rank, scored
+    * by simplified BM25F at the probe-time weights. Adjacency
+    * intersects the target field's stored within-field position lists
+    * on the PRUNED candidate rows (the [[searchPhrase]] kernel over
+    * `fi = phraseField` rows only); the scoring branch folds ALL
+    * fields' pruned rows — two column-pruned probes of the same
+    * buckets, zero corpus scans. Requires [[buildFielded]] with
+    * `positions = true`.
+    *
+    * @param weights     `(field, weight)` naming the manifest's fields
+    *                    in order, as [[searchFielded]]
+    * @param phraseField which field must contain the run */
+  def searchPhraseFielded(spark: SparkSession, path: String,
+                          phrases: DataFrame, k: Int,
+                          weights: Seq[(String, Double)],
+                          phraseField: String,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          pred: Option[Column] = None): DataFrame =
+    fieldedPhraseServe(spark, path, phrases, k, weights, phraseField,
+      k1, b, pred, slop = None)
+
+  /** SLOPPY-phrase probe of a FIELDED positional index —
+    * [[Retrieval.bm25fSloppyPhraseTopK]]'s at-rest twin: the ordered
+    * greedy-chain containment ([[searchPhraseSloppy]]'s kernel) over
+    * the target field's within-field position lists; slop = 0 is
+    * [[searchPhraseFielded]]. */
+  def searchPhraseSloppyFielded(spark: SparkSession, path: String,
+                                phrases: DataFrame, k: Int,
+                                weights: Seq[(String, Double)],
+                                phraseField: String, slop: Int,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                pred: Option[Column] = None): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    fieldedPhraseServe(spark, path, phrases, k, weights, phraseField,
+      k1, b, pred, slop = Some(slop))
+  }
+
+  private def fieldedPhraseServe(spark: SparkSession, path: String,
+                                 phrases: DataFrame, k: Int,
+                                 weights: Seq[(String, Double)],
+                                 phraseField: String,
+                                 k1: Double, b: Double,
+                                 pred: Option[Column],
+                                 slop: Option[Int]): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.fielded, s"$path stores no fielded postings — build the " +
+      "index with buildFielded to serve fielded phrase queries")
+    require(m.positional, s"$path stores no positional postings — " +
+      "buildFielded with positions = true to serve phrase queries")
+    val fs = m.fields.get
+    require(weights.map(_._1) == fs,
+      s"probe weights must name the index's fields in order " +
+        s"(${fs.mkString(", ")}), got ${weights.map(_._1).mkString(", ")}")
+    require(weights.forall(_._2 > 0.0),
+      s"field weights must be > 0, got ${weights.map(_._2).mkString(", ")}")
+    val fiIdx = fs.indexOf(phraseField)
+    require(fiIdx >= 0, s"phrase field '$phraseField' is not one of the " +
+      s"index's fields (${fs.mkString(", ")})")
+    val root = new Path(path)
+    val ph = phrases.select(col("query_id"),
+      transform(col("phrase"), t => lower(t)).as("phrase"))
+    val phIdx = ph.select(col("query_id"), size(col("phrase")).as("n"),
+      posexplode(col("phrase")).as(Seq("j", "term")))
+    val qTerms = phIdx.select("query_id", "term").distinct()
+    val pp = probePruning(spark, m, qTerms)
+    val pruned = prunedPostings(spark, path, m, pp)
+    // adjacency over the TARGET field's rows only — within-field
+    // streams, so positions mean exactly what the flat kernel sees
+    val withJ = pruned.filter(col("fi") === lit(fiIdx))
+      .select("term", "doc_id", "positions")
+      .join(broadcast(phIdx), Seq("term"))
+    val slots = withJ.groupBy("query_id", "doc_id")
+      .agg(max("n").as("n"), count(lit(1)).as("nj"),
+        map_from_entries(collect_list(struct(col("j"), col("positions"))))
+          .as("slot_pos"))
+      .filter(col("nj") === col("n"))
+    // the n = 1 short-circuit keeps every sequence ascending (CaseWhen
+    // branches evaluate lazily — the searchPhrase/searchPhraseSloppy
+    // guard, fielded form)
+    val chainOk = slop match {
+      case None =>
+        exists(element_at(col("slot_pos"), lit(0)), p =>
+          forall(sequence(lit(1), col("n") - lit(1)), j =>
+            array_contains(element_at(col("slot_pos"), j), p + j)))
+      case Some(sl) =>
+        exists(element_at(col("slot_pos"), lit(0)), p0 =>
+          aggregate(sequence(lit(1), col("n") - lit(1)), p0, (acc, j) =>
+            when(acc.isNull, acc).otherwise(
+              array_min(filter(element_at(col("slot_pos"), j),
+                x => x > acc && x <= p0 + col("n") - lit(1) + lit(sl)))))
+            .isNotNull)
+    }
+    val eligPairs = slots.filter(
+      when(col("n") === 1, lit(true)).otherwise(chainOk))
+      .select("query_id", "doc_id")
+    fieldedBm25Tail(spark, root, m, pruned, qTerms, pp,
+      weights.map(_._2), k, k1, b, pred, eligPairs = Some(eligPairs))
   }
 
   /** FULL Robertson–Zaragoza BM25F probe of a FIELDED index —
@@ -1319,6 +1466,8 @@ object LexIndex {
     val m = readManifest(spark, path)
     require(m.positional, s"$path stores no positional postings — " +
       "build the index with positions = true to serve phrase queries")
+    require(!m.fielded, s"$path is a FIELDED index — probe it with " +
+      "searchPhraseFielded (positions there are per FIELD stream)")
     val root = new Path(path)
     val ph = phrases.select(col("query_id"),
       transform(col("phrase"), t => lower(t)).as("phrase"))
@@ -1381,6 +1530,8 @@ object LexIndex {
     val m = readManifest(spark, path)
     require(m.positional, s"$path stores no positional postings — " +
       "build the index with positions = true to serve sloppy-phrase queries")
+    require(!m.fielded, s"$path is a FIELDED index — probe it with " +
+      "searchPhraseSloppyFielded (positions there are per FIELD stream)")
     val root = new Path(path)
     val ph = phrases.select(col("query_id"),
       transform(col("phrase"), t => lower(t)).as("phrase"))
@@ -1442,6 +1593,9 @@ object LexIndex {
     val m = readManifest(spark, path)
     require(m.positional, s"$path stores no positional postings — " +
       "build the index with positions = true to serve proximity queries")
+    require(!m.fielded, s"$path is a FIELDED index — an unordered " +
+      "proximity window over separate field streams is not defined; " +
+      "probe a single-field positional index")
     val root = new Path(path)
     val qs = queries.select(col("query_id"),
       array_distinct(transform(col("terms"), t => lower(t))).as("qterms"))

@@ -128,6 +128,50 @@ object Retrieval {
     *         document containing every phrase term but never adjacently
     *         is NOT a result
     */
+  /** Contiguous-run containment kernel: ∃ i ≤ dl−n+1 with
+    * toks[i..i+n) = phrase — array slice equality inside codegen,
+    * guarded so the `sequence` never runs descending (sequence(1, 0)
+    * would, silently). Shared by the single-field and the FIELDED
+    * phrase scans — a phrase is a question about ONE token stream. */
+  private[operators] def phraseContains(
+      toks: org.apache.spark.sql.Column,
+      phrase: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = size(phrase)
+    when(size(toks) >= n,
+        exists(sequence(lit(1), size(toks) - n + lit(1)),
+          i => slice(toks, i, n) === phrase))
+      .otherwise(lit(false))
+  }
+
+  /** Ordered-within-slop containment kernel — a codegen'd GREEDY chain
+    * from each anchor (the tokens equal to phrase[0], 1-based): slots
+    * 2..n each take the smallest position > acc inside
+    * [p0, p0+n−1+slop]; null = broken; greedy minimizes the chain end,
+    * so an anchor admits a valid chain iff its greedy chain fits.
+    * CaseWhen branches evaluate lazily, so the n = 1 short-circuit
+    * keeps sequence(2, n) ascending (sequence(2, 1) would silently run
+    * DESCENDING). Shared by the single-field and FIELDED sloppy scans. */
+  private[operators] def sloppyContains(
+      toks: org.apache.spark.sql.Column,
+      phrase: org.apache.spark.sql.Column,
+      slop: Int): org.apache.spark.sql.Column = {
+    val n = size(phrase)
+    def chainEnd(p0: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(2), n), p0.cast("int"), (acc, j) =>
+        when(acc.isNull, acc).otherwise {
+          val hi = least(p0 + n - lit(1) + lit(slop), size(toks))
+          when(acc + lit(1) > hi, lit(null).cast("int")).otherwise(
+            array_min(filter(sequence(acc + lit(1), hi),
+              p => element_at(toks, p) === element_at(phrase, j))))
+        })
+    val anchors = filter(sequence(lit(1), size(toks)),
+      i => element_at(toks, i) === element_at(phrase, lit(1)))
+    when(n === 1, array_contains(toks, element_at(phrase, lit(1))))
+      .otherwise(when(size(toks) >= n,
+        exists(anchors, p0 => chainEnd(p0).isNotNull))
+        .otherwise(lit(false)))
+  }
+
   def bm25PhraseTopK(docs: DataFrame, phrases: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75,
                      idCol: String = "doc_id", textCol: String = "text",
@@ -139,16 +183,8 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    // contiguous containment: ∃ i ≤ dl−n+1 with toks[i..i+n) = phrase —
-    // array slice equality inside codegen, guarded so the `sequence`
-    // never runs descending (sequence(1, 0) would, silently)
-    val n = size(col("phrase"))
-    val contains = when(size(col("toks")) >= n,
-        exists(sequence(lit(1), size(col("toks")) - n + lit(1)),
-          i => slice(col("toks"), i, n) === col("phrase")))
-      .otherwise(lit(false))
     val eligPairs = toksAll.crossJoin(broadcast(ph))
-      .filter(contains)
+      .filter(phraseContains(col("toks"), col("phrase")))
       .select("query_id", "doc_id")
     val exploded = toksAll.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
@@ -204,29 +240,8 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    val n = size(col("phrase"))
-    // greedy chain from anchor p0 (1-based): slots 2..n each take the
-    // smallest position > acc inside [p0, p0+n-1+slop]; null = broken.
-    // CaseWhen branches evaluate lazily, so the n = 1 short-circuit
-    // keeps sequence(2, n) ascending (sequence(2, 1) would silently
-    // run DESCENDING — the bm25PhraseTopK guard, slot form)
-    def chainEnd(p0: org.apache.spark.sql.Column) =
-      aggregate(sequence(lit(2), n), p0.cast("int"), (acc, j) =>
-        when(acc.isNull, acc).otherwise {
-          val hi = least(p0 + n - lit(1) + lit(slop), size(col("toks")))
-          when(acc + lit(1) > hi, lit(null).cast("int")).otherwise(
-            array_min(filter(sequence(acc + lit(1), hi),
-              p => element_at(col("toks"), p) === element_at(col("phrase"), j))))
-        })
-    val anchors = filter(sequence(lit(1), size(col("toks"))),
-      i => element_at(col("toks"), i) === element_at(col("phrase"), lit(1)))
-    val contains =
-      when(n === 1, array_contains(col("toks"), element_at(col("phrase"), lit(1))))
-        .otherwise(when(size(col("toks")) >= n,
-          exists(anchors, p0 => chainEnd(p0).isNotNull))
-          .otherwise(lit(false)))
     val eligPairs = toksAll.crossJoin(broadcast(ph))
-      .filter(contains)
+      .filter(sloppyContains(col("toks"), col("phrase"), slop))
       .select("query_id", "doc_id")
     val exploded = toksAll.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
@@ -344,7 +359,19 @@ object Retrieval {
                 idCol: String = "doc_id",
                 queryIdCol: String = "query_id",
                 termsCol: String = "terms",
-                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    bm25fRanked(docs, queries, k, fields, k1, b, idCol, queryIdCol,
+      termsCol, pred, eligPairs = None)
+
+  /** [[bm25fTopK]]'s body with the per-(query, doc) candidate
+    * restriction exposed — the fielded PHRASE scans' scoring tail. */
+  private def bm25fRanked(docs: DataFrame, queries: DataFrame, k: Int,
+                          fields: Seq[(String, Double)],
+                          k1: Double, b: Double,
+                          idCol: String, queryIdCol: String,
+                          termsCol: String,
+                          pred: Option[org.apache.spark.sql.Column],
+                          eligPairs: Option[DataFrame]): DataFrame = {
     require(fields.nonEmpty, "bm25fTopK needs at least one field")
     require(fields.forall(_._2 > 0.0),
       s"field weights must be > 0, got ${fields.map(_._2).mkString(", ")}")
@@ -396,7 +423,79 @@ object Retrieval {
     val sumDlW = fields.zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, ((_, w), i)) => acc + lit(w) * col(s"s_$i").cast("double") }
     val stats = rawStats.select(col("n_docs"), sumDlW.as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = eligPairs)
+  }
+
+  /** Quoted-PHRASE BM25F, flat-scan form — "the phrase in the TITLE":
+    * only documents whose `phraseField` contains the phrase as a
+    * CONTIGUOUS token run (in that field's own token stream) rank,
+    * scored by simplified BM25F over the phrase's distinct terms at
+    * the probe weights. The phrase restricts CANDIDATES per (query,
+    * doc) AFTER the df stage — df, weighted lengths and corpus stats
+    * stay full-corpus, the phrase contract, fielded form. The at-rest
+    * twin ([[LexIndex.searchPhraseFielded]]) answers from per-field
+    * stored positions without any corpus scan.
+    *
+    * @param phrases     `(query_id, phrase: array<string>)`, adjacency
+    *                    in array order, matched lowercased
+    * @param phraseField which field must contain the run — one of
+    *                    `fields`' names (a phrase is a single-stream
+    *                    question; cross-field runs don't exist)
+    */
+  def bm25fPhraseTopK(docs: DataFrame, phrases: DataFrame, k: Int,
+                      fields: Seq[(String, Double)], phraseField: String,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      idCol: String = "doc_id",
+                      queryIdCol: String = "query_id",
+                      phraseCol: String = "phrase",
+                      pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    bm25fPhraseRanked(docs, phrases, k, fields, phraseField, k1, b, idCol,
+      queryIdCol, phraseCol, pred,
+      (toks, phrase) => phraseContains(toks, phrase))
+
+  /** SLOPPY-phrase BM25F, flat-scan form — the ordered-within-slop run
+    * ([[bm25SloppyPhraseTopK]]'s semantics) inside ONE field of a
+    * multi-field document, scored by simplified BM25F at the probe
+    * weights. slop = 0 degenerates to [[bm25fPhraseTopK]]. */
+  def bm25fSloppyPhraseTopK(docs: DataFrame, phrases: DataFrame, k: Int,
+                            fields: Seq[(String, Double)],
+                            phraseField: String, slop: Int,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            idCol: String = "doc_id",
+                            queryIdCol: String = "query_id",
+                            phraseCol: String = "phrase",
+                            pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    bm25fPhraseRanked(docs, phrases, k, fields, phraseField, k1, b, idCol,
+      queryIdCol, phraseCol, pred,
+      (toks, phrase) => sloppyContains(toks, phrase, slop))
+  }
+
+  private def bm25fPhraseRanked(docs: DataFrame, phrases: DataFrame,
+                                k: Int, fields: Seq[(String, Double)],
+                                phraseField: String,
+                                k1: Double, b: Double,
+                                idCol: String, queryIdCol: String,
+                                phraseCol: String,
+                                pred: Option[org.apache.spark.sql.Column],
+                                contains: (org.apache.spark.sql.Column,
+                                  org.apache.spark.sql.Column) =>
+                                  org.apache.spark.sql.Column): DataFrame = {
+    require(fields.exists(_._1 == phraseField),
+      s"phrase field '$phraseField' is not one of the scored fields " +
+        s"(${fields.map(_._1).mkString(", ")})")
+    val ph = phrases.select(col(queryIdCol).as("query_id"),
+      transform(col(phraseCol), t => lower(t)).as("phrase"))
+    val eligPairs = docs
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokensNs(col(phraseField)).as("toks"))
+      .crossJoin(broadcast(ph))
+      .filter(contains(col("toks"), col("phrase")))
+      .select("query_id", "doc_id")
+    val qTerms = ph.select(col("query_id"),
+      array_distinct(col("phrase")).as("terms"))
+    bm25fRanked(docs, qTerms, k, fields, k1, b, idCol, "query_id",
+      "terms", pred, eligPairs = Some(eligPairs))
   }
 
   /** FULL Robertson–Zaragoza BM25F, flat-scan form — the per-field

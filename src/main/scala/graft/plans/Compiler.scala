@@ -175,6 +175,20 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.searchFielded(spark, path, queries, k,
           ws, pred = where.map(predicate(df, _)))
+      case Op.LexFieldedPhraseSearch(phrase, k, field, ws, where) =>
+        // "the phrase in the TITLE", served: within-field adjacency
+        // from the fielded positional index's stored position lists
+        val phrases = spark.createDataFrame(Seq((-1L, phrase)))
+          .toDF("query_id", "phrase")
+        graft.operators.LexIndex.searchPhraseFielded(spark, path, phrases,
+          k, ws, field, pred = where.map(predicate(df, _)))
+      case Op.LexFieldedSloppySearch(phrase, k, field, slop, ws, where) =>
+        // the ordered-within-slop chain over the named field's stream
+        val phrases = spark.createDataFrame(Seq((-1L, phrase)))
+          .toDF("query_id", "phrase")
+        graft.operators.LexIndex.searchPhraseSloppyFielded(spark, path,
+          phrases, k, ws, field, slop,
+          pred = where.map(predicate(df, _)))
       case Op.LexProximitySearch(terms, k, w, where) =>
         // window containment from the positional index's stored
         // position lists — zero corpus scans
@@ -553,6 +567,21 @@ object Compiler {
       val queries = session.createDataFrame(Seq((-1L, terms)))
         .toDF("query_id", "terms")
       Retrieval.bm25fTopK(df, queries, k, ws,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25FPhrase(phrase, k, field, ws, where) =>
+      // the quoted phrase must run contiguously inside the NAMED
+      // field's own token stream; BM25F scores at the spoken weights
+      val session = df.sparkSession
+      val phrases = session.createDataFrame(Seq((-1L, phrase)))
+        .toDF("query_id", "phrase")
+      Retrieval.bm25fPhraseTopK(df, phrases, k, ws, field,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25FSloppy(phrase, k, field, slop, ws, where) =>
+      // ordered within slop inside one field's stream, BM25F-scored
+      val session = df.sparkSession
+      val phrases = session.createDataFrame(Seq((-1L, phrase)))
+        .toDF("query_id", "phrase")
+      Retrieval.bm25fSloppyPhraseTopK(df, phrases, k, ws, field, slop,
         pred = where.map(predicate(df, _)))
     case Op.Bm25Proximity(terms, k, w, where) =>
       // all terms inside some w-token run, any order (query_id -1)

@@ -1064,6 +1064,36 @@ object NLParser {
                 val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
                 if (phrase.isEmpty) throw ParseException(
                   "a quoted phrase needs at least one token")
+                // "… matching \"the fast\" in title [with slop 3]
+                // weighting title 2, text 1" — the FIELDED phrase: the
+                // run must sit in the NAMED field's own token stream,
+                // eligible docs ranked by BM25F at the spoken weights
+                if (p.peekWordLower.contains("in")) {
+                  p.next(); p.dropWords("the")
+                  val field = p.expectWordRaw()
+                  val fslop = p.peekWordLower match {
+                    case Some("with") =>
+                      p.next(); p.expectWord("slop")
+                      val sl = p.expectNum().toInt
+                      if (sl < 0) throw ParseException(
+                        s"slop must be >= 0: $sl")
+                      Some(sl)
+                    case _ => None
+                  }
+                  p.expectWord("weighting")
+                  val ws = weightList(p)
+                  val where = p.peekWordLower match {
+                    case Some("where") => p.next(); Some(parsePred(p))
+                    case _             => None
+                  }
+                  requireDone(p)
+                  return Right(List(fslop match {
+                    case Some(sl) =>
+                      Op.Bm25FSloppy(phrase, k, field, sl, ws, where)
+                    case None =>
+                      Op.Bm25FPhrase(phrase, k, field, ws, where)
+                  }))
+                }
                 // "… matching \"spark fast\" with slop 3" — SLOPPY:
                 // phrase tokens in order within slop extra positions
                 val slop = p.peekWordLower match {
@@ -1791,6 +1821,37 @@ object NLParser {
               val phrase = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
               if (phrase.isEmpty) throw ParseException(
                 "a quoted phrase needs at least one token")
+              // "… matching \"the fast\" in title [with slop 3]
+              // weighting title 2, text 1" — the FIELDED phrase probe:
+              // within-field adjacency from the fielded positional
+              // index's stored per-field position lists, BM25F scoring
+              // at the spoken probe-time weights
+              if (p.peekWordLower.contains("in")) {
+                p.next(); p.dropWords("the")
+                val field = p.expectWordRaw()
+                val fslop = p.peekWordLower match {
+                  case Some("with") =>
+                    p.next(); p.expectWord("slop")
+                    val sl = p.expectNum().toInt
+                    if (sl < 0) throw ParseException(
+                      s"slop must be >= 0: $sl")
+                    Some(sl)
+                  case _ => None
+                }
+                p.expectWord("weighting")
+                val ws = weightList(p)
+                val where = p.peekWordLower match {
+                  case Some("where") => p.next(); Some(parsePred(p))
+                  case _             => None
+                }
+                requireDone(p)
+                return Right(List(fslop match {
+                  case Some(sl) =>
+                    Op.LexFieldedSloppySearch(phrase, k, field, sl, ws, where)
+                  case None =>
+                    Op.LexFieldedPhraseSearch(phrase, k, field, ws, where)
+                }))
+              }
               // "… matching \"spark fast\" with slop 3" — the SLOPPY
               // probe: ordered chains within the slop window from the
               // positional index's stored position lists

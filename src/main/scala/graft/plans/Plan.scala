@@ -216,6 +216,20 @@ object Op {
   final case class Bm25F(terms: Seq[String], k: Int,
                          weights: Seq[(String, Double)],
                          where: Option[Pred] = None)               extends CorpusOp
+  /** Quoted-phrase BM25F ("documents matching \"the fast\" in title
+    * weighting title 2, text 1") — the run must sit in the NAMED
+    * field's OWN token stream; the eligible docs rank by BM25F at the
+    * spoken weights ([[graft.operators.Retrieval.bm25fPhraseTopK]]). */
+  final case class Bm25FPhrase(phrase: Seq[String], k: Int, field: String,
+                               weights: Seq[(String, Double)],
+                               where: Option[Pred] = None)         extends CorpusOp
+  /** SLOPPY-phrase BM25F ("… \"spark fast\" in text with slop 3
+    * weighting title 2, text 1") — ordered within slop inside one
+    * field's stream
+    * ([[graft.operators.Retrieval.bm25fSloppyPhraseTopK]]). */
+  final case class Bm25FSloppy(phrase: Seq[String], k: Int, field: String,
+                               slop: Int, weights: Seq[(String, Double)],
+                               where: Option[Pred] = None)         extends CorpusOp
   /** PROXIMITY BM25 top-k ("documents matching spark, join within 5
     * tokens") — only documents with all terms inside some window-token
     * run rank ([[graft.operators.Retrieval.bm25ProximityTopK]]). */
@@ -610,6 +624,21 @@ object Op {
   final case class LexFieldedSearch(terms: Seq[String], k: Int,
                                     weights: Seq[(String, Double)],
                                     where: Option[Pred] = None)    extends TableOp
+  /** Quoted-phrase probe of the bound FIELDED POSITIONAL index
+    * ([[graft.operators.LexIndex.searchPhraseFielded]] — "the phrase
+    * in the TITLE", served: adjacency from the target field's stored
+    * within-field position lists, BM25F scoring at the spoken
+    * weights; zero corpus scans). */
+  final case class LexFieldedPhraseSearch(phrase: Seq[String], k: Int,
+                                          field: String,
+                                          weights: Seq[(String, Double)],
+                                          where: Option[Pred] = None) extends TableOp
+  /** SLOPPY-phrase probe of the bound FIELDED POSITIONAL index
+    * ([[graft.operators.LexIndex.searchPhraseSloppyFielded]]). */
+  final case class LexFieldedSloppySearch(phrase: Seq[String], k: Int,
+                                          field: String, slop: Int,
+                                          weights: Seq[(String, Double)],
+                                          where: Option[Pred] = None) extends TableOp
   /** PROXIMITY probe of the bound POSITIONAL inverted index
     * ([[graft.operators.LexIndex.searchProximity]] — window
     * containment from stored position lists on the pruned candidate

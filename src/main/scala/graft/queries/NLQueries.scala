@@ -664,6 +664,36 @@ object NLQueries extends QueryPack {
         tablePath = Some(lp), vectorIndexPath = Some(vp))
     }),
 
+    // The FIELDED phrase, spoken — "the phrase in the TITLE" in one
+    // sentence: flat fielded scan and the fielded positional probe of
+    // the same sentence (shared oracle strings, interleaved twins).
+    "nl156_bm25f_phrase" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching \"the fast\" in title " +
+                 "weighting title 2, text 1.",
+        RetrievalQueries.titledDocs(s, d))),
+
+    "nl157_lexf_phrase_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexFieldedPosIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "\"the fast\" in title weighting title 2, text 1.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
+    // The FIELDED sloppy phrase, spoken — ordered within slop inside
+    // the body field's stream, BM25F-weighted.
+    "nl158_bm25f_sloppy" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching \"spark fast\" in text " +
+                 "with slop 3 weighting title 2, text 1.",
+        RetrievalQueries.titledDocs(s, d))),
+
+    "nl159_lexf_sloppy_search" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexFieldedPosIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "\"spark fast\" in text with slop 3 weighting " +
+                 "title 2, text 1.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // The FIELDED hybrid, spoken — the title/body RAG probe in one
     // sentence: this fielded index's BM25F arm at the spoken weights,
     // the bound vector index's arm by the spoken query id's stored
@@ -1314,6 +1344,22 @@ object NLQueries extends QueryPack {
     // same constants — interleaved twins)
     "nl154_mmr_hybrid_lit" ->
       RetrievalQueries.mmrHybridLitReplaySql(5, 10, 4, 0.7),
+    // fielded phrase/sloppy pairs: the probe shares the flat scan's
+    // string (within-field chain restricting the BM25F ranking)
+    "nl156_bm25f_phrase" -> RetrievalQueries.bm25fPhraseFieldedReplaySql(
+      Seq(-1L -> Seq("the", "fast")), 5, Seq(2.0, 1.0), fieldIdx = 0,
+      slop = 0),
+    "nl157_lexf_phrase_search" ->
+      RetrievalQueries.bm25fPhraseFieldedReplaySql(
+        Seq(-1L -> Seq("the", "fast")), 5, Seq(2.0, 1.0), fieldIdx = 0,
+        slop = 0),
+    "nl158_bm25f_sloppy" -> RetrievalQueries.bm25fPhraseFieldedReplaySql(
+      Seq(-1L -> Seq("spark", "fast")), 5, Seq(2.0, 1.0), fieldIdx = 1,
+      slop = 3),
+    "nl159_lexf_sloppy_search" ->
+      RetrievalQueries.bm25fPhraseFieldedReplaySql(
+        Seq(-1L -> Seq("spark", "fast")), 5, Seq(2.0, 1.0), fieldIdx = 1,
+        slop = 3),
     // fielded hybrid: x137's replay at the spoken single query (the
     // BM25F arm's replay + the by-id IVF arm's replay, fused)
     "nl155_hybrid_serve_fielded" ->

@@ -74,6 +74,15 @@ object RetrievalQueries extends QueryPack {
   private[queries] val SloppyQueries: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("spark", "fast"),
     1L -> Seq("spark", "join", "fast"))
+
+  /** The TITLE-phrase fixture (x143/x144): 2-grams that actually occur
+    * inside the derived 3-token titles at every test SF — a phrase
+    * probe of the title field with an empty result certifies nothing. */
+  private[queries] val TitlePhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("the", "fast"),
+    1L -> Seq("hash", "row"))
+  private def titlePhrasesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(TitlePhraseQueries).toDF("query_id", "phrase")
   private[queries] val Slop = 3
   private def sloppyDf(s: SparkSession): DataFrame =
     s.createDataFrame(SloppyQueries).toDF("query_id", "phrase")
@@ -159,6 +168,14 @@ object RetrievalQueries extends QueryPack {
     lexIndexAt(s, d, "graft_lexf_index_")(
       graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
         fields = Seq("title", "text")))
+
+  /** x144/x146's index: FIELDS and POSITIONS together — per-field
+    * postings whose rows also store within-FIELD position lists, the
+    * "phrase in the title" serving layout. */
+  private[queries] def lexFieldedPosIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexfpos_index_")(
+      graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
+        fields = Seq("title", "text"), positions = true))
 
   /** x135's index: fields AND the `lang` attribute — the filtered
     * BM25F serving shape. */
@@ -526,6 +543,34 @@ object RetrievalQueries extends QueryPack {
         VectorQueries.ivfIndexTable(s, d), queriesDf(s), K, Depth,
         IvfNProbe, FieldWeights, RrfC)),
 
+    // FIELDED × POSITIONAL — "the phrase in the TITLE": only documents
+    // whose title stream holds the contiguous run rank, scored by
+    // BM25F at the probe weights (the phrase restricts candidates,
+    // never scoring — the phrase contract, fielded form).
+    "x143_bm25f_phrase" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fPhraseTopK(titledDocs(s, d), titlePhrasesDf(s), K,
+        FieldWeights, "title", k1 = K1, b = B)),
+
+    // Served AT REST from the fielded POSITIONAL index: adjacency from
+    // the target field's stored within-field position lists on the
+    // pruned candidate rows — zero corpus scans. Same oracle STRING as
+    // x143 (interleaved bench twins).
+    "x144_lexf_phrase_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhraseFielded(s,
+        lexFieldedPosIndexTable(s, d), titlePhrasesDf(s), K, FieldWeights,
+        "title", k1 = K1, b = B)),
+
+    // The SLOPPY form in the BODY field: ordered within slop inside
+    // one field's stream, BM25F-scored at the probe weights.
+    "x145_bm25f_sloppy" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fSloppyPhraseTopK(titledDocs(s, d), sloppyDf(s), K,
+        FieldWeights, "text", Slop, k1 = K1, b = B)),
+
+    "x146_lexf_sloppy_search" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhraseSloppyFielded(s,
+        lexFieldedPosIndexTable(s, d), sloppyDf(s), K, FieldWeights,
+        "text", Slop, k1 = K1, b = B)),
+
     // Ordered SLOPPY-phrase retrieval — the standard slop semantics
     // every production search engine defaults to (Lucene PhraseQuery):
     // phrase tokens in order within `Slop` extra positions, the middle
@@ -787,7 +832,8 @@ object RetrievalQueries extends QueryPack {
     * the shared rounded-fold ranking. */
   private[queries] def bm25fReplaySql(qs: Seq[(Long, Seq[String])], k: Int,
                                       weights: Seq[Double],
-                                      eligibleSql: Option[String] = None): String = {
+                                      eligibleSql: Option[String] = None,
+                                      extraCtes: Option[String] = None): String = {
     val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
     require(weights.size == fieldToks.size)
     val w = weights.map(_.toString)
@@ -806,7 +852,7 @@ object RetrievalQueries extends QueryPack {
     val sumExpr = fcols.map(i => s"${w(i)}::DOUBLE * sum(dl_$i)::DOUBLE")
       .mkString("0.0::DOUBLE + ", " + ", "")
     val anyTok = fcols.map(i => s"dl_$i").mkString(" + ") + " > 0"
-    s"""WITH qt(query_id, term) AS (VALUES
+    s"""WITH ${extraCtes.fold("")(c => c + "\n")}qt(query_id, term) AS (VALUES
        |  ${qtValues(qs)}),
        |ftoks AS (SELECT doc_id, $ftoksCols FROM documents),
        |tff AS (
@@ -846,6 +892,50 @@ object RetrievalQueries extends QueryPack {
        |  FROM sc)
        |SELECT query_id, doc_id, rank, score FROM lex
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** The FIELDED phrase/sloppy replay — "the phrase in the TITLE":
+    * an increasing position chain per slot over the NAMED field's own
+    * token stream (the [[sloppyReplaySql]] self-join unroll, field
+    * form; slop = 0 forces adjacency, so one builder serves the exact
+    * and the sloppy operator alike), restricting the BM25F ranking
+    * per (query, doc) while df/lengths/stats stay full-corpus.
+    * Scoring terms are the phrase's DISTINCT tokens. Shared verbatim
+    * by the flat fielded scan and the fielded positional probe. */
+  private[queries] def bm25fPhraseFieldedReplaySql(
+      phrases: Seq[(Long, Seq[String])], k: Int, weights: Seq[Double],
+      fieldIdx: Int, slop: Int): String = {
+    val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
+    val ft = fieldToks(fieldIdx)
+    val qs = phrases.map { case (qid, p) => qid -> p.map(_.toLowerCase).distinct }
+    val perQuery = phrases.map { case (qid, p0) =>
+      val p = p0.map(_.toLowerCase)
+      val n = p.size
+      if (n == 1)
+        s"""  SELECT DISTINCT ${qid}::BIGINT AS query_id, p1.doc_id
+           |  FROM fps p1 WHERE p1.term = '${p.head}'""".stripMargin
+      else {
+        val joins = (2 to n).map { j =>
+          s"  JOIN fps p$j ON p$j.doc_id = p1.doc_id AND p$j.term = " +
+            s"'${p(j - 1)}' AND p$j.pos > p${j - 1}.pos"
+        }.mkString("\n")
+        s"""  SELECT DISTINCT ${qid}::BIGINT AS query_id, p1.doc_id
+           |  FROM fps p1
+           |$joins
+           |  WHERE p1.term = '${p.head}'
+           |    AND p$n.pos - p1.pos <= ${n - 1 + slop}""".stripMargin
+      }
+    }.mkString("\n  UNION ALL\n")
+    val ctes =
+      s"""ftx AS (SELECT doc_id, $ft AS ftoks FROM documents),
+         |fps AS (SELECT doc_id, unnest(ftoks) AS term,
+         |        unnest(range(1, len(ftoks) + 1)) AS pos FROM ftx),
+         |fsp AS (
+         |$perQuery),""".stripMargin
+    val elig = "EXISTS (SELECT 1 FROM fsp WHERE fsp.query_id = " +
+      "contrib.query_id AND fsp.doc_id = contrib.doc_id)"
+    bm25fReplaySql(qs, k, weights, eligibleSql = Some(elig),
+      extraCtes = Some(ctes))
   }
 
   /** The FULL Robertson–Zaragoza BM25F replay: per-field soft length
@@ -1408,6 +1498,18 @@ object RetrievalQueries extends QueryPack {
     // fields, every weighted sum a pinned field-order fold.
     "x129_bm25f" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
     "x130_lexf_search" -> bm25fReplaySql(BmQueries, K, FieldWeights.map(_._2)),
+
+    // Fielded × positional: the phrase chain over the NAMED field's
+    // stream restricting the BM25F ranking; x144/x146 share x143/x145's
+    // strings (fielded positional probe ≡ flat fielded scan).
+    "x143_bm25f_phrase" -> bm25fPhraseFieldedReplaySql(TitlePhraseQueries,
+      K, FieldWeights.map(_._2), fieldIdx = 0, slop = 0),
+    "x144_lexf_phrase_search" -> bm25fPhraseFieldedReplaySql(
+      TitlePhraseQueries, K, FieldWeights.map(_._2), fieldIdx = 0, slop = 0),
+    "x145_bm25f_sloppy" -> bm25fPhraseFieldedReplaySql(SloppyQueries, K,
+      FieldWeights.map(_._2), fieldIdx = 1, slop = Slop),
+    "x146_lexf_sloppy_search" -> bm25fPhraseFieldedReplaySql(SloppyQueries,
+      K, FieldWeights.map(_._2), fieldIdx = 1, slop = Slop),
 
     // FULL Robertson–Zaragoza BM25F: per-field length normalization,
     // then the b = 0 saturation tail; x140 shares x139's string (the

@@ -128,6 +128,36 @@ object LexStreams {
       }
       .start()
 
+  /** FIELDED phrase serving, streaming: each batch's `(query_id,
+    * phrase: array<string>)` queries run
+    * [[LexIndex.searchPhraseFielded]] — "the phrase in the TITLE",
+    * within-field adjacency from the fielded positional index, BM25F
+    * scoring at the probe-time weights, per micro-batch. `slop`
+    * switches to the ordered-within-slop chain
+    * ([[LexIndex.searchPhraseSloppyFielded]]); slop 0 ≡ exact. */
+  def serveFieldedPhrase(phrases: DataFrame, path: String, outPath: String,
+                         checkpoint: String, k: Int,
+                         weights: Seq[(String, Double)],
+                         phraseField: String, slop: Int = 0,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         pred: Option[Column] = None): StreamingQuery =
+    phrases.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          (if (slop == 0)
+             LexIndex.searchPhraseFielded(spark, path, batch, k, weights,
+               phraseField, k1, b, pred)
+           else
+             LexIndex.searchPhraseSloppyFielded(spark, path, batch, k,
+               weights, phraseField, slop, k1, b, pred))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** The LITERAL-query hybrid, streaming — the production serving
     * sentence continuously: each batch's `(query_id, terms, embedding)`
     * queries (a FRESH embedding plus keywords, nothing stored) run

@@ -897,6 +897,93 @@ class LexIndexSpec extends SparkSpec {
     }.getMessage.contains("fielded"))
   }
 
+  test("fielded PHRASE/SLOPPY probes ≡ the flat fielded scans (within-" +
+       "field streams); slop 0 ≡ exact; append ≡ rebuild; guards both " +
+       "ways; zero corpus scans with positions column-pruned off scoring") {
+    val p = freshPath()
+    LexIndex.buildFielded(fieldedDf, p, fields = Seq("title", "text"),
+      buckets = 16, positions = true)
+    def phrases(qs: (Long, Seq[String])*) =
+      spark.createDataFrame(qs).toDF("query_id", "phrase")
+    val ph = phrases(
+      1L -> Seq("spark", "fast"),   // doc 2's TITLE adjacent
+      2L -> Seq("spark", "join"),   // docs 1/2/5 body runs
+      3L -> Seq("join",  "join"))   // doc 0 body duplicate run
+    for (field <- Seq("title", "text")) {
+      assert(rows(LexIndex.searchPhraseFielded(spark, p, ph, 5, FW, field)) ==
+        rows(Retrieval.bm25fPhraseTopK(fieldedDf, ph, 5, FW, field)),
+        s"exact field $field")
+      for (sl <- Seq(0, 2))
+        assert(rows(LexIndex.searchPhraseSloppyFielded(spark, p, ph, 5, FW,
+            field, sl)) ==
+          rows(Retrieval.bm25fSloppyPhraseTopK(fieldedDf, ph, 5, FW,
+            field, sl)),
+          s"sloppy field $field slop $sl")
+    }
+    // slop 0 ≡ the exact fielded phrase probe, row for row
+    assert(rows(LexIndex.searchPhraseSloppyFielded(spark, p, ph, 5, FW,
+        "text", 0)) ==
+      rows(LexIndex.searchPhraseFielded(spark, p, ph, 5, FW, "text")))
+    // the probe genuinely discriminates by field: "spark fast" sits in
+    // doc 2's TITLE stream only (its body has join between)
+    assert(LexIndex.searchPhraseFielded(spark, p,
+        phrases(1L -> Seq("spark", "fast")), 5, FW, "title")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // append ≡ rebuild on the positional fielded layout
+    val (p1, p2) = (freshPath(), freshPath())
+    val (half, rest) = fieldedFx.partition(_._1 % 2 == 0)
+    LexIndex.buildFielded(half.toDF("doc_id", "title", "text"), p1,
+      fields = Seq("title", "text"), buckets = 16, positions = true)
+    LexIndex.append(rest.toDF("doc_id", "title", "text"), p1)
+    LexIndex.buildFielded(fieldedDf, p2,
+      fields = Seq("title", "text"), buckets = 16, positions = true)
+    assert(rows(LexIndex.searchPhraseFielded(spark, p1, ph, 5, FW, "text")) ==
+      rows(LexIndex.searchPhraseFielded(spark, p2, ph, 5, FW, "text")))
+    // zero corpus scans; adjacency reads positions, scoring does not
+    val res = LexIndex.searchPhraseFielded(spark, p,
+      phrases(1L -> Seq("spark", "join")), 3, FW, "text")
+    res.collect()
+    val scans = graft.SparkSpec.executedFileScans(res)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/seg-")))
+    assert(scans.nonEmpty && scans.exists(
+      _.requiredSchema.fieldNames.contains("positions")))
+    assert(scans.exists(s =>
+      !s.requiredSchema.fieldNames.contains("positions") &&
+        s.requiredSchema.fieldNames.contains("tf")),
+      "the scoring branch should not read positions")
+    assert(graft.SparkSpec.executedFileScans(res).forall(
+      _.relation.location.rootPaths.forall(p0 =>
+        p0.toString.contains("/seg-") || p0.toString.contains("/_df"))),
+      "fielded phrase probe read non-index files")
+    // guards: plain phrase probes reject the fielded layout, the
+    // fielded probe rejects non-positional / plain indexes, proximity
+    // rejects fielded, bad field name fails loudly
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchPhrase(spark, p, ph, 5)
+    }.getMessage.contains("FIELDED"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchPhraseSloppy(spark, p, ph, 5, 1)
+    }.getMessage.contains("FIELDED"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchProximity(spark, p,
+        queriesDf(1L -> Seq("spark", "join")), 5, 4)
+    }.getMessage.contains("FIELDED"))
+    val noPos = freshPath()
+    LexIndex.buildFielded(fieldedDf, noPos, fields = Seq("title", "text"),
+      buckets = 16)
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchPhraseFielded(spark, noPos, ph, 5, FW, "text")
+    }.getMessage.contains("positional"))
+    val plain = freshPath()
+    LexIndex.build(docsDf, plain, positions = true)
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchPhraseFielded(spark, plain, ph, 5, FW, "text")
+    }.getMessage.contains("fielded"))
+    assert(intercept[IllegalArgumentException] {
+      LexIndex.searchPhraseFielded(spark, p, ph, 5, FW, "nope")
+    }.getMessage.contains("phrase field"))
+  }
+
   test("fielded erase subtracts per-field stats exactly; compact is " +
        "content-invariant; post-erase probe ≡ flat scan of survivors") {
     val p = freshPath()

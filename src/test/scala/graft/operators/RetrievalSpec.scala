@@ -268,6 +268,61 @@ class RetrievalSpec extends SparkSpec {
     assert(gapB0 < gapB1)
   }
 
+  test("bm25fPhraseTopK / bm25fSloppyPhraseTopK: the run must sit in the " +
+       "NAMED field's own stream; scoring is the BM25F ranking of the " +
+       "eligible docs; slop composes; cross-field runs don't exist") {
+    val fx = Seq(
+      (0L, "spark fast", "join table"),
+      (1L, "merge", "spark join fast a"),   // body: spark-join adjacent
+      (2L, "spark", "fast join spark b"),   // body: fast..spark reversed
+      (3L, null.asInstanceOf[String], "spark fast c"))
+    val df = fx.toDF("doc_id", "title", "text")
+    val fw = Seq("title" -> 2.0, "text" -> 1.0)
+    def phrasesDf(qs: (Long, Seq[String])*) =
+      spark.createDataFrame(qs).toDF("query_id", "phrase")
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(_.getLong(1)).toSet
+    val phSF = phrasesDf(1L -> Seq("spark", "fast"))
+    // exact in TITLE: only doc 0 ("spark fast" is its title stream);
+    // doc 3's BODY has the run but its title is null — not eligible
+    assert(ids(Retrieval.bm25fPhraseTopK(df, phSF, 5, fw, "title")) ==
+      Set(0L))
+    // exact in TEXT: only doc 3
+    assert(ids(Retrieval.bm25fPhraseTopK(df, phSF, 5, fw, "text")) ==
+      Set(3L))
+    // a run split ACROSS fields never matches: doc 0's title ends with
+    // "fast" and its text starts with "join" — "fast join" is in no
+    // single stream of doc 0 (only doc 2's body holds it)
+    assert(ids(Retrieval.bm25fPhraseTopK(df,
+      phrasesDf(1L -> Seq("fast", "join")), 5, fw, "title")).isEmpty)
+    assert(ids(Retrieval.bm25fPhraseTopK(df,
+      phrasesDf(1L -> Seq("fast", "join")), 5, fw, "text")) == Set(2L))
+    // sloppy in TEXT: slop 1 admits doc 1 (spark _ fast) but not the
+    // reversed doc 2; slop 0 ≡ the exact phrase, row for row
+    assert(ids(Retrieval.bm25fSloppyPhraseTopK(df, phSF, 5, fw, "text",
+      slop = 1)) == Set(1L, 3L))
+    val sl0 = Retrieval.bm25fSloppyPhraseTopK(df, phSF, 5, fw, "text",
+        slop = 0).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val exact = Retrieval.bm25fPhraseTopK(df, phSF, 5, fw, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sl0 == exact && sl0.nonEmpty)
+    // scoring: each eligible doc's score equals its bm25fTopK score
+    // over the phrase's distinct terms (the phrase restricts
+    // CANDIDATES, never scoring — the phrase contract, fielded form)
+    val full = Retrieval.bm25fTopK(df,
+        spark.createDataFrame(Seq((1L, Seq("spark", "fast")))).toDF(
+          "query_id", "terms"), 5, fw)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    Retrieval.bm25fPhraseTopK(df, phSF, 5, fw, "text").collect()
+      .foreach(r => assert(r.getDouble(3) == full(r.getLong(1))))
+    // an unknown phrase field fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.bm25fPhraseTopK(df, phSF, 5, fw, "nope")
+    }.getMessage.contains("phrase field"))
+  }
+
   test("bm25SloppyPhraseTopK: in-order within slop — order matters, " +
        "slop 0 is the exact phrase, duplicate terms chain strictly") {
     def phrasesDf(qs: (Long, Seq[String])*) =

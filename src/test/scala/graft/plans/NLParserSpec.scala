@@ -1078,6 +1078,36 @@ class NLParserSpec extends AnyFunSuite {
     }.msg.contains("weights"))
   }
 
+  test("fielded-phrase routes: 'in <field>' scopes the quoted run to one " +
+       "field's stream, slop composes, weighting required") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching \"the fast\" in title weighting " +
+      "title 2, text 1.").ops ==
+      List(O.Bm25FPhrase(Seq("the", "fast"), 5, "title",
+        Seq("title" -> 2.0, "text" -> 1.0))))
+    assert(NLParser.parse(
+      "Find top 5 documents matching \"spark fast\" in text with slop 3 " +
+      "weighting title 2, text 1 where lang == 'en'.").ops ==
+      List(O.Bm25FSloppy(Seq("spark", "fast"), 5, "text", 3,
+        Seq("title" -> 2.0, "text" -> 1.0),
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching \"the fast\" in " +
+      "title weighting title 2, text 1.").ops ==
+      List(O.LexFieldedPhraseSearch(Seq("the", "fast"), 5, "title",
+        Seq("title" -> 2.0, "text" -> 1.0))))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching \"spark fast\" in " +
+      "text with slop 3 weighting title 2, text 1.").ops ==
+      List(O.LexFieldedSloppySearch(Seq("spark", "fast"), 5, "text", 3,
+        Seq("title" -> 2.0, "text" -> 1.0))))
+    // 'in <field>' without a weighting list is out of grammar
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching \"the fast\" in title.")
+    }.msg.nonEmpty)
+  }
+
   test("fielded-hybrid route: weighting list + fused + probing + spoken " +
        "query id; depth defaults; the plain fielded probe is untouched") {
     assert(NLParser.parse(

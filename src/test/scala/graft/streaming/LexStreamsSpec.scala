@@ -227,6 +227,46 @@ class LexStreamsSpec extends SparkSpec {
     assert(LexStreams.served(spark, s"$dir/out").count() > 0)
   }
 
+  test("streamed fielded PHRASE probes equal the batch " +
+       "searchPhraseFielded / searchPhraseSloppyFielded") {
+    val dir = freshDir()
+    val index = s"$dir/index"
+    val fielded = docsFx.map { case (id, text, _) =>
+      (id, text.split(" ").take(2).mkString(" "), text) }
+      .toDF("doc_id", "title", "text")
+    LexIndex.buildFielded(fielded, index, fields = Seq("title", "text"),
+      buckets = 16, positions = true)
+    val fw = Seq("title" -> 2.0, "text" -> 1.0)
+    implicit val sqlCtx = spark.sqlContext
+    val phFx: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("spark", "fast"), 1L -> Seq("window", "batch"))
+    val stream = MemoryStream[(Long, Seq[String])]
+    val q = LexStreams.serveFieldedPhrase(
+      stream.toDF().toDF("query_id", "phrase"),
+      index, s"$dir/out", s"$dir/ckpt", K, fw, "text")
+    try {
+      stream.addData(phFx.take(1)); q.processAllAvailable()
+      stream.addData(phFx.drop(1)); q.processAllAvailable()
+    } finally stopQuietly(q)
+    assert(ranked(LexStreams.served(spark, s"$dir/out")) ==
+      ranked(LexIndex.searchPhraseFielded(spark, index,
+        spark.createDataFrame(phFx).toDF("query_id", "phrase"), K, fw,
+        "text")))
+    // sloppy form through the same twin
+    val stream2 = MemoryStream[(Long, Seq[String])]
+    val q2 = LexStreams.serveFieldedPhrase(
+      stream2.toDF().toDF("query_id", "phrase"),
+      index, s"$dir/out2", s"$dir/ckpt2", K, fw, "text", slop = 2)
+    try {
+      stream2.addData(phFx); q2.processAllAvailable()
+    } finally stopQuietly(q2)
+    assert(ranked(LexStreams.served(spark, s"$dir/out2")) ==
+      ranked(LexIndex.searchPhraseSloppyFielded(spark, index,
+        spark.createDataFrame(phFx).toDF("query_id", "phrase"), K, fw,
+        "text", slop = 2)))
+    assert(LexStreams.served(spark, s"$dir/out2").count() > 0)
+  }
+
   test("streamed fielded hybrid equals the batch hybridServeFielded") {
     val dir = freshDir()
     val (lexP, ivfP) = (s"$dir/lex", s"$dir/ivf")
