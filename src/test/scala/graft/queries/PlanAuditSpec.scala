@@ -57,7 +57,14 @@ class PlanAuditSpec extends SparkSpec {
     "x129_bm25f" -> 7,
     "x134_bm25f_filtered" -> 7,
     "x139_bm25f_full" -> 7,
-    "nl151_bm25f" -> 7)
+    "nl151_bm25f" -> 7,
+    // the flat fielded-PHRASE scans score through the same BM25F fold
+    // (the x129 extra level); the within-field containment branch joins
+    // a broadcast phrase frame — no exchange of its own
+    "x143_bm25f_phrase" -> 7,
+    "x145_bm25f_sloppy" -> 7,
+    "nl156_bm25f_phrase" -> 7,
+    "nl158_bm25f_sloppy" -> 7)
 
   test("every query's shuffle count stays bounded") {
     val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
