@@ -175,6 +175,13 @@ object Compiler {
           .toDF("query_id", "terms")
         graft.operators.LexIndex.searchFielded(spark, path, queries, k,
           ws, pred = where.map(predicate(df, _)))
+      case Op.LexFieldedFullSearch(terms, k, params, where) =>
+        // the full-BM25F probe of the same fielded index the
+        // simplified probe serves — every parameter probe-time
+        val queries = spark.createDataFrame(Seq((-1L, terms)))
+          .toDF("query_id", "terms")
+        graft.operators.LexIndex.searchFieldedFull(spark, path, queries,
+          k, params, pred = where.map(predicate(df, _)))
       case Op.LexFieldedPhraseSearch(phrase, k, field, ws, where) =>
         // "the phrase in the TITLE", served: within-field adjacency
         // from the fielded positional index's stored position lists
@@ -567,6 +574,14 @@ object Compiler {
       val queries = session.createDataFrame(Seq((-1L, terms)))
         .toDF("query_id", "terms")
       Retrieval.bm25fTopK(df, queries, k, ws,
+        pred = where.map(predicate(df, _)))
+    case Op.Bm25FFull(terms, k, params, where) =>
+      // full Robertson–Zaragoza BM25F: per-field b before the shared
+      // saturation, weights/b/k1 all from the sentence
+      val session = df.sparkSession
+      val queries = session.createDataFrame(Seq((-1L, terms)))
+        .toDF("query_id", "terms")
+      Retrieval.bm25fFullTopK(df, queries, k, params,
         pred = where.map(predicate(df, _)))
     case Op.Bm25FPhrase(phrase, k, field, ws, where) =>
       // the quoted phrase must run contiguously inside the NAMED

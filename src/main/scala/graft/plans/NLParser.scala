@@ -1164,15 +1164,24 @@ object NLParser {
               Right(List(Op.Bm25Proximity(terms, k, w, where)))
             } else if (p.peekWordLower.contains("weighting")) {
               // "… matching spark, join weighting title 2, text 1" —
-              // BM25F: weighted-aggregate scoring over named fields
+              // BM25F: weighted-aggregate scoring over named fields.
+              // A trailing "normalizing title 0.3, text 0.75" switches
+              // to FULL Robertson–Zaragoza BM25F (per-field b)
               p.next()
               val ws = weightList(p)
+              val bs = p.peekWordLower match {
+                case Some("normalizing") => p.next(); Some(normalizeList(p))
+                case _                   => None
+              }
               val where = p.peekWordLower match {
                 case Some("where") => p.next(); Some(parsePred(p))
                 case _             => None
               }
               requireDone(p)
-              Right(List(Op.Bm25F(terms, k, ws, where)))
+              Right(List(bs match {
+                case Some(b) => Op.Bm25FFull(terms, k, fullParams(ws, b), where)
+                case None    => Op.Bm25F(terms, k, ws, where)
+              }))
             } else {
               // "… matching spark, join where lang == 'en'" — the
               // candidate pre-filter: only matching documents rank,
@@ -2005,12 +2014,22 @@ object NLParser {
               return Right(List(
                 Op.LexHybridFielded(terms, k, ws, depth, np, qid, where)))
             }
+            // "… normalizing title 0.3, text 0.75" — the FULL
+            // Robertson–Zaragoza probe of the same fielded index
+            val bs = p.peekWordLower match {
+              case Some("normalizing") => p.next(); Some(normalizeList(p))
+              case _                   => None
+            }
             val where = p.peekWordLower match {
               case Some("where") => p.next(); Some(parsePred(p))
               case _             => None
             }
             requireDone(p)
-            return Right(List(Op.LexFieldedSearch(terms, k, ws, where)))
+            return Right(List(bs match {
+              case Some(b) =>
+                Op.LexFieldedFullSearch(terms, k, fullParams(ws, b), where)
+              case None => Op.LexFieldedSearch(terms, k, ws, where)
+            }))
           }
           val where = p.peekWordLower match {
             case Some("where") => p.next(); Some(parsePred(p))
@@ -2341,6 +2360,39 @@ object NLParser {
       case _ => more = false
     }
     terms.result()
+  }
+
+  /** "normalizing (field num)(, (and )field num)*" already consumed
+    * its keyword — the per-field b list of FULL BM25F ("normalizing
+    * title 0.3, text 0.75"); b in [0, 1], and the fields must repeat
+    * the weighting list's names in order (checked by the caller). */
+  private def normalizeList(p: TokCursor): Seq[(String, Double)] = {
+    val bs = Seq.newBuilder[(String, Double)]
+    def one(): Unit = {
+      val f = p.expectWordRaw()
+      val b = p.expectNum()
+      if (b < 0.0 || b > 1.0) throw ParseException(
+        s"per-field b must be in [0,1]: $b")
+      bs += (f -> b)
+    }
+    one()
+    var more = true
+    while (more) p.peek match {
+      case Some(Sym(",")) => p.next(); p.dropWords("and"); one()
+      case Some(w: Word) if w.lower == "and" => p.next(); one()
+      case _ => more = false
+    }
+    bs.result()
+  }
+
+  /** Zip a weighting list with its `normalizing` b-list into full-BM25F
+    * params, requiring identical field names in order. */
+  private def fullParams(ws: Seq[(String, Double)],
+                         bs: Seq[(String, Double)]): Seq[(String, Double, Double)] = {
+    if (bs.map(_._1) != ws.map(_._1)) throw ParseException(
+      s"normalizing must name the weighted fields in order " +
+        s"(${ws.map(_._1).mkString(", ")}), got ${bs.map(_._1).mkString(", ")}")
+    ws.zip(bs).map { case ((f, w), (_, b)) => (f, w, b) }
   }
 
   /** "(field num)(, (and )field num)*" — the BM25F weighting list:

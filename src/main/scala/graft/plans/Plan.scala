@@ -216,6 +216,14 @@ object Op {
   final case class Bm25F(terms: Seq[String], k: Int,
                          weights: Seq[(String, Double)],
                          where: Option[Pred] = None)               extends CorpusOp
+  /** FULL Robertson–Zaragoza BM25F ("documents matching spark, join
+    * weighting title 2, text 1 normalizing title 0.3, text 0.75") —
+    * per-field length normalization INSIDE each field before the
+    * shared saturation
+    * ([[graft.operators.Retrieval.bm25fFullTopK]]). */
+  final case class Bm25FFull(terms: Seq[String], k: Int,
+                             params: Seq[(String, Double, Double)],
+                             where: Option[Pred] = None)           extends CorpusOp
   /** Quoted-phrase BM25F ("documents matching \"the fast\" in title
     * weighting title 2, text 1") — the run must sit in the NAMED
     * field's OWN token stream; the eligible docs rank by BM25F at the
@@ -624,6 +632,13 @@ object Op {
   final case class LexFieldedSearch(terms: Seq[String], k: Int,
                                     weights: Seq[(String, Double)],
                                     where: Option[Pred] = None)    extends TableOp
+  /** FULL Robertson–Zaragoza BM25F probe of the bound FIELDED index
+    * ([[graft.operators.LexIndex.searchFieldedFull]] — per-field b
+    * over the same stored integers [[LexFieldedSearch]] probes; every
+    * parameter probe-time). */
+  final case class LexFieldedFullSearch(terms: Seq[String], k: Int,
+                                        params: Seq[(String, Double, Double)],
+                                        where: Option[Pred] = None) extends TableOp
   /** Quoted-phrase probe of the bound FIELDED POSITIONAL index
     * ([[graft.operators.LexIndex.searchPhraseFielded]] — "the phrase
     * in the TITLE", served: adjacency from the target field's stored

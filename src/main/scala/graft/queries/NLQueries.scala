@@ -664,6 +664,23 @@ object NLQueries extends QueryPack {
         tablePath = Some(lp), vectorIndexPath = Some(vp))
     }),
 
+    // FULL Robertson–Zaragoza BM25F, spoken — the per-field-b tuning
+    // in one sentence: flat scan and the fielded-index probe of the
+    // same sentence (shared oracle strings, interleaved twins).
+    "nl160_bm25f_full" -> ((s: SparkSession, d: String) =>
+      Engine.run("Find top 5 documents matching spark, join, fast " +
+                 "weighting title 2, text 1 normalizing title 0.3, " +
+                 "text 0.75.",
+        RetrievalQueries.titledDocs(s, d))),
+
+    "nl161_lexf_search_full" -> ((s: SparkSession, d: String) => {
+      val p = RetrievalQueries.lexFieldedIndexTable(s, d)
+      Engine.run("Search the lexical index for top 5 matching " +
+                 "spark, join, fast weighting title 2, text 1 " +
+                 "normalizing title 0.3, text 0.75.",
+        graft.operators.LexIndex.readPostings(s, p), tablePath = Some(p))
+    }),
+
     // The FIELDED phrase, spoken — "the phrase in the TITLE" in one
     // sentence: flat fielded scan and the fielded positional probe of
     // the same sentence (shared oracle strings, interleaved twins).
@@ -1344,6 +1361,14 @@ object NLQueries extends QueryPack {
     // same constants — interleaved twins)
     "nl154_mmr_hybrid_lit" ->
       RetrievalQueries.mmrHybridLitReplaySql(5, 10, 4, 0.7),
+    // full-BM25F pair: nl161 shares nl160's string (fielded probe ≡
+    // flat per-field-normalized scan — interleaved twins)
+    "nl160_bm25f_full" -> RetrievalQueries.bm25fFullReplaySql(
+      Seq(-1L -> Seq("spark", "join", "fast")), 5, Seq(2.0, 1.0),
+      Seq(0.3, 0.75)),
+    "nl161_lexf_search_full" -> RetrievalQueries.bm25fFullReplaySql(
+      Seq(-1L -> Seq("spark", "join", "fast")), 5, Seq(2.0, 1.0),
+      Seq(0.3, 0.75)),
     // fielded phrase/sloppy pairs: the probe shares the flat scan's
     // string (within-field chain restricting the BM25F ranking)
     "nl156_bm25f_phrase" -> RetrievalQueries.bm25fPhraseFieldedReplaySql(

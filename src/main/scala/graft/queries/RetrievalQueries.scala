@@ -177,6 +177,14 @@ object RetrievalQueries extends QueryPack {
       graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
         fields = Seq("title", "text"), positions = true))
 
+  /** x148's index: fields, POSITIONS and the `lang` attribute — the
+    * filtered "phrase in the title" serving shape. */
+  private[queries] def lexFieldedPosAttrIndexTable(s: SparkSession, d: String): String =
+    lexIndexAt(s, d, "graft_lexfposattr_index_")(
+      graft.operators.LexIndex.buildFielded(titledDocs(s, d), _,
+        fields = Seq("title", "text"), positions = true,
+        attrs = Seq("lang")))
+
   /** x135's index: fields AND the `lang` attribute — the filtered
     * BM25F serving shape. */
   private[queries] def lexFieldedAttrIndexTable(s: SparkSession, d: String): String =
@@ -560,6 +568,20 @@ object RetrievalQueries extends QueryPack {
         lexFieldedPosIndexTable(s, d), titlePhrasesDf(s), K, FieldWeights,
         "title", k1 = K1, b = B)),
 
+    // The FILTERED fielded phrase: the within-title run AND the lang
+    // slice compose (df/lengths/stats full-corpus, the filtered-probe
+    // contract); x148 serves from a fields+positions+attrs index.
+    "x147_bm25f_phrase_filtered" -> ((s: SparkSession, d: String) =>
+      Retrieval.bm25fPhraseTopK(titledDocs(s, d), titlePhrasesDf(s), K,
+        FieldWeights, "title", k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
+    "x148_lexf_phrase_filtered" -> ((s: SparkSession, d: String) =>
+      graft.operators.LexIndex.searchPhraseFielded(s,
+        lexFieldedPosAttrIndexTable(s, d), titlePhrasesDf(s), K,
+        FieldWeights, "title", k1 = K1, b = B,
+        pred = Some(col("lang") === FilterLang))),
+
     // The SLOPPY form in the BODY field: ordered within slop inside
     // one field's stream, BM25F-scored at the probe weights.
     "x145_bm25f_sloppy" -> ((s: SparkSession, d: String) =>
@@ -904,7 +926,8 @@ object RetrievalQueries extends QueryPack {
     * by the flat fielded scan and the fielded positional probe. */
   private[queries] def bm25fPhraseFieldedReplaySql(
       phrases: Seq[(Long, Seq[String])], k: Int, weights: Seq[Double],
-      fieldIdx: Int, slop: Int): String = {
+      fieldIdx: Int, slop: Int,
+      eligibleSql: Option[String] = None): String = {
     val fieldToks = Seq(s"list_slice($toksSql, 1, 3)", toksSql)
     val ft = fieldToks(fieldIdx)
     val qs = phrases.map { case (qid, p) => qid -> p.map(_.toLowerCase).distinct }
@@ -933,7 +956,8 @@ object RetrievalQueries extends QueryPack {
          |fsp AS (
          |$perQuery),""".stripMargin
     val elig = "EXISTS (SELECT 1 FROM fsp WHERE fsp.query_id = " +
-      "contrib.query_id AND fsp.doc_id = contrib.doc_id)"
+      "contrib.query_id AND fsp.doc_id = contrib.doc_id)" +
+      eligibleSql.fold("")(e => s" AND $e")
     bm25fReplaySql(qs, k, weights, eligibleSql = Some(elig),
       extraCtes = Some(ctes))
   }
@@ -1506,6 +1530,12 @@ object RetrievalQueries extends QueryPack {
       K, FieldWeights.map(_._2), fieldIdx = 0, slop = 0),
     "x144_lexf_phrase_search" -> bm25fPhraseFieldedReplaySql(
       TitlePhraseQueries, K, FieldWeights.map(_._2), fieldIdx = 0, slop = 0),
+    "x147_bm25f_phrase_filtered" -> bm25fPhraseFieldedReplaySql(
+      TitlePhraseQueries, K, FieldWeights.map(_._2), fieldIdx = 0,
+      slop = 0, eligibleSql = Some(langEligibleSql(FilterLang))),
+    "x148_lexf_phrase_filtered" -> bm25fPhraseFieldedReplaySql(
+      TitlePhraseQueries, K, FieldWeights.map(_._2), fieldIdx = 0,
+      slop = 0, eligibleSql = Some(langEligibleSql(FilterLang))),
     "x145_bm25f_sloppy" -> bm25fPhraseFieldedReplaySql(SloppyQueries, K,
       FieldWeights.map(_._2), fieldIdx = 1, slop = Slop),
     "x146_lexf_sloppy_search" -> bm25fPhraseFieldedReplaySql(SloppyQueries,

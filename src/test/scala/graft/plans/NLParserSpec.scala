@@ -1078,6 +1078,31 @@ class NLParserSpec extends AnyFunSuite {
     }.msg.contains("weights"))
   }
 
+  test("full-BM25F routes: 'normalizing' per-field b list on the flat " +
+       "scan and the fielded probe; field names must repeat in order") {
+    assert(NLParser.parse(
+      "Find top 5 documents matching spark, join weighting title 2, " +
+      "text 1 normalizing title 0.3, text 0.75.").ops ==
+      List(O.Bm25FFull(Seq("spark", "join"), 5,
+        Seq(("title", 2.0, 0.3), ("text", 1.0, 0.75)))))
+    assert(NLParser.parse(
+      "Search the lexical index for top 5 matching spark weighting " +
+      "title 2, text 1 normalizing title 0, text 1 where lang == 'en'.").ops ==
+      List(O.LexFieldedFullSearch(Seq("spark"), 5,
+        Seq(("title", 2.0, 0.0), ("text", 1.0, 1.0)),
+        Some(Pred.Cmp(Pred.Eq, "lang", Lit.Str("en"))))))
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching spark weighting title 2, text 1 " +
+        "normalizing text 0.75, title 0.3.")
+    }.msg.contains("in order"))
+    assert(intercept[NLParser.ParseException] {
+      NLParser.parse(
+        "Find top 5 documents matching spark weighting title 2 " +
+        "normalizing title 1.5.")
+    }.msg.contains("[0,1]"))
+  }
+
   test("fielded-phrase routes: 'in <field>' scopes the quoted run to one " +
        "field's stream, slop composes, weighting required") {
     assert(NLParser.parse(

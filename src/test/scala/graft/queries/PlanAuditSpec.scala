@@ -63,8 +63,10 @@ class PlanAuditSpec extends SparkSpec {
     // a broadcast phrase frame — no exchange of its own
     "x143_bm25f_phrase" -> 7,
     "x145_bm25f_sloppy" -> 7,
+    "x147_bm25f_phrase_filtered" -> 7,
     "nl156_bm25f_phrase" -> 7,
-    "nl158_bm25f_sloppy" -> 7)
+    "nl158_bm25f_sloppy" -> 7,
+    "nl160_bm25f_full" -> 7)
 
   test("every query's shuffle count stays bounded") {
     val exchangeCounts = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
