@@ -955,6 +955,17 @@ class LexIndexSpec extends SparkSpec {
       _.relation.location.rootPaths.forall(p0 =>
         p0.toString.contains("/seg-") || p0.toString.contains("/_df"))),
       "fielded phrase probe read non-index files")
+    // every branch stays bucket-pruned: no scan reads more partitions
+    // than the spoken terms' buckets (adjacency, scoring AND df alike)
+    val probedBuckets = Seq("spark", "join")
+      .map(LexIndex.termBucket(_, 16)).distinct.size
+    scans.foreach { sc =>
+      val parts = sc.metrics.get("numPartitions").map(_.value).getOrElse(
+        sys.error(s"scan has no partition metric: ${sc.metrics.keys}"))
+      assert(parts <= probedBuckets,
+        s"a fielded phrase scan read $parts bucket partitions for " +
+          s"$probedBuckets probed buckets")
+    }
     // guards: plain phrase probes reject the fielded layout, the
     // fielded probe rejects non-positional / plain indexes, proximity
     // rejects fielded, bad field name fails loudly
