@@ -18,6 +18,16 @@ import java.nio.file.{Files, Paths}
   * number.
   */
 object Bench {
+
+  /** ONE short machine-parsable summary printed as the FINAL stdout
+    * line (after the full JSON line, which stays first): BENCH_r19/r20
+    * both arrived `parsed: null` because the driver greps a 1,000s sbt
+    * log for the full JSON and loses it to truncation — the short tail
+    * line plus the absolute file path survive any truncated capture. */
+  private[graft] def summaryLine(total: Double, n: Int, failed: Int,
+                                 file: String): String =
+    f"BENCH_OK total=$total%.3f n=$n failed=$failed file=$file"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,6 +150,8 @@ object Bench {
               java.nio.file.StandardOpenOption.APPEND)
     println(json)
     spark.stop()
+    println(summaryLine(total, results.size, failed.size,
+      java.nio.file.Paths.get(outFile).toAbsolutePath.normalize.toString))
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -23,8 +23,23 @@ object Probe {
         fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"PROBE $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        if (sys.env.get("SPARK_GRAFT_PROBE_PHASES").contains("1")) {
+          // split the wall clock into build (DataFrame construction —
+          // driver-side, includes any bounded collects the operator
+          // does), plan (analyze+optimize+physical planning), execute
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t2 = System.nanoTime()
+          val n = df.count()
+          val t3 = System.nanoTime()
+          println(f"PROBE $name rep$r ${(t3 - t0) / 1e9}%.3f s ($n rows) " +
+            f"build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f " +
+            f"exec=${(t3 - t2) / 1e9}%.3f")
+        } else {
+          val n = fn(spark, sfDir).count()
+          println(f"PROBE $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        }
       }
     }
     spark.stop()

@@ -30,14 +30,15 @@ object Retrieval {
     *
     * Scale shape — the only FULL-corpus work is two map-side passes
     * over the scan, and the whole query is ONE Spark action:
-    *  - the broadcast query-term list prunes exploded tokens BEFORE the
-    *    (doc, term) tf aggregation, so the first shuffle carries only
-    *    matching tokens — never the corpus token stream, never the
-    *    vocabulary (the TF-IDF x39 lesson inverted: at serving time the
-    *    query terms are the broadcast);
-    *  - doc length rides the explode as a per-row column (`size` of the
-    *    same token array), aggregated with the tf — no doc-keyed length
-    *    join, no second aggregation branch;
+    *  - the broadcast query-term SET (one 1-row frame) restricts each
+    *    document's token array IN ROW, and per-(doc, term) tf is an
+    *    array expression over that row — all of a document's tokens
+    *    already live on its own line, so the tf aggregation needs NO
+    *    exchange and the corpus token stream is never exploded (only
+    *    matching tokens generate rows). The first shuffle of the whole
+    *    query is the df window over the matching postings;
+    *  - doc length rides the same row (`size` of the same token
+    *    array) — no doc-keyed length join, no second aggregation branch;
     *  - corpus stats (N, Σdl — exact integers) reduce map-side to a
     *    1-row frame that broadcast-cross-joins into the score
     *    expression: no driver action, no literal baking, and avgdl is
@@ -70,29 +71,19 @@ object Retrieval {
                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // the eligibility bit RIDES the document rows from the first select
     // (evaluated beside the tokenize — attributes and text live on the
-    // same row), aggregates with the tf (constant per document), and
-    // filters AFTER the df window in the shared tail. Zero extra scans,
-    // joins, or exchanges versus the unfiltered query — and pushing the
-    // predicate into the scan instead would be WRONG, not just slower:
-    // dropping non-matching documents before the window would shrink
-    // df/N to the slice, silently changing every score
+    // same row) and filters AFTER the df window in the shared tail.
+    // Zero extra scans, joins, or exchanges versus the unfiltered query
+    // — and pushing the predicate into the scan instead would be WRONG,
+    // not just slower: dropping non-matching documents before the
+    // window would shrink df/N to the slice, silently changing every
+    // score
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    // doc length rides every exploded token row — exact per-group, so
-    // the tf aggregation carries it without a doc-keyed join
-    val exploded = toksAll.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
-      col("elig"))
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
-    // prune to query terms BEFORE aggregating: the first shuffle carries
-    // only matching tokens, never the corpus token stream
-    val tfQ = exploded
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val tfQ = inRowTfQ(toksAll, qTerms)
     // corpus stats: exact integers, map-side reduce to one broadcast
     // row — over the FULL corpus regardless of the filter. N counts
     // documents with ≥1 token — the convention the oracle's doc-length
@@ -102,6 +93,72 @@ object Retrieval {
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
     scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+  }
+
+  /** The query-term SET as one broadcastable 1-row frame — the flat
+    * scans' in-row prune: `array_contains` against a dozen-literal set
+    * costs the same membership test as the old exploded-token broadcast
+    * hash join, without generating a row per corpus token first.
+    * `sort_array` pins the (otherwise arbitrary) collect_set order so
+    * the plan canonicalizes identically across runs. */
+  private def qSetFrame(qTerms: DataFrame): DataFrame =
+    qTerms.agg(sort_array(collect_set(col("term"))).as("qset"))
+
+  /** Per-document (term, tf) pairs computed IN ROW over the matched
+    * tokens: tf(doc, t) = occurrences of t in this row's own token
+    * array — exactly `groupBy(doc_id, term).count` for a corpus with
+    * unique doc ids (every flat corpus here: doc_id is the primary
+    * key), minus the exchange that groupBy would plan. O(m²) per doc
+    * over m MATCHED tokens (words-in-a-query small), codegen'd. */
+  private def tfPairs(mtoks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(array_distinct(mtoks), t =>
+      struct(t.as("term"),
+        size(filter(mtoks, x => x === t)).cast("long").as("tf")))
+
+  /** The flat scans' matched-postings builder, ONE tokenize pass and
+    * ZERO exchanges: per document, restrict the token array to the
+    * broadcast query-term set, compute (term, tf) pairs in row
+    * ([[tfPairs]]), and explode only the matches — the corpus token
+    * stream never becomes rows. Output (doc_id, term, tf, dl, elig)
+    * is row-for-row the old explode→join→groupBy(doc, term) frame. */
+  private def inRowTfQ(toksAll: DataFrame, qTerms: DataFrame): DataFrame =
+    toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("elig"),
+        filter(col("toks"), t => array_contains(col("qset"), t)).as("mtoks"))
+      .filter(size(col("mtoks")) > 0)
+      .select(col("doc_id"), col("dl"), col("elig"),
+        explode(tfPairs(col("mtoks"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("dl"), col("elig"))
+
+  /** [[inRowTfQ]] with the per-(query, doc) candidate restriction
+    * computed in the SAME pass: `qFrame` carries one token-array
+    * question per query (a phrase, a sloppy phrase, a proximity term
+    * set) and `contains` answers it against the document's FULL token
+    * array — the matching query ids ride each posting row as a bounded
+    * `qids` array, which [[scoreAndRank]] applies AFTER the df window.
+    * This folds what used to be a second corpus scan + tokenize (the
+    * eligPairs crossJoin) into the one matched pass. */
+  private def inRowTfQRestricted(toksAll: DataFrame, qTerms: DataFrame,
+      qFrame: DataFrame, arrCol: String,
+      contains: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    val phArr = qFrame.agg(sort_array(
+      collect_list(struct(col("query_id"), col(arrCol).as("qarr")))).as("phs"))
+    toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
+      .crossJoin(broadcast(phArr))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("elig"),
+        filter(col("toks"), t => array_contains(col("qset"), t)).as("mtoks"),
+        transform(filter(col("phs"),
+            p => contains(col("toks"), p.getField("qarr"))),
+          p => p.getField("query_id")).as("qids"))
+      .filter(size(col("mtoks")) > 0)
+      .select(col("doc_id"), col("dl"), col("elig"), col("qids"),
+        explode(tfPairs(col("mtoks"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("dl"), col("elig"), col("qids"))
   }
 
   /** Quoted-PHRASE BM25 top-k, flat-scan form: only documents
@@ -183,22 +240,16 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    val eligPairs = toksAll.crossJoin(broadcast(ph))
-      .filter(phraseContains(col("toks"), col("phrase")))
-      .select("query_id", "doc_id")
-    val exploded = toksAll.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
-      col("elig"))
     val qTerms = ph.select(col("query_id"),
       explode(col("phrase")).as("term")).distinct()
-    val tfQ = exploded
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    // containment rides the one matched pass as a per-row qids array —
+    // no second corpus scan for the adjacency branch
+    val tfQ = inRowTfQRestricted(toksAll, qTerms, ph, "phrase",
+      (toks, phrase) => phraseContains(toks, phrase))
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
   /** SLOPPY-phrase BM25 top-k, flat-scan form — the ordered middle
@@ -240,22 +291,14 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    val eligPairs = toksAll.crossJoin(broadcast(ph))
-      .filter(sloppyContains(col("toks"), col("phrase"), slop))
-      .select("query_id", "doc_id")
-    val exploded = toksAll.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
-      col("elig"))
     val qTerms = ph.select(col("query_id"),
       explode(col("phrase")).as("term")).distinct()
-    val tfQ = exploded
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val tfQ = inRowTfQRestricted(toksAll, qTerms, ph, "phrase",
+      (toks, phrase) => sloppyContains(toks, phrase, slop))
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
   /** PROXIMITY BM25 top-k, flat-scan form — the middle ground between
@@ -292,29 +335,24 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    // a window never exceeds the document; sequence stays ascending
-    val n = least(lit(window), size(col("toks")))
-    val inWindow = when(size(col("toks")) > 0,
-        exists(sequence(lit(1), size(col("toks")) - n + lit(1)),
-          i => forall(col("qterms"),
-            t => array_contains(slice(col("toks"), i, n), t))))
-      .otherwise(lit(false))
-    val eligPairs = toksAll.crossJoin(broadcast(qs))
-      .filter(inWindow)
-      .select("query_id", "doc_id")
-    val exploded = toksAll.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
-      col("elig"))
+    // the sliding-window containment kernel, evaluated per (doc, query)
+    // inside the one matched pass; a window never exceeds the document,
+    // so the sequence stays ascending
+    def inWindow(toks: org.apache.spark.sql.Column,
+                 qterms: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = least(lit(window), size(toks))
+      when(size(toks) > 0,
+          exists(sequence(lit(1), size(toks) - n + lit(1)),
+            i => forall(qterms, t => array_contains(slice(toks, i, n), t))))
+        .otherwise(lit(false))
+    }
     val qTerms = qs.select(col("query_id"),
       explode(col("qterms")).as("term")).distinct()
-    val tfQ = exploded
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
+    val tfQ = inRowTfQRestricted(toksAll, qTerms, qs, "qterms", inWindow)
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
   /** BM25F multi-FIELD top-k, flat-scan form — the title/body shape a
@@ -342,12 +380,14 @@ object Retrieval {
     * identical doubles; the only library call stays `ln`, absorbed by
     * the 1e-6 rounding-before-rank.
     *
-    * Scale shape — [[bm25TopK]]'s, one union wider: each field explodes
-    * once (same map-side pass over the scan), the broadcast query-term
-    * list prunes BEFORE the (doc, term, field) aggregation, and the
-    * per-field corpus sums reduce map-side to one broadcast row. The
-    * shuffled volume is the matching tokens of all fields — for a
-    * title+body corpus, ~the body alone.
+    * Scale shape — [[bm25TopK]]'s exactly: every field's tokens live on
+    * the document's own row, so per-(doc, term, field) tf and the
+    * field-order weighted fold are IN-ROW array expressions over the
+    * broadcast-query-set-restricted tokens — no per-field explode
+    * union, no (doc, term, field) exchange, no (doc, term) exchange.
+    * The per-field corpus sums reduce map-side to one broadcast row;
+    * the first shuffle of the whole query is the df window over the
+    * matching postings.
     *
     * @param fields `(column, weight)` in significance order — the fold
     *               order of every weighted sum; weights must be > 0
@@ -361,17 +401,24 @@ object Retrieval {
                 termsCol: String = "terms",
                 pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
     bm25fRanked(docs, queries, k, fields, k1, b, idCol, queryIdCol,
-      termsCol, pred, eligPairs = None)
+      termsCol, pred, phrase = None)
 
   /** [[bm25fTopK]]'s body with the per-(query, doc) candidate
-    * restriction exposed — the fielded PHRASE scans' scoring tail. */
+    * restriction exposed — the fielded PHRASE scans' scoring tail.
+    * `phrase` = (phrase frame `(query_id, phrase)`, target field name,
+    * containment kernel): when present, the matching query ids are
+    * computed against the target field's own token stream INSIDE the
+    * one matched pass and ride the posting rows as a `qids` array —
+    * the adjacency branch costs no scan of its own. */
   private def bm25fRanked(docs: DataFrame, queries: DataFrame, k: Int,
                           fields: Seq[(String, Double)],
                           k1: Double, b: Double,
                           idCol: String, queryIdCol: String,
                           termsCol: String,
                           pred: Option[org.apache.spark.sql.Column],
-                          eligPairs: Option[DataFrame]): DataFrame = {
+                          phrase: Option[(DataFrame, String,
+                            (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+                              org.apache.spark.sql.Column)]): DataFrame = {
     require(fields.nonEmpty, "bm25fTopK needs at least one field")
     require(fields.forall(_._2 > 0.0),
       s"field weights must be > 0, got ${fields.map(_._2).mkString(", ")}")
@@ -389,30 +436,46 @@ object Retrieval {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
-    val qDistinct = qTerms.select("term").distinct()
-    // one exploded pass per field, pruned to query terms BEFORE the
-    // (doc, term, field) aggregation — the bm25TopK discipline per arm
-    val perField = fields.zipWithIndex.map { case ((_, _), i) =>
-      toksAll.select(col("doc_id"), lit(i).as("fi"),
-          col("elig"), dlw.as("dlw"),
-          explode(col(s"toks_$i")).as("term"))
-        .join(broadcast(qDistinct), Seq("term"))
-        .groupBy("doc_id", "term", "fi")
-        .agg(count("*").as("tf"), max("dlw").as("dlw"),
-          max("elig").as("elig"))
-    }.reduce(_.unionByName(_))
-    // weighted tf: fold the present (field, tf) pairs in field order —
-    // absent fields contribute exactly nothing (0 + x = x in IEEE for
-    // the positive products here, so the oracle's coalesce-style
-    // two-term sum is bit-identical)
-    val weightArr = array(fields.map(f => lit(f._2)): _*)
-    val tfQ = perField.groupBy("doc_id", "term")
-      .agg(aggregate(
-          array_sort(collect_list(struct(col("fi"), col("tf")))),
-          lit(0.0),
-          (acc, x) => acc + element_at(weightArr, x.getField("fi") + 1) *
-            x.getField("tf").cast("double")).as("tf"),
-        max("dlw").as("dl"), max("elig").as("elig"))
+    // ONE matched pass (the bm25TopK in-row discipline, per field):
+    // every field's tokens restrict against the broadcast query set in
+    // row; the optional phrase kernel answers against the target
+    // field's FULL token stream in the same select
+    val base0 = toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
+    val base = phrase.fold(base0) { case (ph, _, _) =>
+      base0.crossJoin(broadcast(ph.agg(sort_array(collect_list(
+        struct(col("query_id"), col("phrase").as("qarr")))).as("phs"))))
+    }
+    val mCols = fields.indices.map(i =>
+      filter(col(s"toks_$i"), t => array_contains(col("qset"), t)).as(s"m_$i"))
+    val qidsCol = phrase.map { case (_, pf, kernel) =>
+      val pi = fields.indexWhere(_._1 == pf)
+      transform(filter(col("phs"),
+          p => kernel(col(s"toks_$pi"), p.getField("qarr"))),
+        p => p.getField("query_id")).as("qids")
+    }
+    val matched = base.select(col("doc_id") +: col("elig") +:
+      dlw.as("dlw") +: (mCols ++ qidsCol.toSeq): _*)
+    // weighted tf: the SAME left-associative field-order fold as the
+    // old present-field aggregate — an absent field's term is
+    // + w_f · 0.0 = + 0.0, bit-identical on the non-negative
+    // accumulator (0 + x = x in IEEE for the positive products here,
+    // so the oracle's coalesce-style two-term sum is bit-identical)
+    def tfwFor(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      fields.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, ((_, w), i)) =>
+          acc + lit(w) *
+            size(filter(col(s"m_$i"), x => x === t)).cast("double") }
+    val tfQ = matched
+      .withColumn("mall",
+        array_distinct(concat(fields.indices.map(i => col(s"m_$i")): _*)))
+      .filter(size(col("mall")) > 0)
+      .select(col("doc_id") +: col("elig") +: col("dlw").as("dl") +:
+        explode(transform(col("mall"),
+          t => struct(t.as("term"), tfwFor(t).as("tf")))).as("p") +:
+        qidsCol.map(_ => col("qids")).toSeq: _*)
+      .select(col("doc_id") +: col("p.term").as("term") +:
+        col("p.tf").as("tf") +: col("dl") +: col("elig") +:
+        qidsCol.map(_ => col("qids")).toSeq: _*)
     // corpus stats: exact per-field integer sums reduce map-side to one
     // row; the weighted total folds in field order on that single row
     val statCols = count("*").as("n_docs") +:
@@ -423,7 +486,7 @@ object Retrieval {
     val sumDlW = fields.zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, ((_, w), i)) => acc + lit(w) * col(s"s_$i").cast("double") }
     val stats = rawStats.select(col("n_docs"), sumDlW.as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = eligPairs)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
   }
 
   /** Quoted-PHRASE BM25F, flat-scan form — "the phrase in the TITLE":
@@ -486,16 +549,12 @@ object Retrieval {
         s"(${fields.map(_._1).mkString(", ")})")
     val ph = phrases.select(col(queryIdCol).as("query_id"),
       transform(col(phraseCol), t => lower(t)).as("phrase"))
-    val eligPairs = docs
-      .select(col(idCol).as("doc_id"),
-        Dedup.tokensNs(col(phraseField)).as("toks"))
-      .crossJoin(broadcast(ph))
-      .filter(contains(col("toks"), col("phrase")))
-      .select("query_id", "doc_id")
     val qTerms = ph.select(col("query_id"),
       array_distinct(col("phrase")).as("terms"))
+    // containment evaluates against the target field's own token stream
+    // INSIDE bm25fRanked's one matched pass — no scan of its own
     bm25fRanked(docs, qTerms, k, fields, k1, b, idCol, "query_id",
-      "terms", pred, eligPairs = Some(eligPairs))
+      "terms", pred, phrase = Some((ph, phraseField, contains)))
   }
 
   /** FULL Robertson–Zaragoza BM25F, flat-scan form — the per-field
@@ -545,7 +604,6 @@ object Retrieval {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
-    val qDistinct = qTerms.select("term").distinct()
     // exact corpus statistics: N (any-field docs) + per-field Σdl, one
     // broadcast row — avgdl_f divides INSIDE the plan, executor-side,
     // the same IEEE division the oracle writes
@@ -554,35 +612,43 @@ object Retrieval {
         coalesce(sum(size(col(s"toks_$i")).cast("long")), lit(0L))
           .as(s"s_$i"))
     val rawStats = toksAll.filter(anyTok).agg(statCols.head, statCols.tail: _*)
-    val perField = fields.zipWithIndex.map { case (_, i) =>
-      toksAll.select(col("doc_id"), lit(i).as("fi"),
-          col("elig"), size(col(s"toks_$i")).cast("long").as("dlf"),
-          explode(col(s"toks_$i")).as("term"))
-        .join(broadcast(qDistinct), Seq("term"))
-        .groupBy("doc_id", "term", "fi")
-        .agg(count("*").as("tf"), max("dlf").as("dlf"),
-          max("elig").as("elig"))
-    }.reduce(_.unionByName(_))
-    val wArr = array(fields.map(f => lit(f._2)): _*)
-    val bArr = array(fields.map(f => lit(f._3)): _*)
-    val sArr = array(fields.indices.map(i => col(s"s_$i")): _*)
-    // tf̃ per (doc, term, field) row: each operand order mirrors the
-    // oracle text — (1 − b_f) + (b_f·dl_f) / (Σdl_f / N)
-    val bF = element_at(bArr, col("fi") + 1)
-    val tfn = col("tf").cast("double") /
-      (lit(1.0) - bF + bF * col("dlf").cast("double") /
-        (element_at(sArr, col("fi") + 1).cast("double") /
-          col("n_docs").cast("double")))
-    val tfQ = perField.crossJoin(broadcast(rawStats))
-      .select(col("doc_id"), col("term"), col("fi"), col("elig"),
-        tfn.as("tfn"))
-      .groupBy("doc_id", "term")
-      .agg(aggregate(
-          array_sort(collect_list(struct(col("fi"), col("tfn")))),
-          lit(0.0),
-          (acc, x) => acc + element_at(wArr, x.getField("fi") + 1) *
-            x.getField("tfn")).as("tf"),
-        max("elig").as("elig"))
+    // ONE matched pass (the bm25TopK in-row discipline): per-field
+    // matched tokens + per-field exact lengths on the document's own
+    // row; the 1-row corpus stats broadcast in so avgdl_f divides
+    // executor-side — the same IEEE division the oracle writes. tf̄
+    // folds in field order exactly as the old present-field aggregate:
+    // an absent field's term is + 0.0 (guarded — its tf is 0), which is
+    // bit-identical on the non-negative accumulator, and the guard also
+    // keeps a corpus-empty field's 0/0 NaN out of the fold.
+    val matched = toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
+      .crossJoin(broadcast(rawStats))
+      .select(col("doc_id") +: col("elig") +: col("n_docs") +:
+        fields.indices.flatMap(i => Seq(
+          filter(col(s"toks_$i"), t => array_contains(col("qset"), t))
+            .as(s"m_$i"),
+          size(col(s"toks_$i")).cast("long").as(s"dlf_$i"),
+          col(s"s_$i"))): _*)
+    // tf̃_f per (doc, term, field): each operand order mirrors the
+    // oracle text — tf_f / ((1 − b_f) + (b_f·dl_f) / (Σdl_f / N))
+    def tfnFor(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      fields.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, ((_, w, bf), i)) =>
+          val tfi = size(filter(col(s"m_$i"), x => x === t)).cast("double")
+          acc + when(tfi > lit(0.0),
+            lit(w) * (tfi /
+              (lit(1.0) - lit(bf) + lit(bf) * col(s"dlf_$i").cast("double") /
+                (col(s"s_$i").cast("double") / col("n_docs").cast("double")))))
+            .otherwise(lit(0.0))
+      }
+    val tfQ = matched
+      .withColumn("mall",
+        array_distinct(concat(fields.indices.map(i => col(s"m_$i")): _*)))
+      .filter(size(col("mall")) > 0)
+      .select(col("doc_id"), col("elig"),
+        explode(transform(col("mall"),
+          t => struct(t.as("term"), tfnFor(t).as("tf")))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("elig"))
       .withColumn("dl", lit(0.0))
     // b = 0 tail: dl/avgdl contributes exactly 0 (sum_dl = N keeps the
     // avgdl division finite); the saturation denominator is tf̄ + k1
@@ -665,10 +731,17 @@ object Retrieval {
     val perQuery = withDf.join(broadcast(qTerms), Seq("term"))
     // the phrase restriction lands AFTER the df window (document
     // frequency stays full-corpus) and after the query join (it is a
-    // per-(query, doc) bit); both sides are candidate-row-bounded —
-    // postings of the spoken terms — never corpus-sized
-    val restricted = eligPairs.fold(perQuery)(p =>
-      perQuery.join(p.select("query_id", "doc_id"),
+    // per-(query, doc) bit). Two forms: the flat scans ride the
+    // matching query ids on each posting row (a bounded `qids` array
+    // computed in their one matched pass — no join at all); the index
+    // probes pass an eligPairs frame (candidate-row-bounded — postings
+    // of the spoken terms — never corpus-sized), left-semi joined here
+    val perQueryQ =
+      if (tfQ.columns.contains("qids"))
+        perQuery.filter(array_contains(col("qids"), col("query_id")))
+      else perQuery
+    val restricted = eligPairs.fold(perQueryQ)(p =>
+      perQueryQ.join(p.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_semi"))
     val contrib = restricted
       .crossJoin(broadcast(stats))
@@ -777,14 +850,13 @@ object Retrieval {
     val ids = queries.select("query_id").collect().map(_.getLong(0))
     val qVecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
       .select(col("vec_id"), col("embedding"))
-    // fail-loud contract of the by-id fetch, distributed: a bounded
-    // anti-join sample (≤ 8 rows collect) instead of a full
-    // driver-side map — an unserved query must never just vanish
-    // from the fused ranking
-    import spark.implicits._
-    val missing = ids.toSeq.toDF("vec_id")
-      .join(qVecs, Seq("vec_id"), "left_anti").limit(8)
-      .collect().map(_.getLong(0))
+    // fail-loud contract of the by-id fetch: the presence check
+    // collects the fetched frame's IDS ONLY (a projected, column-pruned
+    // read of the already-id-pushed files — never the vectors), so an
+    // unserved query can never just vanish from the fused ranking. One
+    // bounded job, no join — cheaper than the anti-join it replaces
+    val present = qVecs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val missing = ids.filterNot(present).take(8)
     require(missing.isEmpty,
       s"vec_ids ${missing.mkString(", ")} are not stored in the index " +
         s"at $ivfPath")
@@ -813,10 +885,9 @@ object Retrieval {
     val ids = queries.select("query_id").collect().map(_.getLong(0))
     val qVecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
       .select(col("vec_id"), col("embedding"))
-    import spark.implicits._
-    val missing = ids.toSeq.toDF("vec_id")
-      .join(qVecs, Seq("vec_id"), "left_anti").limit(8)
-      .collect().map(_.getLong(0))
+    // ids-only presence check — hybridServe's rationale
+    val present = qVecs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val missing = ids.filterNot(present).take(8)
     require(missing.isEmpty,
       s"vec_ids ${missing.mkString(", ")} are not stored in the index " +
         s"at $ivfPath")
@@ -886,6 +957,11 @@ object Retrieval {
   def recallAtK(result: DataFrame, truth: DataFrame, k: Int,
                 idCol: String = "neighbor_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the metric reads the truth subtree twice (denominator + hits) —
+    // measured round 21: materializing each side once SLOWED the
+    // evaluator ~1.5× at every SF tried, because the two subtree
+    // evaluations overlap inside the one action while sequential
+    // driver materializations serialize; left as one lazy plan
     val r = result.filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("id"))
     val t = truth.filter(col("rank") <= k)
@@ -912,6 +988,7 @@ object Retrieval {
   def ndcgAtK(result: DataFrame, truth: DataFrame, k: Int,
               idCol: String = "neighbor_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // one lazy plan, overlapped subtrees — recallAtK's measured call
     val r = result.filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("id"), col("rank"))
     val t = truth.filter(col("rank") <= k)
@@ -1048,8 +1125,34 @@ object Retrieval {
                k: Int, lambda: Double, depth: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
-    val cand = LexIndex.search(spark, lexPath, queries, depth, k1, b)
-    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
+    // the candidate ranking is depth-bounded (q×depth rows) but its
+    // producer is a full probe pipeline with TWO consumers (the id
+    // list for the vector fetch + the greedy's relevance input):
+    // materialize it ONCE — the candidate-id collect this path always
+    // did, now also feeding the greedy instead of a plan that would
+    // re-run the probe
+    val (candRows, cand) =
+      localBounded(LexIndex.search(spark, lexPath, queries, depth, k1, b))
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath,
+      candRows.map(_.getAs[Long]("doc_id")).distinct), k, lambda)
+  }
+
+  /** Materialize a strictly BOUNDED frame once (a driver collect of
+    * the spoken-probe class — callers pass q×k/q×depth-row rankings or
+    * id-pushed vector fetches, never corpus data) and hand back both
+    * the rows and a local-relation frame carrying the same schema and
+    * values. A lazily-reused DataFrame re-runs its whole producer
+    * pipeline once PER PLAN CONSUMER (Spark shares no work across
+    * action subtrees without an explicit materialization); for the
+    * serving paths here the producer is a complete index probe, so the
+    * re-run doubles the query. Downstream consumers are joins and
+    * aggregations — row order of the local relation is not load-
+    * bearing anywhere (the MMR greedy re-sorts by id; the metric tails
+    * aggregate). */
+  private def localBounded(df: DataFrame): (Array[org.apache.spark.sql.Row], DataFrame) = {
+    val rows = df.collect()
+    (rows, df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
   }
 
   /** Candidate vectors for an at-rest MMR pass, fetched BY ID from the
@@ -1059,17 +1162,20 @@ object Retrieval {
     * vector cannot be diversified against and drops from [[mmrTopK]]'s
     * inner embedding join, so the output can shrink below k. That drop
     * is the documented contract, but it must never be silent: the count
-    * and a bounded id sample warn to stderr. Both reads are id-pushed
-    * (never the vector corpus) and the presence check reads only the
-    * pruned files' `vec_id` column; the candidate-id collect is bounded
-    * by q×depth — the spoken-probe class. */
+    * and a bounded id sample warn to stderr. The read is id-pushed
+    * (never the vector corpus), materialized once ([[localBounded]] —
+    * id-bounded rows), and the presence check reads the collected ids —
+    * no second pruned-file pass. */
   private def candidateVecsLoud(spark: org.apache.spark.sql.SparkSession,
-                                ivfPath: String, cand: DataFrame): DataFrame = {
-    val ids = cand.select("doc_id").distinct().collect().map(_.getLong(0))
+                                ivfPath: String, ids: Array[Long]): DataFrame = {
     val m = IvfIndex.readManifestFull(spark, ivfPath)
-    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
-    val present = vecs.select("vec_id").distinct().collect()
-      .map(_.getLong(0)).toSet
+    // id-bounded rows with two consumers (the presence check + the
+    // greedy's embedding join): materialize the pruned read ONCE; the
+    // presence check then reads the already-collected ids, no second
+    // pruned-file pass
+    val (vecRows, vecs) =
+      localBounded(IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids))
+    val present = vecRows.map(_.getAs[Long]("vec_id")).toSet
     val missing = ids.filterNot(present)
     if (missing.nonEmpty)
       System.err.println(
@@ -1095,9 +1201,11 @@ object Retrieval {
                      k: Int, lambda: Double, depth: Int, nprobe: Int,
                      c: Int = 60): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
-    val cand = hybridServe(spark, lexPath, ivfPath, queries, depth, depth,
-      nprobe, c)
-    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
+    // depth-bounded fused ranking, two consumers — mmrServe's rationale
+    val (candRows, cand) = localBounded(
+      hybridServe(spark, lexPath, ivfPath, queries, depth, depth, nprobe, c))
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath,
+      candRows.map(_.getAs[Long]("doc_id")).distinct), k, lambda)
   }
 
   /** [[mmrServeHybrid]] for LITERAL query vectors — diversify the
@@ -1114,9 +1222,11 @@ object Retrieval {
                             depth: Int, nprobe: Int, c: Int = 60,
                             pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(depth >= k, s"depth=$depth must be >= k=$k")
-    val cand = hybridServeLiteral(spark, lexPath, ivfPath, queries, depth,
-      depth, nprobe, c, pred)
-    mmrTopK(cand, candidateVecsLoud(spark, ivfPath, cand), k, lambda)
+    // depth-bounded fused ranking, two consumers — mmrServe's rationale
+    val (candRows, cand) = localBounded(hybridServeLiteral(spark, lexPath,
+      ivfPath, queries, depth, depth, nprobe, c, pred))
+    mmrTopK(cand, candidateVecsLoud(spark, ivfPath,
+      candRows.map(_.getAs[Long]("doc_id")).distinct), k, lambda)
   }
 
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,

@@ -373,8 +373,10 @@ object VectorQueries extends QueryPack {
       def ranked(p: String) = IvfIndex.search(s, p, queries, K, IvfNProbe)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
-      val probeEqual = ranked(idxPath) == ranked(twinPath) &&
-        ranked(idxPath).nonEmpty
+      // each probe collected ONCE (ranked(idxPath) evaluated twice in
+      // the old conjunction re-ran the whole probe pipeline)
+      val ri = ranked(idxPath)
+      val probeEqual = ri == ranked(twinPath) && ri.nonEmpty
       val (to2, v2) = IvfIndex.syncFromLog(s, logPath, idxPath)
       val resyncNoop = to2 == to1 && v2 == v1
       Seq((probeEqual, resyncNoop)).toDF("synced_probe_equal", "resync_noop")

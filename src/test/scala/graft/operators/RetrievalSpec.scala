@@ -65,6 +65,27 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("zebra")), 5).count() == 0)
   }
 
+  test("bm25TopK: a null-text document neither ranks nor shifts the " +
+       "corpus statistics (the in-row matched pass drops it exactly " +
+       "like the old explode did)") {
+    val withNull = (docsFx :+ (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(withNull, queriesDf(7L -> Seq("spark", "join")), 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val ref = refBm25(Seq("spark", "join")) // reference over the 5 real docs
+    assert(out.keySet == ref.keySet)
+    out.foreach { case (id, s) => assert(math.abs(s - ref(id)) < 1e-9, s"doc $id") }
+  }
+
+  test("flat bm25TopK plans NO per-(doc, term) aggregation exchange — " +
+       "tf is an in-row array expression; the first shuffle is the df " +
+       "window over matching postings") {
+    val plan = Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("spark", "join")), 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*hashpartitioning\\(doc_id#\\d+, term#\\d+.*"),
+      s"flat bm25 regained a (doc, term) exchange:\n${plan.take(900)}")
+  }
+
   test("bm25TopK matches terms case-insensitively") {
     val lo = Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("spark")), 5)
       .collect().map(r => (r.getLong(1), r.getDouble(3))).toSet
