@@ -957,21 +957,30 @@ object Retrieval {
   def recallAtK(result: DataFrame, truth: DataFrame, k: Int,
                 idCol: String = "neighbor_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // the metric reads the truth subtree twice (denominator + hits) —
-    // measured round 21: materializing each side once SLOWED the
-    // evaluator ~1.5× at every SF tried, because the two subtree
-    // evaluations overlap inside the one action while sequential
-    // driver materializations serialize; left as one lazy plan
+    // ONE join + ONE aggregate: the old denominator + hits branches
+    // consumed the truth twice (only a cheap plan tail actually re-ran
+    // — ReuseExchange shares the identical exchanges inside the truth
+    // pipeline — but the extra semi-join + second aggregate + final
+    // join cost real exchanges). A left join against the deduplicated
+    // result pairs marks each truth row hit/missed, and one aggregate
+    // counts both — measured at sf0.1/32c: x118 exec 1.8-3.2 →
+    // 1.45-1.66s, x110/x141 flat-to-better. Semantics identical row
+    // for row: n_truth counts truth rows (duplicates and all — the
+    // distinct keeps the join from fanning them out), n_hit counts
+    // truth rows with a match (the old left_semi), queries absent from
+    // the truth emit nothing, and the recall division sees the same
+    // two exact integers. (ndcgAtK keeps the two-branch form — its
+    // one-join rewrite measured SLOWER, see there.)
     val r = result.filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("id"))
     val t = truth.filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("id"))
-    val denom = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
-    val hits = t.join(r, Seq("query_id", "id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    denom.join(hits, Seq("query_id"), "left")
+    t.join(r.distinct().withColumn("hit", lit(1)),
+        Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
       .select(col("query_id"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+        (col("n_hit").cast("double") /
           col("n_truth").cast("double")).as("recall"))
   }
 
@@ -988,7 +997,16 @@ object Retrieval {
   def ndcgAtK(result: DataFrame, truth: DataFrame, k: Int,
               idCol: String = "neighbor_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // one lazy plan, overlapped subtrees — recallAtK's measured call
+    // two lazy branches over the truth, deliberately: the dcg semi-join
+    // and the idcg count consume the truth through DIFFERENT top
+    // partitionings, but every exchange INSIDE the truth pipeline is an
+    // identical subtree shared by ReuseExchange, so only a cheap plan
+    // tail runs twice — measured round 22: rewriting this as one
+    // full-outer join over a (query_id, id)-pre-aggregated truth (truth
+    // consumed once, one join) ran 1.5-4× SLOWER at sf0.1/32c (x111
+    // exec 0.2→1.0s, x142 1.6→3.4s: the forced two-sided sort-merge
+    // exchange costs more than the shared tail it removes), and round
+    // 21 measured driver-materializing a side ~1.5× slower again
     val r = result.filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("id"), col("rank"))
     val t = truth.filter(col("rank") <= k)
@@ -1163,19 +1181,18 @@ object Retrieval {
     * inner embedding join, so the output can shrink below k. That drop
     * is the documented contract, but it must never be silent: the count
     * and a bounded id sample warn to stderr. The read is id-pushed
-    * (never the vector corpus), materialized once ([[localBounded]] —
-    * id-bounded rows), and the presence check reads the collected ids —
-    * no second pruned-file pass. */
+    * (never the vector corpus) and stays a DISTRIBUTED frame: the
+    * presence check collects the fetched IDS ONLY (a projected,
+    * column-pruned pass over the already-id-pushed files — 8 bytes per
+    * candidate), never the vectors, so candidate embeddings (ids × dim
+    * floats) never ship through driver memory at any depth, and the
+    * greedy's embedding join reads the pruned scan directly
+    * ([[hybridServe]]'s ids-only presence-check rationale). */
   private def candidateVecsLoud(spark: org.apache.spark.sql.SparkSession,
                                 ivfPath: String, ids: Array[Long]): DataFrame = {
     val m = IvfIndex.readManifestFull(spark, ivfPath)
-    // id-bounded rows with two consumers (the presence check + the
-    // greedy's embedding join): materialize the pruned read ONCE; the
-    // presence check then reads the already-collected ids, no second
-    // pruned-file pass
-    val (vecRows, vecs) =
-      localBounded(IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids))
-    val present = vecRows.map(_.getAs[Long]("vec_id")).toSet
+    val vecs = IvfIndex.lookupVectorsFrame(spark, ivfPath, m, ids)
+    val present = vecs.select("vec_id").collect().map(_.getLong(0)).toSet
     val missing = ids.filterNot(present)
     if (missing.nonEmpty)
       System.err.println(
