@@ -149,9 +149,12 @@ object Bench {
               java.nio.file.StandardOpenOption.CREATE,
               java.nio.file.StandardOpenOption.APPEND)
     println(json)
-    spark.stop()
+    // summary BEFORE stop(): shutdown-hook output interleaving on
+    // stdout could otherwise displace the tail line the driver greps
+    // for (Verify's rationale); the full JSON line stays first
     println(summaryLine(total, results.size, failed.size,
       java.nio.file.Paths.get(outFile).toAbsolutePath.normalize.toString))
+    spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -54,7 +54,10 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // summary BEFORE stop(): shutdown-hook output interleaving on
+    // stdout could otherwise displace the tail line the driver greps
+    // for — it only needs to be short and near the tail
     println(summaryLine(nOk, failed.result()))
+    spark.stop()
   }
 }

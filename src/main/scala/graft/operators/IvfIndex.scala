@@ -281,14 +281,27 @@ object IvfIndex {
   /** One cell-partitioned segment from `vectors` under the given frozen
     * centroids. Vectors inside a cell sort by id — stable files, and
     * row-group stats on vec_id for point reads. `attrs` columns are
-    * carried verbatim beside the vectors. */
+    * carried verbatim beside the vectors.
+    *
+    * The write CLUSTERS rows by cell first ([[compact]]'s tile recipe):
+    * without it every upstream task writes its own sliver of every cell
+    * it touches — tasks × cells files of a few rows each (at 32 local
+    * cores, 512 files for a 16-cell segment; at cluster scale, millions
+    * — §6's small-files failure both at listing and at per-file open on
+    * every probe, and the file count SCALES WITH THE WRITER'S
+    * PARALLELISM, which is how the same probe got slower with more
+    * cores). One bounded assignment-count pass sizes per-cell tiles so
+    * a hot cell still spreads over ⌈rows/maxRowsPerFile⌉ write tasks
+    * instead of one straggler. */
   private def writeSegment(spark: SparkSession, root: Path, segName: String,
                            vectors: DataFrame, cents: Array[Array[Float]],
                            idCol: String, vecCol: String,
                            pqCb: Option[Pq.PqCodebooks] = None,
                            sq8: Boolean = false,
-                           attrs: Seq[String] = Nil): Unit = {
+                           attrs: Seq[String] = Nil,
+                           maxRowsPerFile: Long = 1L << 20): Unit = {
     import graft.functions.SketchFunctions.nearestCentroids
+    import spark.implicits._
     val f = fs(spark, root)
     val target = new Path(root, segName)
     if (f.exists(target)) f.delete(target, true) // unreferenced leftover
@@ -303,10 +316,30 @@ object IvfIndex {
       if (sq8) withPq.withColumn("codes8",
         graft.functions.SketchFunctions.sq8EncodeBytes(col("embedding")))
       else withPq
-    withCodes
+    val assigned = withCodes
       .withColumn("cell", nearestCentroids(col("embedding"), cents, 1)(0))
+    // bounded collect (≤ cells rows): per-cell tile counts — one narrow
+    // extra assignment pass beside the refineIters Lloyd passes already
+    // paid, bought back on every probe of the segment forever
+    val tiles = assigned.groupBy("cell").count().collect()
+      .map(r => (r.getLong(0),
+        math.ceil(r.getLong(1).toDouble / maxRowsPerFile).toLong))
+      .filter(_._2 > 1)
+    val clustered =
+      if (tiles.isEmpty) assigned.repartition(col("cell"))
+      else assigned
+        .join(broadcast(tiles.toSeq.toDF("cell", "tiles")), Seq("cell"),
+          "left")
+        .withColumn("tile",
+          pmod(col("vec_id"), greatest(coalesce(col("tiles"), lit(1L)),
+            lit(1L))))
+        .repartition(col("cell"), col("tile"))
+        .drop("tile", "tiles")
+    clustered
       .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
   }
 
@@ -320,8 +353,15 @@ object IvfIndex {
     val target = new Path(root, segName)
     if (f.exists(target)) f.delete(target, true)
     rows
+      // cluster by cell before the write (writeSegment's rationale —
+      // without it, files = writer tasks × touched cells); erase
+      // segments are bounded to the affected cells' survivors, so one
+      // task per cell suffices and no tile sizing pass is warranted
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(target.toString)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1L << 20)
+      .partitionBy("cell").parquet(target.toString)
     f.delete(new Path(target, "_SUCCESS"), false)
   }
 
@@ -626,20 +666,30 @@ object IvfIndex {
     require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive")
     val root = new Path(path)
     val m = readManifestFull(spark, path)
+    import spark.implicits._
     val merged = readSegments(spark, root, m)
-    val tiles = cellStats(spark, path)
-      .select(col("cell"),
-        ceil(col("n_rows").cast("double") / maxRowsPerFile)
-          .cast("long").as("tiles"))
+    // bounded collect (≤ cells rows, already footer-only): when no cell
+    // re-tiles — the non-skewed common case — the tile join and column
+    // drop out of the plan entirely (LexIndex.compact's recipe)
+    val tiles = cellStats(spark, path).select("cell", "n_rows").collect()
+      .map(r => (r.getLong(0),
+        math.ceil(r.getLong(1).toDouble / maxRowsPerFile).toLong))
+      .filter(_._2 > 1)
     val seg = f"seg-${m.version + 1}%09d"
     val f = fs(spark, root)
     val target = new Path(root, seg)
     if (f.exists(target)) f.delete(target, true)
-    merged
-      .join(broadcast(tiles), Seq("cell"))
-      .withColumn("tile", pmod(col("vec_id"), greatest(col("tiles"), lit(1L))))
-      .repartition(col("cell"), col("tile"))
-      .drop("tile", "tiles")
+    val retiled =
+      if (tiles.isEmpty) merged.repartition(col("cell"))
+      else merged
+        .join(broadcast(tiles.toSeq.toDF("cell", "tiles")), Seq("cell"),
+          "left")
+        .withColumn("tile",
+          pmod(col("vec_id"), greatest(coalesce(col("tiles"), lit(1L)),
+            lit(1L))))
+        .repartition(col("cell"), col("tile"))
+        .drop("tile", "tiles")
+    retiled
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)

@@ -714,26 +714,37 @@ object LexIndex {
     * tile count (⌈rows/maxRowsPerFile⌉), a broadcast join tags each
     * row's tile, and the shuffle spreads a hot bucket over that many
     * write tasks — compaction cost tracks the skewed bucket's size
-    * with parallelism, not one straggler task. The per-bucket count
-    * aggregate reads the postings the fold is reading anyway. */
+    * with parallelism, not one straggler task. The per-bucket counts
+    * come from parquet FOOTERS ([[bucketStats]] — [[IvfIndex.compact]]'s
+    * cellStats recipe), so sizing the tiles never re-reads the posting
+    * bytes the fold is about to move (it used to be a second full
+    * postings pass); when no bucket re-tiles (the non-skewed common
+    * case) the tile join and column drop out of the plan entirely. */
   def compact(spark: SparkSession, path: String,
               maxRowsPerFile: Long = 1L << 20): Long = {
     require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive")
+    import spark.implicits._
     val root = new Path(path)
     val m = readManifest(spark, path)
     val merged = readPostingsWith(spark, path, m)
-    val tiles = merged.groupBy("tb")
-      .agg(ceil(count(lit(1)).cast("double") / maxRowsPerFile)
-        .cast("long").as("tiles"))
+    val tiles = bucketStats(spark, path).select("tb", "n_rows").collect()
+      .map(r => (r.getInt(0),
+        math.ceil(r.getLong(1).toDouble / maxRowsPerFile).toLong))
+      .filter(_._2 > 1)
     val seg = f"seg-${m.version + 1}%09d"
     val f = fs(spark, root)
     val target = new Path(root, seg)
     if (f.exists(target)) f.delete(target, true)
-    merged
-      .join(broadcast(tiles), Seq("tb"))
-      .withColumn("tile", pmod(col("doc_id"), greatest(col("tiles"), lit(1L))))
-      .repartition(col("tb"), col("tile"))
-      .drop("tile", "tiles")
+    val retiled =
+      if (tiles.isEmpty) merged.repartition(col("tb"))
+      else merged
+        .join(broadcast(tiles.toSeq.toDF("tb", "tiles")), Seq("tb"), "left")
+        .withColumn("tile",
+          pmod(col("doc_id"), greatest(coalesce(col("tiles"), lit(1L)),
+            lit(1L))))
+        .repartition(col("tb"), col("tile"))
+        .drop("tile", "tiles")
+    retiled
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)

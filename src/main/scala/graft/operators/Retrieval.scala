@@ -47,7 +47,15 @@ object Retrieval {
     *    partials keep q×k×partitions rows on the wire, never the
     *    scored set.
     *
-    * @param docs    corpus `(idCol, textCol, …)`
+    * @param docs    corpus `(idCol, textCol, …)`; `idCol` must be
+    *                UNIQUE (the corpus's primary key — true of every
+    *                corpus here). All per-document statistics (tf, dl,
+    *                df) compute in-row from each document's own line,
+    *                so duplicate ids would emit duplicate postings —
+    *                double-counted df and score contributions — rather
+    *                than merging counts as a keyed aggregation would.
+    *                The same precondition applies to every flat scan in
+    *                this family (phrase/sloppy/proximity/BM25F).
     * @param queries small frame `(queryIdCol, termsCol: array<string>)`
     *                — broadcast; terms are matched lowercased
     * @param pred    optional DOCUMENT filter over `docs`' columns
@@ -389,6 +397,8 @@ object Retrieval {
     * the first shuffle of the whole query is the df window over the
     * matching postings.
     *
+    * @param docs   corpus; `idCol` must be UNIQUE ([[bm25TopK]]'s
+    *               in-row-statistics precondition)
     * @param fields `(column, weight)` in significance order — the fold
     *               order of every weighted sum; weights must be > 0
     * @param pred   optional DOCUMENT filter, as [[bm25TopK]]

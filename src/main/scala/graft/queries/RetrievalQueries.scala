@@ -443,29 +443,43 @@ object RetrievalQueries extends QueryPack {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }
-      val out = f.create(mf, true)
-      try out.write(mTxt.linesIterator.filterNot(_.startsWith("df="))
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      val h2 = health
-      val ok2 = h2.forall(h => h._2 && !h._3) && res == expected
-      // mixed regime: HIDE one segment's sidecar (a rename the walk can
-      // undo — deleting it would force the next run to rebuild the
-      // whole fixture, which is teardown cost, not health-walk cost)
-      val gone = h2.head._1
+      // the walk MUTATES the shared per-JVM fixture (manifest df= lines
+      // stripped, one sidecar renamed away) — restore in a finally so an
+      // exception mid-walk can't corrupt it for later reps, and tolerate
+      // a stale _df.bak a killed earlier run may have left behind
+      val gone = h1.head._1
       val dfDir = new org.apache.hadoop.fs.Path(dir, s"$gone/_df")
       val dfBak = new org.apache.hadoop.fs.Path(dir, s"$gone/_df.bak")
-      f.rename(dfDir, dfBak)
-      val h3 = health
-      val ok3 = h3.collect { case (sg, false, _) => sg } == Seq(gone) &&
-        res == expected
-      // restore the FRESH regime byte-for-byte for the next run: the
-      // sidecar rename reverses, the original manifest text (df= lines
-      // included) rewrites in place
-      f.rename(dfBak, dfDir)
-      val out2 = f.create(mf, true)
-      try out2.write(mTxt.getBytes("UTF-8")) finally out2.close()
-      Seq(ok1 && ok2 && ok3).toDF("df_health_certified")
+      if (f.exists(dfBak)) {
+        if (f.exists(dfDir)) f.delete(dfBak, true) else f.rename(dfBak, dfDir)
+      }
+      def writeManifest(txt: String): Unit = {
+        val out = f.create(mf, true)
+        try out.write(txt.getBytes("UTF-8")) finally out.close()
+      }
+      val certified =
+        try {
+          writeManifest(mTxt.linesIterator.filterNot(_.startsWith("df="))
+            .mkString("", "\n", "\n"))
+          val h2 = health
+          val ok2 = h2.forall(h => h._2 && !h._3) && res == expected
+          // mixed regime: HIDE one segment's sidecar (a rename the walk
+          // can undo — deleting it would force the next run to rebuild
+          // the whole fixture, which is teardown cost, not health-walk
+          // cost)
+          f.rename(dfDir, dfBak)
+          val h3 = health
+          val ok3 = h3.collect { case (sg, false, _) => sg } == Seq(gone) &&
+            res == expected
+          ok1 && ok2 && ok3
+        } finally {
+          // restore the FRESH regime byte-for-byte: the sidecar rename
+          // reverses, the original manifest text (df= lines included)
+          // rewrites in place
+          if (f.exists(dfBak)) f.rename(dfBak, dfDir)
+          writeManifest(mTxt)
+        }
+      Seq(certified).toDF("df_health_certified")
     }),
 
     // The LITERAL-query hybrid probe — the production serving sentence

@@ -80,10 +80,29 @@ class RetrievalSpec extends SparkSpec {
   test("flat bm25TopK plans NO per-(doc, term) aggregation exchange — " +
        "tf is an in-row array expression; the first shuffle is the df " +
        "window over matching postings") {
-    val plan = Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("spark", "join")), 5)
-      .queryExecution.executedPlan.toString
-    assert(!plan.matches("(?s).*hashpartitioning\\(doc_id#\\d+, term#\\d+.*"),
-      s"flat bm25 regained a (doc, term) exchange:\n${plan.take(900)}")
+    // assert on the plan TREE, not a rendered-string regex (format- and
+    // environment-sensitive — the f1a406f lesson): no shuffle exchange
+    // may hash-partition by (doc_id, term)
+    val df = Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("spark", "join")), 5)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[ShuffleExchangeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        exchanges(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchanges(q.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val docTermExchanges = exchanges(df.queryExecution.executedPlan)
+      .map(_.outputPartitioning).collect {
+        case h: HashPartitioning
+            if h.expressions.flatMap(_.references.map(_.name).toSeq)
+              .toSet == Set("doc_id", "term") => h
+      }
+    assert(docTermExchanges.isEmpty,
+      s"flat bm25 regained a (doc, term) exchange: $docTermExchanges")
   }
 
   test("bm25TopK matches terms case-insensitively") {
