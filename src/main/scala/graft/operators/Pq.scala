@@ -71,53 +71,52 @@ object Pq {
   }
 
   /** Train per-subspace codebooks: slice seeds + `iters` distributed
-    * quantized-Lloyd passes (assign all subspaces in ONE kernel call
-    * per row; regroup by (subspace, code) with the subspace SLICE kept
-    * as one quantized-long array per exploded row — m rows per vector,
-    * not dim rows, and the per-position `Σ floor(x·2²⁰)` sums run as
-    * subDim map-side long-sum aggregates, so the shuffle carries
-    * ksub·m·(subDim+1) longs per map partition instead of a dim-times
-    * exploded row stream (§2.3 aggregate-before-shuffle; the long sums
-    * are the same exact integers in any accumulation order, so the
-    * refined codebooks stay bit-identical). One bounded
-    * `m·ksub·(subDim+1)`-value collect per iteration. */
+    * quantized-Lloyd passes (assign all subspaces in ONE kernel call per
+    * row, regroup exploded dims by (subspace, code) — one bounded
+    * `m·ksub·subDim`-row collect per iteration).
+    *
+    * Shape note (round 22, measured): a rework exploding to `m`
+    * subspace rows carrying quantized-long slices (8× fewer rows into
+    * the aggregate, per-position map-side long sums) measured ~7%
+    * SLOWER at sf1/32c (x83 8.19→8.78s) — the per-row nested
+    * struct/array allocation costs more than the codegen'd flat
+    * posexplode + narrow hash-agg it replaced. Kept in this form;
+    * numbers in OPTIMIZATION_r22.md. */
   def train(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
             idCol: String = "vec_id",
             vecCol: String = "embedding"): PqCodebooks = {
     var cb = sliceSeeds(corpus, m, ksub, idCol, vecCol)
     val wide = Parallelism.spreadToCores(corpus)
-    val subDim = cb.subDim
     for (_ <- 0 until iters) {
-      val perSub = wide
+      val sums = wide
         .select(col(vecCol).as("v"),
                 binaryBytes(pqEncode(col(vecCol), cb.flat, m, ksub)).as("cs"))
-        .select(explode(transform(sequence(lit(0), lit(m - 1)), s =>
-          struct(s.cast("int").as("s"),
-            // signed-byte → unsigned code index
-            pmod(element_at(col("cs"), s + 1).cast("int"), lit(256))
-              .as("code"),
-            transform(slice(col("v"), s * lit(subDim) + 1, lit(subDim)),
-              x => floor(x.cast("double") *
-                lit(Similarity.QuantScale.toDouble)).cast("long"))
-              .as("q")))).as("p"))
-      val aggs = (0 until subDim).map(dl =>
-        sum(element_at(col("p.q"), dl + 1)).as(s"sq$dl")) :+
-        count(lit(1)).as("n")
-      val sums = perSub
-        .groupBy(col("p.s").as("s"), col("p.code").as("code"))
-        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cs"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(
+          floor(col("d") / lit(cb.subDim)).cast("int").as("s"),
+          (col("d") % lit(cb.subDim)).as("dl"),
+          col("x"), col("cs"))
+        .withColumn("code", // signed-byte → unsigned code index
+          pmod(element_at(col("cs"), col("s") + 1).cast("int"), lit(256)))
+        .groupBy(col("s"), col("code"), col("dl"))
+        .agg(sum(floor(col("x").cast("double") *
+               lit(Similarity.QuantScale.toDouble))).as("sq"),
+             count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
       val next = cb.flat.zipWithIndex.map { case (old, idx) =>
         sums.get((idx / ksub, idx % ksub)) match {
-          case Some(r) =>
-            val n = r.getLong(2 + subDim)
-            Array.tabulate(subDim)(dl => (r.getLong(2 + dl).toDouble /
-              (n.toDouble * Similarity.QuantScale)).toFloat)
+          case Some(rows) =>
+            val e = old.clone()
+            rows.foreach { r =>
+              e(r.getInt(2)) = (r.getLong(3).toDouble /
+                (r.getLong(4).toDouble * Similarity.QuantScale)).toFloat
+            }
+            e
           case None => old
         }
       }
-      cb = PqCodebooks(m, ksub, subDim, next)
+      cb = PqCodebooks(m, ksub, cb.subDim, next)
     }
     cb
   }

@@ -79,19 +79,43 @@ object Retrieval {
                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // the eligibility bit RIDES the document rows from the first select
     // (evaluated beside the tokenize — attributes and text live on the
-    // same row) and filters AFTER the df window in the shared tail.
-    // Zero extra scans, joins, or exchanges versus the unfiltered query
-    // — and pushing the predicate into the scan instead would be WRONG,
-    // not just slower: dropping non-matching documents before the
-    // window would shrink df/N to the slice, silently changing every
-    // score
+    // same row), aggregates with the tf (constant per document), and
+    // filters AFTER the df window in the shared tail. Zero extra scans,
+    // joins, or exchanges versus the unfiltered query — and pushing the
+    // predicate into the scan instead would be WRONG, not just slower:
+    // dropping non-matching documents before the window would shrink
+    // df/N to the slice, silently changing every score.
+    //
+    // Shape note (round 22, measured): this is the explode →
+    // broadcast-join → map-side-partial groupBy form, DELIBERATELY.
+    // Round 21 replaced it with an in-row matched-token kernel
+    // (filter(toks, array_contains(qset, t)) + per-row tf pairs) to
+    // "remove the (doc, term) exchange"; at sf1/32c that kernel
+    // measured 1.5-2.2× SLOWER across the whole family (x98 3.4→7.5s,
+    // x102 3.9→6.4s, x122 6.1→9.4s — numbers in OPTIMIZATION_r22.md)
+    // and the driver's sf0.1 bench agreed (x-twins 0.63-0.83×). The
+    // exploded tokens are loop iterations inside one codegen stage
+    // (generate → broadcast-hash probe → partial agg), the partial
+    // aggregation already keeps the corpus token stream OFF the wire
+    // (only matched (doc, term) partials shuffle), and the in-row
+    // form's per-row array allocations bought nothing structural.
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    // doc length rides every exploded token row — exact per-group, so
+    // the tf aggregation carries it without a doc-keyed join
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
-    val tfQ = inRowTfQ(toksAll, qTerms)
+    // prune to query terms BEFORE aggregating: the first shuffle carries
+    // only matching tokens, never the corpus token stream
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
     // corpus stats: exact integers, map-side reduce to one broadcast
     // row — over the FULL corpus regardless of the filter. N counts
     // documents with ≥1 token — the convention the oracle's doc-length
@@ -111,63 +135,6 @@ object Retrieval {
     * the plan canonicalizes identically across runs. */
   private def qSetFrame(qTerms: DataFrame): DataFrame =
     qTerms.agg(sort_array(collect_set(col("term"))).as("qset"))
-
-  /** Per-document (term, tf) pairs computed IN ROW over the matched
-    * tokens: tf(doc, t) = occurrences of t in this row's own token
-    * array — exactly `groupBy(doc_id, term).count` for a corpus with
-    * unique doc ids (every flat corpus here: doc_id is the primary
-    * key), minus the exchange that groupBy would plan. O(m²) per doc
-    * over m MATCHED tokens (words-in-a-query small), codegen'd. */
-  private def tfPairs(mtoks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(array_distinct(mtoks), t =>
-      struct(t.as("term"),
-        size(filter(mtoks, x => x === t)).cast("long").as("tf")))
-
-  /** The flat scans' matched-postings builder, ONE tokenize pass and
-    * ZERO exchanges: per document, restrict the token array to the
-    * broadcast query-term set, compute (term, tf) pairs in row
-    * ([[tfPairs]]), and explode only the matches — the corpus token
-    * stream never becomes rows. Output (doc_id, term, tf, dl, elig)
-    * is row-for-row the old explode→join→groupBy(doc, term) frame. */
-  private def inRowTfQ(toksAll: DataFrame, qTerms: DataFrame): DataFrame =
-    toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        col("elig"),
-        filter(col("toks"), t => array_contains(col("qset"), t)).as("mtoks"))
-      .filter(size(col("mtoks")) > 0)
-      .select(col("doc_id"), col("dl"), col("elig"),
-        explode(tfPairs(col("mtoks"))).as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
-        col("dl"), col("elig"))
-
-  /** [[inRowTfQ]] with the per-(query, doc) candidate restriction
-    * computed in the SAME pass: `qFrame` carries one token-array
-    * question per query (a phrase, a sloppy phrase, a proximity term
-    * set) and `contains` answers it against the document's FULL token
-    * array — the matching query ids ride each posting row as a bounded
-    * `qids` array, which [[scoreAndRank]] applies AFTER the df window.
-    * This folds what used to be a second corpus scan + tokenize (the
-    * eligPairs crossJoin) into the one matched pass. */
-  private def inRowTfQRestricted(toksAll: DataFrame, qTerms: DataFrame,
-      qFrame: DataFrame, arrCol: String,
-      contains: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column): DataFrame = {
-    val phArr = qFrame.agg(sort_array(
-      collect_list(struct(col("query_id"), col(arrCol).as("qarr")))).as("phs"))
-    toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
-      .crossJoin(broadcast(phArr))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        col("elig"),
-        filter(col("toks"), t => array_contains(col("qset"), t)).as("mtoks"),
-        transform(filter(col("phs"),
-            p => contains(col("toks"), p.getField("qarr"))),
-          p => p.getField("query_id")).as("qids"))
-      .filter(size(col("mtoks")) > 0)
-      .select(col("doc_id"), col("dl"), col("elig"), col("qids"),
-        explode(tfPairs(col("mtoks"))).as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
-        col("dl"), col("elig"), col("qids"))
-  }
 
   /** Quoted-PHRASE BM25 top-k, flat-scan form: only documents
     * containing the phrase as a CONTIGUOUS token run rank ("documents
@@ -248,16 +215,27 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    // adjacency as its own bounded crossJoin pass + eligPairs semi-join
+    // — bm25TopK's shape note applies here too: round 21 folded the
+    // containment into an in-row matched pass (qids riding the posting
+    // rows) to save this second tokenize, and the fold measured ~1.4×
+    // slower at sf1 (x115 5.1→7.3s) — reverted
+    val eligPairs = toksAll.crossJoin(broadcast(ph))
+      .filter(phraseContains(col("toks"), col("phrase")))
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
     val qTerms = ph.select(col("query_id"),
       explode(col("phrase")).as("term")).distinct()
-    // containment rides the one matched pass as a per-row qids array —
-    // no second corpus scan for the adjacency branch
-    val tfQ = inRowTfQRestricted(toksAll, qTerms, ph, "phrase",
-      (toks, phrase) => phraseContains(toks, phrase))
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
 
   /** SLOPPY-phrase BM25 top-k, flat-scan form — the ordered middle
@@ -299,14 +277,23 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
+    // bm25PhraseTopK's reverted shape (measured at sf1, see bm25TopK)
+    val eligPairs = toksAll.crossJoin(broadcast(ph))
+      .filter(sloppyContains(col("toks"), col("phrase"), slop))
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
     val qTerms = ph.select(col("query_id"),
       explode(col("phrase")).as("term")).distinct()
-    val tfQ = inRowTfQRestricted(toksAll, qTerms, ph, "phrase",
-      (toks, phrase) => sloppyContains(toks, phrase, slop))
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
 
   /** PROXIMITY BM25 top-k, flat-scan form — the middle ground between
@@ -343,25 +330,42 @@ object Retrieval {
     val toksAll = docs.select(col(idCol).as("doc_id"),
       Dedup.tokens(col(textCol)).as("toks"),
       coalesce(pred.getOrElse(lit(true)), lit(false)).as("elig"))
-    // the sliding-window containment kernel, evaluated per (doc, query)
-    // inside the one matched pass; a window never exceeds the document,
-    // so the sequence stays ascending
-    def inWindow(toks: org.apache.spark.sql.Column,
-                 qterms: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val n = least(lit(window), size(toks))
-      when(size(toks) > 0,
-          exists(sequence(lit(1), size(toks) - n + lit(1)),
-            i => forall(qterms, t => array_contains(slice(toks, i, n), t))))
-        .otherwise(lit(false))
-    }
+    // a window never exceeds the document; sequence stays ascending.
+    // bm25PhraseTopK's reverted shape (measured at sf1, see bm25TopK)
+    val n = least(lit(window), size(col("toks")))
+    val inWindow = when(size(col("toks")) > 0,
+        exists(sequence(lit(1), size(col("toks")) - n + lit(1)),
+          i => forall(col("qterms"),
+            t => array_contains(slice(col("toks"), i, n), t))))
+      .otherwise(lit(false))
+    val eligPairs = toksAll.crossJoin(broadcast(qs))
+      .filter(inWindow)
+      .select("query_id", "doc_id")
+    val exploded = toksAll.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"),
+      col("elig"))
     val qTerms = qs.select(col("query_id"),
       explode(col("qterms")).as("term")).distinct()
-    val tfQ = inRowTfQRestricted(toksAll, qTerms, qs, "qterms", inWindow)
+    val tfQ = exploded
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count("*").as("tf"), max("dl").as("dl"), max("elig").as("elig"))
     val stats = toksAll.filter(size(col("toks")) > 0)
       .agg(count("*").as("n_docs"),
         coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = Some(eligPairs))
   }
+
+  // Shape note (round 22, measured): the BM25F family below is the
+  // per-field explode -> broadcast-prune -> (doc, term, field) union
+  // aggregate form, DELIBERATELY. Round 21 replaced it with an in-row
+  // per-field matched-array kernel (one matched pass, field-order fold
+  // in row) which measured faster at sf0.1 (x129 1.14x) - but at
+  // sf1/32c the kernel is 1.7-3x SLOWER (x129 6.7->11.4s, x139
+  // 4.8->15.0s, x143 4.8->5.4s; OPTIMIZATION_r22.md): the sf0.1 win
+  // was fixed stage/scheduling overhead, while the per-row
+  // size(filter(...)) folds scale with matched-tokens^2 per document
+  // and the explode path scales linearly. Reverted to the r20 shape.
 
   /** BM25F multi-FIELD top-k, flat-scan form — the title/body shape a
     * web-crawl corpus serves ("spark in the title counts double"):
@@ -388,17 +392,13 @@ object Retrieval {
     * identical doubles; the only library call stays `ln`, absorbed by
     * the 1e-6 rounding-before-rank.
     *
-    * Scale shape — [[bm25TopK]]'s exactly: every field's tokens live on
-    * the document's own row, so per-(doc, term, field) tf and the
-    * field-order weighted fold are IN-ROW array expressions over the
-    * broadcast-query-set-restricted tokens — no per-field explode
-    * union, no (doc, term, field) exchange, no (doc, term) exchange.
-    * The per-field corpus sums reduce map-side to one broadcast row;
-    * the first shuffle of the whole query is the df window over the
-    * matching postings.
+    * Scale shape — [[bm25TopK]]'s, one union wider: each field explodes
+    * once (same map-side pass over the scan), the broadcast query-term
+    * list prunes BEFORE the (doc, term, field) aggregation, and the
+    * per-field corpus sums reduce map-side to one broadcast row. The
+    * shuffled volume is the matching tokens of all fields — for a
+    * title+body corpus, ~the body alone.
     *
-    * @param docs   corpus; `idCol` must be UNIQUE ([[bm25TopK]]'s
-    *               in-row-statistics precondition)
     * @param fields `(column, weight)` in significance order — the fold
     *               order of every weighted sum; weights must be > 0
     * @param pred   optional DOCUMENT filter, as [[bm25TopK]]
@@ -411,24 +411,17 @@ object Retrieval {
                 termsCol: String = "terms",
                 pred: Option[org.apache.spark.sql.Column] = None): DataFrame =
     bm25fRanked(docs, queries, k, fields, k1, b, idCol, queryIdCol,
-      termsCol, pred, phrase = None)
+      termsCol, pred, eligPairs = None)
 
   /** [[bm25fTopK]]'s body with the per-(query, doc) candidate
-    * restriction exposed — the fielded PHRASE scans' scoring tail.
-    * `phrase` = (phrase frame `(query_id, phrase)`, target field name,
-    * containment kernel): when present, the matching query ids are
-    * computed against the target field's own token stream INSIDE the
-    * one matched pass and ride the posting rows as a `qids` array —
-    * the adjacency branch costs no scan of its own. */
+    * restriction exposed — the fielded PHRASE scans' scoring tail. */
   private def bm25fRanked(docs: DataFrame, queries: DataFrame, k: Int,
                           fields: Seq[(String, Double)],
                           k1: Double, b: Double,
                           idCol: String, queryIdCol: String,
                           termsCol: String,
                           pred: Option[org.apache.spark.sql.Column],
-                          phrase: Option[(DataFrame, String,
-                            (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-                              org.apache.spark.sql.Column)]): DataFrame = {
+                          eligPairs: Option[DataFrame]): DataFrame = {
     require(fields.nonEmpty, "bm25fTopK needs at least one field")
     require(fields.forall(_._2 > 0.0),
       s"field weights must be > 0, got ${fields.map(_._2).mkString(", ")}")
@@ -446,46 +439,30 @@ object Retrieval {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
-    // ONE matched pass (the bm25TopK in-row discipline, per field):
-    // every field's tokens restrict against the broadcast query set in
-    // row; the optional phrase kernel answers against the target
-    // field's FULL token stream in the same select
-    val base0 = toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
-    val base = phrase.fold(base0) { case (ph, _, _) =>
-      base0.crossJoin(broadcast(ph.agg(sort_array(collect_list(
-        struct(col("query_id"), col("phrase").as("qarr")))).as("phs"))))
-    }
-    val mCols = fields.indices.map(i =>
-      filter(col(s"toks_$i"), t => array_contains(col("qset"), t)).as(s"m_$i"))
-    val qidsCol = phrase.map { case (_, pf, kernel) =>
-      val pi = fields.indexWhere(_._1 == pf)
-      transform(filter(col("phs"),
-          p => kernel(col(s"toks_$pi"), p.getField("qarr"))),
-        p => p.getField("query_id")).as("qids")
-    }
-    val matched = base.select(col("doc_id") +: col("elig") +:
-      dlw.as("dlw") +: (mCols ++ qidsCol.toSeq): _*)
-    // weighted tf: the SAME left-associative field-order fold as the
-    // old present-field aggregate — an absent field's term is
-    // + w_f · 0.0 = + 0.0, bit-identical on the non-negative
-    // accumulator (0 + x = x in IEEE for the positive products here,
-    // so the oracle's coalesce-style two-term sum is bit-identical)
-    def tfwFor(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      fields.zipWithIndex.foldLeft(lit(0.0)) {
-        case (acc, ((_, w), i)) =>
-          acc + lit(w) *
-            size(filter(col(s"m_$i"), x => x === t)).cast("double") }
-    val tfQ = matched
-      .withColumn("mall",
-        array_distinct(concat(fields.indices.map(i => col(s"m_$i")): _*)))
-      .filter(size(col("mall")) > 0)
-      .select(col("doc_id") +: col("elig") +: col("dlw").as("dl") +:
-        explode(transform(col("mall"),
-          t => struct(t.as("term"), tfwFor(t).as("tf")))).as("p") +:
-        qidsCol.map(_ => col("qids")).toSeq: _*)
-      .select(col("doc_id") +: col("p.term").as("term") +:
-        col("p.tf").as("tf") +: col("dl") +: col("elig") +:
-        qidsCol.map(_ => col("qids")).toSeq: _*)
+    val qDistinct = qTerms.select("term").distinct()
+    // one exploded pass per field, pruned to query terms BEFORE the
+    // (doc, term, field) aggregation — the bm25TopK discipline per arm
+    val perField = fields.zipWithIndex.map { case ((_, _), i) =>
+      toksAll.select(col("doc_id"), lit(i).as("fi"),
+          col("elig"), dlw.as("dlw"),
+          explode(col(s"toks_$i")).as("term"))
+        .join(broadcast(qDistinct), Seq("term"))
+        .groupBy("doc_id", "term", "fi")
+        .agg(count("*").as("tf"), max("dlw").as("dlw"),
+          max("elig").as("elig"))
+    }.reduce(_.unionByName(_))
+    // weighted tf: fold the present (field, tf) pairs in field order —
+    // absent fields contribute exactly nothing (0 + x = x in IEEE for
+    // the positive products here, so the oracle's coalesce-style
+    // two-term sum is bit-identical)
+    val weightArr = array(fields.map(f => lit(f._2)): _*)
+    val tfQ = perField.groupBy("doc_id", "term")
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("fi"), col("tf")))),
+          lit(0.0),
+          (acc, x) => acc + element_at(weightArr, x.getField("fi") + 1) *
+            x.getField("tf").cast("double")).as("tf"),
+        max("dlw").as("dl"), max("elig").as("elig"))
     // corpus stats: exact per-field integer sums reduce map-side to one
     // row; the weighted total folds in field order on that single row
     val statCols = count("*").as("n_docs") +:
@@ -496,7 +473,7 @@ object Retrieval {
     val sumDlW = fields.zipWithIndex.foldLeft(lit(0.0)) {
       case (acc, ((_, w), i)) => acc + lit(w) * col(s"s_$i").cast("double") }
     val stats = rawStats.select(col("n_docs"), sumDlW.as("sum_dl"))
-    scoreAndRank(tfQ, qTerms, stats, k, k1, b)
+    scoreAndRank(tfQ, qTerms, stats, k, k1, b, eligPairs = eligPairs)
   }
 
   /** Quoted-PHRASE BM25F, flat-scan form — "the phrase in the TITLE":
@@ -559,12 +536,16 @@ object Retrieval {
         s"(${fields.map(_._1).mkString(", ")})")
     val ph = phrases.select(col(queryIdCol).as("query_id"),
       transform(col(phraseCol), t => lower(t)).as("phrase"))
+    val eligPairs = docs
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokensNs(col(phraseField)).as("toks"))
+      .crossJoin(broadcast(ph))
+      .filter(contains(col("toks"), col("phrase")))
+      .select("query_id", "doc_id")
     val qTerms = ph.select(col("query_id"),
       array_distinct(col("phrase")).as("terms"))
-    // containment evaluates against the target field's own token stream
-    // INSIDE bm25fRanked's one matched pass — no scan of its own
     bm25fRanked(docs, qTerms, k, fields, k1, b, idCol, "query_id",
-      "terms", pred, phrase = Some((ph, phraseField, contains)))
+      "terms", pred, eligPairs = Some(eligPairs))
   }
 
   /** FULL Robertson–Zaragoza BM25F, flat-scan form — the per-field
@@ -614,6 +595,7 @@ object Retrieval {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(col(termsCol)).as("term"))
       .select(col("query_id"), lower(col("term")).as("term"))
+    val qDistinct = qTerms.select("term").distinct()
     // exact corpus statistics: N (any-field docs) + per-field Σdl, one
     // broadcast row — avgdl_f divides INSIDE the plan, executor-side,
     // the same IEEE division the oracle writes
@@ -622,43 +604,35 @@ object Retrieval {
         coalesce(sum(size(col(s"toks_$i")).cast("long")), lit(0L))
           .as(s"s_$i"))
     val rawStats = toksAll.filter(anyTok).agg(statCols.head, statCols.tail: _*)
-    // ONE matched pass (the bm25TopK in-row discipline): per-field
-    // matched tokens + per-field exact lengths on the document's own
-    // row; the 1-row corpus stats broadcast in so avgdl_f divides
-    // executor-side — the same IEEE division the oracle writes. tf̄
-    // folds in field order exactly as the old present-field aggregate:
-    // an absent field's term is + 0.0 (guarded — its tf is 0), which is
-    // bit-identical on the non-negative accumulator, and the guard also
-    // keeps a corpus-empty field's 0/0 NaN out of the fold.
-    val matched = toksAll.crossJoin(broadcast(qSetFrame(qTerms)))
-      .crossJoin(broadcast(rawStats))
-      .select(col("doc_id") +: col("elig") +: col("n_docs") +:
-        fields.indices.flatMap(i => Seq(
-          filter(col(s"toks_$i"), t => array_contains(col("qset"), t))
-            .as(s"m_$i"),
-          size(col(s"toks_$i")).cast("long").as(s"dlf_$i"),
-          col(s"s_$i"))): _*)
-    // tf̃_f per (doc, term, field): each operand order mirrors the
-    // oracle text — tf_f / ((1 − b_f) + (b_f·dl_f) / (Σdl_f / N))
-    def tfnFor(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      fields.zipWithIndex.foldLeft(lit(0.0)) {
-        case (acc, ((_, w, bf), i)) =>
-          val tfi = size(filter(col(s"m_$i"), x => x === t)).cast("double")
-          acc + when(tfi > lit(0.0),
-            lit(w) * (tfi /
-              (lit(1.0) - lit(bf) + lit(bf) * col(s"dlf_$i").cast("double") /
-                (col(s"s_$i").cast("double") / col("n_docs").cast("double")))))
-            .otherwise(lit(0.0))
-      }
-    val tfQ = matched
-      .withColumn("mall",
-        array_distinct(concat(fields.indices.map(i => col(s"m_$i")): _*)))
-      .filter(size(col("mall")) > 0)
-      .select(col("doc_id"), col("elig"),
-        explode(transform(col("mall"),
-          t => struct(t.as("term"), tfnFor(t).as("tf")))).as("p"))
-      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
-        col("elig"))
+    val perField = fields.zipWithIndex.map { case (_, i) =>
+      toksAll.select(col("doc_id"), lit(i).as("fi"),
+          col("elig"), size(col(s"toks_$i")).cast("long").as("dlf"),
+          explode(col(s"toks_$i")).as("term"))
+        .join(broadcast(qDistinct), Seq("term"))
+        .groupBy("doc_id", "term", "fi")
+        .agg(count("*").as("tf"), max("dlf").as("dlf"),
+          max("elig").as("elig"))
+    }.reduce(_.unionByName(_))
+    val wArr = array(fields.map(f => lit(f._2)): _*)
+    val bArr = array(fields.map(f => lit(f._3)): _*)
+    val sArr = array(fields.indices.map(i => col(s"s_$i")): _*)
+    // tf̃ per (doc, term, field) row: each operand order mirrors the
+    // oracle text — (1 − b_f) + (b_f·dl_f) / (Σdl_f / N)
+    val bF = element_at(bArr, col("fi") + 1)
+    val tfn = col("tf").cast("double") /
+      (lit(1.0) - bF + bF * col("dlf").cast("double") /
+        (element_at(sArr, col("fi") + 1).cast("double") /
+          col("n_docs").cast("double")))
+    val tfQ = perField.crossJoin(broadcast(rawStats))
+      .select(col("doc_id"), col("term"), col("fi"), col("elig"),
+        tfn.as("tfn"))
+      .groupBy("doc_id", "term")
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("fi"), col("tfn")))),
+          lit(0.0),
+          (acc, x) => acc + element_at(wArr, x.getField("fi") + 1) *
+            x.getField("tfn")).as("tf"),
+        max("elig").as("elig"))
       .withColumn("dl", lit(0.0))
     // b = 0 tail: dl/avgdl contributes exactly 0 (sum_dl = N keeps the
     // avgdl division finite); the saturation denominator is tf̄ + k1
@@ -739,19 +713,13 @@ object Retrieval {
       if (tfQ.columns.contains("elig")) withDfAll.filter(col("elig"))
       else withDfAll
     val perQuery = withDf.join(broadcast(qTerms), Seq("term"))
-    // the phrase restriction lands AFTER the df window (document
-    // frequency stays full-corpus) and after the query join (it is a
-    // per-(query, doc) bit). Two forms: the flat scans ride the
-    // matching query ids on each posting row (a bounded `qids` array
-    // computed in their one matched pass — no join at all); the index
-    // probes pass an eligPairs frame (candidate-row-bounded — postings
-    // of the spoken terms — never corpus-sized), left-semi joined here
-    val perQueryQ =
-      if (tfQ.columns.contains("qids"))
-        perQuery.filter(array_contains(col("qids"), col("query_id")))
-      else perQuery
-    val restricted = eligPairs.fold(perQueryQ)(p =>
-      perQueryQ.join(p.select("query_id", "doc_id"),
+    // the phrase restriction (eligPairs) lands AFTER the df window
+    // (document frequency stays full-corpus) and after the query join
+    // (it is a per-(query, doc) bit): candidate-row-bounded — the
+    // containment pass's matches or the spoken terms' postings — never
+    // corpus-sized, left-semi joined here
+    val restricted = eligPairs.fold(perQuery)(p =>
+      perQuery.join(p.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_semi"))
     val contrib = restricted
       .crossJoin(broadcast(stats))

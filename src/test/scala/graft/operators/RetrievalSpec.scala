@@ -77,32 +77,56 @@ class RetrievalSpec extends SparkSpec {
     out.foreach { case (id, s) => assert(math.abs(s - ref(id)) < 1e-9, s"doc $id") }
   }
 
-  test("flat bm25TopK plans NO per-(doc, term) aggregation exchange — " +
-       "tf is an in-row array expression; the first shuffle is the df " +
-       "window over matching postings") {
+  test("flat bm25TopK prunes to query terms BEFORE the tf aggregation " +
+       "shuffle: the broadcast term join sits below every (doc, term) " +
+       "exchange, so the corpus token stream never crosses the wire") {
     // assert on the plan TREE, not a rendered-string regex (format- and
-    // environment-sensitive — the f1a406f lesson): no shuffle exchange
-    // may hash-partition by (doc_id, term)
+    // environment-sensitive — the f1a406f lesson). The explode →
+    // broadcast-prune → map-side-partial groupBy shape is deliberate:
+    // the round-21 in-row kernel measured 1.5-2× slower at sf1
+    // (OPTIMIZATION_r22.md), so the pin is prune-before-shuffle, not
+    // exchange absence.
     val df = Retrieval.bm25TopK(docsDf, queriesDf(7L -> Seq("spark", "join")), 5)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[ShuffleExchangeExec] = p match {
+    @scala.annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        exchanges(a.executedPlan)
+        unwrap(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        exchanges(q.plan)
-      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
-      case other => other.children.flatMap(exchanges)
+        unwrap(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        unwrap(r.child)
+      case other => other
     }
-    val docTermExchanges = exchanges(df.queryExecution.executedPlan)
-      .map(_.outputPartitioning).collect {
-        case h: HashPartitioning
-            if h.expressions.flatMap(_.references.map(_.name).toSeq)
-              .toSet == Set("doc_id", "term") => h
-      }
-    assert(docTermExchanges.isEmpty,
-      s"flat bm25 regained a (doc, term) exchange: $docTermExchanges")
+    def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val u = unwrap(p)
+      (if (f.isDefinedAt(u)) Seq(f(u)) else Nil) ++
+        u.children.flatMap(collectAll(_)(f))
+    }
+    val root = df.queryExecution.executedPlan
+    val allNodes = collectAll(root) { case p => p.getClass.getSimpleName }
+    val docTermExchanges = collectAll(root) {
+      case e: ShuffleExchangeExec
+          if (e.outputPartitioning match {
+            case h: HashPartitioning =>
+              h.expressions.flatMap(_.references.map(_.name).toSeq)
+                .toSet == Set("doc_id", "term")
+            case _ => false
+          }) => e
+    }
+    assert(docTermExchanges.nonEmpty,
+      s"expected a (doc, term) tf exchange; nodes: ${allNodes.mkString(",")}")
+    docTermExchanges.foreach { e =>
+      assert(collectAll[BroadcastHashJoinExec](e) {
+          case j: BroadcastHashJoinExec => j
+        }.nonEmpty,
+        "the (doc, term) exchange is not fed by the broadcast term prune " +
+          "— unmatched corpus tokens would cross the wire")
+    }
   }
 
   test("bm25TopK matches terms case-insensitively") {
